@@ -1,0 +1,146 @@
+"""The ``WarpDB`` user-facing API (include/warpdb.hpp:11-47,
+bindings/python/pywarpdb.cpp:8-38) re-expressed on Spark.
+
+| Reference | Here |
+|---|---|
+| ``WarpDB(filepath, schema)`` | ``WarpDB(path, schema=..., spark=...)`` — extension-dispatch load |
+| ``query("expr [WHERE cond]")`` | same mini-language → DataFrame (src/warpdb.cpp:199-257) |
+| ``query_sql("SELECT ...")`` | full dialect → DataFrame (src/warpdb.cpp:297-498) |
+| ``query_arrow(...)`` (Arrow C-Data / shm) | ``query_arrow`` → pyarrow.Table; ``query_to_shared`` → parquet at a shared path |
+| ``query_multi_gpu(expr)`` | ``query`` — partitioned parallelism is Spark-native (src/multi_gpu_utils.cpp:5-63) |
+| ``query_multi_gpu_csv(path, expr, rows_per_chunk)`` | ``query_csv`` classmethod — chunked scan ≡ partitioned scan (src/warpdb.cpp:544-590) |
+| ``custom.cu`` device functions | ``register_function`` / ``register_pandas_function`` |
+
+Deliberate supersets, pinned in tests: honest result types instead of
+the reference's everything-is-float32 (include/warpdb.hpp:19, SURVEY
+§1.2) with ``coerce_float32=True`` available for bit-parity; NULL
+semantics; multiple tables via ``attach``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warpdb_spark.errors import ValidationError
+from warpdb_spark.functions.registry import FunctionRegistry, default_registry
+from warpdb_spark.plans.builder import build_dataframe
+from warpdb_spark.plans.compiler import Compiler, validate
+from warpdb_spark.plans.parser import parse_expression, parse_query
+from warpdb_spark.session import get_spark
+from warpdb_spark.sources.readers import load_table
+
+# the reference splits on the WHERE substring case-insensitively
+# (src/warpdb.cpp:204-213); \b keeps identifiers like "nowhere" intact.
+_WHERE_SPLIT = re.compile(r"\bWHERE\b", re.IGNORECASE)
+
+
+class WarpDB:
+    def __init__(
+        self,
+        filepath: str | None = None,
+        schema=None,
+        spark: SparkSession | None = None,
+        table_name: str = "t",
+        df: DataFrame | None = None,
+        **options,
+    ):
+        self.spark = spark or get_spark()
+        self.registry: FunctionRegistry = default_registry()
+        self.tables: dict[str, DataFrame] = {}
+        if df is not None:
+            self.tables[table_name] = df
+        elif filepath is not None:
+            self.tables[table_name] = load_table(self.spark, filepath, schema=schema, **options)
+        else:
+            raise ValueError("WarpDB requires a filepath or a DataFrame")
+        self.table_name = table_name
+
+    # -- table management (superset: the reference holds exactly one
+    # table, include/warpdb.hpp:46-47) --------------------------------
+    @property
+    def df(self) -> DataFrame:
+        return self.tables[self.table_name]
+
+    def attach(self, name: str, source: str | DataFrame, schema=None, **options) -> "WarpDB":
+        if isinstance(source, DataFrame):
+            self.tables[name] = source
+        else:
+            self.tables[name] = load_table(self.spark, source, schema=schema, **options)
+        return self
+
+    # -- UDF registry (custom.cu analog) --------------------------------
+    def register_function(self, name: str, builder) -> "WarpDB":
+        """Register a Column-composition function, e.g.
+        ``db.register_function('discount', lambda p, f: p * f)``."""
+        self.registry.register_builtin(name, builder)
+        return self
+
+    def register_pandas_function(self, name: str, fn, return_type="double") -> "WarpDB":
+        self.registry.register_pandas(name, fn, return_type)
+        return self
+
+    # -- query entry points ---------------------------------------------
+    def query(self, expr: str, coerce_float32: bool = False) -> DataFrame:
+        """``"<expr> [WHERE <cond>]"`` mini-language
+        (include/warpdb.hpp:17-19, src/warpdb.cpp:199-257). Returns a
+        single-column DataFrame named ``result`` (the reference returns
+        ``vector<float>``)."""
+        parts = _WHERE_SPLIT.split(expr, maxsplit=1)
+        expr_ast = parse_expression(parts[0].strip())
+        cols = set(self.df.columns)
+        validate(expr_ast, cols, "SELECT")
+        df = self.df
+        if len(parts) > 1:
+            cond_ast = parse_expression(parts[1].strip())
+            validate(cond_ast, cols, "WHERE")
+            df = df.filter(Compiler(self.registry).compile(cond_ast))
+        out = Compiler(self.registry).compile(expr_ast)
+        if coerce_float32:
+            out = out.cast("float")
+        return df.select(out.alias("result"))
+
+    def query_sql(self, sql: str) -> DataFrame:
+        """Full dialect: SELECT [DISTINCT] ... FROM ... [JOIN ... ON ...]*
+        [WHERE] [GROUP BY] [HAVING] [ORDER BY] [LIMIT] [OFFSET], plus the
+        documented supersets (src/expression.cpp:270-531)."""
+        ast = parse_query(sql)
+        return build_dataframe(self.tables, ast, self.registry)
+
+    def query_arrow(self, expr: str):
+        """Arrow export of ``query`` results (src/warpdb.cpp:500-506,
+        src/arrow_utils.cpp:37-94). Returns a pyarrow.Table — the modern
+        equivalent of the C-Data capsule pair the reference builds."""
+        return self.query(expr).toArrow()
+
+    def query_to_shared(self, expr: str, path: str) -> str:
+        """The POSIX-shm variant (src/arrow_utils.cpp:44-62): on a
+        cluster, cross-process zero-copy sharing is a parquet/arrow file
+        at a shared location."""
+        self.query(expr).write.mode("overwrite").parquet(path)
+        return path
+
+    # -- scale-out analogs ----------------------------------------------
+    def query_multi_gpu(self, expr: str) -> DataFrame:
+        """Parity alias: the reference range-partitions rows across GPUs
+        and processes slices (src/multi_gpu_utils.cpp:5-63); Spark's scan
+        is already partitioned across executors, so this IS ``query``."""
+        return self.query(expr)
+
+    @classmethod
+    def query_csv(
+        cls,
+        path: str,
+        expr: str,
+        rows_per_chunk: int | None = None,
+        spark: SparkSession | None = None,
+        schema=None,
+    ) -> DataFrame:
+        """``query_multi_gpu_csv`` analog (src/warpdb.cpp:544-590): the
+        chunked out-of-core loop is Spark's partitioned file scan.
+        ``rows_per_chunk`` is accepted for API parity; partition sizing
+        is governed by ``spark.sql.files.maxPartitionBytes``."""
+        db = cls(path, schema=schema, spark=spark)
+        return db.query(expr)

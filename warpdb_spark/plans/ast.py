@@ -1,0 +1,356 @@
+"""Logical IR for the WarpDB dialect.
+
+The reference's IR layers (SURVEY §3): token stream → expression AST
+(Constant/Variable/BinaryOp/FunctionCall/Aggregation/WindowFunction,
+include/expression.hpp:20-121) → clause-level QueryAST
+(include/expression.hpp:132-143). We keep the same two levels; instead
+of stringifying to CUDA (``to_cuda_expr``, include/expression.hpp:32-78)
+the compiler emits PySpark Columns and Catalyst does the codegen.
+
+Every node renders a canonical text via ``text()`` (used for
+substitution during grouped compilation) and a column-name-safe alias
+via ``auto_alias()``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+_OP_WORDS = {
+    "+": "add",
+    "-": "sub",
+    "*": "mul",
+    "/": "div",
+    ">": "gt",
+    "<": "lt",
+    ">=": "ge",
+    "<=": "le",
+    "==": "eq",
+    "!=": "ne",
+    "AND": "and",
+    "OR": "or",
+}
+
+
+def _safe(name: str) -> str:
+    out = []
+    for ch in name.lower():
+        out.append(ch if ch.isalnum() else "_")
+    s = "".join(out)
+    while "__" in s:
+        s = s.replace("__", "_")
+    return s.strip("_") or "expr"
+
+
+class Node:
+    def text(self) -> str:
+        raise NotImplementedError
+
+    def auto_alias(self) -> str:
+        return _safe(self.text())
+
+    def children(self) -> list["Node"]:
+        return []
+
+    def walk(self):
+        yield self
+        for c in self.children():
+            yield from c.walk()
+
+
+@dataclass
+class Num(Node):
+    value: float | int
+
+    def text(self) -> str:
+        return repr(self.value)
+
+
+@dataclass
+class Str(Node):
+    value: str
+
+    def text(self) -> str:
+        return f"'{self.value}'"
+
+
+@dataclass
+class Bool(Node):
+    value: bool
+
+    def text(self) -> str:
+        return "TRUE" if self.value else "FALSE"
+
+
+@dataclass
+class Null(Node):
+    def text(self) -> str:
+        return "NULL"
+
+
+@dataclass
+class Var(Node):
+    name: str  # may be qualified: "orders.o_orderkey"
+
+    def text(self) -> str:
+        return self.name
+
+    def auto_alias(self) -> str:
+        return self.name.split(".")[-1]
+
+
+@dataclass
+class Star(Node):
+    def text(self) -> str:
+        return "*"
+
+
+@dataclass
+class BinOp(Node):
+    op: str  # + - * / > < >= <= == != AND OR
+    left: Node
+    right: Node
+
+    def text(self) -> str:
+        return f"({self.left.text()} {self.op} {self.right.text()})"
+
+    def auto_alias(self) -> str:
+        word = _OP_WORDS.get(self.op, _safe(self.op))
+        return f"{word}_{_safe(self.left.text())}_{_safe(self.right.text())}"
+
+    def children(self):
+        return [self.left, self.right]
+
+
+@dataclass
+class Not(Node):
+    operand: Node
+
+    def text(self) -> str:
+        return f"(NOT {self.operand.text()})"
+
+    def children(self):
+        return [self.operand]
+
+
+@dataclass
+class Neg(Node):
+    operand: Node
+
+    def text(self) -> str:
+        return f"(- {self.operand.text()})"
+
+    def children(self):
+        return [self.operand]
+
+
+@dataclass
+class Between(Node):
+    operand: Node
+    low: Node
+    high: Node
+    negated: bool = False
+
+    def text(self) -> str:
+        neg = "NOT " if self.negated else ""
+        return f"({self.operand.text()} {neg}BETWEEN {self.low.text()} AND {self.high.text()})"
+
+    def children(self):
+        return [self.operand, self.low, self.high]
+
+
+@dataclass
+class InList(Node):
+    operand: Node
+    items: list[Node]
+    negated: bool = False
+
+    def text(self) -> str:
+        neg = "NOT " if self.negated else ""
+        inner = ", ".join(i.text() for i in self.items)
+        return f"({self.operand.text()} {neg}IN ({inner}))"
+
+    def children(self):
+        return [self.operand, *self.items]
+
+
+@dataclass
+class Like(Node):
+    operand: Node
+    pattern: str
+    negated: bool = False
+
+    def text(self) -> str:
+        neg = "NOT " if self.negated else ""
+        return f"({self.operand.text()} {neg}LIKE '{self.pattern}')"
+
+    def children(self):
+        return [self.operand]
+
+
+@dataclass
+class IsNull(Node):
+    operand: Node
+    negated: bool = False
+
+    def text(self) -> str:
+        neg = "NOT " if self.negated else ""
+        return f"({self.operand.text()} IS {neg}NULL)"
+
+    def children(self):
+        return [self.operand]
+
+
+@dataclass
+class Case(Node):
+    # list of (condition, value); else_value may be None
+    whens: list[tuple[Node, Node]]
+    else_value: Node | None = None
+
+    def text(self) -> str:
+        parts = ["CASE"]
+        for c, v in self.whens:
+            parts.append(f"WHEN {c.text()} THEN {v.text()}")
+        if self.else_value is not None:
+            parts.append(f"ELSE {self.else_value.text()}")
+        parts.append("END")
+        return "(" + " ".join(parts) + ")"
+
+    def auto_alias(self) -> str:
+        return "case_" + _safe(self.whens[0][0].text())
+
+    def children(self):
+        out = []
+        for c, v in self.whens:
+            out += [c, v]
+        if self.else_value is not None:
+            out.append(self.else_value)
+        return out
+
+
+@dataclass
+class Func(Node):
+    """Generic function-call node (src/expression.cpp:210-223,
+    include/expression.hpp:64-80). Resolution order at compile time:
+    UDF registry (the custom.cu analog) then pyspark.sql.functions."""
+
+    name: str
+    args: list[Node]
+
+    def text(self) -> str:
+        return f"{self.name.lower()}({', '.join(a.text() for a in self.args)})"
+
+    def children(self):
+        return list(self.args)
+
+
+AGG_FUNCS = {"SUM", "AVG", "COUNT", "MIN", "MAX"}
+
+
+@dataclass
+class Agg(Node):
+    """SUM/AVG/COUNT/MIN/MAX over an arbitrary expression argument
+    (include/expression.hpp:86, src/expression.cpp:296-337); plus the
+    COUNT(*) / COUNT(DISTINCT x) supersets."""
+
+    func: str  # upper-case
+    arg: Node
+    distinct: bool = False
+
+    def text(self) -> str:
+        d = "DISTINCT " if self.distinct else ""
+        return f"{self.func}({d}{self.arg.text()})"
+
+    def auto_alias(self) -> str:
+        return f"{self.func.lower()}_{_safe(self.arg.text())}"
+
+    def children(self):
+        return [self.arg]
+
+
+@dataclass
+class WindowSpec:
+    partition_by: list[Node] = field(default_factory=list)
+    order_by: list[tuple[Node, bool]] = field(default_factory=list)  # (expr, asc)
+    # frame: None or (kind, start, end); start/end are ints or
+    # "unbounded"/"current"; negative = preceding.
+    frame: tuple | None = None
+
+    def text(self) -> str:
+        parts = []
+        if self.partition_by:
+            parts.append("PARTITION BY " + ", ".join(p.text() for p in self.partition_by))
+        if self.order_by:
+            parts.append(
+                "ORDER BY "
+                + ", ".join(f"{e.text()} {'ASC' if asc else 'DESC'}" for e, asc in self.order_by)
+            )
+        if self.frame:
+            parts.append(f"{self.frame[0]} BETWEEN {self.frame[1]} AND {self.frame[2]}")
+        return " ".join(parts)
+
+
+@dataclass
+class WindowFunc(Node):
+    """``AGG(expr) OVER (...)`` — the reference parses this shape but
+    discards the OVER body and never executes it
+    (include/expression.hpp:112-121, src/expression.cpp:301-327); here
+    the clause body is honored, plus ranking/analytic supersets
+    (ROW_NUMBER/RANK/DENSE_RANK/NTILE/LAG/LEAD/FIRST_VALUE/LAST_VALUE)."""
+
+    func: str  # upper-case
+    args: list[Node]
+    spec: WindowSpec
+    distinct: bool = False
+
+    def text(self) -> str:
+        inner = ", ".join(a.text() for a in self.args)
+        return f"{self.func}({inner}) OVER ({self.spec.text()})"
+
+    def auto_alias(self) -> str:
+        base = self.func.lower()
+        if self.args:
+            base += "_" + _safe(self.args[0].text())
+        return base + "_w"
+
+    def children(self):
+        out = list(self.args) + list(self.spec.partition_by)
+        out += [e for e, _ in self.spec.order_by]
+        return out
+
+
+@dataclass
+class JoinClause:
+    """JOIN <table> ON <cond> (src/expression.cpp:375-401,
+    include/expression.hpp:123-126); ``how`` generalizes the
+    reference's implicit inner join."""
+
+    table: str
+    condition: Node | None
+    how: str = "inner"
+
+
+@dataclass
+class QueryAST:
+    """Clause-level logical plan (include/expression.hpp:132-143)."""
+
+    select_items: list[tuple[Node, str | None]] = field(default_factory=list)
+    distinct: bool = False
+    from_table: str = ""
+    joins: list[JoinClause] = field(default_factory=list)
+    where: Node | None = None
+    group_by: list[Node] = field(default_factory=list)
+    having: Node | None = None
+    order_by: list[tuple[Node, bool]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+
+
+@dataclass
+class SetOp:
+    """UNION [ALL] / INTERSECT / EXCEPT between two queries (superset —
+    absent from the reference keyword set, src/expression.cpp:58-62)."""
+
+    op: str  # union, union_all, intersect, except
+    left: "QueryAST | SetOp"
+    right: "QueryAST | SetOp"

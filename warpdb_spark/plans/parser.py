@@ -1,0 +1,401 @@
+"""Recursive-descent parser for the WarpDB dialect.
+
+Grammar from the reference (src/expression.cpp):
+
+- expression precedence OR < AND < comparison < additive <
+  multiplicative < factor (parse_logical_or/and :169-190,
+  parse_comparison :156-166, parse_expression_internal/term/factor
+  :144-235; pinned by tests/precedence_tests.cpp:5-19);
+- ``=`` and ``==`` are both equality (src/expression.cpp:85-98);
+- function calls ``name(arg, ...)`` (:210-223); SUM/AVG/COUNT/MIN/MAX
+  become aggregation nodes (:296-337); ``OVER`` after an aggregate makes
+  a window function (:301-327 — the reference discards the OVER body,
+  we parse it fully);
+- query grammar ``SELECT [DISTINCT] item[, ...] FROM t [JOIN t2 ON c]*
+  [WHERE c] [GROUP BY k[, ...]] [HAVING c] [ORDER BY e [ASC|DESC]]
+  [LIMIT n] [OFFSET n]`` (:270-531), with trailing-token rejection
+  (tests/parse_query_error_test.cpp:7-17).
+
+Supersets (SURVEY §2.2/§2.5/§2.7): NOT, unary minus, BETWEEN, IN, LIKE,
+IS NULL, CASE, string literals, AS aliases, join types, multi-column
+ORDER BY, ranking/analytic window functions with frames, UNION /
+INTERSECT / EXCEPT.
+"""
+
+from __future__ import annotations
+
+from warpdb_spark.errors import ParseError
+from warpdb_spark.plans import ast as A
+from warpdb_spark.plans.tokenizer import (
+    EOF,
+    IDENT,
+    KEYWORD,
+    NUMBER,
+    OP,
+    STRING,
+    Token,
+    tokenize,
+)
+
+_WINDOW_ONLY_FUNCS = {
+    "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
+    "FIRST_VALUE", "LAST_VALUE", "PERCENT_RANK", "CUME_DIST",
+}
+
+_CMP_OPS = {">", "<", ">=", "<=", "==", "!=", "="}
+
+
+class _Parser:
+    def __init__(self, tokens: list[Token]):
+        self.tokens = tokens
+        self.pos = 0
+
+    # -- token helpers -------------------------------------------------
+    def peek(self, ahead: int = 0) -> Token:
+        return self.tokens[min(self.pos + ahead, len(self.tokens) - 1)]
+
+    def next(self) -> Token:
+        tok = self.tokens[self.pos]
+        if tok.kind != EOF:
+            self.pos += 1
+        return tok
+
+    def accept_op(self, *ops: str) -> Token | None:
+        tok = self.peek()
+        if tok.kind == OP and tok.value in ops:
+            return self.next()
+        return None
+
+    def accept_kw(self, *names: str) -> Token | None:
+        tok = self.peek()
+        if tok.kind == KEYWORD and tok.value in names:
+            return self.next()
+        return None
+
+    def expect_op(self, op: str) -> Token:
+        tok = self.next()
+        if tok.kind != OP or tok.value != op:
+            raise ParseError(f"Expected '{op}' but found '{tok.value or 'end of input'}'")
+        return tok
+
+    def expect_kw(self, name: str) -> Token:
+        tok = self.next()
+        if not (tok.kind == KEYWORD and tok.value == name):
+            raise ParseError(f"Expected keyword {name}")
+        return tok
+
+    def expect_ident(self, what: str = "identifier") -> str:
+        tok = self.next()
+        if tok.kind != IDENT:
+            raise ParseError(f"Expected {what} but found '{tok.value or 'end of input'}'")
+        return tok.value
+
+    def expect_int(self, clause: str) -> int:
+        tok = self.next()
+        if tok.kind != NUMBER or "." in tok.value:
+            raise ParseError(f"Expected integer after {clause}")
+        return int(tok.value)
+
+    # -- expressions ---------------------------------------------------
+    def parse_expr(self) -> A.Node:
+        return self.parse_or()
+
+    def parse_or(self) -> A.Node:
+        node = self.parse_and()
+        while self.accept_kw("OR"):
+            node = A.BinOp("OR", node, self.parse_and())
+        return node
+
+    def parse_and(self) -> A.Node:
+        node = self.parse_not()
+        while self.accept_kw("AND"):
+            node = A.BinOp("AND", node, self.parse_not())
+        return node
+
+    def parse_not(self) -> A.Node:
+        if self.accept_kw("NOT"):
+            return A.Not(self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> A.Node:
+        node = self.parse_additive()
+        tok = self.peek()
+        if tok.kind == OP and tok.value in _CMP_OPS:
+            self.next()
+            op = "==" if tok.value == "=" else tok.value
+            return A.BinOp(op, node, self.parse_additive())
+        negated = False
+        if tok.is_kw("NOT") and self.peek(1).is_kw("BETWEEN", "IN", "LIKE"):
+            self.next()
+            negated = True
+            tok = self.peek()
+        if tok.is_kw("BETWEEN"):
+            self.next()
+            low = self.parse_additive()
+            self.expect_kw("AND")
+            high = self.parse_additive()
+            return A.Between(node, low, high, negated)
+        if tok.is_kw("IN"):
+            self.next()
+            self.expect_op("(")
+            items = [self.parse_additive()]
+            while self.accept_op(","):
+                items.append(self.parse_additive())
+            self.expect_op(")")
+            return A.InList(node, items, negated)
+        if tok.is_kw("LIKE"):
+            self.next()
+            pat = self.next()
+            if pat.kind != STRING:
+                raise ParseError("Expected string pattern after LIKE")
+            return A.Like(node, pat.value, negated)
+        if tok.is_kw("IS"):
+            self.next()
+            neg = bool(self.accept_kw("NOT"))
+            self.expect_kw("NULL")
+            return A.IsNull(node, neg)
+        return node
+
+    def parse_additive(self) -> A.Node:
+        node = self.parse_term()
+        while True:
+            tok = self.accept_op("+", "-")
+            if not tok:
+                return node
+            node = A.BinOp(tok.value, node, self.parse_term())
+
+    def parse_term(self) -> A.Node:
+        node = self.parse_factor()
+        while True:
+            tok = self.accept_op("*", "/")
+            if not tok:
+                return node
+            node = A.BinOp(tok.value, node, self.parse_factor())
+
+    def parse_factor(self) -> A.Node:
+        tok = self.peek()
+        if tok.kind == OP and tok.value == "-":
+            self.next()
+            return A.Neg(self.parse_factor())
+        if tok.kind == OP and tok.value == "(":
+            self.next()
+            node = self.parse_expr()
+            self.expect_op(")")
+            return node
+        if tok.kind == NUMBER:
+            self.next()
+            return A.Num(float(tok.value) if "." in tok.value else int(tok.value))
+        if tok.kind == STRING:
+            self.next()
+            return A.Str(tok.value)
+        if tok.is_kw("NULL"):
+            self.next()
+            return A.Null()
+        if tok.is_kw("TRUE", "FALSE"):
+            self.next()
+            return A.Bool(tok.value == "TRUE")
+        if tok.is_kw("CASE"):
+            return self.parse_case()
+        if tok.kind == IDENT:
+            self.next()
+            if self.peek().kind == OP and self.peek().value == "(":
+                return self.parse_call(tok.value)
+            return A.Var(tok.value)
+        raise ParseError(f"Unexpected token '{tok.value or 'end of input'}'")
+
+    def parse_case(self) -> A.Node:
+        self.expect_kw("CASE")
+        whens: list[tuple[A.Node, A.Node]] = []
+        while self.accept_kw("WHEN"):
+            cond = self.parse_expr()
+            self.expect_kw("THEN")
+            whens.append((cond, self.parse_expr()))
+        if not whens:
+            raise ParseError("Expected WHEN after CASE")
+        else_value = self.parse_expr() if self.accept_kw("ELSE") else None
+        self.expect_kw("END")
+        return A.Case(whens, else_value)
+
+    def parse_call(self, name: str) -> A.Node:
+        upper = name.upper()
+        self.expect_op("(")
+        distinct = False
+        args: list[A.Node] = []
+        if self.accept_op("*"):
+            args.append(A.Star())
+        elif not (self.peek().kind == OP and self.peek().value == ")"):
+            if upper in A.AGG_FUNCS and self.accept_kw("DISTINCT"):
+                distinct = True
+            args.append(self.parse_expr())
+            while self.accept_op(","):
+                args.append(self.parse_expr())
+        self.expect_op(")")
+
+        if self.peek().is_kw("OVER"):
+            self.next()
+            spec = self.parse_window_spec()
+            return A.WindowFunc(upper, args, spec, distinct)
+        if upper in _WINDOW_ONLY_FUNCS:
+            raise ParseError(f"{upper} requires an OVER clause")
+        if upper in A.AGG_FUNCS:
+            if len(args) != 1:
+                raise ParseError(f"{upper} takes exactly one argument")
+            return A.Agg(upper, args[0], distinct)
+        return A.Func(name, args)
+
+    def parse_window_spec(self) -> A.WindowSpec:
+        self.expect_op("(")
+        spec = A.WindowSpec()
+        if self.accept_kw("PARTITION"):
+            self.expect_kw("BY")
+            spec.partition_by.append(self.parse_expr())
+            while self.accept_op(","):
+                spec.partition_by.append(self.parse_expr())
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            spec.order_by.append(self.parse_order_item())
+            while self.accept_op(","):
+                spec.order_by.append(self.parse_order_item())
+        kw = self.accept_kw("ROWS", "RANGE")
+        if kw:
+            self.expect_kw("BETWEEN")
+            start = self.parse_frame_bound()
+            self.expect_kw("AND")
+            end = self.parse_frame_bound()
+            spec.frame = (kw.value, start, end)
+        self.expect_op(")")
+        return spec
+
+    def parse_frame_bound(self):
+        if self.accept_kw("UNBOUNDED"):
+            tok = self.next()
+            if tok.value == "PRECEDING":
+                return "unbounded_preceding"
+            if tok.value == "FOLLOWING":
+                return "unbounded_following"
+            raise ParseError("Expected PRECEDING or FOLLOWING after UNBOUNDED")
+        if self.accept_kw("CURRENT"):
+            self.expect_kw("ROW")
+            return "current"
+        tok = self.next()
+        if tok.kind != NUMBER:
+            raise ParseError("Expected frame bound")
+        n = int(tok.value)
+        tok = self.next()
+        if tok.value == "PRECEDING":
+            return -n
+        if tok.value == "FOLLOWING":
+            return n
+        raise ParseError("Expected PRECEDING or FOLLOWING")
+
+    def parse_order_item(self) -> tuple[A.Node, bool]:
+        expr = self.parse_expr()
+        if self.accept_kw("DESC"):
+            return expr, False
+        self.accept_kw("ASC")
+        return expr, True
+
+    # -- queries -------------------------------------------------------
+    def parse_select(self) -> A.QueryAST:
+        self.expect_kw("SELECT")
+        q = A.QueryAST()
+        q.distinct = bool(self.accept_kw("DISTINCT"))
+        q.select_items.append(self.parse_select_item())
+        while self.accept_op(","):
+            q.select_items.append(self.parse_select_item())
+        self.expect_kw("FROM")
+        q.from_table = self.expect_ident("table name after FROM")
+
+        while True:
+            how = None
+            if self.accept_kw("JOIN"):
+                how = "inner"
+            elif self.peek().is_kw("INNER", "LEFT", "RIGHT", "FULL", "SEMI", "ANTI", "CROSS"):
+                kw = self.next().value
+                self.accept_kw("OUTER")
+                self.expect_kw("JOIN")
+                how = {
+                    "INNER": "inner", "LEFT": "left", "RIGHT": "right",
+                    "FULL": "full", "SEMI": "left_semi", "ANTI": "left_anti",
+                    "CROSS": "cross",
+                }[kw]
+            if how is None:
+                break
+            table = self.expect_ident("table name after JOIN")
+            cond = None
+            if how != "cross":
+                self.expect_kw("ON")
+                cond = self.parse_expr()
+            q.joins.append(A.JoinClause(table, cond, how))
+
+        if self.accept_kw("WHERE"):
+            q.where = self.parse_expr()
+        if self.accept_kw("GROUP"):
+            self.expect_kw("BY")
+            q.group_by.append(self.parse_expr())
+            while self.accept_op(","):
+                q.group_by.append(self.parse_expr())
+        if self.accept_kw("HAVING"):
+            q.having = self.parse_expr()
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            q.order_by.append(self.parse_order_item())
+            while self.accept_op(","):
+                q.order_by.append(self.parse_order_item())
+        # reference grammar parses LIMIT then OFFSET
+        # (src/expression.cpp:497-522); accept either order.
+        for _ in range(2):
+            if q.limit is None and self.accept_kw("LIMIT"):
+                q.limit = self.expect_int("LIMIT")
+            if q.offset is None and self.accept_kw("OFFSET"):
+                q.offset = self.expect_int("OFFSET")
+        return q
+
+    def parse_select_item(self) -> tuple[A.Node, str | None]:
+        expr = self.parse_expr()
+        if self.accept_kw("AS"):
+            return expr, self.expect_ident("alias after AS")
+        tok = self.peek()
+        if tok.kind == IDENT:  # bare alias: SELECT price p
+            self.next()
+            return expr, tok.value
+        return expr, None
+
+    def parse_query_node(self):
+        node: A.QueryAST | A.SetOp = self.parse_select()
+        while True:
+            tok = self.peek()
+            if tok.is_kw("UNION"):
+                self.next()
+                op = "union_all" if self.accept_kw("ALL") else "union"
+            elif tok.is_kw("INTERSECT"):
+                self.next()
+                op = "intersect"
+            elif tok.is_kw("EXCEPT"):
+                self.next()
+                op = "except"
+            else:
+                return node
+            node = A.SetOp(op, node, self.parse_select())
+
+
+def parse_expression(text: str) -> A.Node:
+    """Parse a bare expression; rejects trailing tokens (the reference's
+    ``"1 2"`` case, tests/expression_tests.cpp:6-18)."""
+    p = _Parser(tokenize(text))
+    node = p.parse_expr()
+    tok = p.peek()
+    if tok.kind != EOF:
+        raise ParseError(f"Unexpected token '{tok.value}' after expression")
+    return node
+
+
+def parse_query(text: str):
+    """Parse a full SELECT (or set-op chain); rejects trailing tokens
+    (tests/parse_query_error_test.cpp:7-17)."""
+    p = _Parser(tokenize(text))
+    node = p.parse_query_node()
+    tok = p.peek()
+    if tok.kind != EOF:
+        raise ParseError(f"Unexpected token after query: '{tok.value}'")
+    return node

@@ -1,0 +1,70 @@
+"""SparkSession bootstrap tuned for columnar analytics.
+
+The reference manages execution resources by hand (cudaMalloc per query,
+128-thread blocks — src/jit.cpp:89-170). On Spark the equivalents are
+session-level configs: AQE for runtime re-planning, Arrow for any
+Python-side exchange, parquet pushdown for scan pruning. Everything here
+is sized so the same code runs on ``local[32]`` for tests and on a
+multi-executor cluster for 100 TB inputs (no config below pins local
+mode semantics).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for scale: AQE coalesces the 200->N shuffle problem at
+# runtime and splits skewed partitions; Arrow keeps every pandas/UDF
+# exchange columnar; 128m split size keeps scan tasks memory-bounded.
+_DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries nanosecond timestamps; Spark's native unit
+    # is microseconds — read ns as TIMESTAMP (truncating) instead of
+    # failing or exposing raw longs.
+    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "warpdb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with the engine's defaults.
+
+    ``master=None`` resolves to ``local[$SPARK_GRAFT_CPUS]`` when no
+    cluster is configured; on a real cluster callers pass nothing and
+    spark-submit's master wins.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_GRAFT_CPUS" in os.environ or not os.environ.get("MASTER"):
+        builder = builder.master(f"local[{default_parallelism()}]")
+        # local mode: driver JVM is the executor — give it headroom.
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+
+    conf = dict(_DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or default_parallelism())
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

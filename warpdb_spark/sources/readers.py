@@ -1,0 +1,165 @@
+"""File-format dispatch readers.
+
+Reference behavior being re-expressed (SURVEY §2.1):
+
+- extension-based routing csv/json/parquet/arrow/feather/orc with an
+  error for anything else (src/warpdb.cpp:159-190);
+- CSV: column names from the header row, types from an optional
+  *positional* schema list, default all-Float32 when absent
+  (src/csv_loader.cpp:49-124);
+- NDJSON: the reference only extracts hardcoded ``price``/``quantity``
+  fields (src/json_loader.cpp:23-45) — generalized here to full
+  schema-on-read;
+- Parquet/Arrow-IPC/ORC via Arrow readers (src/arrow_loader.cpp:100-126).
+
+All readers return lazy DataFrames so Catalyst gets pushdown/pruning;
+nothing is materialized on the driver except the one-line CSV header
+probe (bounded, scale-safe).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Positional schema tokens accepted where the reference takes
+# vector<DataType> (include/warpdb.hpp:13-14, include/csv_loader.hpp:13).
+_TYPE_ALIASES: dict[str, T.DataType] = {
+    "int32": T.IntegerType(),
+    "int": T.IntegerType(),
+    "int64": T.LongType(),
+    "long": T.LongType(),
+    "bigint": T.LongType(),
+    "float32": T.FloatType(),
+    "float": T.FloatType(),
+    "float64": T.DoubleType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "bool": T.BooleanType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _resolve_type(t) -> T.DataType:
+    if isinstance(t, T.DataType):
+        return t
+    try:
+        return _TYPE_ALIASES[str(t).lower()]
+    except KeyError:
+        raise ValueError(f"Unknown schema type: {t!r}")
+
+
+def _csv_header_columns(spark: SparkSession, path: str, sep: str = ",") -> list[str]:
+    """Read only the header line (distributed-safe: limit(1) prunes the scan)."""
+    first = spark.read.text(path).limit(1).collect()
+    if not first:
+        raise ValueError(f"Empty CSV file: {path}")
+    return [c.strip() for c in first[0][0].split(sep)]
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    sep: str = ",",
+    infer: bool = False,
+    **options,
+) -> DataFrame:
+    """CSV scan with the reference's schema rules.
+
+    ``schema`` may be: None (reference default: every column Float32 —
+    src/csv_loader.cpp:68 — unless ``infer=True``), a positional list of
+    types validated against header arity (src/csv_loader.cpp:65-67), or
+    a full StructType.
+    """
+    reader = spark.read.options(**options).option("header", header).option("sep", sep)
+    if isinstance(schema, T.StructType):
+        return reader.schema(schema).csv(path)
+    if schema is not None:
+        cols = _csv_header_columns(spark, path, sep)
+        types = [_resolve_type(t) for t in schema]
+        if len(types) != len(cols):
+            raise ValueError(
+                f"Schema size mismatch: {len(types)} types for {len(cols)} columns"
+            )
+        struct = T.StructType([T.StructField(c, t, True) for c, t in zip(cols, types)])
+        return reader.schema(struct).csv(path)
+    if infer:
+        return reader.option("inferSchema", True).csv(path)
+    cols = _csv_header_columns(spark, path, sep)
+    struct = T.StructType([T.StructField(c, T.FloatType(), True) for c in cols])
+    return reader.schema(struct).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """NDJSON scan, generalized from the reference's two-field extractor."""
+    reader = spark.read.options(**options)
+    if isinstance(schema, T.StructType):
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).orc(path)
+
+
+def read_arrow(spark: SparkSession, path: str) -> DataFrame:
+    """Arrow/Feather IPC scan (src/arrow_loader.cpp:110-118).
+
+    Spark has no native IPC-file datasource; the file is opened with
+    pyarrow on the driver and handed to ``createDataFrame`` (Arrow-path,
+    zero row-by-row conversion). IPC files are a single-machine
+    interchange format in the reference too; for 100 TB-scale inputs the
+    parquet reader is the path.
+    """
+    import pyarrow.ipc as ipc
+
+    with ipc.open_file(path) as reader:
+        table = reader.read_all()
+    return spark.createDataFrame(table)
+
+
+_DISPATCH = {
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".ndjson": "json",
+    ".jsonl": "json",
+    ".parquet": "parquet",
+    ".arrow": "arrow",
+    ".feather": "arrow",
+    ".orc": "orc",
+}
+
+
+def load_table(spark: SparkSession, path: str, schema=None, fmt: str | None = None, **options) -> DataFrame:
+    """Extension-dispatch loader — the Spark analog of the ``WarpDB``
+    constructor's routing (src/warpdb.cpp:159-190)."""
+    if fmt is None:
+        ext = os.path.splitext(path.rstrip("/"))[1].lower()
+        fmt = _DISPATCH.get(ext)
+        if fmt is None:
+            raise ValueError(f"Unsupported file type: {path}")
+    fmt = fmt.lower()
+    if fmt == "csv":
+        sep = "\t" if path.endswith(".tsv") else options.pop("sep", ",")
+        return read_csv(spark, path, schema=schema, sep=sep, **options)
+    if fmt == "json":
+        return read_json(spark, path, schema=schema, **options)
+    if fmt == "parquet":
+        return read_parquet(spark, path, **options)
+    if fmt == "arrow":
+        return read_arrow(spark, path)
+    if fmt == "orc":
+        return read_orc(spark, path, **options)
+    raise ValueError(f"Unsupported file type: {path}")
