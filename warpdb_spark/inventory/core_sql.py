@@ -1,0 +1,663 @@
+"""Core SQL operator inventory (SURVEY §2.2-§2.8) on the TPC-H-ish
+driver tables, each with a DuckDB oracle.
+
+Entries prefixed ``dialect_`` run through the WarpDB front-end
+(tokenizer → parser → Column compiler) to prove the whole pipeline;
+the rest use the DataFrame API directly. Float aggregates are rounded
+in BOTH engines to absorb summation-order differences (Spark partial
+aggregation vs DuckDB's single-node sum — same IEEE doubles, different
+order).
+
+Scale notes (100 TB stance, verified with .explain on sf0.1):
+- every scan carries its filter/projection into the parquet reader
+  (PushedFilters/ReadSchema);
+- dim joins (region/nation/supplier) are explicit ``broadcast()`` —
+  no shuffle of the fact table for those;
+- fact-fact joins shuffle on the join key once; aggregations ride the
+  same hash partitioning where possible;
+- nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from warpdb_spark.api import WarpDB
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        from warpdb_spark.sources.readers import ns_to_timestamp
+
+        df = ns_to_timestamp(df, "ts")
+    return df
+
+
+def _db(spark: SparkSession, sf_dir: str, *names: str) -> WarpDB:
+    db = WarpDB(df=_t(spark, sf_dir, names[0]), table_name=names[0], spark=spark)
+    for n in names[1:]:
+        db.attach(n, _t(spark, sf_dir, n))
+    return db
+
+
+# --- scan / filter / project (reference flagship, include/warpdb.hpp:18) ---
+
+def flagship_filter_project(spark, sf_dir):
+    """``price * quantity WHERE price > 10`` through the mini-language
+    (src/warpdb.cpp:199-257), on lineitem stand-in columns."""
+    db = _db(spark, sf_dir, "lineitem")
+    return db.query("l_extendedprice * l_quantity WHERE l_extendedprice > 10")
+
+
+def dialect_expression_projection(spark, sf_dir):
+    """Arithmetic + precedence + UDF call through the dialect
+    (src/expression.cpp:144-235, custom.cu:1-3)."""
+    db = _db(spark, sf_dir, "lineitem")
+    return db.query_sql(
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, "
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge, "
+        "discount(l_extendedprice, 0.9) AS discounted "
+        "FROM lineitem WHERE l_quantity < 3"
+    )
+
+
+def dialect_predicates(spark, sf_dir):
+    """Superset predicates BETWEEN/IN/LIKE/NOT through the dialect
+    (SURVEY §2.2 ❌ row — we add)."""
+    db = _db(spark, sf_dir, "part")
+    return db.query_sql(
+        "SELECT p_partkey AS pk, p_name AS name, p_size AS size FROM part "
+        "WHERE p_size BETWEEN 10 AND 20 AND p_type IN ('ECONOMY', 'PROMO') "
+        "AND p_name LIKE '%bolt%' AND NOT p_brand == 'Brand#13'"
+    )
+
+
+def expr_case_when(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("pk"),
+            F.when(F.col("p_size") < 10, "small")
+            .when(F.col("p_size") < 30, "medium")
+            .otherwise("large")
+            .alias("size_class"),
+        )
+    )
+
+
+def expr_string_functions(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.upper(F.col("c_mktsegment")).alias("seg_upper"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_name")).alias("tagged"),
+    )
+
+
+def expr_date_functions(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- aggregation (SURVEY §2.4) --------------------------------------------
+
+def dialect_groupby_having(spark, sf_dir):
+    """GROUP BY + HAVING with an aggregate not in SELECT, multi-agg —
+    generalizing src/warpdb.cpp:350-444 through the dialect."""
+    db = _db(spark, sf_dir, "lineitem")
+    return db.query_sql(
+        "SELECT l_quantity AS qty, round(SUM(l_extendedprice), 2) AS sum_price, "
+        "COUNT(l_extendedprice) AS cnt, round(AVG(l_discount), 6) AS avg_disc "
+        "FROM lineitem GROUP BY l_quantity "
+        "HAVING COUNT(l_extendedprice) > 100 ORDER BY l_quantity ASC"
+    )
+
+
+def agg_global(spark, sf_dir):
+    """Global (ungrouped) aggregate — 🟡 in the reference
+    (src/warpdb.cpp:445-459: no reduction kernel)."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+def agg_distinct(spark, sf_dir):
+    """SELECT DISTINCT + ORDER BY DESC (src/warpdb.cpp:463-476,
+    tests/having_distinct_test.cpp:10-13) through the dialect."""
+    db = _db(spark, sf_dir, "lineitem")
+    return db.query_sql("SELECT DISTINCT l_quantity FROM lineitem ORDER BY l_quantity DESC")
+
+
+def agg_count_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def agg_rollup(spark, sf_dir):
+    """Grouping-set superset (SURVEY §2.4 ❌ row)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def agg_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- sorts / limits (SURVEY §2.6) ------------------------------------------
+
+def sort_topk(spark, sf_dir):
+    """ORDER BY + LIMIT → Spark TakeOrderedAndProject (no full sort at
+    scale; each partition keeps k, merge on driver-side of the exchange)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .orderBy(F.col("price").desc(), F.col("ok").asc(), F.col("ln").asc())
+        .limit(10)
+    )
+
+
+def dialect_offset_limit(spark, sf_dir):
+    """OFFSET-before-LIMIT ordering (src/warpdb.cpp:485-495) through the
+    dialect."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT o_orderkey AS ok, o_totalprice AS total FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5"
+    )
+
+
+# --- joins (SURVEY §2.3 — parsed-only in the reference, executed here) -----
+
+def join_inner_rowlevel(spark, sf_dir):
+    """Inner equi join, row level (the JOIN grammar the reference parses
+    at src/expression.cpp:375-401), through the dialect."""
+    db = _db(spark, sf_dir, "orders", "lineitem")
+    return db.query_sql(
+        "SELECT orders.o_orderkey AS ok, orders.o_orderpriority AS prio, "
+        "lineitem.l_linenumber AS ln, lineitem.l_quantity AS qty "
+        "FROM orders JOIN lineitem ON orders.o_orderkey = lineitem.l_orderkey "
+        "WHERE lineitem.l_quantity >= 49"
+    )
+
+
+def join_broadcast_dims(spark, sf_dir):
+    """Star join through two broadcast dims: no shuffle of the fact side
+    (explicit F.broadcast; AQE would also pick it, we don't rely on it)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def join_semi(spark, sf_dir):
+    """Left-semi: orders having any max-quantity lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") == 50)
+    return orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_semi"
+    ).select(F.col("o_orderkey").alias("ok"))
+
+
+def join_anti(spark, sf_dir):
+    """Left-anti: orders with no max-quantity lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") == 50)
+    return orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_anti"
+    ).select(F.col("o_orderkey").alias("ok"))
+
+
+def join_left_outer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 9000).groupBy(
+        "l_orderkey"
+    ).agg(F.count(F.lit(1)).alias("n_big"))
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left")
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.coalesce(F.col("n_big"), F.lit(0)).alias("n_big_items"),
+        )
+    )
+
+
+def join_theta(spark, sf_dir):
+    """Equi + theta condition (the reference grammar allows arbitrary ON
+    expressions, src/expression.cpp:375-401). The equi part keys the
+    shuffle; the inequality is a post-join filter — Catalyst plans this
+    as a hash join, not a nested loop."""
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        supplier.join(
+            customer,
+            (supplier.s_nationkey == customer.c_nationkey)
+            & (supplier.s_acctbal > customer.c_acctbal),
+        )
+        .select(
+            F.col("s_suppkey").alias("sk"),
+            F.col("c_custkey").alias("ck"),
+        )
+    )
+
+
+# --- window functions (SURVEY §2.5 — parse-only in the reference) ----------
+
+def window_running_sum(spark, sf_dir):
+    """SUM(x) OVER (PARTITION BY ... ORDER BY ...) — completing
+    include/expression.hpp:112-121 — through the dialect."""
+    db = _db(spark, sf_dir, "lineitem")
+    return db.query_sql(
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, "
+        "SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS running_qty "
+        "FROM lineitem"
+    )
+
+
+def window_rank_topn(spark, sf_dir):
+    """Top-3 per group via row_number — the scalable per-group top-k."""
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("rn"),
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+
+
+def window_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        F.col("value"),
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+    )
+
+
+def window_frame_moving_avg(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("eid"),
+        F.round(F.avg("value").over(w), 6).alias("mov_avg"),
+    )
+
+
+# --- set operations (SURVEY §2.7 — absent in reference) --------------------
+
+def setop_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nk"))
+    return c.union(s).distinct()
+
+
+def setop_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nk"))
+    return c.intersect(s)
+
+
+def setop_except(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("int").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nk"))
+    return n.subtract(s)
+
+
+# --- TPC-H-shaped headline queries (bench set) ------------------------------
+
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """Q1: scan-heavy multi-agg — partial aggregation does the work
+    map-side; the shuffle carries only |flags|x|statuses| rows."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def tpch_q3_shipping_priority(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        # customer is ~1.5% of orders' size after the segment filter —
+        # broadcast it; orders⋈lineitem shuffles once on orderkey.
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").cast("date").cast("string").alias("odate"),
+            F.col("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("ok").asc())
+        .limit(10)
+    )
+
+
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            customer,
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """Q6: pure scan+filter+agg — the filters land in PushedFilters, the
+    scan reads 4 columns, and the agg is a map-side partial."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def tpch_q18_large_volume_customer(spark, sf_dir):
+    lineitem = _t(spark, sf_dir, "lineitem")
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_totalprice").alias("total_price"),
+            F.round(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("ok"))
+        .limit(100)
+    )
+
+
+QUERIES = {
+    "flagship_filter_project": flagship_filter_project,
+    "dialect_expression_projection": dialect_expression_projection,
+    "dialect_predicates": dialect_predicates,
+    "expr_case_when": expr_case_when,
+    "expr_string_functions": expr_string_functions,
+    "expr_date_functions": expr_date_functions,
+    "dialect_groupby_having": dialect_groupby_having,
+    "agg_global": agg_global,
+    "agg_distinct": agg_distinct,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "sort_topk": sort_topk,
+    "dialect_offset_limit": dialect_offset_limit,
+    "join_inner_rowlevel": join_inner_rowlevel,
+    "join_broadcast_dims": join_broadcast_dims,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_left_outer": join_left_outer,
+    "join_theta": join_theta,
+    "window_running_sum": window_running_sum,
+    "window_rank_topn": window_rank_topn,
+    "window_lag_lead": window_lag_lead,
+    "window_frame_moving_avg": window_frame_moving_avg,
+    "setop_union": setop_union,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "tpch_q18_large_volume_customer": tpch_q18_large_volume_customer,
+}
+
+ORACLES = {
+    "flagship_filter_project": (
+        "SELECT l_extendedprice * l_quantity AS result FROM lineitem "
+        "WHERE l_extendedprice > 10"
+    ),
+    "dialect_expression_projection": (
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, "
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge, "
+        "l_extendedprice * 0.9 AS discounted FROM lineitem WHERE l_quantity < 3"
+    ),
+    "dialect_predicates": (
+        "SELECT p_partkey AS pk, p_name AS name, p_size AS size FROM part "
+        "WHERE p_size BETWEEN 10 AND 20 AND p_type IN ('ECONOMY', 'PROMO') "
+        "AND p_name LIKE '%bolt%' AND NOT p_brand = 'Brand#13'"
+    ),
+    "expr_case_when": (
+        "SELECT p_partkey AS pk, CASE WHEN p_size < 10 THEN 'small' "
+        "WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class FROM part"
+    ),
+    "expr_string_functions": (
+        "SELECT c_custkey AS ck, upper(c_mktsegment) AS seg_upper, "
+        "length(c_name) AS name_len, substring(c_name, 1, 8) AS name_prefix, "
+        "concat_ws('-', c_mktsegment, c_name) AS tagged FROM customer"
+    ),
+    "expr_date_functions": (
+        "SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, "
+        "count(*) AS n_orders FROM orders GROUP BY 1, 2"
+    ),
+    "dialect_groupby_having": (
+        "SELECT l_quantity AS qty, round(sum(l_extendedprice), 2) AS sum_price, "
+        "count(l_extendedprice) AS cnt, round(avg(l_discount), 6) AS avg_disc "
+        "FROM lineitem GROUP BY l_quantity HAVING count(l_extendedprice) > 100 "
+        "ORDER BY qty"
+    ),
+    "agg_global": (
+        "SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total_price, "
+        "round(avg(l_quantity), 6) AS avg_qty, min(l_shipdate) AS first_ship, "
+        "max(l_shipdate) AS last_ship FROM lineitem"
+    ),
+    "agg_distinct": "SELECT DISTINCT l_quantity FROM lineitem ORDER BY l_quantity DESC",
+    "agg_count_distinct": (
+        "SELECT count(DISTINCT l_partkey) AS n_parts, "
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem"
+    ),
+    "agg_rollup": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "agg_cube": (
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+    ),
+    "sort_topk": (
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, l_extendedprice AS price "
+        "FROM lineitem ORDER BY price DESC, ok ASC, ln ASC LIMIT 10"
+    ),
+    "dialect_offset_limit": (
+        "SELECT o_orderkey AS ok, o_totalprice AS total FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5"
+    ),
+    "join_inner_rowlevel": (
+        "SELECT o_orderkey AS ok, o_orderpriority AS prio, l_linenumber AS ln, "
+        "l_quantity AS qty FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE l_quantity >= 49"
+    ),
+    "join_broadcast_dims": (
+        "SELECT r_name AS region, count(*) AS n_customers, "
+        "round(sum(c_acctbal), 2) AS sum_acctbal FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ),
+    "join_semi": (
+        "SELECT o_orderkey AS ok FROM orders WHERE EXISTS ("
+        "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity = 50)"
+    ),
+    "join_anti": (
+        "SELECT o_orderkey AS ok FROM orders WHERE NOT EXISTS ("
+        "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity = 50)"
+    ),
+    "join_left_outer": (
+        "SELECT o_orderkey AS ok, coalesce(b.n_big, 0) AS n_big_items FROM orders "
+        "LEFT JOIN (SELECT l_orderkey, count(*) AS n_big FROM lineitem "
+        "WHERE l_extendedprice > 9000 GROUP BY l_orderkey) b "
+        "ON o_orderkey = b.l_orderkey"
+    ),
+    "join_theta": (
+        "SELECT s_suppkey AS sk, c_custkey AS ck FROM supplier JOIN customer "
+        "ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal"
+    ),
+    "window_running_sum": (
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, "
+        "sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) "
+        "AS running_qty FROM lineitem"
+    ),
+    "window_rank_topn": (
+        "SELECT flag, rn, price FROM (SELECT l_returnflag AS flag, "
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, "
+        "l_orderkey, l_linenumber) AS rn, l_extendedprice AS price FROM lineitem) "
+        "WHERE rn <= 3"
+    ),
+    "window_lag_lead": (
+        "SELECT event_id AS eid, user_id AS uid, value, "
+        "lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value, "
+        "lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value "
+        "FROM events"
+    ),
+    "window_frame_moving_avg": (
+        "SELECT event_id AS eid, round(avg(value) OVER ("
+        "PARTITION BY user_id ORDER BY event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg FROM events"
+    ),
+    "setop_union": (
+        "SELECT CAST(c_nationkey AS INT) AS nk FROM customer UNION "
+        "SELECT CAST(s_nationkey AS INT) AS nk FROM supplier"
+    ),
+    "setop_intersect": (
+        "SELECT CAST(c_nationkey AS INT) AS nk FROM customer INTERSECT "
+        "SELECT CAST(s_nationkey AS INT) AS nk FROM supplier"
+    ),
+    "setop_except": (
+        "SELECT CAST(n_nationkey AS INT) AS nk FROM nation EXCEPT "
+        "SELECT CAST(s_nationkey AS INT) AS nk FROM supplier"
+    ),
+    "tpch_q1_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "round(avg(l_quantity), 6) AS avg_qty, round(avg(l_extendedprice), 6) AS avg_price, "
+        "round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+    "tpch_q3_shipping_priority": (
+        "SELECT o_orderkey AS ok, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "AND l_shipdate > TIMESTAMP '1998-01-01' "
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, ok ASC LIMIT 10"
+    ),
+    "tpch_q5_local_supplier_volume": (
+        "SELECT n_name AS nation, round(sum(l_extendedprice * (1 - l_discount)), 2) "
+        "AS revenue FROM lineitem "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' GROUP BY n_name"
+    ),
+    "tpch_q6_forecast_revenue": (
+        "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    "tpch_q18_large_volume_customer": (
+        "SELECT c_custkey AS ck, o_orderkey AS ok, o_totalprice AS total_price, "
+        "round(b.total_qty, 2) AS total_qty FROM orders "
+        "JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem "
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 300) b ON o_orderkey = b.l_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY total_price DESC, ok LIMIT 100"
+    ),
+}

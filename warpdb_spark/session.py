@@ -27,10 +27,10 @@ _DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet carries nanosecond timestamps; Spark's native unit
-    # is microseconds — read ns as TIMESTAMP (truncating) instead of
-    # failing or exposing raw longs.
-    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
+    # natively (PARQUET_TYPE_ILLEGAL); read them as epoch-ns longs and
+    # convert at load (sources.readers.ns_to_timestamp).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
 }
 

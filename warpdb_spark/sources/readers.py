@@ -109,6 +109,18 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).parquet(path)
 
 
+def ns_to_timestamp(df: DataFrame, *cols: str) -> DataFrame:
+    """Convert epoch-nanosecond long columns (parquet TIMESTAMP(NANOS)
+    read under ``spark.sql.legacy.parquet.nanosAsLong=true``) to Spark
+    microsecond timestamps. Integer division keeps it exact for values
+    with zero sub-microsecond part."""
+    from pyspark.sql import functions as F
+
+    for c in cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
 def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).orc(path)
 
