@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with the noop sink (full execution, no driver
+collect) so the measured time is scan+compute+shuffle, the same work a
+cluster run would do per partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from warpdb_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: scan-bound (q1/q6), join-heavy (q3/q5/q18), row-level
+# expression (flagship), window (running_sum), plus the pipeline
+# superset ops when present (dedup/similarity/text).
+HEADLINE = [
+    "flagship_filter_project",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customer",
+    "window_running_sum",
+    "join_theta",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "similarity_topk_bruteforce",
+]
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    spark = get_spark("warpdb-bench")
+    qs = entry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM/codegen once with a cheap query; not counted.
+    _force(qs["flagship_filter_project"](spark, SF_DIR).limit(1000))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "warpdb_spark_headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
