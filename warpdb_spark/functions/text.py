@@ -1,0 +1,132 @@
+"""Text-analysis column functions for LLM-data pipelines (SURVEY §7
+Phase 3; BASELINE.json north star).
+
+Everything here is a pure pyspark.sql.functions composition — JVM-side,
+whole-stage-codegen-friendly, no Python in the hot path — so a scan
+over 100 TB of documents stays a single codegen'd map stage with no
+shuffle and no Arrow exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Compact stopword profiles for the n-gram/stopword language heuristic.
+# Real deployments would swap in fuller lists; the scoring pipeline is
+# identical.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "en", "du", "que"],
+    "de": ["der", "die", "das", "und", "ein", "zu", "den", "von", "mit", "ist"],
+}
+
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens; empty/blank input → empty array."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, _WS)
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """A BPE-flavored proxy: word pieces ≈ words + one extra piece per 4
+    chars beyond the first 4 of each word (deterministic, regex-only)."""
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.lit(1) + F.floor(F.greatest(F.length(t) - 1, F.lit(0)) / 4).cast("int"),
+    )
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-gram shingles as an array of space-joined strings; empty
+    when the document has fewer than n tokens. Pure HOF composition —
+    no explode, no shuffle."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def stopword_hits(col: Column, words: list[str]) -> Column:
+    """Count of tokens (lower-cased) that are in ``words``."""
+    lower_tokens = F.transform(tokens(col), F.lower)
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(lower_tokens, lambda t: F.array_contains(wl, t)))
+
+
+def cjk_char_count(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, "[^一-鿿]", ""))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword/char-class language heuristic over en/es/fr/de/zh.
+
+    Score per language = stopword hits (zh: CJK char count); argmax with
+    deterministic lexicographic tie-break; all-zero → 'unknown'.
+    """
+    scored = [(lang, stopword_hits(col, words)) for lang, words in sorted(STOPWORDS.items())]
+    scored.append(("zh", cjk_char_count(col)))
+    scored.sort(key=lambda kv: kv[0])
+    best = F.greatest(*[s for _, s in scored])
+    out = F.lit("unknown")
+    # reversed so that earlier (lexicographically smaller) languages win ties
+    for lang, score in reversed(scored):
+        out = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def alpha_ratio(col: Column) -> Column:
+    n = F.length(col)
+    alpha = F.length(F.regexp_replace(col, "[^A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(alpha / n)
+
+
+def stopword_ratio(col: Column, words: list[str] | None = None) -> Column:
+    words = words or STOPWORDS["en"]
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(stopword_hits(col, words) / n)
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic:
+    0.4·min(tokens/200, 1) + 0.3·stopword_ratio·5 (capped 1) + 0.3·alpha_ratio.
+    """
+    length_part = F.least(token_count(col) / 200.0, F.lit(1.0))
+    stop_part = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return F.round(0.4 * length_part + 0.3 * stop_part + 0.3 * alpha_ratio(col), 6)
+
+
+def normalized_text(col: Column) -> Column:
+    """Dedup normalization: lower-case, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), _WS, " "))
+
+
+def md5_fingerprint(col: Column) -> Column:
+    """Content fingerprint over normalized text (md5 for cross-engine
+    verifiability; xxhash64 would be the cheaper production choice)."""
+    return F.md5(normalized_text(col))
+
+
+def rolling_fingerprint(col: Column, window: int = 5) -> Column:
+    """Winnowing-style document fingerprint: min xxhash64 over word
+    ``window``-grams of the normalized text (engine-specific hash —
+    verified rows-only)."""
+    grams = word_ngrams(normalized_text(col), window)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    return F.when(F.size(grams) == 0, F.xxhash64(normalized_text(col))).otherwise(
+        F.array_min(hashes)
+    )

@@ -1,0 +1,434 @@
+"""LLM-data-pipeline operator inventory (SURVEY §7 Phase 3 /
+BASELINE.json north star): dedup, similarity search, multimodal
+columns, text analysis, as-of/range joins, event-time windowing.
+
+Oracle strategy: at sf0.01 the documents/embeddings tables are small
+enough (500 rows) that even near-dup ground truth is exactly
+expressible in DuckDB (all-pairs n-gram Jaccard / cosine), so the LSH
+paths are verified against EXACT answers, not just row counts.
+Engine-specific hashes (xxhash64 minhash signatures, SimHash) are
+rows-only here and cross-checked by unit tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from warpdb_spark.functions import text as T
+from warpdb_spark.operators import dedup as D
+from warpdb_spark.operators import multimodal as M
+from warpdb_spark.operators import similarity as S
+from warpdb_spark.operators.asof import asof_join, range_join
+from warpdb_spark.sources.readers import ns_to_timestamp
+from warpdb_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = ns_to_timestamp(df, "ts")
+    return df
+
+
+# DuckDB fragments shared by several oracles
+_DD_TOKS = "string_split_regex(trim({col}), '\\s+')"
+_DD_NORM = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+_DD_SHINGLES = (
+    "CASE WHEN len(toks) < 3 THEN [norm] ELSE list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 1, 1)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END"
+)
+
+
+# --- text analysis -----------------------------------------------------------
+
+def text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def text_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def text_md5_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.md5_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def text_winnow_fingerprint(spark, sf_dir):
+    """xxhash64 winnowing fingerprint — engine-specific hash, rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --- dedup -------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup on a composite key, survivor = min doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["lang", "source"], "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def dedup_exact_text(spark, sf_dir):
+    """Content-hash dedup stats over normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicate_stats(docs, T.normalized_text(F.col("text")), "doc_id").select(
+        "keep_id", "n_dups"
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """Near-dup pairs (3-gram Jaccard ≥ 0.8) found via MinHash-LSH
+    banding + exact verification; the oracle recomputes ground truth
+    with an all-pairs Jaccard (feasible at sf0.01)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
+    return D.ngram_jaccard(docs, pairs, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.8
+    )
+
+
+def dedup_minhash_survivors(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup(docs, "doc_id", "text", threshold=0.8).select("doc_id")
+
+
+def dedup_simhash_candidates(spark, sf_dir):
+    """SimHash Hamming-≤3 candidate pairs (md5-vote signature via pandas
+    UDF — engine-specific, rows-only; unit-tested against a pure-python
+    reference)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_candidates(docs, "doc_id", "text", max_hamming=3)
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine ≥ 0.45). Exact variant is
+    oracle-checked; the LSH-bucketed scale path is the rows-only entry
+    below."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from warpdb_spark.functions import vectors as V
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    return (
+        a.join(b, a.id_a < b.id_b)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(V.cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.45)
+    )
+
+
+def dedup_embedding_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed near-dup pairs — the 100 TB path (no
+    all-pairs); approximate, rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.45)
+
+
+# --- similarity search ---------------------------------------------------------
+
+def similarity_topk_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.cosine_topk(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
+
+
+def similarity_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ann_lsh_topk(emb, queries, k=5, num_planes=8)
+
+
+def similarity_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ivf_topk(emb, queries, k=5, num_lists=16, nprobe=4)
+
+
+# --- multimodal ----------------------------------------------------------------
+
+def multimodal_blob_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    blobs = M.attach_blob(docs)
+    return blobs.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+def multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction (deterministic fake decoder —
+    real decode is stubbed, SURVEY north-star note); rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_blob(docs))
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    frames = M.sample_frames(M.attach_blob(docs), frame_size=64, every_n=4)
+    return frames.select("doc_id", "frame_no", F.octet_length("frame").alias("frame_len"))
+
+
+# --- as-of / range joins --------------------------------------------------------
+
+def asof_join_clicks_purchases(spark, sf_dir):
+    """For each click, the user's most recent purchase value at-or-before
+    the click (backward inclusive) — oracle is DuckDB's native ASOF JOIN."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id", right_cols=["value"])
+    return out.select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        F.col("value_right").alias("last_purchase_value"),
+    )
+
+
+def range_join_value_bands(spark, sf_dir):
+    """Banded range join: events.value into static value bands — the
+    banding turns the interval predicate into a hash join."""
+    events = _t(spark, sf_dir, "events")
+    bands_schema = StructType(
+        [
+            StructField("band", StringType()),
+            StructField("lo", DoubleType()),
+            StructField("hi", DoubleType()),
+        ]
+    )
+    bands = spark.createDataFrame(
+        [(f"band_{i}", float(i * 50), float((i + 1) * 50)) for i in range(10)],
+        bands_schema,
+    )
+    out = range_join(events, bands, "value", "lo", "hi", band_width=25.0)
+    return out.select(
+        F.col("event_id").alias("eid"), F.col("band"), F.col("value")
+    )
+
+
+# --- event-time windows (streaming-identical batch semantics) --------------------
+
+def stream_tumbling_hourly(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return tumbling_window_agg(
+        events,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+
+
+def stream_sliding_2h(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return sliding_window_agg(
+        events,
+        "ts",
+        "2 hours",
+        "1 hour",
+        aggs=[F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+    ).select("window_start", "n", "sum_value")
+
+
+def stream_session_windows(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return session_window_agg(
+        events,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    ).select(
+        F.col("user_id").alias("uid"), "session_start", "session_end", "n"
+    )
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_lang_id": text_lang_id,
+    "text_quality_score": text_quality_score,
+    "text_md5_fingerprint": text_md5_fingerprint,
+    "text_winnow_fingerprint": text_winnow_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_exact_text": dedup_exact_text,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_survivors": dedup_minhash_survivors,
+    "dedup_simhash_candidates": dedup_simhash_candidates,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
+    "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "similarity_ann_lsh": similarity_ann_lsh,
+    "similarity_ivf": similarity_ivf,
+    "multimodal_blob_meta": multimodal_blob_meta,
+    "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "asof_join_clicks_purchases": asof_join_clicks_purchases,
+    "range_join_value_bands": range_join_value_bands,
+    "stream_tumbling_hourly": stream_tumbling_hourly,
+    "stream_sliding_2h": stream_sliding_2h,
+    "stream_session_windows": stream_session_windows,
+}
+
+_toks = _DD_TOKS.format(col="text")
+_norm = _DD_NORM.format(col="text")
+
+_LANG_SCORE = (
+    "len(list_filter(list_transform({toks}, t -> lower(t)), t -> list_contains({words}, t)))"
+)
+_STOP = {
+    "en": "['the','and','of','to','a','in','is','it','that','for']",
+    "es": "['el','la','de','que','y','en','un','los','se','por']",
+    "fr": "['le','la','de','et','un','les','des','en','du','que']",
+    "de": "['der','die','das','und','ein','zu','den','von','mit','ist']",
+}
+
+_LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+    {_LANG_SCORE.format(toks=_toks, words=_STOP['de'])} AS s_de,
+    {_LANG_SCORE.format(toks=_toks, words=_STOP['en'])} AS s_en,
+    {_LANG_SCORE.format(toks=_toks, words=_STOP['es'])} AS s_es,
+    {_LANG_SCORE.format(toks=_toks, words=_STOP['fr'])} AS s_fr,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS s_zh
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'unknown'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM scored
+"""
+
+_QUALITY_SQL = f"""
+SELECT doc_id, round(
+  0.4 * least(len({_toks}) / 200.0, 1.0)
+  + 0.3 * least(({_LANG_SCORE.format(toks=_toks, words=_STOP['en'])} * 1.0 / len({_toks})) * 5.0, 1.0)
+  + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)), 6) AS quality
+FROM documents
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_DD_SHINGLES} AS shingles
+  FROM (SELECT doc_id, {_norm} AS norm, {_DD_TOKS.format(col='norm_src')} AS toks
+        FROM (SELECT doc_id, {_norm} AS norm_src, text FROM documents))
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+"""
+
+ORACLES = {
+    "text_token_stats": (
+        f"SELECT doc_id, len({_toks}) AS n_tokens, "
+        f"CAST(list_sum(list_transform({_toks}, t -> 1 + CAST(floor(greatest(length(t) - 1, 0) / 4) AS INT))) AS INT) AS n_bpe_tokens, "
+        "length(text) AS n_chars_computed FROM documents"
+    ),
+    "text_lang_id": _LANG_ID_SQL,
+    "text_quality_score": _QUALITY_SQL,
+    "text_md5_fingerprint": f"SELECT doc_id, md5({_norm}) AS fingerprint FROM documents",
+    "dedup_exact": (
+        "SELECT min(doc_id) AS doc_id, lang, source FROM documents GROUP BY lang, source"
+    ),
+    "dedup_exact_text": (
+        f"SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY {_norm}"
+    ),
+    "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+    "dedup_minhash_survivors": (
+        f"SELECT doc_id FROM documents WHERE doc_id NOT IN "
+        f"(SELECT id_b FROM ({_JACCARD_PAIRS_SQL}))"
+    ),
+    "dedup_embedding_cosine": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45"
+    ),
+    "similarity_topk_bruteforce": (
+        "WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 20) q "
+        "WHERE c.vec_id != q.vec_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
+        "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
+    ),
+    "multimodal_blob_meta": (
+        "SELECT doc_id, 'utf8-text' AS format, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+    ),
+    "multimodal_frame_sample": (
+        "WITH n AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents), "
+        "f AS (SELECT doc_id, nb, unnest(list_filter(range(0, CAST(ceil(nb / 64.0) AS INT)), "
+        "i -> i % 4 = 0)) AS frame_no FROM n) "
+        "SELECT doc_id, CAST(frame_no AS INT) AS frame_no, "
+        "CAST(least(64, nb - frame_no * 64) AS INT) AS frame_len FROM f "
+        "WHERE nb - frame_no * 64 > 0"
+    ),
+    "asof_join_clicks_purchases": (
+        "SELECT c.event_id AS eid, c.user_id AS uid, p.value AS last_purchase_value "
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c "
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p "
+        "ON c.user_id = p.user_id AND c.ts >= p.ts"
+    ),
+    "range_join_value_bands": (
+        "SELECT e.event_id AS eid, b.band, e.value FROM events e JOIN "
+        "(VALUES " + ", ".join(f"('band_{i}', {i * 50}.0, {(i + 1) * 50}.0)" for i in range(10)) + ") "
+        "b(band, lo, hi) ON e.value >= b.lo AND e.value < b.hi"
+    ),
+    "stream_tumbling_hourly": (
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+        "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end, "
+        "event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2, 3"
+    ),
+    "stream_sliding_2h": (
+        "WITH ws AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, value FROM events "
+        "UNION ALL SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS w, value FROM events) "
+        "SELECT w AS window_start, count(*) AS n, round(sum(value), 2) AS sum_value "
+        "FROM ws GROUP BY 1"
+    ),
+    "stream_session_windows": (
+        "WITH e AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev "
+        "FROM events), "
+        "m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes' "
+        "THEN 1 ELSE 0 END AS new_s FROM e), "
+        "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM m) "
+        "SELECT user_id AS uid, min(ts) AS session_start, "
+        "max(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n "
+        "FROM s GROUP BY user_id, sid"
+    ),
+}

@@ -1,0 +1,304 @@
+"""Deduplication operators for large-scale document corpora
+(SURVEY §7 Phase 3 / BASELINE.json north star).
+
+Scale design, per operator:
+
+- **exact**: one shuffle on the dedup key (hash partition), window
+  row_number to pick the survivor — no driver state, skew handled by
+  AQE. Keys are md5 of normalized text, so wide text values never ride
+  the shuffle twice.
+- **MinHash signatures**: computed entirely with higher-order functions
+  (shingle → per-seed xxhash64 → array_min), i.e. a codegen'd map stage;
+  NO explode and NO shuffle to build signatures.
+- **LSH banding**: signatures explode to (band, band_hash) keys — the
+  only shuffle — then a self-join on the band key yields candidate
+  pairs; exact n-gram Jaccard verifies candidates. Band-hash hot spots
+  (boilerplate docs) are bounded by ``max_bucket_size``.
+- **SimHash**: 64-bit signature via an Arrow-batched pandas UDF (bit
+  voting needs per-token popcount loops that HOFs express poorly);
+  near-dup candidates via 4×16-bit chunk banding (Hamming ≤ 3 ⇒ some
+  chunk equal).
+- **embedding near-dup**: random-hyperplane LSH buckets then exact
+  cosine verification within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from warpdb_spark.functions import text as T
+from warpdb_spark.functions import vectors as V
+
+
+# --- exact -----------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str | Column],
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Keep exactly one row (minimum ``id_col``) per key combination."""
+    keys = [
+        T.normalized_text(F.col(c)) if normalize and isinstance(c, str) else F.col(c) if isinstance(c, str) else c
+        for c in key_cols
+    ]
+    w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_stats(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Per-key duplicate statistics: survivor id + count."""
+    return df.groupBy(key.alias("dedup_key")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signature(
+    text_col: Column, num_hashes: int = 64, shingle_size: int = 3
+) -> Column:
+    """Array of ``num_hashes`` min-hashes over word shingles. Seeded
+    xxhash64 simulates the permutation family; documents with fewer
+    than ``shingle_size`` words hash the whole normalized text."""
+    grams = T.word_ngrams(T.normalized_text(text_col), shingle_size)
+    grams = F.when(F.size(grams) == 0, F.array(T.normalized_text(text_col))).otherwise(grams)
+    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
+    # One nested-HOF expression: the (large) shingle expression appears
+    # exactly once in the plan. Building 64 separate array_min(transform)
+    # columns instead duplicates it 64x and sends Catalyst/codegen
+    # superlinear. NB: inner lambda takes exactly one arg — a two-arg
+    # transform lambda means (element, index) to Spark.
+    return F.transform(
+        seeds, lambda s: F.array_min(F.transform(grams, lambda g: F.xxhash64(s, g)))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate id pairs (id_a < id_b) via banded MinHash.
+
+    rows_per_band = num_hashes // bands; two docs collide if any band of
+    their signatures is identical. ``max_bucket_size`` drops degenerate
+    buckets (e.g. empty-text boilerplate) that would square up.
+    """
+    rows = num_hashes // bands
+    # persist: the signature column feeds both sides of the self-join
+    # and 16 band expressions — materializing (id, 64xlong) is tiny
+    # relative to the corpus and stops Catalyst from inlining the
+    # signature expression into every consumer (MEMORY_AND_DISK: spills,
+    # never OOMs).
+    from pyspark import StorageLevel
+
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes).alias("__sig"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b), F.concat_ws(",", F.slice("__sig", b * rows + 1, rows))
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    banded = banded.join(
+        F.broadcast(counts.filter(F.col("n") > max_bucket_size)),
+        ["band", "bucket"],
+        "left_anti",
+    )
+    left = banded.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_a"))
+    right = banded.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: join shingle sets back
+    to both sides (two hash joins), intersect/union with array ops."""
+    from pyspark import StorageLevel
+
+    shingles = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(T.word_ngrams(T.normalized_text(F.col(text_col)), shingle_size)).alias(
+            "__sh"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = shingles.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = shingles.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(union == 0, F.lit(1.0)).otherwise(inter / union), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-dedup: drop every doc that has a verified near-duplicate
+    with a smaller id (the standard greedy survivor rule — one LSH
+    banding shuffle + one verify join, no iterative closure)."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
+    verified = ngram_jaccard(df, pairs, id_col, text_col, shingle_size).filter(
+        F.col("jaccard") >= threshold
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def simhash_signature(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (md5-derived stable token
+    hashes; bit i = sign of the per-bit vote sum). Arrow-batched pandas
+    UDF: the per-token popcount voting is numpy, one batch at a time —
+    the idiomatic Python-side analog of a fused kernel."""
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                votes += bits * 2 - 1
+            sig = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash: band the 64-bit signature
+    into 4 × 16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ ≥1 equal chunk),
+    join on chunk equality, verify exact Hamming distance."""
+    sig = simhash_signature(df, text_col).select(F.col(id_col).alias("__id"), "simhash")
+    chunks = sig.select(
+        "__id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("__id", "simhash", "ck.chunk", "ck.key")
+    a = chunks.select("chunk", "key", F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = chunks.select("chunk", "key", F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- embedding near-dup -------------------------------------------------------
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH buckets +
+    exact verification inside each bucket. One shuffle on the bucket
+    signature; planes are deterministic driver-side literals."""
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim)).tolist()
+    from pyspark import StorageLevel
+
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        V.hyperplane_signature(F.col(vec_col), planes).alias("__bucket"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = sig.select(F.col("__bucket"), F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
+    b = sig.select(F.col("__bucket"), F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(V.cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (SURVEY §7 Phase 3).
+
+- ``cosine_topk``: exact brute-force top-k. The query set is broadcast
+  (it's the small side by construction); the corpus is scanned once,
+  similarity is a codegen'd HOF expression, and per-query top-k is a
+  window rank — so the 100 TB-scale cost is one corpus scan, no
+  corpus shuffle (the rank shuffles |corpus|×|queries| rows hashed by
+  query id, bounded by pre-filtering to each partition's local top-k
+  when k << partition size via the rank itself).
+- ``ann_lsh_topk``: approximate variant — random-hyperplane buckets
+  with multi-probe (query matches its own bucket plus all buckets at
+  Hamming distance 1), exact cosine within the candidate set. Trades
+  recall for replacing the cross join with a bucket equi-join.
+- ``ivf_topk``: IVF-style variant — k-means-lite centroids sampled
+  deterministically from the corpus, vectors assigned to nearest
+  centroid (one broadcast join), queries probe ``nprobe`` nearest
+  lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from warpdb_spark.functions import vectors as V
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k, ties
+    broken by neighbor id ascending. Self-matches (same id) excluded.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    sim = F.round(V.cosine_similarity(F.col("__cv"), F.col("__qv")), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows sharing the query's
+    hyperplane bucket (plus Hamming-1 probes), ranked by exact cosine."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _planes(dim, num_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        V.hyperplane_signature(F.col(vec_col), planes).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        V.hyperplane_signature(F.col(vec_col), planes).alias("__qsig"),
+    )
+    if multiprobe:
+        # probe own bucket + all Hamming-1 buckets: flip each bit once
+        probes = F.array(
+            F.col("__qsig"),
+            *[
+                F.concat(
+                    F.substring("__qsig", 1, i),
+                    F.when(F.substring("__qsig", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                    F.substring("__qsig", i + 2, num_planes - i - 1),
+                )
+                for i in range(num_planes)
+            ],
+        )
+        q = q.select("query_id", "__qv", F.explode(probes).alias("__bucket"))
+    else:
+        q = q.select("query_id", "__qv", F.col("__qsig").alias("__bucket"))
+    sim = F.round(V.cosine_similarity(F.col("__cv"), F.col("__qv")), 6)
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: centroids = deterministic sample of corpus vectors
+    (k-means-lite; one pass), every vector assigned to its nearest
+    centroid, queries scan only the ``nprobe`` nearest lists. All joins
+    broadcast the small side; the corpus shuffles once on list id."""
+    cents = [
+        (i, [float(x) for x in row[0]])
+        for i, row in enumerate(
+            corpus.select(vec_col).orderBy(F.xxhash64(F.col(id_col), F.lit(seed))).limit(num_lists).collect()
+        )
+    ]
+
+    def nearest_lists(vec, n):
+        sims = [
+            (ci, V.cosine_similarity(vec, F.array(*[F.lit(x) for x in cv])))
+            for ci, cv in cents
+        ]
+        arr = F.array(
+            *[F.struct(s.alias("sim"), F.lit(ci).alias("list_id")) for ci, s in sims]
+        )
+        return F.slice(F.reverse(F.array_sort(arr)), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        nearest_lists(F.col(vec_col), 1)[0]["list_id"].alias("__list"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(F.transform(nearest_lists(F.col(vec_col), nprobe), lambda s: s["list_id"])).alias(
+            "__list"
+        ),
+    )
+    sim = F.round(V.cosine_similarity(F.col("__cv"), F.col("__qv")), 6)
+    scored = (
+        c.join(F.broadcast(q), "__list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

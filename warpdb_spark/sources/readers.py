@@ -117,7 +117,9 @@ def ns_to_timestamp(df: DataFrame, *cols: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     for c in cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+        # integer division — float division of epoch-ns overflows the
+        # double mantissa and shifts timestamps by ±1 µs
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df
 
 
