@@ -98,17 +98,29 @@ def lsh_candidate_pairs(
     buckets (e.g. empty-text boilerplate) that would square up.
     """
     rows = num_hashes // bands
-    # persist: the signature column feeds both sides of the self-join
-    # and 16 band expressions — materializing (id, 64xlong) is tiny
-    # relative to the corpus and stops Catalyst from inlining the
-    # signature expression into every consumer (MEMORY_AND_DISK: spills,
-    # never OOMs).
     from pyspark import StorageLevel
 
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), num_hashes).alias("__sig"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from warpdb_spark.utils import ensure_parallelism
+
+    # Signature build: explode shingles → 64 parallel min-aggregates.
+    # The per-shingle hashing then runs inside whole-stage codegen
+    # (nested-HOF minhash evaluates interpreted — measured ~10x slower)
+    # and partial aggregation shuffles only 64 longs per doc.
+    grams = T.word_ngrams(T.normalized_text(F.col(text_col)), 3)
+    grams = F.when(F.size(grams) == 0, F.array(T.normalized_text(F.col(text_col)))).otherwise(grams)
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), F.explode(grams).alias("__g")
+    )
+    sig = (
+        exploded.groupBy("__id")
+        .agg(*[F.min(F.xxhash64(F.lit(s), F.col("__g"))).alias(f"__h{s}") for s in range(num_hashes)])
+        .select("__id", F.array(*[f"__h{s}" for s in range(num_hashes)]).alias("__sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # eager materialization: the banding self-join consumes `sig` from
+    # three branches of ONE job — without this the cache is cold and the
+    # signature stage runs three times concurrently.
+    sig.count()
     banded = sig.select(
         "__id",
         F.explode(
@@ -152,12 +164,15 @@ def ngram_jaccard(
     to both sides (two hash joins), intersect/union with array ops."""
     from pyspark import StorageLevel
 
-    shingles = df.select(
+    from warpdb_spark.utils import ensure_parallelism
+
+    shingles = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(T.word_ngrams(T.normalized_text(F.col(text_col)), shingle_size)).alias(
             "__sh"
         ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingles.count()  # warm the cache once; both join sides reuse it
     a = shingles.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = shingles.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -227,7 +242,9 @@ def simhash_signature(df: DataFrame, text_col: str = "text", out_col: str = "sim
             out[i] = np.int64(sig.astype(np.int64))
         return pd.Series(out)
 
-    return df.withColumn(out_col, _simhash(F.col(text_col)))
+    from warpdb_spark.utils import ensure_parallelism
+
+    return ensure_parallelism(df).withColumn(out_col, _simhash(F.col(text_col)))
 
 
 def simhash_candidates(
