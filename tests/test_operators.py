@@ -1,0 +1,235 @@
+"""Operator-level tests for the pipeline superset (dedup, similarity,
+text, multimodal, asof/range) on deterministic in-memory fixtures plus
+the sf0.001 driver tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from warpdb_spark.functions import text as T
+from warpdb_spark.functions import vectors as V
+from warpdb_spark.operators import dedup as D
+from warpdb_spark.operators import multimodal as M
+from warpdb_spark.operators import similarity as S
+from warpdb_spark.operators.asof import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="The quick  brown fox jumps over the lazy dog"),  # case/ws dup
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy cat"),  # near dup
+        Row(doc_id=4, text="completely different content about spark engines"),
+        Row(doc_id=5, text="tiny"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = [
+        Row(vec_id=1, embedding=[float(x) for x in base]),
+        Row(vec_id=2, embedding=[float(x) for x in base + 0.01 * rng.standard_normal(8)]),
+        Row(vec_id=3, embedding=[float(x) for x in -base]),
+        Row(vec_id=4, embedding=[float(x) for x in rng.standard_normal(8)]),
+        Row(vec_id=5, embedding=[float(x) for x in rng.standard_normal(8)]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestTextFunctions:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([Row(t="a b  c"), Row(t="  "), Row(t="one")])
+        out = [r[0] for r in df.select(T.token_count(F.col("t"))).collect()]
+        assert out == [3, 0, 1]
+
+    def test_word_ngrams(self, spark):
+        df = spark.createDataFrame([Row(t="a b c d")])
+        out = df.select(T.word_ngrams(F.col("t"), 3)).first()[0]
+        assert out == ["a b c", "b c d"]
+
+    def test_ngrams_short_doc(self, spark):
+        df = spark.createDataFrame([Row(t="a b")])
+        assert df.select(T.word_ngrams(F.col("t"), 3)).first()[0] == []
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(t="the cat and the dog of it"),
+                Row(t="el perro y la casa de los gatos"),
+                Row(t="der hund und die katze ist da"),
+                Row(t="xyzzy plugh"),
+            ]
+        )
+        out = [r[0] for r in df.select(T.lang_id(F.col("t"))).collect()]
+        assert out == ["en", "es", "de", "unknown"]
+
+    def test_quality_score_bounds(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        stats = docs.select(T.quality_score(F.col("text")).alias("q")).agg(
+            F.min("q"), F.max("q")
+        ).first()
+        assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+    def test_normalized_fingerprint_stable(self, spark):
+        df = spark.createDataFrame(
+            [Row(t="Hello   World"), Row(t="hello world"), Row(t=" HELLO WORLD ")]
+        )
+        fps = [r[0] for r in df.select(T.md5_fingerprint(F.col("t"))).collect()]
+        assert len(set(fps)) == 1
+
+
+class TestDedup:
+    def test_exact_dedup_normalized(self, docs):
+        out = D.exact_dedup(docs, ["text"], "doc_id", normalize=True)
+        ids = sorted(r.doc_id for r in out.collect())
+        assert ids == [1, 3, 4, 5]  # doc 2 deduped into doc 1
+
+    def test_minhash_finds_near_dups(self, docs):
+        pairs = D.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
+        verified = D.ngram_jaccard(docs, pairs, "doc_id", "text")
+        j = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+        assert j[(1, 2)] == 1.0  # normalization makes them identical
+        assert (1, 3) in j and 0.5 < j[(1, 3)] < 1.0
+
+    def test_minhash_dedup_survivors(self, docs):
+        out = D.minhash_dedup(docs, "doc_id", "text", threshold=0.99)
+        ids = sorted(r.doc_id for r in out.collect())
+        assert 2 not in ids and 1 in ids
+
+    def test_simhash_reference(self, spark, docs):
+        """Spark SimHash must equal a pure-python reimplementation."""
+        import hashlib
+
+        def py_simhash(text):
+            toks = text.lower().split()
+            votes = [0] * 64
+            for tok in toks:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            sig = 0
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= 1 << b
+            return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+        out = {r.doc_id: r.simhash for r in D.simhash_signature(docs).collect()}
+        for r in docs.collect():
+            assert out[r.doc_id] == py_simhash(r.text), r.doc_id
+
+    def test_simhash_candidates_close_pair(self, docs):
+        cands = D.simhash_candidates(docs, max_hamming=3)
+        pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+        assert (1, 2) in pairs  # identical after lowering → hamming 0
+
+    def test_embedding_near_duplicates(self, vecs):
+        out = D.embedding_near_duplicates(vecs, threshold=0.95, num_planes=4, seed=1)
+        pairs = {(r.id_a, r.id_b) for r in out.collect()}
+        assert (1, 2) in pairs
+        assert all(p != (1, 3) for p in pairs)  # opposite vector
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_exact(self, vecs):
+        out = S.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=2)
+        rows = sorted(out.collect(), key=lambda r: r.rank)
+        assert [r.neighbor_id for r in rows] == [2, 4] or rows[0].neighbor_id == 2
+        assert rows[0].cosine > 0.99
+
+    def test_lsh_recall_vs_bruteforce(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = S.cosine_topk(emb, queries, k=5)
+        # random embeddings have weakly separated neighbors (cosine
+        # ~0.4), so use few planes → bigger buckets → higher recall
+        approx = S.ann_lsh_topk(emb, queries, k=5, num_planes=4)
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+    def test_ivf_recall_vs_bruteforce(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = S.cosine_topk(emb, queries, k=5)
+        approx = S.ivf_topk(emb, queries, k=5, num_lists=8, nprobe=4)
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+    def test_cosine_function(self, spark):
+        df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[0.0, 1.0]), Row(a=[1.0, 1.0], b=[1.0, 1.0])])
+        out = [r[0] for r in df.select(V.cosine_similarity(F.col("a"), F.col("b"))).collect()]
+        assert out[0] == pytest.approx(0.0)
+        assert out[1] == pytest.approx(1.0)
+
+
+class TestMultimodal:
+    def test_blob_schema(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        blobs = M.attach_blob(docs)
+        assert [f.name for f in blobs.schema.fields] == ["doc_id", "payload", "meta"]
+        row = blobs.first()
+        assert row.meta.n_bytes == len(row.payload)
+
+    def test_feature_extraction_shape(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        feats = M.extract_features(M.attach_blob(docs))
+        rows = feats.collect()
+        assert len(rows) == 50
+        for r in rows[:5]:
+            assert len(r.features) == 8
+            assert abs(sum(r.features) - 1.0) < 1e-5
+
+    def test_real_decode_is_stubbed(self):
+        with pytest.raises(NotImplementedError, match="media decoding"):
+            M.real_decode_stub(b"abc", "jpeg")
+
+    def test_frame_sampling(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="x" * 300, source="s")])
+        frames = M.sample_frames(M.attach_blob(df), frame_size=64, every_n=2)
+        rows = sorted(frames.collect(), key=lambda r: r.frame_no)
+        assert [r.frame_no for r in rows] == [0, 2, 4]
+        assert len(rows[0].frame) == 64 and len(rows[-1].frame) == 300 - 4 * 64
+
+
+class TestAsofRange:
+    def test_asof_backward(self, spark):
+        left = spark.createDataFrame(
+            [Row(id=1, k="a", t=10), Row(id=2, k="a", t=20), Row(id=3, k="b", t=5)]
+        )
+        right = spark.createDataFrame(
+            [Row(k="a", t=8, v=1.0), Row(k="a", t=15, v=2.0), Row(k="b", t=9, v=9.0)]
+        )
+        out = asof_join(left, right, on="t", by="k", right_cols=["v"])
+        got = {r.id: r.v_right for r in out.collect()}
+        assert got == {1: 1.0, 2: 2.0, 3: None}
+
+    def test_asof_inclusive_tie(self, spark):
+        left = spark.createDataFrame([Row(id=1, k="a", t=10)])
+        right = spark.createDataFrame([Row(k="a", t=10, v=5.0)])
+        out = asof_join(left, right, on="t", by="k", right_cols=["v"])
+        assert out.first().v_right == 5.0
+
+    def test_asof_forward(self, spark):
+        left = spark.createDataFrame([Row(id=1, k="a", t=10)])
+        right = spark.createDataFrame([Row(k="a", t=8, v=1.0), Row(k="a", t=12, v=2.0)])
+        out = asof_join(left, right, on="t", by="k", right_cols=["v"], direction="forward")
+        assert out.first().v_right == 2.0
+
+    def test_range_join_banded_equals_plain(self, spark):
+        left = spark.createDataFrame([Row(id=i, val=float(i * 7 % 100)) for i in range(30)])
+        right = spark.createDataFrame(
+            [Row(band=f"b{i}", lo=float(i * 25), hi=float((i + 1) * 25)) for i in range(4)]
+        )
+        plain = range_join(left, right, "val", "lo", "hi")
+        banded = range_join(left, right, "val", "lo", "hi", band_width=10.0)
+        p = {(r.id, r.band) for r in plain.collect()}
+        b = {(r.id, r.band) for r in banded.collect()}
+        assert p == b and len(p) == 30

@@ -1,0 +1,137 @@
+"""Structured Streaming tests (SURVEY §2.9): real readStream micro-batch
+execution — the principled version of the reference's chunked CSV loop
+(src/csv_loader.cpp:186-223, src/warpdb.cpp:544-590) — plus the
+batch/stream-identical window helpers."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from warpdb_spark.streaming.windows import (
+    read_csv_stream,
+    run_to_memory_sink,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("key", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def csv_stream_dir(tmp_path):
+    """Three CSV 'chunks' — the stream reads them as micro-batches."""
+    lines = {
+        "part1.csv": [
+            "ts,key,value",
+            "2024-01-01 00:05:00,a,1.0",
+            "2024-01-01 00:20:00,a,2.0",
+        ],
+        "part2.csv": [
+            "ts,key,value",
+            "2024-01-01 01:05:00,a,3.0",
+            "2024-01-01 01:10:00,b,4.0",
+        ],
+        "part3.csv": [
+            "ts,key,value",
+            "2024-01-01 02:30:00,b,5.0",
+        ],
+    }
+    for name, ls in lines.items():
+        (tmp_path / name).write_text("\n".join(ls) + "\n")
+    return str(tmp_path)
+
+
+class TestRealStreaming:
+    def test_tumbling_stream_to_memory(self, spark, csv_stream_dir):
+        stream = read_csv_stream(spark, csv_stream_dir, SCHEMA)
+        assert stream.isStreaming
+        agg = tumbling_window_agg(
+            stream,
+            "ts",
+            "1 hour",
+            keys=["key"],
+            aggs=[F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")],
+            watermark="2 hours",
+        )
+        q = run_to_memory_sink(agg, "tumbling_test", timeout_sec=120)
+        try:
+            rows = {
+                (r.window_start.hour, r.key): (r.n, r.total)
+                for r in spark.sql("SELECT * FROM tumbling_test").collect()
+            }
+        finally:
+            q.stop()
+        assert rows[(0, "a")] == (2, 3.0)
+        assert rows[(1, "a")] == (1, 3.0)
+        assert rows[(1, "b")] == (1, 4.0)
+        assert rows[(2, "b")] == (1, 5.0)
+
+    def test_foreach_batch_parquet_sink(self, spark, csv_stream_dir, tmp_path):
+        """foreachBatch: stream → per-batch transformation → parquet."""
+        out_dir = str(tmp_path / "out")
+        stream = read_csv_stream(spark, csv_stream_dir, SCHEMA)
+
+        def handle(batch_df, batch_id):
+            batch_df.withColumn("doubled", F.col("value") * 2).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        result = spark.read.parquet(out_dir)
+        assert result.count() == 5
+        assert result.filter(F.col("doubled") == 10.0).count() == 1
+
+
+class TestBatchWindows:
+    @pytest.fixture(scope="class")
+    def ev(self, spark):
+        rows = [
+            Row(ts="2024-01-01 00:05:00", key="a", value=1.0),
+            Row(ts="2024-01-01 00:20:00", key="a", value=2.0),
+            Row(ts="2024-01-01 00:50:00", key="a", value=3.0),
+            Row(ts="2024-01-01 02:00:00", key="a", value=4.0),
+        ]
+        return spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_tumbling_batch(self, ev):
+        out = tumbling_window_agg(ev, "ts", "1 hour", keys=["key"])
+        assert {(r.window_start.hour, r.n) for r in out.collect()} == {(0, 3), (2, 1)}
+
+    def test_sliding_batch(self, ev):
+        out = sliding_window_agg(ev, "ts", "1 hour", "30 minutes", keys=["key"])
+        by_start = {
+            (r.window_start.hour, r.window_start.minute): r.n for r in out.collect()
+        }
+        assert by_start[(0, 0)] == 3  # 00:00-01:00 covers 00:05, 00:20, 00:50
+        assert by_start[(23, 30)] == 2  # 23:30-00:30 covers 00:05, 00:20
+        assert by_start[(0, 30)] == 1  # 00:30-01:30 covers 00:50
+
+    def test_session_batch(self, ev):
+        out = session_window_agg(ev, "ts", "30 minutes", keys=["key"])
+        sessions = sorted(
+            (r.session_start.hour, r.session_start.minute, r.n) for r in out.collect()
+        )
+        # the 00:20 -> 00:50 gap is exactly 30min: Spark merges at
+        # equality (gap is inclusive), so 00:05/00:20/00:50 is ONE session
+        assert sessions == [(0, 5, 3), (2, 0, 1)]

@@ -424,7 +424,10 @@ ORACLES = {
     "stream_session_windows": (
         "WITH e AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev "
         "FROM events), "
-        "m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes' "
+        # Spark session gap is INCLUSIVE at equality (an event exactly at
+        # last+gap merges), so a new session starts only on strictly
+        # greater gaps.
+        "m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes' "
         "THEN 1 ELSE 0 END AS new_s FROM e), "
         "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM m) "
         "SELECT user_id AS uid, min(ts) AS session_start, "
