@@ -129,6 +129,39 @@ class WarpDB:
         is already partitioned across executors, so this IS ``query``."""
         return self.query(expr)
 
+    def query_stream(
+        self,
+        expr: str,
+        path: str,
+        schema,
+        fmt: str = "csv",
+        max_files_per_trigger: int = 1,
+    ) -> DataFrame:
+        """Streaming variant of ``query``: apply the mini-language to a
+        file-source stream (micro-batches — the principled version of the
+        reference's chunked CSV loop, src/warpdb.cpp:544-590). Returns a
+        streaming DataFrame; attach a sink with ``writeStream``."""
+        reader = self.spark.readStream.schema(schema)
+        if fmt == "csv":
+            stream = reader.option("header", True).option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            ).csv(path)
+        elif fmt == "json":
+            stream = reader.option("maxFilesPerTrigger", max_files_per_trigger).json(path)
+        elif fmt == "parquet":
+            stream = reader.option("maxFilesPerTrigger", max_files_per_trigger).parquet(path)
+        else:
+            raise ValueError(f"Unsupported stream format: {fmt}")
+        parts = _WHERE_SPLIT.split(expr, maxsplit=1)
+        expr_ast = parse_expression(parts[0].strip())
+        cols = set(stream.columns)
+        validate(expr_ast, cols, "SELECT")
+        if len(parts) > 1:
+            cond_ast = parse_expression(parts[1].strip())
+            validate(cond_ast, cols, "WHERE")
+            stream = stream.filter(Compiler(self.registry).compile(cond_ast))
+        return stream.select(Compiler(self.registry).compile(expr_ast).alias("result"))
+
     @classmethod
     def query_csv(
         cls,

@@ -352,6 +352,52 @@ def setop_except(spark, sf_dir):
     return n.subtract(s)
 
 
+def expr_math_functions(spark, sf_dir):
+    """Built-in scalar math through the dialect's generic call syntax
+    (src/expression.cpp:210-223 — the reference resolves names only at
+    NVRTC compile time; Catalyst resolves at plan time)."""
+    db = _db(spark, sf_dir, "lineitem")
+    return db.query_sql(
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, "
+        "round(sqrt(l_extendedprice), 6) AS root_price, "
+        "abs(l_discount - 0.05) AS disc_dist, "
+        "floor(l_extendedprice) AS floor_price, "
+        "ceil(l_extendedprice) AS ceil_price, "
+        "round(pow(l_quantity, 2), 2) AS qty_sq "
+        "FROM lineitem WHERE l_quantity < 2"
+    )
+
+
+def agg_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct — sketch-based, engine
+    specific (rows-only; the exact variant is oracle-checked above)."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    )
+
+
+def udaf_group_median(spark, sf_dir):
+    """Custom UDAF via applyInPandas: per-group numpy median — the
+    grouped-map pattern for aggregations Spark lacks natively. Arrow
+    batches per group; shuffle = one hash partition on the key."""
+    import pandas as pd
+
+    def median(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "flag": [pdf["l_returnflag"].iloc[0]],
+                "median_price": [round(float(pdf["l_extendedprice"].median()), 4)],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(median, "flag string, median_price double")
+    )
+
+
 # --- TPC-H-shaped headline queries (bench set) ------------------------------
 
 def tpch_q1_pricing_summary(spark, sf_dir):
@@ -484,6 +530,9 @@ QUERIES = {
     "window_rank_topn": window_rank_topn,
     "window_lag_lead": window_lag_lead,
     "window_frame_moving_avg": window_frame_moving_avg,
+    "expr_math_functions": expr_math_functions,
+    "agg_approx_count_distinct": agg_approx_count_distinct,
+    "udaf_group_median": udaf_group_median,
     "setop_union": setop_union,
     "setop_intersect": setop_intersect,
     "setop_except": setop_except,
@@ -605,6 +654,19 @@ ORACLES = {
         "SELECT event_id AS eid, round(avg(value) OVER ("
         "PARTITION BY user_id ORDER BY event_id "
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg FROM events"
+    ),
+    "expr_math_functions": (
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, "
+        "round(sqrt(l_extendedprice), 6) AS root_price, "
+        "abs(l_discount - 0.05) AS disc_dist, "
+        "floor(l_extendedprice) AS floor_price, "
+        "ceil(l_extendedprice) AS ceil_price, "
+        "round(pow(l_quantity, 2), 2) AS qty_sq "
+        "FROM lineitem WHERE l_quantity < 2"
+    ),
+    "udaf_group_median": (
+        "SELECT l_returnflag AS flag, round(median(l_extendedprice), 4) AS median_price "
+        "FROM lineitem GROUP BY l_returnflag"
     ),
     "setop_union": (
         "SELECT CAST(c_nationkey AS INT) AS nk FROM customer UNION "
