@@ -1,0 +1,82 @@
+"""Property-based cross-check of the dialect front-end: random
+expressions evaluated by the WarpDB engine (parser → Column compiler →
+Spark) must agree with DuckDB evaluating the identical text as SQL.
+This is the randomized correctness layer the reference lacks
+(SURVEY §5)."""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from warpdb_spark.api import WarpDB
+
+ROWS = [(10.5, 3.0), (20.0, 4.0), (15.25, 2.0), (30.0, 5.0)]
+
+
+@pytest.fixture(scope="module")
+def db(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("prop") / "t.csv"
+    p.write_text("price,quantity\n" + "\n".join(f"{a},{b}" for a, b in ROWS) + "\n")
+    # float64 schema so both engines compute in double precision
+    return WarpDB(str(p), schema=["float64", "float64"], spark=spark, table_name="t")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(price DOUBLE, quantity DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", ROWS)
+    return con
+
+
+# literals chosen to avoid division-by-zero and keep magnitudes tame
+_literals = st.sampled_from(["1", "2", "3.5", "0.25", "10", "7"])
+_columns = st.sampled_from(["price", "quantity"])
+_atoms = st.one_of(_literals, _columns)
+
+
+def _binop(children, ops):
+    return st.tuples(st.sampled_from(ops), children, children).map(
+        lambda t: f"({t[1]} {t[0]} {t[2]})"
+    )
+
+
+_arith = st.recursive(
+    _atoms, lambda kids: _binop(kids, ["+", "-", "*"]) | _binop(_atoms, ["/"]), max_leaves=8
+)
+_predicate = _binop(_arith, [">", "<", ">=", "<=", "==", "!="])
+_boolean = st.recursive(_predicate, lambda kids: _binop(kids, ["AND", "OR"]), max_leaves=4)
+
+
+def _duck_text(expr: str) -> str:
+    return expr.replace("==", "=")
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(expr=_arith)
+def test_arithmetic_matches_duckdb(db, duck, expr):
+    got = sorted(r[0] for r in db.query(expr).collect())
+    want = sorted(
+        r[0] for r in duck.execute(f"SELECT {_duck_text(expr)} FROM t").fetchall()
+    )
+    assert got == pytest.approx(want, rel=1e-12, abs=1e-12), expr
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(cond=_boolean)
+def test_where_matches_duckdb(db, duck, cond):
+    got = sorted(r[0] for r in db.query(f"price WHERE {cond}").collect())
+    want = sorted(
+        r[0]
+        for r in duck.execute(f"SELECT price FROM t WHERE {_duck_text(cond)}").fetchall()
+    )
+    assert got == pytest.approx(want), cond

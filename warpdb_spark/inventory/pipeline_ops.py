@@ -192,6 +192,45 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.select("doc_id", "frame_no", F.octet_length("frame").alias("frame_len"))
 
 
+# --- reshaping / semi-structured ------------------------------------------------
+
+def reshape_pivot(spark, sf_dir):
+    """Pivot: per-user event counts by type → wide table. At scale:
+    one shuffle on the group key; pivot values are declared so no extra
+    distinct-discovery job runs."""
+    events = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        F.col("user_id").alias("uid"),
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+def reshape_explode_tokens(spark, sf_dir):
+    """Explode word tokens → corpus term frequencies (the lateral-view
+    pattern; partial aggregation collapses counts map-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def json_extract_props(spark, sf_dir):
+    """Semi-structured access: parse the events.props JSON column."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        F.col("event_id").alias("eid"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
 # --- as-of / range joins --------------------------------------------------------
 
 def asof_join_clicks_purchases(spark, sf_dir):
@@ -289,6 +328,9 @@ QUERIES = {
     "multimodal_blob_meta": multimodal_blob_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "reshape_pivot": reshape_pivot,
+    "reshape_explode_tokens": reshape_explode_tokens,
+    "json_extract_props": json_extract_props,
     "asof_join_clicks_purchases": asof_join_clicks_purchases,
     "range_join_value_bands": range_join_value_bands,
     "stream_tumbling_hourly": stream_tumbling_hourly,
@@ -397,6 +439,22 @@ ORACLES = {
         "SELECT doc_id, CAST(frame_no AS INT) AS frame_no, "
         "CAST(least(64, nb - frame_no * 64) AS INT) AS frame_len FROM f "
         "WHERE nb - frame_no * 64 > 0"
+    ),
+    "reshape_pivot": (
+        "SELECT user_id AS uid, "
+        "count(*) FILTER (event_type = 'click') AS n_click, "
+        "count(*) FILTER (event_type = 'view') AS n_view, "
+        "count(*) FILTER (event_type = 'purchase') AS n_purchase, "
+        "count(*) FILTER (event_type = 'signup') AS n_signup, "
+        "count(*) FILTER (event_type = 'error') AS n_error "
+        "FROM events GROUP BY user_id"
+    ),
+    "reshape_explode_tokens": (
+        f"SELECT token, count(*) AS tf FROM (SELECT unnest({_DD_TOKS.format(col='lower(text)')}) "
+        "AS token FROM documents) GROUP BY 1"
+    ),
+    "json_extract_props": (
+        "SELECT event_id AS eid, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"
     ),
     "asof_join_clicks_purchases": (
         "SELECT c.event_id AS eid, c.user_id AS uid, p.value AS last_purchase_value "
