@@ -108,12 +108,19 @@ def lsh_candidate_pairs(
     # and partial aggregation shuffles only 64 longs per doc.
     grams = T.word_ngrams(T.normalized_text(F.col(text_col)), 3)
     grams = F.when(F.size(grams) == 0, F.array(T.normalized_text(F.col(text_col)))).otherwise(grams)
-    exploded = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"), F.explode(grams).alias("__g")
+    # hash each shingle string ONCE; the 64 permutations rehash the
+    # 8-byte result (xxhash64 over long) instead of re-hashing the
+    # string per seed — ~2x faster signature build, same min-wise
+    # independence. (Multiply-add universal hashing would be cheaper
+    # still but ANSI mode makes long overflow an error.)
+    exploded = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), F.explode(grams).alias("__g"))
+        .select("__id", F.xxhash64("__g").alias("__g64"))
     )
     sig = (
         exploded.groupBy("__id")
-        .agg(*[F.min(F.xxhash64(F.lit(s), F.col("__g"))).alias(f"__h{s}") for s in range(num_hashes)])
+        .agg(*[F.min(F.xxhash64(F.lit(s), F.col("__g64"))).alias(f"__h{s}") for s in range(num_hashes)])
         .select("__id", F.array(*[f"__h{s}" for s in range(num_hashes)]).alias("__sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
