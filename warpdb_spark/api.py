@@ -129,6 +129,38 @@ class WarpDB:
         is already partitioned across executors, so this IS ``query``."""
         return self.query(expr)
 
+    def table_stats(self, table_name: str | None = None) -> DataFrame:
+        """Per-column min/max/null-count statistics — the computed
+        version of the reference's declared-but-never-populated
+        ``ColumnStats``/``TableStats`` (include/csv_loader.hpp:22-37,
+        src/optimizer.cpp:13-17). One scan, all columns aggregated
+        map-side; numerics report min/max, all types report null count."""
+        df = self.tables[table_name or self.table_name]
+        numeric = {"int", "bigint", "float", "double", "smallint", "tinyint"}
+        aggs = []
+        for name, dtype in df.dtypes:
+            if dtype in numeric:
+                aggs.append(F.min(name).cast("double").alias(f"{name}__min"))
+                aggs.append(F.max(name).cast("double").alias(f"{name}__max"))
+            aggs.append(
+                F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).alias(f"{name}__nulls")
+            )
+        stats = df.agg(*aggs).first().asDict()
+        rows = []
+        for name, dtype in df.dtypes:
+            rows.append(
+                (
+                    name,
+                    dtype,
+                    stats.get(f"{name}__min"),
+                    stats.get(f"{name}__max"),
+                    int(stats[f"{name}__nulls"]),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows, "column string, dtype string, min double, max double, null_count long"
+        )
+
     def query_stream(
         self,
         expr: str,
