@@ -135,3 +135,31 @@ class TestBatchWindows:
         # the 00:20 -> 00:50 gap is exactly 30min: Spark merges at
         # equality (gap is inclusive), so 00:05/00:20/00:50 is ONE session
         assert sessions == [(0, 5, 3), (2, 0, 1)]
+
+
+class TestStatefulStreaming:
+    def test_running_totals_across_microbatches(self, spark, csv_stream_dir, tmp_path):
+        """applyInPandasWithState: per-key state must accumulate across
+        the three file micro-batches."""
+        from warpdb_spark.streaming.stateful import running_totals
+
+        stream = read_csv_stream(spark, csv_stream_dir, SCHEMA)
+        out = running_totals(stream, "key", "value")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stateful_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        # last update per key reflects the full history
+        rows = spark.sql(
+            "SELECT key, max(n_events) AS n, max(total) AS total "
+            "FROM stateful_test GROUP BY key"
+        ).collect()
+        got = {r.key: (r.n, r.total) for r in rows}
+        assert got["a"] == (3, 6.0)
+        assert got["b"] == (2, 9.0)
