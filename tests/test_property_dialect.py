@@ -80,3 +80,44 @@ def test_where_matches_duckdb(db, duck, cond):
         for r in duck.execute(f"SELECT price FROM t WHERE {_duck_text(cond)}").fetchall()
     )
     assert got == pytest.approx(want), cond
+
+
+# --- full query-pipeline properties -----------------------------------------
+
+_agg_fns = st.sampled_from(["SUM", "AVG", "MIN", "MAX", "COUNT"])
+_group_cols = st.sampled_from(["quantity", "price"])
+
+
+@st.composite
+def _query_spec(draw):
+    group = draw(_group_cols)
+    fn = draw(_agg_fns)
+    arg = draw(_arith)
+    having = draw(st.booleans())
+    desc = draw(st.booleans())
+    limit = draw(st.integers(min_value=1, max_value=5))
+    use_where = draw(st.booleans())
+    return group, fn, arg, having, desc, limit, use_where
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(spec=_query_spec())
+def test_query_pipeline_matches_duckdb(db, duck, spec):
+    group, fn, arg, having, desc, limit, use_where = spec
+    where = " WHERE price > 11" if use_where else ""
+    hav = f" HAVING COUNT({group}) >= 1" if having else ""
+    order = "DESC" if desc else "ASC"
+    sql = (
+        f"SELECT {group} AS g, {fn}({arg}) AS v FROM t{where} "
+        f"GROUP BY {group}{hav} ORDER BY {group} {order} LIMIT {limit}"
+    )
+    got = [(r.g, r.v) for r in db.query_sql(sql).collect()]
+    want = duck.execute(_duck_text(sql)).fetchall()
+    assert len(got) == len(want), sql
+    for (g1, v1), (g2, v2) in zip(got, want):
+        assert g1 == pytest.approx(g2), sql
+        assert v1 == pytest.approx(v2, rel=1e-12, abs=1e-12), sql

@@ -163,3 +163,49 @@ class TestStatefulStreaming:
         got = {r.key: (r.n, r.total) for r in rows}
         assert got["a"] == (3, 6.0)
         assert got["b"] == (2, 9.0)
+
+
+class TestWatermarkLateData:
+    def test_late_event_dropped_in_append_mode(self, spark, tmp_path):
+        """Files arrive as separate micro-batches; the watermark advances
+        past an old window, so a very-late event must NOT resurrect it
+        (append mode emits each window once, finalized)."""
+        d = tmp_path / "stream"
+        d.mkdir()
+
+        out_dir = str(tmp_path / "late_out")
+
+        def run_once():
+            stream = read_csv_stream(spark, str(d), SCHEMA)
+            agg = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 hour").alias("win"), "key")
+                .agg(F.sum("value").alias("total"))
+                .select(F.col("win.start").alias("ws"), "key", "total")
+            )
+            # file sink: supports checkpoint recovery across restarts
+            # (memory sink does not)
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        # run 1: events at 00:10/00:20, then 06:00 — the checkpointed
+        # watermark ends at 05:00, past the hour-0 window's end
+        (d / "f1.csv").write_text(
+            "ts,key,value\n2024-01-01 00:10:00,a,1.0\n2024-01-01 00:20:00,a,2.0\n"
+        )
+        (d / "f2.csv").write_text("ts,key,value\n2024-01-01 06:00:00,a,10.0\n")
+        run_once()
+        # run 2: a very-late event (00:05 << watermark 05:00) must be
+        # dropped, not resurrect the finalized hour-0 window
+        (d / "f3.csv").write_text("ts,key,value\n2024-01-01 00:05:00,a,100.0\n")
+        run_once()
+        rows = {r.ws.hour: r.total for r in spark.read.parquet(out_dir).collect()}
+        assert rows.get(0) == 3.0

@@ -129,6 +129,14 @@ class WarpDB:
         is already partitioned across executors, so this IS ``query``."""
         return self.query(expr)
 
+    def sql(self, query: str) -> DataFrame:
+        """ANSI Spark SQL over the attached tables (registered as temp
+        views) — the full-SQL escape hatch beside the WarpDB dialect of
+        ``query_sql``. Catalyst grammar, not the reference grammar."""
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     def table_stats(self, table_name: str | None = None) -> DataFrame:
         """Per-column min/max/null-count statistics — the computed
         version of the reference's declared-but-never-populated
