@@ -178,3 +178,26 @@ class TestArrowAndJson:
             "SELECT a.price AS ap, b.quantity AS bq FROM a JOIN b ON a.quantity = b.quantity"
         )
         assert out.count() == 4
+
+
+class TestCustomModule:
+    def test_load_custom_module(self, spark, extended_csv, tmp_path):
+        """custom.cu analog: file-defined functions become dialect
+        functions (src/jit.cpp:65-73, custom.cu:1-3)."""
+        mod = tmp_path / "custom.py"
+        mod.write_text(
+            "def discount(price, factor):\n"
+            "    return price * factor\n"
+            "\n"
+            "def markup(price):\n"
+            "    return price * 1.1\n"
+        )
+        db = WarpDB(extended_csv, schema=["float64", "int32", "float64"], spark=spark, table_name="test")
+        db.load_custom_module(str(mod))
+        out = sorted(r[0] for r in db.query("markup(discount(price, 0.5))").collect())
+        assert out[0] == pytest.approx(10.5 * 0.5 * 1.1)
+
+    def test_sql_escape_hatch(self, spark, fixture_csv):
+        db = WarpDB(fixture_csv, spark=spark, table_name="test")
+        out = db.sql("SELECT count(*) AS n FROM test WHERE price > 12")
+        assert out.first().n == 3

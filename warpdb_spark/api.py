@@ -82,6 +82,22 @@ class WarpDB:
         self.registry.register_pandas(name, fn, return_type)
         return self
 
+    def load_custom_module(self, path: str) -> "WarpDB":
+        """File-based UDF registration — the direct analog of the
+        reference prepending ``./custom.cu`` to every kernel
+        (src/jit.cpp:65-73): every top-level callable defined in the
+        Python file at ``path`` becomes callable from dialect
+        expressions. Functions should take/return Columns (composed
+        with pyspark.sql.functions), mirroring ``__device__`` helpers.
+        """
+        import runpy
+
+        ns = runpy.run_path(path)
+        for name, obj in ns.items():
+            if callable(obj) and not name.startswith("_"):
+                self.registry.register_builtin(name, obj)
+        return self
+
     # -- query entry points ---------------------------------------------
     def query(self, expr: str, coerce_float32: bool = False) -> DataFrame:
         """``"<expr> [WHERE <cond>]"`` mini-language
