@@ -505,6 +505,74 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
     )
 
 
+def tpch_q4_order_priority(spark, sf_dir):
+    """Q4 analog: order-priority counts for orders having a lineitem
+    shipped after the order date (EXISTS → left-semi join)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = _t(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        late,
+        (orders.o_orderkey == late.l_orderkey) & (late.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q10_returned_items(spark, sf_dir):
+    """Q10 analog: revenue lost to returns per customer, top 20."""
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("ck"))
+        .limit(20)
+    )
+
+
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """Q14 analog: PROMO parts' share of revenue (conditional agg)."""
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 QUERIES = {
     "flagship_filter_project": flagship_filter_project,
     "dialect_expression_projection": dialect_expression_projection,
@@ -541,6 +609,9 @@ QUERIES = {
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q18_large_volume_customer": tpch_q18_large_volume_customer,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
 }
 
 ORACLES = {
@@ -713,6 +784,30 @@ ORACLES = {
         "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    "tpch_q4_order_priority": (
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "tpch_q10_returned_items": (
+        "SELECT c_custkey AS ck, c_name AS name, n_name AS nation, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY revenue DESC, ck LIMIT 20"
+    ),
+    "tpch_q14_promo_revenue": (
+        "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / "
+        "sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"
     ),
     "tpch_q18_large_volume_customer": (
         "SELECT c_custkey AS ck, o_orderkey AS ok, o_totalprice AS total_price, "
