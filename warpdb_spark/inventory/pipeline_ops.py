@@ -192,6 +192,57 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.select("doc_id", "frame_no", F.octet_length("frame").alias("frame_len"))
 
 
+# --- statistical / array / regex functions --------------------------------------
+
+def agg_statistical(spark, sf_dir):
+    """Statistical aggregates: stddev/variance/correlation/covariance."""
+    return _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_returnflag").alias("flag")
+    ).agg(
+        F.round(F.stddev("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("cov_pd"),
+    )
+
+
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (the non-sketch path; the sketch
+    variant is agg_approx_count_distinct's HLL cousin)."""
+    return _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_returnflag").alias("flag")
+    ).agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+def expr_array_functions(spark, sf_dir):
+    """Array-column functions over embeddings."""
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("vsum"),
+    )
+
+
+def expr_regexp_extract(spark, sf_dir):
+    """Regex extraction: numeric suffix of the source tag."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract("source", "src(\\d+)", 1).cast("int").alias("src_num"),
+    )
+
+
 # --- reshaping / semi-structured ------------------------------------------------
 
 def reshape_pivot(spark, sf_dir):
@@ -328,6 +379,10 @@ QUERIES = {
     "multimodal_blob_meta": multimodal_blob_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "agg_statistical": agg_statistical,
+    "agg_percentiles": agg_percentiles,
+    "expr_array_functions": expr_array_functions,
+    "expr_regexp_extract": expr_regexp_extract,
     "reshape_pivot": reshape_pivot,
     "reshape_explode_tokens": reshape_explode_tokens,
     "json_extract_props": json_extract_props,
@@ -439,6 +494,30 @@ ORACLES = {
         "SELECT doc_id, CAST(frame_no AS INT) AS frame_no, "
         "CAST(least(64, nb - frame_no * 64) AS INT) AS frame_len FROM f "
         "WHERE nb - frame_no * 64 > 0"
+    ),
+    "agg_statistical": (
+        "SELECT l_returnflag AS flag, round(stddev_samp(l_extendedprice), 4) AS sd_price, "
+        "round(var_samp(l_quantity), 4) AS var_qty, "
+        "round(corr(l_extendedprice, l_quantity), 6) AS corr_pq, "
+        "round(covar_samp(l_extendedprice, l_discount), 4) AS cov_pd "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "agg_percentiles": (
+        "SELECT l_returnflag AS flag, "
+        "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+        "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90 "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "expr_array_functions": (
+        "SELECT vec_id, len(embedding) AS dim, "
+        "round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax, "
+        "round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin, "
+        "round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vsum "
+        "FROM embeddings"
+    ),
+    "expr_regexp_extract": (
+        "SELECT doc_id, CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS src_num "
+        "FROM documents"
     ),
     "reshape_pivot": (
         "SELECT user_id AS uid, "
