@@ -24,6 +24,16 @@ def write_bucketed(
 ) -> None:
     """Save as a bucketed managed table (bucket metadata requires the
     catalog — plain parquet paths can't carry it)."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # a previous session may have left the managed location behind
+        # without a catalog entry; saveAsTable refuses to reuse it
+        spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = warehouse.removeprefix("file:") + "/" + table_name.lower()
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
     writer = (
         df.write.mode(mode)
         .format("parquet")
