@@ -28,12 +28,14 @@ from warpdb_spark.api import WarpDB
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
+        # the driver's session may not carry our session defaults — the
+        # ns-timestamp parquet needs this runtime-settable legacy conf
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from warpdb_spark.sources.readers import ns_to_timestamp
 
-        df = ns_to_timestamp(df, "ts")
-    return df
+        return ns_to_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"), "ts")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _db(spark: SparkSession, sf_dir: str, *names: str) -> WarpDB:

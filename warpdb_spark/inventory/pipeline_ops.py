@@ -30,10 +30,11 @@ from warpdb_spark.streaming.windows import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = ns_to_timestamp(df, "ts")
-    return df
+        # defensive: works under any session (see core_sql._t)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return ns_to_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"), "ts")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # DuckDB fragments shared by several oracles
