@@ -32,6 +32,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the driver's session may not carry our session defaults — the
         # ns-timestamp parquet needs this runtime-settable legacy conf
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # converted ts is TIMESTAMP_LTZ: pin UTC so wall times (and
+        # window/session boundaries) are session-TZ-independent
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from warpdb_spark.sources.readers import ns_to_timestamp
 
         return ns_to_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"), "ts")

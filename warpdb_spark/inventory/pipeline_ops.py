@@ -33,6 +33,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # defensive: works under any session (see core_sql._t)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # converted ts is TIMESTAMP_LTZ: pin UTC so wall times (and
+        # window/session boundaries) are session-TZ-independent
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return ns_to_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"), "ts")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
