@@ -85,12 +85,25 @@ def fake_feature_decoder(payload: bytes, fmt: str) -> np.ndarray:
 
 def extract_features(
     blobs: DataFrame,
-    decoder: Callable[[bytes, str], np.ndarray] = fake_feature_decoder,
+    decoder: Callable[[bytes, str], np.ndarray] | None = None,
     feature_dim: int = 8,
 ) -> DataFrame:
     """Partition-parallel feature extraction over binary payloads via
     mapInPandas (Arrow batches; one Python worker per partition — the
-    pattern scales to any corpus size because batches stream)."""
+    pattern scales to any corpus size because batches stream).
+
+    ``decoder`` defaults to a locally-defined copy of
+    ``fake_feature_decoder`` so the closure pickles BY VALUE —
+    a module-level default would make workers import ``warpdb_spark``,
+    which isn't on their path under an arbitrary harness session."""
+    if decoder is None:
+
+        def decoder(payload: bytes, fmt: str) -> np.ndarray:
+            if not payload:
+                return np.zeros(8, dtype=np.float32)
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(arr >> 5, minlength=8).astype(np.float32)
+            return hist / max(hist.sum(), 1.0)
     out_schema = StructType(
         [
             StructField("doc_id", LongType()),
