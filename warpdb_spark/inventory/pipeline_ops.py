@@ -82,6 +82,13 @@ def text_winnow_fingerprint(spark, sf_dir):
     return docs.select("doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by TF-IDF."""
+    from warpdb_spark.operators.text_analytics import top_terms
+
+    return top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 # --- dedup -------------------------------------------------------------------
 
 def dedup_exact(spark, sf_dir):
@@ -370,6 +377,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_md5_fingerprint": text_md5_fingerprint,
     "text_winnow_fingerprint": text_winnow_fingerprint,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "dedup_exact": dedup_exact,
     "dedup_exact_text": dedup_exact_text,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -461,6 +469,19 @@ ORACLES = {
     "text_lang_id": _LANG_ID_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_md5_fingerprint": f"SELECT doc_id, md5({_norm}) AS fingerprint FROM documents",
+    "text_tfidf_top_terms": (
+        "WITH tf AS (SELECT doc_id, token AS term, count(*) AS tf FROM "
+        f"(SELECT doc_id, unnest({_DD_TOKS.format(col='lower(text)')}) AS token FROM documents) "
+        "GROUP BY 1, 2), "
+        "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), "
+        "n AS (SELECT count(*) AS n_docs FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.term, "
+        "round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf "
+        "FROM tf JOIN dfreq USING (term) CROSS JOIN n), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY tfidf DESC, term ASC) AS rank FROM scored) "
+        "SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3"
+    ),
     "dedup_exact": (
         "SELECT min(doc_id) AS doc_id, lang, source FROM documents GROUP BY lang, source"
     ),
