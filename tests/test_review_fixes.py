@@ -1,0 +1,132 @@
+"""Regression tests for defects found in the round-1 code review."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from warpdb_spark.api import WarpDB
+from warpdb_spark.errors import ParseError, ValidationError
+from warpdb_spark.operators.asof import asof_join, range_join
+from warpdb_spark.operators.dedup import lsh_candidate_pairs, ngram_jaccard
+
+
+class TestSetOpTailClauses:
+    def test_order_limit_bind_to_combined_result(self, spark):
+        a = spark.createDataFrame([Row(v=1.0), Row(v=5.0)])
+        b = spark.createDataFrame([Row(v=3.0), Row(v=9.0)])
+        db = WarpDB(df=a, table_name="a", spark=spark)
+        db.attach("b", b)
+        out = db.query_sql("SELECT v FROM a UNION ALL SELECT v FROM b ORDER BY v DESC LIMIT 3")
+        assert [r.v for r in out.collect()] == [9.0, 5.0, 3.0]
+
+    def test_order_before_setop_rejected(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(v=1)]), table_name="a", spark=spark)
+        db.attach("b", db.df)
+        with pytest.raises(ParseError, match="last query of a set operation"):
+            db.query_sql("SELECT v FROM a ORDER BY v UNION SELECT v FROM b")
+
+
+class TestAsofGenuineNull:
+    def test_null_right_value_is_matched_not_skipped(self, spark):
+        left = spark.createDataFrame([Row(id=1, k="a", t=3)])
+        right = spark.createDataFrame(
+            [Row(k="a", t=1, v=5.0), Row(k="a", t=2, v=None)]
+        )
+        out = asof_join(left, right, on="t", by="k", right_cols=["v"])
+        # nearest right row (t=2) has v NULL — must return NULL, not 5.0
+        assert out.first().v_right is None
+
+
+class TestRangeJoinHow:
+    def test_banded_left_join_keeps_unmatched(self, spark):
+        left = spark.createDataFrame([Row(id=1, val=5.0), Row(id=2, val=999.0)])
+        right = spark.createDataFrame([Row(band="b0", lo=0.0, hi=10.0)])
+        out = range_join(left, right, "val", "lo", "hi", band_width=5.0, how="left")
+        got = {r.id: r.band for r in out.collect()}
+        assert got == {1: "b0", 2: None}
+
+    def test_banded_unsupported_how_raises(self, spark):
+        df = spark.createDataFrame([Row(val=1.0, lo=0.0, hi=2.0)])
+        with pytest.raises(ValueError, match="inner/left"):
+            range_join(df, df, "val", "lo", "hi", band_width=1.0, how="full")
+
+
+class TestShortDocJaccard:
+    def test_distinct_short_docs_not_duplicates(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="hello world"), Row(doc_id=2, text="foo bar")]
+        )
+        pairs = spark.createDataFrame([Row(id_a=1, id_b=2)])
+        j = ngram_jaccard(docs, pairs).first().jaccard
+        assert j == 0.0
+
+    def test_identical_short_docs_are_duplicates(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="hello world"), Row(doc_id=2, text="Hello  WORLD")]
+        )
+        pairs = lsh_candidate_pairs(docs, max_bucket_size=10)
+        verified = ngram_jaccard(docs, pairs)
+        assert verified.first().jaccard == 1.0
+
+    def test_shingle_size_threads_through(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"w{i} a b c d e f") for i in range(4)]
+        )
+        # 5-gram candidates must come from 5-gram signatures (no crash,
+        # consistent pipeline)
+        pairs = lsh_candidate_pairs(docs, shingle_size=5, max_bucket_size=10)
+        verified = ngram_jaccard(docs, pairs, shingle_size=5)
+        for r in verified.collect():
+            assert 0.0 <= r.jaccard <= 1.0
+
+
+class TestWindowDistinctRejected:
+    def test_distinct_window_agg_raises(self, spark, fixture_csv):
+        db = WarpDB(fixture_csv, spark=spark, table_name="test")
+        with pytest.raises(ValidationError, match="DISTINCT.*not supported"):
+            db.query_sql(
+                "SELECT COUNT(DISTINCT price) OVER (PARTITION BY quantity) AS c FROM test"
+            )
+
+
+class TestLagLeadLiterals:
+    def test_lag_with_default(self, spark, fixture_csv):
+        db = WarpDB(fixture_csv, spark=spark, table_name="test")
+        out = db.query_sql(
+            "SELECT quantity, LAG(price, 1, 0) OVER (ORDER BY quantity) AS prev "
+            "FROM test ORDER BY quantity"
+        )
+        assert [r.prev for r in out.collect()][0] == 0.0
+
+    def test_lag_nonliteral_offset_rejected(self, spark, fixture_csv):
+        db = WarpDB(fixture_csv, spark=spark, table_name="test")
+        with pytest.raises(ValidationError, match="integer literal"):
+            db.query_sql(
+                "SELECT LAG(price, quantity) OVER (ORDER BY quantity) AS p FROM test"
+            )
+
+
+class TestEmptyTableStats:
+    def test_stats_on_empty_table(self, spark, fixture_csv):
+        db = WarpDB(fixture_csv, spark=spark, table_name="test")
+        db.tables["test"] = db.df.filter(F.lit(False))
+        stats = db.table_stats().collect()
+        assert all(r.null_count == 0 for r in stats)
+
+
+class TestMemorySinkMode:
+    def test_map_only_stream_drains(self, spark, tmp_path):
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        from warpdb_spark.streaming.windows import run_to_memory_sink
+
+        (tmp_path / "a.csv").write_text("price,quantity\n10.5,3\n1.0,1\n")
+        schema = StructType(
+            [StructField("price", DoubleType()), StructField("quantity", DoubleType())]
+        )
+        db = WarpDB(str(tmp_path / "a.csv"), spark=spark)
+        stream = db.query_stream("price * quantity WHERE price > 5", str(tmp_path), schema)
+        q = run_to_memory_sink(stream, "maponly_test", timeout_sec=120)
+        q.stop()
+        vals = [r.result for r in spark.sql("SELECT * FROM maponly_test").collect()]
+        assert vals == pytest.approx([31.5])

@@ -178,7 +178,7 @@ class WarpDB:
                     dtype,
                     stats.get(f"{name}__min"),
                     stats.get(f"{name}__max"),
-                    int(stats[f"{name}__nulls"]),
+                    int(stats[f"{name}__nulls"] or 0),  # SUM over 0 rows is NULL
                 )
             )
         return self.spark.createDataFrame(

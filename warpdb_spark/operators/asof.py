@@ -38,14 +38,21 @@ def asof_join(
     by = [by] if isinstance(by, str) else (by or [])
     right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
 
-    lhs = left.withColumn("__side", F.lit(1))
-    for c in right_cols:
-        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    # Right-side values travel inside ONE nullable struct: the struct is
+    # non-null whenever a right row exists, so last(ignorenulls) matches
+    # the nearest right ROW even when its payload columns are genuinely
+    # NULL (a bare per-column carry would skip past NULL values to an
+    # older row).
+    rstruct = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    rtype = right.select(rstruct.alias("s")).schema["s"].dataType.simpleString()
+    lhs = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(rtype)
+    )
     rhs = right.select(
         *by,
         F.col(on),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        rstruct.alias("__r"),
     )
     for c in left.columns:
         if c not in rhs.columns:
@@ -68,14 +75,15 @@ def asof_join(
     carried = unioned.select(
         *[c for c in left.columns],
         F.col("__side"),
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(f"__r_{c}")), ignorenulls=True)
-            .over(w)
-            .alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__rlast"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"__rlast.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )
 
 
 def range_join(
@@ -93,13 +101,15 @@ def range_join(
     With ``band_width`` the join is banded (scale path): both sides key
     on integer buckets, so Catalyst plans a hash join instead of a
     broadcast-nested-loop. Without it, a plain conditional join (fine
-    when one side is broadcastable)."""
+    when one side is broadcastable). Banded supports inner and left."""
     if band_width is None:
         cond = (F.col(right_lo) <= F.col(left_value)) & (
             F.col(left_value) < F.col(right_hi)
         )
         return left.join(right, cond, how)
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"banded range_join supports inner/left, not {how!r}")
     lb = left.withColumn("__bucket", F.floor(F.col(left_value) / band_width))
     rb = right.withColumn(
         "__bucket",
@@ -111,4 +121,12 @@ def range_join(
         ),
     )
     cond = (F.col(right_lo) <= F.col(left_value)) & (F.col(left_value) < F.col(right_hi))
-    return lb.join(rb, "__bucket").filter(cond).drop("__bucket")
+    inner = lb.join(rb, "__bucket").filter(cond).drop("__bucket")
+    if how == "inner":
+        return inner
+    # left: add back left rows that matched no band, with null right cols
+    matched = inner.select(*left.columns)
+    missed = left.join(matched, left.columns, "left_anti")
+    for c, t in right.dtypes:
+        missed = missed.withColumn(c, F.lit(None).cast(t))
+    return inner.unionByName(missed)

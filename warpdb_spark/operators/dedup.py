@@ -90,6 +90,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int = 1000,
+    shingle_size: int = 3,
 ) -> DataFrame:
     """Candidate near-duplicate id pairs (id_a < id_b) via banded MinHash.
 
@@ -106,7 +107,7 @@ def lsh_candidate_pairs(
     # The per-shingle hashing then runs inside whole-stage codegen
     # (nested-HOF minhash evaluates interpreted — measured ~10x slower)
     # and partial aggregation shuffles only 64 longs per doc.
-    grams = T.word_ngrams(T.normalized_text(F.col(text_col)), 3)
+    grams = T.word_ngrams(T.normalized_text(F.col(text_col)), shingle_size)
     grams = F.when(F.size(grams) == 0, F.array(T.normalized_text(F.col(text_col)))).otherwise(grams)
     # hash each shingle string ONCE; the 64 permutations rehash the
     # 8-byte result (xxhash64 over long) instead of re-hashing the
@@ -173,11 +174,14 @@ def ngram_jaccard(
 
     from warpdb_spark.utils import ensure_parallelism
 
+    # same short-doc fallback as the signature build (whole normalized
+    # text as the single shingle): two DIFFERENT short docs then get
+    # jaccard 0, not the degenerate empty/empty == 1.0
+    grams = F.array_distinct(T.word_ngrams(T.normalized_text(F.col(text_col)), shingle_size))
+    grams = F.when(F.size(grams) == 0, F.array(T.normalized_text(F.col(text_col)))).otherwise(grams)
     shingles = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(T.word_ngrams(T.normalized_text(F.col(text_col)), shingle_size)).alias(
-            "__sh"
-        ),
+        grams.alias("__sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     shingles.count()  # warm the cache once; both join sides reuse it
     a = shingles.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
@@ -190,9 +194,7 @@ def ngram_jaccard(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.when(union == 0, F.lit(1.0)).otherwise(inter / union), 6
-            ).alias("jaccard"),
+            F.round(inter / union, 6).alias("jaccard"),
         )
     )
 
@@ -209,7 +211,9 @@ def minhash_dedup(
     """Near-dedup: drop every doc that has a verified near-duplicate
     with a smaller id (the standard greedy survivor rule — one LSH
     banding shuffle + one verify join, no iterative closure)."""
-    pairs = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
+    pairs = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_size=shingle_size
+    )
     verified = ngram_jaccard(df, pairs, id_col, text_col, shingle_size).filter(
         F.col("jaccard") >= threshold
     )

@@ -349,8 +349,12 @@ class QueryAST:
 @dataclass
 class SetOp:
     """UNION [ALL] / INTERSECT / EXCEPT between two queries (superset —
-    absent from the reference keyword set, src/expression.cpp:58-62)."""
+    absent from the reference keyword set, src/expression.cpp:58-62).
+    Trailing ORDER BY/LIMIT/OFFSET bind to the combined result (ANSI)."""
 
     op: str  # union, union_all, intersect, except
     left: "QueryAST | SetOp"
     right: "QueryAST | SetOp"
+    order_by: list[tuple[Node, bool]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None

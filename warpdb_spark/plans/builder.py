@@ -75,14 +75,31 @@ def build_dataframe(tables: dict[str, DataFrame], q, registry=None) -> DataFrame
         left = build_dataframe(tables, q.left, registry)
         right = build_dataframe(tables, q.right, registry)
         if q.op == "union_all":
-            return left.union(right)
-        if q.op == "union":
-            return left.union(right).distinct()
-        if q.op == "intersect":
-            return left.intersect(right)
-        if q.op == "except":
-            return left.subtract(right)
-        raise ValidationError(f"Unknown set operation: {q.op}")
+            out = left.union(right)
+        elif q.op == "union":
+            out = left.union(right).distinct()
+        elif q.op == "intersect":
+            out = left.intersect(right)
+        elif q.op == "except":
+            out = left.subtract(right)
+        else:
+            raise ValidationError(f"Unknown set operation: {q.op}")
+        if q.order_by:
+            # tail clauses sort the COMBINED result by its output columns
+            for e, _ in q.order_by:
+                validate(e, set(out.columns), "ORDER BY")
+            comp = Compiler(registry)
+            out = out.orderBy(
+                *[
+                    comp.compile(e).asc() if asc else comp.compile(e).desc()
+                    for e, asc in q.order_by
+                ]
+            )
+        if q.offset is not None:
+            out = out.offset(q.offset)
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
     return _build_select(tables, q, registry)
 
 

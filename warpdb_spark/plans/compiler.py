@@ -185,6 +185,9 @@ class Compiler:
     def _c_windowfunc(self, n: A.WindowFunc) -> Column:
         spec = self._window_spec(n.spec)
         fname = n.func
+        if n.distinct:
+            # Spark (like most engines) has no DISTINCT window aggregates
+            raise ValidationError(f"{fname}(DISTINCT ...) OVER (...) is not supported")
         args = [self.compile(a) for a in n.args if not isinstance(a, A.Star)]
         if fname in A.AGG_FUNCS:
             if fname == "COUNT" and (not args or isinstance(n.args[0], A.Star)):
@@ -198,14 +201,27 @@ class Compiler:
                 raise ValidationError("NTILE requires an integer literal")
             base = F.ntile(int(n.args[0].value))
         elif fname in ("LAG", "LEAD"):
-            offset = int(n.args[1].value) if len(n.args) > 1 else 1
-            default = args[2] if len(args) > 2 else None
+            offset = self._int_literal(n.args[1], f"{fname} offset") if len(n.args) > 1 else 1
+            default = None
+            if len(n.args) > 2:
+                d = n.args[2]
+                if not isinstance(d, (A.Num, A.Str, A.Bool, A.Null)):
+                    raise ValidationError(f"{fname} default must be a literal")
+                default = None if isinstance(d, A.Null) else d.value
             base = getattr(F, fname.lower())(args[0], offset, default)
         elif fname in ("FIRST_VALUE", "LAST_VALUE"):
             base = (F.first if fname == "FIRST_VALUE" else F.last)(args[0])
         else:
             raise ValidationError(f"Unknown window function: {fname}")
         return base.over(spec)
+
+    @staticmethod
+    def _int_literal(node: A.Node, what: str) -> int:
+        if isinstance(node, A.Num) and isinstance(node.value, int):
+            return node.value
+        if isinstance(node, A.Neg) and isinstance(node.operand, A.Num) and isinstance(node.operand.value, int):
+            return -node.operand.value
+        raise ValidationError(f"{what} must be an integer literal")
 
     def _window_spec(self, spec: A.WindowSpec) -> SparkWindowSpec:
         w = None

@@ -296,7 +296,7 @@ class _Parser:
         return expr, True
 
     # -- queries -------------------------------------------------------
-    def parse_select(self) -> A.QueryAST:
+    def parse_select(self, in_setop: bool = False) -> A.QueryAST:
         self.expect_kw("SELECT")
         q = A.QueryAST()
         q.distinct = bool(self.accept_kw("DISTINCT"))
@@ -337,6 +337,10 @@ class _Parser:
                 q.group_by.append(self.parse_expr())
         if self.accept_kw("HAVING"):
             q.having = self.parse_expr()
+        if in_setop:
+            # ORDER BY/LIMIT/OFFSET after a set-op operand bind to the
+            # combined result (ANSI) — left for parse_query_node
+            return q
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
             q.order_by.append(self.parse_order_item())
@@ -363,6 +367,7 @@ class _Parser:
 
     def parse_query_node(self):
         node: A.QueryAST | A.SetOp = self.parse_select()
+        is_setop = False
         while True:
             tok = self.peek()
             if tok.is_kw("UNION"):
@@ -375,8 +380,25 @@ class _Parser:
                 self.next()
                 op = "except"
             else:
-                return node
-            node = A.SetOp(op, node, self.parse_select())
+                break
+            if not is_setop and (node.order_by or node.limit is not None or node.offset is not None):
+                raise ParseError(
+                    "ORDER BY/LIMIT/OFFSET must follow the last query of a set operation"
+                )
+            is_setop = True
+            node = A.SetOp(op, node, self.parse_select(in_setop=True))
+        if is_setop:
+            if self.accept_kw("ORDER"):
+                self.expect_kw("BY")
+                node.order_by.append(self.parse_order_item())
+                while self.accept_op(","):
+                    node.order_by.append(self.parse_order_item())
+            for _ in range(2):
+                if node.limit is None and self.accept_kw("LIMIT"):
+                    node.limit = self.expect_int("LIMIT")
+                if node.offset is None and self.accept_kw("OFFSET"):
+                    node.offset = self.expect_int("OFFSET")
+        return node
 
 
 def parse_expression(text: str) -> A.Node:

@@ -52,9 +52,16 @@ def get_spark(
     spark-submit's master wins.
     """
     builder = SparkSession.builder.appName(app_name)
+    # Only default to local mode when no master is configured anywhere:
+    # spark-submit communicates the cluster master via the spark.master
+    # conf (not an env var), and overriding it here would silently run
+    # a cluster job single-node on the driver.
+    from pyspark import SparkConf
+
+    submitted_master = SparkConf().get("spark.master", None) or os.environ.get("MASTER")
     if master is not None:
         builder = builder.master(master)
-    elif "SPARK_GRAFT_CPUS" in os.environ or not os.environ.get("MASTER"):
+    elif not submitted_master:
         builder = builder.master(f"local[{default_parallelism()}]")
         # local mode: driver JVM is the executor — give it headroom.
         builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

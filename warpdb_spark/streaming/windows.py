@@ -90,13 +90,25 @@ def read_csv_stream(spark, path: str, schema, max_files_per_trigger: int = 1) ->
     )
 
 
-def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_sec: int = 60):
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    name: str,
+    timeout_sec: int = 60,
+    output_mode: str | None = None,
+):
     """Drain an availableNow stream into an in-memory table (tests /
-    small jobs); returns the StreamingQuery after it finishes."""
+    small jobs); returns the StreamingQuery after it finishes.
+
+    ``output_mode`` defaults by plan shape: 'complete' when the stream
+    aggregates (Spark requires it without a watermark), 'append' for
+    map-only streams (where 'complete' is rejected)."""
+    if output_mode is None:
+        plan = stream_df._jdf.queryExecution().logical().toString()
+        output_mode = "complete" if "Aggregate" in plan else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
