@@ -10,11 +10,11 @@ from __future__ import annotations
 
 
 def load_all():
-    from warpdb_spark.inventory import core_sql
+    from warpdb_spark.inventory import core_sql, tpch_extra
 
     queries: dict = {}
     oracles: dict = {}
-    modules = [core_sql]
+    modules = [core_sql, tpch_extra]
     try:
         from warpdb_spark.inventory import pipeline_ops
 
