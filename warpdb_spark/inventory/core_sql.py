@@ -201,6 +201,33 @@ def dialect_offset_limit(spark, sf_dir):
     )
 
 
+def dialect_cte_scalar_in(spark, sf_dir):
+    """CTE + scalar subquery + IN-subquery through the dialect
+    (superset — no subqueries/WITH in the reference keyword set,
+    src/expression.cpp:58-62). The scalar subquery becomes a one-row
+    broadcast cross-join; IN becomes a left-semi join."""
+    db = _db(spark, sf_dir, "orders", "customer")
+    return db.query_sql(
+        "WITH rich AS (SELECT c_custkey AS ck FROM customer "
+        "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)) "
+        "SELECT o_orderstatus AS status, COUNT(*) AS n FROM orders "
+        "WHERE o_custkey IN (SELECT ck FROM rich) "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+def dialect_exists_theta(spark, sf_dir):
+    """Correlated EXISTS with a non-equi (theta) correlation through
+    the dialect — TPC-H q4's shape — rewritten to a left-semi join."""
+    db = _db(spark, sf_dir, "orders", "lineitem")
+    return db.query_sql(
+        "SELECT o_orderpriority AS prio, COUNT(*) AS n FROM orders "
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
 # --- joins (SURVEY §2.3 — parsed-only in the reference, executed here) -----
 
 def join_inner_rowlevel(spark, sf_dir):
@@ -632,6 +659,8 @@ QUERIES = {
     "agg_cube": agg_cube,
     "sort_topk": sort_topk,
     "dialect_offset_limit": dialect_offset_limit,
+    "dialect_cte_scalar_in": dialect_cte_scalar_in,
+    "dialect_exists_theta": dialect_exists_theta,
     "join_inner_rowlevel": join_inner_rowlevel,
     "join_broadcast_dims": join_broadcast_dims,
     "join_semi": join_semi,
@@ -721,6 +750,19 @@ ORACLES = {
     "dialect_offset_limit": (
         "SELECT o_orderkey AS ok, o_totalprice AS total FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5"
+    ),
+    "dialect_cte_scalar_in": (
+        "WITH rich AS (SELECT c_custkey AS ck FROM customer "
+        "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)) "
+        "SELECT o_orderstatus AS status, COUNT(*) AS n FROM orders "
+        "WHERE o_custkey IN (SELECT ck FROM rich) "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    "dialect_exists_theta": (
+        "SELECT o_orderpriority AS prio, COUNT(*) AS n FROM orders "
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     "join_inner_rowlevel": (
         "SELECT o_orderkey AS ok, o_orderpriority AS prio, l_linenumber AS ln, "

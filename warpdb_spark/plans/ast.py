@@ -319,6 +319,51 @@ class WindowFunc(Node):
         return out
 
 
+class _SubqueryNode(Node):
+    """Base for expression nodes that embed a query. ``children()``
+    deliberately does NOT descend into the query — the subquery has its
+    own scope and is validated/built separately by the builder."""
+
+    def text(self) -> str:  # unique per node object; stable within a parse
+        return f"(subquery#{id(self)})"
+
+
+@dataclass(eq=False)
+class ScalarSubquery(_SubqueryNode):
+    """``(SELECT ...)`` used as a value (superset — the reference has no
+    subqueries at all, src/expression.cpp:58-62). The builder admits it
+    in WHERE and requires a provably single-row query (a global
+    aggregate or LIMIT 1), realized as a one-row broadcast cross-join —
+    never a driver-side collect."""
+
+    query: "QueryAST | SetOp | WithQuery"
+
+    def auto_alias(self) -> str:
+        return "scalar_subquery"
+
+
+@dataclass(eq=False)
+class InSubquery(_SubqueryNode):
+    """``expr [NOT] IN (SELECT ...)`` — rewritten to a left-semi
+    (anti for NOT, with ANSI null semantics) join."""
+
+    operand: Node
+    query: "QueryAST | SetOp | WithQuery"
+    negated: bool = False
+
+    def children(self):
+        return [self.operand]
+
+
+@dataclass(eq=False)
+class Exists(_SubqueryNode):
+    """``EXISTS (SELECT ...)`` — correlated comparisons in the
+    subquery's WHERE become join conditions of a left-semi join
+    (left-anti under NOT)."""
+
+    query: "QueryAST | SetOp | WithQuery"
+
+
 @dataclass
 class JoinClause:
     """JOIN <table> ON <cond> (src/expression.cpp:375-401,
@@ -358,3 +403,13 @@ class SetOp:
     order_by: list[tuple[Node, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
+
+
+@dataclass
+class WithQuery:
+    """``WITH name AS (query) [, ...] <body>`` — common table
+    expressions (superset). Each CTE sees the tables plus all earlier
+    CTEs; the body sees all of them."""
+
+    ctes: list[tuple[str, "QueryAST | SetOp | WithQuery"]]
+    body: "QueryAST | SetOp | WithQuery"

@@ -71,6 +71,11 @@ def _unique_name(base: str, used: set[str]) -> str:
 
 
 def build_dataframe(tables: dict[str, DataFrame], q, registry=None) -> DataFrame:
+    if isinstance(q, A.WithQuery):
+        tables = dict(tables)  # CTEs shadow base tables, scoped to this query
+        for name, sub in q.ctes:
+            tables[name] = build_dataframe(tables, sub, registry)
+        return build_dataframe(tables, q.body, registry)
     if isinstance(q, A.SetOp):
         left = build_dataframe(tables, q.left, registry)
         right = build_dataframe(tables, q.right, registry)
@@ -101,6 +106,220 @@ def build_dataframe(tables: dict[str, DataFrame], q, registry=None) -> DataFrame
             out = out.limit(q.limit)
         return out
     return _build_select(tables, q, registry)
+
+
+def _conjuncts(node: A.Node) -> list[A.Node]:
+    if isinstance(node, A.BinOp) and node.op == "AND":
+        return _conjuncts(node.left) + _conjuncts(node.right)
+    return [node]
+
+
+def _contains_subquery(node: A.Node) -> bool:
+    return any(isinstance(s, A._SubqueryNode) for s in node.walk())
+
+
+_SQ_SEQ = [0]
+
+
+def _sq_alias(base: str) -> str:
+    _SQ_SEQ[0] += 1
+    return f"__{base}{_SQ_SEQ[0]}"
+
+
+def _subquery_inner_columns(tables, q) -> dict[str, set[str]]:
+    """table → columns visible inside a subquery's own FROM/JOINs."""
+    if not isinstance(q, A.QueryAST):
+        return {}
+    scope = {q.from_table: set(_resolve_table(tables, q.from_table).columns)}
+    for j in q.joins:
+        scope[j.table] = set(_resolve_table(tables, j.table).columns)
+    return scope
+
+
+def _var_side(name: str, inner: dict[str, set[str]], outer: dict[str, set[str]]) -> str:
+    """Resolve a (possibly qualified) name: innermost scope wins (ANSI)."""
+
+    def in_scope(scope: dict[str, set[str]]) -> bool:
+        if "." in name:
+            t, c = name.rsplit(".", 1)
+            if t in scope:
+                return c in scope[t]
+        return any(name in cols for cols in scope.values())
+
+    if in_scope(inner):
+        return "inner"
+    if in_scope(outer):
+        return "outer"
+    return "unknown"
+
+
+_CMP = {"==", "=", "!=", ">", "<", ">=", "<="}
+
+
+def _split_correlation(q_sub: A.QueryAST, inner_scope, outer_scope):
+    """Partition the subquery's WHERE conjuncts into correlation
+    predicates (Var-vs-Var comparisons across scopes) and residual
+    inner-only conjuncts. Returns (corr, residual_where)."""
+    corr: list[tuple[str, A.Var, A.Var, bool]] = []  # (op, inner, outer, inner_is_left)
+    residual: list[A.Node] = []
+    for c in _conjuncts(q_sub.where) if q_sub.where is not None else []:
+        if (
+            isinstance(c, A.BinOp)
+            and c.op in _CMP
+            and isinstance(c.left, A.Var)
+            and isinstance(c.right, A.Var)
+        ):
+            ls = _var_side(c.left.name, inner_scope, outer_scope)
+            rs = _var_side(c.right.name, inner_scope, outer_scope)
+            if {ls, rs} == {"inner", "outer"}:
+                if ls == "inner":
+                    corr.append((c.op, c.left, c.right, True))
+                else:
+                    corr.append((c.op, c.right, c.left, False))
+                continue
+        if _contains_subquery(c):
+            raise ValidationError("Nested subqueries inside a subquery's WHERE are not supported")
+        residual.append(c)
+    where = None
+    for c in residual:
+        where = c if where is None else A.BinOp("AND", where, c)
+    return corr, where
+
+
+def _apply_cmp(op: str, left, right):
+    if op in ("=", "=="):
+        return left == right
+    if op == "!=":
+        return left != right
+    if op == ">":
+        return left > right
+    if op == "<":
+        return left < right
+    if op == ">=":
+        return left >= right
+    return left <= right
+
+
+def _build_semi_anti(df, tables, scope, sub, anti: bool, registry):
+    """EXISTS / NOT EXISTS → left-semi / left-anti join. Correlated
+    comparisons in the subquery's WHERE become the join condition; an
+    uncorrelated EXISTS degenerates to a broadcast non-emptiness probe."""
+    import dataclasses
+
+    how = "left_anti" if anti else "left_semi"
+    inner_scope = _subquery_inner_columns(tables, sub)
+    corr = []
+    if isinstance(sub, A.QueryAST):
+        corr, residual_where = _split_correlation(sub, inner_scope, scope)
+    if not corr:
+        sub_df = build_dataframe(tables, sub, registry).limit(1)
+        probe = sub_df.select(F.lit(1).alias(_sq_alias("e")))
+        return df.join(F.broadcast(probe), F.lit(True), how)
+    if sub.group_by or sub.having is not None:
+        raise ValidationError(
+            "Correlated EXISTS subqueries cannot use GROUP BY/HAVING"
+        )
+    aliases = [_sq_alias("sqc") for _ in corr]
+    items = [(A.Var(v.name), a) for (_, v, _, _), a in zip(corr, aliases)]
+    q2 = dataclasses.replace(
+        sub,
+        select_items=items,
+        where=residual_where,
+        order_by=[],
+        limit=None,
+        offset=None,
+        distinct=False,
+    )
+    sub_df = build_dataframe(tables, q2, registry)
+    cond = None
+    for (op, _inner, outer, inner_is_left), a in zip(corr, aliases):
+        validate(outer, scope, "EXISTS correlation")
+        ic, oc = F.col(a), F.col(outer.name)
+        c = _apply_cmp(op, ic, oc) if inner_is_left else _apply_cmp(op, oc, ic)
+        cond = c if cond is None else cond & c
+    return df.join(sub_df, cond, how)
+
+
+def _build_in_subquery(df, tables, scope, node: A.InSubquery, registry):
+    """expr [NOT] IN (SELECT ...) → left-semi / left-anti join. NOT IN
+    keeps ANSI null semantics: a NULL probe value or any NULL in the
+    subquery result removes the row."""
+    sub_df = build_dataframe(tables, node.query, registry)
+    if len(sub_df.columns) != 1:
+        raise ValidationError("IN subquery must select exactly one column")
+    validate(node.operand, scope, "IN subquery operand")
+    alias = _sq_alias("sqin")
+    sub_df = sub_df.select(F.col(sub_df.columns[0]).alias(alias))
+    operand = Compiler(registry).compile(node.operand)
+    if node.negated:
+        cond = operand.eqNullSafe(F.col(alias)) | operand.isNull() | F.col(alias).isNull()
+        return df.join(sub_df, cond, "left_anti")
+    return df.join(sub_df, operand == F.col(alias), "left_semi")
+
+
+def _bind_scalar_subqueries(df, tables, node: A.Node, env, registry):
+    """Attach every scalar subquery under ``node`` as a one-row
+    broadcast cross-join column and record it in ``env`` so the
+    compiler substitutes the column reference."""
+    for s in node.walk():
+        if isinstance(s, A.ScalarSubquery):
+            q = s.query
+            single_row = (
+                isinstance(q, A.QueryAST)
+                and not q.group_by
+                and q.select_items
+                and all(_collect_aggs(i) for i, _ in q.select_items)
+            ) or (getattr(q, "limit", None) == 1)
+            if not single_row:
+                raise ValidationError(
+                    "Scalar subquery must be a global aggregate or have LIMIT 1"
+                )
+            sub_df = build_dataframe(tables, q, registry)
+            if len(sub_df.columns) != 1:
+                raise ValidationError("Scalar subquery must select exactly one column")
+            alias = _sq_alias("sq")
+            sub_df = sub_df.select(F.col(sub_df.columns[0]).alias(alias))
+            df = df.crossJoin(F.broadcast(sub_df))
+            env[s.text()] = F.col(alias)
+        elif isinstance(s, (A.InSubquery, A.Exists)) and s is not node:
+            continue
+    return df
+
+
+def _apply_where(df, where: A.Node, tables, scope, registry):
+    """WHERE with subquery support. EXISTS / IN-subquery predicates must
+    be top-level AND conjuncts (they rewrite to joins); scalar
+    subqueries may appear anywhere in the remaining predicate."""
+    residual: list[A.Node] = []
+    for c in _conjuncts(where):
+        neg = False
+        inner = c
+        while isinstance(inner, A.Not):
+            neg = not neg
+            inner = inner.operand
+        if isinstance(inner, A.Exists):
+            df = _build_semi_anti(df, tables, scope, inner.query, neg, registry)
+        elif isinstance(inner, A.InSubquery):
+            df = _build_in_subquery(
+                df,
+                tables,
+                scope,
+                A.InSubquery(inner.operand, inner.query, inner.negated ^ neg),
+                registry,
+            )
+        else:
+            if any(isinstance(s, (A.Exists, A.InSubquery)) for s in c.walk()):
+                raise ValidationError(
+                    "EXISTS/IN subqueries must be top-level AND conjuncts of WHERE"
+                )
+            residual.append(c)
+    env: dict[str, Column] = {}
+    for c in residual:
+        df = _bind_scalar_subqueries(df, tables, c, env, registry)
+    for c in residual:
+        validate(c, scope, "WHERE")
+        df = df.filter(Compiler(registry, env).compile(c))
+    return df
 
 
 def _resolve_table(tables: dict[str, DataFrame], name: str) -> DataFrame:
@@ -135,8 +354,7 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             scope.pop(j.table)  # semi/anti joins expose only left columns
 
     if q.where is not None:
-        validate(q.where, scope, "WHERE")
-        df = df.filter(Compiler(registry).compile(q.where))
+        df = _apply_where(df, q.where, tables, scope, registry)
 
     aggs: list[A.Agg] = []
     for item, _ in q.select_items:

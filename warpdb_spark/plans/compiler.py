@@ -182,6 +182,15 @@ class Compiler:
             raise ValidationError(f"{n.func}(DISTINCT ...) is not supported")
         return _AGG_IMPL[n.func](arg)
 
+    def _c_scalarsubquery(self, n: A.ScalarSubquery) -> Column:
+        raise ValidationError("Scalar subqueries are only supported in the WHERE clause")
+
+    def _c_insubquery(self, n: A.InSubquery) -> Column:
+        raise ValidationError("IN (SELECT ...) is only supported as a top-level WHERE conjunct")
+
+    def _c_exists(self, n: A.Exists) -> Column:
+        raise ValidationError("EXISTS is only supported as a top-level WHERE conjunct")
+
     def _c_windowfunc(self, n: A.WindowFunc) -> Column:
         spec = self._window_spec(n.spec)
         fname = n.func

@@ -138,6 +138,10 @@ class _Parser:
         if tok.is_kw("IN"):
             self.next()
             self.expect_op("(")
+            if self.peek().is_kw("SELECT", "WITH"):
+                sub = self.parse_query_node()
+                self.expect_op(")")
+                return A.InSubquery(node, sub, negated)
             items = [self.parse_additive()]
             while self.accept_op(","):
                 items.append(self.parse_additive())
@@ -179,9 +183,19 @@ class _Parser:
             return A.Neg(self.parse_factor())
         if tok.kind == OP and tok.value == "(":
             self.next()
+            if self.peek().is_kw("SELECT", "WITH"):
+                sub = self.parse_query_node()
+                self.expect_op(")")
+                return A.ScalarSubquery(sub)
             node = self.parse_expr()
             self.expect_op(")")
             return node
+        if tok.is_kw("EXISTS"):
+            self.next()
+            self.expect_op("(")
+            sub = self.parse_query_node()
+            self.expect_op(")")
+            return A.Exists(sub)
         if tok.kind == NUMBER:
             self.next()
             return A.Num(float(tok.value) if "." in tok.value else int(tok.value))
@@ -366,6 +380,17 @@ class _Parser:
         return expr, None
 
     def parse_query_node(self):
+        if self.accept_kw("WITH"):
+            ctes: list[tuple[str, object]] = []
+            while True:
+                name = self.expect_ident("CTE name after WITH")
+                self.expect_kw("AS")
+                self.expect_op("(")
+                ctes.append((name, self.parse_query_node()))
+                self.expect_op(")")
+                if not self.accept_op(","):
+                    break
+            return A.WithQuery(ctes, self.parse_query_node())
         node: A.QueryAST | A.SetOp = self.parse_select()
         is_setop = False
         while True:
