@@ -30,7 +30,10 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customer",
+    "tpch_q21_single_return_supplier",
     "window_running_sum",
     "join_theta",
     "dedup_exact",
