@@ -1,0 +1,78 @@
+"""Derived tables — ``FROM (SELECT ...) alias`` and
+``JOIN (SELECT ...) alias ON ...`` (superset: the reference grammar
+only accepts bare identifiers after FROM/JOIN,
+src/expression.cpp:363-372,375-401)."""
+
+import pytest
+
+from warpdb_spark.api import WarpDB
+from warpdb_spark.errors import ParseError
+
+
+@pytest.fixture(scope="module")
+def db(spark, sf_dir):
+    db = WarpDB(f"{sf_dir}/orders.parquet", spark=spark, table_name="orders")
+    db.attach("lineitem", spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    db.attach("customer", spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    return db
+
+
+def test_from_derived_table(db):
+    rows = db.query_sql(
+        "SELECT COUNT(*) AS n FROM "
+        "(SELECT o_orderkey AS ok FROM orders WHERE o_totalprice > 400000) big"
+    ).collect()
+    expected = db.query_sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 400000"
+    ).collect()
+    assert rows[0]["n"] == expected[0]["n"] > 0
+
+
+def test_from_derived_with_as_keyword(db):
+    rows = db.query_sql(
+        "SELECT AVG(total) AS avg_total FROM "
+        "(SELECT o_totalprice AS total FROM orders LIMIT 100) AS t"
+    ).collect()
+    assert rows[0]["avg_total"] > 0
+
+
+def test_join_derived_table_q18_shape(db, spark, sf_dir):
+    """The whole TPC-H q18 shape now expressible in the dialect."""
+    got = db.query_sql(
+        "SELECT o_orderkey AS ok, b.total_qty AS total_qty FROM orders "
+        "JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) b "
+        "ON o_orderkey = b.l_orderkey ORDER BY total_qty DESC"
+    )
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    expected = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .count()
+    )
+    assert got.count() == expected
+
+
+def test_nested_derived_tables(db):
+    rows = db.query_sql(
+        "SELECT MAX(ok) AS mx FROM (SELECT ok FROM "
+        "(SELECT o_orderkey AS ok FROM orders) inner1 WHERE ok < 100) outer1"
+    ).collect()
+    assert rows[0]["mx"] < 100
+
+
+def test_derived_table_requires_alias(db):
+    with pytest.raises(ParseError, match="alias for derived table"):
+        db.query_sql("SELECT 1 AS one FROM (SELECT o_orderkey FROM orders)")
+
+
+def test_qualified_refs_into_derived(db):
+    rows = db.query_sql(
+        "SELECT t.seg AS seg, COUNT(*) AS n FROM "
+        "(SELECT c_mktsegment AS seg FROM customer) t "
+        "GROUP BY t.seg ORDER BY t.seg LIMIT 2"
+    ).collect()
+    assert len(rows) == 2

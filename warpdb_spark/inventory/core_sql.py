@@ -228,6 +228,23 @@ def dialect_exists_theta(spark, sf_dir):
     )
 
 
+def dialect_derived_table_q18(spark, sf_dir):
+    """TPC-H q18 expressed entirely in the dialect: derived table
+    (JOIN (SELECT ... GROUP BY ... HAVING ...) alias) + 3-way join +
+    ORDER/LIMIT. Superset: the reference grammar only accepts bare
+    identifiers after FROM/JOIN (src/expression.cpp:363-372)."""
+    db = _db(spark, sf_dir, "orders", "lineitem", "customer")
+    return db.query_sql(
+        "SELECT c_custkey AS ck, o_orderkey AS ok, o_totalprice AS total_price, "
+        "round(b.total_qty, 2) AS total_qty FROM orders "
+        "JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) b "
+        "ON o_orderkey = b.l_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY total_price DESC, ok ASC LIMIT 100"
+    )
+
+
 # --- joins (SURVEY §2.3 — parsed-only in the reference, executed here) -----
 
 def join_inner_rowlevel(spark, sf_dir):
@@ -661,6 +678,7 @@ QUERIES = {
     "dialect_offset_limit": dialect_offset_limit,
     "dialect_cte_scalar_in": dialect_cte_scalar_in,
     "dialect_exists_theta": dialect_exists_theta,
+    "dialect_derived_table_q18": dialect_derived_table_q18,
     "join_inner_rowlevel": join_inner_rowlevel,
     "join_broadcast_dims": join_broadcast_dims,
     "join_semi": join_semi,
@@ -763,6 +781,15 @@ ORACLES = {
         "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
         "AND l_shipdate > o_orderdate) "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "dialect_derived_table_q18": (
+        "SELECT c_custkey AS ck, o_orderkey AS ok, o_totalprice AS total_price, "
+        "round(b.total_qty, 2) AS total_qty FROM orders "
+        "JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem "
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 300) b "
+        "ON o_orderkey = b.l_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY total_price DESC, ok ASC LIMIT 100"
     ),
     "join_inner_rowlevel": (
         "SELECT o_orderkey AS ok, o_orderpriority AS prio, l_linenumber AS ln, "

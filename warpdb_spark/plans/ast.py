@@ -370,9 +370,11 @@ class JoinClause:
     include/expression.hpp:123-126); ``how`` generalizes the
     reference's implicit inner join."""
 
-    table: str
+    table: str  # table name, or the alias when ``subquery`` is set
     condition: Node | None
     how: str = "inner"
+    # derived table: JOIN (SELECT ...) alias ON ... (superset)
+    subquery: "QueryAST | SetOp | WithQuery | None" = None
 
 
 @dataclass
@@ -381,7 +383,9 @@ class QueryAST:
 
     select_items: list[tuple[Node, str | None]] = field(default_factory=list)
     distinct: bool = False
-    from_table: str = ""
+    from_table: str = ""  # table name, or the alias when from_subquery is set
+    # derived table: FROM (SELECT ...) alias (superset)
+    from_subquery: "QueryAST | SetOp | WithQuery | None" = None
     joins: list[JoinClause] = field(default_factory=list)
     where: Node | None = None
     group_by: list[Node] = field(default_factory=list)

@@ -127,8 +127,12 @@ def _sq_alias(base: str) -> str:
 
 
 def _subquery_inner_columns(tables, q) -> dict[str, set[str]]:
-    """table → columns visible inside a subquery's own FROM/JOINs."""
-    if not isinstance(q, A.QueryAST):
+    """table → columns visible inside a subquery's own FROM/JOINs.
+    Empty when the subquery uses derived tables (those are treated as
+    uncorrelated — correlation into a derived table is not supported)."""
+    if not isinstance(q, A.QueryAST) or q.from_subquery is not None:
+        return {}
+    if any(j.subquery is not None for j in q.joins):
         return {}
     scope = {q.from_table: set(_resolve_table(tables, q.from_table).columns)}
     for j in q.joins:
@@ -334,12 +338,34 @@ def _resolve_table(tables: dict[str, DataFrame], name: str) -> DataFrame:
 
 
 def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) -> DataFrame:
-    base = _resolve_table(tables, q.from_table)
+    if q.from_subquery is not None:
+        base = build_dataframe(tables, q.from_subquery, registry)
+    else:
+        base = _resolve_table(tables, q.from_table)
     scope: dict[str, set[str]] = {q.from_table: set(base.columns)}
     df = base.alias(q.from_table)
 
+    # ORDER BY resolves SELECT aliases first (ANSI: output columns take
+    # precedence over base columns in the sort clause)
+    if q.order_by:
+        import dataclasses
+
+        alias_map = {alias: item for item, alias in q.select_items if alias}
+        q = dataclasses.replace(
+            q,
+            order_by=[
+                (alias_map[e.name], asc)
+                if isinstance(e, A.Var) and e.name in alias_map
+                else (e, asc)
+                for e, asc in q.order_by
+            ],
+        )
+
     for j in q.joins:
-        right = _resolve_table(tables, j.table)
+        if j.subquery is not None:
+            right = build_dataframe(tables, j.subquery, registry)
+        else:
+            right = _resolve_table(tables, j.table)
         if j.table in scope:
             raise ValidationError(f"Duplicate table in joins: {j.table}")
         scope[j.table] = set(right.columns)

@@ -318,7 +318,7 @@ class _Parser:
         while self.accept_op(","):
             q.select_items.append(self.parse_select_item())
         self.expect_kw("FROM")
-        q.from_table = self.expect_ident("table name after FROM")
+        q.from_subquery, q.from_table = self.parse_table_ref("FROM")
 
         while True:
             how = None
@@ -335,12 +335,12 @@ class _Parser:
                 }[kw]
             if how is None:
                 break
-            table = self.expect_ident("table name after JOIN")
+            sub, table = self.parse_table_ref("JOIN")
             cond = None
             if how != "cross":
                 self.expect_kw("ON")
                 cond = self.parse_expr()
-            q.joins.append(A.JoinClause(table, cond, how))
+            q.joins.append(A.JoinClause(table, cond, how, sub))
 
         if self.accept_kw("WHERE"):
             q.where = self.parse_expr()
@@ -368,6 +368,19 @@ class _Parser:
             if q.offset is None and self.accept_kw("OFFSET"):
                 q.offset = self.expect_int("OFFSET")
         return q
+
+    def parse_table_ref(self, clause: str):
+        """``name`` or ``(SELECT ...) [AS] alias`` (derived table —
+        superset; the reference only parses bare identifiers,
+        src/expression.cpp:363-372). Returns (subquery|None, name)."""
+        tok = self.peek()
+        if tok.kind == OP and tok.value == "(":
+            self.next()
+            sub = self.parse_query_node()
+            self.expect_op(")")
+            self.accept_kw("AS")
+            return sub, self.expect_ident(f"alias for derived table in {clause}")
+        return None, self.expect_ident(f"table name after {clause}")
 
     def parse_select_item(self) -> tuple[A.Node, str | None]:
         expr = self.parse_expr()
