@@ -209,3 +209,84 @@ class TestWatermarkLateData:
         run_once()
         rows = {r.ws.hour: r.total for r in spark.read.parquet(out_dir).collect()}
         assert rows.get(0) == 3.0
+
+
+class TestIntervalJoin:
+    """interval_join: batch/stream-identical key-equality + time-bound
+    join; on streams it is a watermarked stream-stream join."""
+
+    @staticmethod
+    def _dirs(tmp_path):
+        clicks = tmp_path / "clicks"
+        purchases = tmp_path / "purchases"
+        clicks.mkdir()
+        purchases.mkdir()
+        (clicks / "c1.csv").write_text(
+            "ts,key,value\n"
+            "2024-01-01 00:00:00,u1,0.0\n"
+            "2024-01-01 02:00:00,u2,0.0\n"
+        )
+        (clicks / "c2.csv").write_text(
+            "ts,key,value\n2024-01-01 03:00:00,u1,0.0\n"
+        )
+        (purchases / "p1.csv").write_text(
+            "ts,key,value\n"
+            "2024-01-01 00:30:00,u1,10.0\n"  # within 1h of u1 click@00:00
+            "2024-01-01 01:30:00,u1,20.0\n"  # outside 1h of any u1 click
+        )
+        (purchases / "p2.csv").write_text(
+            "ts,key,value\n"
+            "2024-01-01 02:10:00,u2,30.0\n"  # within 1h of u2 click@02:00
+            "2024-01-01 03:05:00,u1,40.0\n"  # within 1h of u1 click@03:00
+        )
+        return str(clicks), str(purchases)
+
+    def test_stream_stream_interval_join(self, spark, tmp_path):
+        from warpdb_spark.streaming.windows import interval_join
+
+        cdir, pdir = self._dirs(tmp_path)
+        clicks = read_csv_stream(spark, cdir, SCHEMA).select(
+            F.col("ts").alias("cts"), F.col("key")
+        )
+        purchases = read_csv_stream(spark, pdir, SCHEMA).select(
+            F.col("ts").alias("pts"), F.col("key"), F.col("value")
+        )
+        out = interval_join(
+            clicks, purchases, "cts", "pts", ["key"],
+            lower="0 seconds", upper="1 hour", watermark="2 hours",
+        )
+        q = run_to_memory_sink(out, "ssjoin", output_mode="append")
+        q.stop()
+        rows = {
+            (r["key"], r["value"])
+            for r in spark.table("ssjoin").collect()
+        }
+        assert rows == {("u1", 10.0), ("u2", 30.0), ("u1", 40.0)}
+
+    def test_batch_matches_stream_semantics(self, spark, tmp_path):
+        from warpdb_spark.streaming.windows import interval_join
+
+        cdir, pdir = self._dirs(tmp_path)
+        clicks = spark.read.schema(SCHEMA).option("header", True).csv(cdir).select(
+            F.col("ts").alias("cts"), F.col("key")
+        )
+        purchases = spark.read.schema(SCHEMA).option("header", True).csv(pdir).select(
+            F.col("ts").alias("pts"), F.col("key"), F.col("value")
+        )
+        out = interval_join(
+            clicks, purchases, "cts", "pts", ["key"],
+            lower="0 seconds", upper="1 hour",
+        )
+        rows = {(r["key"], r["value"]) for r in out.collect()}
+        assert rows == {("u1", 10.0), ("u2", 30.0), ("u1", 40.0)}
+
+    def test_ambiguous_columns_rejected(self, spark, tmp_path):
+        from warpdb_spark.streaming.windows import interval_join
+
+        cdir, pdir = self._dirs(tmp_path)
+        df = spark.read.schema(SCHEMA).option("header", True).csv(cdir)
+        right = spark.read.schema(SCHEMA).option("header", True).csv(pdir).select(
+            F.col("ts").alias("pts"), F.col("key"), F.col("value")
+        )
+        with pytest.raises(ValueError, match="ambiguous"):
+            interval_join(df, right.withColumn("value", F.lit(1.0)).union(right), "ts", "pts", ["key"])

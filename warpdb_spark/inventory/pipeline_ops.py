@@ -23,6 +23,7 @@ from warpdb_spark.operators import similarity as S
 from warpdb_spark.operators.asof import asof_join, range_join
 from warpdb_spark.sources.readers import ns_to_timestamp
 from warpdb_spark.streaming.windows import (
+    interval_join,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
@@ -334,6 +335,27 @@ def range_join_value_bands(spark, sf_dir):
     )
 
 
+def stream_interval_join_attribution(spark, sf_dir):
+    """Interval join (stream-stream-join shape, run on the batch events
+    table): purchases attributed to a click by the same user within one
+    hour after the click. On two readStream sources the same operator
+    is a watermarked stream-stream join with bounded state."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("purchase_value")
+    )
+    out = interval_join(
+        clicks, purchases, "ts", "pts", ["user_id"],
+        lower="0 seconds", upper="1 hour",
+    )
+    return out.select(
+        "cid", F.col("user_id").alias("uid"), "pts", "purchase_value"
+    )
+
+
 # --- event-time windows (streaming-identical batch semantics) --------------------
 
 def stream_tumbling_hourly(spark, sf_dir):
@@ -400,6 +422,7 @@ QUERIES = {
     "json_extract_props": json_extract_props,
     "asof_join_clicks_purchases": asof_join_clicks_purchases,
     "range_join_value_bands": range_join_value_bands,
+    "stream_interval_join_attribution": stream_interval_join_attribution,
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_sliding_2h": stream_sliding_2h,
     "stream_session_windows": stream_session_windows,
@@ -570,6 +593,14 @@ ORACLES = {
         "SELECT e.event_id AS eid, b.band, e.value FROM events e JOIN "
         "(VALUES " + ", ".join(f"('band_{i}', {i * 50}.0, {(i + 1) * 50}.0)" for i in range(10)) + ") "
         "b(band, lo, hi) ON e.value >= b.lo AND e.value < b.hi"
+    ),
+    "stream_interval_join_attribution": (
+        "SELECT c.event_id AS cid, c.user_id AS uid, p.ts AS pts, "
+        "p.value AS purchase_value "
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c "
+        "JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p "
+        "ON c.user_id = p.user_id AND p.ts >= c.ts "
+        "AND p.ts <= c.ts + INTERVAL '1 hour'"
     ),
     "stream_tumbling_hourly": (
         "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "

@@ -80,6 +80,66 @@ def session_window_agg(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    keys: list[str],
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Key-equality join bounded by event time: match right rows with
+    ``left_ts - lower <= right_ts <= left_ts + upper``.
+
+    Works identically on batch DataFrames and on two ``readStream``
+    sources (a stream-stream join). On streams, ``watermark`` must be
+    set on both sides: Spark then derives the state-retention bound
+    from the watermark + interval condition and evicts join state for
+    rows that can no longer match — bounded memory on unbounded input.
+    At batch scale the equality keys make this a hash join (one shuffle
+    per side), never a time-range cross product.
+
+    Column-name collisions between the two sides must be resolved by
+    the caller (select/alias) beforehand, except the join keys, which
+    must be named identically and are coalesced by Spark's ``on`` list
+    only in batch mode — here the condition is explicit, so both sides
+    keep their key columns.
+    """
+    lcols = set(left.columns)
+    rcols = set(right.columns)
+    dup = (lcols & rcols) - {left_ts, right_ts}
+    if dup - set(keys):
+        raise ValueError(
+            f"ambiguous non-key columns on both sides: {sorted(dup - set(keys))}"
+        )
+    lw = _with_watermark(left, left_ts, watermark).alias("l")
+    rw = _with_watermark(right, right_ts, watermark).alias("r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    time_cond = (
+        F.col(f"r.{right_ts}")
+        >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower}")
+    ) & (
+        F.col(f"r.{right_ts}")
+        <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+    )
+    cond = cond & time_cond if cond is not None else time_cond
+    joined = lw.join(rw, cond, how)
+    # project: left columns, then right's non-key non-duplicate columns
+    out_cols = [F.col(f"l.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"r.{c}").alias(c)
+        for c in right.columns
+        if c not in keys and c not in lcols
+    ]
+    return joined.select(*out_cols)
+
+
 def read_csv_stream(spark, path: str, schema, max_files_per_trigger: int = 1) -> DataFrame:
     """The chunked-CSV analog as a real stream: file micro-batches."""
     return (
