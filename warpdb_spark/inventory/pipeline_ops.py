@@ -124,6 +124,22 @@ def dedup_minhash_survivors(spark, sf_dir):
     return D.minhash_dedup(docs, "doc_id", "text", threshold=0.8).select("doc_id")
 
 
+def dedup_cluster_components(spark, sf_dir):
+    """Transitive-closure near-dup clustering: LSH candidate pairs →
+    exact-Jaccard verification → connected components (iterative
+    min-label propagation, operators/graph.py) → every clustered doc
+    labeled with its cluster's minimum doc id. The oracle recomputes
+    ground truth with all-pairs Jaccard + a recursive CTE."""
+    from warpdb_spark.operators.graph import cluster_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
+    verified = D.ngram_jaccard(docs, pairs, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.8
+    )
+    return cluster_near_duplicates(docs, verified).orderBy("doc_id")
+
+
 def dedup_simhash_candidates(spark, sf_dir):
     """SimHash Hamming-≤3 candidate pairs (md5-vote signature via pandas
     UDF — engine-specific, rows-only; unit-tested against a pure-python
@@ -404,6 +420,7 @@ QUERIES = {
     "dedup_exact_text": dedup_exact_text,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_survivors": dedup_minhash_survivors,
+    "dedup_cluster_components": dedup_cluster_components,
     "dedup_simhash_candidates": dedup_simhash_candidates,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -483,6 +500,28 @@ WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
       len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
 """
 
+_CLUSTER_CC_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_DD_SHINGLES} AS shingles
+  FROM (SELECT doc_id, {_norm} AS norm, {_DD_TOKS.format(col='norm_src')} AS toks
+        FROM (SELECT doc_id, {_norm} AS norm_src, text FROM documents))
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+cc(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.node = e.src
+)
+SELECT node AS doc_id, min(comp) AS component FROM cc GROUP BY node ORDER BY doc_id
+"""
+
 ORACLES = {
     "text_token_stats": (
         f"SELECT doc_id, len({_toks}) AS n_tokens, "
@@ -512,6 +551,7 @@ ORACLES = {
         f"SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY {_norm}"
     ),
     "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+    "dedup_cluster_components": _CLUSTER_CC_SQL,
     "dedup_minhash_survivors": (
         f"SELECT doc_id FROM documents WHERE doc_id NOT IN "
         f"(SELECT id_b FROM ({_JACCARD_PAIRS_SQL}))"

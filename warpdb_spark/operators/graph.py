@@ -1,0 +1,88 @@
+"""Connected components over an edge DataFrame — the transitive-closure
+step of near-duplicate clustering (superset; the reference has no graph
+or dedup facilities at all — SURVEY §2.7/§2.9 ❌ rows).
+
+The greedy smaller-id survivor rule in ``dedup.minhash_dedup`` drops a
+doc when ANY smaller-id near-dup exists; proper cluster canonicalization
+needs the transitive closure (a~b, b~c ⇒ {a,b,c} one cluster even when
+a≁c directly). At 100 TB the standard formulation is iterative min-label
+propagation: every round is one shuffle join + one partial aggregation,
+converging in graph-diameter rounds (near-dup clusters are shallow —
+single digits). Lineage is truncated every round with
+``localCheckpoint`` — without that, the logical plan doubles per
+iteration and Catalyst analysis time explodes (the classic iterative-
+Spark pitfall). On a real cluster with a fault-tolerance requirement,
+swap for ``checkpoint()`` with a checkpoint dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node reachable through ``edges`` with the minimum
+    node id of its component. Returns (id, component).
+
+    Iterative min-label propagation: each round sends every node's
+    current label to its neighbors and keeps the minimum. One hash
+    shuffle per round (join on src), partial-aggregated min. Converges
+    when no label changes; the per-round convergence probe is a count()
+    action (a scalar to the driver, never rows).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    e = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = e.join(labels, e["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.select("id", "comp")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def cluster_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+) -> DataFrame:
+    """Canonical near-dup clusters from verified duplicate pairs:
+    every doc that has at least one near-dup, labeled with the minimum
+    doc id of its transitive cluster. Returns (doc_id, component)."""
+    cc = connected_components(pairs, left_col, right_col)
+    return cc.select(F.col("id").alias(id_col), "component")
