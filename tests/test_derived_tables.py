@@ -76,3 +76,36 @@ def test_qualified_refs_into_derived(db):
         "GROUP BY t.seg ORDER BY t.seg LIMIT 2"
     ).collect()
     assert len(rows) == 2
+
+
+class TestOrdinalsAndAliases:
+    def test_group_by_ordinal(self, db):
+        a = db.query_sql(
+            "SELECT o_orderstatus AS st, COUNT(*) AS n FROM orders "
+            "GROUP BY 1 ORDER BY 1"
+        ).collect()
+        b = db.query_sql(
+            "SELECT o_orderstatus AS st, COUNT(*) AS n FROM orders "
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ).collect()
+        assert a == b and len(a) > 0
+
+    def test_order_by_ordinal_desc(self, db):
+        rows = db.query_sql(
+            "SELECT o_orderkey AS ok, o_totalprice AS total FROM orders "
+            "ORDER BY 2 DESC, 1 ASC LIMIT 3"
+        ).collect()
+        assert rows[0]["total"] >= rows[1]["total"] >= rows[2]["total"]
+
+    def test_group_by_alias(self, db):
+        rows = db.query_sql(
+            "SELECT o_orderstatus AS st2, COUNT(*) AS n FROM orders "
+            "GROUP BY st2 ORDER BY st2"
+        ).collect()
+        assert len(rows) > 0
+
+    def test_ordinal_out_of_range(self, db):
+        from warpdb_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="ordinal 5 is out of range"):
+            db.query_sql("SELECT o_orderkey AS ok FROM orders GROUP BY 5")

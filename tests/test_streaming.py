@@ -290,3 +290,34 @@ class TestIntervalJoin:
         )
         with pytest.raises(ValueError, match="ambiguous"):
             interval_join(df, right.withColumn("value", F.lit(1.0)).union(right), "ts", "pts", ["key"])
+
+
+class TestStreamingDedup:
+    def test_duplicates_across_microbatches_dropped(self, spark, tmp_path):
+        from warpdb_spark.streaming.windows import dedup_stream
+
+        d = tmp_path / "dup"
+        d.mkdir()
+        (d / "b1.csv").write_text(
+            "ts,key,value\n"
+            "2024-01-01 00:00:00,k1,1.0\n"
+            "2024-01-01 00:01:00,k1,1.0\n"  # dup within batch
+            "2024-01-01 00:02:00,k2,2.0\n"
+        )
+        (d / "b2.csv").write_text(
+            "ts,key,value\n"
+            "2024-01-01 00:10:00,k1,1.0\n"  # dup across batches, within watermark
+            "2024-01-01 00:11:00,k3,3.0\n"
+        )
+        stream = read_csv_stream(spark, str(d), SCHEMA)
+        out = dedup_stream(stream, ["key"], "ts", "1 hour")
+        q = run_to_memory_sink(out, "dedupstream", output_mode="append")
+        q.stop()
+        keys = sorted(r["key"] for r in spark.table("dedupstream").collect())
+        assert keys == ["k1", "k2", "k3"]
+
+    def test_batch_fallback(self, spark):
+        from warpdb_spark.streaming.windows import dedup_stream
+
+        df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
+        assert dedup_stream(df, ["k"]).count() == 2

@@ -124,6 +124,19 @@ def dedup_minhash_survivors(spark, sf_dir):
     return D.minhash_dedup(docs, "doc_id", "text", threshold=0.8).select("doc_id")
 
 
+def sample_hash_bucket(spark, sf_dir):
+    """Deterministic content-addressed sampling: keep docs whose
+    md5(doc_id) starts with '0' or '1' (a stable ~1/8 sample). The
+    standard way to cut a reproducible subset of a 100 TB corpus —
+    stable across runs, partitions, and engines, unlike rand()-based
+    sampling; the predicate is codegen'd and needs no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return docs.filter(F.substring(h, 1, 1).isin("0", "1")).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def dedup_cluster_components(spark, sf_dir):
     """Transitive-closure near-dup clustering: LSH candidate pairs →
     exact-Jaccard verification → connected components (iterative
@@ -420,6 +433,7 @@ QUERIES = {
     "dedup_exact_text": dedup_exact_text,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_survivors": dedup_minhash_survivors,
+    "sample_hash_bucket": sample_hash_bucket,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_simhash_candidates": dedup_simhash_candidates,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -549,6 +563,10 @@ ORACLES = {
     ),
     "dedup_exact_text": (
         f"SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY {_norm}"
+    ),
+    "sample_hash_bucket": (
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"
     ),
     "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
     "dedup_cluster_components": _CLUSTER_CC_SQL,

@@ -345,22 +345,6 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
     scope: dict[str, set[str]] = {q.from_table: set(base.columns)}
     df = base.alias(q.from_table)
 
-    # ORDER BY resolves SELECT aliases first (ANSI: output columns take
-    # precedence over base columns in the sort clause)
-    if q.order_by:
-        import dataclasses
-
-        alias_map = {alias: item for item, alias in q.select_items if alias}
-        q = dataclasses.replace(
-            q,
-            order_by=[
-                (alias_map[e.name], asc)
-                if isinstance(e, A.Var) and e.name in alias_map
-                else (e, asc)
-                for e, asc in q.order_by
-            ],
-        )
-
     for j in q.joins:
         if j.subquery is not None:
             right = build_dataframe(tables, j.subquery, registry)
@@ -381,6 +365,32 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
 
     if q.where is not None:
         df = _apply_where(df, q.where, tables, scope, registry)
+
+    # ANSI resolution sugar: integer literals in GROUP BY / ORDER BY are
+    # 1-based select-list ordinals; bare names resolve to SELECT aliases
+    # — alias-first in ORDER BY (ANSI output-column precedence),
+    # column-first in GROUP BY (the alias is an extension there).
+    if q.order_by or q.group_by:
+        import dataclasses
+
+        alias_map = {alias: item for item, alias in q.select_items if alias}
+        in_scope = {c for cols in scope.values() for c in cols}
+
+        def resolve(e: A.Node, clause: str, alias_first: bool) -> A.Node:
+            if isinstance(e, A.Num) and isinstance(e.value, int):
+                if not 1 <= e.value <= len(q.select_items):
+                    raise ValidationError(f"{clause} ordinal {e.value} is out of range")
+                return q.select_items[e.value - 1][0]
+            if isinstance(e, A.Var) and e.name in alias_map:
+                if alias_first or e.name not in in_scope:
+                    return alias_map[e.name]
+            return e
+
+        q = dataclasses.replace(
+            q,
+            group_by=[resolve(k, "GROUP BY", False) for k in q.group_by],
+            order_by=[(resolve(e, "ORDER BY", True), asc) for e, asc in q.order_by],
+        )
 
     aggs: list[A.Agg] = []
     for item, _ in q.select_items:

@@ -140,6 +140,25 @@ def interval_join(
     return joined.select(*out_cols)
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming deduplication by key.
+
+    With ``ts_col`` + ``watermark`` on a stream, uses
+    ``dropDuplicatesWithinWatermark``: state for a key is evicted once
+    the watermark passes it — bounded memory on unbounded streams (the
+    plain ``dropDuplicates`` on a stream keeps ALL keys forever, which
+    at 100 TB/day of events is an OOM, not an operator). On batch input
+    it is a plain dropDuplicates on the keys."""
+    if df.isStreaming and ts_col is not None and watermark is not None:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 def read_csv_stream(spark, path: str, schema, max_files_per_trigger: int = 1) -> DataFrame:
     """The chunked-CSV analog as a real stream: file micro-batches."""
     return (
