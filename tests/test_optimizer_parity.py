@@ -64,3 +64,60 @@ class TestTableStats:
         assert stats["price"].max == pytest.approx(30.0)
         assert stats["price"].null_count == 0
         assert stats["quantity"].max == pytest.approx(5.0)
+
+
+class TestSubqueryRewritePlans:
+    """The builder's subquery rewrites must produce join-based plans,
+    never per-row probes or driver collects."""
+
+    @pytest.fixture(scope="class")
+    def db(self, spark, sf_dir):
+        db = WarpDB(f"{sf_dir}/orders.parquet", spark=spark, table_name="orders")
+        db.attach("lineitem", spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+        return db
+
+    def test_scalar_subquery_is_broadcast_cross_join(self, db):
+        df = db.query_sql(
+            "SELECT o_orderkey AS ok FROM orders "
+            "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)"
+        )
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_correlated_exists_is_semi_join(self, db):
+        df = db.query_sql(
+            "SELECT o_orderkey AS ok FROM orders WHERE EXISTS ("
+            "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"
+        )
+        assert "LeftSemi" in _plan(df)
+
+    def test_not_exists_is_anti_join(self, db):
+        df = db.query_sql(
+            "SELECT o_orderkey AS ok FROM orders WHERE NOT EXISTS ("
+            "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"
+        )
+        assert "LeftAnti" in _plan(df)
+
+
+class TestIntervalJoinPlan:
+    def test_equality_keys_make_hash_join(self, spark, sf_dir):
+        """The time bound must NOT force a nested-loop cross product —
+        the key equality plans a hash/sort-merge join."""
+        from warpdb_spark.sources.readers import ns_to_timestamp
+        from warpdb_spark.streaming.windows import interval_join
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        events = ns_to_timestamp(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+        )
+        clicks = events.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("cid"), "user_id", "ts"
+        )
+        purchases = events.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("pts"), F.col("value")
+        )
+        plan = _plan(
+            interval_join(clicks, purchases, "ts", "pts", ["user_id"])
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan

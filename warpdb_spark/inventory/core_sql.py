@@ -308,6 +308,39 @@ def join_left_outer(spark, sf_dir):
     )
 
 
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER JOIN: nations with customers vs nations with
+    suppliers — rows survive from either side."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    su = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").cast("int").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(su, c.nk_c == su.nk_s, "full").select(
+        F.coalesce(F.col("nk_c"), F.col("nk_s")).alias("nk"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+def join_cross_product(spark, sf_dir):
+    """Explicit CROSS JOIN of two small dims (region × order priority
+    values) — fine when both sides are tiny; anything larger should be
+    an equi/banded join instead."""
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
+    p = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+    )
+    return r.crossJoin(p)
+
+
 def join_theta(spark, sf_dir):
     """Equi + theta condition (the reference grammar allows arbitrary ON
     expressions, src/expression.cpp:375-401). The equi part keys the
@@ -378,6 +411,19 @@ def window_frame_moving_avg(spark, sf_dir):
     return _t(spark, sf_dir, "events").select(
         F.col("event_id").alias("eid"),
         F.round(F.avg("value").over(w), 6).alias("mov_avg"),
+    )
+
+
+def window_range_frame(spark, sf_dir):
+    """RANGE BETWEEN frame (value-based, ties share a frame) — counts
+    lineitems whose quantity is within ±2 of the current row's within
+    the same order."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_quantity").rangeBetween(-2, 2)
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").alias("qty"),
+        F.count(F.lit(1)).over(w).alias("n_near_qty"),
     )
 
 
@@ -684,6 +730,8 @@ QUERIES = {
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_left_outer": join_left_outer,
+    "join_full_outer": join_full_outer,
+    "join_cross_product": join_cross_product,
     "join_theta": join_theta,
     "window_running_sum": window_running_sum,
     "window_rank_topn": window_rank_topn,
@@ -700,6 +748,7 @@ QUERIES = {
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q18_large_volume_customer": tpch_q18_large_volume_customer,
+    "window_range_frame": window_range_frame,
     "window_rank_family": window_rank_family,
     "histogram_value_buckets": histogram_value_buckets,
     "setop_except_all": setop_except_all,
@@ -816,6 +865,18 @@ ORACLES = {
         "WHERE l_extendedprice > 9000 GROUP BY l_orderkey) b "
         "ON o_orderkey = b.l_orderkey"
     ),
+    "join_full_outer": (
+        "SELECT coalesce(nk_c, nk_s) AS nk, coalesce(n_cust, 0) AS n_cust, "
+        "coalesce(n_supp, 0) AS n_supp FROM "
+        "(SELECT CAST(c_nationkey AS INT) AS nk_c, count(*) AS n_cust "
+        "FROM customer GROUP BY 1) c FULL JOIN "
+        "(SELECT CAST(s_nationkey AS INT) AS nk_s, count(*) AS n_supp "
+        "FROM supplier GROUP BY 1) s ON nk_c = nk_s"
+    ),
+    "join_cross_product": (
+        "SELECT r_name AS region, prio FROM region CROSS JOIN "
+        "(SELECT DISTINCT o_orderpriority AS prio FROM orders) p"
+    ),
     "join_theta": (
         "SELECT s_suppkey AS sk, c_custkey AS ck FROM supplier JOIN customer "
         "ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal"
@@ -900,6 +961,11 @@ ORACLES = {
         "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    "window_range_frame": (
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, l_quantity AS qty, "
+        "count(*) OVER (PARTITION BY l_orderkey ORDER BY l_quantity "
+        "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_near_qty FROM lineitem"
     ),
     "window_rank_family": (
         "SELECT l_orderkey AS ok, l_linenumber AS ln, l_returnflag AS flag, "
