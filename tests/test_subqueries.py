@@ -70,10 +70,29 @@ class TestScalarSubquery:
                 "WHERE o_totalprice > (SELECT o_totalprice FROM orders)"
             )
 
-    def test_rejected_outside_where(self, db):
-        with pytest.raises(ValidationError, match="WHERE"):
+    def test_in_select_list(self, db):
+        rows = db.query_sql(
+            "SELECT o_orderkey AS ok, "
+            "o_totalprice / (SELECT MAX(o_totalprice) FROM orders) AS frac "
+            "FROM orders ORDER BY frac DESC LIMIT 1"
+        ).collect()
+        assert rows[0]["frac"] == pytest.approx(1.0)
+
+    def test_in_having(self, db):
+        rows = db.query_sql(
+            "SELECT o_orderstatus AS st, COUNT(*) AS n FROM orders "
+            "GROUP BY o_orderstatus "
+            "HAVING COUNT(*) > (SELECT COUNT(*) FROM orders) / 2"
+        ).collect()
+        total = db.query_sql("SELECT COUNT(*) AS n FROM orders").collect()[0]["n"]
+        for r in rows:
+            assert r["n"] > total / 2
+
+    def test_rejected_in_group_by(self, db):
+        with pytest.raises(ValidationError, match="Scalar subqueries"):
             db.query_sql(
-                "SELECT (SELECT MAX(o_totalprice) FROM orders) AS m FROM orders"
+                "SELECT COUNT(*) AS n FROM orders "
+                "GROUP BY (SELECT MAX(o_totalprice) FROM orders)"
             ).collect()
 
 

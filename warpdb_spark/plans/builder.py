@@ -429,6 +429,7 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             _check_grouped(item, env_texts, "SELECT")
         if q.having is not None:
             _check_grouped(q.having, env_texts, "HAVING")
+            df = _bind_scalar_subqueries(df, tables, q.having, env, registry)
             df = df.filter(Compiler(registry, env).compile(q.having))
         for e, _ in q.order_by:
             _check_grouped(e, env_texts, "ORDER BY")
@@ -439,6 +440,14 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             raise ValidationError("HAVING requires GROUP BY or an aggregate")
         for e, _ in q.order_by:
             validate(e, scope, "ORDER BY")
+
+    # scalar subqueries in SELECT / ORDER BY bind as one-row broadcast
+    # cross-joins (post-aggregation in grouped mode — the grouped frame
+    # is small by then)
+    for item, _ in q.select_items:
+        df = _bind_scalar_subqueries(df, tables, item, env, registry)
+    for e, _ in q.order_by:
+        df = _bind_scalar_subqueries(df, tables, e, env, registry)
 
     comp = Compiler(registry, env)
     used: set[str] = set()

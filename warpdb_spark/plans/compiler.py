@@ -183,7 +183,10 @@ class Compiler:
         return _AGG_IMPL[n.func](arg)
 
     def _c_scalarsubquery(self, n: A.ScalarSubquery) -> Column:
-        raise ValidationError("Scalar subqueries are only supported in the WHERE clause")
+        raise ValidationError(
+            "Scalar subqueries are only supported in WHERE, SELECT, HAVING, "
+            "and ORDER BY (not inside aggregates, GROUP BY, or JOIN ON)"
+        )
 
     def _c_insubquery(self, n: A.InSubquery) -> Column:
         raise ValidationError("IN (SELECT ...) is only supported as a top-level WHERE conjunct")
