@@ -216,3 +216,34 @@ class TestCompose:
             "WHERE o_custkey IN (SELECT ck FROM rich)"
         ).collect()
         assert rows[0]["n"] > 0
+
+
+class TestCorrelatedIn:
+    def test_correlated_in_matches_exists(self, db):
+        """x IN (SELECT y FROM t WHERE t.k = outer.k) ≡ EXISTS with the
+        equality folded in."""
+        a = db.query_sql(
+            "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey IN ("
+            "SELECT l_orderkey FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_quantity = 50)"
+        ).collect()[0]["n"]
+        b = db.query_sql(
+            "SELECT COUNT(*) AS n FROM orders WHERE EXISTS ("
+            "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_quantity = 50)"
+        ).collect()[0]["n"]
+        assert a == b > 0
+
+    def test_correlated_not_in_null_semantics(self, spark):
+        left = spark.createDataFrame([(1, 10), (1, 20), (2, 10)], ["g", "x"])
+        # group 1's list contains a NULL -> NOT IN removes ALL group-1 rows;
+        # group 2's list is (30,) -> both x=10 rows... only g=2 row survives
+        right = spark.createDataFrame(
+            [(1, 10), (1, None), (2, 30)], ["g", "y"]
+        )
+        db = WarpDB(df=left, table_name="l", spark=spark)
+        db.attach("r", right)
+        rows = db.query_sql(
+            "SELECT g, x FROM l WHERE x NOT IN (SELECT y FROM r WHERE r.g = l.g)"
+        ).collect()
+        assert [(r["g"], r["x"]) for r in rows] == [(2, 10)]

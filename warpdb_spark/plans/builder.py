@@ -245,20 +245,64 @@ def _build_semi_anti(df, tables, scope, sub, anti: bool, registry):
 
 
 def _build_in_subquery(df, tables, scope, node: A.InSubquery, registry):
-    """expr [NOT] IN (SELECT ...) → left-semi / left-anti join. NOT IN
-    keeps ANSI null semantics: a NULL probe value or any NULL in the
-    subquery result removes the row."""
-    sub_df = build_dataframe(tables, node.query, registry)
-    if len(sub_df.columns) != 1:
-        raise ValidationError("IN subquery must select exactly one column")
+    """expr [NOT] IN (SELECT ...) → left-semi / left-anti join.
+    Correlated comparisons in the subquery's WHERE join like EXISTS.
+    NOT IN keeps ANSI null semantics — per correlation group: a NULL
+    probe value or any NULL in that group's subquery result removes
+    the row."""
+    import dataclasses
+
     validate(node.operand, scope, "IN subquery operand")
-    alias = _sq_alias("sqin")
-    sub_df = sub_df.select(F.col(sub_df.columns[0]).alias(alias))
+    sub = node.query
+    corr = []
+    if isinstance(sub, A.QueryAST):
+        corr, residual_where = _split_correlation(
+            sub, _subquery_inner_columns(tables, sub), scope
+        )
+    if corr:
+        if sub.group_by or sub.having is not None:
+            raise ValidationError(
+                "Correlated IN subqueries cannot use GROUP BY/HAVING"
+            )
+        if len(sub.select_items) != 1:
+            raise ValidationError("IN subquery must select exactly one column")
+        corr_aliases = [_sq_alias("sqc") for _ in corr]
+        val_alias = _sq_alias("sqin")
+        items = [(sub.select_items[0][0], val_alias)]
+        items += [(A.Var(v.name), a) for (_, v, _, _), a in zip(corr, corr_aliases)]
+        q2 = dataclasses.replace(
+            sub,
+            select_items=items,
+            where=residual_where,
+            order_by=[],
+            limit=None,
+            offset=None,
+            distinct=False,
+        )
+        sub_df = build_dataframe(tables, q2, registry)
+    else:
+        sub_df = build_dataframe(tables, sub, registry)
+        if len(sub_df.columns) != 1:
+            raise ValidationError("IN subquery must select exactly one column")
+        val_alias = _sq_alias("sqin")
+        sub_df = sub_df.select(F.col(sub_df.columns[0]).alias(val_alias))
+        corr_aliases = []
+
     operand = Compiler(registry).compile(node.operand)
+    corr_cond = None
+    for (op, _inner, outer, inner_is_left), a in zip(corr, corr_aliases):
+        validate(outer, scope, "IN subquery correlation")
+        ic, oc = F.col(a), F.col(outer.name)
+        c = _apply_cmp(op, ic, oc) if inner_is_left else _apply_cmp(op, oc, ic)
+        corr_cond = c if corr_cond is None else corr_cond & c
     if node.negated:
-        cond = operand.eqNullSafe(F.col(alias)) | operand.isNull() | F.col(alias).isNull()
+        match = operand.eqNullSafe(F.col(val_alias)) | operand.isNull() | F.col(val_alias).isNull()
+        cond = match if corr_cond is None else corr_cond & match
         return df.join(sub_df, cond, "left_anti")
-    return df.join(sub_df, operand == F.col(alias), "left_semi")
+    cond = operand == F.col(val_alias)
+    if corr_cond is not None:
+        cond = cond & corr_cond
+    return df.join(sub_df, cond, "left_semi")
 
 
 def _bind_scalar_subqueries(df, tables, node: A.Node, env, registry):
