@@ -109,3 +109,57 @@ class TestOrdinalsAndAliases:
 
         with pytest.raises(ValidationError, match="ordinal 5 is out of range"):
             db.query_sql("SELECT o_orderkey AS ok FROM orders GROUP BY 5")
+
+
+class TestNamedWindows:
+    def test_window_clause_shared_spec(self, db):
+        rows = db.query_sql(
+            "SELECT o_orderkey AS ok, "
+            "ROW_NUMBER() OVER w AS rn, "
+            "SUM(o_totalprice) OVER w AS running "
+            "FROM orders WHERE o_orderkey < 50 "
+            "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey) "
+            "ORDER BY ok LIMIT 5"
+        ).collect()
+        assert len(rows) == 5
+        assert all(r["rn"] >= 1 for r in rows)
+
+    def test_named_equals_inline(self, db):
+        a = db.query_sql(
+            "SELECT o_orderkey AS ok, RANK() OVER w AS r FROM orders "
+            "WHERE o_orderkey < 100 "
+            "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) "
+            "ORDER BY ok"
+        ).collect()
+        b = db.query_sql(
+            "SELECT o_orderkey AS ok, RANK() OVER "
+            "(PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS r "
+            "FROM orders WHERE o_orderkey < 100 ORDER BY ok"
+        ).collect()
+        assert a == b
+
+    def test_unknown_window_name(self, db):
+        from warpdb_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="Unknown window name: w2"):
+            db.query_sql(
+                "SELECT ROW_NUMBER() OVER w2 AS rn FROM orders "
+                "WINDOW w AS (ORDER BY o_orderkey)"
+            ).collect()
+
+
+class TestCast:
+    def test_cast_types(self, db):
+        rows = db.query_sql(
+            "SELECT CAST(o_totalprice AS INT) AS ip, "
+            "CAST(o_orderkey AS VARCHAR) AS ks, "
+            "CAST('2024-01-01' AS TIMESTAMP) AS ts FROM orders LIMIT 1"
+        ).collect()
+        assert isinstance(rows[0]["ip"], int)
+        assert isinstance(rows[0]["ks"], str)
+
+    def test_cast_unknown_type(self, db):
+        from warpdb_spark.errors import ParseError
+
+        with pytest.raises(ParseError, match="Unknown CAST target type"):
+            db.query_sql("SELECT CAST(o_orderkey AS BLOB) AS b FROM orders")

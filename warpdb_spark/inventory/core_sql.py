@@ -602,22 +602,19 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
 
 def window_rank_family(spark, sf_dir):
     """Ranking/analytic window functions (rank/dense_rank/percent_rank/
-    ntile) — the parser's superset of the reference's parse-only OVER."""
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_quantity").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
-    )
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") < 100)
-        .select(
-            F.col("l_orderkey").alias("ok"),
-            F.col("l_linenumber").alias("ln"),
-            F.col("l_returnflag").alias("flag"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.round(F.percent_rank().over(w), 6).alias("prnk"),
-            F.ntile(4).over(w).alias("quartile"),
-        )
+    ntile) — the parser's superset of the reference's parse-only OVER —
+    expressed entirely in the dialect, incl. the named-WINDOW clause
+    and CAST (both supersets)."""
+    db = _db(spark, sf_dir, "lineitem")
+    return db.query_sql(
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, l_returnflag AS flag, "
+        "CAST(RANK() OVER w AS INT) AS rnk, "
+        "CAST(DENSE_RANK() OVER w AS INT) AS drnk, "
+        "round(PERCENT_RANK() OVER w, 6) AS prnk, "
+        "CAST(NTILE(4) OVER w AS INT) AS quartile "
+        "FROM lineitem WHERE l_orderkey < 100 "
+        "WINDOW w AS (PARTITION BY l_returnflag "
+        "ORDER BY l_quantity, l_orderkey, l_linenumber)"
     )
 
 

@@ -244,6 +244,24 @@ class Func(Node):
         return list(self.args)
 
 
+@dataclass
+class Cast(Node):
+    """CAST(expr AS type) — explicit typing (superset; the reference
+    coerces everything to float32 instead, SURVEY §1.2)."""
+
+    operand: Node
+    type_name: str  # normalized lower-case spark type name
+
+    def text(self) -> str:
+        return f"CAST({self.operand.text()} AS {self.type_name.upper()})"
+
+    def auto_alias(self) -> str:
+        return self.operand.auto_alias()
+
+    def children(self):
+        return [self.operand]
+
+
 AGG_FUNCS = {"SUM", "AVG", "COUNT", "MIN", "MAX"}
 
 
@@ -300,12 +318,13 @@ class WindowFunc(Node):
 
     func: str  # upper-case
     args: list[Node]
-    spec: WindowSpec
+    spec: "WindowSpec | str"  # str = named window, resolved by the builder
     distinct: bool = False
 
     def text(self) -> str:
         inner = ", ".join(a.text() for a in self.args)
-        return f"{self.func}({inner}) OVER ({self.spec.text()})"
+        body = self.spec if isinstance(self.spec, str) else self.spec.text()
+        return f"{self.func}({inner}) OVER ({body})"
 
     def auto_alias(self) -> str:
         base = self.func.lower()
@@ -314,6 +333,8 @@ class WindowFunc(Node):
         return base + "_w"
 
     def children(self):
+        if isinstance(self.spec, str):
+            return list(self.args)
         out = list(self.args) + list(self.spec.partition_by)
         out += [e for e, _ in self.spec.order_by]
         return out
@@ -393,6 +414,8 @@ class QueryAST:
     order_by: list[tuple[Node, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
+    # named windows: WINDOW w AS (...) [, ...] (superset)
+    windows: dict[str, WindowSpec] = field(default_factory=dict)
 
 
 @dataclass

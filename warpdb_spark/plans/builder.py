@@ -381,7 +381,26 @@ def _resolve_table(tables: dict[str, DataFrame], name: str) -> DataFrame:
     raise ValidationError(f"Unknown table: {name}")
 
 
+def _resolve_named_windows(q: A.QueryAST) -> None:
+    """Replace ``OVER w`` name references with the WINDOW-clause specs."""
+
+    def rec(n: A.Node) -> None:
+        for s in n.walk():
+            if isinstance(s, A.WindowFunc) and isinstance(s.spec, str):
+                if s.spec not in q.windows:
+                    raise ValidationError(f"Unknown window name: {s.spec}")
+                s.spec = q.windows[s.spec]
+
+    for item, _ in q.select_items:
+        rec(item)
+    if q.having is not None:
+        rec(q.having)
+    for e, _ in q.order_by:
+        rec(e)
+
+
 def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) -> DataFrame:
+    _resolve_named_windows(q)
     if q.from_subquery is not None:
         base = build_dataframe(tables, q.from_subquery, registry)
     else:

@@ -182,6 +182,9 @@ class Compiler:
             raise ValidationError(f"{n.func}(DISTINCT ...) is not supported")
         return _AGG_IMPL[n.func](arg)
 
+    def _c_cast(self, n: A.Cast) -> Column:
+        return self.compile(n.operand).cast(n.type_name)
+
     def _c_scalarsubquery(self, n: A.ScalarSubquery) -> Column:
         raise ValidationError(
             "Scalar subqueries are only supported in WHERE, SELECT, HAVING, "

@@ -230,9 +230,27 @@ class _Parser:
         self.expect_kw("END")
         return A.Case(whens, else_value)
 
+    _CAST_TYPES = {
+        "INT": "int", "INTEGER": "int", "BIGINT": "long", "LONG": "long",
+        "SMALLINT": "short", "TINYINT": "byte", "FLOAT": "float",
+        "REAL": "float", "DOUBLE": "double", "VARCHAR": "string",
+        "STRING": "string", "TEXT": "string", "TIMESTAMP": "timestamp",
+        "DATE": "date", "BOOLEAN": "boolean", "BOOL": "boolean",
+        "DECIMAL": "decimal(38,18)",
+    }
+
     def parse_call(self, name: str) -> A.Node:
         upper = name.upper()
         self.expect_op("(")
+        if upper == "CAST":
+            operand = self.parse_expr()
+            self.expect_kw("AS")
+            t = self.next()
+            tname = self._CAST_TYPES.get(t.value.upper())
+            if tname is None:
+                raise ParseError(f"Unknown CAST target type: {t.value}")
+            self.expect_op(")")
+            return A.Cast(operand, tname)
         distinct = False
         args: list[A.Node] = []
         if self.accept_op("*"):
@@ -247,6 +265,8 @@ class _Parser:
 
         if self.peek().is_kw("OVER"):
             self.next()
+            if self.peek().kind == IDENT:  # OVER w — named window (superset)
+                return A.WindowFunc(upper, args, self.next().value, distinct)
             spec = self.parse_window_spec()
             return A.WindowFunc(upper, args, spec, distinct)
         if upper in _WINDOW_ONLY_FUNCS:
@@ -351,6 +371,14 @@ class _Parser:
                 q.group_by.append(self.parse_expr())
         if self.accept_kw("HAVING"):
             q.having = self.parse_expr()
+        if self.accept_kw("WINDOW"):
+            # WINDOW w AS (spec) [, ...] — named windows (superset)
+            while True:
+                name = self.expect_ident("window name after WINDOW")
+                self.expect_kw("AS")
+                q.windows[name] = self.parse_window_spec()
+                if not self.accept_op(","):
+                    break
         if in_setop:
             # ORDER BY/LIMIT/OFFSET after a set-op operand bind to the
             # combined result (ANSI) — left for parse_query_node
