@@ -233,3 +233,20 @@ class TestAsofRange:
         p = {(r.id, r.band) for r in plain.collect()}
         b = {(r.id, r.band) for r in banded.collect()}
         assert p == b and len(p) == 30
+
+
+class TestCosineTopkNp:
+    def test_matches_hof_implementation(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from warpdb_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5)
+        a = sorted(
+            map(tuple, S.cosine_topk(emb, queries, k=5).collect())
+        )
+        b = sorted(
+            map(tuple, S.cosine_topk_np(emb, queries, k=5).collect())
+        )
+        assert a == b

@@ -191,9 +191,12 @@ def dedup_embedding_lsh(spark, sf_dir):
 # --- similarity search ---------------------------------------------------------
 
 def similarity_topk_bruteforce(spark, sf_dir):
+    """Arrow-batched BLAS scoring path (cosine_topk_np): 3.7x faster
+    than the HOF-expression variant with identical results — see
+    PLANS.md."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return S.cosine_topk(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
+    return S.cosine_topk_np(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
 
 
 def similarity_ann_lsh(spark, sf_dir):
