@@ -201,3 +201,15 @@ class TestCustomModule:
         db = WarpDB(fixture_csv, spark=spark, table_name="test")
         out = db.sql("SELECT count(*) AS n FROM test WHERE price > 12")
         assert out.first().n == 3
+
+
+def test_explain_returns_physical_plan(spark, sf_dir):
+    from warpdb_spark.api import WarpDB
+
+    db = WarpDB(f"{sf_dir}/lineitem.parquet", spark=spark, table_name="lineitem")
+    plan = db.explain(
+        "SELECT l_returnflag AS flag, SUM(l_quantity) AS q FROM lineitem "
+        "WHERE l_quantity > 10 GROUP BY l_returnflag"
+    )
+    assert "HashAggregate" in plan
+    assert "PushedFilters" in plan  # predicate reached the parquet scan

@@ -125,6 +125,16 @@ class WarpDB:
         ast = parse_query(sql)
         return build_dataframe(self.tables, ast, self.registry)
 
+    def explain(self, sql: str, mode: str = "formatted") -> str:
+        """Physical-plan text for a dialect query — the working version
+        of the reference's optimizer demo output (src/main.cu:298-299,
+        src/optimizer.cpp:21-61, which only prints its stubbed
+        constant-condition analysis). ``mode``: simple | extended |
+        formatted | cost | codegen."""
+        df = self.query_sql(sql)
+        jmode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        return df._jdf.queryExecution().explainString(jmode)
+
     def query_arrow(self, expr: str):
         """Arrow export of ``query`` results (src/warpdb.cpp:500-506,
         src/arrow_utils.cpp:37-94). Returns a pyarrow.Table — the modern
