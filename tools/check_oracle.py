@@ -12,6 +12,7 @@ Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [name ...]
 
 from __future__ import annotations
 
+import decimal as _decimal
 import math
 import os
 import sys
@@ -30,11 +31,19 @@ def _norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, bool):
-        return "1" if v else "0"
+        return "true" if v else "false"
+    if isinstance(v, _decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # Keep an integral float distinct from an int cell: the driver's
+        # comparator renders 11221 and 11221.0 differently (r1
+        # expr_math_functions hash fail), so the local gate must too.
+        s = f"{v:.6g}"
+        if "." not in s and "e" not in s and "inf" not in s:
+            s += ".0"
+        return s
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if hasattr(v, "isoformat"):

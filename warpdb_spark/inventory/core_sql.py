@@ -452,22 +452,37 @@ def expr_math_functions(spark, sf_dir):
     (src/expression.cpp:210-223 — the reference resolves names only at
     NVRTC compile time; Catalyst resolves at plan time)."""
     db = _db(spark, sf_dir, "lineitem")
+    # Spark floor()/ceil() return LONG while DuckDB's return DOUBLE; the
+    # driver's hash comparator distinguishes int vs float cells even when
+    # numerically identical (r1 hash fail) — cast to double on this side.
     return db.query_sql(
         "SELECT l_orderkey AS ok, l_linenumber AS ln, "
         "round(sqrt(l_extendedprice), 6) AS root_price, "
         "abs(l_discount - 0.05) AS disc_dist, "
-        "floor(l_extendedprice) AS floor_price, "
-        "ceil(l_extendedprice) AS ceil_price, "
+        "CAST(floor(l_extendedprice) AS double) AS floor_price, "
+        "CAST(ceil(l_extendedprice) AS double) AS ceil_price, "
         "round(pow(l_quantity, 2), 2) AS qty_sq "
         "FROM lineitem WHERE l_quantity < 2"
     )
 
 
 def agg_approx_count_distinct(spark, sf_dir):
-    """HyperLogLog++ approximate distinct — sketch-based, engine
-    specific (rows-only; the exact variant is oracle-checked above)."""
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    """HyperLogLog++ approximate distinct — sketch-based, so the raw
+    estimate is engine-specific. To make the entry hash-checkable we
+    emit the *exact* count plus a boolean asserting the HLL estimate
+    landed within 3×rsd of it; the oracle returns the exact count and
+    TRUE. Tolerance is enforced in-query, determinism in the output."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+    )
+    return agg.select(
+        "n_parts_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_parts_exact"))
+            <= 3 * 0.02 * F.col("n_parts_exact")
+        ).alias("approx_within_3rsd"),
     )
 
 
@@ -908,6 +923,10 @@ ORACLES = {
         "ceil(l_extendedprice) AS ceil_price, "
         "round(pow(l_quantity, 2), 2) AS qty_sq "
         "FROM lineitem WHERE l_quantity < 2"
+    ),
+    "agg_approx_count_distinct": (
+        "SELECT count(DISTINCT l_partkey) AS n_parts_exact, "
+        "TRUE AS approx_within_3rsd FROM lineitem"
     ),
     "udaf_group_median": (
         "SELECT l_returnflag AS flag, round(median(l_extendedprice), 4) AS median_price "
