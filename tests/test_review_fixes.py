@@ -130,3 +130,155 @@ class TestMemorySinkMode:
         q.stop()
         vals = [r.result for r in spark.sql("SELECT * FROM maponly_test").collect()]
         assert vals == pytest.approx([31.5])
+
+
+# --- round-2 fixes (ADVICE.md after r1) ------------------------------------
+
+
+class TestEmptyScalarSubquery:
+    def test_empty_limit1_subquery_yields_null_not_annihilation(self, spark):
+        """A LIMIT 1 scalar subquery over zero rows must evaluate to NULL
+        (ANSI), not drop every outer row via an empty cross join."""
+        db = WarpDB(
+            df=spark.createDataFrame([Row(v=1.0), Row(v=2.0)]),
+            table_name="a",
+            spark=spark,
+        )
+        db.attach("b", spark.createDataFrame([Row(w=10.0)]))
+        # SELECT-list position: outer rows must survive, column is NULL
+        out = db.query_sql(
+            "SELECT v, (SELECT w FROM b WHERE w < 0 LIMIT 1) AS sub FROM a"
+        ).collect()
+        assert len(out) == 2
+        assert all(r.sub is None for r in out)
+        # WHERE position: NULL comparison removes rows (same as ANSI),
+        # but v < coalesce(NULL, 99) keeps them — proves NULL, not empty
+        kept = db.query_sql(
+            "SELECT v FROM a "
+            "WHERE v < coalesce((SELECT w FROM b WHERE w < 0 LIMIT 1), 99.0)"
+        ).collect()
+        assert len(kept) == 2
+
+    def test_nonempty_limit1_subquery_unchanged(self, spark):
+        db = WarpDB(
+            df=spark.createDataFrame([Row(v=1.0), Row(v=2.0)]),
+            table_name="a",
+            spark=spark,
+        )
+        db.attach("b", spark.createDataFrame([Row(w=1.5)]))
+        out = db.query_sql(
+            "SELECT v FROM a WHERE v > (SELECT w FROM b LIMIT 1)"
+        ).collect()
+        assert [r.v for r in out] == [2.0]
+
+
+class TestRangeJoinNullPayload:
+    def test_left_row_with_null_payload_not_duplicated(self, spark):
+        """Anti-join on all columns is null-unsafe: a matched left row
+        carrying a NULL payload column used to reappear null-extended."""
+        left = spark.createDataFrame(
+            [Row(id=1, val=5.0, note=None), Row(id=2, val=999.0, note=None)],
+            "id int, val double, note string",
+        )
+        right = spark.createDataFrame([Row(band="b0", lo=0.0, hi=10.0)])
+        out = range_join(left, right, "val", "lo", "hi", band_width=5.0, how="left")
+        rows = out.collect()
+        assert len(rows) == 2
+        got = {r.id: r.band for r in rows}
+        assert got == {1: "b0", 2: None}
+
+
+class TestCosineTopkNpContract:
+    def test_string_ids_supported(self, spark):
+        from warpdb_spark.operators import similarity as S
+
+        df = spark.createDataFrame(
+            [
+                Row(vec_id="a", embedding=[1.0, 0.0]),
+                Row(vec_id="b", embedding=[0.9, 0.1]),
+                Row(vec_id="c", embedding=[0.0, 1.0]),
+            ]
+        )
+        out = S.cosine_topk_np(df, df.filter(F.col("vec_id") == "a"), k=1)
+        row = out.first()
+        assert row.query_id == "a" and row.neighbor_id == "b"
+        # contract parity with the HOF path
+        hof = S.cosine_topk(df, df.filter(F.col("vec_id") == "a"), k=1).first()
+        assert (row.query_id, row.neighbor_id, row.cosine) == (
+            hof.query_id,
+            hof.neighbor_id,
+            hof.cosine,
+        )
+
+    def test_query_collect_cap_raises(self, spark):
+        from warpdb_spark.operators import similarity as S
+
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(10)]
+        )
+        with pytest.raises(ValueError, match="max_queries"):
+            S.cosine_topk_np(df, df, k=1, max_queries=5)
+
+    def test_rounded_tie_preselect_keeps_lowest_id(self, spark):
+        """Four candidates whose cosines all round to 1.0 at 6dp but
+        differ in raw float: the per-batch top-(k+1) must use the final
+        (rounded desc, id asc) order, so id 1 wins — not the raw-float
+        argmax (which would pick the largest raw similarity, id 4)."""
+        from warpdb_spark.operators import similarity as S
+
+        eps = [4e-9, 3e-9, 2e-9, 1e-9]  # raw cosine increases with id
+        rows = [Row(vec_id=0, embedding=[1.0, 0.0])] + [
+            Row(vec_id=i + 1, embedding=[1.0, eps[i]]) for i in range(4)
+        ]
+        df = spark.createDataFrame(rows).coalesce(1)
+        out = S.cosine_topk_np(df, df.filter(F.col("vec_id") == 0), k=1)
+        row = out.first()
+        assert row.cosine == 1.0
+        assert row.neighbor_id == 1
+
+
+class TestIvfBroadcastCentroids:
+    def test_plan_size_constant_in_num_lists(self, spark, sf_dir):
+        """Centroids ride a broadcast matrix, not literal expressions:
+        the analyzed plan must not grow with num_lists."""
+        from warpdb_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 3)
+        plan_small = S.ivf_topk(emb, q, k=3, num_lists=4)._jdf.queryExecution().analyzed().toString()
+        plan_big = S.ivf_topk(emb, q, k=3, num_lists=256)._jdf.queryExecution().analyzed().toString()
+        assert len(plan_big) < len(plan_small) * 1.5
+
+
+class TestParameterizedCast:
+    def test_decimal_precision_scale(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(v=12.3456)]), table_name="a", spark=spark)
+        out = db.query_sql("SELECT CAST(v AS DECIMAL(10,2)) AS d FROM a")
+        assert out.schema["d"].dataType.simpleString() == "decimal(10,2)"
+        assert float(out.first().d) == 12.35
+
+    def test_decimal_default_scale_zero(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(v=12.6)]), table_name="a", spark=spark)
+        out = db.query_sql("SELECT CAST(v AS DECIMAL(6)) AS d FROM a")
+        assert out.schema["d"].dataType.simpleString() == "decimal(6,0)"
+
+    def test_varchar_length_accepted(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(v=1.5)]), table_name="a", spark=spark)
+        out = db.query_sql("SELECT CAST(v AS VARCHAR(20)) AS s FROM a")
+        assert out.schema["s"].dataType.simpleString() == "string"
+        assert out.first().s == "1.5"
+
+    def test_bare_decimal_still_works(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(v=1.5)]), table_name="a", spark=spark)
+        out = db.query_sql("SELECT CAST(v AS DECIMAL) AS d FROM a")
+        assert out.schema["d"].dataType.simpleString() == "decimal(38,18)"
+
+    def test_unparameterized_type_with_params_rejected(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(v=1.5)]), table_name="a", spark=spark)
+        with pytest.raises(ParseError, match="takes no parameters"):
+            db.query_sql("SELECT CAST(v AS INT(4)) AS d FROM a")
+
+    def test_non_integer_param_rejected(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(v=1.5)]), table_name="a", spark=spark)
+        with pytest.raises(ParseError, match="integer type parameter"):
+            db.query_sql("SELECT CAST(v AS DECIMAL(1.5)) AS d FROM a")

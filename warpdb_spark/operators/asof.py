@@ -110,7 +110,17 @@ def range_join(
 
     if how not in ("inner", "left"):
         raise ValueError(f"banded range_join supports inner/left, not {how!r}")
-    lb = left.withColumn("__bucket", F.floor(F.col(left_value) / band_width))
+    # For the left-outer variant, tag each left row with a unique id so
+    # the missed-rows anti-join keys on the id alone: anti-joining on
+    # every payload column is null-UNSAFE equality, so a left row with a
+    # NULL payload cell would never match itself and be emitted twice
+    # (once matched, once null-extended).
+    lsrc = (
+        left.withColumn("__lid", F.monotonically_increasing_id())
+        if how == "left"
+        else left
+    )
+    lb = lsrc.withColumn("__bucket", F.floor(F.col(left_value) / band_width))
     rb = right.withColumn(
         "__bucket",
         F.explode(
@@ -125,8 +135,7 @@ def range_join(
     if how == "inner":
         return inner
     # left: add back left rows that matched no band, with null right cols
-    matched = inner.select(*left.columns)
-    missed = left.join(matched, left.columns, "left_anti")
+    missed = lsrc.join(inner.select("__lid"), "__lid", "left_anti")
     for c, t in right.dtypes:
         missed = missed.withColumn(c, F.lit(None).cast(t))
-    return inner.unionByName(missed)
+    return inner.unionByName(missed).drop("__lid")

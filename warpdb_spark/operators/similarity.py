@@ -61,6 +61,13 @@ def cosine_topk(
     )
 
 
+#: Hard cap on the driver-side query-set collect in ``cosine_topk_np``.
+#: The query set is the small side by contract; past this size the HOF
+#: path (``cosine_topk``) is the right tool, so fail fast instead of
+#: risking a driver OOM.
+MAX_COLLECTED_QUERIES = 100_000
+
+
 def cosine_topk_np(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,58 +75,96 @@ def cosine_topk_np(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    max_queries: int = MAX_COLLECTED_QUERIES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors, Arrow-batched BLAS path.
 
-    Same contract as ``cosine_topk`` but the per-batch scoring is one
-    numpy float64 matmul inside ``mapInArrow`` and each batch emits only
-    its LOCAL top-(k+1) per query — measured 3.7x faster than the HOF
+    Same contract as ``cosine_topk`` (integer or string ids; the output
+    id types mirror the inputs) but the per-batch scoring is one numpy
+    float64 matmul inside ``mapInArrow`` and each batch emits only its
+    LOCAL top-(k+1) per query — measured 3.7x faster than the HOF
     expression at sf0.1 (0.32s vs 1.18s, identical rankings), and the
     final rank shuffle carries O(partitions × queries × k) rows instead
     of |corpus| × |queries|. The query set is collected to a broadcast
     matrix — it is the small side by construction (same constraint as
-    the HOF version's broadcast hash join).
+    the HOF version's broadcast hash join); collects beyond
+    ``max_queries`` rows fail fast rather than OOM the driver.
+
+    The per-batch preselection uses the SAME total order as the final
+    window rank — (cosine rounded to 6dp DESC, neighbor_id ASC) — so a
+    near-tie that rounds equal can never be dropped in-batch.
     """
     import pandas as pd
     import pyarrow as pa
     from pyspark.sql import types as ST
 
     query_id_col = query_id_col or id_col
-    qrows = queries.select(
-        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).collect()
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qrows = (
+        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_np collects the query set to the driver; got more "
+            f"than max_queries={max_queries} rows. Use cosine_topk (broadcast "
+            f"HOF path) or raise max_queries explicitly."
+        )
+    qids = [r["qid"] for r in qrows]
     qm = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
     qm = qm / np.clip(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300, None)
     spark = corpus.sparkSession
     bq = spark.sparkContext.broadcast((qids, qm))
 
+    id_type = corpus.schema[id_col].dataType
+    _pa_ids = {"bigint": pa.int64(), "int": pa.int32(), "string": pa.string()}
+    if id_type.simpleString() not in _pa_ids:
+        raise TypeError(
+            f"cosine_topk_np supports bigint/int/string ids, got {id_type.simpleString()}"
+        )
+    pa_id = _pa_ids[id_type.simpleString()]
+
     def score(batches):
         bqids, bqm = bq.value
         for batch in batches:
             pdf = batch.to_pandas()
-            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            ids = pdf["__id"].to_numpy()
             if len(ids) == 0:
                 continue
             m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
             m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-300, None)
-            sims = m @ bqm.T  # (batch, n_queries)
+            sims = np.round(m @ bqm.T, 6)  # (batch, n_queries), final-rank precision
             out = {"query_id": [], "neighbor_id": [], "cosine": []}
-            nk = min(k + 1, len(ids))
+            n = len(ids)
+            nk = min(k + 1, n)
             for j in range(len(bqids)):
                 col = sims[:, j]
-                idx = np.argpartition(-col, nk - 1)[:nk] if nk < len(ids) else range(len(ids))
-                for i in idx:
+                if nk < n:
+                    # Everything >= the nk-th largest rounded value: a
+                    # superset of the exact top-nk under any tie-break.
+                    cutoff = np.partition(col, n - nk)[n - nk]
+                    cand = np.flatnonzero(col >= cutoff)
+                else:
+                    cand = np.arange(n)
+                # Exact (cosine desc, neighbor_id asc) order among the
+                # candidates — identical to the final window ordering.
+                cand = sorted(cand, key=lambda i: (-col[i], ids[i]))[:nk]
+                for i in cand:
                     if ids[i] != bqids[j]:
                         out["query_id"].append(bqids[j])
-                        out["neighbor_id"].append(int(ids[i]))
-                        out["cosine"].append(round(float(col[i]), 6))
-            yield pa.RecordBatch.from_pandas(pd.DataFrame(out))
+                        out["neighbor_id"].append(ids[i])
+                        out["cosine"].append(float(col[i]))
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(out),
+                schema=pa.schema(
+                    [("query_id", pa_id), ("neighbor_id", pa_id), ("cosine", pa.float64())]
+                ),
+            )
 
     schema = ST.StructType(
         [
-            ST.StructField("query_id", ST.LongType()),
-            ST.StructField("neighbor_id", ST.LongType()),
+            ST.StructField("query_id", id_type),
+            ST.StructField("neighbor_id", id_type),
             ST.StructField("cosine", ST.DoubleType()),
         ]
     )
@@ -212,36 +257,81 @@ def ivf_topk(
     """IVF-style ANN: centroids = deterministic sample of corpus vectors
     (k-means-lite; one pass), every vector assigned to its nearest
     centroid, queries scan only the ``nprobe`` nearest lists. All joins
-    broadcast the small side; the corpus shuffles once on list id."""
-    cents = [
-        (i, [float(x) for x in row[0]])
-        for i, row in enumerate(
-            corpus.select(vec_col).orderBy(F.xxhash64(F.col(id_col), F.lit(seed))).limit(num_lists).collect()
-        )
-    ]
+    broadcast the small side; the corpus shuffles once on list id.
 
-    def nearest_lists(vec, n):
-        sims = [
-            (ci, V.cosine_similarity(vec, F.array(*[F.lit(x) for x in cv])))
-            for ci, cv in cents
-        ]
-        arr = F.array(
-            *[F.struct(s.alias("sim"), F.lit(ci).alias("list_id")) for ci, s in sims]
-        )
-        return F.slice(F.reverse(F.array_sort(arr)), 1, n)
+    Centroids travel as ONE broadcast numpy matrix consumed by an
+    Arrow-batched argmax, NOT as per-centroid literal expressions — so
+    plan size and codegen cost are O(1) in ``num_lists`` (literals were
+    fine at 16 lists but explode the expression tree at the thousands of
+    lists a production IVF uses)."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as ST
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        nearest_lists(F.col(vec_col), 1)[0]["list_id"].alias("__list"),
+    cmat = np.array(
+        [
+            list(row[0])
+            for row in corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(num_lists)
+            .collect()
+        ],
+        dtype=np.float64,
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(F.transform(nearest_lists(F.col(vec_col), nprobe), lambda s: s["list_id"])).alias(
-            "__list"
+    cmat = cmat / np.clip(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300, None)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(cmat)
+    id_type = corpus.schema[id_col].dataType
+
+    def assigner(n_lists_out: int, id_alias: str):
+        """mapInArrow fn: emit (id, vec, list_id) for each of the row's
+        ``n_lists_out`` nearest centroids (cosine, ties → lowest list)."""
+
+        def assign(batches):
+            cm = bc.value
+            for batch in batches:
+                pdf = batch.to_pandas()
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-300, None)
+                sims = m @ cm.T  # (rows, num_lists)
+                # stable argsort on -sims → ties resolve to lowest list id
+                nearest = np.argsort(-sims, axis=1, kind="stable")[:, :n_lists_out]
+                reps = nearest.shape[1]
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(
+                        {
+                            id_alias: pdf["__id"].to_numpy().repeat(reps),
+                            "__vec": [v for v in pdf["__v"] for _ in range(reps)],
+                            "__list": nearest.ravel().astype(np.int32),
+                        }
+                    )
+                )
+
+        return assign
+
+    vec_type = corpus.schema[vec_col].dataType
+    c = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).mapInArrow(
+        assigner(1, "neighbor_id"),
+        ST.StructType(
+            [
+                ST.StructField("neighbor_id", id_type),
+                ST.StructField("__vec", vec_type),
+                ST.StructField("__list", ST.IntegerType()),
+            ]
         ),
-    )
+    ).withColumnRenamed("__vec", "__cv")
+    q = queries.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).mapInArrow(
+        assigner(min(nprobe, num_lists), "query_id"),
+        ST.StructType(
+            [
+                ST.StructField("query_id", id_type),
+                ST.StructField("__vec", vec_type),
+                ST.StructField("__list", ST.IntegerType()),
+            ]
+        ),
+    ).withColumnRenamed("__vec", "__qv")
     sim = F.round(V.cosine_similarity(F.col("__cv"), F.col("__qv")), 6)
     scored = (
         c.join(F.broadcast(q), "__list")

@@ -327,7 +327,9 @@ def _bind_scalar_subqueries(df, tables, node: A.Node, env, registry):
                 raise ValidationError("Scalar subquery must select exactly one column")
             alias = _sq_alias("sq")
             sub_df = sub_df.select(F.col(sub_df.columns[0]).alias(alias))
-            df = df.crossJoin(F.broadcast(sub_df))
+            # Left join, not crossJoin: a LIMIT 1 subquery over zero rows
+            # must evaluate to NULL (ANSI), not annihilate the outer side.
+            df = df.join(F.broadcast(sub_df), F.lit(True), "left")
             env[s.text()] = F.col(alias)
         elif isinstance(s, (A.InSubquery, A.Exists)) and s is not node:
             continue

@@ -236,8 +236,43 @@ class _Parser:
         "REAL": "float", "DOUBLE": "double", "VARCHAR": "string",
         "STRING": "string", "TEXT": "string", "TIMESTAMP": "timestamp",
         "DATE": "date", "BOOLEAN": "boolean", "BOOL": "boolean",
-        "DECIMAL": "decimal(38,18)",
+        "DECIMAL": "decimal(38,18)", "NUMERIC": "decimal(38,18)",
+        "CHAR": "string",
     }
+    # CAST targets that accept a (p[,s]) / (n) suffix
+    _PARAM_CAST_TYPES = {"DECIMAL", "NUMERIC", "VARCHAR", "CHAR"}
+
+    def _parse_cast_type(self) -> str:
+        t = self.next()
+        word = t.value.upper()
+        tname = self._CAST_TYPES.get(word)
+        if tname is None:
+            raise ParseError(f"Unknown CAST target type: {t.value}")
+        if self.peek().kind == OP and self.peek().value == "(":
+            if word not in self._PARAM_CAST_TYPES:
+                raise ParseError(f"CAST type {word} takes no parameters")
+            self.next()
+            params: list[int] = []
+            while True:
+                p = self.next()
+                if p.kind != NUMBER or "." in p.value:
+                    raise ParseError(
+                        f"Expected integer type parameter in CAST, got {p.value!r}"
+                    )
+                params.append(int(p.value))
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            if word in ("DECIMAL", "NUMERIC"):
+                if len(params) > 2:
+                    raise ParseError("DECIMAL takes at most (precision, scale)")
+                prec = params[0]
+                scale = params[1] if len(params) > 1 else 0
+                tname = f"decimal({prec},{scale})"
+            else:  # VARCHAR(n) / CHAR(n): Spark strings are unbounded
+                if len(params) != 1:
+                    raise ParseError(f"{word} takes exactly one length parameter")
+        return tname
 
     def parse_call(self, name: str) -> A.Node:
         upper = name.upper()
@@ -245,10 +280,7 @@ class _Parser:
         if upper == "CAST":
             operand = self.parse_expr()
             self.expect_kw("AS")
-            t = self.next()
-            tname = self._CAST_TYPES.get(t.value.upper())
-            if tname is None:
-                raise ParseError(f"Unknown CAST target type: {t.value}")
+            tname = self._parse_cast_type()
             self.expect_op(")")
             return A.Cast(operand, tname)
         distinct = False
