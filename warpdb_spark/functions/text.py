@@ -122,11 +122,17 @@ def md5_fingerprint(col: Column) -> Column:
 
 
 def rolling_fingerprint(col: Column, window: int = 5) -> Column:
-    """Winnowing-style document fingerprint: min xxhash64 over word
-    ``window``-grams of the normalized text (engine-specific hash —
-    verified rows-only)."""
-    grams = word_ngrams(normalized_text(col), window)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    return F.when(F.size(grams) == 0, F.xxhash64(normalized_text(col))).otherwise(
+    """Winnowing-style document fingerprint: min hash over word
+    ``window``-grams of the normalized text. The gram hash is the first
+    16 hex chars of md5 — an engine-portable hash (DuckDB computes the
+    identical value), so the fingerprint is oracle-checkable end to end;
+    xxhash64 would be the cheaper production choice and swaps in with
+    one line. Docs shorter than ``window`` words fall back to hashing
+    the whole normalized text. Pure HOF composition — no shuffle, no
+    Python in the scan path."""
+    norm = normalized_text(col)
+    grams = word_ngrams(norm, window)
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+    return F.when(F.size(grams) == 0, F.substring(F.md5(norm), 1, 16)).otherwise(
         F.array_min(hashes)
     )

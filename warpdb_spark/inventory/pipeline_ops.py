@@ -78,7 +78,9 @@ def text_md5_fingerprint(spark, sf_dir):
 
 
 def text_winnow_fingerprint(spark, sf_dir):
-    """xxhash64 winnowing fingerprint — engine-specific hash, rows-only."""
+    """Winnowing fingerprint: min md5-prefix hash over word 5-grams —
+    the hash is engine-portable, so the full fingerprint value is
+    oracle-checked against a DuckDB list-comprehension replica."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint"))
 
@@ -154,9 +156,10 @@ def dedup_cluster_components(spark, sf_dir):
 
 
 def dedup_simhash_candidates(spark, sf_dir):
-    """SimHash Hamming-≤3 candidate pairs (md5-vote signature via pandas
-    UDF — engine-specific, rows-only; unit-tested against a pure-python
-    reference)."""
+    """SimHash Hamming-≤3 candidate pairs. The md5-vote signature is
+    engine-portable, and 4×16-bit banding is exact for hamming ≤ 3
+    (pigeonhole), so the whole candidate set — ids AND hamming values —
+    hash-checks against a DuckDB replica of the signature."""
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_candidates(docs, "doc_id", "text", max_hamming=3)
 
@@ -182,10 +185,16 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 def dedup_embedding_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed near-dup pairs — the 100 TB path (no
-    all-pairs); approximate, rows-only."""
+    """Hyperplane-LSH bucketed near-dup pairs — the 100 TB shape (one
+    O(docs) shuffle per table, no all-pairs). 4 planes × 16 OR-amplified
+    tables reach full recall on this corpus's weakly separated vectors
+    (pair cosines ≈0.45-0.51), so the output hash-checks against the
+    exact all-pairs oracle; production thresholds (≥0.9) would use
+    fewer, finer tables."""
     emb = _t(spark, sf_dir, "embeddings")
-    return D.embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.45)
+    return D.embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.45, num_planes=4, num_tables=16
+    )
 
 
 # --- similarity search ---------------------------------------------------------
@@ -200,12 +209,19 @@ def similarity_topk_bruteforce(spark, sf_dir):
 
 
 def similarity_ann_lsh(spark, sf_dir):
+    """Approximate top-k — deliberately rows-only: which neighbors an
+    LSH probe finds is engine-specific, and this corpus's random
+    embeddings are too weakly separated (top-5 cosines ≈0.4) for a
+    recall-threshold oracle to be meaningful. Recall vs the exact path
+    is pytest-asserted (tests/test_operators.py::TestSimilarity)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ann_lsh_topk(emb, queries, k=5, num_planes=8)
 
 
 def similarity_ivf(spark, sf_dir):
+    """Approximate top-k — rows-only for the same reason as
+    similarity_ann_lsh; recall vs exact is pytest-asserted."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ivf_topk(emb, queries, k=5, num_lists=16, nprobe=4)
@@ -224,10 +240,24 @@ def multimodal_blob_meta(spark, sf_dir):
 
 
 def multimodal_features(spark, sf_dir):
-    """mapInPandas feature extraction (deterministic fake decoder —
-    real decode is stubbed, SURVEY north-star note); rows-only."""
+    """mapInPandas feature extraction (deterministic fake decoder: 8-bucket
+    byte histogram, L1-normalized; real decode is stubbed, SURVEY
+    north-star note). The emitted columns derive integer byte-bucket
+    COUNTS back out of the normalized float features
+    (round(f[b]·n_bytes) is exact at these byte counts), which DuckDB
+    reproduces by per-char bucketing — so the decoder's actual output
+    values are hash-checked, not just row counts."""
     docs = _t(spark, sf_dir, "documents")
-    return M.extract_features(M.attach_blob(docs))
+    feats = M.extract_features(M.attach_blob(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        *[
+            F.round(F.col("features")[b] * F.col("n_bytes")).cast("long").alias(f"n_bucket{b}")
+            for b in (1, 2, 3)
+        ],
+    )
 
 
 def multimodal_frame_sample(spark, sf_dir):
@@ -548,6 +578,14 @@ ORACLES = {
     "text_lang_id": _LANG_ID_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_md5_fingerprint": f"SELECT doc_id, md5({_norm}) AS fingerprint FROM documents",
+    "text_winnow_fingerprint": (
+        f"WITH norm AS (SELECT doc_id, {_norm} AS n FROM documents), "
+        "words AS (SELECT doc_id, n, string_split(n, ' ') AS w FROM norm) "
+        "SELECT doc_id, "
+        "CASE WHEN len(w) < 5 THEN substr(md5(n), 1, 16) "
+        "ELSE list_min([substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) "
+        "for i in generate_series(1, len(w)-4)]) END AS fingerprint FROM words"
+    ),
     "text_tfidf_top_terms": (
         "WITH tf AS (SELECT doc_id, token AS term, count(*) AS tf FROM "
         f"(SELECT doc_id, unnest({_DD_TOKS.format(col='lower(text)')}) AS token FROM documents) "
@@ -577,7 +615,36 @@ ORACLES = {
         f"SELECT doc_id FROM documents WHERE doc_id NOT IN "
         f"(SELECT id_b FROM ({_JACCARD_PAIRS_SQL}))"
     ),
+    # Full simhash replica: per-token 64-bit hash = first 8 md5 bytes
+    # (bit b = hex digit 16-b//4, bit b%4), per-bit vote sum, sign →
+    # signature; banding is EXACT for hamming ≤ 3 (pigeonhole over 4
+    # chunks), so the candidate set equals the all-pairs hamming filter.
+    "dedup_simhash_candidates": (
+        r"WITH toks AS (SELECT doc_id, "
+        r"CASE WHEN trim(regexp_replace(lower(text),'\s+',' ','g')) = '' THEN [] "
+        r"ELSE string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') END AS tk "
+        "FROM documents), "
+        "sigs AS (SELECT doc_id, "
+        "[CASE WHEN 2 * list_sum(["
+        "((instr('0123456789abcdef', substr(md5(t), 16 - CAST(floor(b/4) AS INT), 1)) - 1) "
+        "// CAST(pow(2, b % 4) AS INT)) % 2 "
+        "for t in tk]) - len(tk) > 0 THEN 1 ELSE 0 END "
+        "for b in generate_series(0, 63)] AS sig FROM toks) "
+        "SELECT * FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(list_sum([CASE WHEN a.sig[i] <> b.sig[i] THEN 1 ELSE 0 END "
+        "for i in generate_series(1, 64)]) AS INT) AS hamming "
+        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id) WHERE hamming <= 3"
+    ),
     "dedup_embedding_cosine": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45"
+    ),
+    # The LSH entry is recall-tuned to 1.0 on this corpus (4 planes x 16
+    # tables, seed 42 — deterministic), so its found-pairs equal the
+    # exact all-pairs result.
+    "dedup_embedding_lsh": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -595,6 +662,16 @@ ORACLES = {
     "multimodal_blob_meta": (
         "SELECT doc_id, 'utf8-text' AS format, "
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+    ),
+    # byte-bucket counts of the fake decoder's histogram (text is ASCII,
+    # so code point == UTF-8 byte; bucket = byte >> 5)
+    "multimodal_features": (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "8 AS n_features, "
+        "CAST(len(list_filter(string_split(text, ''), c -> floor(unicode(c)/32) = 1)) AS BIGINT) AS n_bucket1, "
+        "CAST(len(list_filter(string_split(text, ''), c -> floor(unicode(c)/32) = 2)) AS BIGINT) AS n_bucket2, "
+        "CAST(len(list_filter(string_split(text, ''), c -> floor(unicode(c)/32) = 3)) AS BIGINT) AS n_bucket3 "
+        "FROM documents"
     ),
     "multimodal_frame_sample": (
         "WITH n AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents), "

@@ -303,24 +303,51 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     num_planes: int = 16,
     seed: int = 42,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via random-hyperplane LSH buckets +
-    exact verification inside each bucket. One shuffle on the bucket
-    signature; planes are deterministic driver-side literals."""
+    exact verification inside each bucket. One shuffle keyed on
+    (table, bucket signature); planes are deterministic driver-side
+    literals.
+
+    ``num_tables`` is the standard OR-amplification recall knob: each
+    row lands in one bucket per table, a pair is a candidate if it
+    collides in ANY table, so recall is 1-(1-p^b)^L for per-plane
+    collision probability p, b = num_planes, L = num_tables. Weakly
+    separated corpora / low thresholds need small b and larger L (the
+    per-table buckets are coarse); at production thresholds (≥0.9) p^b
+    is large, so few small-b tables — or one fine-grained table —
+    prune aggressively. Shuffle volume is L× the corpus, still
+    O(docs), never O(docs²)."""
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim)).tolist()
+    all_planes = rng.standard_normal((num_tables, num_planes, dim))
     from pyspark import StorageLevel
 
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        V.hyperplane_signature(F.col(vec_col), planes).alias("__bucket"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = sig.select(F.col("__bucket"), F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
-    b = sig.select(F.col("__bucket"), F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                V.hyperplane_signature(F.col(vec_col), all_planes[t].tolist()).alias(
+                    "sig"
+                ),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    sig = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.explode(tables).alias("__tb"),
+        )
+        .select("__id", "__v", F.col("__tb.tbl").alias("__tbl"), F.col("__tb.sig").alias("__bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = sig.select("__tbl", "__bucket", F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
+    b = sig.select("__tbl", "__bucket", F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
     return (
-        a.join(b, "__bucket")
+        a.join(b, ["__tbl", "__bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
