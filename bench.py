@@ -81,17 +81,22 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "warpdb_spark_headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    record = {
+        "metric": "warpdb_spark_headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(record))
+    # Append to the per-round history so later rounds can diff
+    # regressions query-by-query (methodology above stays frozen).
+    try:
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps({"ts": int(time.time()), **record}) + "\n")
+    except OSError as e:
+        print(f"# bench history append failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

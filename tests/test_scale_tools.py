@@ -26,11 +26,28 @@ class TestCompatShim:
         assert out == pytest.approx([30.5, 31.5, 80.0, 150.0])
         assert db.query_multi_gpu("price") == db.query("price")
 
-    def test_query_arrow(self, fixture_csv):
+    def test_query_arrow_capsule_pair_roundtrip(self, fixture_csv):
+        import pyarrow as pa
+
         from warpdb_spark.compat import WarpDB
 
-        tbl = WarpDB(fixture_csv).query_arrow("price")
-        assert tbl.num_rows == 4
+        array_capsule, schema_capsule = WarpDB(fixture_csv).query_arrow("price")
+        assert "capsule" in type(array_capsule).__name__.lower()
+        assert "capsule" in type(schema_capsule).__name__.lower()
+
+        class _CArrayWrapper:
+            """Adapter: the reference-ordered (array, schema) pair →
+            Arrow PyCapsule protocol (schema first)."""
+
+            def __init__(self, array_capsule, schema_capsule):
+                self._pair = (schema_capsule, array_capsule)
+
+            def __arrow_c_array__(self, requested_schema=None):
+                return self._pair
+
+        arr = pa.array(_CArrayWrapper(array_capsule, schema_capsule))
+        assert arr.type == pa.float32()
+        assert sorted(arr.to_pylist()) == pytest.approx([10.5, 15.25, 20.0, 30.0])
 
 
 class TestSaltedJoin:

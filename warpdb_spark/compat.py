@@ -45,6 +45,14 @@ class WarpDB:
         return [float(r[0]) for r in df.select(df.columns[0]).collect()]
 
     def query_arrow(self, expr: str, use_shared_memory: bool = False):
-        """Arrow export: returns a pyarrow.Table (the modern form of the
-        ArrowArray/ArrowSchema capsule pair, bindings/python/pywarpdb.cpp:19-37)."""
-        return self._db.query(expr, coerce_float32=True).toArrow()
+        """Strict parity with the reference binding: returns an
+        ``(ArrowArray capsule, ArrowSchema capsule)`` tuple over the
+        single result column (bindings/python/pywarpdb.cpp:19-37 returns
+        exactly this pair). The capsules follow the Arrow PyCapsule
+        protocol, so ``pyarrow.array(obj)`` consumes them via any
+        wrapper exposing ``__arrow_c_array__``; the richer
+        ``pyarrow.Table`` form lives on ``api.WarpDB.query_arrow``."""
+        tbl = self._db.query(expr, coerce_float32=True).toArrow()
+        arr = tbl.column(0).combine_chunks()
+        schema_capsule, array_capsule = arr.__arrow_c_array__()
+        return array_capsule, schema_capsule

@@ -68,6 +68,14 @@ def get_spark(
 
     conf = dict(_DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or default_parallelism())
+    # GPU execution hook (north star: "Spark SQL with GPU codegen via
+    # RAPIDS"). Opt-in only — set SPARK_GRAFT_GPU=1 on a cluster that
+    # ships the RAPIDS Accelerator jars; the plugin then compiles the
+    # same declarative plans to GPU physical ops. Default off: CPU runs
+    # (and this sandbox, which has no GPU) are untouched.
+    if os.environ.get("SPARK_GRAFT_GPU") == "1":
+        conf.setdefault("spark.plugins", "com.nvidia.spark.SQLPlugin")
+        conf.setdefault("spark.rapids.sql.enabled", "true")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
