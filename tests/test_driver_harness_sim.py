@@ -39,6 +39,15 @@ subset = [
     "text_token_stats",
     "dedup_exact_text",
     "sample_hash_bucket",
+    # entries changed in r2 (new oracles / output shapes)
+    "text_winnow_fingerprint",
+    "dedup_simhash_candidates",
+    "dedup_embedding_lsh",
+    "dedup_ngram_jaccard",
+    "multimodal_features",
+    "similarity_topk_bruteforce",
+    "expr_math_functions",
+    "agg_approx_count_distinct",
 ]
 for name in subset:
     n = qs[name](spark, sf).count()

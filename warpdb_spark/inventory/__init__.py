@@ -72,6 +72,8 @@ DRIVER_PRIORITY: list[str] = [
     # fixed after r1 (hash fail / no_oracle) — need fresh driver rows
     "expr_math_functions",
     "agg_approx_count_distinct",
+    # new in r2
+    "dedup_ngram_jaccard",
 ]
 
 

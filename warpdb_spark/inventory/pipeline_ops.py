@@ -155,6 +155,20 @@ def dedup_cluster_components(spark, sf_dir):
     return cluster_near_duplicates(docs, verified).orderBy("doc_id")
 
 
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Blocked dedup, the classic metadata-block + content-verify shape:
+    candidate pairs share a (lang, source) block (cheap equi-join — at
+    scale the block key prunes the quadratic term), then exact word
+    3-gram Jaccard scores each pair via two hash joins + array
+    intersect/union. Full-value DuckDB oracle (list ops replicate the
+    shingle sets)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), "lang", "source")
+    b = docs.select(F.col("doc_id").alias("id_b"), "lang", "source")
+    pairs = a.join(b, ["lang", "source"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return D.ngram_jaccard(docs, pairs, "doc_id", "text", shingle_size=3)
+
+
 def dedup_simhash_candidates(spark, sf_dir):
     """SimHash Hamming-≤3 candidate pairs. The md5-vote signature is
     engine-portable, and 4×16-bit banding is exact for hamming ≤ 3
@@ -468,6 +482,7 @@ QUERIES = {
     "dedup_minhash_survivors": dedup_minhash_survivors,
     "sample_hash_bucket": sample_hash_bucket,
     "dedup_cluster_components": dedup_cluster_components,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash_candidates": dedup_simhash_candidates,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -614,6 +629,23 @@ ORACLES = {
     "dedup_minhash_survivors": (
         f"SELECT doc_id FROM documents WHERE doc_id NOT IN "
         f"(SELECT id_b FROM ({_JACCARD_PAIRS_SQL}))"
+    ),
+    # Blocked dedup: (lang, source) blocks, exact word-3-gram Jaccard.
+    # Short docs (<3 words) fall back to the whole normalized text as
+    # the single shingle, mirroring the Spark side.
+    "dedup_ngram_jaccard": (
+        r"WITH norm AS (SELECT doc_id, lang, source, "
+        r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS n FROM documents), "
+        "sh AS (SELECT doc_id, lang, source, "
+        "CASE WHEN len(string_split(n,' ')) < 3 THEN [n] "
+        "ELSE list_distinct([array_to_string(string_split(n,' ')[i:i+2], ' ') "
+        "for i in generate_series(1, len(string_split(n,' '))-2)]) END AS s "
+        "FROM norm) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard "
+        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source "
+        "AND a.doc_id < b.doc_id"
     ),
     # Full simhash replica: per-token 64-bit hash = first 8 md5 bytes
     # (bit b = hex digit 16-b//4, bit b%4), per-bit vote sum, sign →
