@@ -84,3 +84,54 @@ class TestBucketing:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         assert "Exchange" not in plan, plan
         assert joined.count() == lineitem.count()
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir, tmp_path):
+        """Two tables bucketed on the join key must SortMergeJoin with
+        ZERO Exchange operators — the co-located join that makes
+        repeated fact-fact joins affordable at 100 TB."""
+        from warpdb_spark.sources.writers import write_bucketed
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        try:
+            write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
+            write_bucketed(
+                lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+                "b_lineitem",
+                ["o_orderkey"],
+                num_buckets=8,
+            )
+            a = spark.table("b_orders")
+            b = spark.table("b_lineitem")
+            # disable broadcast so the join would otherwise shuffle
+            with_hint = a.hint("merge").join(b, "o_orderkey")
+            plan = with_hint._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # sanity: result matches the plain join
+            plain = orders.join(
+                lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+            )
+            assert with_hint.count() == plain.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_at_scan(self, spark, sf_dir, tmp_path):
+        """A filter on the partition column must prune directories at
+        planning time (PartitionFilters), not scan-and-discard."""
+        from warpdb_spark.sources.writers import write_table
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        path = str(tmp_path / "docs_by_lang")
+        write_table(docs, path, partition_by=["lang"])
+        back = spark.read.parquet(path).filter("lang = 'en'")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "isnotnull(lang" in plan or "(lang" in plan
+        n_all = docs.filter("lang = 'en'").count()
+        assert back.count() == n_all

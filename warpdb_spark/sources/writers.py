@@ -28,3 +28,26 @@ def write_table(
     if fmt == "csv":
         writer = writer.option("header", True)
     getattr(writer, fmt)(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucketing is the co-located-join primitive at 100 TB: two tables
+    bucketed on the same key into the same bucket count join WITHOUT a
+    shuffle (SortMergeJoin reads matching buckets side by side), and
+    aggregations on the bucket key skip their exchange too. The cost is
+    paid once at write time; every downstream join/agg on that key is
+    then exchange-free. Use for fact tables that are repeatedly joined
+    on the same key (orders⋈lineitem-style)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
