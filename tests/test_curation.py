@@ -1,0 +1,124 @@
+"""Corpus-curation operators: PII scrub, sequence packing, stratified
+sampling (operators/curation.py)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from warpdb_spark.operators import curation as C
+
+
+class TestPiiScrub:
+    def _scrub_one(self, spark, text):
+        df = spark.createDataFrame([Row(t=text)])
+        return df.select(C.scrub_pii(F.col("t")).alias("s")).first()["s"]
+
+    def test_each_category(self, spark):
+        s = self._scrub_one(
+            spark,
+            "mail a.b+c@foo-bar.org call 415-555-2671 ip 192.168.0.1 "
+            "ssn 078-05-1120 card 4111-1111-1111-1111 done",
+        )
+        assert s == "mail <EMAIL> call <PHONE> ip <IP> ssn <SSN> card <CC> done"
+
+    def test_cc_not_eaten_by_phone(self, spark):
+        # CC is scrubbed first; phone must not fire inside the 4-4-4-4 run
+        s = self._scrub_one(spark, "x 4111-1111-1111-1111 y")
+        assert s == "x <CC> y"
+
+    def test_plain_numbers_untouched(self, spark):
+        txt = "version 1.2 build 2024 pi 3.14159 range 10-20"
+        assert self._scrub_one(spark, txt) == txt
+
+    def test_counts_sequential(self, spark):
+        df = spark.createDataFrame(
+            [Row(t="a@b.co and c@d.io ssn 078-05-1120 tel 202-555-0100")]
+        )
+        counts = C.pii_counts(F.col("t"))
+        row = df.select(*[v.alias(k) for k, v in counts.items()]).first()
+        assert (row["email"], row["ssn"], row["phone"], row["cc"], row["ip"]) == (
+            2, 1, 1, 0, 0,
+        )
+
+
+class TestPacking:
+    @pytest.fixture()
+    def toks(self, spark):
+        rows = [Row(id=i, grp=i % 2, tok=t) for i, t in enumerate([300, 400, 500, 900, 200, 1500])]
+        return spark.createDataFrame(rows)
+
+    def test_chunked_offsets(self, toks):
+        out = {
+            r["id"]: r
+            for r in C.pack_chunks(toks, "id", "grp", "tok", block_size=512).collect()
+        }
+        # grp 0: ids 0,2,4 → starts 0,300,800
+        assert [out[i]["start_tok"] for i in (0, 2, 4)] == [0, 300, 800]
+        assert (out[2]["first_block"], out[2]["last_block"]) == (0, 1)
+        assert out[4]["n_blocks"] == 1
+        # grp 1: ids 1,3,5 → starts 0,400,1300; id5 spans blocks 2..5
+        assert [out[i]["start_tok"] for i in (1, 3, 5)] == [0, 400, 1300]
+        assert (out[5]["first_block"], out[5]["last_block"]) == (2, 5)
+
+    def test_greedy_bins(self, toks):
+        out = {
+            r["id"]: r["bin"]
+            for r in C.pack_greedy(toks, "id", "grp", "tok", budget=1024).collect()
+        }
+        # grp 0 order 0,2,4: 300 | +500=800 | +200>1024? 1000 ≤ 1024 → same bin
+        assert (out[0], out[2], out[4]) == (0, 0, 0)
+        # grp 1 order 1,3,5: 400 | +900>1024 → bin1 | +1500>1024 → bin2 (oversize doc alone)
+        assert (out[1], out[3], out[5]) == (0, 1, 2)
+
+    def test_greedy_matches_python_reference(self, spark, sf_dir):
+        from warpdb_spark.functions import text as T
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            (F.col("doc_id") % 4).alias("grp"),
+            T.token_count(F.col("text")).alias("tok"),
+        )
+        got = {
+            (r["grp"], r["doc_id"]): r["bin"]
+            for r in C.pack_greedy(docs, "doc_id", "grp", "tok", budget=1024).collect()
+        }
+        rows = sorted(docs.collect(), key=lambda r: (r["grp"], r["doc_id"]))
+        want, acc, b, cur = {}, 0, 0, None
+        for r in rows:
+            if r["grp"] != cur:
+                cur, acc, b = r["grp"], r["tok"], 0
+            elif acc + r["tok"] > 1024:
+                b, acc = b + 1, r["tok"]
+            else:
+                acc += r["tok"]
+            want[(r["grp"], r["doc_id"])] = b
+        assert got == want
+
+
+class TestStratifiedSample:
+    def test_counts_and_determinism(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = C.stratified_sample(docs, ["lang", "source"], "doc_id", 2)
+        per = out.groupBy("lang", "source").count().collect()
+        assert all(r["count"] <= 2 for r in per)
+        # every stratum with ≥2 docs yields exactly 2
+        sizes = {
+            (r["lang"], r["source"]): r["count"]
+            for r in docs.groupBy("lang", "source").count().collect()
+        }
+        got = {(r["lang"], r["source"]): r["count"] for r in per}
+        for k, n in sizes.items():
+            assert got[k] == min(n, 2)
+        # deterministic: second run identical
+        again = C.stratified_sample(docs, ["lang", "source"], "doc_id", 2)
+        assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+            r["doc_id"] for r in again.collect()
+        )
+
+    def test_rank_orders_by_md5(self, spark):
+        df = spark.createDataFrame([Row(k="a", id=i) for i in range(10)])
+        out = C.stratified_sample(df, ["k"], "id", 3).collect()
+        import hashlib
+
+        want = sorted(range(10), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:3]
+        assert sorted(r["id"] for r in out) == sorted(want)

@@ -72,8 +72,13 @@ DRIVER_PRIORITY: list[str] = [
     # fixed after r1 (hash fail / no_oracle) — need fresh driver rows
     "expr_math_functions",
     "agg_approx_count_distinct",
-    # new in r2
+    # new in r2 — pii_scrub (regex-dialect risk) and the greedy packer
+    # (applyInPandas vs recursive-CTE risk) take the window's last two
+    # slots; the other new curation entries are guarded by the local
+    # oracle until r3 rotation.
     "dedup_ngram_jaccard",
+    "pii_scrub",
+    "pack_sequences_greedy",
 ]
 
 

@@ -12,11 +12,12 @@ rows-only here and cross-checked by unit tests instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 from warpdb_spark.functions import text as T
+from warpdb_spark.operators import curation as C
 from warpdb_spark.operators import dedup as D
 from warpdb_spark.operators import multimodal as M
 from warpdb_spark.operators import similarity as S
@@ -370,6 +371,98 @@ def json_extract_props(spark, sf_dir):
     )
 
 
+# --- corpus curation (PII / packing / sampling / end-to-end) --------------------
+
+def pii_scrub(spark, sf_dir):
+    """PII scrubbing: redact emails/phones/IPs/SSNs/credit-cards with
+    placeholder tokens and count each category. The synthetic corpus has
+    no natural PII, so deterministic PII derived from doc_id is injected
+    in-query (both engines build the identical string) — the regexes are
+    exercised for real and the scrubbed text is hash-checked via md5.
+    Pure codegen'd regexp chain: zero Python, zero shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com call 202-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (did % 256).cast("string"),
+        F.lit("."),
+        ((did * 7) % 256).cast("string"),
+        F.when(did % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" card 4111-1111-1111-1111")).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", injected.alias("__txt"))
+    counts = C.pii_counts(F.col("__txt"))
+    return d.select(
+        "doc_id",
+        *[cnt.alias(f"n_{name}") for name, cnt in counts.items()],
+        F.md5(C.scrub_pii(F.col("__txt"))).alias("scrubbed_md5"),
+    )
+
+
+def _packing_input(spark, sf_dir):
+    """(doc_id, grp, n_tokens): packer groups = doc_id % 8 — at scale
+    the group key is what bounds shuffle fan-in and per-task state."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("grp"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+def pack_sequences_chunked(spark, sf_dir):
+    """GPT-style concat-then-chunk sequence packing: docs laid out
+    back-to-back per packer group, cut into 512-token blocks. Window
+    cumsum within groups — no global single-partition window."""
+    out = C.pack_chunks(_packing_input(spark, sf_dir), "doc_id", "grp", "n_tokens", block_size=512)
+    return out.select(
+        "doc_id", "grp", "n_tokens", "start_tok", "first_block", "last_block", "n_blocks"
+    )
+
+
+def pack_sequences_greedy(spark, sf_dir):
+    """First-fit-sequential bin packing (docs never split) per packer
+    group via Arrow-batched applyInPandas — the custom-stateful-operator
+    tier. Oracle replays the same sequential fold as a recursive CTE."""
+    return C.pack_greedy(_packing_input(spark, sf_dir), "doc_id", "grp", "n_tokens", budget=1024)
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: 3 docs per (lang, source)
+    stratum with the smallest md5 content address — stable across runs,
+    partitions, and engines, unlike rand()-based sampling."""
+    docs = _t(spark, sf_dir, "documents")
+    out = C.stratified_sample(docs, ["lang", "source"], "doc_id", 3, keep_cols=["doc_id"])
+    return out.select("doc_id", "lang", "source", "rk")
+
+
+def pipeline_corpus_curation(spark, sf_dir):
+    """End-to-end curation: quality/lang filter → exact-text dedup
+    (survivor = min doc_id) → token accounting. The composition shape a
+    real corpus pass runs; every stage is a primitive verified on its
+    own elsewhere in the inventory."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.normalized_text(F.col("text")).alias("__norm"),
+    )
+    f = q.filter((F.col("quality") >= 0.5) & F.col("lang").isin("en", "es"))
+    w = Window.partitionBy("__norm")
+    return (
+        f.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
 # --- as-of / range joins --------------------------------------------------------
 
 def asof_join_clicks_purchases(spark, sf_dir):
@@ -499,6 +592,11 @@ QUERIES = {
     "reshape_pivot": reshape_pivot,
     "reshape_explode_tokens": reshape_explode_tokens,
     "json_extract_props": json_extract_props,
+    "pii_scrub": pii_scrub,
+    "pack_sequences_chunked": pack_sequences_chunked,
+    "pack_sequences_greedy": pack_sequences_greedy,
+    "sample_stratified": sample_stratified,
+    "pipeline_corpus_curation": pipeline_corpus_curation,
     "asof_join_clicks_purchases": asof_join_clicks_purchases,
     "range_join_value_bands": range_join_value_bands,
     "stream_interval_join_attribution": stream_interval_join_attribution,
@@ -540,13 +638,47 @@ SELECT doc_id,
 FROM scored
 """
 
-_QUALITY_SQL = f"""
-SELECT doc_id, round(
-  0.4 * least(len({_toks}) / 200.0, 1.0)
-  + 0.3 * least(({_LANG_SCORE.format(toks=_toks, words=_STOP['en'])} * 1.0 / len({_toks})) * 5.0, 1.0)
-  + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)), 6) AS quality
-FROM documents
-"""
+_QUALITY_EXPR = (
+    f"round(0.4 * least(len({_toks}) / 200.0, 1.0) "
+    f"+ 0.3 * least(({_LANG_SCORE.format(toks=_toks, words=_STOP['en'])} * 1.0 / len({_toks})) * 5.0, 1.0) "
+    "+ 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)), 6)"
+)
+
+_QUALITY_SQL = f"SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents"
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB replica of the pii_scrub entry, generated from the SAME
+    PII_PATTERNS list the Spark side compiles (identical regex source;
+    RE2 ∩ Java-regex subset). Counts are sequential like pii_counts:
+    each pattern counted on the text with earlier patterns scrubbed."""
+    inj = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) "
+        "|| '@example.com call 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "|| ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) "
+        "|| CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END "
+        "|| CASE WHEN doc_id % 5 = 0 THEN ' card 4111-1111-1111-1111' ELSE '' END"
+    )
+    from warpdb_spark.operators.curation import PII_PATTERNS
+
+    ctes = [f"s0 AS (SELECT doc_id, {inj} AS t0 FROM documents)"]
+    counts = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        ctes.append(
+            f"s{i + 1} AS (SELECT *, regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1} FROM s{i})"
+        )
+        counts.append(f"len(regexp_extract_all(t{i}, '{pat}')) AS n_{name}")
+    n = len(PII_PATTERNS)
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT doc_id, " + ", ".join(counts)
+        + f", md5(t{n}) AS scrubbed_md5 FROM s{n}"
+    )
+
+
+_PACK_INPUT_SQL = (
+    f"SELECT doc_id, doc_id % 8 AS grp, len({_toks}) AS n_tokens FROM documents"
+)
 
 _JACCARD_PAIRS_SQL = f"""
 WITH sh AS (
@@ -752,6 +884,42 @@ ORACLES = {
     ),
     "json_extract_props": (
         "SELECT event_id AS eid, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"
+    ),
+    "pii_scrub": _pii_scrub_sql(),
+    "pack_sequences_chunked": (
+        f"WITH d AS ({_PACK_INPUT_SQL}), "
+        "c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM d) "
+        "SELECT doc_id, grp, n_tokens, start_tok, "
+        "CAST(floor(start_tok / 512.0) AS INT) AS first_block, "
+        "CAST(floor((start_tok + greatest(n_tokens - 1, 0)) / 512.0) AS INT) AS last_block, "
+        "CAST(floor((start_tok + greatest(n_tokens - 1, 0)) / 512.0) "
+        "- floor(start_tok / 512.0) + 1 AS INT) AS n_blocks FROM c"
+    ),
+    # recursive CTE replays pack_greedy's sequential first-fit fold
+    "pack_sequences_greedy": (
+        f"WITH RECURSIVE d AS ({_PACK_INPUT_SQL}), "
+        "dd AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn FROM d), "
+        "p(grp, rn, doc_id, n_tokens, bin, acc) AS ("
+        "SELECT grp, rn, doc_id, n_tokens, 0, n_tokens FROM dd WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT dd.grp, dd.rn, dd.doc_id, dd.n_tokens, "
+        "CASE WHEN p.acc + dd.n_tokens > 1024 THEN p.bin + 1 ELSE p.bin END, "
+        "CASE WHEN p.acc + dd.n_tokens > 1024 THEN dd.n_tokens ELSE p.acc + dd.n_tokens END "
+        "FROM p JOIN dd ON dd.grp = p.grp AND dd.rn = p.rn + 1) "
+        "SELECT grp, doc_id, n_tokens, CAST(bin AS INT) AS bin FROM p"
+    ),
+    "sample_stratified": (
+        "SELECT doc_id, lang, source, CAST(rk AS INT) AS rk FROM "
+        "(SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) WHERE rk <= 3"
+    ),
+    "pipeline_corpus_curation": (
+        f"WITH q AS (SELECT doc_id, lang, {_QUALITY_EXPR} AS quality, "
+        f"len({_toks}) AS n_tokens, {_norm} AS nrm FROM documents), "
+        "f AS (SELECT * FROM q WHERE quality >= 0.5 AND lang IN ('en', 'es')), "
+        "s AS (SELECT *, min(doc_id) OVER (PARTITION BY nrm) AS keep FROM f) "
+        "SELECT doc_id, lang, n_tokens, quality FROM s WHERE doc_id = keep"
     ),
     "asof_join_clicks_purchases": (
         "SELECT c.event_id AS eid, c.user_id AS uid, p.value AS last_purchase_value "

@@ -1,0 +1,172 @@
+"""Corpus-curation operators for LLM training-data pipelines: PII
+scrubbing, sequence packing (chunked + greedy), stratified sampling.
+
+The reference engine (seanwevans/WarpDB, src/warpdb.cpp) has no
+curation layer — these are SURVEY §7 Phase-3 superset operators for
+the 100 TB training-pipeline north star (BASELINE.json).
+
+Scale notes, per operator:
+
+- **PII scrub** (`scrub_pii` / `pii_counts`): a chain of JVM-side
+  ``regexp_replace`` / ``regexp_extract_all`` expressions — whole-stage
+  codegen, zero Python, zero shuffle. A 100 TB scan stays one map
+  stage. Patterns are RE2-compatible (no lookaround) so the DuckDB
+  oracle runs the *same* regex source strings.
+
+- **Chunked packing** (`pack_chunks`): GPT-style concat-then-chunk —
+  documents are laid out back-to-back within a packer group and split
+  into fixed ``block_size`` token blocks. One shuffle on the group key;
+  the running offset is a window cumsum *within* each group, so no
+  global single-partition window exists at any scale — groups bound
+  both the shuffle fan-in and the window state.
+
+- **Greedy packing** (`pack_greedy`): first-fit-sequential bin packing
+  (documents never split; a bin closes when the next doc would
+  overflow). Inherently sequential *within* a group, so it runs as an
+  Arrow-batched ``applyInPandas`` per group — the documented custom-
+  stateful-operator tier. Groups are independent ⇒ embarrassingly
+  parallel across executors; one shuffle total.
+
+- **Stratified sampling** (`stratified_sample`): deterministic top-N
+  per stratum ordered by an md5 content address — stable across runs,
+  partitions, and engines (unlike ``rand()``). One shuffle on the
+  strata key; ``row_number`` keeps only N rows of state per stratum.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# (name, regex, replacement) — applied IN ORDER. Credit cards first so
+# 4-4-4-4 digit runs are consumed before the shorter SSN/phone shapes
+# can nibble at them; counts are taken on the partially-scrubbed text
+# at each step, so ordering makes the counts well-defined even for
+# overlapping pattern families. RE2-compatible: no lookaround, no
+# backreferences — the same source strings run under Java regex (Spark)
+# and RE2 (DuckDB oracle).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("cc", r"\b\d{4}-\d{4}-\d{4}-\d{4}\b", "<CC>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact all PII_PATTERNS (in order) with their placeholder tokens."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category match counts, evaluated sequentially: each pattern
+    is counted on the text with all *earlier* patterns already
+    scrubbed, mirroring exactly what ``scrub_pii`` will redact."""
+    counts: dict[str, Column] = {}
+    cur = col
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return counts
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    grp_col: str,
+    tok_col: str,
+    block_size: int,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each packer group
+    (ordered by ``id_col``) documents are laid out back-to-back and cut
+    into ``block_size``-token blocks. Adds ``start_tok`` (running
+    offset), ``first_block``/``last_block`` (blocks the doc spans), and
+    ``n_blocks``. Zero-token docs occupy their start block."""
+    w = (
+        Window.partitionBy(grp_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(tok_col).over(w), F.lit(0)).cast("long")
+    out = df.withColumn("start_tok", start)
+    first = F.floor(F.col("start_tok") / block_size).cast("int")
+    last = F.floor(
+        (F.col("start_tok") + F.greatest(F.col(tok_col) - 1, F.lit(0))) / block_size
+    ).cast("int")
+    return (
+        out.withColumn("first_block", first)
+        .withColumn("last_block", last)
+        .withColumn("n_blocks", (F.col("last_block") - F.col("first_block") + 1))
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    grp_col: str,
+    tok_col: str,
+    budget: int,
+) -> DataFrame:
+    """First-fit-sequential bin packing per group: docs (ordered by
+    ``id_col``) accumulate into a bin until the next doc would exceed
+    ``budget``, which closes the bin. Docs larger than ``budget`` get a
+    bin to themselves. Returns (grp, id, tok, bin).
+
+    Sequential within a group ⇒ Arrow-batched ``applyInPandas``; groups
+    are independent ⇒ parallel across executors, one shuffle total.
+    """
+    import pandas as pd
+
+    fields = df.select(grp_col, id_col, tok_col).schema
+    out_schema = fields.add("bin", "integer")
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        acc = 0
+        b = 0
+        for i, tok in enumerate(pdf[tok_col]):
+            t = int(tok)
+            if i == 0:
+                acc = t
+            elif acc + t > budget:
+                b += 1
+                acc = t
+            else:
+                acc += t
+            bins.append(b)
+        pdf["bin"] = pd.array(bins, dtype="int32")
+        return pdf
+
+    return (
+        df.select(grp_col, id_col, tok_col)
+        .groupBy(grp_col)
+        .applyInPandas(pack, out_schema)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    id_col: str,
+    n_per_stratum: int,
+    keep_cols: Iterable[str] | None = None,
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_stratum`` rows per
+    stratum with the smallest md5 content address of ``id_col``. Adds
+    ``rk`` (1-based rank within the stratum)."""
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    out = df.withColumn("rk", F.row_number().over(w).cast("int")).filter(
+        F.col("rk") <= n_per_stratum
+    )
+    if keep_cols is not None:
+        out = out.select(*strata, *keep_cols, "rk")
+    return out
