@@ -116,10 +116,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     banding + exact verification; the oracle recomputes ground truth
     with an all-pairs Jaccard (feasible at sf0.01)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
-    return D.ngram_jaccard(docs, pairs, "doc_id", "text").filter(
-        F.col("jaccard") >= 0.8
-    )
+    return D.lsh_verified_pairs(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16)
 
 
 def dedup_minhash_survivors(spark, sf_dir):
@@ -149,10 +146,7 @@ def dedup_cluster_components(spark, sf_dir):
     from warpdb_spark.operators.graph import cluster_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
-    verified = D.ngram_jaccard(docs, pairs, "doc_id", "text").filter(
-        F.col("jaccard") >= 0.8
-    )
+    verified = D.lsh_verified_pairs(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16)
     return cluster_near_duplicates(docs, verified).orderBy("doc_id")
 
 

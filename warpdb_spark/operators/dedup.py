@@ -83,42 +83,50 @@ def minhash_signature(
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 64,
-    bands: int = 16,
-    max_bucket_size: int = 1000,
-    shingle_size: int = 3,
+def _shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int
 ) -> DataFrame:
-    """Candidate near-duplicate id pairs (id_a < id_b) via banded MinHash.
+    """(__id, __sh): distinct word-shingle array per document. Distinct
+    is safe for BOTH consumers: min-hash is invariant under duplicate
+    set elements, and Jaccard is defined on sets. Short docs (< n words)
+    fall back to the whole normalized text as the single shingle, so two
+    DIFFERENT short docs get jaccard 0, not the degenerate empty/empty
+    == 1.0."""
+    from warpdb_spark.utils import ensure_parallelism
 
-    rows_per_band = num_hashes // bands; two docs collide if any band of
-    their signatures is identical. ``max_bucket_size`` drops degenerate
-    buckets (e.g. empty-text boilerplate) that would square up.
-    """
+    grams = F.array_distinct(
+        T.word_ngrams(T.normalized_text(F.col(text_col)), shingle_size)
+    )
+    grams = F.when(
+        F.size(grams) == 0, F.array(T.normalized_text(F.col(text_col)))
+    ).otherwise(grams)
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), grams.alias("__sh")
+    )
+
+
+def _pairs_from_shingles(
+    shingles: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Banded-MinHash candidate pairs from a (cached) shingle frame."""
     rows = num_hashes // bands
     from pyspark import StorageLevel
-
-    from warpdb_spark.utils import ensure_parallelism
 
     # Signature build: explode shingles → 64 parallel min-aggregates.
     # The per-shingle hashing then runs inside whole-stage codegen
     # (nested-HOF minhash evaluates interpreted — measured ~10x slower)
     # and partial aggregation shuffles only 64 longs per doc.
-    grams = T.word_ngrams(T.normalized_text(F.col(text_col)), shingle_size)
-    grams = F.when(F.size(grams) == 0, F.array(T.normalized_text(F.col(text_col)))).otherwise(grams)
     # hash each shingle string ONCE; the 64 permutations rehash the
     # 8-byte result (xxhash64 over long) instead of re-hashing the
     # string per seed — ~2x faster signature build, same min-wise
     # independence. (Multiply-add universal hashing would be cheaper
     # still but ANSI mode makes long overflow an error.)
-    exploded = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("__id"), F.explode(grams).alias("__g"))
-        .select("__id", F.xxhash64("__g").alias("__g64"))
-    )
+    exploded = shingles.select(
+        "__id", F.explode("__sh").alias("__g")
+    ).select("__id", F.xxhash64("__g").alias("__g64"))
     sig = (
         exploded.groupBy("__id")
         .agg(*[F.min(F.xxhash64(F.lit(s), F.col("__g64"))).alias(f"__h{s}") for s in range(num_hashes)])
@@ -161,29 +169,32 @@ def lsh_candidate_pairs(
     )
 
 
-def ngram_jaccard(
+def lsh_candidate_pairs(
     df: DataFrame,
-    pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 1000,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs: join shingle sets back
-    to both sides (two hash joins), intersect/union with array ops."""
-    from pyspark import StorageLevel
+    """Candidate near-duplicate id pairs (id_a < id_b) via banded MinHash.
 
-    from warpdb_spark.utils import ensure_parallelism
+    rows_per_band = num_hashes // bands; two docs collide if any band of
+    their signatures is identical. ``max_bucket_size`` drops degenerate
+    buckets (e.g. empty-text boilerplate) that would square up.
+    """
+    return _pairs_from_shingles(
+        _shingle_frame(df, id_col, text_col, shingle_size),
+        num_hashes,
+        bands,
+        max_bucket_size,
+    )
 
-    # same short-doc fallback as the signature build (whole normalized
-    # text as the single shingle): two DIFFERENT short docs then get
-    # jaccard 0, not the degenerate empty/empty == 1.0
-    grams = F.array_distinct(T.word_ngrams(T.normalized_text(F.col(text_col)), shingle_size))
-    grams = F.when(F.size(grams) == 0, F.array(T.normalized_text(F.col(text_col)))).otherwise(grams)
-    shingles = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        grams.alias("__sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    shingles.count()  # warm the cache once; both join sides reuse it
+
+def _jaccard_from_shingles(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs: join the shingle frame back to
+    both sides (two hash joins), intersect/union with array ops."""
     a = shingles.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = shingles.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -199,6 +210,53 @@ def ngram_jaccard(
     )
 
 
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (standalone entry point:
+    builds and caches its own shingle frame)."""
+    from pyspark import StorageLevel
+
+    shingles = _shingle_frame(df, id_col, text_col, shingle_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    shingles.count()  # warm the cache once; both join sides reuse it
+    return _jaccard_from_shingles(shingles, pairs)
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 1000,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Banded-MinHash candidates + exact-Jaccard verification in one
+    pipeline. The shingle frame is computed and cached ONCE and shared
+    by the signature build and the verification joins — one less
+    normalize+shingle pass over the corpus than calling
+    ``lsh_candidate_pairs`` and ``ngram_jaccard`` separately (which at
+    100 TB is a full extra scan of the text column)."""
+    from pyspark import StorageLevel
+
+    shingles = _shingle_frame(df, id_col, text_col, shingle_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    shingles.count()
+    pairs = _pairs_from_shingles(shingles, num_hashes, bands, max_bucket_size)
+    out = _jaccard_from_shingles(shingles, pairs)
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -211,11 +269,8 @@ def minhash_dedup(
     """Near-dedup: drop every doc that has a verified near-duplicate
     with a smaller id (the standard greedy survivor rule — one LSH
     banding shuffle + one verify join, no iterative closure)."""
-    pairs = lsh_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_size=shingle_size
-    )
-    verified = ngram_jaccard(df, pairs, id_col, text_col, shingle_size).filter(
-        F.col("jaccard") >= threshold
+    verified = lsh_verified_pairs(
+        df, id_col, text_col, threshold, num_hashes, bands, shingle_size=shingle_size
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
