@@ -95,6 +95,55 @@ class TestPacking:
         assert got == want
 
 
+class TestContamination:
+    def test_overlap_counts(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="the quick brown fox jumps"),   # shares 3-grams
+                Row(doc_id=2, text="totally different words here entirely"),
+                Row(doc_id=3, text="quick brown fox"),              # exactly one gram
+            ]
+        )
+        eval_df = spark.createDataFrame(
+            [Row(doc_id=100, text="a quick brown fox ran")]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in C.contamination_report(corpus, eval_df, "doc_id", "text").collect()
+        }
+        # eval grams: {a quick brown, quick brown fox, brown fox ran}
+        assert out[1]["n_overlap"] == 1 and out[1]["n_shingles"] == 3
+        assert out[3]["n_overlap"] == 1 and out[3]["n_shingles"] == 1
+        assert out[3]["ratio"] == 1.0
+        assert 2 not in out  # no overlap → not reported
+
+    def test_case_and_whitespace_normalized(self, spark):
+        corpus = spark.createDataFrame([Row(doc_id=1, text="The  QUICK   brown fox")])
+        eval_df = spark.createDataFrame([Row(doc_id=9, text="the quick brown")])
+        out = C.contamination_report(corpus, eval_df, "doc_id", "text").collect()
+        assert len(out) == 1 and out[0]["n_overlap"] == 1
+
+
+class TestRepetitionStats:
+    def test_degenerate_repetition(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="spam spam spam spam"),
+                Row(doc_id=2, text="all words are unique here"),
+                Row(doc_id=3, text="one"),
+            ]
+        )
+        out = {r["doc_id"]: r for r in C.repetition_stats(df).collect()}
+        # 3 bigrams, all identical → dup ratio 1 - 1/3; every token the same
+        assert out[1]["dup_bigram_ratio"] == round(1 - 1 / 3, 6)
+        assert out[1]["top_token_ratio"] == 1.0
+        assert out[2]["dup_bigram_ratio"] == 0.0
+        assert out[2]["top_token_ratio"] == 0.2
+        # single token: no bigrams → 0.0, top token ratio 1.0
+        assert out[3]["dup_bigram_ratio"] == 0.0
+        assert out[3]["top_token_ratio"] == 1.0
+
+
 class TestStratifiedSample:
     def test_counts_and_determinism(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -435,6 +435,23 @@ def sample_stratified(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "rk")
 
 
+def decontam_eval_overlap(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing word 3-grams with
+    a held-out eval set (deterministic membership doc_id % 17 = 0). The
+    eval shingle table is broadcast — one corpus scan, no self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return C.contamination_report(corpus, eval_df, "doc_id", "text", shingle_size=3)
+
+
+def text_repetition_stats(spark, sf_dir):
+    """Repetition/boilerplate signals (duplicate-bigram fraction, top
+    token ratio) — pure HOF quality-filter inputs."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.repetition_stats(docs, "doc_id", "text")
+
+
 def pipeline_corpus_curation(spark, sf_dir):
     """End-to-end curation: quality/lang filter → exact-text dedup
     (survivor = min doc_id) → token accounting. The composition shape a
@@ -590,6 +607,8 @@ QUERIES = {
     "pack_sequences_chunked": pack_sequences_chunked,
     "pack_sequences_greedy": pack_sequences_greedy,
     "sample_stratified": sample_stratified,
+    "decontam_eval_overlap": decontam_eval_overlap,
+    "text_repetition_stats": text_repetition_stats,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "asof_join_clicks_purchases": asof_join_clicks_purchases,
     "range_join_value_bands": range_join_value_bands,
@@ -907,6 +926,33 @@ ORACLES = {
         "SELECT doc_id, lang, source, CAST(rk AS INT) AS rk FROM "
         "(SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source "
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) WHERE rk <= 3"
+    ),
+    # word 3-grams over NORMALIZED text (lower/collapse-ws), no
+    # short-doc fallback — mirrors curation.contamination_report's
+    # gramset exactly
+    "decontam_eval_overlap": (
+        f"WITH t AS (SELECT doc_id, string_split({_norm}, ' ') AS toks FROM documents), "
+        "g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) "
+        "ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+        "for i in generate_series(1, len(toks) - 2)]) END AS grams FROM t), "
+        "ev AS (SELECT DISTINCT unnest(grams) AS gm FROM g WHERE doc_id % 17 = 0), "
+        "cor AS (SELECT doc_id, grams FROM g WHERE doc_id % 17 != 0), "
+        "ex AS (SELECT doc_id, unnest(grams) AS gm FROM cor), "
+        "ov AS (SELECT doc_id, count(*) AS n_overlap FROM ex JOIN ev USING (gm) GROUP BY doc_id) "
+        "SELECT cor.doc_id, n_overlap, len(grams) AS n_shingles, "
+        "round(n_overlap * 1.0 / len(grams), 6) AS ratio FROM ov JOIN cor ON ov.doc_id = cor.doc_id"
+    ),
+    "text_repetition_stats": (
+        f"WITH t AS (SELECT doc_id, string_split({_norm}, ' ') AS toks FROM documents), "
+        "b AS (SELECT doc_id, toks, len(toks) AS n, "
+        "CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) "
+        "ELSE [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] END AS bg FROM t) "
+        "SELECT doc_id, CAST(n AS INT) AS n_tokens, "
+        "round(CASE WHEN len(bg) <= 0 THEN 0.0 "
+        "ELSE 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) END, 6) AS dup_bigram_ratio, "
+        "round(CASE WHEN n = 0 THEN 0.0 "
+        "ELSE list_max(list_transform(list_distinct(toks), t2 -> len(list_filter(toks, x -> x = t2)))) * 1.0 / n END, 6) "
+        "AS top_token_ratio FROM b"
     ),
     "pipeline_corpus_curation": (
         f"WITH q AS (SELECT doc_id, lang, {_QUALITY_EXPR} AS quality, "

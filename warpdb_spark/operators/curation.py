@@ -151,6 +151,79 @@ def pack_greedy(
     )
 
 
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus doc, how many of its
+    distinct word ``shingle_size``-grams also appear in the eval set.
+    Returns (id, n_overlap, n_shingles, ratio) for docs with ≥1 overlap.
+
+    Scale shape: the eval set is the small side — its distinct shingle
+    table is broadcast, so the corpus side is ONE scan + explode + a
+    broadcast semi-ish join + one groupBy(doc) shuffle. No corpus-side
+    self-join, no all-pairs anything; 100 TB of corpus meets a few MB
+    of eval shingles.
+    """
+    from warpdb_spark.functions import text as T
+
+    def gramset(col: Column) -> Column:
+        return F.array_distinct(T.word_ngrams(T.normalized_text(col), shingle_size))
+
+    eval_grams = (
+        eval_df.select(F.explode(gramset(F.col(text_col))).alias("__g")).distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), F.size(gramset(F.col(text_col))).alias("n_shingles"),
+    )
+    exploded = corpus.select(
+        F.col(id_col), F.explode(gramset(F.col(text_col))).alias("__g")
+    )
+    overlap = (
+        exploded.join(F.broadcast(eval_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return overlap.join(corpus_sh, id_col).select(
+        id_col,
+        "n_overlap",
+        "n_shingles",
+        F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("ratio"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style repetition signals, pure HOF (zero Python, zero
+    shuffle): duplicate-bigram fraction (1 − distinct/total word
+    bigrams) and top-token frequency ratio. High values flag
+    boilerplate / degenerate repetition for quality filtering."""
+    from warpdb_spark.functions import text as T
+
+    toks = T.tokens(T.normalized_text(F.col(text_col)))
+    n = F.size(toks)
+    bigrams = T.word_ngrams(T.normalized_text(F.col(text_col)), 2)
+    n_bi = F.size(bigrams)
+    dup_bi = F.when(n_bi <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(bigrams)) / n_bi
+    )
+    tok_counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    top_tok = F.when(n == 0, F.lit(0.0)).otherwise(F.array_max(tok_counts) / n)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(dup_bi, 6).alias("dup_bigram_ratio"),
+        F.round(top_tok, 6).alias("top_token_ratio"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata: Sequence[str],
