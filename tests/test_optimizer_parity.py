@@ -121,3 +121,39 @@ class TestIntervalJoinPlan:
         )
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestCurationPlans:
+    """The curation operators' plans have the shapes the 100 TB design
+    claims: scans stay map-only where promised, the decontamination
+    join broadcasts the eval side, packing shuffles exactly once."""
+
+    def test_pii_scrub_is_shuffle_free(self, spark, sf_dir):
+        from warpdb_spark.inventory.pipeline_ops import pii_scrub
+
+        plan = _plan(pii_scrub(spark, sf_dir))
+        assert "Exchange" not in plan
+
+    def test_repetition_stats_is_shuffle_free(self, spark, sf_dir):
+        from warpdb_spark.inventory.pipeline_ops import text_repetition_stats
+
+        plan = _plan(text_repetition_stats(spark, sf_dir))
+        assert "Exchange" not in plan
+
+    def test_chunked_packing_single_shuffle(self, spark, sf_dir):
+        from warpdb_spark.inventory.pipeline_ops import pack_sequences_chunked
+
+        plan = _plan(pack_sequences_chunked(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_decontam_broadcasts_eval_side(self, spark, sf_dir):
+        from warpdb_spark.inventory.pipeline_ops import decontam_eval_overlap
+
+        plan = _plan(decontam_eval_overlap(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+
+    def test_stratified_sample_single_shuffle(self, spark, sf_dir):
+        from warpdb_spark.inventory.pipeline_ops import sample_stratified
+
+        plan = _plan(sample_stratified(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1
