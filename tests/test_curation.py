@@ -144,6 +144,47 @@ class TestRepetitionStats:
         assert out[3]["top_token_ratio"] == 1.0
 
 
+class TestChunking:
+    def test_overlapping_windows(self, spark):
+        text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+        df = spark.createDataFrame([Row(doc_id=1, text=text)])
+        out = sorted(
+            C.chunk_documents(df, window=64, stride=48).collect(),
+            key=lambda r: r["chunk_no"],
+        )
+        # starts 0, 48, 96 → lengths 64, 52, 4
+        assert [(r["chunk_no"], r["n_chunk_tokens"]) for r in out] == [
+            (0, 64), (1, 52), (2, 4),
+        ]
+        import hashlib
+
+        want = hashlib.md5(" ".join(f"w{i}" for i in range(96, 100)).encode()).hexdigest()
+        assert out[2]["chunk_md5"] == want
+
+    def test_short_doc_single_chunk(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+        out = C.chunk_documents(df, window=64, stride=48).collect()
+        assert len(out) == 1 and out[0]["n_chunk_tokens"] == 3
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark, sf_dir):
+        from warpdb_spark.operators.skew import salted_join
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        salted = salted_join(li, orders, "l_orderkey", salt=8)
+        plain = li.join(orders, "l_orderkey")
+        assert salted.count() == plain.count()
+        a = {tuple(r) for r in salted.collect()}
+        b = {tuple(r) for r in plain.collect()}
+        assert a == b
+
+
 class TestStratifiedSample:
     def test_counts_and_determinism(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -452,6 +452,35 @@ def text_repetition_stats(spark, sf_dir):
     return C.repetition_stats(docs, "doc_id", "text")
 
 
+def reshape_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (64-token windows, stride 48)
+    — the long-context training-prep reshape. Codegen'd flatMap; chunk
+    content is md5-checked, not just counted."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.chunk_documents(docs, "doc_id", "text", window=64, stride=48)
+
+
+def join_salted_skew(spark, sf_dir):
+    """Explicit salt-sharded equi-join (operators/skew.py) for keys too
+    hot for AQE's skew splitting: lineitem scattered over 8 salt shards
+    per orderkey, orders replicated 8x. The oracle is the PLAIN join —
+    salting must be invisible in the result."""
+    from warpdb_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, "l_orderkey", salt=8)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
 def pipeline_corpus_curation(spark, sf_dir):
     """End-to-end curation: quality/lang filter → exact-text dedup
     (survivor = min doc_id) → token accounting. The composition shape a
@@ -609,6 +638,8 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "decontam_eval_overlap": decontam_eval_overlap,
     "text_repetition_stats": text_repetition_stats,
+    "reshape_chunk_documents": reshape_chunk_documents,
+    "join_salted_skew": join_salted_skew,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "asof_join_clicks_purchases": asof_join_clicks_purchases,
     "range_join_value_bands": range_join_value_bands,
@@ -953,6 +984,23 @@ ORACLES = {
         "round(CASE WHEN n = 0 THEN 0.0 "
         "ELSE list_max(list_transform(list_distinct(toks), t2 -> len(list_filter(toks, x -> x = t2)))) * 1.0 / n END, 6) "
         "AS top_token_ratio FROM b"
+    ),
+    # chunk i covers tokens [i*48, i*48+64); starts are 0,48,... < n —
+    # identical to Spark's sequence(0, n-1, 48) + start<n filter
+    "reshape_chunk_documents": (
+        f"WITH t AS (SELECT doc_id, string_split({_norm}, ' ') AS toks FROM documents), "
+        "s AS (SELECT doc_id, toks, len(toks) AS n, "
+        "unnest(range(0, CAST(greatest(len(toks), 1) AS BIGINT), 48)) AS start FROM t) "
+        "SELECT doc_id, CAST(start / 48 AS INT) AS chunk_no, "
+        "CAST(least(64, n - start) AS INT) AS n_chunk_tokens, "
+        "md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5 "
+        "FROM s WHERE start < n"
+    ),
+    "join_salted_skew": (
+        "SELECT o_orderpriority AS priority, count(*) AS n, "
+        "round(sum(l_extendedprice), 2) AS sum_price "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
     ),
     "pipeline_corpus_curation": (
         f"WITH q AS (SELECT doc_id, lang, {_QUALITY_EXPR} AS quality, "

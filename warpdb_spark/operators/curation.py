@@ -224,6 +224,37 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token windows (training-prep for
+    long-context models): chunk i covers tokens [i·stride, i·stride +
+    window). Returns (id, chunk_no, n_chunk_tokens, chunk_md5). Pure
+    HOF + posexplode — a codegen'd flatMap, no shuffle; zero-token docs
+    yield no chunks."""
+    from warpdb_spark.functions import text as T
+
+    toks = T.tokens(T.normalized_text(F.col(text_col)))
+    d = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)
+    )
+    d = d.select(
+        id_col, "__toks", "__n", F.posexplode(starts).alias("chunk_no", "__start")
+    ).filter(F.col("__start") < F.col("__n"))
+    chunk = F.slice("__toks", F.col("__start") + 1, window)
+    return d.select(
+        id_col,
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata: Sequence[str],
