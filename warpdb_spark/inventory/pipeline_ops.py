@@ -452,6 +452,35 @@ def text_repetition_stats(spark, sf_dir):
     return C.repetition_stats(docs, "doc_id", "text")
 
 
+def text_vocab_oov(spark, sf_dir):
+    """Vocabulary coverage for tokenizer planning: build the corpus
+    top-50 token vocabulary (freq desc, token asc tie-break) and report
+    per-doc in-vocab/OOV token rates. The top-K is a distributed
+    TakeOrderedAndProject (never a global window over all distinct
+    tokens) and the resulting vocab is broadcast — corpus side stays
+    one explode + one groupBy shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(50)
+        .select("token", F.lit(1).alias("__in_v"))
+    )
+    j = toks.join(F.broadcast(vocab), "token", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("__in_v").alias("n_in_vocab"),
+        F.round(
+            (F.count(F.lit(1)) - F.count("__in_v")) / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )
+
+
 def reshape_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (64-token windows, stride 48)
     — the long-context training-prep reshape. Codegen'd flatMap; chunk
@@ -638,6 +667,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "decontam_eval_overlap": decontam_eval_overlap,
     "text_repetition_stats": text_repetition_stats,
+    "text_vocab_oov": text_vocab_oov,
     "reshape_chunk_documents": reshape_chunk_documents,
     "join_salted_skew": join_salted_skew,
     "pipeline_corpus_curation": pipeline_corpus_curation,
@@ -984,6 +1014,14 @@ ORACLES = {
         "round(CASE WHEN n = 0 THEN 0.0 "
         "ELSE list_max(list_transform(list_distinct(toks), t2 -> len(list_filter(toks, x -> x = t2)))) * 1.0 / n END, 6) "
         "AS top_token_ratio FROM b"
+    ),
+    "text_vocab_oov": (
+        f"WITH tok AS (SELECT doc_id, unnest(string_split({_norm}, ' ')) AS token FROM documents), "
+        "v AS (SELECT token FROM (SELECT token, count(*) AS tf FROM tok GROUP BY 1) "
+        "ORDER BY tf DESC, token LIMIT 50) "
+        "SELECT t.doc_id, count(*) AS n_tokens, count(v.token) AS n_in_vocab, "
+        "round((count(*) - count(v.token)) * 1.0 / count(*), 6) AS oov_rate "
+        "FROM tok t LEFT JOIN v ON t.token = v.token GROUP BY t.doc_id"
     ),
     # chunk i covers tokens [i*48, i*48+64); starts are 0,48,... < n —
     # identical to Spark's sequence(0, n-1, 48) + start<n filter
