@@ -157,3 +157,12 @@ class TestCurationPlans:
 
         plan = _plan(sample_stratified(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_vocab_topk_is_take_ordered_and_broadcast(self, spark, sf_dir):
+        from warpdb_spark.inventory.pipeline_ops import text_vocab_oov
+
+        plan = _plan(text_vocab_oov(spark, sf_dir))
+        # top-K vocab must be a distributed top-k, not a global sort,
+        # and the vocab join must broadcast the 50-row side
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
