@@ -75,6 +75,34 @@ class TestTextFunctions:
         ).first()
         assert 0.0 <= stats[0] <= stats[1] <= 1.0
 
+    def test_gopher_metrics(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(t="the cat sat"),          # mean len (3+3+3)/3, 1 stopword
+                Row(t="## ## ..."),            # symbol-heavy, no alpha
+                Row(t="   "),                  # empty after trim
+            ]
+        )
+        rows = df.select(
+            T.mean_word_length(F.col("t")).alias("mwl"),
+            T.symbol_word_ratio(F.col("t")).alias("sym"),
+            T.alpha_word_fraction(F.col("t")).alias("alpha"),
+            T.distinct_stopword_hits(F.col("t")).alias("stops"),
+        ).collect()
+        assert rows[0]["mwl"] == 3.0
+        assert rows[0]["sym"] == 0.0
+        assert rows[0]["alpha"] == 1.0
+        assert rows[0]["stops"] == 1  # 'the' once → 1 distinct hit
+        # '## ## ...': 4 '#' chars + 1 '...' over 3 words
+        assert rows[1]["sym"] == round(5 / 3, 6)
+        assert rows[1]["alpha"] == 0.0
+        assert rows[2]["mwl"] == 0.0 and rows[2]["sym"] == 0.0 and rows[2]["alpha"] == 0.0
+
+    def test_distinct_stopword_hits_counts_distinct(self, spark):
+        df = spark.createDataFrame([Row(t="the the the and AND of")])
+        # 3 distinct list words present, repeats ignored
+        assert df.select(T.distinct_stopword_hits(F.col("t"))).first()[0] == 3
+
     def test_normalized_fingerprint_stable(self, spark):
         df = spark.createDataFrame(
             [Row(t="Hello   World"), Row(t="hello world"), Row(t=" HELLO WORLD ")]

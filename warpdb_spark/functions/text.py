@@ -110,6 +110,50 @@ def quality_score(col: Column) -> Column:
     return F.round(0.4 * length_part + 0.3 * stop_part + 0.3 * alpha_ratio(col), 6)
 
 
+# Gopher-rule stopwords (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 — public).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def mean_word_length(col: Column) -> Column:
+    """Mean characters per whitespace token (0.0 for empty docs)."""
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.round(total.cast("double") / F.size(toks), 6)
+    )
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """(# occurrences of '#' + occurrences of '...') / word count — the
+    Gopher symbol-to-word screen. Occurrences counted by length delta
+    after replace (codegen'd, no regex backtracking)."""
+    hashes = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    dots = (F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))) / 3
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((hashes + dots).cast("double") / n, 6)
+    )
+
+
+def alpha_word_fraction(col: Column) -> Column:
+    """Fraction of tokens containing at least one A-Za-z character."""
+    toks = tokens(col)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.round(n_alpha.cast("double") / F.size(toks), 6)
+    )
+
+
+def distinct_stopword_hits(col: Column, words: list[str] | None = None) -> Column:
+    """Number of DISTINCT words from ``words`` present in the document
+    (Gopher requires ≥ 2 of its 8-word list)."""
+    words = words or GOPHER_STOPWORDS
+    lower_tokens = F.transform(tokens(col), F.lower)
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(lower_tokens, wl))
+
+
 def normalized_text(col: Column) -> Column:
     """Dedup normalization: lower-case, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(col), _WS, " "))

@@ -481,6 +481,63 @@ def text_vocab_oov(spark, sf_dir):
     )
 
 
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality screens (Rae et al. 2021 §A1.1, public):
+    word-count bounds, mean word length, symbol-to-word ratio,
+    alphabetic-word fraction, distinct-stopword floor, and the combined
+    pass flag. Pure HOF/codegen scan — the 100 TB shape is one map
+    stage, no shuffle, no Python. Thresholds are tuned to the synthetic
+    corpus (10-99 words) so the flag discriminates; the production
+    values (50/100k etc.) are a config swap."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = T.token_count(t)
+    mwl = T.mean_word_length(t)
+    sym = T.symbol_word_ratio(t)
+    alpha = T.alpha_word_fraction(t)
+    stops = T.distinct_stopword_hits(t)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        alpha.alias("alpha_word_frac"),
+        stops.alias("n_stop_hits"),
+        (
+            n_words.between(30, 90)
+            & mwl.between(3.0, 10.0)
+            & (sym <= 0.1)
+            & (alpha >= 0.8)
+            & (stops >= 1)  # production Gopher uses >= 2; corpus-tuned
+        ).alias("pass_gopher"),
+    )
+
+
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus unigram-LM document scoring (the classic perplexity-proxy
+    quality filter): pass 1 builds token frequencies (one explode + one
+    groupBy shuffle), pass 2 joins them back and averages log(tf/N) per
+    doc. The frequency table is vocabulary-sized — orders of magnitude
+    smaller than the corpus — so at 100 TB the scoring join is
+    broadcast-or-AQE territory while the corpus side stays two
+    shuffles (token, doc_id) regardless of scale."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n_total"))
+    freq = freq.crossJoin(F.broadcast(total))
+    scored = toks.join(freq, "token")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("tf").cast("double") / F.col("n_total"))), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
 def reshape_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (64-token windows, stride 48)
     — the long-context training-prep reshape. Codegen'd flatMap; chunk
@@ -668,6 +725,8 @@ QUERIES = {
     "decontam_eval_overlap": decontam_eval_overlap,
     "text_repetition_stats": text_repetition_stats,
     "text_vocab_oov": text_vocab_oov,
+    "text_gopher_rules": text_gopher_rules,
+    "text_unigram_logprob": text_unigram_logprob,
     "reshape_chunk_documents": reshape_chunk_documents,
     "join_salted_skew": join_salted_skew,
     "pipeline_corpus_curation": pipeline_corpus_curation,
@@ -1022,6 +1081,32 @@ ORACLES = {
         "SELECT t.doc_id, count(*) AS n_tokens, count(v.token) AS n_in_vocab, "
         "round((count(*) - count(v.token)) * 1.0 / count(*), 6) AS oov_rate "
         "FROM tok t LEFT JOIN v ON t.token = v.token GROUP BY t.doc_id"
+    ),
+    "text_gopher_rules": (
+        r"WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks "
+        "FROM documents), "
+        "m AS (SELECT doc_id, len(toks) AS n_words, "
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(toks, "
+        "t -> length(t))) AS DOUBLE) / len(toks), 6) END AS mean_word_len, "
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(CAST((length(text) - "
+        "length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) "
+        "/ 3 AS DOUBLE) / len(toks), 6) END AS symbol_ratio, "
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(toks, "
+        "t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6) END AS alpha_word_frac, "
+        "len(list_intersect(list_transform(toks, t -> lower(t)), "
+        "['the','be','to','of','and','that','have','with'])) AS n_stop_hits FROM t) "
+        "SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, n_stop_hits, "
+        "(n_words BETWEEN 30 AND 90 AND mean_word_len BETWEEN 3.0 AND 10.0 "
+        "AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8 AND n_stop_hits >= 1) "
+        "AS pass_gopher FROM m"
+    ),
+    "text_unigram_logprob": (
+        f"WITH tok AS (SELECT doc_id, unnest(string_split({_norm}, ' ')) AS token FROM documents), "
+        "freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1), "
+        "tot AS (SELECT sum(tf) AS n_total FROM freq) "
+        "SELECT doc_id, count(*) AS n_tokens, "
+        "round(avg(ln(CAST(tf AS DOUBLE) / n_total)), 6) AS avg_logprob "
+        "FROM tok JOIN freq USING (token) CROSS JOIN tot GROUP BY doc_id"
     ),
     # chunk i covers tokens [i*48, i*48+64); starts are 0,48,... < n —
     # identical to Spark's sequence(0, n-1, 48) + start<n filter
