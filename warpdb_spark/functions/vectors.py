@@ -40,6 +40,31 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
+def int8_scale(vec: Column) -> Column:
+    """Symmetric scalar-quantization scale: max(|x|)/127 (0.0 for an
+    all-zero vector)."""
+    absmax = F.array_max(F.transform(_d(vec), F.abs))
+    return F.when(absmax == 0.0, F.lit(0.0)).otherwise(absmax / 127.0)
+
+
+def int8_codes(vec: Column, scale: Column) -> Column:
+    """Quantized int codes round(x/scale); all-zero scale → all-zero
+    codes. round() is half-away-from-zero in both Spark and DuckDB, so
+    codes are engine-reproducible."""
+    return F.when(
+        scale == 0.0, F.transform(vec, lambda x: F.lit(0))
+    ).otherwise(F.transform(_d(vec), lambda x: F.round(x / scale).cast("int")))
+
+
+def int8_max_abs_err(vec: Column, scale: Column, codes: Column) -> Column:
+    """Max absolute reconstruction error |x - code*scale|."""
+    return F.when(scale == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(_d(vec), codes, lambda x, c: F.abs(x - c.cast("double") * scale))
+        )
+    )
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bit signature as a string of 0/1: bit i =
     sign(vec · planes[i]). ``planes`` are driver-side literals

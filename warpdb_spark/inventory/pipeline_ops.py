@@ -236,6 +236,75 @@ def similarity_ivf(spark, sf_dir):
     return S.ivf_topk(emb, queries, k=5, num_lists=16, nprobe=4)
 
 
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column (the
+    standard vector-index compression step): per-vector scale =
+    max|x|/127, codes = round(x/scale), plus max reconstruction error.
+    Pure HOF codegen scan — zero shuffle, zero Python — and every
+    arithmetic step is IEEE-double-reproducible, so codes and error are
+    exact-hash-checked (code vector via md5 of the joined codes)."""
+    from warpdb_spark.functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = V.int8_scale(F.col("embedding"))
+    e = emb.select("vec_id", "embedding", scale.alias("scale"))
+    codes = V.int8_codes(F.col("embedding"), F.col("scale"))
+    c = e.select("vec_id", "embedding", "scale", codes.alias("codes"))
+    # error must reconstruct with the UNROUNDED scale — alias the
+    # display-rounded copy last so it can't shadow the real one
+    c = c.withColumn(
+        "max_abs_err",
+        F.round(
+            V.int8_max_abs_err(F.col("embedding"), F.col("scale"), F.col("codes")), 9
+        ),
+    )
+    return c.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("codes", F.lit(0), lambda acc, x: acc + x).alias("code_sum"),
+        F.md5(F.concat_ws(",", F.transform("codes", lambda x: x.cast("string")))).alias(
+            "code_md5"
+        ),
+        "max_abs_err",
+    )
+
+
+def embedding_kmeans_assign(spark, sf_dir):
+    """One Lloyd assignment step from engine-portable deterministic
+    init (k=8 centroids = vectors with lowest md5(vec_id)): broadcast
+    centroid join + HOF squared-L2 + min-struct argmin. dist2 is
+    rounded before the argmin with ties to the lowest centroid id, so
+    the assignment is reproducible in any double-precision engine —
+    the DuckDB oracle replays it exactly. The iterative path on top of
+    this step is operators/clustering.py::lloyd (pytest-verified;
+    inherently un-SQL-able)."""
+    from warpdb_spark.operators import clustering as K
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = K.init_centroids(emb, k=8)
+    return (
+        K.assign_step(emb, cents)
+        .select("vec_id", F.col("cluster").alias("centroid_id"), "dist2")
+    )
+
+
+def embedding_kmeans_clusters(spark, sf_dir):
+    """Full Lloyd k-means (k=8, ≤10 iterations) cluster profile:
+    per-cluster size + mean dist2. Iterative → no SQL oracle (driver
+    records rows-only); convergence, determinism, and exact-recovery
+    on separable synthetic blobs are pytest-asserted
+    (tests/test_clustering.py)."""
+    from warpdb_spark.operators import clustering as K
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _cents, _n = K.lloyd(emb, k=8, max_iter=10)
+    return assigned.groupBy(F.col("cluster").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("dist2"), 4).alias("mean_dist2"),
+    )
+
+
 # --- multimodal ----------------------------------------------------------------
 
 def multimodal_blob_meta(spark, sf_dir):
@@ -727,6 +796,9 @@ QUERIES = {
     "text_vocab_oov": text_vocab_oov,
     "text_gopher_rules": text_gopher_rules,
     "text_unigram_logprob": text_unigram_logprob,
+    "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_kmeans_assign": embedding_kmeans_assign,
+    "embedding_kmeans_clusters": embedding_kmeans_clusters,
     "reshape_chunk_documents": reshape_chunk_documents,
     "join_salted_skew": join_salted_skew,
     "pipeline_corpus_curation": pipeline_corpus_curation,
@@ -1107,6 +1179,33 @@ ORACLES = {
         "SELECT doc_id, count(*) AS n_tokens, "
         "round(avg(ln(CAST(tf AS DOUBLE) / n_total)), 6) AS avg_logprob "
         "FROM tok JOIN freq USING (token) CROSS JOIN tot GROUP BY doc_id"
+    ),
+    # int8 quantization replica: identical IEEE-double steps (abs-max /
+    # 127 scale, half-away-from-zero round), so codes/md5/error match
+    # bit-for-bit.
+    "embedding_quantize_int8": (
+        "WITH m AS (SELECT vec_id, embedding AS e, "
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax FROM embeddings), "
+        "s AS (SELECT vec_id, e, CASE WHEN absmax = 0 THEN 0.0 ELSE absmax / 127 END AS scale FROM m), "
+        "c AS (SELECT vec_id, e, scale, CASE WHEN scale = 0 THEN list_transform(e, x -> 0) "
+        "ELSE list_transform(e, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)) END AS codes FROM s) "
+        "SELECT vec_id, len(e) AS n_dims, round(scale, 9) AS scale, "
+        "CAST(list_sum(codes) AS INT) AS code_sum, "
+        "md5(array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',')) AS code_md5, "
+        "CASE WHEN scale = 0 THEN 0.0 ELSE round(list_max([abs(CAST(e[j] AS DOUBLE) - codes[j] * scale) "
+        "for j in generate_series(1, len(e))]), 9) END AS max_abs_err FROM c"
+    ),
+    # One Lloyd step: same md5-ordered init, same rounded-dist2 argmin
+    # with lowest-centroid tie-break.
+    "embedding_kmeans_assign": (
+        "WITH init AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8), "
+        "d AS (SELECT e.vec_id, i.c_id, "
+        "round(list_sum([(CAST(e.embedding[j] AS DOUBLE) - i.ce[j]) * "
+        "(CAST(e.embedding[j] AS DOUBLE) - i.ce[j]) for j in generate_series(1, len(e.embedding))]), 6) AS dist2 "
+        "FROM embeddings e CROSS JOIN init i), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rn FROM d) "
+        "SELECT vec_id, c_id AS centroid_id, dist2 FROM ranked WHERE rn = 1"
     ),
     # chunk i covers tokens [i*48, i*48+64); starts are 0,48,... < n —
     # identical to Spark's sequence(0, n-1, 48) + start<n filter
