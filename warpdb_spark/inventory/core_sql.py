@@ -174,6 +174,22 @@ def agg_cube(spark, sf_dir):
     )
 
 
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((flag), (status)) — the general form
+    rollup/cube specialize; one Expand + one aggregation exchange,
+    same shape at any scale."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 # --- sorts / limits (SURVEY §2.6) ------------------------------------------
 
 def sort_topk(spark, sf_dir):
@@ -424,6 +440,23 @@ def window_range_frame(spark, sf_dir):
         F.col("l_linenumber").alias("ln"),
         F.col("l_quantity").alias("qty"),
         F.count(F.lit(1)).over(w).alias("n_near_qty"),
+    )
+
+
+def window_value_functions(spark, sf_dir):
+    """first_value/last_value/nth_value over an explicit unbounded ROWS
+    frame (ties deterministic via the (qty, linenumber) sort)."""
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_quantity", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.first_value("l_quantity").over(w).alias("min_qty"),
+        F.last_value("l_quantity").over(w).alias("max_qty"),
+        F.nth_value("l_quantity", 2).over(w).alias("second_qty"),
     )
 
 
@@ -719,6 +752,74 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     )
 
 
+# --- event-funnel / cohort analytics (superset; events table) --------------
+
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered funnel view → click → purchase per user: stage k counts
+    only events strictly after the user's stage-(k-1) completion.
+    Three filtered scans each aggregated to user level (map-side
+    combine, one user_id shuffle each) joined user-to-user — every join
+    side is |users|, never |events|, so the shape survives any event
+    volume. Output: per-user funnel depth 0-3."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("p_ts").isNotNull(), 3)
+            .when(F.col("c_ts").isNotNull(), 2)
+            .when(F.col("v_ts").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_depth"),
+        )
+    )
+
+
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-activity day, distinct
+    active users per (cohort_day, day_offset). The first-seen table is
+    |users|-sized and rides a broadcast join back onto events — one
+    events shuffle (user_id) + one aggregation shuffle, independent of
+    event volume per user."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 QUERIES = {
     "flagship_filter_project": flagship_filter_project,
     "dialect_expression_projection": dialect_expression_projection,
@@ -767,6 +868,10 @@ QUERIES = {
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "agg_grouping_sets": agg_grouping_sets,
+    "window_value_functions": window_value_functions,
+    "events_funnel_conversion": events_funnel_conversion,
+    "events_cohort_retention": events_cohort_retention,
 }
 
 ORACLES = {
@@ -821,6 +926,38 @@ ORACLES = {
     "agg_cube": (
         "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
         "GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+    ),
+    "agg_grouping_sets": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+    ),
+    "window_value_functions": (
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, "
+        "first_value(l_quantity) OVER w AS min_qty, "
+        "last_value(l_quantity) OVER w AS max_qty, "
+        "nth_value(l_quantity, 2) OVER w AS second_qty FROM lineitem "
+        "WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity, l_linenumber "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
+    "events_funnel_conversion": (
+        "WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events "
+        "WHERE event_type = 'view' GROUP BY 1), "
+        "c AS (SELECT e.user_id, min(ts) AS c_ts FROM events e JOIN v USING (user_id) "
+        "WHERE event_type = 'click' AND ts > v_ts GROUP BY 1), "
+        "p AS (SELECT e.user_id, min(ts) AS p_ts FROM events e JOIN c USING (user_id) "
+        "WHERE event_type = 'purchase' AND ts > c_ts GROUP BY 1) "
+        "SELECT u.user_id, CAST(CASE WHEN p_ts IS NOT NULL THEN 3 "
+        "WHEN c_ts IS NOT NULL THEN 2 WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END AS INT) "
+        "AS funnel_depth FROM (SELECT DISTINCT user_id FROM events) u "
+        "LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"
+    ),
+    "events_cohort_retention": (
+        "WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), "
+        "f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1) "
+        "SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset, "
+        "count(DISTINCT user_id) AS n_active FROM d JOIN f USING (user_id) "
+        "GROUP BY 1, 2"
     ),
     "sort_topk": (
         "SELECT l_orderkey AS ok, l_linenumber AS ln, l_extendedprice AS price "
