@@ -416,6 +416,8 @@ class QueryAST:
     offset: int | None = None
     # named windows: WINDOW w AS (...) [, ...] (superset)
     windows: dict[str, WindowSpec] = field(default_factory=dict)
+    # QUALIFY: post-window row filter (superset; DuckDB/Snowflake/BigQuery)
+    qualify: Node | None = None
 
 
 @dataclass

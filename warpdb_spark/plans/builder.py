@@ -397,6 +397,8 @@ def _resolve_named_windows(q: A.QueryAST) -> None:
         rec(item)
     if q.having is not None:
         rec(q.having)
+    if q.qualify is not None:
+        rec(q.qualify)
     for e, _ in q.order_by:
         rec(e)
 

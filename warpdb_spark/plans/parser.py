@@ -411,6 +411,10 @@ class _Parser:
                 q.windows[name] = self.parse_window_spec()
                 if not self.accept_op(","):
                     break
+        if self.accept_kw("QUALIFY"):
+            # post-window filter (superset): evaluated against the
+            # pre-QUALIFY frame, i.e. window functions see all rows
+            q.qualify = self.parse_expr()
         if in_setop:
             # ORDER BY/LIMIT/OFFSET after a set-op operand bind to the
             # combined result (ANSI) — left for parse_query_node
