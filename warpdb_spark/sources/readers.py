@@ -110,16 +110,34 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
 
 
 def ns_to_timestamp(df: DataFrame, *cols: str) -> DataFrame:
-    """Convert epoch-nanosecond long columns (parquet TIMESTAMP(NANOS)
-    read under ``spark.sql.legacy.parquet.nanosAsLong=true``) to Spark
-    microsecond timestamps. Integer division keeps it exact for values
-    with zero sub-microsecond part."""
+    """Normalize event-time columns to session-TZ TIMESTAMP regardless of
+    how the parquet stored them. Schema-adaptive on the column's actual
+    Spark dtype:
+
+    - ``bigint``        — epoch-nanosecond longs (parquet TIMESTAMP(NANOS)
+      surfaced under ``spark.sql.legacy.parquet.nanosAsLong=true``):
+      integer-DIV by 1000 → ``timestamp_micros`` (float division of
+      epoch-ns overflows the double mantissa and shifts by ±1 µs);
+    - ``timestamp_ntz`` — parquet ``timestamp[us]`` without TZ: cast to
+      TIMESTAMP, interpreting the wall time in the session TZ (callers
+      pin UTC so results are session-independent);
+    - ``timestamp``     — already TIMESTAMP_LTZ: no-op.
+
+    This keeps every consumer working whether the testdata stores ns
+    longs (rounds 1-2) or µs timestamps (current) — the column always
+    comes out as TIMESTAMP in any SparkSession with no legacy confs
+    required.
+    """
     from pyspark.sql import functions as F
 
+    dtypes = dict(df.dtypes)
     for c in cols:
-        # integer division — float division of epoch-ns overflows the
-        # double mantissa and shifts timestamps by ±1 µs
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        dt = dtypes.get(c)
+        if dt in ("bigint", "long", "int"):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        # "timestamp" (and anything already LTZ): leave untouched
     return df
 
 
