@@ -148,6 +148,64 @@ class TestNamedWindows:
             ).collect()
 
 
+class TestQualify:
+    """QUALIFY (superset): post-window filter, Snowflake/DuckDB semantics
+    — window functions see the pre-QUALIFY frame."""
+
+    def test_qualify_equals_subquery(self, db):
+        a = db.query_sql(
+            "SELECT o_custkey AS ck, o_orderkey AS ok, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "FROM orders QUALIFY rn = 1 ORDER BY ck"
+        ).collect()
+        b = db.query_sql(
+            "SELECT ck, ok, rn FROM ("
+            "SELECT o_custkey AS ck, o_orderkey AS ok, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t "
+            "WHERE rn = 1 ORDER BY ck"
+        ).collect()
+        assert a == b
+        assert len(a) > 0
+
+    def test_qualify_window_not_in_select(self, db):
+        rows = db.query_sql(
+            "SELECT o_custkey AS ck, o_orderkey AS ok FROM orders "
+            "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) <= 2 ORDER BY ck, ok"
+        ).collect()
+        per_ck: dict = {}
+        for r in rows:
+            per_ck[r["ck"]] = per_ck.get(r["ck"], 0) + 1
+        assert rows and max(per_ck.values()) <= 2
+
+    def test_qualify_grouped_alias_in_spec(self, db):
+        rows = db.query_sql(
+            "SELECT o_custkey AS ck, sum(o_totalprice) AS total "
+            "FROM orders GROUP BY o_custkey "
+            "QUALIFY rank() OVER (ORDER BY total DESC) <= 3 "
+            "ORDER BY total DESC"
+        ).collect()
+        assert len(rows) == 3
+        assert rows[0]["total"] >= rows[1]["total"] >= rows[2]["total"]
+
+    def test_qualify_named_window(self, db):
+        rows = db.query_sql(
+            "SELECT o_custkey AS ck, o_orderkey AS ok, "
+            "row_number() OVER w AS rn FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+            "QUALIFY rn = 1"
+        ).collect()
+        assert len(rows) == len({r["ck"] for r in rows})
+
+    def test_qualify_unknown_column(self, db):
+        from warpdb_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="Unknown column: nope in QUALIFY"):
+            db.query_sql("SELECT o_orderkey AS ok FROM orders QUALIFY nope = 1")
+
+
 class TestCast:
     def test_cast_types(self, db):
         rows = db.query_sql(

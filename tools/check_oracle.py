@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
@@ -28,10 +30,18 @@ TABLES = [
 
 
 def _norm_cell(v):
+    import numpy as np
+
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
+    if isinstance(v, np.integer):
+        v = int(v)
+    if isinstance(v, np.floating):
+        v = float(v)
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
     if isinstance(v, _decimal.Decimal):
         v = float(v)
     if isinstance(v, float):
@@ -96,9 +106,15 @@ def main(selected: list[str]) -> int:
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only check) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # go through fetchdf() like the driver does: DuckDB HUGEINT
+            # (integer sum()) becomes pandas float64 there, so fetchall()
+            # would hide an int-vs-float hash mismatch the driver sees
+            odf = con.execute(oracles[name]).fetchdf()
+            ocols = list(odf.columns)
+            orows = [
+                tuple(None if (isinstance(v, float) and math.isnan(v)) or v is pd.NaT else v for v in r)
+                for r in odf.itertuples(index=False, name=None)
+            ]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")

@@ -666,6 +666,20 @@ def window_rank_family(spark, sf_dir):
     )
 
 
+def window_qualify(spark, sf_dir):
+    """QUALIFY (superset; Snowflake/DuckDB-style post-window filter)
+    through the dialect: latest order per customer via row_number,
+    alias-referenced in QUALIFY. Windows see the pre-filter frame."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT o_custkey AS ck, o_orderkey AS ok, o_totalprice AS total, "
+        "CAST(row_number() OVER w AS INT) AS rn "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) "
+        "QUALIFY rn <= 2"
+    )
+
+
 def histogram_value_buckets(spark, sf_dir):
     """Fixed-width histogram of order totals (floor bucketing)."""
     return (
@@ -812,7 +826,11 @@ def events_cohort_retention(spark, sf_dir):
         ev.join(F.broadcast(first_seen), "user_id")
         .select(
             "user_id",
-            "cohort_day",
+            # TIMESTAMP, not DATE, in the output: DuckDB DATE surfaces as
+            # a midnight pandas Timestamp under fetchdf while Spark DATE
+            # collects as datetime.date — timestamps render identically
+            # under both of the driver's possible fetch paths
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
             F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
         )
         .groupBy("cohort_day", "day_offset")
@@ -872,6 +890,7 @@ QUERIES = {
     "window_value_functions": window_value_functions,
     "events_funnel_conversion": events_funnel_conversion,
     "events_cohort_retention": events_cohort_retention,
+    "window_qualify": window_qualify,
 }
 
 ORACLES = {
@@ -955,7 +974,8 @@ ORACLES = {
     "events_cohort_retention": (
         "WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), "
         "f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1) "
-        "SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset, "
+        "SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, "
+        "CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset, "
         "count(DISTINCT user_id) AS n_active FROM d JOIN f USING (user_id) "
         "GROUP BY 1, 2"
     ),
@@ -1130,6 +1150,12 @@ ORACLES = {
     "histogram_value_buckets": (
         "SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket, "
         "count(*) AS n FROM orders GROUP BY 1"
+    ),
+    "window_qualify": (
+        "SELECT o_custkey AS ck, o_orderkey AS ok, o_totalprice AS total, "
+        "CAST(row_number() OVER w AS INT) AS rn FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) "
+        "QUALIFY rn <= 2"
     ),
     "setop_except_all": (
         "SELECT q, count(*) AS n FROM ("

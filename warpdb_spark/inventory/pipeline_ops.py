@@ -1095,7 +1095,9 @@ ORACLES = {
         f"WITH d AS ({_PACK_INPUT_SQL}), "
         "c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM d) "
-        "SELECT doc_id, grp, n_tokens, start_tok, "
+        # CAST: DuckDB's integer window SUM is HUGEINT → float64 in
+        # pandas; Spark's is bigint
+        "SELECT doc_id, grp, n_tokens, CAST(start_tok AS BIGINT) AS start_tok, "
         "CAST(floor(start_tok / 512.0) AS INT) AS first_block, "
         "CAST(floor((start_tok + greatest(n_tokens - 1, 0)) / 512.0) AS INT) AS last_block, "
         "CAST(floor((start_tok + greatest(n_tokens - 1, 0)) / 512.0) "

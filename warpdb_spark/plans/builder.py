@@ -463,9 +463,11 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
     for item, _ in q.select_items:
         aggs += _collect_aggs(item)
     aggs += _collect_aggs(q.having)
+    aggs += _collect_aggs(q.qualify)
     for e, _ in q.order_by:
         aggs += _collect_aggs(e)
     grouped_mode = bool(q.group_by) or bool(aggs)
+    alias_names = {alias for _, alias in q.select_items if alias}
 
     env: dict[str, Column] = {}
     if grouped_mode:
@@ -500,6 +502,10 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             df = df.filter(Compiler(registry, env).compile(q.having))
         for e, _ in q.order_by:
             _check_grouped(e, env_texts, "ORDER BY")
+        if q.qualify is not None:
+            # select-list aliases are legal in QUALIFY (output-context
+            # clause, same precedence as ORDER BY)
+            _check_grouped(q.qualify, env_texts | alias_names, "QUALIFY")
     else:
         for item, _ in q.select_items:
             validate(item, scope, "SELECT")
@@ -507,6 +513,8 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             raise ValidationError("HAVING requires GROUP BY or an aggregate")
         for e, _ in q.order_by:
             validate(e, scope, "ORDER BY")
+        if q.qualify is not None:
+            validate(q.qualify, scope, "QUALIFY", extra_ok=alias_names)
 
     # scalar subqueries in SELECT / ORDER BY bind as one-row broadcast
     # cross-joins (post-aggregation in grouped mode — the grouped frame
@@ -517,6 +525,42 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         df = _bind_scalar_subqueries(df, tables, e, env, registry)
 
     comp = Compiler(registry, env)
+
+    if q.qualify is not None:
+        # QUALIFY (superset; Snowflake/DuckDB semantics): window
+        # functions — in the SELECT list and in QUALIFY itself — see the
+        # PRE-filter frame, so materialize every distinct window
+        # expression once, filter on the compiled predicate, and let the
+        # projection reuse the materialized columns. Spark rejects raw
+        # window functions inside filter(), which is why they go through
+        # temp columns.
+        df = _bind_scalar_subqueries(df, tables, q.qualify, env, registry)
+        wfuncs: dict[str, A.WindowFunc] = {}
+        for node in [i for i, _ in q.select_items] + [q.qualify] + [e for e, _ in q.order_by]:
+            for s in node.walk():
+                if isinstance(s, A.WindowFunc):
+                    wfuncs.setdefault(s.text(), s)
+        # window specs may reference select aliases (rank() OVER (ORDER BY
+        # total)): window-free aliases go into the env first, then the
+        # window columns, then window-carrying aliases — two passes.
+        comp = Compiler(registry, dict(env))
+        # mutate the compiler's own env: later additions (aliases, window
+        # columns) must be visible to every compile below, and Compiler
+        # swaps in a fresh dict when handed an empty one
+        qenv = comp.env
+        for item, alias in q.select_items:
+            if alias and not any(isinstance(s, A.WindowFunc) for s in item.walk()):
+                qenv.setdefault(alias, comp.compile(item))
+        wnames = {t: f"__w{i}" for i, t in enumerate(wfuncs)}
+        if wfuncs:
+            df = df.select("*", *[comp.compile(w).alias(wnames[t]) for t, w in wfuncs.items()])
+        qenv.update({t: F.col(c) for t, c in wnames.items()})
+        # alias-first resolution for bare alias references (QUALIFY rn = 1)
+        for item, alias in q.select_items:
+            if alias:
+                qenv.setdefault(alias, comp.compile(item))
+        df = df.filter(comp.compile(q.qualify).cast("boolean"))
+
     used: set[str] = set()
     names: list[str] = []
     proj: list[Column] = []
