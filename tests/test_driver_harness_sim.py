@@ -1,11 +1,16 @@
 """Driver-harness simulation: the driver runs ``__spark_entry__`` under
 ITS OWN SparkSession, not ours — entries must not depend on
 ``warpdb_spark.session.get_spark`` defaults (static confs like Kryo/AQE
-can't be assumed; runtime-settable ones such as the events table's
-nanosAsLong + UTC pinning must be applied by the entries themselves).
+can't be assumed; runtime-settable ones such as the events table's UTC
+pinning must be applied by the entries themselves).
 
 Runs in a subprocess because a same-JVM getOrCreate would silently
 reuse our configured session.
+
+Also asserts the /root/testdata schemas the entries assume — if the
+driver regenerates the parquet with a different event-time encoding
+(it switched ns-longs → timestamp[us] between rounds 1 and 2), this
+fails loudly at round start instead of inside the driver's run.
 """
 
 import os
@@ -13,6 +18,42 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_testdata_schema_assumptions():
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        ev = pq.read_schema(f"{d}/events.parquet")
+        ts = ev.field("ts").type
+        # every encoding ns_to_timestamp adapts to; anything else is a
+        # NEW drift that needs a reader branch
+        assert str(ts) in ("int64", "timestamp[ns]", "timestamp[us]", "timestamp[ms]", "timestamp[s]",
+                           "timestamp[us, tz=UTC]", "timestamp[ns, tz=UTC]"), (sf, ts)
+        emb = pq.read_schema(f"{d}/embeddings.parquet")
+        assert "list" in str(emb.field("embedding").type), (sf, emb)
+
+
+# Entries whose Spark side touches the events table (event-time ops):
+# ALL of them run under the plain session — this exact set regressed in
+# round 2 when the testdata's ts encoding changed.
+_EVENTS_ENTRIES = [
+    "reshape_pivot",
+    "json_extract_props",
+    "asof_join_clicks_purchases",
+    "range_join_value_bands",
+    "stream_interval_join_attribution",
+    "stream_tumbling_hourly",
+    "stream_sliding_2h",
+    "stream_session_windows",
+    "window_lag_lead",
+    "window_frame_moving_avg",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+]
 
 _SCRIPT = """
 import sys
@@ -27,19 +68,29 @@ sf = "/root/testdata/sf0.001"
 assert entry.entry(spark).count() >= 0
 
 qs = entry.queries()
-# representative subset: events (ns-timestamps), dialect, join-heavy,
-# window, text/dedup pipeline, subquery machinery
-subset = [
-    "stream_tumbling_hourly",
-    "stream_interval_join_attribution",
+
+# EVERY events-touching entry, discovered dynamically: any query whose
+# source reads the events table must work in a plain default session.
+import inspect
+events_entries = sorted(
+    name for name, fn in qs.items()
+    if '"events"' in inspect.getsource(fn) or "'events'" in inspect.getsource(fn)
+)
+expected = set({_EVENTS_ENTRIES!r})
+missing = expected - set(events_entries)
+assert not missing, f"events entries vanished from queries(): {{missing}}"
+
+# representative non-events subset: dialect, join-heavy, window,
+# text/dedup pipeline, subquery machinery
+subset = events_entries + [
     "dialect_cte_scalar_in",
     "dialect_derived_table_q18",
     "tpch_q5_local_supplier_volume",
     "window_rank_family",
+    "window_qualify",
     "text_token_stats",
     "dedup_exact_text",
     "sample_hash_bucket",
-    # entries changed in r2 (new oracles / output shapes)
     "text_winnow_fingerprint",
     "dedup_simhash_candidates",
     "dedup_embedding_lsh",
@@ -59,12 +110,12 @@ print("PLAIN_SESSION_OK", len(subset))
 def test_entries_run_under_plain_session():
     env = dict(os.environ, PYTHONPATH=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", _SCRIPT],
+        [sys.executable, "-c", _SCRIPT.format(_EVENTS_ENTRIES=_EVENTS_ENTRIES)],
         cwd=REPO,
         env=env,
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=900,
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "PLAIN_SESSION_OK" in out.stdout

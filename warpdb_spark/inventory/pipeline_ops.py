@@ -218,19 +218,22 @@ def similarity_topk_bruteforce(spark, sf_dir):
 
 
 def similarity_ann_lsh(spark, sf_dir):
-    """Approximate top-k — deliberately rows-only: which neighbors an
-    LSH probe finds is engine-specific, and this corpus's random
-    embeddings are too weakly separated (top-5 cosines ≈0.4) for a
-    recall-threshold oracle to be meaningful. Recall vs the exact path
-    is pytest-asserted (tests/test_operators.py::TestSimilarity)."""
+    """Approximate top-k via random-hyperplane LSH + Hamming-1
+    multiprobe. The hyperplanes are md5-derived (engine-portable
+    deterministic — similarity._planes), so the DuckDB oracle replays
+    the bucket assignment, probing, and ranking EXACTLY; recall vs the
+    exact path is additionally pytest-asserted
+    (tests/test_operators.py::TestSimilarity)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ann_lsh_topk(emb, queries, k=5, num_planes=8)
 
 
 def similarity_ivf(spark, sf_dir):
-    """Approximate top-k — rows-only for the same reason as
-    similarity_ann_lsh; recall vs exact is pytest-asserted."""
+    """Approximate top-k via IVF lists. Centroid sampling is md5-ordered
+    (the clustering.py init pattern) and list assignment uses
+    6dp-rounded cosine with lowest-list tie-break, so the DuckDB oracle
+    replays assignment, probing, and ranking exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ivf_topk(emb, queries, k=5, num_lists=16, nprobe=4)
@@ -1018,6 +1021,57 @@ ORACLES = {
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45"
+    ),
+    # Full LSH replay: md5-derived planes (exact — integer parse of the
+    # first 8 md5 hex chars / 2^31 - 1 is IEEE-exact in both engines),
+    # sign signature, Hamming-1 multiprobe, exact cosine rank within
+    # candidates. Mirrors operators/similarity.py::ann_lsh_topk
+    # (k=5, num_planes=8, seed=42, queries vec_id<20).
+    "similarity_ann_lsh": (
+        "WITH planes AS (SELECT p, list_transform(range(0, 64), d -> "
+        "CAST(CAST(concat('0x', substr(md5(concat('42_', p, '_', d)), 1, 8)) AS BIGINT) AS DOUBLE) "
+        "/ 2147483648.0 - 1.0) AS pv FROM range(0, 8) t(p)), "
+        "sigs AS (SELECT vec_id, embedding, "
+        "string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig FROM ("
+        "SELECT e.vec_id, e.embedding, pl.p, "
+        "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * pl.pv[i])) AS dot "
+        "FROM embeddings e CROSS JOIN planes pl) GROUP BY vec_id, embedding), "
+        "qprobes AS (SELECT vec_id AS query_id, embedding AS qv, "
+        "unnest(list_prepend(sig, list_transform(range(0, 8), i -> concat("
+        "substr(sig, 1, CAST(i AS INT)), "
+        "CASE WHEN substr(sig, CAST(i + 1 AS INT), 1) = '1' THEN '0' ELSE '1' END, "
+        "substr(sig, CAST(i + 2 AS INT), CAST(7 - i AS INT)))))) AS bucket "
+        "FROM sigs WHERE vec_id < 20), "
+        "cand AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+        "max(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6)) AS cosine "
+        "FROM qprobes q JOIN sigs c ON c.sig = q.bucket WHERE c.vec_id <> q.query_id "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM cand) "
+        "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
+    ),
+    # Full IVF replay: md5-ordered centroid sample, assignment/probing by
+    # 6dp-rounded cosine with lowest-list tie-break, exact cosine rank in
+    # the probed lists. Mirrors operators/similarity.py::ivf_topk
+    # (k=5, num_lists=16, nprobe=4, queries vec_id<20).
+    "similarity_ivf": (
+        "WITH init AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 "
+        "AS list_id, embedding AS ce FROM embeddings "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), "
+        "scored AS (SELECT e.vec_id, e.embedding, i.list_id, "
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.ce AS DOUBLE[])), 6) DESC, "
+        "i.list_id) AS rn FROM embeddings e CROSS JOIN init i), "
+        "asg AS (SELECT vec_id, embedding, list_id FROM scored WHERE rn = 1), "
+        "qpr AS (SELECT vec_id AS query_id, embedding AS qv, list_id FROM scored "
+        "WHERE rn <= 4 AND vec_id < 20), "
+        "cand AS (SELECT q.query_id, a.vec_id AS neighbor_id, "
+        "max(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6)) AS cosine "
+        "FROM qpr q JOIN asg a USING (list_id) WHERE a.vec_id <> q.query_id "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM cand) "
+        "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
     ),
     "similarity_topk_bruteforce": (
         "WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "

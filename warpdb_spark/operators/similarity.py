@@ -182,8 +182,24 @@ def cosine_topk_np(
 
 
 def _planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((num_planes, dim)).tolist()
+    """Engine-portable deterministic hyperplanes: component (p, d) is
+    derived from ``md5("{seed}_{p}_{d}")`` — the first 8 hex chars as an
+    integer, scaled into [-1, 1). Both the integer parse and the
+    divide-by-2^31 are exact in IEEE doubles, so ANY engine with md5
+    (DuckDB included) reproduces the planes bit-for-bit — which makes
+    LSH bucket assignment oracle-replayable (uniform components give the
+    same sign-hash behavior as Gaussian ones for LSH purposes)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}_{p}_{d}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
 
 
 def ann_lsh_topk(
@@ -268,11 +284,14 @@ def ivf_topk(
     import pyarrow as pa
     from pyspark.sql import types as ST
 
+    # md5-ordered deterministic sample (the engine-portable pattern from
+    # operators/clustering.py::init_centroids): any engine with md5
+    # picks the same rows, so list assignment is oracle-replayable
     cmat = np.array(
         [
             list(row[0])
             for row in corpus.select(vec_col)
-            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
             .limit(num_lists)
             .collect()
         ],
@@ -295,7 +314,11 @@ def ivf_topk(
                     continue
                 m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
                 m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-300, None)
-                sims = m @ cm.T  # (rows, num_lists)
+                # round to the output precision BEFORE the argsort so the
+                # nearest-list choice is engine-reproducible (a replaying
+                # oracle computes cosine in a different summation order;
+                # 6dp absorbs that noise)
+                sims = np.round(m @ cm.T, 6)  # (rows, num_lists)
                 # stable argsort on -sims → ties resolve to lowest list id
                 nearest = np.argsort(-sims, axis=1, kind="stable")[:, :n_lists_out]
                 reps = nearest.shape[1]
