@@ -293,15 +293,19 @@ def embedding_kmeans_assign(spark, sf_dir):
 
 
 def embedding_kmeans_clusters(spark, sf_dir):
-    """Full Lloyd k-means (k=8, ≤10 iterations) cluster profile:
-    per-cluster size + mean dist2. Iterative → no SQL oracle (driver
-    records rows-only); convergence, determinism, and exact-recovery
-    on separable synthetic blobs are pytest-asserted
-    (tests/test_clustering.py)."""
+    """Lloyd k-means cluster profile (k=8, FIXED 2 iterations, tol=0):
+    per-cluster size + mean dist2. The fixed iteration count + md5
+    init + round-6 assignment make the whole loop engine-replayable,
+    so the DuckDB oracle runs the identical two Lloyd steps (init →
+    assign → mean-update → assign → mean-update → final assign) and
+    hash-matches. The open-ended convergence loop (max_iter=10,
+    tol-based early stop) is pytest-asserted instead
+    (tests/test_clustering.py) — an early-stop condition on float
+    movement is not portably replayable."""
     from warpdb_spark.operators import clustering as K
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, _cents, _n = K.lloyd(emb, k=8, max_iter=10)
+    assigned, _cents, _n = K.lloyd(emb, k=8, max_iter=2, tol=0.0)
     return assigned.groupBy(F.col("cluster").alias("centroid_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("dist2"), 4).alias("mean_dist2"),
@@ -924,7 +928,50 @@ cc(node, comp) AS (
 SELECT node AS doc_id, min(comp) AS component FROM cc GROUP BY node ORDER BY doc_id
 """
 
+def _km_assign(cent: str) -> str:
+    """One Lloyd assignment vs centroid table ``cent``(centroid_id, ce):
+    round-6 squared-L2 argmin, ties to the lowest centroid id —
+    replays operators/clustering.py::assign_step."""
+    return (
+        "SELECT vec_id, centroid_id, dist2 FROM ("
+        "SELECT vec_id, centroid_id, dist2, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn FROM ("
+        "SELECT e.vec_id, c.centroid_id, "
+        "round(list_sum([(CAST(e.embedding[j] AS DOUBLE) - c.ce[j]) * "
+        "(CAST(e.embedding[j] AS DOUBLE) - c.ce[j]) "
+        "for j in generate_series(1, len(e.embedding))]), 6) AS dist2 "
+        f"FROM embeddings e CROSS JOIN {cent} c)) WHERE rn = 1"
+    )
+
+
+def _km_update(asg: str, prev: str) -> str:
+    """Centroid re-estimation: element-wise mean of assigned vectors;
+    empty clusters keep their previous centroid (clustering.py::lloyd)."""
+    return (
+        f"SELECT p.centroid_id, COALESCE(m.me, p.ce) AS ce FROM {prev} p "
+        "LEFT JOIN (SELECT centroid_id, list(mval ORDER BY i) AS me FROM ("
+        "SELECT a.centroid_id, g.i, avg(CAST(e.embedding[g.i] AS DOUBLE)) AS mval "
+        f"FROM {asg} a JOIN embeddings e USING (vec_id) "
+        "CROSS JOIN generate_series(1, 64) g(i) GROUP BY 1, 2) GROUP BY 1) m "
+        "ON p.centroid_id = m.centroid_id"
+    )
+
+
+# Two full Lloyd iterations + final assignment — the exact fixed-count
+# loop embedding_kmeans_clusters runs (k=8, max_iter=2, tol=0).
+_KMEANS_CLUSTERS_SQL = (
+    "WITH c0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce "
+    "FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8), "
+    f"a1 AS ({_km_assign('c0')}), c1 AS ({_km_update('a1', 'c0')}), "
+    f"a2 AS ({_km_assign('c1')}), c2 AS ({_km_update('a2', 'c1')}), "
+    f"a3 AS ({_km_assign('c2')}) "
+    "SELECT centroid_id, count(*) AS n_vecs, round(avg(dist2), 4) AS mean_dist2 "
+    "FROM a3 GROUP BY 1"
+)
+
+
 ORACLES = {
+    "embedding_kmeans_clusters": _KMEANS_CLUSTERS_SQL,
     "text_token_stats": (
         f"SELECT doc_id, len({_toks}) AS n_tokens, "
         f"CAST(list_sum(list_transform({_toks}, t -> 1 + CAST(floor(greatest(length(t) - 1, 0) / 4) AS INT))) AS INT) AS n_bpe_tokens, "
