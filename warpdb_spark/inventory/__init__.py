@@ -6,13 +6,16 @@ DataFrame]]`` and ``ORACLES: dict[str, str]`` (ANSI SQL for DuckDB).
 states the SURVEY §2 operator family the entry covers.
 
 Entry ORDER matters: the driver's per-round correctness gate verifies a
-bounded window from the front of the ``queries()`` dict (r1 checked
-exactly the first 50 entries). ``DRIVER_PRIORITY`` therefore lists the
-entries that most need fresh driver verification this round — the 45
-entries outside r1's window (all pipeline ops + TPC-H q9/q11–q22) plus
-the two entries fixed after r1 (``expr_math_functions``,
-``agg_approx_count_distinct``). Entries already driver-green in r1 come
-after; they remain guarded by the local oracle gate and pytest.
+bounded window from the front of the ``queries()`` dict (~50 entries per
+round). ``DRIVER_PRIORITY`` lists the entries that most need fresh
+driver verification THIS round, rotated each round so every entry gets a
+driver-green row. Round-3 rotation: (a) the 12 events entries recovered
+by the schema-adaptive ts fix, (b) ``tpch_q12`` after its oracle BIGINT
+cast, (c) the 17 entries added in r2 that have never been in a window,
+(d) entries whose oracles were upgraded this round (ANN replay oracles,
+fixed-iteration kmeans profile, QUALIFY), then (e) a cross-family sample
+of prior greens to re-confirm. Everything else follows in module order,
+still guarded by the local oracle gate (tools/check_oracle.py) + pytest.
 """
 
 from __future__ import annotations
@@ -22,34 +25,9 @@ from __future__ import annotations
 # listed follows in module order. A name that no longer exists is an
 # error — the list must track the inventory.
 DRIVER_PRIORITY: list[str] = [
-    # pipeline ops — never driver-verified in r1
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_md5_fingerprint",
-    "text_winnow_fingerprint",
-    "text_tfidf_top_terms",
-    "dedup_exact",
-    "dedup_exact_text",
-    "dedup_minhash_lsh",
-    "dedup_minhash_survivors",
-    "sample_hash_bucket",
-    "dedup_cluster_components",
-    "dedup_simhash_candidates",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "similarity_topk_bruteforce",
-    "similarity_ann_lsh",
-    "similarity_ivf",
-    "multimodal_blob_meta",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "agg_statistical",
-    "agg_percentiles",
-    "expr_array_functions",
-    "expr_regexp_extract",
+    # (a) events entries — all broke when the testdata's ts encoding
+    # changed (r2 driver err rows); fixed by the schema-adaptive reader
     "reshape_pivot",
-    "reshape_explode_tokens",
     "json_extract_props",
     "asof_join_clicks_purchases",
     "range_join_value_bands",
@@ -57,28 +35,56 @@ DRIVER_PRIORITY: list[str] = [
     "stream_tumbling_hourly",
     "stream_sliding_2h",
     "stream_session_windows",
-    # TPC-H entries outside r1's window
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
+    "window_lag_lead",
+    "window_frame_moving_avg",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    # (b) r2 hash-fail, oracle CAST fixed
     "tpch_q12_priority_lines",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counting",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotion_suppliers",
+    # (c) r2 additions never in any driver window
+    "agg_grouping_sets",
+    "window_value_functions",
+    "pack_sequences_chunked",
+    "sample_stratified",
+    "decontam_eval_overlap",
+    "text_repetition_stats",
+    "text_vocab_oov",
+    "text_gopher_rules",
+    "text_unigram_logprob",
+    "embedding_quantize_int8",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_clusters",
+    "reshape_chunk_documents",
+    "join_salted_skew",
+    "pipeline_corpus_curation",
+    # (d) upgraded this round: ANN full-replay oracles (were no_oracle),
+    # QUALIFY (new operator)
+    "similarity_ann_lsh",
+    "similarity_ivf",
+    "window_qualify",
+    # (e) re-confirm a cross-family sample of prior driver-greens
+    "flagship_filter_project",
+    "dialect_expression_projection",
+    "dialect_predicates",
+    "dialect_groupby_having",
+    "dialect_cte_scalar_in",
+    "dialect_derived_table_q18",
+    "join_inner_rowlevel",
+    "join_full_outer",
+    "window_running_sum",
+    "window_range_frame",
+    "window_rank_family",
+    "sort_topk",
+    "setop_except_all",
+    "udaf_group_median",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
     "tpch_q21_single_return_supplier",
-    "tpch_q22_dormant_customers",
-    # fixed after r1 (hash fail / no_oracle) — need fresh driver rows
-    "expr_math_functions",
-    "agg_approx_count_distinct",
-    # new in r2 — pii_scrub (regex-dialect risk) and the greedy packer
-    # (applyInPandas vs recursive-CTE risk) take the window's last two
-    # slots; the other new curation entries are guarded by the local
-    # oracle until r3 rotation.
-    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_token_stats",
     "pii_scrub",
-    "pack_sequences_greedy",
+    "multimodal_features",
 ]
 
 
