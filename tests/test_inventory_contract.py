@@ -13,10 +13,25 @@ def test_driver_priority_entries_come_first():
     q, o = inventory.load_all()
     names = list(q)
     assert names[: len(inventory.DRIVER_PRIORITY)] == inventory.DRIVER_PRIORITY
-    # the two entries fixed after r1 must sit inside the driver's window
+    # r3 rotation: everything that broke or was never checked must sit
+    # inside the driver's ~50-entry window — the recovered events
+    # entries, the re-cast q12, the r2 additions, and the entries whose
+    # oracles were upgraded this round
     window = names[:50]
-    assert "expr_math_functions" in window
-    assert "agg_approx_count_distinct" in window
+    for must in (
+        "reshape_pivot",
+        "stream_session_windows",
+        "window_lag_lead",
+        "events_cohort_retention",
+        "tpch_q12_priority_lines",
+        "agg_grouping_sets",
+        "embedding_kmeans_clusters",
+        "pipeline_corpus_curation",
+        "similarity_ann_lsh",
+        "similarity_ivf",
+        "window_qualify",
+    ):
+        assert must in window, must
     # every priority name has a callable; oracle coverage stays declared
     assert all(callable(q[n]) for n in names)
     assert set(o) <= set(q)

@@ -57,11 +57,13 @@ DRIVER_PRIORITY: list[str] = [
     "reshape_chunk_documents",
     "join_salted_skew",
     "pipeline_corpus_curation",
-    # (d) upgraded this round: ANN full-replay oracles (were no_oracle),
-    # QUALIFY (new operator)
+    # (d) upgraded or added this round: ANN full-replay oracles (were
+    # no_oracle), QUALIFY, forward as-of, approx-percentile
     "similarity_ann_lsh",
     "similarity_ivf",
     "window_qualify",
+    "asof_join_next_purchase",
+    "agg_approx_percentile",
     # (e) re-confirm a cross-family sample of prior driver-greens
     "flagship_filter_project",
     "dialect_expression_projection",
@@ -83,8 +85,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "text_token_stats",
-    "pii_scrub",
-    "multimodal_features",
 ]
 
 

@@ -519,6 +519,31 @@ def agg_approx_count_distinct(spark, sf_dir):
     )
 
 
+def agg_approx_percentile(spark, sf_dir):
+    """Greenwald-Khanna approximate percentiles (approx_percentile with
+    accuracy=10000): sketch output is engine-specific, so — the
+    agg_approx_count_distinct pattern — the entry emits the EXACT
+    per-group p50/p90 and booleans asserting the sketch landed within
+    1% relative error; the oracle returns the exact values and TRUE."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_p50_exact"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("_p90_exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_p50_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("_p90_approx"),
+    )
+    tol = 0.01
+    return agg.select(
+        "flag",
+        F.round("_p50_exact", 4).alias("p50"),
+        F.round("_p90_exact", 4).alias("p90"),
+        (F.abs(F.col("_p50_approx") - F.col("_p50_exact"))
+         <= tol * F.abs(F.col("_p50_exact"))).alias("p50_within_tol"),
+        (F.abs(F.col("_p90_approx") - F.col("_p90_exact"))
+         <= tol * F.abs(F.col("_p90_exact"))).alias("p90_within_tol"),
+    )
+
+
 def udaf_group_median(spark, sf_dir):
     """Custom UDAF via applyInPandas: per-group numpy median — the
     grouped-map pattern for aggregations Spark lacks natively. Arrow
@@ -891,6 +916,7 @@ QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_cohort_retention": events_cohort_retention,
     "window_qualify": window_qualify,
+    "agg_approx_percentile": agg_approx_percentile,
 }
 
 ORACLES = {
@@ -1156,6 +1182,13 @@ ORACLES = {
         "CAST(row_number() OVER w AS INT) AS rn FROM orders "
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) "
         "QUALIFY rn <= 2"
+    ),
+    "agg_approx_percentile": (
+        "SELECT l_returnflag AS flag, "
+        "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+        "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, "
+        "TRUE AS p50_within_tol, TRUE AS p90_within_tol "
+        "FROM lineitem GROUP BY l_returnflag"
     ),
     "setop_except_all": (
         "SELECT q, count(*) AS n FROM ("

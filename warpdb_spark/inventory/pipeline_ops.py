@@ -685,6 +685,34 @@ def asof_join_clicks_purchases(spark, sf_dir):
     )
 
 
+def asof_join_next_purchase(spark, sf_dir):
+    """Forward as-of: for each click, the user's NEXT purchase at-or-after
+    the click (ts + value) — exercises the operator's forward direction;
+    oracle is DuckDB's native ASOF with a <= condition. Same
+    union-and-carry shape as backward: one shuffle on user_id."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["ts", "value"],
+        direction="forward",
+    )
+    return out.select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        F.col("ts_right").alias("next_purchase_ts"),
+        F.col("value_right").alias("next_purchase_value"),
+    )
+
+
 def range_join_value_bands(spark, sf_dir):
     """Banded range join: events.value into static value bands — the
     banding turns the interval predicate into a hash join."""
@@ -810,6 +838,7 @@ QUERIES = {
     "join_salted_skew": join_salted_skew,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "asof_join_clicks_purchases": asof_join_clicks_purchases,
+    "asof_join_next_purchase": asof_join_next_purchase,
     "range_join_value_bands": range_join_value_bands,
     "stream_interval_join_attribution": stream_interval_join_attribution,
     "stream_tumbling_hourly": stream_tumbling_hourly,
@@ -1333,6 +1362,13 @@ ORACLES = {
         "f AS (SELECT * FROM q WHERE quality >= 0.5 AND lang IN ('en', 'es')), "
         "s AS (SELECT *, min(doc_id) OVER (PARTITION BY nrm) AS keep FROM f) "
         "SELECT doc_id, lang, n_tokens, quality FROM s WHERE doc_id = keep"
+    ),
+    "asof_join_next_purchase": (
+        "SELECT c.event_id AS eid, c.user_id AS uid, p.ts AS next_purchase_ts, "
+        "p.value AS next_purchase_value "
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c "
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p "
+        "ON c.user_id = p.user_id AND c.ts <= p.ts"
     ),
     "asof_join_clicks_purchases": (
         "SELECT c.event_id AS eid, c.user_id AS uid, p.value AS last_purchase_value "
