@@ -206,6 +206,64 @@ class TestQualify:
             db.query_sql("SELECT o_orderkey AS ok FROM orders QUALIFY nope = 1")
 
 
+class TestEventTimeDialect:
+    """ANSI typed literals + datetime special forms (superset)."""
+
+    @pytest.fixture(scope="class")
+    def edb(self, spark, sf_dir):
+        return WarpDB(
+            f"{sf_dir}/events.parquet", spark=spark, table_name="events"
+        )
+
+    def test_timestamp_literal_filter(self, edb):
+        rows = edb.query_sql(
+            "SELECT event_id AS eid FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' ORDER BY eid LIMIT 3"
+        ).collect()
+        assert len(rows) == 3
+
+    def test_interval_arithmetic(self, edb):
+        a = edb.query_sql(
+            "SELECT COUNT(*) AS n FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1 hour'"
+        ).collect()[0]["n"]
+        b = edb.query_sql(
+            "SELECT COUNT(*) AS n FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01 01:00:00'"
+        ).collect()[0]["n"]
+        assert a == b > 0
+
+    def test_date_literal(self, edb):
+        rows = edb.query_sql(
+            "SELECT COUNT(*) AS n FROM events WHERE ts < DATE '2024-01-05'"
+        ).collect()
+        assert rows[0]["n"] > 0
+
+    def test_extract_and_date_trunc(self, edb):
+        rows = edb.query_sql(
+            "SELECT date_trunc('hour', ts) AS h, extract(hour FROM ts) AS hh "
+            "FROM events LIMIT 5"
+        ).collect()
+        for r in rows:
+            assert r["h"].minute == 0 and r["h"].second == 0
+            assert r["hh"] == r["h"].hour
+
+    def test_date_format_literal_fmt(self, edb):
+        rows = edb.query_sql(
+            "SELECT date_format(ts, 'yyyy-MM-dd') AS d FROM events LIMIT 1"
+        ).collect()
+        assert len(rows[0]["d"]) == 10
+
+    def test_malformed_interval_rejected(self, edb):
+        from warpdb_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="Malformed INTERVAL"):
+            edb.query_sql(
+                "SELECT COUNT(*) AS n FROM events "
+                "WHERE ts >= TIMESTAMP '2024-01-01' + INTERVAL '1 hour''; select 1'"
+            ).collect()
+
+
 class TestCast:
     def test_cast_types(self, db):
         rows = db.query_sql(

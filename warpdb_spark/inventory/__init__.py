@@ -64,6 +64,7 @@ DRIVER_PRIORITY: list[str] = [
     "window_qualify",
     "asof_join_next_purchase",
     "agg_approx_percentile",
+    "dialect_event_time",
     # (e) re-confirm a cross-family sample of prior driver-greens
     "flagship_filter_project",
     "dialect_expression_projection",

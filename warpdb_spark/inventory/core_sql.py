@@ -705,6 +705,22 @@ def window_qualify(spark, sf_dir):
     )
 
 
+def dialect_event_time(spark, sf_dir):
+    """Event-time SQL through the dialect (superset): ANSI typed
+    literals (TIMESTAMP/INTERVAL), timestamp arithmetic, date_trunc
+    bucketing, and EXTRACT — the surface a time-series user hits
+    first. Runs fully through tokenizer → parser → compiler."""
+    db = _db(spark, sf_dir, "events")
+    return db.query_sql(
+        "SELECT date_trunc('hour', ts) AS h, event_type AS et, "
+        "COUNT(*) AS n, round(SUM(value), 2) AS sum_value "
+        "FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '6 hours' "
+        "AND extract(hour FROM ts) >= 6 "
+        "GROUP BY h, et"
+    )
+
+
 def histogram_value_buckets(spark, sf_dir):
     """Fixed-width histogram of order totals (floor bucketing)."""
     return (
@@ -917,6 +933,7 @@ QUERIES = {
     "events_cohort_retention": events_cohort_retention,
     "window_qualify": window_qualify,
     "agg_approx_percentile": agg_approx_percentile,
+    "dialect_event_time": dialect_event_time,
 }
 
 ORACLES = {
@@ -1189,6 +1206,14 @@ ORACLES = {
         "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, "
         "TRUE AS p50_within_tol, TRUE AS p90_within_tol "
         "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "dialect_event_time": (
+        "SELECT date_trunc('hour', ts) AS h, event_type AS et, "
+        "count(*) AS n, round(sum(value), 2) AS sum_value "
+        "FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '6 hours' "
+        "AND extract(hour FROM ts) >= 6 "
+        "GROUP BY 1, 2"
     ),
     "setop_except_all": (
         "SELECT q, count(*) AS n FROM ("

@@ -83,6 +83,19 @@ class Bool(Node):
 
 
 @dataclass
+class TypedLit(Node):
+    """ANSI typed literal: ``TIMESTAMP '...'``, ``DATE '...'``,
+    ``INTERVAL '...'`` (superset — the reference grammar has untyped
+    literals only, src/expression.cpp)."""
+
+    kind: str  # "timestamp" | "date" | "interval"
+    value: str
+
+    def text(self) -> str:
+        return f"{self.kind.upper()} '{self.value}'"
+
+
+@dataclass
 class Null(Node):
     def text(self) -> str:
         return "NULL"

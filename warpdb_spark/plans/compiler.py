@@ -90,6 +90,20 @@ class Compiler:
     def _c_var(self, n: A.Var) -> Column:
         return F.col(n.name)
 
+    _INTERVAL_RE = __import__("re").compile(r"^[A-Za-z0-9 :.\-]+$")
+
+    def _c_typedlit(self, n: A.TypedLit) -> Column:
+        if n.kind == "timestamp":
+            return F.lit(n.value).cast("timestamp")
+        if n.kind == "date":
+            return F.lit(n.value).cast("date")
+        # interval: Spark has no interval lit(); go through a guarded
+        # expr() — the value came from a quoted token, so reject anything
+        # that could escape the literal
+        if not self._INTERVAL_RE.match(n.value):
+            raise ValidationError(f"Malformed INTERVAL literal: {n.value!r}")
+        return F.expr(f"INTERVAL '{n.value}'")
+
     def _c_star(self, n: A.Star) -> Column:
         return F.lit(1)
 
@@ -157,9 +171,17 @@ class Compiler:
     # -- calls ------------------------------------------------------------
     def _c_func(self, n: A.Func) -> Column:
         """Registry first (custom.cu analog, src/jit.cpp:65-81), then
-        pyspark.sql.functions builtins."""
-        args = [self.compile(a) for a in n.args]
+        pyspark.sql.functions builtins. A few datetime builtins take a
+        Python format/unit STRING (not a Column) in their signature —
+        pass string literals through raw for those."""
         lname = n.name.lower()
+        # date_trunc(unit, ts): unit string is the FIRST parameter
+        if lname == "date_trunc" and len(n.args) == 2 and isinstance(n.args[0], A.Str):
+            return F.date_trunc(n.args[0].value, self.compile(n.args[1]))
+        # trunc(date, fmt) / date_format(ts, fmt): string is SECOND
+        if lname in ("trunc", "date_format") and len(n.args) == 2 and isinstance(n.args[1], A.Str):
+            return getattr(F, lname)(self.compile(n.args[0]), n.args[1].value)
+        args = [self.compile(a) for a in n.args]
         if self.registry is not None and lname in self.registry:
             return self.registry.call(lname, *args)
         fname = _FUNC_ALIASES.get(lname, lname)

@@ -212,6 +212,10 @@ class _Parser:
             return self.parse_case()
         if tok.kind == IDENT:
             self.next()
+            # ANSI typed literals: TIMESTAMP '...' / DATE '...' /
+            # INTERVAL '...' (superset)
+            if tok.value.upper() in ("TIMESTAMP", "DATE", "INTERVAL") and self.peek().kind == STRING:
+                return A.TypedLit(tok.value.lower(), self.next().value)
             if self.peek().kind == OP and self.peek().value == "(":
                 return self.parse_call(tok.value)
             return A.Var(tok.value)
@@ -283,6 +287,16 @@ class _Parser:
             tname = self._parse_cast_type()
             self.expect_op(")")
             return A.Cast(operand, tname)
+        if upper == "EXTRACT":
+            # EXTRACT(field FROM expr) — ANSI special form (superset);
+            # lowers to date_part(field, expr)
+            field = self.next()
+            if field.kind != IDENT:
+                raise ParseError(f"Expected date field in EXTRACT, got {field.value!r}")
+            self.expect_kw("FROM")
+            operand = self.parse_expr()
+            self.expect_op(")")
+            return A.Func("date_part", [A.Str(field.value.upper()), operand])
         distinct = False
         args: list[A.Node] = []
         if self.accept_op("*"):
