@@ -48,6 +48,22 @@ class TestPushdown:
         # 11-column table, 1-column projection: the scan must read 1
         assert "ReadSchema: struct<l_orderkey:bigint>" in plan
 
+    def test_event_time_literal_pushes_through_ts_cast(self, spark, sf_dir):
+        """A TIMESTAMP-literal filter must reach the parquet scan even
+        though the reader casts the NTZ event-time column at load — at
+        100 TB this is the difference between pruning row groups and
+        scanning the full table. Column pruning must survive too."""
+        from warpdb_spark.inventory.core_sql import _db
+
+        db = _db(spark, sf_dir, "events")
+        df = db.query_sql(
+            "SELECT event_id AS eid FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'"
+        )
+        plan = _plan(df)
+        assert "PushedFilters" in plan and "GreaterThanOrEqual(ts," in plan
+        assert "ReadSchema: struct<event_id:bigint,ts:timestamp" in plan
+
     def test_topk_uses_take_ordered(self, spark, sf_dir):
         db = WarpDB(f"{sf_dir}/lineitem.parquet", spark=spark, table_name="lineitem")
         df = db.query_sql(
