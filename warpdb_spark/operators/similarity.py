@@ -181,6 +181,84 @@ def cosine_topk_np(
     )
 
 
+def _bucket_blas_topk(
+    c: DataFrame,
+    q: DataFrame,
+    k: int,
+    bucket_col: str,
+    id_type,
+) -> DataFrame:
+    """Per-bucket BLAS candidate scoring shared by the ANN paths.
+
+    ``c`` = (neighbor_id, __cv, bucket), ``q`` = (query_id, __qv,
+    bucket). Cogroups both sides on the bucket key and scores each
+    bucket with ONE float64 matmul, emitting each query's local
+    top-(k+1) under the exact final order (cosine rounded to 6dp DESC,
+    neighbor_id ASC) — so the global window rank sees a superset of the
+    true top-k and returns results identical to per-pair scoring.
+
+    Why: the HOF cosine expression evaluates per candidate pair
+    interpreted; at 200k vectors × 1k queries the per-pair path made
+    IVF *slower* than the BLAS brute force despite scanning 16× fewer
+    pairs (13.9s vs 1.4s, measured). Per-bucket matmul gives the ANN
+    paths the same arithmetic engine as the brute-force baseline, so
+    the candidate-pruning advantage actually shows up in wall time.
+    A (query, corpus) pair meets in at most ONE bucket (a corpus row
+    has exactly one bucket/list), so no cross-bucket dedup is needed.
+    """
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField("query_id", id_type),
+            ST.StructField("neighbor_id", id_type),
+            ST.StructField("cosine", ST.DoubleType()),
+        ]
+    )
+
+    def score(cdf: "pd.DataFrame", qdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = {"query_id": [], "neighbor_id": [], "cosine": []}
+        if len(cdf) and len(qdf):
+            ids = cdf["neighbor_id"].to_numpy()
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in cdf["__cv"]])
+            m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-300, None)
+            qids = qdf["query_id"].to_numpy()
+            qm = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["__qv"]])
+            qm = qm / np.clip(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300, None)
+            sims = np.round(m @ qm.T, 6)  # (corpus_in_bucket, queries_probing)
+            n = len(ids)
+            nk = min(k + 1, n)
+            for j in range(len(qids)):
+                col = sims[:, j]
+                if nk < n:
+                    cutoff = np.partition(col, n - nk)[n - nk]
+                    cand = np.flatnonzero(col >= cutoff)
+                else:
+                    cand = np.arange(n)
+                cand = sorted(cand, key=lambda i: (-col[i], ids[i]))[:nk]
+                for i in cand:
+                    if ids[i] != qids[j]:
+                        out["query_id"].append(qids[j])
+                        out["neighbor_id"].append(ids[i])
+                        out["cosine"].append(float(col[i]))
+        return pd.DataFrame(out)
+
+    scored = (
+        c.groupBy(bucket_col)
+        .cogroup(q.groupBy(bucket_col))
+        .applyInPandas(score, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     """Engine-portable deterministic hyperplanes: component (p, d) is
     derived from ``md5("{seed}_{p}_{d}")`` — the first 8 hex chars as an
@@ -242,22 +320,8 @@ def ann_lsh_topk(
         q = q.select("query_id", "__qv", F.explode(probes).alias("__bucket"))
     else:
         q = q.select("query_id", "__qv", F.col("__qsig").alias("__bucket"))
-    sim = F.round(V.cosine_similarity(F.col("__cv"), F.col("__qv")), 6)
-    scored = (
-        c.join(F.broadcast(q), "__bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.max("cosine").alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    id_type = corpus.schema[id_col].dataType
+    return _bucket_blas_topk(c, q, k, "__bucket", id_type)
 
 
 def ivf_topk(
@@ -355,19 +419,4 @@ def ivf_topk(
             ]
         ),
     ).withColumnRenamed("__vec", "__qv")
-    sim = F.round(V.cosine_similarity(F.col("__cv"), F.col("__qv")), 6)
-    scored = (
-        c.join(F.broadcast(q), "__list")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.max("cosine").alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _bucket_blas_topk(c, q, k, "__list", id_type)
