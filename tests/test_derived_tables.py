@@ -190,6 +190,21 @@ class TestQualify:
         assert len(rows) == 3
         assert rows[0]["total"] >= rows[1]["total"] >= rows[2]["total"]
 
+    def test_qualify_grouped_direct_agg_in_spec(self, db):
+        a = db.query_sql(
+            "SELECT o_custkey AS ck, sum(o_totalprice) AS total "
+            "FROM orders GROUP BY o_custkey "
+            "QUALIFY rank() OVER (ORDER BY sum(o_totalprice) DESC) <= 3 "
+            "ORDER BY total DESC"
+        ).collect()
+        b = db.query_sql(
+            "SELECT o_custkey AS ck, sum(o_totalprice) AS total "
+            "FROM orders GROUP BY o_custkey "
+            "QUALIFY rank() OVER (ORDER BY total DESC) <= 3 "
+            "ORDER BY total DESC"
+        ).collect()
+        assert a == b and len(a) == 3
+
     def test_qualify_named_window(self, db):
         rows = db.query_sql(
             "SELECT o_custkey AS ck, o_orderkey AS ok, "
