@@ -57,35 +57,35 @@ DRIVER_PRIORITY: list[str] = [
     "reshape_chunk_documents",
     "join_salted_skew",
     "pipeline_corpus_curation",
+    # (c2) TPC-H q2/q7/q8 — added mid-r2 AFTER the r1 window closed and
+    # absent from the r2 window: never driver-checked either
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     # (d) upgraded or added this round: ANN full-replay oracles (were
-    # no_oracle), QUALIFY, forward as-of, approx-percentile
+    # no_oracle), QUALIFY, forward as-of, approx-percentile, event-time
+    # dialect
     "similarity_ann_lsh",
     "similarity_ivf",
     "window_qualify",
     "asof_join_next_purchase",
     "agg_approx_percentile",
     "dialect_event_time",
-    # (e) re-confirm a cross-family sample of prior driver-greens
+    # (e) re-confirm a cross-family sample of prior driver-greens with
+    # the remaining window slots
     "flagship_filter_project",
     "dialect_expression_projection",
     "dialect_predicates",
-    "dialect_groupby_having",
     "dialect_cte_scalar_in",
-    "dialect_derived_table_q18",
     "join_inner_rowlevel",
-    "join_full_outer",
     "window_running_sum",
-    "window_range_frame",
     "window_rank_family",
     "sort_topk",
     "setop_except_all",
     "udaf_group_median",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q21_single_return_supplier",
     "dedup_minhash_lsh",
-    "similarity_topk_bruteforce",
-    "text_token_stats",
 ]
 
 
