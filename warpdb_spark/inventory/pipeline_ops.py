@@ -93,6 +93,29 @@ def text_tfidf_top_terms(spark, sf_dir):
     return top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def corpus_stats_by_stratum(spark, sf_dir):
+    """Corpus accounting per (lang, source) stratum — the report every
+    training-data run starts and ends with: doc/token/char totals, mean
+    quality, and the exact token-count median. One partial-aggregated
+    shuffle on the (tiny) stratum key; every metric is a JVM built-in.
+    At 100 TB this is the same single pass it is here."""
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "lang",
+        "source",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    return enriched.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+    )
+
+
 # --- dedup -------------------------------------------------------------------
 
 def dedup_exact(spark, sf_dir):
@@ -799,6 +822,7 @@ QUERIES = {
     "text_md5_fingerprint": text_md5_fingerprint,
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "corpus_stats_by_stratum": corpus_stats_by_stratum,
     "dedup_exact": dedup_exact,
     "dedup_exact_text": dedup_exact_text,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1001,6 +1025,16 @@ _KMEANS_CLUSTERS_SQL = (
 
 ORACLES = {
     "embedding_kmeans_clusters": _KMEANS_CLUSTERS_SQL,
+    "corpus_stats_by_stratum": (
+        f"WITH d AS (SELECT lang, source, text, {_toks} AS toks, "
+        f"{_QUALITY_EXPR} AS q FROM documents) "
+        "SELECT lang, source, count(*) AS n_docs, "
+        "CAST(sum(len(toks)) AS BIGINT) AS total_tokens, "
+        "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+        "round(avg(q), 6) AS mean_quality, "
+        "quantile_cont(len(toks), 0.5) AS p50_tokens "
+        "FROM d GROUP BY 1, 2"
+    ),
     "text_token_stats": (
         f"SELECT doc_id, len({_toks}) AS n_tokens, "
         f"CAST(list_sum(list_transform({_toks}, t -> 1 + CAST(floor(greatest(length(t) - 1, 0) / 4) AS INT))) AS INT) AS n_bpe_tokens, "
