@@ -650,6 +650,41 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
     )
 
 
+def dialect_tpch_q1(spark, sf_dir):
+    """Q1 run ENTIRELY through the WarpDB dialect front-end (tokenizer →
+    parser → compiler → builder) — typed TIMESTAMP literal, arithmetic
+    expressions inside aggregates, multi-key GROUP BY, ORDER BY. Same
+    plan shape as the DataFrame-API version (map-side partials)."""
+    db = _db(spark, sf_dir, "lineitem")
+    return db.query_sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "round(SUM(l_quantity), 2) AS sum_qty, "
+        "round(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "round(AVG(l_quantity), 6) AS avg_qty, "
+        "round(AVG(l_extendedprice), 6) AS avg_price, "
+        "round(AVG(l_discount), 6) AS avg_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    )
+
+
+def dialect_tpch_q6(spark, sf_dir):
+    """Q6 through the dialect: typed literals + BETWEEN + global
+    aggregate over an expression. Filters still reach PushedFilters."""
+    db = _db(spark, sf_dir, "lineitem")
+    return db.query_sql(
+        "SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    )
+
+
 def tpch_q18_large_volume_customer(spark, sf_dir):
     lineitem = _t(spark, sf_dir, "lineitem")
     big_orders = (
@@ -919,6 +954,8 @@ QUERIES = {
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "dialect_tpch_q1": dialect_tpch_q1,
+    "dialect_tpch_q6": dialect_tpch_q6,
     "tpch_q18_large_volume_customer": tpch_q18_large_volume_customer,
     "window_range_frame": window_range_frame,
     "window_rank_family": window_rank_family,
@@ -1174,6 +1211,23 @@ ORACLES = {
         "WHERE r_name = 'ASIA' GROUP BY n_name"
     ),
     "tpch_q6_forecast_revenue": (
+        "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    # dialect variants run the same queries through the front-end; the
+    # ground truth is identical
+    "dialect_tpch_q1": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "round(avg(l_quantity), 6) AS avg_qty, round(avg(l_extendedprice), 6) AS avg_price, "
+        "round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+    "dialect_tpch_q6": (
         "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
