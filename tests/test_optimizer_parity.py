@@ -64,6 +64,26 @@ class TestPushdown:
         assert "PushedFilters" in plan and "GreaterThanOrEqual(ts," in plan
         assert "ReadSchema: struct<event_id:bigint,ts:timestamp" in plan
 
+    def test_dialect_q6_pushes_all_filters(self, spark, sf_dir):
+        """TPC-H q6 through the dialect: all four predicates (two typed
+        timestamp bounds, BETWEEN, <) must reach the parquet scan, and
+        the scan must read exactly q6's four columns."""
+        from warpdb_spark.inventory.core_sql import dialect_tpch_q6
+
+        # the default 100-char metadata cap elides the 5-filter
+        # PushedFilters list in the plan string
+        spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+        plan = _plan(dialect_tpch_q6(spark, sf_dir))
+        for pushed in (
+            "GreaterThanOrEqual(l_shipdate",
+            "LessThan(l_shipdate",
+            "GreaterThanOrEqual(l_discount,0.05)",
+            "LessThanOrEqual(l_discount,0.07)",
+            "LessThan(l_quantity,24",
+        ):
+            assert pushed in plan, pushed
+        assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double," in plan
+
     def test_topk_uses_take_ordered(self, spark, sf_dir):
         db = WarpDB(f"{sf_dir}/lineitem.parquet", spark=spark, table_name="lineitem")
         df = db.query_sql(
