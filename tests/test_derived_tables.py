@@ -214,6 +214,17 @@ class TestQualify:
         ).collect()
         assert len(rows) == len({r["ck"] for r in rows})
 
+    def test_qualify_alias_does_not_shadow_real_column(self, db):
+        """Regression: an alias named after a DIFFERENT real column must
+        not leak into sibling select items' compilation."""
+        rows = db.query_sql(
+            "SELECT o_orderkey AS o_custkey, o_custkey AS real_ck FROM orders "
+            "QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY o_orderkey) = 1 "
+            "ORDER BY real_ck LIMIT 50"
+        ).collect()
+        # real_ck must be the genuine o_custkey values, not o_orderkey
+        assert any(r["real_ck"] != r["o_custkey"] for r in rows)
+
     def test_qualify_unknown_column(self, db):
         from warpdb_spark.errors import ValidationError
 
@@ -268,6 +279,20 @@ class TestEventTimeDialect:
             "SELECT date_format(ts, 'yyyy-MM-dd') AS d FROM events LIMIT 1"
         ).collect()
         assert len(rows[0]["d"]) == 10
+
+    def test_malformed_timestamp_rejected(self, edb):
+        """Regression: a typo'd literal must error, not silently cast to
+        NULL and return an empty result."""
+        from warpdb_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="Malformed TIMESTAMP"):
+            edb.query_sql(
+                "SELECT event_id AS eid FROM events WHERE ts >= TIMESTAMP '2024-13-99'"
+            )
+        with pytest.raises(ValidationError, match="Malformed DATE"):
+            edb.query_sql(
+                "SELECT event_id AS eid FROM events WHERE ts >= DATE 'not-a-date'"
+            )
 
     def test_malformed_interval_rejected(self, edb):
         from warpdb_spark.errors import ValidationError

@@ -71,9 +71,13 @@ class TestPushdown:
         from warpdb_spark.inventory.core_sql import dialect_tpch_q6
 
         # the default 100-char metadata cap elides the 5-filter
-        # PushedFilters list in the plan string
+        # PushedFilters list in the plan string; restore after — the
+        # session is shared with every other test
         spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
-        plan = _plan(dialect_tpch_q6(spark, sf_dir))
+        try:
+            plan = _plan(dialect_tpch_q6(spark, sf_dir))
+        finally:
+            spark.conf.set("spark.sql.maxMetadataStringLength", "100")
         for pushed in (
             "GreaterThanOrEqual(l_shipdate",
             "LessThan(l_shipdate",

@@ -27,6 +27,39 @@ def small_df(spark):
     )
 
 
+class TestEventTimeNormalization:
+    """ns_to_timestamp adapts to every known event-time encoding and
+    fails LOUDLY on anything else (round-2 regression class)."""
+
+    def test_ns_longs_and_ntz_both_normalize(self, spark):
+        import datetime
+
+        from warpdb_spark.sources.readers import ns_to_timestamp
+
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        ns = spark.createDataFrame(
+            [(1, 1704110400_000_000_000)], "id long, ts long"
+        )
+        ntz = spark.createDataFrame([(1, base)], "id long, ts timestamp_ntz")
+        out_ns = ns_to_timestamp(ns, "ts").collect()[0]["ts"]
+        out_ntz = ns_to_timestamp(ntz, "ts").collect()[0]["ts"]
+        assert out_ns == out_ntz == base  # session TZ pinned UTC
+
+    def test_missing_column_raises(self, spark):
+        from warpdb_spark.sources.readers import ns_to_timestamp
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="not in"):
+            ns_to_timestamp(df, "ts")
+
+    def test_unsupported_dtype_raises(self, spark):
+        from warpdb_spark.sources.readers import ns_to_timestamp
+
+        df = spark.createDataFrame([("2024-01-01",)], "ts string")
+        with pytest.raises(TypeError, match="unsupported event-time dtype"):
+            ns_to_timestamp(df, "ts")
+
+
 class TestFormats:
     def test_parquet_roundtrip(self, spark, small_df, tmp_path_factory):
         p = str(tmp_path_factory.mktemp("fmt") / "t.parquet")

@@ -1003,9 +1003,14 @@ def _km_update(asg: str, prev: str) -> str:
     return (
         f"SELECT p.centroid_id, COALESCE(m.me, p.ce) AS ce FROM {prev} p "
         "LEFT JOIN (SELECT centroid_id, list(mval ORDER BY i) AS me FROM ("
-        "SELECT a.centroid_id, g.i, avg(CAST(e.embedding[g.i] AS DOUBLE)) AS mval "
-        f"FROM {asg} a JOIN embeddings e USING (vec_id) "
-        "CROSS JOIN generate_series(1, 64) g(i) GROUP BY 1, 2) GROUP BY 1) m "
+        "SELECT centroid_id, i, avg(CAST(x AS DOUBLE)) AS mval FROM ("
+        # unnest + generate_subscripts: dim derives from the vector
+        # itself, like _km_assign — a testdata dim change can't silently
+        # desync the two steps
+        "SELECT a.centroid_id, unnest(e.embedding) AS x, "
+        "generate_subscripts(e.embedding, 1) AS i "
+        f"FROM {asg} a JOIN embeddings e USING (vec_id)) "
+        "GROUP BY 1, 2) GROUP BY 1) m "
         "ON p.centroid_id = m.centroid_id"
     )
 
@@ -1165,9 +1170,10 @@ ORACLES = {
     # the probed lists. Mirrors operators/similarity.py::ivf_topk
     # (k=5, num_lists=16, nprobe=4, queries vec_id<20).
     "similarity_ivf": (
-        "WITH init AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 "
+        "WITH init AS (SELECT row_number() OVER ("
+        "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id) - 1 "
         "AS list_id, embedding AS ce FROM embeddings "
-        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), "
+        "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id LIMIT 16), "
         "scored AS (SELECT e.vec_id, e.embedding, i.list_id, "
         "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
         "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.ce AS DOUBLE[])), 6) DESC, "

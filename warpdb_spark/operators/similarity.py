@@ -27,6 +27,33 @@ from pyspark.sql.window import Window
 from warpdb_spark.functions import vectors as V
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Final per-query rank over (cosine DESC, neighbor_id ASC) — the
+    single definition of the output order shared by every search path."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _local_topk_idx(col: np.ndarray, ids: np.ndarray, nk: int) -> list:
+    """Indices of the local top-``nk`` rows under the SAME total order as
+    ``_rank_topk`` — (rounded cosine DESC, id ASC) — via a rounded-value
+    cutoff (np.partition) + exact sort of the >=cutoff candidates, so a
+    near-tie that rounds equal can never be dropped locally."""
+    n = len(ids)
+    if nk < n:
+        cutoff = np.partition(col, n - nk)[n - nk]
+        cand = np.flatnonzero(col >= cutoff)
+    else:
+        cand = np.arange(n)
+    return sorted(cand, key=lambda i: (-col[i], ids[i]))[:nk]
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,14 +78,7 @@ def cosine_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 #: Hard cap on the driver-side query-set collect in ``cosine_topk_np``.
@@ -135,21 +155,10 @@ def cosine_topk_np(
             m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-300, None)
             sims = np.round(m @ bqm.T, 6)  # (batch, n_queries), final-rank precision
             out = {"query_id": [], "neighbor_id": [], "cosine": []}
-            n = len(ids)
-            nk = min(k + 1, n)
+            nk = min(k + 1, len(ids))
             for j in range(len(bqids)):
                 col = sims[:, j]
-                if nk < n:
-                    # Everything >= the nk-th largest rounded value: a
-                    # superset of the exact top-nk under any tie-break.
-                    cutoff = np.partition(col, n - nk)[n - nk]
-                    cand = np.flatnonzero(col >= cutoff)
-                else:
-                    cand = np.arange(n)
-                # Exact (cosine desc, neighbor_id asc) order among the
-                # candidates — identical to the final window ordering.
-                cand = sorted(cand, key=lambda i: (-col[i], ids[i]))[:nk]
-                for i in cand:
+                for i in _local_topk_idx(col, ids, nk):
                     if ids[i] != bqids[j]:
                         out["query_id"].append(bqids[j])
                         out["neighbor_id"].append(ids[i])
@@ -171,14 +180,7 @@ def cosine_topk_np(
     local = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).mapInArrow(score, schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(local, k)
 
 
 def _bucket_blas_topk(
@@ -227,17 +229,10 @@ def _bucket_blas_topk(
             qm = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["__qv"]])
             qm = qm / np.clip(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300, None)
             sims = np.round(m @ qm.T, 6)  # (corpus_in_bucket, queries_probing)
-            n = len(ids)
-            nk = min(k + 1, n)
+            nk = min(k + 1, len(ids))
             for j in range(len(qids)):
                 col = sims[:, j]
-                if nk < n:
-                    cutoff = np.partition(col, n - nk)[n - nk]
-                    cand = np.flatnonzero(col >= cutoff)
-                else:
-                    cand = np.arange(n)
-                cand = sorted(cand, key=lambda i: (-col[i], ids[i]))[:nk]
-                for i in cand:
+                for i in _local_topk_idx(col, ids, nk):
                     if ids[i] != qids[j]:
                         out["query_id"].append(qids[j])
                         out["neighbor_id"].append(ids[i])
@@ -249,14 +244,7 @@ def _bucket_blas_topk(
         .cogroup(q.groupBy(bucket_col))
         .applyInPandas(score, out_schema)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
@@ -350,12 +338,17 @@ def ivf_topk(
 
     # md5-ordered deterministic sample (the engine-portable pattern from
     # operators/clustering.py::init_centroids): any engine with md5
-    # picks the same rows, so list assignment is oracle-replayable
+    # picks the same rows, so list assignment is oracle-replayable.
+    # ``seed`` prefixes the hashed key, so different seeds draw
+    # different (still replayable) samples.
     cmat = np.array(
         [
             list(row[0])
             for row in corpus.select(vec_col)
-            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .orderBy(
+                F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(id_col).cast("string"))),
+                F.col(id_col),
+            )
             .limit(num_lists)
             .collect()
         ],

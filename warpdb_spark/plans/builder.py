@@ -540,26 +540,35 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             for s in node.walk():
                 if isinstance(s, A.WindowFunc):
                     wfuncs.setdefault(s.text(), s)
-        # window specs may reference select aliases (rank() OVER (ORDER BY
-        # total)): window-free aliases go into the env first, then the
+        # Alias entries live ONLY in QUALIFY-scoped compilers — leaking
+        # them into the final projection would let an alias shadow a
+        # REAL column of the same name in sibling select items (wrong
+        # results, found in review). Window specs may reference select
+        # aliases (rank() OVER (ORDER BY total)): window-free aliases go
+        # into the window compiler's env first, then the materialized
         # window columns, then window-carrying aliases — two passes.
-        comp = Compiler(registry, dict(env))
+        wcomp = Compiler(registry, dict(env))
         # mutate the compiler's own env: later additions (aliases, window
         # columns) must be visible to every compile below, and Compiler
         # swaps in a fresh dict when handed an empty one
-        qenv = comp.env
+        qenv = wcomp.env
         for item, alias in q.select_items:
             if alias and not any(isinstance(s, A.WindowFunc) for s in item.walk()):
-                qenv.setdefault(alias, comp.compile(item))
+                qenv.setdefault(alias, wcomp.compile(item))
         wnames = {t: f"__w{i}" for i, t in enumerate(wfuncs)}
         if wfuncs:
-            df = df.select("*", *[comp.compile(w).alias(wnames[t]) for t, w in wfuncs.items()])
+            df = df.select("*", *[wcomp.compile(w).alias(wnames[t]) for t, w in wfuncs.items()])
         qenv.update({t: F.col(c) for t, c in wnames.items()})
         # alias-first resolution for bare alias references (QUALIFY rn = 1)
         for item, alias in q.select_items:
             if alias:
-                qenv.setdefault(alias, comp.compile(item))
-        df = df.filter(comp.compile(q.qualify).cast("boolean"))
+                qenv.setdefault(alias, wcomp.compile(item))
+        df = df.filter(wcomp.compile(q.qualify).cast("boolean"))
+        # the projection below reuses the materialized window columns but
+        # must NOT see the alias entries
+        proj_env = dict(env)
+        proj_env.update({t: F.col(c) for t, c in wnames.items()})
+        comp = Compiler(registry, proj_env)
 
     used: set[str] = set()
     names: list[str] = []

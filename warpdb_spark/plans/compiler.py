@@ -93,9 +93,23 @@ class Compiler:
     _INTERVAL_RE = __import__("re").compile(r"^[A-Za-z0-9 :.\-]+$")
 
     def _c_typedlit(self, n: A.TypedLit) -> Column:
+        # validate eagerly: under Spark's default non-ANSI mode a bad
+        # literal cast silently becomes NULL (empty result, no
+        # diagnostic) — the dialect's contract is position-carrying
+        # errors, so reject malformed literals at compile time
+        import datetime as _dt
+
         if n.kind == "timestamp":
+            try:
+                _dt.datetime.fromisoformat(n.value)
+            except ValueError:
+                raise ValidationError(f"Malformed TIMESTAMP literal: {n.value!r}")
             return F.lit(n.value).cast("timestamp")
         if n.kind == "date":
+            try:
+                _dt.date.fromisoformat(n.value)
+            except ValueError:
+                raise ValidationError(f"Malformed DATE literal: {n.value!r}")
             return F.lit(n.value).cast("date")
         # interval: Spark has no interval lit(); go through a guarded
         # expr() — the value came from a quoted token, so reject anything
@@ -175,14 +189,16 @@ class Compiler:
         Python format/unit STRING (not a Column) in their signature —
         pass string literals through raw for those."""
         lname = n.name.lower()
-        # date_trunc(unit, ts): unit string is the FIRST parameter
-        if lname == "date_trunc" and len(n.args) == 2 and isinstance(n.args[0], A.Str):
-            return F.date_trunc(n.args[0].value, self.compile(n.args[1]))
-        # trunc(date, fmt) / date_format(ts, fmt): string is SECOND
-        if lname in ("trunc", "date_format") and len(n.args) == 2 and isinstance(n.args[1], A.Str):
-            return getattr(F, lname)(self.compile(n.args[0]), n.args[1].value)
+        in_registry = self.registry is not None and lname in self.registry
+        if not in_registry:
+            # date_trunc(unit, ts): unit string is the FIRST parameter
+            if lname == "date_trunc" and len(n.args) == 2 and isinstance(n.args[0], A.Str):
+                return F.date_trunc(n.args[0].value, self.compile(n.args[1]))
+            # trunc(date, fmt) / date_format(ts, fmt): string is SECOND
+            if lname in ("trunc", "date_format") and len(n.args) == 2 and isinstance(n.args[1], A.Str):
+                return getattr(F, lname)(self.compile(n.args[0]), n.args[1].value)
         args = [self.compile(a) for a in n.args]
-        if self.registry is not None and lname in self.registry:
+        if in_registry:
             return self.registry.call(lname, *args)
         fname = _FUNC_ALIASES.get(lname, lname)
         fn = getattr(F, fname, None)

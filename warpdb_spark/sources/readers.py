@@ -133,11 +133,20 @@ def ns_to_timestamp(df: DataFrame, *cols: str) -> DataFrame:
     dtypes = dict(df.dtypes)
     for c in cols:
         dt = dtypes.get(c)
+        if dt is None:
+            raise ValueError(f"ns_to_timestamp: column {c!r} not in {sorted(dtypes)}")
         if dt in ("bigint", "long", "int"):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
         elif dt == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
-        # "timestamp" (and anything already LTZ): leave untouched
+        elif dt != "timestamp":
+            # a NEW encoding drift must fail here, at the reader, not as
+            # a type mismatch deep inside some window/join (the round-2
+            # regression was exactly this class)
+            raise TypeError(
+                f"ns_to_timestamp: unsupported event-time dtype {dt!r} for column {c!r}"
+            )
+        # "timestamp" (already LTZ): leave untouched
     return df
 
 
