@@ -71,19 +71,22 @@ DRIVER_PRIORITY: list[str] = [
     "asof_join_next_purchase",
     "agg_approx_percentile",
     "dialect_event_time",
+    # (d2) also new this round: dialect TPC-H variants (q1 doubles as the
+    # q1 reconfirmation — same ground truth, stronger path) and the
+    # corpus accounting entry
+    "dialect_tpch_q1",
+    "dialect_tpch_q6",
+    "corpus_stats_by_stratum",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",
     "dialect_expression_projection",
     "dialect_predicates",
     "dialect_cte_scalar_in",
-    "join_inner_rowlevel",
     "window_running_sum",
     "window_rank_family",
-    "sort_topk",
     "setop_except_all",
     "udaf_group_median",
-    "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "dedup_minhash_lsh",
 ]
