@@ -214,6 +214,24 @@ class TestQualify:
         ).collect()
         assert len(rows) == len({r["ck"] for r in rows})
 
+    def test_qualify_window_spec_prefers_real_column_over_alias(self, db):
+        """Regression: a window spec is computed against the
+        PRE-projection frame — PARTITION BY o_custkey must use the real
+        column even when a sibling item aliases a different column to
+        that name."""
+        rows = db.query_sql(
+            "SELECT o_orderkey AS o_custkey, o_custkey AS real_ck, "
+            "count(*) OVER (PARTITION BY o_custkey) AS cnt FROM orders "
+            "QUALIFY cnt >= 1"
+        ).collect()
+        per_ck: dict = {}
+        for r in rows:
+            per_ck[r["real_ck"]] = per_ck.get(r["real_ck"], 0) + 1
+        # partitioned by the REAL customer key → cnt equals that
+        # customer's row count, not 1-per-orderkey
+        assert all(r["cnt"] == per_ck[r["real_ck"]] for r in rows)
+        assert any(r["cnt"] > 1 for r in rows)
+
     def test_qualify_alias_does_not_shadow_real_column(self, db):
         """Regression: an alias named after a DIFFERENT real column must
         not leak into sibling select items' compilation."""

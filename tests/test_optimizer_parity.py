@@ -71,13 +71,14 @@ class TestPushdown:
         from warpdb_spark.inventory.core_sql import dialect_tpch_q6
 
         # the default 100-char metadata cap elides the 5-filter
-        # PushedFilters list in the plan string; restore after — the
-        # session is shared with every other test
+        # PushedFilters list in the plan string; restore the PRIOR value
+        # after — the session is shared with every other test
+        prior = spark.conf.get("spark.sql.maxMetadataStringLength")
         spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
         try:
             plan = _plan(dialect_tpch_q6(spark, sf_dir))
         finally:
-            spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+            spark.conf.set("spark.sql.maxMetadataStringLength", prior)
         for pushed in (
             "GreaterThanOrEqual(l_shipdate",
             "LessThan(l_shipdate",

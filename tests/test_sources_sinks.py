@@ -34,6 +34,8 @@ class TestEventTimeNormalization:
     def test_ns_longs_and_ntz_both_normalize(self, spark):
         import datetime
 
+        from pyspark.sql import functions as F
+
         from warpdb_spark.sources.readers import ns_to_timestamp
 
         base = datetime.datetime(2024, 1, 1, 12, 0, 0)
@@ -41,9 +43,13 @@ class TestEventTimeNormalization:
             [(1, 1704110400_000_000_000)], "id long, ts long"
         )
         ntz = spark.createDataFrame([(1, base)], "id long, ts timestamp_ntz")
-        out_ns = ns_to_timestamp(ns, "ts").collect()[0]["ts"]
-        out_ntz = ns_to_timestamp(ntz, "ts").collect()[0]["ts"]
-        assert out_ns == out_ntz == base  # session TZ pinned UTC
+        # compare via date_format (renders in the pinned session TZ) —
+        # collecting raw LTZ datetimes would depend on the HOST's local
+        # timezone, a false failure on non-UTC machines
+        fmt = lambda df: ns_to_timestamp(df, "ts").select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s")
+        ).collect()[0]["s"]
+        assert fmt(ns) == fmt(ntz) == "2024-01-01 12:00:00"
 
     def test_missing_column_raises(self, spark):
         from warpdb_spark.sources.readers import ns_to_timestamp

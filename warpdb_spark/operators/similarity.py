@@ -54,6 +54,26 @@ def _local_topk_idx(col: np.ndarray, ids: np.ndarray, nk: int) -> list:
     return sorted(cand, key=lambda i: (-col[i], ids[i]))[:nk]
 
 
+def _blas_score_topk(ids, m_norm, qids, qm_norm, k: int) -> dict:
+    """One rounded float64 matmul + per-query local top-(k+1) emit —
+    the scoring core shared by the brute-force batch path and the
+    ANN per-bucket path. Inputs are row-normalized matrices; output is
+    a dict-of-lists with self-matches excluded, ready for a DataFrame.
+    Keeping this in ONE place is what guarantees the exact and ANN
+    paths can never diverge on precision or tie-breaks."""
+    out = {"query_id": [], "neighbor_id": [], "cosine": []}
+    sims = np.round(m_norm @ qm_norm.T, 6)
+    nk = min(k + 1, len(ids))
+    for j in range(len(qids)):
+        col = sims[:, j]
+        for i in _local_topk_idx(col, ids, nk):
+            if ids[i] != qids[j]:
+                out["query_id"].append(qids[j])
+                out["neighbor_id"].append(ids[i])
+                out["cosine"].append(float(col[i]))
+    return out
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -153,16 +173,7 @@ def cosine_topk_np(
                 continue
             m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
             m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-300, None)
-            sims = np.round(m @ bqm.T, 6)  # (batch, n_queries), final-rank precision
-            out = {"query_id": [], "neighbor_id": [], "cosine": []}
-            nk = min(k + 1, len(ids))
-            for j in range(len(bqids)):
-                col = sims[:, j]
-                for i in _local_topk_idx(col, ids, nk):
-                    if ids[i] != bqids[j]:
-                        out["query_id"].append(bqids[j])
-                        out["neighbor_id"].append(ids[i])
-                        out["cosine"].append(float(col[i]))
+            out = _blas_score_topk(ids, m, bqids, bqm, k)
             yield pa.RecordBatch.from_pandas(
                 pd.DataFrame(out),
                 schema=pa.schema(
@@ -228,15 +239,7 @@ def _bucket_blas_topk(
             qids = qdf["query_id"].to_numpy()
             qm = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["__qv"]])
             qm = qm / np.clip(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300, None)
-            sims = np.round(m @ qm.T, 6)  # (corpus_in_bucket, queries_probing)
-            nk = min(k + 1, len(ids))
-            for j in range(len(qids)):
-                col = sims[:, j]
-                for i in _local_topk_idx(col, ids, nk):
-                    if ids[i] != qids[j]:
-                        out["query_id"].append(qids[j])
-                        out["neighbor_id"].append(ids[i])
-                        out["cosine"].append(float(col[i]))
+            out = _blas_score_topk(ids, m, qids, qm, k)
         return pd.DataFrame(out)
 
     scored = (

@@ -544,22 +544,35 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         # them into the final projection would let an alias shadow a
         # REAL column of the same name in sibling select items (wrong
         # results, found in review). Window specs may reference select
-        # aliases (rank() OVER (ORDER BY total)): window-free aliases go
-        # into the window compiler's env first, then the materialized
-        # window columns, then window-carrying aliases — two passes.
+        # aliases (rank() OVER (ORDER BY total)), but a window spec is
+        # computed against the PRE-projection frame, so there a real
+        # column of the same name must win over a sibling alias —
+        # aliases enter the window compiler's env only when they don't
+        # collide with an in-scope column. (Grouped mode is safe by
+        # construction: setdefault never overrides the group-key/agg
+        # texts already in env.)
+        in_scope_cols = {c for cols in scope.values() for c in cols}
         wcomp = Compiler(registry, dict(env))
         # mutate the compiler's own env: later additions (aliases, window
         # columns) must be visible to every compile below, and Compiler
         # swaps in a fresh dict when handed an empty one
         qenv = wcomp.env
         for item, alias in q.select_items:
-            if alias and not any(isinstance(s, A.WindowFunc) for s in item.walk()):
+            if (
+                alias
+                and alias not in in_scope_cols
+                and not any(isinstance(s, A.WindowFunc) for s in item.walk())
+            ):
                 qenv.setdefault(alias, wcomp.compile(item))
         wnames = {t: f"__w{i}" for i, t in enumerate(wfuncs)}
         if wfuncs:
             df = df.select("*", *[wcomp.compile(w).alias(wnames[t]) for t, w in wfuncs.items()])
         qenv.update({t: F.col(c) for t, c in wnames.items()})
-        # alias-first resolution for bare alias references (QUALIFY rn = 1)
+        # alias-first resolution for bare alias references in the
+        # PREDICATE itself (QUALIFY rn = 1) — the predicate is an
+        # output-context clause like ORDER BY, so there aliases may
+        # shadow columns; window functions were already materialized
+        # above, so these additions can't change any window spec
         for item, alias in q.select_items:
             if alias:
                 qenv.setdefault(alias, wcomp.compile(item))

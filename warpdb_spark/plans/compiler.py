@@ -91,25 +91,40 @@ class Compiler:
         return F.col(n.name)
 
     _INTERVAL_RE = __import__("re").compile(r"^[A-Za-z0-9 :.\-]+$")
+    # Spark's cast grammar subset the dialect documents (zoneless):
+    # yyyy[-[m]m[-[d]d[ |T[h]h:[m]m[:[s]s[.f…]]]]] — single-digit fields
+    # allowed, week-dates and zone ids not
+    _DATETIME_RE = __import__("re").compile(
+        r"^(\d{4,6})(?:-(\d{1,2})(?:-(\d{1,2})"
+        r"(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,9}))?)?)?)?)?$"
+    )
 
-    def _c_typedlit(self, n: A.TypedLit) -> Column:
-        # validate eagerly: under Spark's default non-ANSI mode a bad
-        # literal cast silently becomes NULL (empty result, no
-        # diagnostic) — the dialect's contract is position-carrying
-        # errors, so reject malformed literals at compile time
+    def _validate_datetime_literal(self, value: str, kind: str) -> None:
+        """Eager validation: under Spark's default non-ANSI mode a bad
+        literal cast silently becomes NULL (empty result, no
+        diagnostic) — the dialect's contract is position-carrying
+        errors. The accepted grammar mirrors Spark's cast (single-digit
+        month/day/hour allowed — fromisoformat would wrongly reject
+        those and wrongly accept ISO week dates Spark can't cast)."""
         import datetime as _dt
 
-        if n.kind == "timestamp":
+        m = self._DATETIME_RE.match(value.strip())
+        if m is not None:
+            y, mo, d = int(m[1]), int(m[2] or 1), int(m[3] or 1)
+            h, mi, s = int(m[4] or 0), int(m[5] or 0), int(m[6] or 0)
             try:
-                _dt.datetime.fromisoformat(n.value)
+                _dt.datetime(y, mo, d, h, mi, s)
+                return
             except ValueError:
-                raise ValidationError(f"Malformed TIMESTAMP literal: {n.value!r}")
+                pass
+        raise ValidationError(f"Malformed {kind} literal: {value!r}")
+
+    def _c_typedlit(self, n: A.TypedLit) -> Column:
+        if n.kind == "timestamp":
+            self._validate_datetime_literal(n.value, "TIMESTAMP")
             return F.lit(n.value).cast("timestamp")
         if n.kind == "date":
-            try:
-                _dt.date.fromisoformat(n.value)
-            except ValueError:
-                raise ValidationError(f"Malformed DATE literal: {n.value!r}")
+            self._validate_datetime_literal(n.value, "DATE")
             return F.lit(n.value).cast("date")
         # interval: Spark has no interval lit(); go through a guarded
         # expr() — the value came from a quoted token, so reject anything
