@@ -298,6 +298,14 @@ class TestEventTimeDialect:
         ).collect()
         assert len(rows[0]["d"]) == 10
 
+    def test_single_digit_fields_accepted(self, edb):
+        """Spark's cast accepts non-zero-padded fields — the dialect
+        validator must too."""
+        rows = edb.query_sql(
+            "SELECT COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-1-1 0:0:0'"
+        ).collect()
+        assert rows[0]["n"] > 0
+
     def test_malformed_timestamp_rejected(self, edb):
         """Regression: a typo'd literal must error, not silently cast to
         NULL and return an empty result."""
