@@ -212,3 +212,37 @@ class TestStratifiedSample:
 
         want = sorted(range(10), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:3]
         assert sorted(r["id"] for r in out) == sorted(want)
+
+
+class TestBoilerplateSpans:
+    def test_planted_shared_span_removed(self, spark):
+        shared = "alpha beta gamma delta epsilon"  # the 5-gram boilerplate
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=f"one two three {shared} four five"),
+                Row(doc_id=2, text=f"six seven {shared} eight"),
+                Row(doc_id=3, text="nine ten eleven twelve thirteen fourteen"),
+            ]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in C.remove_boilerplate_spans(
+                docs, "doc_id", "text", span=5, min_docs=2
+            ).collect()
+        }
+        # the shared 5 tokens vanish from both carriers, the rest stay
+        assert out[1]["n_removed"] == 5 and out[1]["n_kept"] == 5
+        assert out[2]["n_removed"] == 5 and out[2]["n_kept"] == 3
+        # untouched doc keeps everything
+        assert out[3]["n_removed"] == 0 and out[3]["n_kept"] == 6
+        import hashlib
+
+        assert out[1]["clean_md5"] == hashlib.md5(b"one two three four five").hexdigest()
+        assert out[2]["clean_md5"] == hashlib.md5(b"six seven eight").hexdigest()
+
+    def test_doc_shorter_than_span_untouched(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="tiny doc"), Row(doc_id=2, text="tiny doc")]
+        )
+        out = C.remove_boilerplate_spans(docs, "doc_id", "text", span=5).collect()
+        assert all(r["n_removed"] == 0 for r in out)

@@ -93,6 +93,16 @@ def text_tfidf_top_terms(spark, sf_dir):
     return top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def dedup_span_boilerplate(spark, sf_dir):
+    """Boilerplate-span removal (C4/RefinedWeb line-dedup analog on a
+    corpus without newlines): word 5-grams shared by ≥2 distinct docs
+    are dropped token-by-token and the doc reassembled; output carries
+    the exact md5 of the cleaned text so the oracle replays removal
+    and reassembly bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.remove_boilerplate_spans(docs, "doc_id", "text", span=5, min_docs=2)
+
+
 def corpus_stats_by_stratum(spark, sf_dir):
     """Corpus accounting per (lang, source) stratum — the report every
     training-data run starts and ends with: doc/token/char totals, mean
@@ -823,6 +833,7 @@ QUERIES = {
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "corpus_stats_by_stratum": corpus_stats_by_stratum,
+    "dedup_span_boilerplate": dedup_span_boilerplate,
     "dedup_exact": dedup_exact,
     "dedup_exact_text": dedup_exact_text,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1030,6 +1041,31 @@ _KMEANS_CLUSTERS_SQL = (
 
 ORACLES = {
     "embedding_kmeans_clusters": _KMEANS_CLUSTERS_SQL,
+    # replays span extraction (5-grams, 0-based starts), the >=2-distinct-
+    # doc hot set, covered-position union, and ordered reassembly exactly
+    "dedup_span_boilerplate": (
+        f"WITH b AS (SELECT doc_id, string_split({_norm}, ' ') AS toks, "
+        f"len(string_split({_norm}, ' ')) AS n FROM documents), "
+        "sp AS (SELECT doc_id, s['start'] AS start, s['span'] AS span FROM ("
+        "SELECT doc_id, unnest([{'start': i - 1, "
+        "'span': array_to_string(toks[i:i+4], ' ')} "
+        "for i in generate_series(1, len(toks) - 4)]) AS s FROM b WHERE n >= 5)), "
+        "hot AS (SELECT span FROM (SELECT span, count(DISTINCT doc_id) AS nd "
+        "FROM sp GROUP BY 1) WHERE nd >= 2), "
+        "cov AS (SELECT DISTINCT doc_id, unnest(generate_series(start, start + 4)) AS pos "
+        "FROM sp JOIN hot USING (span)), "
+        "tok AS (SELECT doc_id, unnest(toks) AS tk, "
+        "generate_subscripts(toks, 1) - 1 AS pos FROM b), "
+        "kept AS (SELECT t.doc_id, t.tk, t.pos FROM tok t LEFT JOIN cov c "
+        "ON t.doc_id = c.doc_id AND t.pos = c.pos WHERE c.doc_id IS NULL), "
+        "reb AS (SELECT doc_id, count(*) AS n_kept, "
+        "string_agg(tk, ' ' ORDER BY pos) AS clean FROM kept GROUP BY 1) "
+        "SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens, "
+        "CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept, "
+        "CAST(b.n - COALESCE(r.n_kept, 0) AS INT) AS n_removed, "
+        "md5(COALESCE(r.clean, '')) AS clean_md5 "
+        "FROM b LEFT JOIN reb r USING (doc_id)"
+    ),
     "corpus_stats_by_stratum": (
         f"WITH d AS (SELECT lang, source, text, {_toks} AS toks, "
         f"{_QUALITY_EXPR} AS q FROM documents) "

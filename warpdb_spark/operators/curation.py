@@ -274,3 +274,85 @@ def stratified_sample(
     if keep_cols is not None:
         out = out.select(*strata, *keep_cols, "rk")
     return out
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate-span removal: any exact word
+    ``span``-gram appearing in ≥ ``min_docs`` DISTINCT documents is
+    boilerplate; every token position covered by one is dropped and the
+    document reassembled from the survivors. Returns
+    (id, n_tokens, n_kept, n_removed, clean_md5).
+
+    Scale shape: spans explode to O(total_tokens) rows and shuffle ONCE
+    on the span string for the distinct-doc count; the hot-span set (a
+    tiny frequency tail) broadcasts back onto the span stream; covered
+    positions dedup per (doc, pos); reassembly is one groupBy(doc) with
+    an order-preserving sort inside the aggregate. No pairwise doc
+    comparison anywhere — at 100 TB the cost is two corpus-token-volume
+    shuffles, independent of duplication structure.
+    """
+    from warpdb_spark.functions import text as T
+
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.split(T.normalized_text(F.col(text_col)), " ").alias("__toks"),
+        )
+        .withColumn("__n", F.size("__toks"))
+    )
+    spans = base.filter(F.col("__n") >= span).select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - span),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, span)),
+            )
+        ).alias("__start", "__span"),
+    )
+    hot = (
+        spans.groupBy("__span")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__span")
+    )
+    covered = (
+        spans.join(F.broadcast(hot), "__span")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__start") + span - 1)
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    tokens = base.select("__id", F.posexplode("__toks").alias("__pos", "__tok"))
+    kept = tokens.join(covered, ["__id", "__pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("__clean"),
+    )
+    return (
+        base.select("__id", F.col("__n").alias("n_tokens"))
+        .join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("__n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.md5(F.coalesce("__clean", F.lit(""))).alias("clean_md5"),
+        )
+    )
