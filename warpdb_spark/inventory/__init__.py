@@ -77,11 +77,11 @@ DRIVER_PRIORITY: list[str] = [
     "dialect_tpch_q1",
     "dialect_tpch_q6",
     "corpus_stats_by_stratum",
+    "dedup_span_boilerplate",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",
     "dialect_expression_projection",
-    "dialect_predicates",
     "dialect_cte_scalar_in",
     "window_running_sum",
     "window_rank_family",
