@@ -121,3 +121,55 @@ def test_query_pipeline_matches_duckdb(db, duck, spec):
     for (g1, v1), (g2, v2) in zip(got, want):
         assert g1 == pytest.approx(g2), sql
         assert v1 == pytest.approx(v2, rel=1e-12, abs=1e-12), sql
+
+
+# --- QUALIFY: randomized cross-check against DuckDB's native QUALIFY ---
+
+_Q_ROWS = [
+    (1, "a", 10.5), (2, "a", 20.0), (3, "a", 20.0), (4, "b", 15.25),
+    (5, "b", 30.0), (6, "c", 7.75), (7, "c", 7.75), (8, "c", 12.0),
+]
+
+
+@pytest.fixture(scope="module")
+def qdb(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("prop_q") / "t2.csv"
+    p.write_text("id,grp,price\n" + "\n".join(f"{i},{g},{v}" for i, g, v in _Q_ROWS) + "\n")
+    return WarpDB(
+        str(p), schema=["int64", "string", "float64"], spark=spark, table_name="t2"
+    )
+
+
+@pytest.fixture(scope="module")
+def qduck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t2(id BIGINT, grp VARCHAR, price DOUBLE)")
+    con.executemany("INSERT INTO t2 VALUES (?, ?, ?)", _Q_ROWS)
+    return con
+
+
+_wfuncs = st.sampled_from(
+    ["row_number()", "rank()", "dense_rank()", "count(*)", "sum(price)"]
+)
+_partitions = st.sampled_from(["", "PARTITION BY grp "])
+_dirs = st.sampled_from(["ASC", "DESC"])
+_qpreds = st.sampled_from(["w <= 1", "w = 1", "w <= 2", "w >= 2", "w > 1"])
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(wf=_wfuncs, part=_partitions, d=_dirs, pred=_qpreds)
+def test_qualify_matches_duckdb(qdb, qduck, wf, part, d, pred):
+    # deterministic total order inside every window: (price dir, id)
+    sql = (
+        f"SELECT id, {wf} OVER ({part}ORDER BY price {d}, id) AS w "
+        f"FROM t2 QUALIFY {pred} ORDER BY id"
+    )
+    got = [(r["id"], r["w"]) for r in qdb.query_sql(sql).collect()]
+    want = [tuple(r) for r in qduck.execute(sql).fetchall()]
+    # normalize sum(price) DOUBLE vs others BIGINT across engines
+    norm = lambda rows: [(i, round(float(w), 9)) for i, w in rows]
+    assert norm(got) == norm(want), sql
