@@ -243,6 +243,40 @@ class TestQualify:
         # real_ck must be the genuine o_custkey values, not o_orderkey
         assert any(r["real_ck"] != r["o_custkey"] for r in rows)
 
+    def test_qualify_predicate_column_first_like_duckdb(self, db):
+        """Regression: inside QUALIFY a bare name that exists as a REAL
+        column resolves to the column (DuckDB precedence), not to a
+        sibling alias of the same name."""
+        rows = db.query_sql(
+            "SELECT o_orderkey AS o_totalprice, o_orderkey AS ok FROM orders "
+            "QUALIFY o_totalprice > 100000 ORDER BY ok LIMIT 5"
+        ).collect()
+        # filters on the REAL o_totalprice (six figures), not the alias
+        # (small orderkeys) — alias-first would return zero rows
+        assert len(rows) == 5
+
+    def test_qualify_grouped_agg_alias_same_name(self, db):
+        """Regression: ``sum(x) AS x`` + a window spec referencing x in
+        grouped mode must resolve to the aggregate alias (the base
+        column is no longer addressable), not crash with internal
+        column names."""
+        rows = db.query_sql(
+            "SELECT o_orderstatus AS st, sum(o_totalprice) AS o_totalprice "
+            "FROM orders GROUP BY o_orderstatus "
+            "QUALIFY rank() OVER (ORDER BY o_totalprice DESC) = 1"
+        ).collect()
+        assert len(rows) == 1
+
+    def test_qualify_grouped_unknown_window_column_dialect_error(self, db):
+        from warpdb_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="QUALIFY window"):
+            db.query_sql(
+                "SELECT o_orderstatus AS st, sum(o_totalprice) AS total "
+                "FROM orders GROUP BY o_orderstatus "
+                "QUALIFY rank() OVER (ORDER BY o_clerk) = 1"
+            )
+
     def test_qualify_unknown_column(self, db):
         from warpdb_spark.errors import ValidationError
 
@@ -305,6 +339,15 @@ class TestEventTimeDialect:
             "SELECT COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-1-1 0:0:0'"
         ).collect()
         assert rows[0]["n"] > 0
+
+    def test_hour_only_time_accepted(self, edb):
+        a = edb.query_sql(
+            "SELECT COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-01 12'"
+        ).collect()[0]["n"]
+        b = edb.query_sql(
+            "SELECT COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-01 12:00:00'"
+        ).collect()[0]["n"]
+        assert a == b > 0
 
     def test_malformed_timestamp_rejected(self, edb):
         """Regression: a typo'd literal must error, not silently cast to

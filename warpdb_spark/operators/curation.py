@@ -297,6 +297,8 @@ def remove_boilerplate_spans(
     comparison anywhere — at 100 TB the cost is two corpus-token-volume
     shuffles, independent of duplication structure.
     """
+    from pyspark import StorageLevel
+
     from warpdb_spark.functions import text as T
 
     base = (
@@ -305,6 +307,9 @@ def remove_boilerplate_spans(
             F.split(T.normalized_text(F.col(text_col)), " ").alias("__toks"),
         )
         .withColumn("__n", F.size("__toks"))
+        # three consumers (spans, token posexplode, final join) — lazy
+        # persist so the corpus normalize+split scan runs once, not 3x
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     spans = base.filter(F.col("__n") >= span).select(
         "__id",
@@ -315,6 +320,9 @@ def remove_boilerplate_spans(
             )
         ).alias("__start", "__span"),
     )
+    # spans feed both the hot-set count and the coverage join — persist
+    # so the O(total_tokens) 5-gram explode runs once
+    spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
     hot = (
         spans.groupBy("__span")
         .agg(F.count_distinct("__id").alias("__nd"))

@@ -433,6 +433,10 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
     if q.where is not None:
         df = _apply_where(df, q.where, tables, scope, registry)
 
+    # all column names visible in the pre-aggregation frame (shared by
+    # ORDER BY/GROUP BY alias resolution and QUALIFY alias scoping)
+    in_scope = {c for cols in scope.values() for c in cols}
+
     # ANSI resolution sugar: integer literals in GROUP BY / ORDER BY are
     # 1-based select-list ordinals; bare names resolve to SELECT aliases
     # — alias-first in ORDER BY (ANSI output-column precedence),
@@ -441,7 +445,6 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         import dataclasses
 
         alias_map = {alias: item for item, alias in q.select_items if alias}
-        in_scope = {c for cols in scope.values() for c in cols}
 
         def resolve(e: A.Node, clause: str, alias_first: bool) -> A.Node:
             if isinstance(e, A.Num) and isinstance(e.value, int):
@@ -543,15 +546,14 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         # Alias entries live ONLY in QUALIFY-scoped compilers — leaking
         # them into the final projection would let an alias shadow a
         # REAL column of the same name in sibling select items (wrong
-        # results, found in review). Window specs may reference select
-        # aliases (rank() OVER (ORDER BY total)), but a window spec is
-        # computed against the PRE-projection frame, so there a real
-        # column of the same name must win over a sibling alias —
-        # aliases enter the window compiler's env only when they don't
-        # collide with an in-scope column. (Grouped mode is safe by
-        # construction: setdefault never overrides the group-key/agg
-        # texts already in env.)
-        in_scope_cols = {c for cols in scope.values() for c in cols}
+        # results, found in review). Everywhere inside QUALIFY the
+        # precedence is COLUMN-FIRST (DuckDB parity — the oracle
+        # engine): an alias resolves only when no in-scope column has
+        # that name. In grouped mode the pre-projection frame is the
+        # aggregated one, so base-table names are no longer addressable
+        # and aliases like ``sum(price) AS price`` resolve freely
+        # (setdefault still protects the group-key/agg texts in env).
+        shadowed = set() if grouped_mode else in_scope
         wcomp = Compiler(registry, dict(env))
         # mutate the compiler's own env: later additions (aliases, window
         # columns) must be visible to every compile below, and Compiler
@@ -560,21 +562,32 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         for item, alias in q.select_items:
             if (
                 alias
-                and alias not in in_scope_cols
+                and alias not in shadowed
                 and not any(isinstance(s, A.WindowFunc) for s in item.walk())
             ):
                 qenv.setdefault(alias, wcomp.compile(item))
+        if grouped_mode:
+            # dialect-level check BEFORE Spark sees the plan: every
+            # column inside a window spec/arg must be covered by a group
+            # key, an aggregate, or a select alias — otherwise Spark
+            # would throw an opaque error naming internal __k/__a cols
+            known = set(qenv) | alias_names
+            for w in wfuncs.values():
+                parts = list(w.args)
+                if isinstance(w.spec, A.WindowSpec):
+                    parts += list(w.spec.partition_by)
+                    parts += [e for e, _ in w.spec.order_by]
+                for p in parts:
+                    _check_grouped(p, known, "QUALIFY window")
         wnames = {t: f"__w{i}" for i, t in enumerate(wfuncs)}
         if wfuncs:
             df = df.select("*", *[wcomp.compile(w).alias(wnames[t]) for t, w in wfuncs.items()])
         qenv.update({t: F.col(c) for t, c in wnames.items()})
-        # alias-first resolution for bare alias references in the
-        # PREDICATE itself (QUALIFY rn = 1) — the predicate is an
-        # output-context clause like ORDER BY, so there aliases may
-        # shadow columns; window functions were already materialized
-        # above, so these additions can't change any window spec
+        # bare alias references in the PREDICATE (QUALIFY rn = 1) —
+        # same column-first precedence; window functions were already
+        # materialized above, so these additions can't change any spec
         for item, alias in q.select_items:
-            if alias:
+            if alias and alias not in shadowed:
                 qenv.setdefault(alias, wcomp.compile(item))
         df = df.filter(wcomp.compile(q.qualify).cast("boolean"))
         # the projection below reuses the materialized window columns but

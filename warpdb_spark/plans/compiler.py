@@ -91,12 +91,13 @@ class Compiler:
         return F.col(n.name)
 
     _INTERVAL_RE = __import__("re").compile(r"^[A-Za-z0-9 :.\-]+$")
-    # Spark's cast grammar subset the dialect documents (zoneless):
-    # yyyy[-[m]m[-[d]d[ |T[h]h:[m]m[:[s]s[.f…]]]]] — single-digit fields
-    # allowed, week-dates and zone ids not
+    # Spark's cast grammar subset the dialect documents (zoneless,
+    # 4-digit years — Python's calendar check caps at 9999):
+    # yyyy[-[m]m[-[d]d[ |T[h]h[:[m]m[:[s]s[.f…]]]]]] — single-digit
+    # fields and hour-only times allowed, week-dates and zone ids not
     _DATETIME_RE = __import__("re").compile(
-        r"^(\d{4,6})(?:-(\d{1,2})(?:-(\d{1,2})"
-        r"(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,9}))?)?)?)?)?$"
+        r"^(\d{4})(?:-(\d{1,2})(?:-(\d{1,2})"
+        r"(?:[ T](\d{1,2})(?::(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,9}))?)?)?)?)?)?$"
     )
 
     def _validate_datetime_literal(self, value: str, kind: str) -> None:
