@@ -774,6 +774,16 @@ def setop_except_all(spark, sf_dir):
     return a.exceptAll(b).groupBy("q").agg(F.count(F.lit(1)).alias("n"))
 
 
+def setop_intersect_all(spark, sf_dir):
+    """Bag-semantics INTERSECT ALL (multiplicity-aware intersection) —
+    completes the set-op family (union/intersect/except/except-all)."""
+    a = _t(spark, sf_dir, "lineitem").select(F.col("l_quantity").cast("int").alias("q"))
+    b = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        F.col("l_quantity").cast("int").alias("q")
+    )
+    return a.intersectAll(b).groupBy("q").agg(F.count(F.lit(1)).alias("n"))
+
+
 def tpch_q4_order_priority(spark, sf_dir):
     """Q4 analog: order-priority counts for orders having a lineitem
     shipped after the order date (EXISTS → left-semi join)."""
@@ -961,6 +971,7 @@ QUERIES = {
     "window_rank_family": window_rank_family,
     "histogram_value_buckets": histogram_value_buckets,
     "setop_except_all": setop_except_all,
+    "setop_intersect_all": setop_intersect_all,
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
@@ -1272,6 +1283,12 @@ ORACLES = {
     "setop_except_all": (
         "SELECT q, count(*) AS n FROM ("
         "SELECT CAST(l_quantity AS INT) AS q FROM lineitem EXCEPT ALL "
+        "SELECT CAST(l_quantity AS INT) AS q FROM lineitem WHERE l_returnflag = 'R'"
+        ") GROUP BY q"
+    ),
+    "setop_intersect_all": (
+        "SELECT q, count(*) AS n FROM ("
+        "SELECT CAST(l_quantity AS INT) AS q FROM lineitem INTERSECT ALL "
         "SELECT CAST(l_quantity AS INT) AS q FROM lineitem WHERE l_returnflag = 'R'"
         ") GROUP BY q"
     ),
