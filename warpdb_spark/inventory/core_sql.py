@@ -756,6 +756,21 @@ def dialect_event_time(spark, sf_dir):
     )
 
 
+def dialect_setops(spark, sf_dir):
+    """Compound SELECT through the dialect front-end: UNION chained
+    with EXCEPT, ORDER BY/LIMIT binding to the combined result (ANSI).
+    Set-op execution is builder-native (``union``/``exceptAll``-free
+    path — EXCEPT is distinct semantics); Catalyst plans the distinct
+    as one hash aggregate over the union, no extra shuffle beyond it."""
+    db = _db(spark, sf_dir, "orders", "customer")
+    return db.query_sql(
+        "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000 "
+        "UNION SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT' "
+        "EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 "
+        "ORDER BY k LIMIT 500"
+    )
+
+
 def histogram_value_buckets(spark, sf_dir):
     """Fixed-width histogram of order totals (floor bucketing)."""
     return (
@@ -924,6 +939,123 @@ def events_cohort_retention(spark, sf_dir):
     )
 
 
+def events_sessionize(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands): a session breaks when a
+    user's inter-event gap exceeds 1 hour. lag → new-session flag →
+    cumulative sum, all inside ONE user_id hash partitioning (the two
+    window specs and the final groupBy share it — Catalyst plans a
+    single Exchange), so event volume scales linearly with exactly one
+    shuffle. The streaming twin is ``stream_session_windows``; this is
+    the reprocessing/backfill path every pipeline also needs."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    prev = F.lag(sec).over(w)
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(prev.isNull() | ((sec - prev) > 3600), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max(sec) - F.min(sec)).cast("bigint").alias("duration_secs"),
+    )
+
+
+def events_resample_locf(spark, sf_dir):
+    """Time-series resample to a 6-hour grid per event_type with
+    gap-filling: missing buckets are generated from the global time
+    range (``sequence`` over a 2-row bound aggregate × tiny type dim —
+    broadcast, no shuffle of events) and filled by last observation
+    carried forward. The LOCF window runs over the BUCKET timeline
+    (time-range/6h × |event types| rows), never over raw events, so at
+    100 TB the expensive side stays a single partial-aggregated shuffle
+    of events and the carry-forward cost is unchanged. This is the
+    hypertable-rollup/downsample shape (TimescaleDB time_bucket +
+    locf analog) expressed in pure DataFrame ops."""
+    bucket_s = 6 * 3600
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.col("ts").cast("long") / bucket_s)).alias("bucket"),
+        "value",
+    )
+    agg = ev.groupBy("event_type", "bucket").agg(
+        F.round(F.sum("value"), 6).alias("bucket_value"),
+        F.count(F.lit(1)).alias("n_events_raw"),
+    )
+    bounds = ev.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = (
+        bounds.select(F.explode(F.sequence("lo", "hi")).alias("bucket"))
+        .crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    )
+    filled = grid.join(agg, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.coalesce("n_events_raw", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("bucket_value", ignorenulls=True).over(w).alias("value_locf"),
+    )
+
+
+def agg_mode_median(spark, sf_dir):
+    """Ordered-set aggregates per group: exact interpolated median
+    (percentile 0.5) and a DETERMINISTIC mode (most frequent value,
+    smallest wins ties — built from a count + rank window rather than
+    ``F.mode`` so ties can't flap between engines). Two shuffles on
+    small keys; the count table the mode ranks over is |distinct
+    values per group|, not |rows|."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty")
+    )
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return med.join(mode, "l_returnflag").select(
+        "l_returnflag", F.round("median_qty", 6).alias("median_qty"), "mode_qty"
+    )
+
+
+def reshape_unpivot(spark, sf_dir):
+    """UNPIVOT/melt — the inverse of ``reshape_pivot``: lineitem's four
+    measure columns become (measure, value) rows keyed by line id.
+    ``DataFrame.unpivot`` is a narrow transformation (row-local
+    expansion, zero shuffle) and the 4× row growth is pure map-side
+    output — the 100 TB cost is the scan itself."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 160)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    ).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        "measure",
+        "value",
+    )
+
+
 QUERIES = {
     "flagship_filter_project": flagship_filter_project,
     "dialect_expression_projection": dialect_expression_projection,
@@ -982,6 +1114,11 @@ QUERIES = {
     "window_qualify": window_qualify,
     "agg_approx_percentile": agg_approx_percentile,
     "dialect_event_time": dialect_event_time,
+    "events_sessionize": events_sessionize,
+    "events_resample_locf": events_resample_locf,
+    "agg_mode_median": agg_mode_median,
+    "reshape_unpivot": reshape_unpivot,
+    "dialect_setops": dialect_setops,
 }
 
 ORACLES = {
@@ -1323,5 +1460,66 @@ ORACLES = {
         "GROUP BY l_orderkey HAVING sum(l_quantity) > 300) b ON o_orderkey = b.l_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "ORDER BY total_price DESC, ok LIMIT 100"
+    ),
+    "dialect_setops": (
+        "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000 "
+        "UNION SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT' "
+        "EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 "
+        "ORDER BY k LIMIT 500"
+    ),
+    # date_diff('second', ...) counts second-boundary crossings =
+    # floor(epoch b) - floor(epoch a), exactly Spark's
+    # ts.cast('long') subtraction — the 1h gap test is truncated-second
+    # in both engines.
+    "events_sessionize": (
+        "WITH o AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR date_diff('second', lag(ts) OVER w, ts) > 3600 THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, ts, CAST(sum(new_s) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT) "
+        "AS session_seq FROM o) "
+        "SELECT user_id, session_seq, count(*) AS n_events, "
+        "min(ts) AS session_start, max(ts) AS session_end, "
+        "CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_secs "
+        "FROM s GROUP BY 1, 2"
+    ),
+    "events_resample_locf": (
+        "WITH ev AS (SELECT event_type, "
+        "CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bucket, value FROM events), "
+        "agg AS (SELECT event_type, bucket, round(sum(value), 6) AS bucket_value, "
+        "count(*) AS n_events_raw FROM ev GROUP BY 1, 2), "
+        "grid AS (SELECT t.event_type, g.bucket FROM "
+        "(SELECT DISTINCT event_type FROM ev) t CROSS JOIN "
+        "(SELECT unnest(generate_series(min(bucket), max(bucket))) AS bucket FROM ev) g) "
+        "SELECT grid.event_type, grid.bucket, "
+        "CAST(coalesce(n_events_raw, 0) AS BIGINT) AS n_events, "
+        "last_value(bucket_value IGNORE NULLS) OVER ("
+        "PARTITION BY grid.event_type ORDER BY grid.bucket ROWS UNBOUNDED PRECEDING"
+        ") AS value_locf "
+        "FROM grid LEFT JOIN agg ON grid.event_type = agg.event_type "
+        "AND grid.bucket = agg.bucket"
+    ),
+    "agg_mode_median": (
+        "WITH med AS (SELECT l_returnflag, "
+        "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty "
+        "FROM lineitem GROUP BY 1), "
+        "c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt "
+        "FROM lineitem GROUP BY 1, 2), "
+        "m AS (SELECT l_returnflag, l_quantity AS mode_qty FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY l_returnflag "
+        "ORDER BY cnt DESC, l_quantity ASC) AS rn FROM c) WHERE rn = 1) "
+        "SELECT l_returnflag, median_qty, mode_qty FROM med JOIN m USING (l_returnflag)"
+    ),
+    "reshape_unpivot": (
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, measure, value FROM ("
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value "
+        "FROM lineitem WHERE l_orderkey <= 160 "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice "
+        "FROM lineitem WHERE l_orderkey <= 160 "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount "
+        "FROM lineitem WHERE l_orderkey <= 160 "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax "
+        "FROM lineitem WHERE l_orderkey <= 160)"
     ),
 }

@@ -197,6 +197,38 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard(docs, pairs, "doc_id", "text", shingle_size=3)
 
 
+def text_edit_distance_pairs(spark, sf_dir):
+    """Blocked edit-distance near-dup: candidate pairs share a (lang,
+    source) block, then Levenshtein over an 80-char prefix scores each
+    pair JVM-side (``F.levenshtein`` — whole-stage codegen, no Python).
+    The prefix bound caps the O(len²) DP per pair, and the block join
+    prunes the quadratic pair space the same way ``dedup_ngram_jaccard``
+    does — at 100 TB you'd block on a minhash band or simhash bucket
+    instead of metadata, but the verify shape is identical. Both
+    engines implement the standard unit-cost Levenshtein DP, so the
+    distances hash-check exactly."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.substring("text", 1, 80).alias("prefix")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), "lang", "source",
+        F.col("prefix").alias("pa"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), "lang", "source",
+        F.col("prefix").alias("pb"),
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("pa", "pb").cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 60)
+    )
+
+
 def dedup_simhash_candidates(spark, sf_dir):
     """SimHash Hamming-≤3 candidate pairs. The md5-vote signature is
     engine-portable, and 4×16-bit banding is exact for hamming ≤ 3
@@ -841,6 +873,7 @@ QUERIES = {
     "sample_hash_bucket": sample_hash_bucket,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "text_edit_distance_pairs": text_edit_distance_pairs,
     "dedup_simhash_candidates": dedup_simhash_candidates,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -1137,6 +1170,14 @@ ORACLES = {
         "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard "
         "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source "
         "AND a.doc_id < b.doc_id"
+    ),
+    "text_edit_distance_pairs": (
+        "WITH p AS (SELECT doc_id, lang, source, text[1:80] AS prefix FROM documents) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_distance "
+        "FROM p a JOIN p b ON a.lang = b.lang AND a.source = b.source "
+        "AND a.doc_id < b.doc_id "
+        "WHERE levenshtein(a.prefix, b.prefix) <= 60"
     ),
     # Full simhash replica: per-token 64-bit hash = first 8 md5 bytes
     # (bit b = hex digit 16-b//4, bit b%4), per-bit vote sum, sign →
