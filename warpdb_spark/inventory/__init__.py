@@ -9,13 +9,17 @@ Entry ORDER matters: the driver's per-round correctness gate verifies a
 bounded window from the front of the ``queries()`` dict (~50 entries per
 round). ``DRIVER_PRIORITY`` lists the entries that most need fresh
 driver verification THIS round, rotated each round so every entry gets a
-driver-green row. Round-3 rotation: (a) the 12 events entries recovered
-by the schema-adaptive ts fix, (b) ``tpch_q12`` after its oracle BIGINT
-cast, (c) the 17 entries added in r2 that have never been in a window,
-(d) entries whose oracles were upgraded this round (ANN replay oracles,
-fixed-iteration kmeans profile, QUALIFY), then (e) a cross-family sample
-of prior greens to re-confirm. Everything else follows in module order,
-still guarded by the local oracle gate (tools/check_oracle.py) + pytest.
+driver-green row. Round-4 rotation: the round-3 driver run produced no
+correctness artifacts, so the full r3 rotation — (a) the 12 events
+entries recovered by the schema-adaptive ts fix, (b) ``tpch_q12`` after
+its oracle BIGINT cast, (c) the 17 r2 additions never in a window,
+(d) upgraded-oracle entries (ANN replay, fixed-iteration kmeans,
+QUALIFY) — stays pending and keeps its slots, joined by (d3) the
+round-4 additions (sessionize/LOCF-resample/mode-median/unpivot/
+edit-distance/dialect-setops/intersect-all). The 48 pending entries +
+2 re-confirms fill the ~50-slot window exactly. Everything else follows
+in module order, still guarded by the local oracle gate
+(tools/check_oracle.py) + pytest.
 """
 
 from __future__ import annotations
@@ -78,6 +82,18 @@ DRIVER_PRIORITY: list[str] = [
     "dialect_tpch_q6",
     "corpus_stats_by_stratum",
     "dedup_span_boilerplate",
+    # (d3) round-4 additions (r3 produced no driver artifacts, so the
+    # whole r3 rotation above is still pending; these join it):
+    # sessionization/backfill analytics, LOCF resample, ordered-set
+    # aggregates, unpivot, blocked edit-distance, dialect set-ops, and
+    # the INTERSECT ALL entry that landed after the r3 rotation
+    "events_sessionize",
+    "events_resample_locf",
+    "agg_mode_median",
+    "reshape_unpivot",
+    "text_edit_distance_pairs",
+    "dialect_setops",
+    "setop_intersect_all",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",
