@@ -207,3 +207,34 @@ class TestCurationPlans:
         # and the vocab join must broadcast the 50-row side
         assert "TakeOrderedAndProject" in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestTimeSeriesPlans:
+    """Round-4 event-time analytics keep their claimed shuffle budget."""
+
+    def test_sessionize_single_exchange(self, spark, sf_dir):
+        from warpdb_spark.inventory.core_sql import events_sessionize
+
+        # lag window, cumulative-sum window, and the session groupBy all
+        # ride ONE user_id hash partitioning
+        plan = _plan(events_sessionize(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_resample_locf_shuffles_events_once(self, spark, sf_dir):
+        from warpdb_spark.inventory.core_sql import events_resample_locf
+
+        plan = _plan(events_resample_locf(spark, sf_dir))
+        # the (event_type, bucket) aggregate is the only events-volume
+        # shuffle; the filled grid receives it via broadcast, never a
+        # sort-merge join of raw events against the grid
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 2
+
+    def test_unpivot_is_narrow(self, spark, sf_dir):
+        from warpdb_spark.inventory.core_sql import reshape_unpivot
+
+        # melt is row-local: Expand operator, zero shuffles
+        plan = _plan(reshape_unpivot(spark, sf_dir))
+        assert "Expand" in plan
+        assert "Exchange" not in plan
