@@ -16,8 +16,8 @@ its oracle BIGINT cast, (c) the 17 r2 additions never in a window,
 (d) upgraded-oracle entries (ANN replay, fixed-iteration kmeans,
 QUALIFY) — stays pending and keeps its slots, joined by (d3) the
 round-4 additions (sessionize/LOCF-resample/mode-median/unpivot/
-edit-distance/dialect-setops/intersect-all). The 48 pending entries +
-2 re-confirms fill the ~50-slot window exactly. Everything else follows
+edit-distance/dialect-setops/intersect-all/dialect q3+q12). The 50
+pending entries fill the window exactly. Everything else follows
 in module order, still guarded by the local oracle gate
 (tools/check_oracle.py) + pytest.
 """
@@ -94,6 +94,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_edit_distance_pairs",
     "dialect_setops",
     "setop_intersect_all",
+    "dialect_tpch_q3",
+    "dialect_tpch_q12",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

@@ -756,6 +756,46 @@ def dialect_event_time(spark, sf_dir):
     )
 
 
+def dialect_tpch_q3(spark, sf_dir):
+    """Q3 entirely through the dialect front-end: three-table join,
+    typed TIMESTAMP literals, nested CAST in the projection, grouped
+    expression aggregate, ORDER BY ... LIMIT (TakeOrderedAndProject).
+    Same ground truth as ``tpch_q3_shipping_priority`` but a much
+    harder front-end path — multi-join + cast + top-k in one query."""
+    db = _db(spark, sf_dir, "customer", "orders", "lineitem")
+    return db.query_sql(
+        "SELECT o_orderkey AS ok, "
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate, "
+        "round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY o_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, ok ASC LIMIT 10"
+    )
+
+
+def dialect_tpch_q12(spark, sf_dir):
+    """Q12 through the dialect: conditional aggregation (CASE inside
+    SUM), string IN-lists, join + range predicates. Spark's integer
+    SUM stays bigint end-to-end — the int-typing class the r2 oracle
+    fix addressed is pinned here through the front-end too."""
+    db = _db(spark, sf_dir, "lineitem", "orders")
+    return db.query_sql(
+        "SELECT l_linestatus AS status, "
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS high_line_count, "
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY l_linestatus ORDER BY l_linestatus"
+    )
+
+
 def dialect_setops(spark, sf_dir):
     """Compound SELECT through the dialect front-end: UNION chained
     with EXCEPT, ORDER BY/LIMIT binding to the combined result (ANSI).
@@ -1119,6 +1159,8 @@ QUERIES = {
     "agg_mode_median": agg_mode_median,
     "reshape_unpivot": reshape_unpivot,
     "dialect_setops": dialect_setops,
+    "dialect_tpch_q3": dialect_tpch_q3,
+    "dialect_tpch_q12": dialect_tpch_q12,
 }
 
 ORACLES = {
@@ -1460,6 +1502,26 @@ ORACLES = {
         "GROUP BY l_orderkey HAVING sum(l_quantity) > 300) b ON o_orderkey = b.l_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "ORDER BY total_price DESC, ok LIMIT 100"
+    ),
+    "dialect_tpch_q3": (
+        "SELECT o_orderkey AS ok, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "AND l_shipdate > TIMESTAMP '1998-01-01' "
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, ok ASC LIMIT 10"
+    ),
+    "dialect_tpch_q12": (
+        "SELECT l_linestatus AS status, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY 1 ORDER BY 1"
     ),
     "dialect_setops": (
         "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000 "
