@@ -16,8 +16,10 @@ its oracle BIGINT cast, (c) the 17 r2 additions never in a window,
 (d) upgraded-oracle entries (ANN replay, fixed-iteration kmeans,
 QUALIFY) — stays pending and keeps its slots, joined by (d3) the
 round-4 additions (sessionize/LOCF-resample/mode-median/unpivot/
-edit-distance/dialect-setops/intersect-all/dialect q3+q12). The 50
-pending entries fill the window exactly. Everything else follows
+edit-distance/dialect-setops/intersect-all/dialect q3+q12/weighted
+sample/z-score outliers). 52 pending entries front the window (the
+last two may spill to r5 if the driver cuts at exactly 50). Everything
+else follows
 in module order, still guarded by the local oracle gate
 (tools/check_oracle.py) + pytest.
 """
@@ -96,6 +98,8 @@ DRIVER_PRIORITY: list[str] = [
     "setop_intersect_all",
     "dialect_tpch_q3",
     "dialect_tpch_q12",
+    "sample_weighted",
+    "events_zscore_outliers",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

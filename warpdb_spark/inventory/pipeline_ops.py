@@ -170,6 +170,43 @@ def sample_hash_bucket(spark, sf_dir):
     )
 
 
+def sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling: doc i survives iff
+    u(i) < n_chars/max_chars where u(i) is a uniform-ish [0,1) value
+    derived from the first 8 hex digits of md5(doc_id) — longer docs
+    are proportionally likelier to be kept. The engine-portable-hash
+    trick makes the sample bit-reproducible across runs AND engines
+    (the oracle replays it exactly); the predicate is a codegen'd scan,
+    zero shuffle, so it cuts a weighted subset of a 100 TB corpus at
+    read speed. Swap n_chars for any quality/temperature weight."""
+    docs = _t(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+    return docs.filter(u < F.col("n_chars") / F.lit(553.0)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def events_zscore_outliers(spark, sf_dir):
+    """Per-key anomaly screen: flag events whose value is >2 population
+    standard deviations from their event_type mean. The (tiny) per-type
+    moment table broadcasts back onto the stream — one partial-agg
+    shuffle of events, then a map-only scan; the 100 TB shape for any
+    per-key normalization. Output carries the rounded z-score so the
+    oracle checks the math, not just the flags."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sigma"))
+        .filter(F.abs(F.col("z")) > 2)
+        .select("event_id", "event_type", F.round("z", 6).alias("zscore"))
+    )
+
+
 def dedup_cluster_components(spark, sf_dir):
     """Transitive-closure near-dup clustering: LSH candidate pairs →
     exact-Jaccard verification → connected components (iterative
@@ -871,6 +908,8 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_survivors": dedup_minhash_survivors,
     "sample_hash_bucket": sample_hash_bucket,
+    "sample_weighted": sample_weighted,
+    "events_zscore_outliers": events_zscore_outliers,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "text_edit_distance_pairs": text_edit_distance_pairs,
@@ -1147,6 +1186,19 @@ ORACLES = {
     "sample_hash_bucket": (
         "SELECT doc_id, lang, source FROM documents "
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"
+    ),
+    "sample_weighted": (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
+        "AS DOUBLE) / 4294967296.0 < n_chars / 553.0"
+    ),
+    "events_zscore_outliers": (
+        "WITH s AS (SELECT event_type, avg(value) AS mu, "
+        "stddev_pop(value) AS sigma FROM events GROUP BY 1) "
+        "SELECT event_id, e.event_type, "
+        "round((value - mu) / sigma, 6) AS zscore "
+        "FROM events e JOIN s ON e.event_type = s.event_type "
+        "WHERE abs((value - mu) / sigma) > 2"
     ),
     "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
     "dedup_cluster_components": _CLUSTER_CC_SQL,
