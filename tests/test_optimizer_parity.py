@@ -224,12 +224,14 @@ class TestTimeSeriesPlans:
         from warpdb_spark.inventory.core_sql import events_resample_locf
 
         plan = _plan(events_resample_locf(spark, sf_dir))
-        # the (event_type, bucket) aggregate is the only events-volume
-        # shuffle; the filled grid receives it via broadcast, never a
+        # raw events feeds ONE persisted (event_type, bucket) aggregate;
+        # all three consumers (bounds, type dim, fill join) read the
+        # cache — so the executed plan touches events zero times outside
+        # the InMemoryRelation and joins the grid via broadcast, never a
         # sort-merge join of raw events against the grid
+        assert plan.count("InMemoryTableScan") == 3
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
-        assert plan.count("Exchange hashpartitioning") == 2
 
     def test_unpivot_is_narrow(self, spark, sf_dir):
         from warpdb_spark.inventory.core_sql import reshape_unpivot

@@ -1009,9 +1009,8 @@ def events_sessionize(spark, sf_dir):
 
 def events_resample_locf(spark, sf_dir):
     """Time-series resample to a 6-hour grid per event_type with
-    gap-filling: missing buckets are generated from the global time
-    range (``sequence`` over a 2-row bound aggregate × tiny type dim —
-    broadcast, no shuffle of events) and filled by last observation
+    gap-filling: missing buckets are generated from the bucket range of
+    the (persisted, tiny) aggregate and filled by last observation
     carried forward. The LOCF window runs over the BUCKET timeline
     (time-range/6h × |event types| rows), never over raw events, so at
     100 TB the expensive side stays a single partial-aggregated shuffle
@@ -1024,16 +1023,26 @@ def events_resample_locf(spark, sf_dir):
         (F.floor(F.col("ts").cast("long") / bucket_s)).alias("bucket"),
         "value",
     )
-    agg = ev.groupBy("event_type", "bucket").agg(
-        F.round(F.sum("value"), 6).alias("bucket_value"),
-        F.count(F.lit(1)).alias("n_events_raw"),
+    # the tiny (types × buckets) aggregate is persisted and eagerly
+    # materialized (same pattern as dedup's shared shingle frame) so its
+    # three consumers — grid bounds, the type dimension, and the fill
+    # join — all read the cache: raw events is scanned and shuffled
+    # exactly ONCE no matter the corpus size. Without this, Catalyst
+    # prunes each consumer's subtree differently and re-scans events
+    # three times (no exchange reuse across differently-pruned plans).
+    agg = (
+        ev.groupBy("event_type", "bucket")
+        .agg(
+            F.round(F.sum("value"), 6).alias("bucket_value"),
+            F.count(F.lit(1)).alias("n_events_raw"),
+        )
+        .persist()
     )
-    bounds = ev.agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
-    )
+    agg.count()
+    bounds = agg.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
     grid = (
         bounds.select(F.explode(F.sequence("lo", "hi")).alias("bucket"))
-        .crossJoin(F.broadcast(ev.select("event_type").distinct()))
+        .crossJoin(F.broadcast(agg.select("event_type").distinct()))
     )
     filled = grid.join(agg, ["event_type", "bucket"], "left")
     w = (

@@ -194,16 +194,23 @@ def events_zscore_outliers(spark, sf_dir):
     moment table broadcasts back onto the stream — one partial-agg
     shuffle of events, then a map-only scan; the 100 TB shape for any
     per-key normalization. Output carries the rounded z-score so the
-    oracle checks the math, not just the flags."""
+    oracle checks the math, not just the flags. try_divide NULLs a
+    zero-variance key (matching DuckDB's float 0/0) instead of throwing
+    under this session's ANSI mode, and the filter compares the ROUNDED
+    z so a boundary row can't flip between the engines' different
+    partial-aggregation orders."""
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
     )
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sigma"))
-        .filter(F.abs(F.col("z")) > 2)
-        .select("event_id", "event_type", F.round("z", 6).alias("zscore"))
+        .withColumn(
+            "zscore",
+            F.round(F.try_divide(F.col("value") - F.col("mu"), F.col("sigma")), 6),
+        )
+        .filter(F.abs(F.col("zscore")) > 2)
+        .select("event_id", "event_type", "zscore")
     )
 
 
@@ -1198,7 +1205,7 @@ ORACLES = {
         "SELECT event_id, e.event_type, "
         "round((value - mu) / sigma, 6) AS zscore "
         "FROM events e JOIN s ON e.event_type = s.event_type "
-        "WHERE abs((value - mu) / sigma) > 2"
+        "WHERE abs(round((value - mu) / sigma, 6)) > 2"
     ),
     "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
     "dedup_cluster_components": _CLUSTER_CC_SQL,
