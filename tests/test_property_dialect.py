@@ -173,3 +173,36 @@ def test_qualify_matches_duckdb(qdb, qduck, wf, part, d, pred):
     # normalize sum(price) DOUBLE vs others BIGINT across engines
     norm = lambda rows: [(i, round(float(w), 9)) for i, w in rows]
     assert norm(got) == norm(want), sql
+
+
+# --- compound set-ops: randomized chains vs DuckDB (ANSI precedence) ---
+
+_sops = st.sampled_from(
+    ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+)
+_branch_preds = st.sampled_from(
+    ["price > 11", "quantity >= 3", "price < 25", "quantity == 4", "price >= 10.5"]
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    preds=st.lists(_branch_preds, min_size=2, max_size=4),
+    ops=st.lists(_sops, min_size=3, max_size=3),
+)
+def test_setop_chain_matches_duckdb(db, duck, preds, ops):
+    """Random compound SELECT chains (mixing every set-op incl. the ALL
+    variants) must resolve operands, precedence (INTERSECT over
+    UNION/EXCEPT), and bag-vs-set semantics exactly as DuckDB does on
+    the identical text."""
+    branches = [f"SELECT price FROM t WHERE {p}" for p in preds]
+    sql = branches[0]
+    for i, b in enumerate(branches[1:]):
+        sql += f" {ops[i]} {b}"
+    got = sorted(r.price for r in db.query_sql(sql).collect())
+    want = sorted(v for (v,) in duck.execute(_duck_text(sql)).fetchall())
+    assert got == pytest.approx(want), sql

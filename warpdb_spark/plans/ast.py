@@ -435,11 +435,13 @@ class QueryAST:
 
 @dataclass
 class SetOp:
-    """UNION [ALL] / INTERSECT / EXCEPT between two queries (superset —
-    absent from the reference keyword set, src/expression.cpp:58-62).
-    Trailing ORDER BY/LIMIT/OFFSET bind to the combined result (ANSI)."""
+    """UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] between two queries
+    (superset — absent from the reference keyword set,
+    src/expression.cpp:58-62). INTERSECT binds tighter than
+    UNION/EXCEPT (ANSI precedence); trailing ORDER BY/LIMIT/OFFSET bind
+    to the combined result (ANSI)."""
 
-    op: str  # union, union_all, intersect, except
+    op: str  # union, union_all, intersect, intersect_all, except, except_all
     left: "QueryAST | SetOp"
     right: "QueryAST | SetOp"
     order_by: list[tuple[Node, bool]] = field(default_factory=list)

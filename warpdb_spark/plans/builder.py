@@ -85,8 +85,12 @@ def build_dataframe(tables: dict[str, DataFrame], q, registry=None) -> DataFrame
             out = left.union(right).distinct()
         elif q.op == "intersect":
             out = left.intersect(right)
+        elif q.op == "intersect_all":
+            out = left.intersectAll(right)
         elif q.op == "except":
             out = left.subtract(right)
+        elif q.op == "except_all":
+            out = left.exceptAll(right)
         else:
             raise ValidationError(f"Unknown set operation: {q.op}")
         if q.order_by:

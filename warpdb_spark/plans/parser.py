@@ -470,6 +470,27 @@ class _Parser:
             return expr, tok.value
         return expr, None
 
+    def parse_intersect_chain(self, first: bool):
+        """One set-op operand: a SELECT plus any INTERSECT [ALL] chain —
+        INTERSECT binds tighter than UNION/EXCEPT (ANSI precedence, as
+        DuckDB and Spark SQL resolve it). Returns (node, chained)."""
+        node: A.QueryAST | A.SetOp = self.parse_select(in_setop=not first)
+        chained = False
+        while self.peek().is_kw("INTERSECT"):
+            self.next()
+            op = "intersect_all" if self.accept_kw("ALL") else "intersect"
+            if (
+                first
+                and not chained
+                and (node.order_by or node.limit is not None or node.offset is not None)
+            ):
+                raise ParseError(
+                    "ORDER BY/LIMIT/OFFSET must follow the last query of a set operation"
+                )
+            chained = True
+            node = A.SetOp(op, node, self.parse_select(in_setop=True))
+        return node, chained
+
     def parse_query_node(self):
         if self.accept_kw("WITH"):
             ctes: list[tuple[str, object]] = []
@@ -482,19 +503,15 @@ class _Parser:
                 if not self.accept_op(","):
                     break
             return A.WithQuery(ctes, self.parse_query_node())
-        node: A.QueryAST | A.SetOp = self.parse_select()
-        is_setop = False
+        node, is_setop = self.parse_intersect_chain(first=True)
         while True:
             tok = self.peek()
             if tok.is_kw("UNION"):
                 self.next()
                 op = "union_all" if self.accept_kw("ALL") else "union"
-            elif tok.is_kw("INTERSECT"):
-                self.next()
-                op = "intersect"
             elif tok.is_kw("EXCEPT"):
                 self.next()
-                op = "except"
+                op = "except_all" if self.accept_kw("ALL") else "except"
             else:
                 break
             if not is_setop and (node.order_by or node.limit is not None or node.offset is not None):
@@ -502,7 +519,8 @@ class _Parser:
                     "ORDER BY/LIMIT/OFFSET must follow the last query of a set operation"
                 )
             is_setop = True
-            node = A.SetOp(op, node, self.parse_select(in_setop=True))
+            right, _ = self.parse_intersect_chain(first=False)
+            node = A.SetOp(op, node, right)
         if is_setop:
             if self.accept_kw("ORDER"):
                 self.expect_kw("BY")
