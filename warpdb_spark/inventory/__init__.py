@@ -100,6 +100,11 @@ DRIVER_PRIORITY: list[str] = [
     "dialect_tpch_q12",
     "sample_weighted",
     "events_zscore_outliers",
+    # (d4) late round-3 additions: corpus n-gram stats, token-budget
+    # data-mixture sampling, incremental-ingest dedup
+    "text_top_bigrams",
+    "sample_token_budget",
+    "dedup_incremental_new_docs",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

@@ -901,6 +901,73 @@ def stream_session_windows(spark, sf_dir):
     )
 
 
+def text_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-25 word bigrams (n-gram LM / tokenizer-training
+    input). Bigrams are built per doc with a zero-shuffle HOF
+    (functions/text.py::word_ngrams over normalized text), then one
+    explode + partial-agg count and a distributed
+    TakeOrderedAndProject — at 100 TB the only full shuffle is the
+    bigram groupBy (map-side combined); the top-K never performs a
+    global sort. Tie-break on the bigram text keeps the boundary
+    deterministic across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(T.word_ngrams(T.normalized_text(F.col("text")), 2)).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("bigram"))
+        .limit(25)
+    )
+
+
+def sample_token_budget(spark, sf_dir):
+    """Data-mixture curation: greedily fill a per-language token budget
+    (2,000 whitespace tokens) in deterministic md5 content-address
+    order — the "sample N tokens per language" step of assembling a
+    training mix. A doc is kept iff the budget was not already
+    exhausted when it arrived (its cumulative sum EXCLUDING itself is
+    under budget), so the mix always overshoots by at most one doc.
+    One shuffle (the per-lang window); with few languages the per-key
+    sort is the 100 TB cost — the two-level rewrite (per-bucket
+    subtotals → broadcast running offsets → local cumsum) removes the
+    single-key sort bottleneck and is noted in PLANS.md."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    d = docs.select(
+        "doc_id", "lang", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    d = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return d.filter(F.col("cum_tokens") - F.col("n_tokens") < 2000).select(
+        "doc_id", "lang", "n_tokens", "cum_tokens"
+    )
+
+
+def dedup_incremental_new_docs(spark, sf_dir):
+    """Incremental-ingest dedup: a "new batch" (doc_id % 5 = 0) is
+    admitted only if its normalized-content md5 does not already exist
+    in the standing corpus (doc_id % 5 != 0) and it is the first
+    arrival of that digest within the batch. Shape: fingerprint scan on
+    both sides + one hash LEFT ANTI join on the digest + a per-digest
+    first-arrival window — at 100 TB the standing-corpus side is a
+    pre-built fingerprint index (digest column only, bucketed on
+    digest) joined against, never the raw text."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = T.md5_fingerprint(F.col("text"))
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", fp.alias("fp"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select(fp.alias("fp")).distinct()
+    fresh = batch.join(corpus, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        fresh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "fp")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,
@@ -943,6 +1010,9 @@ QUERIES = {
     "decontam_eval_overlap": decontam_eval_overlap,
     "text_repetition_stats": text_repetition_stats,
     "text_vocab_oov": text_vocab_oov,
+    "text_top_bigrams": text_top_bigrams,
+    "sample_token_budget": sample_token_budget,
+    "dedup_incremental_new_docs": dedup_incremental_new_docs,
     "text_gopher_rules": text_gopher_rules,
     "text_unigram_logprob": text_unigram_logprob,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -1461,6 +1531,29 @@ ORACLES = {
         "SELECT t.doc_id, count(*) AS n_tokens, count(v.token) AS n_in_vocab, "
         "round((count(*) - count(v.token)) * 1.0 / count(*), 6) AS oov_rate "
         "FROM tok t LEFT JOIN v ON t.token = v.token GROUP BY t.doc_id"
+    ),
+    "text_top_bigrams": (
+        f"WITH t AS (SELECT string_split({_norm}, ' ') AS toks FROM documents), "
+        "b AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) "
+        "ELSE [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] END) "
+        "AS bigram FROM t) "
+        "SELECT bigram, count(*) AS tf FROM b GROUP BY 1 ORDER BY tf DESC, bigram LIMIT 25"
+    ),
+    "sample_token_budget": (
+        r"WITH d AS (SELECT doc_id, lang, len(string_split_regex(trim(text), '\s+')) "
+        "AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, lang, n_tokens, sum(n_tokens) OVER (PARTITION BY lang "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum_tokens FROM d) "
+        "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c WHERE cum_tokens - n_tokens < 2000"
+    ),
+    "dedup_incremental_new_docs": (
+        f"WITH f AS (SELECT doc_id, md5({_norm}) AS fp FROM documents), "
+        "b AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 = 0), "
+        "c AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 != 0) "
+        "SELECT doc_id, fp FROM (SELECT b.doc_id, b.fp, "
+        "row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rk "
+        "FROM b LEFT JOIN c ON b.fp = c.fp WHERE c.fp IS NULL) WHERE rk = 1"
     ),
     "text_gopher_rules": (
         r"WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks "
