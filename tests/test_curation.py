@@ -246,3 +246,58 @@ class TestBoilerplateSpans:
         )
         out = C.remove_boilerplate_spans(docs, "doc_id", "text", span=5).collect()
         assert all(r["n_removed"] == 0 for r in out)
+
+
+class TestBudgetFill:
+    """budget_fill must be EXACTLY the plain per-key ordered-cumsum
+    window, computed via the two-level (bucketed) rewrite."""
+
+    def _plain(self, df, key, w, idc, budget):
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(key).orderBy(
+            F.md5(F.col(idc).cast("string")), F.col(idc)
+        )
+        d = df.withColumn("cum", F.sum(w).over(win))
+        return d.filter(F.col("cum") - F.col(w) < budget)
+
+    @pytest.mark.parametrize("prefix_len", [1, 2])
+    def test_matches_plain_window(self, spark, prefix_len):
+        rows = [
+            Row(doc_id=i, lang=["en", "de", "fr"][i % 3], n=(i * 37) % 50 + 1)
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(rows)
+        got = C.budget_fill(
+            df, "lang", "n", "doc_id", budget=800, prefix_len=prefix_len
+        )
+        want = self._plain(df, "lang", "n", "doc_id", 800)
+        gs = sorted(got.select("doc_id", "lang", "n", "cum").collect())
+        ws = sorted(want.select("doc_id", "lang", "n", "cum").collect())
+        assert gs == ws and len(gs) > 0
+
+    def test_row_windows_never_partition_on_key_alone(self, spark):
+        """The data-volume window must run per (key, bucket) — a window
+        partitioned on the bare key is the single-task-per-key sort the
+        operator exists to avoid (the offset window over the subtotal
+        table is key-only by design but touches ~16 rows per key)."""
+        df = spark.createDataFrame(
+            [Row(doc_id=i, lang="en", n=1) for i in range(50)]
+        )
+        out = C.budget_fill(df, "lang", "n", "doc_id", budget=10)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        import re
+
+        windows = re.findall(r"Window \[.*?\]", plan)
+        cum_windows = [w for w in windows if "__cum_local" in w]
+        assert cum_windows, plan
+        assert all("__b" in w for w in cum_windows), plan
+
+    def test_budget_boundary_overshoot_by_one(self, spark):
+        # weights 10 each, budget 25: cum 10,20,30 → kept 10,20,30 (the
+        # 30-row started under budget), 40 dropped
+        df = spark.createDataFrame(
+            [Row(doc_id=i, lang="en", n=10) for i in range(1, 9)]
+        )
+        out = C.budget_fill(df, "lang", "n", "doc_id", budget=25).collect()
+        assert len(out) == 3 and max(r["cum"] for r in out) == 30

@@ -929,20 +929,20 @@ def sample_token_budget(spark, sf_dir):
     training mix. A doc is kept iff the budget was not already
     exhausted when it arrived (its cumulative sum EXCLUDING itself is
     under budget), so the mix always overshoots by at most one doc.
-    One shuffle (the per-lang window); with few languages the per-key
-    sort is the 100 TB cost — the two-level rewrite (per-bucket
-    subtotals → broadcast running offsets → local cumsum) removes the
-    single-key sort bottleneck and is noted in PLANS.md."""
+    Runs through operators/curation.py::budget_fill — the TWO-LEVEL
+    cumsum (md5-prefix range buckets → parallel local windows → tiny
+    subtotal-offset table broadcast back), so with few languages no
+    single task ever sorts a whole language; the oracle replays the
+    equivalent plain per-key window."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
     d = docs.select(
         "doc_id", "lang", T.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
-    d = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    return d.filter(F.col("cum_tokens") - F.col("n_tokens") < 2000).select(
-        "doc_id", "lang", "n_tokens", "cum_tokens"
+    out = C.budget_fill(
+        d, key_col="lang", weight_col="n_tokens", id_col="doc_id", budget=2000
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", F.col("cum").alias("cum_tokens")
     )
 
 
