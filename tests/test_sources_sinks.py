@@ -169,3 +169,75 @@ class TestCLI:
         )
         assert proc.returncode == 1
         assert "Unknown column: nope" in proc.stderr
+
+
+class TestClusteredWrite:
+    """write_clustered must produce NON-overlapping per-row-group key
+    ranges (the min-max pruning contract) while preserving the data."""
+
+    def test_rowgroup_ranges_disjoint_and_data_preserved(
+        self, spark, tmp_path_factory
+    ):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from warpdb_spark.sources.writers import write_clustered
+
+        base = str(tmp_path_factory.mktemp("clustered"))
+        # shuffled key order: consecutive ids map to scattered ts
+        df = spark.range(20_000).select(
+            F.col("id"),
+            ((F.col("id") * 48271) % 20_000).alias("ts"),
+        )
+        write_clustered(df, f"{base}/clustered", ["ts"], num_files=8)
+
+        spans = []
+        for f in glob.glob(f"{base}/clustered/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(1)
+                assert col.path_in_schema == "ts"
+                spans.append((col.statistics.min, col.statistics.max))
+        spans.sort()
+        assert len(spans) >= 8
+        for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert hi1 < lo2, f"overlapping row-group ranges: {spans}"
+
+        back = spark.read.parquet(f"{base}/clustered")
+        assert back.count() == 20_000
+        assert back.agg(F.sum("ts")).first()[0] == df.agg(F.sum("ts")).first()[0]
+
+    def test_selective_filter_prunes_rowgroups(self, spark, tmp_path_factory):
+        """With disjoint ranges, a narrow ts filter must read only the
+        matching row-groups — visible as scanned-rows << total rows in
+        the scan metrics."""
+        base = str(tmp_path_factory.mktemp("pruned"))
+        from warpdb_spark.sources.writers import write_clustered
+
+        df = spark.range(200_000).select(
+            F.col("id"), ((F.col("id") * 48271) % 200_000).alias("ts")
+        )
+        write_clustered(
+            df, f"{base}/t", ["ts"], num_files=8,
+            **{"parquet.block.size": "65536"},
+        )
+        scan = spark.read.parquet(f"{base}/t").filter(
+            (F.col("ts") >= 1000) & (F.col("ts") < 1200)
+        )
+        assert scan.count() == 200
+        scan.collect()
+        node = scan._jdf.queryExecution().executedPlan()
+        # walk to the FileSourceScan leaf and read its numOutputRows
+        import re
+
+        metrics_text = node.toString()
+        # the scan must not have materialized anywhere near all rows;
+        # assert via the simpler observable: row-groups are small
+        # enough that full-scan fallback would read 200k rows. Use
+        # SQL metrics through the Scala plan tree.
+        leaf = node
+        while leaf.children().size() > 0:
+            leaf = leaf.children().apply(0)
+        got = leaf.metrics().apply("numOutputRows").value()
+        assert got < 50_000, f"scan read {got} rows — row-group pruning inactive"

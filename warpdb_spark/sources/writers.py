@@ -51,3 +51,28 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Sort-clustered parquet write — the min-max pruning primitive.
+
+    Range-repartitions on the clustering key(s), then sorts within each
+    partition, so every output file (and every parquet row-group inside
+    it) covers a narrow, NON-overlapping key range. A selective filter
+    on the key then skips whole row-groups from footer statistics alone
+    — at 100 TB this is the difference between scanning the table and
+    scanning the 0.1% of it the query touches. Complements
+    ``write_bucketed``: bucket on the join key, cluster on the
+    range-filter key (typically event time)."""
+    if num_files:
+        d = df.repartitionByRange(num_files, *cluster_cols)
+    else:
+        d = df.repartitionByRange(*cluster_cols)
+    d.sortWithinPartitions(*cluster_cols).write.mode(mode).options(**options).parquet(path)
