@@ -240,3 +240,36 @@ class TestTimeSeriesPlans:
         plan = _plan(reshape_unpivot(spark, sf_dir))
         assert "Expand" in plan
         assert "Exchange" not in plan
+
+
+class TestDynamicPartitionPruning:
+    """A partitioned fact write through write_table + a dim-filtered
+    join must get a dynamicpruningexpression injected into the fact
+    scan's PartitionFilters — the runtime analog of the static
+    partition pruning the reference cannot do at all. At 100 TB this
+    is what keeps a date-dim-filtered fact join from scanning every
+    date partition."""
+
+    def test_dim_filter_prunes_fact_partitions(self, spark, tmp_path_factory):
+        from warpdb_spark.sources.writers import write_table
+
+        base = str(tmp_path_factory.mktemp("dpp"))
+        fact = spark.range(10_000).select(
+            F.col("id"),
+            (F.col("id") % 20).cast("int").alias("day_key"),
+            (F.col("id") % 7).alias("v"),
+        )
+        write_table(fact, f"{base}/fact", partition_by=["day_key"])
+        dim = spark.range(20).select(
+            F.col("id").cast("int").alias("day_key"),
+            F.when(F.col("id") < 2, "hot").otherwise("cold").alias("tier"),
+        )
+        write_table(dim, f"{base}/dim")
+
+        f = spark.read.parquet(f"{base}/fact")
+        d = spark.read.parquet(f"{base}/dim").filter(F.col("tier") == "hot")
+        q = f.join(d, "day_key").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        plan = _plan(q)
+        assert "dynamicpruningexpression" in plan.lower(), plan
+        row = q.first()
+        assert row["n"] == 1000 and row["s"] == 3000
