@@ -193,3 +193,46 @@ def run_to_memory_sink(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def write_exactly_once(
+    stream_df,
+    path: str,
+    checkpoint: str,
+    partition_col: str = "__batch_id",
+):
+    """Exactly-once file sink via foreachBatch + idempotent overwrite.
+
+    Structured Streaming's contract with ``foreachBatch`` is
+    at-least-once: after a crash the last batch REPLAYS with the same
+    ``batch_id``. Writing each batch into its own static partition with
+    dynamic partition-overwrite makes the replay idempotent — the
+    retried batch atomically replaces its own partition and nothing
+    else, upgrading the pipeline to effective exactly-once without a
+    transactional table format. (Lakehouse formats get this from
+    ``txnAppId``/``txnVersion``; this is the plain-parquet analog.)
+
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    """
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn(partition_col, F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
