@@ -107,6 +107,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_top_bigrams",
     "sample_token_budget",
     "dedup_incremental_new_docs",
+    "events_anomaly_mad",
     "dialect_setops",
     "setop_intersect_all",
     "dialect_tpch_q3",

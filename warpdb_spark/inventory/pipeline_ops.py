@@ -214,6 +214,43 @@ def events_zscore_outliers(spark, sf_dir):
     )
 
 
+def events_anomaly_mad(spark, sf_dir):
+    """Robust per-key anomaly screen: median/MAD instead of mean/stddev,
+    so a handful of extreme values cannot inflate the very threshold
+    that is supposed to catch them (the classic failure of z-scores on
+    heavy-tailed data). Two grouped exact percentiles — the per-type
+    stat table stays tiny and broadcasts back — then a map-only scan
+    emitting the rounded robust score |v - median| / MAD. At 100 TB
+    this is still two partial-agg shuffles of events and zero Python;
+    for extreme per-key cardinalities swap percentile for
+    approx_percentile (same plan shape). The filter compares the
+    ROUNDED score so a boundary row cannot flip between the engines'
+    different median summation orders."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+            F.min("med").alias("med"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "score",
+            F.round(
+                F.try_divide(F.abs(F.col("value") - F.col("med")), F.col("mad")), 6
+            ),
+        )
+        .filter(F.col("score") > 3.5)
+        .select("event_id", "event_type", "score")
+    )
+
+
 def dedup_cluster_components(spark, sf_dir):
     """Transitive-closure near-dup clustering: LSH candidate pairs →
     exact-Jaccard verification → connected components (iterative
@@ -984,6 +1021,7 @@ QUERIES = {
     "sample_hash_bucket": sample_hash_bucket,
     "sample_weighted": sample_weighted,
     "events_zscore_outliers": events_zscore_outliers,
+    "events_anomaly_mad": events_anomaly_mad,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "text_edit_distance_pairs": text_edit_distance_pairs,
@@ -1276,6 +1314,15 @@ ORACLES = {
         "round((value - mu) / sigma, 6) AS zscore "
         "FROM events e JOIN s ON e.event_type = s.event_type "
         "WHERE abs(round((value - mu) / sigma, 6)) > 2"
+    ),
+    "events_anomaly_mad": (
+        "WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1), "
+        "d AS (SELECT e.event_type, median(abs(e.value - m.med)) AS mad, "
+        "min(m.med) AS med FROM events e JOIN m ON e.event_type = m.event_type "
+        "GROUP BY e.event_type) "
+        "SELECT event_id, e.event_type, round(abs(value - med) / mad, 6) AS score "
+        "FROM events e JOIN d ON e.event_type = d.event_type "
+        "WHERE round(abs(value - med) / mad, 6) > 3.5"
     ),
     "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
     "dedup_cluster_components": _CLUSTER_CC_SQL,
