@@ -112,6 +112,16 @@ DRIVER_PRIORITY: list[str] = [
     "setop_intersect_all",
     "dialect_tpch_q3",
     "dialect_tpch_q12",
+    # (d5) round-3 analytics/warehouse-maintenance additions
+    # (inventory/analytics_ext.py): novel operator families, ranked
+    # before the (e) re-confirmations
+    "merge_upsert_orders",
+    "profile_table_columns",
+    "table_fingerprint",
+    "stats_correlation_matrix",
+    "window_distinct_count",
+    "events_value_histogram",
+    "events_rollup_cascade",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",
@@ -127,11 +137,11 @@ DRIVER_PRIORITY: list[str] = [
 
 
 def load_all():
-    from warpdb_spark.inventory import core_sql, pipeline_ops, tpch_extra
+    from warpdb_spark.inventory import analytics_ext, core_sql, pipeline_ops, tpch_extra
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for m in (core_sql, tpch_extra, pipeline_ops):
+    for m in (core_sql, tpch_extra, pipeline_ops, analytics_ext):
         merged_q.update(m.QUERIES)
         merged_o.update(m.ORACLES)
 

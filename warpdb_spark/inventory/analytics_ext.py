@@ -1,0 +1,396 @@
+"""Warehouse-maintenance / analytics extension inventory (round 3).
+
+Operator families the reference's users reach for next once the core
+engine works: MERGE-style upsert (mutable tables without a table
+format), data profiling, integrity fingerprints, equi-width histograms,
+correlation matrices, running distinct counts, and multi-resolution
+rollup cascades (the hypertable continuous-aggregate shape,
+SURVEY §2.9). Every entry is exact-oracle-checked against DuckDB.
+
+Scale notes are inline per entry; the common theme is one key-shuffle
+maximum, broadcast for the tiny side, and aggregation states that
+compose (sum-of-sums) so each operator has an incremental 100 TB story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from warpdb_spark.sources.readers import ns_to_timestamp
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return ns_to_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"), "ts")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- MERGE / upsert ----------------------------------------------------------
+
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE INTO semantics without a table format (Delta/Iceberg): a
+    change batch upserts into a base table — matched keys take the
+    batch's values, unmatched batch keys insert, untouched base rows
+    pass through. Base = orders with o_orderkey % 3 != 0; batch =
+    orders with o_orderkey % 10 IN (0, 5) re-priced ×1.1 (so some
+    batch keys hit the base and some are pure inserts).
+
+    Shape: ONE full-outer hash join on the key + coalesce per column —
+    the merge-on-read plan. At 100 TB both sides shuffle on o_orderkey
+    once; with the base bucketed on the key (sources/bucketing.py) the
+    base-side Exchange disappears and only the batch moves.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    # re-price by exact double addition (NOT round(x*1.1): Spark rounds
+    # HALF_UP on the double's decimal repr, DuckDB on the raw double —
+    # midpoint cases would diverge; + is bit-exact in both engines)
+    batch = orders.filter((F.col("o_orderkey") % 10).isin(0, 5)).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    b = base.select([F.col(c).alias(f"b_{c}") for c in base.columns])
+    u = batch.select([F.col(c).alias(f"u_{c}") for c in batch.columns])
+    merged = b.join(u, b["b_o_orderkey"] == u["u_o_orderkey"], "full_outer")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    out = merged.select(
+        *[F.coalesce(F.col(f"u_{c}"), F.col(f"b_{c}")).alias(c) for c in cols]
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
+# --- profiling / integrity ---------------------------------------------------
+
+def profile_table_columns(spark, sf_dir):
+    """Column-profile sweep of lineitem numerics (the reference's
+    declared ColumnStats — src/warpdb.hpp table_stats — as a queryable
+    long-format result): per column, row count, null count, exact
+    distinct count, min, max, mean.
+
+    ONE aggregation pass computes every metric (multi-distinct goes
+    through Spark's Expand — at 100 TB swap exact distinct for
+    approx_count_distinct and the pass becomes a plain partial-agg
+    scan; the exact version is kept here because the oracle can check
+    it bit-for-bit), then an unpivot via stack() reshapes to rows —
+    zero extra shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 6).alias(f"{c}__min"),
+            F.round(F.max(c), 6).alias(f"{c}__max"),
+            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__mean" for c in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) as (col_name, n_nulls, n_distinct, min_v, max_v, mean_v)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v", "mean_v")
+
+
+def table_fingerprint(spark, sf_dir):
+    """Order-insensitive table integrity fingerprint per order-status
+    segment: row count + count/min/max of the per-row md5 of a
+    canonical column concatenation. Replication/migration check — two
+    copies of a 100 TB table compare by shipping ONE tiny row per
+    segment, no data movement; the md5 scan is embarrassingly parallel
+    and the agg is partial-aggregated (min/max/count compose, so
+    per-file fingerprints roll up to table fingerprints incrementally).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    # price canonicalized to integer cents — double→string rendering is
+    # engine-specific, integer rendering is not
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            F.col("o_orderpriority"),
+        )
+    )
+    return (
+        orders.select(F.col("o_orderstatus").alias("segment"), h.alias("h"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("h").alias("n_distinct_rows"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+    )
+
+
+# --- statistics --------------------------------------------------------------
+
+def stats_correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation + sample covariance over the
+    lineitem numeric columns, emitted as the upper triangle in long
+    form. ONE scan, one global aggregate — every corr/covar state is a
+    few moments, all partial-aggregated map-side; at 100 TB the only
+    cross-node traffic is 6 tiny states. Rounded to 6 decimals so the
+    float reduction order cannot flip the hash.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for a, b in pairs:
+        aggs += [
+            F.round(F.corr(a, b), 6).alias(f"{a}__{b}__corr"),
+            F.round(F.covar_samp(a, b), 6).alias(f"{a}__{b}__cov"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', {a}__{b}__corr, {a}__{b}__cov" for a, b in pairs
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, pearson_r, covar)"
+    )
+
+
+# --- windows -----------------------------------------------------------------
+
+def window_distinct_count(spark, sf_dir):
+    """Running COUNT(DISTINCT event_type) per user over event time — a
+    window neither Spark nor DuckDB supports natively; rewritten as a
+    first-occurrence flag (row_number per (user, type) == 1) summed by
+    a running window. Two window passes over the SAME (user_id)
+    partitioning — one shuffle, the second window reuses the
+    clustering. Deterministic tie-break on event_id.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("first_seen", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0))
+        .withColumn("n_distinct_types", F.sum("first_seen").over(w_run))
+        .select("event_id", "user_id", "n_distinct_types")
+    )
+
+
+# --- histograms / rollups ----------------------------------------------------
+
+def events_value_histogram(spark, sf_dir):
+    """Equi-width 20-bucket histogram of events.value with bounds
+    computed in-query: global min/max (one tiny agg, broadcast back as
+    a literal row) → bucket index → count + mean per bucket. The
+    classic profiling histogram: two scans, and the second is a pure
+    map-side bucket assignment + partial-agg count. The top edge
+    closes into the last bucket.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    b = ev.crossJoin(F.broadcast(bounds))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20)),
+        F.lit(19),
+    ).cast("long")
+    return (
+        b.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def events_rollup_cascade(spark, sf_dir):
+    """Multi-resolution rollup cascade (hypertable continuous
+    aggregates): raw events → 1-minute partials (count/sum/min/max) →
+    hourly re-aggregation of the partials → daily re-aggregation of
+    the hourly rows; avg derived from sum/count at the end. Verified
+    against a DIRECT raw→daily aggregate, proving the partial states
+    compose exactly. At 100 TB each cascade level reads the level
+    below (minutes: ~1/60th of raw; hours: 1/60th again) — refreshes
+    and backfills never rescan raw data, and every level is an
+    ordinary partial-agg groupBy.
+    """
+    ev = _t(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    hour = minute.groupBy(F.date_trunc("hour", F.col("m")).alias("h")).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sv").alias("sv"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    day = hour.groupBy(F.date_trunc("day", F.col("h")).alias("d")).agg(
+        F.sum("cnt").alias("n_events"),
+        F.round(F.sum("sv"), 4).alias("sum_value"),
+        F.round(F.sum("sv") / F.sum("cnt"), 6).alias("avg_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+    )
+    return day.orderBy("d")
+
+
+QUERIES = {
+    "merge_upsert_orders": merge_upsert_orders,
+    "profile_table_columns": profile_table_columns,
+    "table_fingerprint": table_fingerprint,
+    "stats_correlation_matrix": stats_correlation_matrix,
+    "window_distinct_count": window_distinct_count,
+    "events_value_histogram": events_value_histogram,
+    "events_rollup_cascade": events_rollup_cascade,
+}
+
+
+ORACLES = {
+    "merge_upsert_orders": """
+        WITH base AS (
+            SELECT * FROM orders WHERE o_orderkey % 3 != 0
+        ), batch AS (
+            SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                   o_totalprice + 1000.0 AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 IN (0, 5)
+        )
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM batch
+        UNION ALL
+        SELECT b.o_orderkey, b.o_orderstatus,
+               CAST(b.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM base b ANTI JOIN batch u ON b.o_orderkey = u.o_orderkey
+    """,
+    "profile_table_columns": """
+        WITH one AS (
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+                   count(DISTINCT l_quantity) AS q_distinct,
+                   round(min(l_quantity), 6) AS q_min, round(max(l_quantity), 6) AS q_max,
+                   round(avg(l_quantity), 6) AS q_mean,
+                   CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS e_nulls,
+                   count(DISTINCT l_extendedprice) AS e_distinct,
+                   round(min(l_extendedprice), 6) AS e_min, round(max(l_extendedprice), 6) AS e_max,
+                   round(avg(l_extendedprice), 6) AS e_mean,
+                   CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+                   count(DISTINCT l_discount) AS d_distinct,
+                   round(min(l_discount), 6) AS d_min, round(max(l_discount), 6) AS d_max,
+                   round(avg(l_discount), 6) AS d_mean,
+                   CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
+                   count(DISTINCT l_tax) AS t_distinct,
+                   round(min(l_tax), 6) AS t_min, round(max(l_tax), 6) AS t_max,
+                   round(avg(l_tax), 6) AS t_mean
+            FROM lineitem
+        )
+        SELECT 'l_quantity' AS col_name, n_rows, q_nulls AS n_nulls,
+               q_distinct AS n_distinct, q_min AS min_v, q_max AS max_v, q_mean AS mean_v FROM one
+        UNION ALL
+        SELECT 'l_extendedprice', n_rows, e_nulls, e_distinct, e_min, e_max, e_mean FROM one
+        UNION ALL
+        SELECT 'l_discount', n_rows, d_nulls, d_distinct, d_min, d_max, d_mean FROM one
+        UNION ALL
+        SELECT 'l_tax', n_rows, t_nulls, t_distinct, t_min, t_max, t_mean FROM one
+    """,
+    "table_fingerprint": """
+        SELECT o_orderstatus AS segment,
+               count(*) AS n_rows,
+               count(DISTINCT h) AS n_distinct_rows,
+               min(h) AS min_h, max(h) AS max_h
+        FROM (
+            SELECT o_orderstatus,
+                   md5(concat_ws('|',
+                       CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR),
+                       o_orderstatus,
+                       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                       o_orderpriority)) AS h
+            FROM orders
+        )
+        GROUP BY o_orderstatus
+    """,
+    "stats_correlation_matrix": """
+        WITH one AS (SELECT
+            round(corr(l_quantity, l_extendedprice), 6) AS qe_r,
+            round(covar_samp(l_quantity, l_extendedprice), 6) AS qe_c,
+            round(corr(l_quantity, l_discount), 6) AS qd_r,
+            round(covar_samp(l_quantity, l_discount), 6) AS qd_c,
+            round(corr(l_quantity, l_tax), 6) AS qt_r,
+            round(covar_samp(l_quantity, l_tax), 6) AS qt_c,
+            round(corr(l_extendedprice, l_discount), 6) AS ed_r,
+            round(covar_samp(l_extendedprice, l_discount), 6) AS ed_c,
+            round(corr(l_extendedprice, l_tax), 6) AS et_r,
+            round(covar_samp(l_extendedprice, l_tax), 6) AS et_c,
+            round(corr(l_discount, l_tax), 6) AS dt_r,
+            round(covar_samp(l_discount, l_tax), 6) AS dt_c
+        FROM lineitem)
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, qe_r AS pearson_r, qe_c AS covar FROM one
+        UNION ALL SELECT 'l_quantity', 'l_discount', qd_r, qd_c FROM one
+        UNION ALL SELECT 'l_quantity', 'l_tax', qt_r, qt_c FROM one
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', ed_r, ed_c FROM one
+        UNION ALL SELECT 'l_extendedprice', 'l_tax', et_r, et_c FROM one
+        UNION ALL SELECT 'l_discount', 'l_tax', dt_r, dt_c FROM one
+    """,
+    "window_distinct_count": """
+        WITH ev AS (
+            SELECT event_id, user_id, event_type, ts
+            FROM events WHERE user_id % 7 = 0
+        ), flagged AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ) = 1 THEN 1 ELSE 0 END AS first_seen
+            FROM ev
+        )
+        SELECT event_id, user_id,
+               CAST(sum(first_seen) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_distinct_types
+        FROM flagged
+    """,
+    "events_value_histogram": """
+        WITH bounds AS (
+            SELECT min(value) AS lo, max(value) AS hi FROM events
+        )
+        SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bucket,
+               count(*) AS n,
+               round(avg(value), 6) AS mean_value
+        FROM events, bounds
+        GROUP BY 1 ORDER BY 1
+    """,
+    "events_rollup_cascade": """
+        SELECT date_trunc('day', ts) AS d,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               round(sum(value) / count(*), 6) AS avg_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY 1 ORDER BY 1
+    """,
+}
