@@ -115,6 +115,8 @@ DRIVER_PRIORITY: list[str] = [
     # (d5) round-3 analytics/warehouse-maintenance additions
     # (inventory/analytics_ext.py): novel operator families, ranked
     # before the (e) re-confirmations
+    "dialect_rollup_grouping",
+    "dialect_grouping_sets",
     "merge_upsert_orders",
     "profile_table_columns",
     "table_fingerprint",

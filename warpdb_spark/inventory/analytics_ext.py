@@ -258,7 +258,48 @@ def events_rollup_cascade(spark, sf_dir):
     return day.orderBy("d")
 
 
+# --- dialect: grouping modes -------------------------------------------------
+
+def dialect_rollup_grouping(spark, sf_dir):
+    """GROUP BY ROLLUP + GROUPING() end-to-end through the WarpDB
+    dialect front-end (tokenizer → parser → builder): subtotal rows per
+    returnflag and a grand total, disambiguated from real NULLs by
+    grouping flags. The builder pre-projects the keys and emits ONE
+    Expand-based aggregate — exactly Spark's native rollup plan, one
+    shuffle regardless of how many grouping levels."""
+    from warpdb_spark.api import WarpDB
+
+    db = WarpDB(df=_t(spark, sf_dir, "lineitem"), table_name="lineitem", spark=spark)
+    return db.query_sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(l_quantity) AS sum_qty, count(*) AS n, "
+        "grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status "
+        "FROM lineitem "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+        "ORDER BY g_flag, g_status, l_returnflag, l_linestatus"
+    ).withColumn("g_flag", F.col("g_flag").cast("long")).withColumn(
+        "g_status", F.col("g_status").cast("long")
+    )
+
+
+def dialect_grouping_sets(spark, sf_dir):
+    """GROUP BY GROUPING SETS through the dialect: per-(status,priority)
+    cells, per-priority marginals, and the grand total in one pass."""
+    from warpdb_spark.api import WarpDB
+
+    db = WarpDB(df=_t(spark, sf_dir, "orders"), table_name="orders", spark=spark)
+    return db.query_sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+        "sum(o_totalprice) AS total "
+        "FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ()) "
+        "ORDER BY o_orderstatus, o_orderpriority"
+    ).withColumn("total", F.round(F.col("total"), 2))
+
+
 QUERIES = {
+    "dialect_rollup_grouping": dialect_rollup_grouping,
+    "dialect_grouping_sets": dialect_grouping_sets,
     "merge_upsert_orders": merge_upsert_orders,
     "profile_table_columns": profile_table_columns,
     "table_fingerprint": table_fingerprint,
@@ -270,6 +311,23 @@ QUERIES = {
 
 
 ORACLES = {
+    "dialect_rollup_grouping": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+    "dialect_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
     "merge_upsert_orders": """
         WITH base AS (
             SELECT * FROM orders WHERE o_orderkey % 3 != 0

@@ -275,7 +275,10 @@ class Cast(Node):
         return [self.operand]
 
 
-AGG_FUNCS = {"SUM", "AVG", "COUNT", "MIN", "MAX"}
+# GROUPING is aggregate-LIKE (computed in the agg, only legal under
+# ROLLUP/CUBE/GROUPING SETS — the builder validates the mode and wires
+# its argument to the pre-projected grouping column)
+AGG_FUNCS = {"SUM", "AVG", "COUNT", "MIN", "MAX", "GROUPING"}
 
 
 @dataclass
@@ -431,6 +434,11 @@ class QueryAST:
     windows: dict[str, WindowSpec] = field(default_factory=dict)
     # QUALIFY: post-window row filter (superset; DuckDB/Snowflake/BigQuery)
     qualify: Node | None = None
+    # GROUP BY ROLLUP(...) / CUBE(...) / GROUPING SETS(...) (superset):
+    # "plain" | "rollup" | "cube" | "sets". For "sets", grouping_sets
+    # holds the explicit key subsets and group_by the ordered union.
+    group_mode: str = "plain"
+    grouping_sets: list[list[Node]] = field(default_factory=list)
 
 
 @dataclass

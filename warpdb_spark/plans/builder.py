@@ -463,6 +463,9 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         q = dataclasses.replace(
             q,
             group_by=[resolve(k, "GROUP BY", False) for k in q.group_by],
+            grouping_sets=[
+                [resolve(k, "GROUP BY", False) for k in s] for s in q.grouping_sets
+            ],
             order_by=[(resolve(e, "ORDER BY", True), asc) for e, asc in q.order_by],
         )
 
@@ -491,11 +494,48 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         key_aliases = {k.text(): f"__k{i}" for i, k in enumerate(q.group_by)}
         agg_aliases = {t: f"__a{i}" for i, t in enumerate(agg_by_text)}
         key_cols = [plain.compile(k).alias(key_aliases[k.text()]) for k in q.group_by]
-        agg_cols = [
-            plain.compile(a).alias(agg_aliases[t]) for t, a in agg_by_text.items()
-        ]
+        mode = q.group_mode
+        grouping_calls = [a for a in agg_by_text.values() if a.func == "GROUPING"]
+        if grouping_calls and (mode == "plain" or not q.group_by):
+            raise ValidationError(
+                "GROUPING() requires GROUP BY ROLLUP, CUBE, or GROUPING SETS"
+            )
+        for a in grouping_calls:
+            if a.arg.text() not in key_aliases:
+                raise ValidationError(
+                    f"GROUPING() argument {a.arg.text()!r} is not a grouping column"
+                )
+
+        def _compile_agg(t: str, a: A.Agg) -> Column:
+            # GROUPING(expr) must reference the grouping column ATTRIBUTE
+            # (Spark's analyzer matches grouping() semantically, and an
+            # alias over the expression does not match — hence the
+            # pre-projection below for non-plain modes)
+            if a.func == "GROUPING":
+                return F.grouping(F.col(key_aliases[a.arg.text()])).alias(agg_aliases[t])
+            return plain.compile(a).alias(agg_aliases[t])
+
+        agg_cols = [_compile_agg(t, a) for t, a in agg_by_text.items()]
         if q.group_by:
-            df = df.groupBy(*key_cols).agg(*agg_cols)
+            if mode == "plain":
+                df = df.groupBy(*key_cols).agg(*agg_cols)
+            else:
+                # rollup/cube/grouping-sets: pre-project every key as a
+                # named column so grouping()/grouping-set membership
+                # resolve against real attributes
+                df = df.select("*", *key_cols)
+                kcols = [F.col(key_aliases[k.text()]) for k in q.group_by]
+                if mode == "rollup":
+                    gd = df.rollup(*kcols)
+                elif mode == "cube":
+                    gd = df.cube(*kcols)
+                else:
+                    sets = [
+                        [F.col(key_aliases[e.text()]) for e in s]
+                        for s in q.grouping_sets
+                    ]
+                    gd = df.groupingSets(sets, *kcols)
+                df = gd.agg(*agg_cols)
         else:
             df = df.agg(*agg_cols)
         env = {t: F.col(a) for t, a in key_aliases.items()}

@@ -223,6 +223,13 @@ class Compiler:
         return fn(*args)
 
     def _c_agg(self, n: A.Agg) -> Column:
+        if n.func == "GROUPING":
+            # valid GROUPING() calls are wired to the pre-projected
+            # grouping column by the builder and never reach here
+            raise ValidationError(
+                "GROUPING() is only valid in SELECT/HAVING/ORDER BY with "
+                "GROUP BY ROLLUP, CUBE, or GROUPING SETS"
+            )
         if isinstance(n.arg, A.Star):
             if n.func != "COUNT":
                 raise ValidationError(f"{n.func}(*) is not supported")

@@ -412,9 +412,49 @@ class _Parser:
             q.where = self.parse_expr()
         if self.accept_kw("GROUP"):
             self.expect_kw("BY")
-            q.group_by.append(self.parse_expr())
-            while self.accept_op(","):
+            nxt = self.peek()
+            head = nxt.value.upper() if nxt.kind == IDENT else None
+            if head in ("ROLLUP", "CUBE") and self.peek(1).kind == OP and self.peek(1).value == "(":
+                # GROUP BY ROLLUP(a, b) / CUBE(a, b) (superset)
+                self.next()
+                q.group_mode = head.lower()
+                self.expect_op("(")
                 q.group_by.append(self.parse_expr())
+                while self.accept_op(","):
+                    q.group_by.append(self.parse_expr())
+                self.expect_op(")")
+            elif (
+                head == "GROUPING"
+                and self.peek(1).kind == IDENT
+                and self.peek(1).value.upper() == "SETS"
+            ):
+                # GROUP BY GROUPING SETS ((a, b), (a), ()) (superset);
+                # group_by becomes the ordered union of all set members
+                self.next()
+                self.next()
+                q.group_mode = "sets"
+                self.expect_op("(")
+                while True:
+                    self.expect_op("(")
+                    s: list[A.Node] = []
+                    if not (self.peek().kind == OP and self.peek().value == ")"):
+                        s.append(self.parse_expr())
+                        while self.accept_op(","):
+                            s.append(self.parse_expr())
+                    self.expect_op(")")
+                    q.grouping_sets.append(s)
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                seen: dict[str, A.Node] = {}
+                for s in q.grouping_sets:
+                    for e in s:
+                        seen.setdefault(e.text(), e)
+                q.group_by = list(seen.values())
+            else:
+                q.group_by.append(self.parse_expr())
+                while self.accept_op(","):
+                    q.group_by.append(self.parse_expr())
         if self.accept_kw("HAVING"):
             q.having = self.parse_expr()
         if self.accept_kw("WINDOW"):
