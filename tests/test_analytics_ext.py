@@ -167,3 +167,54 @@ class TestWindowDistinctCount:
         # hashpartitionings ((user_id, event_type) then (user_id));
         # never a third
         assert plan.count("Exchange hashpartitioning") <= 2
+
+
+class TestScd2:
+    def test_intervals_chain_without_gaps(self, spark, sf_dir):
+        rows = X.scd2_event_intervals(spark, sf_dir).collect()
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for u, ivs in by_user.items():
+            ivs.sort(key=lambda r: r["valid_from"])
+            # exactly one open (current) interval per user, at the end
+            assert [r["is_current"] for r in ivs].count(True) == 1
+            assert ivs[-1]["valid_to"] is None and ivs[-1]["is_current"]
+            # each interval closes exactly where the next opens
+            for a, b in zip(ivs, ivs[1:]):
+                assert a["valid_to"] == b["valid_from"]
+
+
+class TestTableDiff:
+    def test_diff_classes_match_construction(self, spark, sf_dir):
+        out = X.table_diff_cdc(spark, sf_dir)
+        got = {r["diff_type"]: r["n"] for r in out.groupBy("diff_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        n_removed = orders.filter(F.col("o_orderkey") % 13 == 0).count()
+        n_added = orders.filter(F.col("o_orderkey") % 29 == 0).count()
+        # changed = re-priced rows that survived removal
+        n_changed = orders.filter(
+            (F.col("o_orderkey") % 13 != 0) & (F.col("o_orderkey") % 7 == 0)
+        ).count()
+        assert got.get("removed", 0) == n_removed
+        assert got.get("added", 0) == n_added
+        assert got.get("changed", 0) == n_changed
+
+    def test_single_full_outer_join(self, spark, sf_dir):
+        plan = _plan(X.table_diff_cdc(spark, sf_dir))
+        assert plan.count("FullOuter") == 1
+
+
+class TestEquidepth:
+    def test_quartiles_balanced(self, spark, sf_dir):
+        rows = X.events_equidepth_quantiles(spark, sf_dir).collect()
+        by_type: dict = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append(r)
+        for t, qs in by_type.items():
+            assert sorted(r["quartile"] for r in qs) == list(range(1, len(qs) + 1))
+            ns = [r["n"] for r in qs]
+            assert max(ns) - min(ns) <= 1  # ntile balance contract
+            qs.sort(key=lambda r: r["quartile"])
+            for a, b in zip(qs, qs[1:]):
+                assert a["hi"] <= b["lo"] + 1e-9  # non-overlapping value ranges

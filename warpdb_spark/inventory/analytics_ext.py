@@ -258,6 +258,104 @@ def events_rollup_cascade(spark, sf_dir):
     return day.orderBy("d")
 
 
+# --- slowly-changing dimensions / CDC ----------------------------------------
+
+def scd2_event_intervals(spark, sf_dir):
+    """SCD Type-2 interval derivation: each user's event stream becomes
+    validity intervals [valid_from, valid_to) per state (event_type),
+    the open current row carrying NULL valid_to — the standard
+    change-log → dimension-history transform. ONE shuffle on user_id;
+    lead() reuses the same partitioning. Deterministic tie-break on
+    event_id."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 11 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        (F.lead("ts").over(w).isNull()).alias("is_current"),
+    )
+
+
+def table_diff_cdc(spark, sf_dir):
+    """Change-data-capture diff of two table versions: row-level
+    added / removed / changed classification by key, comparing md5
+    content digests so arbitrarily wide rows diff by ONE string.
+    Revised version = orders minus keys %13==0 (removes), with
+    %7==0 re-priced (changes), plus key+10^7 clones of %29==0 rows
+    (adds). Shape: digest scan on both sides + one full-outer key
+    join — at 100 TB with both versions bucketed on the key this is
+    an Exchange-free merge; unchanged rows (the vast majority) are
+    filtered before anything else moves."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def digest(df):
+        return df.select(
+            "o_orderkey",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ).alias("digest"),
+        )
+
+    base = digest(orders)
+    revised_src = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(500.0))
+            .otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 29 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10000000)
+            )
+        )
+    )
+    revised = digest(revised_src)
+    b = base.select(F.col("o_orderkey").alias("key"), F.col("digest").alias("b_digest"))
+    r = revised.select(F.col("o_orderkey").alias("key"), F.col("digest").alias("r_digest"))
+    j = b.join(r, "key", "full_outer")
+    return (
+        j.withColumn(
+            "diff_type",
+            F.when(F.col("b_digest").isNull(), F.lit("added"))
+            .when(F.col("r_digest").isNull(), F.lit("removed"))
+            .when(F.col("b_digest") != F.col("r_digest"), F.lit("changed")),
+        )
+        .filter(F.col("diff_type").isNotNull())
+        .select("key", "diff_type")
+    )
+
+
+def events_equidepth_quantiles(spark, sf_dir):
+    """Per-event-type equi-depth quartile profile: ntile(4) over value
+    → per-(type, quartile) count/min/max. Exact quantile assignment
+    needs a per-key sort (each type sorts in parallel); at 100 TB the
+    production variant computes approx_percentile cutpoints (tiny
+    mergeable sketch) and assigns buckets map-side with zero sort —
+    this exact form is kept because the oracle replays it
+    bit-for-bit. Tie-break on event_id pins the boundary rows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
 # --- dialect: grouping modes -------------------------------------------------
 
 def dialect_rollup_grouping(spark, sf_dir):
@@ -298,6 +396,9 @@ def dialect_grouping_sets(spark, sf_dir):
 
 
 QUERIES = {
+    "scd2_event_intervals": scd2_event_intervals,
+    "table_diff_cdc": table_diff_cdc,
+    "events_equidepth_quantiles": events_equidepth_quantiles,
     "dialect_rollup_grouping": dialect_rollup_grouping,
     "dialect_grouping_sets": dialect_grouping_sets,
     "merge_upsert_orders": merge_upsert_orders,
@@ -311,6 +412,61 @@ QUERIES = {
 
 
 ORACLES = {
+    "scd2_event_intervals": """
+        SELECT user_id,
+               event_type AS state,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        FROM events WHERE user_id % 11 = 0
+    """,
+    "table_diff_cdc": """
+        WITH base AS (
+            SELECT o_orderkey AS key,
+                   md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                       o_orderpriority)) AS b_digest
+            FROM orders
+        ), revised_src AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderpriority
+            FROM orders WHERE o_orderkey % 13 != 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 29 = 0
+        ), revised AS (
+            SELECT o_orderkey AS key,
+                   md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                       o_orderpriority)) AS r_digest
+            FROM revised_src
+        )
+        SELECT COALESCE(b.key, r.key) AS key,
+               CASE WHEN b.key IS NULL THEN 'added'
+                    WHEN r.key IS NULL THEN 'removed'
+                    WHEN b_digest != r_digest THEN 'changed' END AS diff_type
+        FROM base b FULL OUTER JOIN revised r ON b.key = r.key
+        WHERE (CASE WHEN b.key IS NULL THEN 'added'
+                    WHEN r.key IS NULL THEN 'removed'
+                    WHEN b_digest != r_digest THEN 'changed' END) IS NOT NULL
+    """,
+    "events_equidepth_quantiles": """
+        WITH q AS (
+            SELECT event_type, value, event_id,
+                   ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+            FROM events
+        )
+        SELECT event_type, quartile,
+               count(*) AS n,
+               round(min(value), 6) AS lo,
+               round(max(value), 6) AS hi
+        FROM q
+        GROUP BY event_type, quartile
+        ORDER BY event_type, quartile
+    """,
     "dialect_rollup_grouping": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty, count(*) AS n,
