@@ -273,3 +273,50 @@ class TestDynamicPartitionPruning:
         assert "dynamicpruningexpression" in plan.lower(), plan
         row = q.first()
         assert row["n"] == 1000 and row["s"] == 3000
+
+
+class TestRuntimeBloomFilter:
+    """Runtime bloom-filter row pruning: when a big-big SortMergeJoin
+    has a selectively-filtered build side, Spark can inject a
+    bloom_filter_agg/might_contain pair so the probe side drops
+    non-joining rows BEFORE the shuffle. At 100 TB this is the
+    row-level sibling of dynamic partition pruning — the probe-side
+    shuffle shrinks by the build side's selectivity. The size
+    thresholds are production defaults; this test lowers them to pin
+    the MECHANICS at test scale and restores every conf after."""
+
+    def test_filtered_dim_injects_bloom_into_fact_side(self, spark, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("bloom"))
+        spark.range(2_000_000).select(
+            F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+        ).write.mode("overwrite").parquet(f"{base}/fact")
+        spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("cat")
+        ).write.mode("overwrite").parquet(f"{base}/dim")
+
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        }
+        saved = {}
+        for k, val in confs.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, val)
+        try:
+            fact = spark.read.parquet(f"{base}/fact")
+            dim = spark.read.parquet(f"{base}/dim").filter(F.col("cat") == 3)
+            q = fact.join(dim, "k").agg(F.sum("v").alias("s"))
+            plan = _plan(q).lower()
+            assert "bloom" in plan, plan[:2000]
+            assert q.first()["s"] == 498000
+        finally:
+            for k, val in saved.items():
+                if val is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, val)

@@ -118,6 +118,9 @@ DRIVER_PRIORITY: list[str] = [
     "dialect_rollup_grouping",
     "dialect_grouping_sets",
     "merge_upsert_orders",
+    "scd2_event_intervals",
+    "table_diff_cdc",
+    "events_equidepth_quantiles",
     "profile_table_columns",
     "table_fingerprint",
     "stats_correlation_matrix",
