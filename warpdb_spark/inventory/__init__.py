@@ -121,6 +121,8 @@ DRIVER_PRIORITY: list[str] = [
     "scd2_event_intervals",
     "table_diff_cdc",
     "events_equidepth_quantiles",
+    "events_equidepth_approx",
+    "embedding_pq_codes",
     "profile_table_columns",
     "table_fingerprint",
     "stats_correlation_matrix",

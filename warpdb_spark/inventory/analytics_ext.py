@@ -356,6 +356,118 @@ def events_equidepth_quantiles(spark, sf_dir):
     )
 
 
+def events_equidepth_approx(spark, sf_dir):
+    """The 100 TB twin of `events_equidepth_quantiles`: per-type
+    quartile CUTPOINTS from percentile_approx (a tiny mergeable
+    sketch — no sort anywhere), broadcast back, buckets assigned
+    map-side, then a partial-agg count. Total cost: two scans, zero
+    sorts, one broadcast of ~types×3 doubles. Verified the
+    approx-count way (`agg_approx_count_distinct` pattern): each
+    bucket's share must sit within 2% of n/4; the oracle computes the
+    exact-rank buckets and asserts the same booleans — both engines
+    emit all-TRUE, hash-checked."""
+    ev = _t(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 100000).alias("c")
+    )
+    b = ev.join(F.broadcast(cuts), "event_type")
+    bucket = (
+        F.when(F.col("value") <= F.col("c")[0], 1)
+        .when(F.col("value") <= F.col("c")[1], 2)
+        .when(F.col("value") <= F.col("c")[2], 3)
+        .otherwise(4)
+    )
+    counts = (
+        b.withColumn("q", bucket)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            *[
+                F.sum(F.when(F.col("q") == i, 1).otherwise(0)).alias(f"n{i}")
+                for i in (1, 2, 3, 4)
+            ],
+        )
+    )
+    out = counts.select(
+        "event_type",
+        "n_total",
+        *[
+            (
+                F.abs(F.col(f"n{i}") - F.col("n_total") / 4.0)
+                <= F.col("n_total") * 0.02
+            ).alias(f"ok_q{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    return out.orderBy("event_type")
+
+
+# --- embeddings: product quantization ----------------------------------------
+
+def embedding_pq_codes(spark, sf_dir):
+    """Product-quantization encoding of the embedding column (the
+    vector-index compression standard beyond scalar int8): the 64-dim
+    vector splits into 4 contiguous 16-dim subspaces, each quantized
+    to its nearest of 16 codebook entries — 64 floats become 4 code
+    ids. Codebooks are engine-portable-deterministic (the 16 vectors
+    with lowest md5(vec_id), sliced per subspace — the
+    operators/clustering.py::init_centroids pattern), distances are
+    round-6 squared-L2 with lowest-code-id tie-break, so the DuckDB
+    oracle replays every code exactly.
+
+    Scale shape: the codebook is 64 tiny rows riding ONE broadcast;
+    the fact side explodes ×4 subspaces and reduces by min-struct
+    argmin in a single map-side-combined groupBy(vec_id) — one
+    shuffle of 4 structs per vector, never the raw vectors. Training
+    iterations (per-subspace Lloyd) reuse clustering.py::lloyd.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    init = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(16)
+        .select(F.col("vec_id").alias("code_id"), F.col("v").alias("cv"))
+    )
+    subs = spark.range(4).select(F.col("id").cast("int").alias("sub"))
+    codebook = init.crossJoin(subs).select(
+        "sub",
+        "code_id",
+        F.slice("cv", F.col("sub") * 16 + 1, 16).alias("cvs"),
+    )
+    ev = emb.crossJoin(subs).select(
+        "vec_id", "sub", F.slice("v", F.col("sub") * 16 + 1, 16).alias("evs")
+    )
+    d = ev.join(F.broadcast(codebook), "sub").select(
+        "vec_id",
+        "sub",
+        "code_id",
+        F.round(
+            F.aggregate(
+                F.zip_with("evs", "cvs", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("dist2"),
+    )
+    # min-struct argmin per (vec, sub), then one row per vector with the
+    # 4 codes + total quantization error — a single groupBy(vec_id)
+    per_sub = [
+        F.min(F.when(F.col("sub") == s, F.struct("dist2", "code_id"))).alias(f"m{s}")
+        for s in range(4)
+    ]
+    g = d.groupBy("vec_id").agg(*per_sub)
+    return g.select(
+        "vec_id",
+        *[F.col(f"m{s}.code_id").alias(f"code_{s}") for s in range(4)],
+        F.round(
+            sum(F.col(f"m{s}.dist2") for s in range(4)), 6
+        ).alias("quant_err"),
+    )
+
+
 # --- dialect: grouping modes -------------------------------------------------
 
 def dialect_rollup_grouping(spark, sf_dir):
@@ -399,6 +511,8 @@ QUERIES = {
     "scd2_event_intervals": scd2_event_intervals,
     "table_diff_cdc": table_diff_cdc,
     "events_equidepth_quantiles": events_equidepth_quantiles,
+    "events_equidepth_approx": events_equidepth_approx,
+    "embedding_pq_codes": embedding_pq_codes,
     "dialect_rollup_grouping": dialect_rollup_grouping,
     "dialect_grouping_sets": dialect_grouping_sets,
     "merge_upsert_orders": merge_upsert_orders,
@@ -412,6 +526,61 @@ QUERIES = {
 
 
 ORACLES = {
+    "events_equidepth_approx": """
+        WITH q AS (
+            SELECT event_type, value,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS qt
+            FROM events
+        ), counts AS (
+            SELECT event_type,
+                   count(*) AS n_total,
+                   CAST(sum(CASE WHEN qt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN qt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(sum(CASE WHEN qt = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                   CAST(sum(CASE WHEN qt = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+            FROM q GROUP BY event_type
+        )
+        SELECT event_type, n_total,
+               abs(n1 - n_total / 4.0) <= n_total * 0.02 AS ok_q1,
+               abs(n2 - n_total / 4.0) <= n_total * 0.02 AS ok_q2,
+               abs(n3 - n_total / 4.0) <= n_total * 0.02 AS ok_q3,
+               abs(n4 - n_total / 4.0) <= n_total * 0.02 AS ok_q4
+        FROM counts ORDER BY event_type
+    """,
+    "embedding_pq_codes": """
+        WITH init AS (
+            SELECT vec_id AS code_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+        ), subs AS (
+            SELECT unnest([0, 1, 2, 3]) AS sub
+        ), codebook AS (
+            SELECT s.sub, i.code_id, i.cv[(s.sub * 16 + 1):(s.sub * 16 + 16)] AS cvs
+            FROM init i CROSS JOIN subs s
+        ), ev AS (
+            SELECT e.vec_id, s.sub,
+                   CAST(e.embedding AS DOUBLE[])[(s.sub * 16 + 1):(s.sub * 16 + 16)] AS evs
+            FROM embeddings e CROSS JOIN subs s
+        ), d AS (
+            SELECT ev.vec_id, ev.sub, c.code_id,
+                   round(list_sum([(ev.evs[j] - c.cvs[j]) * (ev.evs[j] - c.cvs[j])
+                                   for j in generate_series(1, 16)]), 6) AS dist2
+            FROM ev JOIN codebook c ON ev.sub = c.sub
+        ), a AS (
+            SELECT vec_id, sub, code_id, dist2,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist2, code_id) AS rn
+            FROM d
+        )
+        SELECT vec_id,
+               max(CASE WHEN sub = 0 THEN code_id END) AS code_0,
+               max(CASE WHEN sub = 1 THEN code_id END) AS code_1,
+               max(CASE WHEN sub = 2 THEN code_id END) AS code_2,
+               max(CASE WHEN sub = 3 THEN code_id END) AS code_3,
+               round(sum(dist2), 6) AS quant_err
+        FROM a WHERE rn = 1
+        GROUP BY vec_id
+    """,
     "scd2_event_intervals": """
         SELECT user_id,
                event_type AS state,
