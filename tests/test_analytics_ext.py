@@ -261,3 +261,66 @@ class TestEquidepthApprox:
         # the fact — no Window/ntile, only sketch + broadcast + agg
         plan = _plan(X.events_equidepth_approx(spark, sf_dir))
         assert "Window" not in plan
+
+
+class TestPqSearch:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    @pytest.fixture(scope="class")
+    def exact(self, emb):
+        import numpy as np
+
+        data = {r["vec_id"]: __import__("numpy").array(r["embedding"], dtype=float)
+                for r in emb.collect()}
+
+        def topk(qid, k=10):
+            q = data[qid]
+            d = {i: float(((v - q) ** 2).sum()) for i, v in data.items() if i != qid}
+            return set(i for i, _ in sorted(d.items(), key=lambda x: (x[1], x[0]))[:k])
+
+        return topk
+
+    def _recall(self, rows, exact, k=10):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        recs = [len(exact(q, k) & set(n)) / k for q, n in got.items()]
+        return sum(recs) / len(recs)
+
+    def test_trained_rerank_recall(self, spark, emb, exact):
+        from warpdb_spark.operators import similarity as S
+        from pyspark.sql import functions as F
+
+        qs = emb.filter(F.col("vec_id") < 20)
+        rows = S.pq_topk_rerank(
+            emb, qs, k=10, rerank_factor=4, m_subs=16, n_codes=32, train_iters=2
+        ).collect()
+        assert self._recall(rows, exact) >= 0.6  # measured 0.84
+
+    def test_trained_adc_beats_untrained(self, spark, emb, exact):
+        from warpdb_spark.operators import similarity as S
+        from pyspark.sql import functions as F
+
+        qs = emb.filter(F.col("vec_id") < 20)
+        r_trained = self._recall(
+            S.pq_topk(emb, qs, k=10, m_subs=16, n_codes=32, train_iters=2).collect(),
+            exact,
+        )
+        r_init = self._recall(
+            S.pq_topk(emb, qs, k=10, m_subs=16, n_codes=32, train_iters=0).collect(),
+            exact,
+        )
+        assert r_trained >= 0.3
+        assert r_trained >= r_init - 0.05  # Lloyd must not hurt
+
+    def test_codes_shape_and_determinism(self, spark, emb):
+        from warpdb_spark.operators import similarity as S
+
+        cb = S.pq_train(emb, m_subs=16, n_codes=32, train_iters=1)
+        assert cb.shape == (16, 32, 4)
+        c1 = sorted((r["vec_id"], tuple(r["codes"])) for r in S.pq_encode(emb, cb).collect())
+        c2 = sorted((r["vec_id"], tuple(r["codes"])) for r in S.pq_encode(emb, cb).collect())
+        assert c1 == c2
+        assert all(len(c) == 16 and all(0 <= x < 32 for x in c) for _, c in c1)

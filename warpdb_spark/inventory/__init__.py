@@ -123,6 +123,8 @@ DRIVER_PRIORITY: list[str] = [
     "events_equidepth_quantiles",
     "events_equidepth_approx",
     "embedding_pq_codes",
+    "similarity_pq_adc",
+    "similarity_pq_rerank",
     "profile_table_columns",
     "table_fingerprint",
     "stats_correlation_matrix",

@@ -468,6 +468,42 @@ def embedding_pq_codes(spark, sf_dir):
     )
 
 
+def similarity_pq_adc(spark, sf_dir):
+    """PQ-ADC approximate nearest neighbors over the codes table
+    (operators/similarity.py::pq_topk): 64-dim float vectors become 16
+    sub-codes (md5-deterministic init codebooks, train_iters=0 so the
+    oracle replays training exactly); each query's distance to a
+    vector is a 16-term lookup-table sum over the CODES — the corpus
+    is scanned compressed, never at full precision. Round-6 argmin
+    with lowest-code tie-break and round-6 ranked distances make every
+    rank DuckDB-replayable. The trained variant (distributed Lloyd
+    refinement, higher recall) is pytest-asserted instead
+    (tests/test_analytics_ext.py::TestPqSearch)."""
+    from warpdb_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk(
+        emb, qs, k=5, m_subs=16, n_codes=32, train_iters=0, seed=42
+    )
+
+
+def similarity_pq_rerank(spark, sf_dir):
+    """PQ shortlist + exact re-rank (the IVFADC+R deployment shape):
+    the ADC code scan produces a 4k-deep candidate shortlist, then
+    ONLY those candidates are re-scored at full precision (broadcast
+    semi-join fetch — queries × 4k vectors, never the corpus). Same
+    deterministic codebooks as `similarity_pq_adc`, so the oracle
+    replays the shortlist and the exact re-rank end-to-end."""
+    from warpdb_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk_rerank(
+        emb, qs, k=5, rerank_factor=4, m_subs=16, n_codes=32, train_iters=0, seed=42
+    )
+
+
 # --- dialect: grouping modes -------------------------------------------------
 
 def dialect_rollup_grouping(spark, sf_dir):
@@ -513,6 +549,8 @@ QUERIES = {
     "events_equidepth_quantiles": events_equidepth_quantiles,
     "events_equidepth_approx": events_equidepth_approx,
     "embedding_pq_codes": embedding_pq_codes,
+    "similarity_pq_adc": similarity_pq_adc,
+    "similarity_pq_rerank": similarity_pq_rerank,
     "dialect_rollup_grouping": dialect_rollup_grouping,
     "dialect_grouping_sets": dialect_grouping_sets,
     "merge_upsert_orders": merge_upsert_orders,
@@ -523,6 +561,81 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "events_rollup_cascade": events_rollup_cascade,
 }
+
+
+# Shared CTE prefix replaying PQ training-free codebooks (md5 init),
+# per-subspace round-6 argmin codes, and the query lookup tables —
+# consumed by both PQ search oracles.
+_PQ_CTES = """
+WITH init AS (
+    SELECT row_number() OVER (ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS code,
+           CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings
+    ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id
+    LIMIT 32
+), subs AS (
+    SELECT unnest(generate_series(0, 15)) AS sub
+), codebook AS (
+    SELECT s.sub, i.code, i.cv[(s.sub * 4 + 1):(s.sub * 4 + 4)] AS cvs
+    FROM init i CROSS JOIN subs s
+), ev AS (
+    SELECT e.vec_id, s.sub,
+           CAST(e.embedding AS DOUBLE[])[(s.sub * 4 + 1):(s.sub * 4 + 4)] AS evs
+    FROM embeddings e CROSS JOIN subs s
+), codes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT ev.vec_id, ev.sub, c.code,
+               row_number() OVER (
+                   PARTITION BY ev.vec_id, ev.sub
+                   ORDER BY round(list_sum([(ev.evs[j] - c.cvs[j]) * (ev.evs[j] - c.cvs[j])
+                                            for j in generate_series(1, 4)]), 6), c.code
+               ) AS rn
+        FROM ev JOIN codebook c ON ev.sub = c.sub
+    ) WHERE rn = 1
+), qlut AS (
+    SELECT q.vec_id AS query_id, c.sub, c.code,
+           list_sum([(q.evs[j] - c.cvs[j]) * (q.evs[j] - c.cvs[j])
+                     for j in generate_series(1, 4)]) AS l
+    FROM ev q JOIN codebook c ON q.sub = c.sub
+    WHERE q.vec_id < 10
+), adc AS (
+    SELECT l.query_id, cd.vec_id AS neighbor_id, round(sum(l.l), 6) AS dist2
+    FROM codes cd JOIN qlut l ON cd.sub = l.sub AND cd.code = l.code
+    WHERE cd.vec_id != l.query_id
+    GROUP BY 1, 2
+)
+"""
+
+_PQ_ADC_SQL = _PQ_CTES + """
+SELECT query_id, neighbor_id, dist2, rank FROM (
+    SELECT query_id, neighbor_id, dist2,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS INTEGER) AS rank
+    FROM adc
+) WHERE rank <= 5
+"""
+
+_PQ_RERANK_SQL = _PQ_CTES + """
+, shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rn
+        FROM adc
+    ) WHERE rn <= 20
+), exact AS (
+    SELECT s.query_id, s.neighbor_id,
+           round(list_sum([(CAST(c.embedding AS DOUBLE[])[j] - CAST(q.embedding AS DOUBLE[])[j]) *
+                           (CAST(c.embedding AS DOUBLE[])[j] - CAST(q.embedding AS DOUBLE[])[j])
+                           for j in generate_series(1, len(c.embedding))]), 6) AS dist2
+    FROM shortlist s
+    JOIN embeddings c ON c.vec_id = s.neighbor_id
+    JOIN embeddings q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, dist2, rank FROM (
+    SELECT query_id, neighbor_id, dist2,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS INTEGER) AS rank
+    FROM exact
+) WHERE rank <= 5
+"""
 
 
 ORACLES = {
@@ -548,6 +661,8 @@ ORACLES = {
                abs(n4 - n_total / 4.0) <= n_total * 0.02 AS ok_q4
         FROM counts ORDER BY event_type
     """,
+    "similarity_pq_adc": _PQ_ADC_SQL,
+    "similarity_pq_rerank": _PQ_RERANK_SQL,
     "embedding_pq_codes": """
         WITH init AS (
             SELECT vec_id AS code_id, CAST(embedding AS DOUBLE[]) AS cv

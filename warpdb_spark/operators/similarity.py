@@ -416,3 +416,333 @@ def ivf_topk(
         ),
     ).withColumnRenamed("__vec", "__qv")
     return _bucket_blas_topk(c, q, k, "__list", id_type)
+
+
+# --- product quantization (ADC) ---------------------------------------------
+
+def _pq_init(corpus: DataFrame, id_col: str, vec_col: str, m_subs: int,
+             n_codes: int, seed: int) -> np.ndarray:
+    """Deterministic codebook init: the ``n_codes`` corpus vectors with
+    lowest md5(seed_id) (engine-portable, same pattern as ivf_topk /
+    clustering.init_centroids), sliced into ``m_subs`` contiguous
+    subspaces. Returns (m_subs, n_codes, dsub) float64."""
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(
+            F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+        .limit(n_codes)
+        .collect()
+    )
+    seeds = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    dim = seeds.shape[1]
+    if dim % m_subs:
+        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
+    dsub = dim // m_subs
+    return np.stack(
+        [seeds[:, s * dsub:(s + 1) * dsub] for s in range(m_subs)]
+    )  # (m, n_codes, dsub)
+
+
+def _pq_assign(vm: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Codes for a vector batch: per-subspace squared-L2 argmin (ties →
+    lowest code). vm (B, dim) → (B, m) int32."""
+    m, n_codes, dsub = cb.shape
+    B = vm.shape[0]
+    codes = np.empty((B, m), dtype=np.int32)
+    for s in range(m):
+        sub = vm[:, s * dsub:(s + 1) * dsub]
+        # (B, n_codes) distances; argmin is tie-stable to lowest index
+        d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(np.round(d, 6), axis=1)
+    return codes
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subs: int = 8,
+    n_codes: int = 16,
+    train_iters: int = 2,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks: deterministic md5 init +
+    ``train_iters`` distributed Lloyd refinements per subspace.
+
+    Each refinement is ONE corpus scan: an Arrow-batched pass emits
+    per-batch partial (sub, code, dim, sum, count) rows — m×n_codes×dsub
+    cells per batch, ~1k rows — and a partial-aggregated groupBy reduces
+    them; only m×n_codes×dsub cells ever reach the driver, never
+    vectors. Empty codes keep their previous entry (clustering.py::lloyd
+    convention). At 100 TB training typically runs on a sampled slice;
+    the scan shape is the same."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as ST
+
+    cb = _pq_init(corpus, id_col, vec_col, m_subs, n_codes, seed)
+    spark = corpus.sparkSession
+    src = corpus.select(F.col(vec_col).alias("__v"))
+    for _ in range(train_iters):
+        bcb = spark.sparkContext.broadcast(cb)
+
+        def partials(batches):
+            cbl = bcb.value
+            m, nc, dsub = cbl.shape
+            for batch in batches:
+                pdf = batch.to_pandas()
+                if len(pdf) == 0:
+                    continue
+                vm = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                codes = _pq_assign(vm, cbl)
+                out = {"sub": [], "code": [], "dim": [], "s": [], "cnt": []}
+                for s in range(m):
+                    subm = vm[:, s * dsub:(s + 1) * dsub]
+                    for c in range(nc):
+                        mask = codes[:, s] == c
+                        n = int(mask.sum())
+                        if n == 0:
+                            continue
+                        sums = subm[mask].sum(axis=0)
+                        for d in range(dsub):
+                            out["sub"].append(s)
+                            out["code"].append(c)
+                            out["dim"].append(d)
+                            out["s"].append(float(sums[d]))
+                            out["cnt"].append(n)
+                yield pa.RecordBatch.from_pandas(pd.DataFrame(out), schema=pa.schema(
+                    [("sub", pa.int32()), ("code", pa.int32()), ("dim", pa.int32()),
+                     ("s", pa.float64()), ("cnt", pa.int64())]))
+
+        agg = (
+            src.mapInArrow(partials, ST.StructType([
+                ST.StructField("sub", ST.IntegerType()),
+                ST.StructField("code", ST.IntegerType()),
+                ST.StructField("dim", ST.IntegerType()),
+                ST.StructField("s", ST.DoubleType()),
+                ST.StructField("cnt", ST.LongType()),
+            ]))
+            .groupBy("sub", "code", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        new = cb.copy()
+        for r in agg:
+            if r["cnt"]:
+                new[r["sub"], r["code"], r["dim"]] = r["s"] / r["cnt"]
+        cb = new
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int>) — dim×4 bytes
+    become m small ints (the stored search index; 32× compression at
+    64-dim float32 → 8 codes). One Arrow-batched scan, zero shuffle."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as ST
+
+    spark = corpus.sparkSession
+    bcb = spark.sparkContext.broadcast(codebooks)
+    id_type = corpus.schema[id_col].dataType
+    _pa_ids = {"bigint": pa.int64(), "int": pa.int32(), "string": pa.string()}
+    pa_id = _pa_ids[id_type.simpleString()]
+
+    def enc(batches):
+        cbl = bcb.value
+        for batch in batches:
+            pdf = batch.to_pandas()
+            if len(pdf) == 0:
+                continue
+            vm = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            codes = _pq_assign(vm, cbl)
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame({"__id": pdf["__id"], "codes": list(codes)}),
+                schema=pa.schema([("__id", pa_id), ("codes", pa.list_(pa.int32()))]),
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInArrow(
+        enc,
+        ST.StructType([
+            ST.StructField("__id", id_type),
+            ST.StructField("codes", ST.ArrayType(ST.IntegerType())),
+        ]),
+    ).withColumnRenamed("__id", id_col)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subs: int = 8,
+    n_codes: int = 16,
+    train_iters: int = 2,
+    seed: int = 42,
+    codes: DataFrame | None = None,
+    codebooks: np.ndarray | None = None,
+    max_queries: int = MAX_COLLECTED_QUERIES,
+) -> DataFrame:
+    """PQ-ADC approximate top-k by squared L2: queries stay full
+    precision, the corpus is scanned as CODES, and each query's
+    distance to a vector is a sum of ``m_subs`` lookup-table entries
+    (asymmetric distance computation). Returns
+    (query_id, neighbor_id, dist2, rank) — dist2 is the ADC
+    approximation, rank ascending by (dist2, neighbor_id).
+
+    100 TB shape: the stored index is the codes table (32× smaller
+    than raw float32 vectors at the defaults), LUTs are
+    queries × m × n_codes doubles riding one broadcast, scoring is a
+    numpy gather per Arrow batch with local top-k emit, and the final
+    rank shuffle carries O(partitions × queries × k) rows. Pass
+    ``codes``/``codebooks`` to reuse a persisted index; otherwise they
+    are built inline (train: one scan per iteration; encode: one
+    scan)."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as ST
+
+    if codebooks is None:
+        codebooks = pq_train(corpus, id_col, vec_col, m_subs, n_codes, train_iters, seed)
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    qrows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk collects the query set to the driver; got more than "
+            f"max_queries={max_queries} rows."
+        )
+    qids = [r["qid"] for r in qrows]
+    qm = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+    m, nc, dsub = codebooks.shape
+    # LUT[q, s, c] = ||q_sub_s - cb[s][c]||^2
+    lut = np.stack(
+        [
+            ((qm[:, s * dsub:(s + 1) * dsub][:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+            for s in range(m)
+        ],
+        axis=1,
+    )  # (Q, m, nc)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, lut))
+    id_type = corpus.schema[id_col].dataType
+    _pa_ids = {"bigint": pa.int64(), "int": pa.int32(), "string": pa.string()}
+    pa_id = _pa_ids[id_type.simpleString()]
+
+    def score(batches):
+        bqids, blut = bq.value
+        nq = len(bqids)
+        for batch in batches:
+            pdf = batch.to_pandas()
+            if len(pdf) == 0:
+                continue
+            ids = pdf["__id"].to_numpy()
+            C = np.stack(pdf["codes"].to_numpy())  # (B, m)
+            B = len(ids)
+            D = np.zeros((nq, B), dtype=np.float64)
+            for s in range(C.shape[1]):
+                D += blut[:, s, C[:, s]]
+            D = np.round(D, 6)
+            out = {"query_id": [], "neighbor_id": [], "dist2": []}
+            nk = min(k + 1, B)
+            for j in range(nq):
+                row = D[j]
+                if nk < B:
+                    cutoff = np.partition(row, nk - 1)[nk - 1]
+                    cand = np.flatnonzero(row <= cutoff)
+                else:
+                    cand = np.arange(B)
+                for i in sorted(cand, key=lambda i: (row[i], ids[i]))[:nk]:
+                    if ids[i] != bqids[j]:
+                        out["query_id"].append(bqids[j])
+                        out["neighbor_id"].append(ids[i])
+                        out["dist2"].append(float(row[i]))
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(out),
+                schema=pa.schema(
+                    [("query_id", pa_id), ("neighbor_id", pa_id), ("dist2", pa.float64())]
+                ),
+            )
+
+    local = codes.select(F.col(id_col).alias("__id"), "codes").mapInArrow(
+        score,
+        ST.StructType([
+            ST.StructField("query_id", id_type),
+            ST.StructField("neighbor_id", id_type),
+            ST.StructField("dist2", ST.DoubleType()),
+        ]),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist2", "rank")
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **pq_kwargs,
+) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank (the production PQ deployment,
+    e.g. IVFADC+R): the code scan produces a ``rerank_factor × k``
+    candidate shortlist per query, then ONLY those candidates are
+    re-scored against their full-precision vectors and re-ranked.
+
+    100 TB shape: scan-side cost is the compressed code scan; the
+    re-rank touches queries × (rerank_factor·k) vectors fetched by a
+    broadcast semi-join on the candidate ids — the full-precision
+    corpus is never scored wholesale. Recall approaches exact search
+    as rerank_factor grows while the expensive scan stays on codes."""
+    shortlist = pq_topk(
+        corpus, queries, k=k * rerank_factor, id_col=id_col, vec_col=vec_col, **pq_kwargs
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cand = c.join(F.broadcast(shortlist), "neighbor_id").join(
+        F.broadcast(q), "query_id"
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                "__cv",
+                "__qv",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = cand.select("query_id", "neighbor_id", dist.alias("dist2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist2", "rank")
+    )
