@@ -206,3 +206,91 @@ def test_setop_chain_matches_duckdb(db, duck, preds, ops):
     got = sorted(r.price for r in db.query_sql(sql).collect())
     want = sorted(v for (v,) in duck.execute(_duck_text(sql)).fetchall())
     assert got == pytest.approx(want), sql
+
+
+# --- grouping modes fuzz ------------------------------------------------------
+
+GROUP_ROWS = [
+    ("a", "x", 1.0), ("a", "y", 2.0), ("a", "y", 3.0),
+    ("b", "x", 4.0), ("b", "z", 5.0), ("c", "z", 6.0), ("c", None, 7.0),
+]
+
+
+@pytest.fixture(scope="module")
+def gdb(spark):
+    df = spark.createDataFrame(GROUP_ROWS, "k1 string, k2 string, v double")
+    return WarpDB(df=df, table_name="g", spark=spark)
+
+
+@pytest.fixture(scope="module")
+def gduck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g(k1 VARCHAR, k2 VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO g VALUES (?, ?, ?)", GROUP_ROWS)
+    return con
+
+
+_keysets = st.sampled_from([("k1",), ("k2",), ("k1", "k2"), ("k2", "k1")])
+_aggsel = st.sampled_from(
+    ["sum(v) AS s", "count(*) AS s", "min(v) AS s", "max(v) AS s", "avg(v) AS s"]
+)
+_mode = st.sampled_from(["ROLLUP", "CUBE"])
+
+
+def _norm_rows(rows):
+    # NULL-safe order-insensitive compare; floats rounded
+    def cell(v):
+        if v is None:
+            return "~"
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        return str(v)
+
+    return sorted(",".join(cell(c) for c in r) for r in rows)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(keys=_keysets, agg=_aggsel, mode=_mode)
+def test_rollup_cube_matches_duckdb(gdb, gduck, keys, agg, mode):
+    cols = ", ".join(keys)
+    gflags = ", ".join(f"grouping({k}) AS g_{k}" for k in keys)
+    q = f"SELECT {cols}, {agg}, {gflags} FROM g GROUP BY {mode}({cols})"
+    got = _norm_rows(tuple(r) for r in gdb.query_sql(q).collect())
+    want = _norm_rows(gduck.execute(q).fetchall())
+    assert got == want, q
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    sets=st.lists(
+        st.sampled_from(["(k1, k2)", "(k1)", "(k2)", "()"]),
+        min_size=1, max_size=3, unique=True,
+    ),
+    agg=_aggsel,
+)
+def test_grouping_sets_matches_duckdb(gdb, gduck, sets, agg):
+    # select only keys covered by the union of sets (selecting an
+    # uncovered column is an error in BOTH engines — separate test)
+    union = [k for k in ("k1", "k2") if any(k in s for s in sets)]
+    sel = (", ".join(union) + ", ") if union else ""
+    q = f"SELECT {sel}{agg} FROM g GROUP BY GROUPING SETS ({', '.join(sets)})"
+    got = _norm_rows(tuple(r) for r in gdb.query_sql(q).collect())
+    want = _norm_rows(gduck.execute(q).fetchall())
+    assert got == want, q
+
+
+def test_grouping_sets_uncovered_column_errors(gdb):
+    from warpdb_spark.errors import ValidationError
+
+    with pytest.raises(ValidationError):
+        gdb.query_sql(
+            "SELECT k1, k2, sum(v) AS s FROM g GROUP BY GROUPING SETS ((k1))"
+        )
