@@ -361,3 +361,48 @@ class TestExactlyOnceSink:
             (r["key"], r["value"]) for r in spark.read.parquet(out).collect()
         )
         assert second == first  # no duplication, no loss
+
+
+class TestStreamStaticEnrich:
+    def test_static_dim_joins_each_microbatch(self, spark, csv_stream_dir):
+        from warpdb_spark.streaming.windows import enrich_static
+
+        stream = read_csv_stream(spark, csv_stream_dir, SCHEMA)
+        assert stream.isStreaming
+        dim = spark.createDataFrame(
+            [Row(key="a", region="north"), Row(key="b", region="south")]
+        )
+        enriched = enrich_static(stream, dim, keys=["key"], how="left")
+        assert enriched.isStreaming
+        q = run_to_memory_sink(
+            enriched.select("key", "value", "region"), "enrich_test", timeout_sec=120
+        )
+        try:
+            rows = {
+                (r.key, r.value): r.region
+                for r in spark.sql("SELECT * FROM enrich_test").collect()
+            }
+        finally:
+            q.stop()
+        # all 5 events arrive enriched; every key resolves its region
+        assert len(rows) == 5
+        assert rows[("a", 1.0)] == "north" and rows[("b", 5.0)] == "south"
+
+    def test_batch_plan_broadcasts_dim(self, spark, sf_dir):
+        from warpdb_spark.streaming.windows import enrich_static
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.col("user_id").alias("c_custkey"), "value"
+        )
+        dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_nationkey"
+        )
+        plan = (
+            enrich_static(ev, dim, keys=["c_custkey"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        # the stream/fact side must not shuffle for the join
+        assert "Exchange hashpartitioning" not in plan

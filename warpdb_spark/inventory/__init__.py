@@ -125,6 +125,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_pq_codes",
     "similarity_pq_adc",
     "similarity_pq_rerank",
+    "stream_static_enrich",
     "profile_table_columns",
     "table_fingerprint",
     "stats_correlation_matrix",

@@ -468,6 +468,32 @@ def embedding_pq_codes(spark, sf_dir):
     )
 
 
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment
+    (streaming/windows.py::enrich_static): the events fact stream
+    joins the customer dim on user_id — a broadcast LEFT join, so the
+    stream side never shuffles and the dim snapshot is re-read per
+    micro-batch. Entry runs the batch-identical plan; the live
+    two-source streaming run is pytest-asserted
+    (tests/test_streaming.py). Aggregated per nation segment so the
+    oracle pins join semantics (including unmatched-user NULLs)."""
+    from warpdb_spark.streaming.windows import enrich_static
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    enriched = enrich_static(ev, dim, keys=["c_custkey"], how="left")
+    return (
+        enriched.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def similarity_pq_adc(spark, sf_dir):
     """PQ-ADC approximate nearest neighbors over the codes table
     (operators/similarity.py::pq_topk): 64-dim float vectors become 16
@@ -549,6 +575,7 @@ QUERIES = {
     "events_equidepth_quantiles": events_equidepth_quantiles,
     "events_equidepth_approx": events_equidepth_approx,
     "embedding_pq_codes": embedding_pq_codes,
+    "stream_static_enrich": stream_static_enrich,
     "similarity_pq_adc": similarity_pq_adc,
     "similarity_pq_rerank": similarity_pq_rerank,
     "dialect_rollup_grouping": dialect_rollup_grouping,
@@ -660,6 +687,14 @@ ORACLES = {
                abs(n3 - n_total / 4.0) <= n_total * 0.02 AS ok_q3,
                abs(n4 - n_total / 4.0) <= n_total * 0.02 AS ok_q4
         FROM counts ORDER BY event_type
+    """,
+    "stream_static_enrich": """
+        SELECT c.c_nationkey,
+               count(*) AS n_events,
+               round(sum(e.value), 4) AS sum_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey
     """,
     "similarity_pq_adc": _PQ_ADC_SQL,
     "similarity_pq_rerank": _PQ_RERANK_SQL,

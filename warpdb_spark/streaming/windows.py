@@ -236,3 +236,25 @@ def write_exactly_once(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of ``stream``
+    joins the (bounded) ``dim`` table — the standard fact-stream ×
+    dimension lookup. Works identically on batch DataFrames.
+
+    Scale stance: the dim is explicitly broadcast (it is the small side
+    by contract), so the stream side NEVER shuffles — enrichment stays
+    a map-side operation per micro-batch, and Structured Streaming
+    re-plans the dim scan every batch, so a dim updated in place (e.g.
+    an overwritten parquet snapshot) is picked up without restarting
+    the query. State-free: unlike stream-stream joins, no watermark
+    is required."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=keys, how=how)
