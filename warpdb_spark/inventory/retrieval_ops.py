@@ -1,0 +1,353 @@
+"""Retrieval / semantic-curation inventory (round 3, continued).
+
+The training-data-pipeline families that sit on top of the core engine:
+lexical retrieval (BM25 over an inverted-postings shape), semantic
+deduplication (SemDeDup: cluster-then-prune, Abbas et al. 2023),
+sketch-mergeable distinct counts (Apache DataSketches HLL via Spark's
+``hll_sketch_agg``/``hll_union_agg``), and linear-interpolation
+resampling (the gap-fill variant LOCF can't express).
+
+Reference parity: the reference engine (src/warpdb.cpp) stops at scans
++ filter/project/aggregate; these are superset operators its users
+would otherwise leave the engine for. Every entry is oracle-checked
+against DuckDB (the HLL entry uses the in-tolerance-boolean pattern —
+the sketch estimate itself is library-specific).
+
+Scale notes inline; common theme: query-term/centroid broadcasts, one
+key-shuffle maximum on the fact side, and per-cluster quadratic work
+bounded by cluster size (the SemDeDup point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from warpdb_spark.sources.readers import ns_to_timestamp
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return ns_to_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"), "ts")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- lexical retrieval -------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ["hash", "join", "spark"]
+
+
+def text_bm25_search(spark, sf_dir):
+    """BM25 top-20 document retrieval for a fixed query (Robertson /
+    Lucene formulation: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tf-saturation k1=1.2, length-norm b=0.75).
+
+    Inverted-index shape without materializing an index: the corpus
+    explodes to (doc, term) postings, but the ``isin(query_terms)``
+    filter sits UNDER the exchange, so only postings for the query's
+    terms ever shuffle — at 100 TB the shuffled volume is
+    O(matching postings), not O(corpus tokens). Doc length rides the
+    explode (no second scan); N/avgdl is a one-row broadcast; df per
+    term is a |query|-row broadcast. Final top-20 is
+    TakeOrderedAndProject on the rounded score (ties → doc_id).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.size("toks").alias("dl"), "toks"
+    )
+    # one-row global stats → broadcast cross join
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    postings = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(_BM25_QUERY))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (_BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("w"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --- semantic dedup (SemDeDup) ----------------------------------------------
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = 0.45
+
+
+def dedup_semantic_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then drop near-duplicates WITHIN each cluster only — the
+    cluster bound turns the quadratic cosine check into
+    sum-over-clusters |c|², which is the whole reason the method
+    scales. Keeper rule is deterministic: a vector is dropped iff some
+    LOWER-id vector in the same cluster has cosine ≥ τ (0.45 — this
+    corpus's near-dup band, see dedup_embedding_cosine).
+
+    Spark shape: md5-deterministic centroid init + one broadcast
+    assignment step (operators/clustering.py — engine-replayable), one
+    cluster-key self-join for the pair check (never all-pairs), then a
+    pair→survivor anti-join. Output: every vector with its cluster and
+    verdict, so the oracle checks assignment AND prune decisions.
+    """
+    from warpdb_spark.functions import vectors as V
+    from warpdb_spark.operators import clustering as K
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = K.init_centroids(emb, k=_SEMDEDUP_K)
+    assigned = K.assign_step(emb, cents).select("vec_id", "cluster")
+    vecs = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    a = vecs.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"),
+    )
+    b = vecs.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("v_b"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", F.round(V.cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
+        )
+        .filter(F.col("cos") >= _SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").alias("centroid_id"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dropped"),
+        )
+    )
+
+
+# --- sketch-mergeable distinct counts ---------------------------------------
+
+
+def agg_hll_union_days(spark, sf_dir):
+    """Warehouse rollup of distinct users via Apache DataSketches HLL:
+    one sketch per day (``hll_sketch_agg``), merged across the month
+    (``hll_union_agg``) — the composable shape that lets a 100 TB
+    warehouse keep per-partition sketches and answer any date-range
+    distinct count by merging kilobyte states instead of rescanning
+    raw data. Map-side partial aggregation applies to the sketch
+    build, so the fact table shuffles only sketch states.
+
+    The estimate itself is library-specific, so the checkable contract
+    is the tolerance pattern (cf. agg_approx_count_distinct): exact
+    distinct count + a boolean asserting the merged-sketch estimate
+    lands within 5% of it (HLL lgK=12 → ~1.6% rse; 5% is >3 sigma).
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"),
+        F.countDistinct("user_id").alias("exact_day_users"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_month"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("exact_day_users").alias("sum_daily_users"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_month_users"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "sum_daily_users",
+        "exact_month_users",
+        (
+            F.abs(F.col("est_month") - F.col("exact_month_users"))
+            <= 0.05 * F.col("exact_month_users")
+        ).alias("estimate_within_5pct"),
+    )
+
+
+# --- linear-interpolation resample ------------------------------------------
+
+
+def events_resample_interpolate(spark, sf_dir):
+    """Resample per-event-type mean value to a 6-hour grid with LINEAR
+    interpolation across empty buckets (the gap-fill LOCF can't
+    express: an empty bucket between observations at v_prev..v_next
+    gets the distance-weighted blend). Endpoints with no neighbor on
+    one side stay NULL — interpolation never extrapolates.
+
+    Same scale shape as events_resample_locf: raw events collapse in
+    ONE partial-aggregated shuffle to the tiny (types × buckets) frame
+    (persisted once for its three consumers); the interpolation windows
+    run over that aggregate, never over raw events.
+    """
+    bucket_s = 6 * 3600
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / bucket_s).alias("bucket"),
+        "value",
+    )
+    agg = (
+        ev.groupBy("event_type", "bucket")
+        .agg(F.avg("value").alias("mean_value"))
+        .persist()
+    )
+    agg.count()
+    bounds = agg.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = bounds.select(F.explode(F.sequence("lo", "hi")).alias("bucket")).crossJoin(
+        F.broadcast(agg.select("event_type").distinct())
+    )
+    filled = grid.join(agg, ["event_type", "bucket"], "left")
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    # carry the last/next OBSERVED (bucket, value) pair to each grid row
+    obs = F.when(
+        F.col("mean_value").isNotNull(), F.struct("bucket", "mean_value")
+    )
+    prev = F.last(obs, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nxt = F.first(obs, ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = filled.select(
+        "event_type",
+        "bucket",
+        F.col("mean_value").isNotNull().alias("observed"),
+        prev.alias("p"),
+        nxt.alias("n"),
+    )
+    frac = (F.col("bucket") - F.col("p.bucket")) / (
+        F.col("n.bucket") - F.col("p.bucket")
+    )
+    interp = F.when(
+        F.col("p").isNotNull() & F.col("n").isNotNull(),
+        F.when(
+            F.col("n.bucket") == F.col("p.bucket"), F.col("p.mean_value")
+        ).otherwise(
+            F.col("p.mean_value")
+            + frac * (F.col("n.mean_value") - F.col("p.mean_value"))
+        ),
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        "observed",
+        F.round(interp, 6).alias("value_interp"),
+    )
+
+
+# -----------------------------------------------------------------------------
+
+QUERIES = {
+    "text_bm25_search": text_bm25_search,
+    "dedup_semantic_semdedup": dedup_semantic_semdedup,
+    "agg_hll_union_days": agg_hll_union_days,
+    "events_resample_interpolate": events_resample_interpolate,
+}
+
+_Q = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+ORACLES = {
+    "text_bm25_search": (
+        "WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), "
+        "b AS (SELECT doc_id, len(toks) AS dl, toks FROM base), "
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b), "
+        "post AS (SELECT doc_id, dl, t AS term, count(*) AS tf FROM "
+        "(SELECT doc_id, dl, unnest(toks) AS t FROM b) "
+        f"WHERE t IN ({_Q}) GROUP BY doc_id, dl, t), "
+        "dft AS (SELECT term, count(*) AS df FROM post GROUP BY term), "
+        "scored AS (SELECT p.doc_id, "
+        "ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({_BM25_K1} + 1)) / "
+        f"(p.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * p.dl / s.avgdl)) AS w "
+        "FROM post p JOIN dft d USING (term) CROSS JOIN stats s) "
+        "SELECT doc_id, round(sum(w), 6) AS bm25, count(*) AS n_terms_hit "
+        "FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"
+    ),
+    # same md5-ordered init + round-6 argmin as embedding_kmeans_assign,
+    # then the within-cluster lower-id prune
+    "dedup_semantic_semdedup": (
+        "WITH init AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_SEMDEDUP_K}), "
+        "d AS (SELECT e.vec_id, i.c_id, "
+        "round(list_sum([(CAST(e.embedding[j] AS DOUBLE) - i.ce[j]) * "
+        "(CAST(e.embedding[j] AS DOUBLE) - i.ce[j]) for j in generate_series(1, len(e.embedding))]), 6) AS dist2 "
+        "FROM embeddings e CROSS JOIN init i), "
+        "assigned AS (SELECT vec_id, c_id AS cluster FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rn FROM d) WHERE rn = 1), "
+        "v AS (SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS ve "
+        "FROM assigned a JOIN embeddings e USING (vec_id)), "
+        "pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, "
+        "round(list_cosine_similarity(x.ve, y.ve), 6) AS cos "
+        "FROM v x JOIN v y ON x.cluster = y.cluster AND x.vec_id < y.vec_id) "
+        "SELECT a.vec_id, a.cluster AS centroid_id, "
+        f"EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = a.vec_id AND p.cos >= {_SEMDEDUP_TAU}) AS is_dropped "
+        "FROM assigned a"
+    ),
+    # tolerance-boolean pattern: oracle computes the exact counts and
+    # asserts the sketch landed (TRUE)
+    "agg_hll_union_days": (
+        "WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS du FROM events GROUP BY day) "
+        "SELECT count(*) AS n_days, CAST(sum(du) AS BIGINT) AS sum_daily_users, "
+        "(SELECT count(DISTINCT user_id) FROM events) AS exact_month_users, "
+        "TRUE AS estimate_within_5pct FROM daily"
+    ),
+    "events_resample_interpolate": (
+        "WITH agg AS (SELECT event_type, CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bucket, "
+        "avg(value) AS mean_value FROM events GROUP BY 1, 2), "
+        "bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg), "
+        "grid AS (SELECT t.event_type, g.bucket FROM "
+        "(SELECT unnest(range(lo, hi + 1)) AS bucket FROM bounds) g "
+        "CROSS JOIN (SELECT DISTINCT event_type FROM agg) t), "
+        "f AS (SELECT g.event_type, g.bucket, a.mean_value FROM grid g "
+        "LEFT JOIN agg a USING (event_type, bucket)), "
+        "marked AS (SELECT *, "
+        "max(CASE WHEN mean_value IS NOT NULL THEN bucket END) OVER "
+        "(PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS pb, "
+        "min(CASE WHEN mean_value IS NOT NULL THEN bucket END) OVER "
+        "(PARTITION BY event_type ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb "
+        "FROM f), "
+        "vals AS (SELECT m.*, pa.mean_value AS pv, na.mean_value AS nv FROM marked m "
+        "LEFT JOIN agg pa ON pa.event_type = m.event_type AND pa.bucket = m.pb "
+        "LEFT JOIN agg na ON na.event_type = m.event_type AND na.bucket = m.nb) "
+        "SELECT event_type, bucket, mean_value IS NOT NULL AS observed, "
+        "round(CASE WHEN pb IS NULL OR nb IS NULL THEN NULL "
+        "WHEN nb = pb THEN pv "
+        "ELSE pv + (CAST(bucket - pb AS DOUBLE) / (nb - pb)) * (nv - pv) END, 6) AS value_interp "
+        "FROM vals"
+    ),
+}
