@@ -114,6 +114,39 @@ class TestSemDeDup:
         assert "CartesianProduct" not in plan
 
 
+class TestPageRank:
+    def _toy(self, spark):
+        # a -> b -> c -> a  plus  d -> a (d is a source, never ranked up)
+        return spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (4, 1)], ["src", "dst"]
+        )
+
+    def test_rank_mass_and_ordering(self, spark):
+        from warpdb_spark.operators.graph import pagerank
+
+        out = {r["id"]: r for r in pagerank(self._toy(spark), n_iter=20).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        # d receives nothing: exactly the (1-d)/N floor
+        assert abs(out[4]["rank"] - 0.15 / 4) < 1e-9
+        # a has two in-edges, highest rank
+        assert out[1]["rank"] == max(r["rank"] for r in out.values())
+        assert out[4]["out_degree"] == 1 and out[1]["out_degree"] == 1
+
+    def test_uniform_cycle_is_fixed_point(self, spark):
+        from warpdb_spark.operators.graph import pagerank
+
+        cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+        for r in pagerank(cyc, n_iter=7).collect():
+            # on a pure cycle the uniform distribution is exact
+            assert abs(r["rank"] - 1.0 / 3) < 1e-8
+
+    def test_entry_scale_shape(self, spark, sf_dir):
+        """All users appear; ranks are positive and bounded by 1."""
+        out = R.graph_pagerank_users(spark, sf_dir).collect()
+        assert len(out) > 0
+        assert all(0 < r["pagerank"] < 1 for r in out)
+
+
 class TestHLLUnion:
     def test_estimate_within_tolerance(self, spark, sf_dir):
         row = R.agg_hll_union_days(spark, sf_dir).collect()[0]

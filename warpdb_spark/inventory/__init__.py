@@ -139,6 +139,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_semantic_semdedup",
     "agg_hll_union_days",
     "events_resample_interpolate",
+    "graph_pagerank_users",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

@@ -270,6 +270,42 @@ def events_resample_interpolate(spark, sf_dir):
     )
 
 
+# --- graph analytics ---------------------------------------------------------
+
+
+def graph_pagerank_users(spark, sf_dir):
+    """PageRank over the user-interaction digraph (d=0.85, FIXED 5
+    iterations): an edge links each event's user to the next user in
+    time within the same event_type (lead over one window — linear
+    construction, no pair explosion), self-loops dropped, edges
+    deduplicated.
+
+    The fixed iteration count + per-iteration round-9 make the whole
+    loop engine-replayable, so the DuckDB oracle unrolls the identical
+    5 recurrence steps and hash-matches every rank (same pattern as
+    the fixed-iteration Lloyd entries). Per iteration: ONE rank⋈edges
+    shuffle + a partial-aggregated sum; lineage truncated per round
+    (operators/graph.py::pagerank). The open-ended convergence variant
+    is pytest-covered (rank mass, dangling behavior, convergence).
+    """
+    from warpdb_spark.operators import graph as G
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nx = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    )
+    edges = nx.filter(
+        F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
+    ).distinct()
+    pr = G.pagerank(edges, damping=0.85, n_iter=5, round_dp=9)
+    return pr.select(
+        F.col("id").alias("user_id"),
+        F.round("rank", 6).alias("pagerank"),
+        "out_degree",
+    )
+
+
 # -----------------------------------------------------------------------------
 
 QUERIES = {
@@ -277,7 +313,22 @@ QUERIES = {
     "dedup_semantic_semdedup": dedup_semantic_semdedup,
     "agg_hll_union_days": agg_hll_union_days,
     "events_resample_interpolate": events_resample_interpolate,
+    "graph_pagerank_users": graph_pagerank_users,
 }
+
+
+def _pr_iter(prev: str, out: str) -> str:
+    """One unrolled PageRank step: r' = (1-d)/N + d·Σ_in r/outdeg,
+    rounded to 9 dp (all constants forced DOUBLE — DuckDB decimal
+    literals would otherwise run the recurrence in DECIMAL)."""
+    return (
+        f"{out} AS (SELECT nd.id, "
+        f"round((1e0 - 0.85e0) / (SELECT nn FROM n) + 0.85e0 * coalesce(c.s, 0e0), 9) AS r "
+        f"FROM nodes nd LEFT JOIN "
+        f"(SELECT e.dst AS id, sum(p.r / o.deg) AS s FROM edges e "
+        f"JOIN {prev} p ON e.src = p.id JOIN od o ON o.id = e.src "
+        f"GROUP BY e.dst) c ON c.id = nd.id)"
+    )
 
 _Q = ", ".join(f"'{t}'" for t in _BM25_QUERY)
 
@@ -349,5 +400,20 @@ ORACLES = {
         "WHEN nb = pb THEN pv "
         "ELSE pv + (CAST(bucket - pb AS DOUBLE) / (nb - pb)) * (nv - pv) END, 6) AS value_interp "
         "FROM vals"
+    ),
+    # same edge construction + 5 unrolled recurrence steps; initial
+    # rank 1e0/N is deliberately UNrounded (Spark's float literal)
+    "graph_pagerank_users": (
+        "WITH nx AS (SELECT user_id AS src, "
+        "lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst FROM events), "
+        "edges AS (SELECT DISTINCT src, dst FROM nx WHERE dst IS NOT NULL AND dst <> src), "
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges), "
+        "n AS (SELECT count(*) AS nn FROM nodes), "
+        "od AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src), "
+        "p0 AS (SELECT id, 1e0 / (SELECT nn FROM n) AS r FROM nodes), "
+        + ", ".join(_pr_iter(f"p{i}", f"p{i + 1}") for i in range(5))
+        + " SELECT p5.id AS user_id, round(p5.r, 6) AS pagerank, "
+        "coalesce(od.deg, 0) AS out_degree "
+        "FROM p5 LEFT JOIN od ON od.id = p5.id"
     ),
 }

@@ -92,6 +92,78 @@ def connected_components(
     return labels.select("id", F.col("comp").alias("component"))
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 5,
+    round_dp: int | None = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list. Returns
+    (id, rank, out_degree). Simplified (leaking) formulation: dangling
+    nodes' mass is not redistributed — the recurrence is exactly
+    r' = (1-d)/N + d * Σ_in r/outdeg, which a SQL oracle can replay
+    iteration-for-iteration.
+
+    Per iteration: ONE hash shuffle joining ranks into edges on src
+    + one partial-aggregated sum on dst — the scale shape (ranks and
+    degrees co-partition with the edge keys; nothing ever collects).
+    Lineage is truncated per round with ``localCheckpoint`` (same
+    iterative-Spark pitfall as connected_components). ``round_dp``
+    rounds each iteration's ranks so two engines' sum orders cannot
+    drift across iterations (None disables for pure-Spark use).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    # contributions ride (edge ⋈ rank ⋈ outdeg) on src; pre-join the
+    # static degree once so the loop joins only the rank frame
+    e_deg = (
+        e.join(outdeg, e["src"] == outdeg["id"])
+        .select("src", "dst", "out_degree")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint()
+    for _ in range(n_iter):
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        new_rank = F.lit(base) + damping * F.coalesce(F.col("in_mass"), F.lit(0.0))
+        if round_dp is not None:
+            new_rank = F.round(new_rank, round_dp)
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select("id", new_rank.alias("rank"))
+            .localCheckpoint()
+        )
+    out = ranks.join(outdeg, "id", "left").select(
+        "id", "rank", F.coalesce("out_degree", F.lit(0)).alias("out_degree")
+    )
+    e.unpersist()
+    e_deg.unpersist()
+    return out
+
+
 def cluster_near_duplicates(
     docs: DataFrame,
     pairs: DataFrame,
