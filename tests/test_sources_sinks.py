@@ -241,3 +241,69 @@ class TestClusteredWrite:
             leaf = leaf.children().apply(0)
         got = leaf.metrics().apply("numOutputRows").value()
         assert got < 50_000, f"scan read {got} rows — row-group pruning inactive"
+
+
+class TestZOrderWrite:
+    """write_zorder must prune row groups for filters on EITHER
+    z-column — the multi-dimensional contract write_clustered can't
+    give (its second column gets no pruning)."""
+
+    @staticmethod
+    def _scan_rows(spark, path, cond):
+        scan = spark.read.parquet(path).filter(cond)
+        scan.collect()
+        leaf = scan._jdf.queryExecution().executedPlan()
+        while leaf.children().size() > 0:
+            leaf = leaf.children().apply(0)
+        return leaf.metrics().apply("numOutputRows").value()
+
+    def test_data_preserved_and_both_dims_prune(self, spark, tmp_path_factory):
+        from warpdb_spark.sources.writers import write_clustered, write_zorder
+
+        base = str(tmp_path_factory.mktemp("zorder"))
+        n = 200_000
+        side = 1000  # x,y uniform over a 1000x1000 grid, scattered order
+        df = spark.range(n).select(
+            F.col("id"),
+            ((F.col("id") * 48271) % side).alias("x"),
+            ((F.col("id") * 69621) % side).alias("y"),
+        )
+        opts = {"parquet.block.size": "65536"}
+        write_zorder(df, f"{base}/z", ["x", "y"], num_files=8, **opts)
+        write_clustered(df, f"{base}/linear", ["x"], num_files=8, **opts)
+
+        back = spark.read.parquet(f"{base}/z")
+        assert back.count() == n
+        assert (
+            back.agg(F.sum("x"), F.sum("y")).first()
+            == df.agg(F.sum("x"), F.sum("y")).first()
+        )
+
+        # a 5% box on EACH axis independently must prune on the z table
+        x_cond = (F.col("x") >= 100) & (F.col("x") < 150)
+        y_cond = (F.col("y") >= 100) & (F.col("y") < 150)
+        zx = self._scan_rows(spark, f"{base}/z", x_cond)
+        zy = self._scan_rows(spark, f"{base}/z", y_cond)
+        assert zx < n / 2, f"x-filter read {zx} of {n}"
+        assert zy < n / 2, f"y-filter read {zy} of {n}"
+
+        # on the y-axis the z-order table must beat the x-linear table,
+        # which has no y locality at all (reads ~everything)
+        ly = self._scan_rows(spark, f"{base}/linear", y_cond)
+        assert zy < ly, f"z-order y-scan {zy} not better than linear {ly}"
+
+    def test_zorder_key_interleaves(self, spark):
+        from warpdb_spark.sources.writers import zorder_key
+
+        df = spark.createDataFrame(
+            [(0, 0), (255, 255), (255, 0), (0, 255)], ["x", "y"]
+        )
+        z = df.select(
+            "x", "y", zorder_key({"x": (0, 255), "y": (0, 255)}, bits=8).alias("z")
+        ).collect()
+        vals = {(r["x"], r["y"]): r["z"] for r in z}
+        assert vals[(0, 0)] == 0
+        assert vals[(255, 255)] == (1 << 16) - 1
+        # x occupies even bit positions, y odd
+        assert vals[(255, 0)] == sum(1 << (2 * i) for i in range(8))
+        assert vals[(0, 255)] == sum(1 << (2 * i + 1) for i in range(8))
