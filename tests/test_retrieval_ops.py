@@ -114,6 +114,34 @@ class TestSemDeDup:
         assert "CartesianProduct" not in plan
 
 
+class TestHybridRRF:
+    def test_fusion_math_and_membership(self, spark, sf_dir):
+        out = R.search_hybrid_rrf(spark, sf_dir).collect()
+        assert 0 < len(out) <= 20
+        for r in out:
+            expect = 0.0
+            if r["bm25_rank"] > 0:
+                expect += 1.0 / (R._RRF_K + r["bm25_rank"])
+            if r["ann_rank"] > 0:
+                expect += 1.0 / (R._RRF_K + r["ann_rank"])
+            assert abs(r["rrf_score"] - expect) < 1e-6
+            # every fused row came from at least one leg
+            assert r["bm25_rank"] > 0 or r["ann_rank"] > 0
+        scores = [r["rrf_score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_doc_in_both_legs_outranks_single_leg(self, spark, sf_dir):
+        """A document near the top of both lists must beat one that
+        appears in only one list at a similar rank."""
+        out = R.search_hybrid_rrf(spark, sf_dir).collect()
+        both = [r for r in out if r["bm25_rank"] > 0 and r["ann_rank"] > 0]
+        single = [r for r in out if (r["bm25_rank"] > 0) != (r["ann_rank"] > 0)]
+        if both and single:
+            assert max(r["rrf_score"] for r in both) > min(
+                r["rrf_score"] for r in single
+            )
+
+
 class TestPageRank:
     def _toy(self, spark):
         # a -> b -> c -> a  plus  d -> a (d is a source, never ranked up)

@@ -140,6 +140,7 @@ DRIVER_PRIORITY: list[str] = [
     "agg_hll_union_days",
     "events_resample_interpolate",
     "graph_pagerank_users",
+    "search_hybrid_rrf",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

@@ -41,20 +41,10 @@ _BM25_B = 0.75
 _BM25_QUERY = ["hash", "join", "spark"]
 
 
-def text_bm25_search(spark, sf_dir):
-    """BM25 top-20 document retrieval for a fixed query (Robertson /
-    Lucene formulation: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
-    tf-saturation k1=1.2, length-norm b=0.75).
-
-    Inverted-index shape without materializing an index: the corpus
-    explodes to (doc, term) postings, but the ``isin(query_terms)``
-    filter sits UNDER the exchange, so only postings for the query's
-    terms ever shuffle — at 100 TB the shuffled volume is
-    O(matching postings), not O(corpus tokens). Doc length rides the
-    explode (no second scan); N/avgdl is a one-row broadcast; df per
-    term is a |query|-row broadcast. Final top-20 is
-    TakeOrderedAndProject on the rounded score (ties → doc_id).
-    """
+def _bm25_scored(spark, sf_dir) -> DataFrame:
+    """Shared BM25 scoring frame: (doc_id, bm25, n_terms_hit) for every
+    document matching ≥1 query term. See text_bm25_search for the plan
+    shape."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     base = docs.select("doc_id", toks.alias("toks")).select(
@@ -92,12 +82,28 @@ def text_bm25_search(spark, sf_dir):
             ),
         )
     )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("w"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+
+
+def text_bm25_search(spark, sf_dir):
+    """BM25 top-20 document retrieval for a fixed query (Robertson /
+    Lucene formulation: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tf-saturation k1=1.2, length-norm b=0.75).
+
+    Inverted-index shape without materializing an index: the corpus
+    explodes to (doc, term) postings, but the ``isin(query_terms)``
+    filter sits UNDER the exchange, so only postings for the query's
+    terms ever shuffle — at 100 TB the shuffled volume is
+    O(matching postings), not O(corpus tokens). Doc length rides the
+    explode (no second scan); N/avgdl is a one-row broadcast; df per
+    term is a |query|-row broadcast. Final top-20 is
+    TakeOrderedAndProject on the rounded score (ties → doc_id).
+    """
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.round(F.sum("w"), 6).alias("bm25"),
-            F.count(F.lit(1)).alias("n_terms_hit"),
-        )
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
@@ -270,6 +276,75 @@ def events_resample_interpolate(spark, sf_dir):
     )
 
 
+# --- hybrid search -----------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPN = 50
+
+
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: fuse the BM25 lexical ranking and an exact
+    embedding-cosine ranking (query vector = the vec_id-0 embedding;
+    vec_id keys the same corpus as doc_id) with reciprocal-rank fusion
+    (Cormack et al. 2009): rrf = Σ_lists 1/(60 + rank). The standard
+    two-tower + lexical hybrid serving shape.
+
+    Scale: each leg is its own top-50 (BM25 = filtered-postings
+    aggregation, ANN = broadcast query vector + one scan —
+    TakeOrderedAndProject both), so the rank windows and the fusion
+    full-outer join run over ≤50-row frames — the corpus is scanned
+    once per leg and never joined pairwise. Ranks sit on round-6
+    scores with id tie-breaks, so DuckDB replays both lists and the
+    fused order exactly.
+    """
+    from warpdb_spark.functions import vectors as V
+
+    # lexical leg — same scoring pipeline as text_bm25_search
+    bm = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_TOPN)
+    )
+    w_bm = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    bm_ranked = bm.select("doc_id", F.row_number().over(w_bm).alias("bm25_rank"))
+
+    # semantic leg — exact cosine vs the broadcast query vector
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    ann = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                V.cosine_similarity(F.col("embedding"), F.col("q_vec")), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(_RRF_TOPN)
+    )
+    w_ann = Window.orderBy(F.col("cos").desc(), "vec_id")
+    ann_ranked = ann.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_ann).alias("ann_rank"),
+    )
+
+    # ranks coalesce to 0 ("absent from this list") — a NULL int column
+    # would round-trip as float64 through pandas on the oracle side
+    fused = bm_ranked.join(ann_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+        F.coalesce("ann_rank", F.lit(0)).alias("ann_rank"),
+        F.round(
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("ann_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)
+
+
 # --- graph analytics ---------------------------------------------------------
 
 
@@ -314,6 +389,7 @@ QUERIES = {
     "agg_hll_union_days": agg_hll_union_days,
     "events_resample_interpolate": events_resample_interpolate,
     "graph_pagerank_users": graph_pagerank_users,
+    "search_hybrid_rrf": search_hybrid_rrf,
 }
 
 
@@ -332,22 +408,44 @@ def _pr_iter(prev: str, out: str) -> str:
 
 _Q = ", ".join(f"'{t}'" for t in _BM25_QUERY)
 
+# the shared BM25 scoring pipeline (mirrors _bm25_scored) as a CTE chain
+_BM25_CTE = (
+    "base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), "
+    "b AS (SELECT doc_id, len(toks) AS dl, toks FROM base), "
+    "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b), "
+    "post AS (SELECT doc_id, dl, t AS term, count(*) AS tf FROM "
+    "(SELECT doc_id, dl, unnest(toks) AS t FROM b) "
+    f"WHERE t IN ({_Q}) GROUP BY doc_id, dl, t), "
+    "dft AS (SELECT term, count(*) AS df FROM post GROUP BY term), "
+    "scored AS (SELECT p.doc_id, "
+    "ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+    f"(p.tf * ({_BM25_K1} + 1)) / "
+    f"(p.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * p.dl / s.avgdl)) AS w "
+    "FROM post p JOIN dft d USING (term) CROSS JOIN stats s)"
+)
+
 ORACLES = {
     "text_bm25_search": (
-        "WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), "
-        "b AS (SELECT doc_id, len(toks) AS dl, toks FROM base), "
-        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b), "
-        "post AS (SELECT doc_id, dl, t AS term, count(*) AS tf FROM "
-        "(SELECT doc_id, dl, unnest(toks) AS t FROM b) "
-        f"WHERE t IN ({_Q}) GROUP BY doc_id, dl, t), "
-        "dft AS (SELECT term, count(*) AS df FROM post GROUP BY term), "
-        "scored AS (SELECT p.doc_id, "
-        "ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
-        f"(p.tf * ({_BM25_K1} + 1)) / "
-        f"(p.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * p.dl / s.avgdl)) AS w "
-        "FROM post p JOIN dft d USING (term) CROSS JOIN stats s) "
+        f"WITH {_BM25_CTE} "
         "SELECT doc_id, round(sum(w), 6) AS bm25, count(*) AS n_terms_hit "
         "FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"
+    ),
+    "search_hybrid_rrf": (
+        f"WITH {_BM25_CTE}, "
+        "bmagg AS (SELECT doc_id, round(sum(w), 6) AS bm25 FROM scored GROUP BY doc_id), "
+        "bmtop AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank "
+        f"FROM bmagg ORDER BY bm25 DESC, doc_id LIMIT {_RRF_TOPN}), "
+        "ann AS (SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos FROM embeddings), "
+        "anntop AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS ann_rank "
+        f"FROM ann ORDER BY cos DESC, vec_id LIMIT {_RRF_TOPN}), "
+        "fused AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, "
+        "coalesce(b.bm25_rank, 0) AS bm25_rank, coalesce(a.ann_rank, 0) AS ann_rank, "
+        f"round(coalesce(1e0 / ({_RRF_K} + b.bm25_rank), 0e0) + "
+        f"coalesce(1e0 / ({_RRF_K} + a.ann_rank), 0e0), 6) AS rrf_score "
+        "FROM bmtop b FULL OUTER JOIN anntop a ON b.doc_id = a.doc_id) "
+        "SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM fused "
+        "ORDER BY rrf_score DESC, doc_id LIMIT 20"
     ),
     # same md5-ordered init + round-6 argmin as embedding_kmeans_assign,
     # then the within-cluster lower-id prune
