@@ -130,10 +130,14 @@ def pagerank(
         F.count(F.lit(1)).alias("out_degree")
     )
     # contributions ride (edge ⋈ rank ⋈ outdeg) on src; pre-join the
-    # static degree once so the loop joins only the rank frame
+    # static degree once so the loop joins only the rank frame, and
+    # persist the edges ALREADY HASH-PARTITIONED on src: every
+    # iteration's join then reuses that partitioning and only the
+    # small rank frame moves — the big edge table never re-shuffles
     e_deg = (
         e.join(outdeg, e["src"] == outdeg["id"])
         .select("src", "dst", "out_degree")
+        .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     base = (1.0 - damping) / n_nodes
