@@ -406,3 +406,83 @@ class TestStreamStaticEnrich:
         assert "BroadcastHashJoin" in plan
         # the stream/fact side must not shuffle for the join
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestIncrementalDedup:
+    """Streaming MinHash-LSH dedup against a standing band-key store
+    (streaming/incremental.py): within-batch collisions resolve to the
+    lowest id, cross-batch collisions reject against the store, and a
+    replayed batch is idempotent."""
+
+    DOC_SCHEMA = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    T1 = "the quick brown fox jumps over the lazy dog every single day"
+    T2 = "completely different content about distributed query engines and shuffles"
+    T3 = "yet another unrelated document describing parquet row group statistics"
+
+    def _mkdocs(self, tmp_path):
+        d = tmp_path / "docs"
+        d.mkdir()
+        (d / "batch1.csv").write_text(
+            "doc_id,text\n" + f'"1","{self.T1}"\n' + f'"2","{self.T2}"\n' + f'"3","{self.T1}"\n'
+        )
+        (d / "batch2.csv").write_text(
+            "doc_id,text\n" + f'"4","{self.T1}"\n' + f'"5","{self.T3}"\n'
+        )
+        return str(d)
+
+    def test_cross_and_within_batch_dedup(self, spark, tmp_path):
+        from warpdb_spark.streaming.incremental import run_incremental_dedup
+        from warpdb_spark.streaming.windows import read_csv_stream
+
+        docs = self._mkdocs(tmp_path)
+        store = str(tmp_path / "store")
+        out = str(tmp_path / "out")
+        stream = read_csv_stream(spark, docs, self.DOC_SCHEMA)
+        q = run_incremental_dedup(
+            stream, store, out, checkpoint=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        admitted = {
+            r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+        }
+        # 3 is a within-batch dup of 1; 4 is a cross-batch dup of 1
+        assert admitted == {"1", "2", "5"}
+        # the store holds band keys ONLY for admitted docs
+        store_ids = {
+            r["id"] for r in spark.read.parquet(store).select("id").distinct().collect()
+        }
+        assert store_ids == {"1", "2", "5"}
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        from warpdb_spark.streaming.incremental import admit_batch
+
+        store = str(tmp_path / "store")
+        batch = spark.createDataFrame(
+            [("1", self.T1), ("2", self.T2)], ["doc_id", "text"]
+        )
+        first = {r["doc_id"] for r in admit_batch(batch, 0, store).collect()}
+        n_store = spark.read.parquet(store).count()
+        # replay the SAME batch id (foreachBatch at-least-once contract)
+        again = {r["doc_id"] for r in admit_batch(batch, 0, store).collect()}
+        assert first == again == {"1", "2"}
+        assert spark.read.parquet(store).count() == n_store
+
+    def test_next_batch_rejects_against_store(self, spark, tmp_path):
+        from warpdb_spark.streaming.incremental import admit_batch
+
+        store = str(tmp_path / "store")
+        b0 = spark.createDataFrame([("1", self.T1)], ["doc_id", "text"])
+        admit_batch(b0, 0, store)
+        b1 = spark.createDataFrame(
+            [("9", self.T1), ("10", self.T3)], ["doc_id", "text"]
+        )
+        got = {r["doc_id"] for r in admit_batch(b1, 1, store).collect()}
+        assert got == {"10"}
