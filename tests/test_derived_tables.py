@@ -388,3 +388,69 @@ class TestCast:
 
         with pytest.raises(ParseError, match="Unknown CAST target type"):
             db.query_sql("SELECT CAST(o_orderkey AS BLOB) AS b FROM orders")
+
+
+class TestIntervalRangeFrame:
+    """RANGE BETWEEN INTERVAL ... (superset): event-time rolling frames
+    lowered to micros offsets over unix_micros(ts) — exact to the µs."""
+
+    @pytest.fixture(scope="class")
+    def edb(self, spark, sf_dir):
+        return WarpDB(
+            f"{sf_dir}/events.parquet", spark=spark, table_name="events"
+        )
+
+    def test_matches_dataframe_formulation(self, edb, spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        got = {
+            (r["eid"]): r["s1h"]
+            for r in edb.query_sql(
+                "SELECT event_id AS eid, "
+                "round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+                "RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW), 4) AS s1h "
+                "FROM events"
+            ).collect()
+        }
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+            .rangeBetween(-3_600_000_000, 0)
+        )
+        want = {
+            r["event_id"]: r["s"]
+            for r in ev.select(
+                "event_id", F.round(F.sum("value").over(w), 4).alias("s")
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_following_bound_and_units(self, edb):
+        rows = edb.query_sql(
+            "SELECT event_id AS eid, COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL '30 minutes' PRECEDING "
+            "AND INTERVAL '30 minutes' FOLLOWING) AS n FROM events"
+        ).collect()
+        assert all(r["n"] >= 1 for r in rows)  # frame always includes self
+
+    def test_error_cases(self, edb):
+        from warpdb_spark.errors import ValidationError
+
+        cases = {
+            "ROWS BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW": "require RANGE",
+            "RANGE BETWEEN INTERVAL '1 month' PRECEDING AND CURRENT ROW": "Unsupported INTERVAL",
+            "RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND 5 FOLLOWING": "mix numeric and INTERVAL",
+        }
+        for frame, msg in cases.items():
+            with pytest.raises(ValidationError, match=msg):
+                edb.query_sql(
+                    f"SELECT SUM(value) OVER (ORDER BY ts {frame}) AS s FROM events"
+                ).collect()
+        with pytest.raises(ValidationError, match="exactly one ORDER BY"):
+            edb.query_sql(
+                "SELECT SUM(value) OVER (ORDER BY ts, event_id "
+                "RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS s "
+                "FROM events"
+            ).collect()

@@ -141,6 +141,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_resample_interpolate",
     "graph_pagerank_users",
     "search_hybrid_rrf",
+    "dialect_range_interval_frame",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

@@ -756,6 +756,26 @@ def dialect_event_time(spark, sf_dir):
     )
 
 
+def dialect_range_interval_frame(spark, sf_dir):
+    """Event-time RANGE frame with INTERVAL bounds through the dialect
+    (superset): ``RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT
+    ROW`` over per-user event time — the rolling-window shape every
+    time-series user writes. The compiler lowers the bound to a
+    microsecond offset over ``unix_micros(ts)``, so the frame is exact
+    to the µs (no second-truncation drift vs engines that range over
+    native timestamps). ROWS+INTERVAL, month units, and multi-key
+    ORDER BY raise ValidationError at compile."""
+    db = _db(spark, sf_dir, "events")
+    return db.query_sql(
+        "SELECT event_id AS eid, user_id AS uid, "
+        "round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW), 4) AS sum_1h, "
+        "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND INTERVAL '30 minutes' FOLLOWING) AS n_1h_centered "
+        "FROM events"
+    )
+
+
 def dialect_tpch_q3(spark, sf_dir):
     """Q3 entirely through the dialect front-end: three-table join,
     typed TIMESTAMP literals, nested CAST in the projection, grouped
@@ -1163,6 +1183,7 @@ QUERIES = {
     "window_qualify": window_qualify,
     "agg_approx_percentile": agg_approx_percentile,
     "dialect_event_time": dialect_event_time,
+    "dialect_range_interval_frame": dialect_range_interval_frame,
     "events_sessionize": events_sessionize,
     "events_resample_locf": events_resample_locf,
     "agg_mode_median": agg_mode_median,
@@ -1467,6 +1488,14 @@ ORACLES = {
         "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '6 hours' "
         "AND extract(hour FROM ts) >= 6 "
         "GROUP BY 1, 2"
+    ),
+    "dialect_range_interval_frame": (
+        "SELECT event_id AS eid, user_id AS uid, "
+        "round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW), 4) AS sum_1h, "
+        "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND INTERVAL '30 minutes' FOLLOWING) AS n_1h_centered "
+        "FROM events"
     ),
     "setop_except_all": (
         "SELECT q, count(*) AS n FROM ("

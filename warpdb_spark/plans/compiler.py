@@ -51,6 +51,32 @@ def _frame_bound(b, is_start: bool) -> int:
     return int(b)
 
 
+_INTERVAL_BOUND_RE = __import__("re").compile(
+    r"^\s*(\d+)\s+(second|minute|hour|day)s?\s*$", __import__("re").IGNORECASE
+)
+_UNIT_MICROS = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _interval_bound_micros(b) -> int:
+    """('interval', sign, 'N unit') → signed microseconds. Day-time
+    units only: a month/year RANGE offset has no fixed width, so it
+    cannot be a rangeBetween distance."""
+    _tag, sign, value = b
+    m = _INTERVAL_BOUND_RE.match(value)
+    if not m:
+        raise ValidationError(
+            f"Unsupported INTERVAL frame bound: {value!r} "
+            "(expected 'N second|minute|hour|day[s]')"
+        )
+    us = int(m.group(1)) * _UNIT_MICROS[m.group(2).lower()]
+    return -us if sign == "-" else us
+
+
 class Compiler:
     """Compiles nodes to Columns.
 
@@ -300,20 +326,59 @@ class Compiler:
         raise ValidationError(f"{what} must be an integer literal")
 
     def _window_spec(self, spec: A.WindowSpec) -> SparkWindowSpec:
+        has_interval = bool(spec.frame) and any(
+            isinstance(b, tuple) for b in spec.frame[1:]
+        )
+        if has_interval:
+            # event-time RANGE frame: Spark's rangeBetween takes long
+            # offsets, so order by unix_micros(ts) and express the
+            # interval as a micros distance — exact to the µs, no
+            # second-truncation drift
+            kind = spec.frame[0]
+            if kind != "RANGE":
+                raise ValidationError("INTERVAL frame bounds require RANGE")
+            if len(spec.order_by) != 1:
+                raise ValidationError(
+                    "RANGE with INTERVAL bounds requires exactly one ORDER BY expression"
+                )
+            if any(
+                isinstance(b, int) for b in spec.frame[1:]
+            ):
+                raise ValidationError(
+                    "Cannot mix numeric and INTERVAL bounds in one RANGE frame"
+                )
         w = None
         if spec.partition_by:
             w = Window.partitionBy(*[self.compile(p) for p in spec.partition_by])
         if spec.order_by:
-            order_cols = [
-                self.compile(e).asc() if asc else self.compile(e).desc()
-                for e, asc in spec.order_by
-            ]
+            if has_interval:
+                e, asc = spec.order_by[0]
+                oc = F.unix_micros(self.compile(e).cast("timestamp"))
+                order_cols = [oc.asc() if asc else oc.desc()]
+            else:
+                order_cols = [
+                    self.compile(e).asc() if asc else self.compile(e).desc()
+                    for e, asc in spec.order_by
+                ]
             w = w.orderBy(*order_cols) if w is not None else Window.orderBy(*order_cols)
         if w is None:
+            if has_interval:
+                raise ValidationError(
+                    "RANGE with INTERVAL bounds requires exactly one ORDER BY expression"
+                )
             w = Window.partitionBy(F.lit(1))
         if spec.frame:
             kind, start, end = spec.frame
-            lo, hi = _frame_bound(start, True), _frame_bound(end, False)
+            lo = (
+                _interval_bound_micros(start)
+                if isinstance(start, tuple)
+                else _frame_bound(start, True)
+            )
+            hi = (
+                _interval_bound_micros(end)
+                if isinstance(end, tuple)
+                else _frame_bound(end, False)
+            )
             w = w.rowsBetween(lo, hi) if kind == "ROWS" else w.rangeBetween(lo, hi)
         return w
 

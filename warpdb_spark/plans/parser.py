@@ -358,6 +358,21 @@ class _Parser:
             self.expect_kw("ROW")
             return "current"
         tok = self.next()
+        # INTERVAL '...' PRECEDING/FOLLOWING (event-time RANGE frames,
+        # superset) — compiled to a micros offset over the ORDER BY
+        # timestamp by the compiler
+        if (
+            tok.kind == IDENT
+            and tok.value.upper() == "INTERVAL"
+            and self.peek().kind == STRING
+        ):
+            value = self.next().value
+            tok2 = self.next()
+            if tok2.value == "PRECEDING":
+                return ("interval", "-", value)
+            if tok2.value == "FOLLOWING":
+                return ("interval", "+", value)
+            raise ParseError("Expected PRECEDING or FOLLOWING after INTERVAL bound")
         if tok.kind != NUMBER:
             raise ParseError("Expected frame bound")
         n = int(tok.value)
