@@ -246,3 +246,42 @@ class TestInterpolate:
         exchange (InMemoryTableScan of the persisted tiny frame)."""
         plan = _plan(R.events_resample_interpolate(spark, sf_dir))
         assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+class TestInvertedIndex:
+    """Materialized BM25 index (operators/retrieval.py): query-from-
+    index must equal the ad-hoc corpus scoring, and the index query
+    must not rescan the corpus."""
+
+    def test_index_query_matches_adhoc(self, spark, sf_dir):
+        from warpdb_spark.operators import retrieval as IX
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        postings, stats = IX.build_postings(docs)
+        from_index = IX.bm25_query(postings, stats, R._BM25_QUERY, k=20).collect()
+        adhoc = R.text_bm25_search(spark, sf_dir).collect()
+        assert [(r["doc_id"], r["bm25"]) for r in from_index] == [
+            (r["doc_id"], r["bm25"]) for r in adhoc
+        ]
+
+    def test_bucketed_index_prunes_and_roundtrips(self, spark, sf_dir, tmp_path):
+        from warpdb_spark.operators import retrieval as IX
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        postings, stats = IX.build_postings(docs)
+        path = str(tmp_path / "idx")
+        IX.write_index(postings, stats, path, num_buckets=8)
+        # reload from disk and query — no corpus access at all
+        p2 = spark.read.parquet(f"{path}/postings")
+        s2 = spark.read.parquet(f"{path}/stats")
+        got = IX.bm25_query(p2, s2, R._BM25_QUERY, k=20).collect()
+        want = IX.bm25_query(postings, stats, R._BM25_QUERY, k=20).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        # the term filter reaches the postings scan (pushed filter)
+        plan = (
+            IX.bm25_query(p2, s2, R._BM25_QUERY, k=20)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [In(term" in plan
