@@ -285,3 +285,34 @@ class TestInvertedIndex:
             .toString()
         )
         assert "PushedFilters: [In(term" in plan
+
+
+class TestSemDeDupBlas:
+    """operators/semdedup.py: the BLAS per-cluster prune must agree
+    with the oracle-replayable HOF entry on the same corpus."""
+
+    def test_matches_entry(self, spark, sf_dir):
+        from warpdb_spark.operators.semdedup import semdedup_prune
+
+        emb = R._t(spark, sf_dir, "embeddings")
+        fast = {
+            r["vec_id"]: (r["cluster"], r["is_dropped"])
+            for r in semdedup_prune(
+                emb, k=R._SEMDEDUP_K, tau=R._SEMDEDUP_TAU
+            ).collect()
+        }
+        ref = {
+            r["vec_id"]: (r["centroid_id"], r["is_dropped"])
+            for r in R.dedup_semantic_semdedup(spark, sf_dir).collect()
+        }
+        assert fast == ref
+
+    def test_single_vector_cluster_kept(self, spark):
+        from warpdb_spark.operators.semdedup import semdedup_prune
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(4)], ["vec_id", "embedding"]
+        )
+        out = semdedup_prune(emb, k=4, tau=0.9999)
+        rows = out.collect()
+        assert len(rows) == 4
