@@ -486,3 +486,85 @@ class TestIncrementalDedup:
         )
         got = {r["doc_id"] for r in admit_batch(b1, 1, store).collect()}
         assert got == {"10"}
+
+
+class TestSketchRollup:
+    """Streaming HLL sketch store (streaming/sketches.py): per-day
+    sketches merged across micro-batches must equal sketching the whole
+    input in one batch — the mergeable-state contract."""
+
+    def _events_csv(self, tmp_path):
+        d = tmp_path / "ev"
+        d.mkdir()
+        (d / "b1.csv").write_text(
+            "ts,key,value\n"
+            + "\n".join(
+                f"2024-01-0{1 + i % 2} 0{i % 10}:00:00,u{i % 7},1.0" for i in range(40)
+            )
+            + "\n"
+        )
+        (d / "b2.csv").write_text(
+            "ts,key,value\n"
+            + "\n".join(
+                f"2024-01-0{1 + i % 3} 1{i % 10}:00:00,u{i % 11},1.0" for i in range(40)
+            )
+            + "\n"
+        )
+        return str(d)
+
+    def test_streamed_store_equals_batch_sketch(self, spark, tmp_path):
+        from warpdb_spark.streaming.sketches import (
+            batch_day_sketches,
+            read_estimates,
+            run_sketch_rollup,
+        )
+        from warpdb_spark.streaming.windows import read_csv_stream
+
+        src = self._events_csv(tmp_path)
+        store = str(tmp_path / "store")
+        stream = read_csv_stream(spark, src, SCHEMA)
+        q = run_sketch_rollup(
+            stream, store, checkpoint=str(tmp_path / "ck"), key_col="key"
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+        got = {
+            str(r["day"]): (r["est_distinct"], r["n_rows"])
+            for r in read_estimates(spark, store).collect()
+        }
+        whole = spark.read.option("header", True).schema(SCHEMA).csv(src)
+        want = {
+            str(r["day"]): (r["est"], r["n"])
+            for r in batch_day_sketches(whole, key_col="key")
+            .select(
+                "day",
+                F.hll_sketch_estimate("sketch").alias("est"),
+                F.col("n_rows").alias("n"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) >= 2
+
+    def test_range_estimate_from_store(self, spark, tmp_path):
+        from warpdb_spark.streaming.sketches import run_sketch_rollup
+        from warpdb_spark.streaming.windows import read_csv_stream
+
+        src = self._events_csv(tmp_path)
+        store = str(tmp_path / "store")
+        q = run_sketch_rollup(
+            read_csv_stream(spark, src, SCHEMA),
+            store,
+            checkpoint=str(tmp_path / "ck"),
+            key_col="key",
+        )
+        q.awaitTermination(120)
+        q.stop()
+        est = (
+            spark.read.parquet(store)
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("e"))
+            .collect()[0]["e"]
+        )
+        whole = spark.read.option("header", True).schema(SCHEMA).csv(src)
+        exact = whole.select("key").distinct().count()
+        assert abs(est - exact) <= max(1, 0.05 * exact)
