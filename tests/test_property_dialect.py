@@ -294,3 +294,64 @@ def test_grouping_sets_uncovered_column_errors(gdb):
         gdb.query_sql(
             "SELECT k1, k2, sum(v) AS s FROM g GROUP BY GROUPING SETS ((k1))"
         )
+
+
+# --- event-time RANGE frames with INTERVAL bounds vs DuckDB ---
+
+_EV_ROWS = [
+    (i, f"u{i % 3}", f"2024-01-01 {i % 24:02d}:{(i * 17) % 60:02d}:{(i * 13) % 60:02d}", float(i % 7) + 0.5)
+    for i in range(48)
+]
+
+
+@pytest.fixture(scope="module")
+def fdb(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("prop_f") / "t3.csv"
+    p.write_text(
+        "id,grp,ts,price\n"
+        + "\n".join(f"{i},{g},{t},{v}" for i, g, t, v in _EV_ROWS)
+        + "\n"
+    )
+    db = WarpDB(
+        str(p),
+        schema=["int64", "string", "timestamp", "float64"],
+        spark=spark,
+        table_name="t3",
+    )
+    return db
+
+
+@pytest.fixture(scope="module")
+def fduck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t3(id BIGINT, grp VARCHAR, ts TIMESTAMP, price DOUBLE)")
+    con.executemany("INSERT INTO t3 VALUES (?, ?, ?, ?)", _EV_ROWS)
+    return con
+
+
+_famounts = st.sampled_from(["30 seconds", "5 minutes", "1 hour", "3 hours", "1 day"])
+_ffuncs = st.sampled_from(["SUM(price)", "COUNT(*)", "MIN(price)", "MAX(price)"])
+_fparts = st.sampled_from(["", "PARTITION BY grp "])
+_fends = st.sampled_from(["CURRENT ROW", "INTERVAL '10 minutes' FOLLOWING"])
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(amount=_famounts, fn=_ffuncs, part=_fparts, end=_fends)
+def test_interval_range_frame_matches_duckdb(fdb, fduck, amount, fn, part, end):
+    """Randomized event-time RANGE frames (unit mix, PRECEDING-only and
+    centered, with/without partitions) must frame exactly as DuckDB's
+    native INTERVAL RANGE — the micros-offset lowering may not drift
+    by even one row."""
+    sql = (
+        f"SELECT id, round({fn} OVER ({part}ORDER BY ts "
+        f"RANGE BETWEEN INTERVAL '{amount}' PRECEDING AND {end}), 6) AS w "
+        f"FROM t3 ORDER BY id"
+    )
+    got = [(r["id"], r["w"]) for r in fdb.query_sql(sql).collect()]
+    want = [tuple(r) for r in fduck.execute(sql).fetchall()]
+    norm = lambda rows: [(i, round(float(w), 6)) for i, w in rows]
+    assert norm(got) == norm(want), sql
