@@ -307,3 +307,43 @@ class TestZOrderWrite:
         # x occupies even bit positions, y odd
         assert vals[(255, 0)] == sum(1 << (2 * i) for i in range(8))
         assert vals[(0, 255)] == sum(1 << (2 * i + 1) for i in range(8))
+
+
+class TestCompaction:
+    def test_compacts_small_files_preserving_data(self, spark, tmp_path_factory):
+        from warpdb_spark.sources.writers import compact_table
+
+        base = str(tmp_path_factory.mktemp("compact") / "t")
+        df = spark.range(100_000).select(
+            F.col("id"), (F.col("id") % 97).alias("k")
+        )
+        df.repartition(64).write.parquet(base)  # 64 tiny files
+        before_sum = spark.read.parquet(base).agg(F.sum("id")).first()[0]
+        stats = compact_table(spark, base, target_file_mb=128)
+        assert stats["files_before"] >= 64
+        assert stats["files_after"] < stats["files_before"]
+        back = spark.read.parquet(base)
+        assert back.count() == 100_000
+        assert back.agg(F.sum("id")).first()[0] == before_sum
+
+    def test_compaction_with_clustering(self, spark, tmp_path_factory):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from warpdb_spark.sources.writers import compact_table
+
+        base = str(tmp_path_factory.mktemp("compactc") / "t")
+        spark.range(50_000).select(
+            F.col("id"), ((F.col("id") * 48271) % 50_000).alias("ts")
+        ).repartition(16).write.parquet(base)
+        compact_table(spark, base, target_file_mb=1, sort_cols=["ts"])
+        spans = []
+        for f in glob.glob(f"{base}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(1)
+                spans.append((col.statistics.min, col.statistics.max))
+        spans.sort()
+        for (_lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2  # compaction restored disjoint clustering

@@ -156,3 +156,48 @@ def write_zorder(
         .options(**options)
         .parquet(path)
     )
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_mb``-sized files (optionally re-clustered on
+    ``sort_cols``), swapping atomically by rename. Returns
+    {files_before, files_after, bytes}.
+
+    The 100 TB maintenance story: streaming sinks and per-batch
+    partition writes accumulate small files whose per-file open/footer
+    cost eventually dominates scans; periodic compaction restores
+    ~row-group-sized files. File count derives from the actual on-disk
+    bytes (a bounded directory listing, no data read)."""
+    import os
+    import shutil
+    import uuid
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_out)
+    staging = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(staging)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    after = [
+        f for dp, _dn, fn in os.walk(path) for f in fn if f.endswith(".parquet")
+    ]
+    return {"files_before": len(files), "files_after": len(after), "bytes": total}
