@@ -454,3 +454,93 @@ class TestIntervalRangeFrame:
                 "RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS s "
                 "FROM events"
             ).collect()
+
+
+class TestRecursiveCTE:
+    """WITH RECURSIVE (superset): bounded-fixpoint evaluation — UNION
+    dedups the frontier (cycle-safe), UNION ALL is bag semantics with a
+    100-round cap; base branch must not self-reference."""
+
+    @pytest.fixture(scope="class")
+    def rdb(self, spark, tmp_path_factory):
+        p = str(tmp_path_factory.mktemp("rec") / "edges.parquet")
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["src", "dst"]
+        ).write.parquet(p)
+        db = WarpDB(p, spark=spark, table_name="edges")
+        db.attach(
+            "cyc", spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+        )
+        return db
+
+    def test_transitive_closure_union(self, rdb):
+        got = [
+            r["node"]
+            for r in rdb.query_sql(
+                "WITH RECURSIVE reach AS ("
+                "SELECT dst AS node FROM edges WHERE src = 1 "
+                "UNION SELECT dst AS node FROM edges JOIN reach ON src = node"
+                ") SELECT node FROM reach ORDER BY node"
+            ).collect()
+        ]
+        assert got == [2, 3, 4, 5]
+
+    def test_union_all_tracks_depth(self, rdb):
+        got = [
+            (r["node"], r["depth"])
+            for r in rdb.query_sql(
+                "WITH RECURSIVE walk AS ("
+                "SELECT src AS node, 0 AS depth FROM edges WHERE src = 1 "
+                "UNION ALL SELECT dst AS node, depth + 1 AS depth "
+                "FROM edges JOIN walk ON src = node"
+                ") SELECT node, depth FROM walk ORDER BY depth, node"
+            ).collect()
+        ]
+        assert got == [(1, 0), (2, 1), (3, 2), (4, 3), (5, 4)]
+
+    def test_cycle_converges_under_union(self, rdb):
+        got = [
+            r["node"]
+            for r in rdb.query_sql(
+                "WITH RECURSIVE reach AS ("
+                "SELECT dst AS node FROM cyc WHERE src = 1 "
+                "UNION SELECT dst AS node FROM cyc JOIN reach ON src = node"
+                ") SELECT node FROM reach ORDER BY node"
+            ).collect()
+        ]
+        assert got == [1, 2]
+
+    def test_cycle_union_all_raises(self, rdb):
+        from warpdb_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="did not converge"):
+            rdb.query_sql(
+                "WITH RECURSIVE w AS ("
+                "SELECT src AS node FROM cyc WHERE src = 1 "
+                "UNION ALL SELECT dst AS node FROM cyc JOIN w ON src = node"
+                ") SELECT COUNT(*) AS n FROM w"
+            ).collect()
+
+    def test_bad_shapes_raise(self, rdb):
+        from warpdb_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="must be 'base UNION"):
+            rdb.query_sql(
+                "WITH RECURSIVE r AS ("
+                "SELECT src FROM edges JOIN r ON 1 = 1) SELECT src FROM r"
+            ).collect()
+        with pytest.raises(ValidationError, match="base .left. branch"):
+            rdb.query_sql(
+                "WITH RECURSIVE r AS ("
+                "SELECT src AS node FROM r UNION ALL "
+                "SELECT dst AS node FROM edges JOIN r ON src = node"
+                ") SELECT node FROM r"
+            ).collect()
+
+    def test_non_recursive_with_unaffected(self, rdb):
+        # WITHOUT the keyword, a self-reference is just an unknown table
+        got = rdb.query_sql(
+            "WITH t AS (SELECT src FROM edges WHERE src = 1) "
+            "SELECT COUNT(*) AS n FROM t"
+        ).collect()
+        assert got[0]["n"] == 1

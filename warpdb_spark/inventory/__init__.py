@@ -142,6 +142,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_pagerank_users",
     "search_hybrid_rrf",
     "dialect_range_interval_frame",
+    "dialect_recursive_cte",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

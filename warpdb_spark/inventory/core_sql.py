@@ -776,6 +776,25 @@ def dialect_range_interval_frame(spark, sf_dir):
     )
 
 
+def dialect_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE through the dialect (superset — Spark itself has
+    no recursive plan node): bounded-fixpoint evaluation in the builder
+    (plans/builder.py::_build_recursive_cte — per-round localCheckpoint
+    lineage truncation, scalar convergence probe, 100-round cap; UNION
+    deduplicates the frontier so cyclic graphs converge, UNION ALL is
+    bag semantics). Here: a 50-hop chain walk over doc_ids with depth
+    tracking — DuckDB runs the IDENTICAL query text natively."""
+    db = _db(spark, sf_dir, "documents")
+    return db.query_sql(
+        "WITH RECURSIVE hop AS ("
+        "SELECT doc_id AS node, 0 AS depth FROM documents WHERE doc_id = 0 "
+        "UNION ALL "
+        "SELECT doc_id AS node, depth + 1 AS depth "
+        "FROM documents JOIN hop ON doc_id = node + 50"
+        ") SELECT node, depth FROM hop"
+    )
+
+
 def dialect_tpch_q3(spark, sf_dir):
     """Q3 entirely through the dialect front-end: three-table join,
     typed TIMESTAMP literals, nested CAST in the projection, grouped
@@ -1184,6 +1203,7 @@ QUERIES = {
     "agg_approx_percentile": agg_approx_percentile,
     "dialect_event_time": dialect_event_time,
     "dialect_range_interval_frame": dialect_range_interval_frame,
+    "dialect_recursive_cte": dialect_recursive_cte,
     "events_sessionize": events_sessionize,
     "events_resample_locf": events_resample_locf,
     "agg_mode_median": agg_mode_median,
@@ -1496,6 +1516,14 @@ ORACLES = {
         "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
         "RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND INTERVAL '30 minutes' FOLLOWING) AS n_1h_centered "
         "FROM events"
+    ),
+    "dialect_recursive_cte": (
+        "WITH RECURSIVE hop AS ("
+        "SELECT doc_id AS node, 0 AS depth FROM documents WHERE doc_id = 0 "
+        "UNION ALL "
+        "SELECT doc_id AS node, depth + 1 AS depth "
+        "FROM documents JOIN hop ON doc_id = node + 50"
+        ") SELECT node, depth FROM hop"
     ),
     "setop_except_all": (
         "SELECT q, count(*) AS n FROM ("

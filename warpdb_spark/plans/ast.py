@@ -459,9 +459,12 @@ class SetOp:
 
 @dataclass
 class WithQuery:
-    """``WITH name AS (query) [, ...] <body>`` — common table
-    expressions (superset). Each CTE sees the tables plus all earlier
-    CTEs; the body sees all of them."""
+    """``WITH [RECURSIVE] name AS (query) [, ...] <body>`` — common
+    table expressions (superset). Each CTE sees the tables plus all
+    earlier CTEs; the body sees all of them. Under RECURSIVE, a CTE of
+    the form ``base UNION [ALL] step`` whose step references the CTE's
+    own name evaluates iteratively (bounded fixpoint)."""
 
     ctes: list[tuple[str, "QueryAST | SetOp | WithQuery"]]
     body: "QueryAST | SetOp | WithQuery"
+    recursive: bool = False

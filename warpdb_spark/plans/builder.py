@@ -70,11 +70,89 @@ def _unique_name(base: str, used: set[str]) -> str:
     return name
 
 
+def _references_table(node, name: str) -> bool:
+    """Does the query tree read from table ``name``? (FROM, JOINs,
+    derived tables, set-op branches, nested CTE bodies — a nested CTE
+    that REBINDS the name shadows it for its own body.)"""
+    if isinstance(node, A.WithQuery):
+        for _n, sub in node.ctes:
+            if _references_table(sub, name):
+                return True
+        shadowed = any(n == name for n, _s in node.ctes)
+        return False if shadowed else _references_table(node.body, name)
+    if isinstance(node, A.SetOp):
+        return _references_table(node.left, name) or _references_table(node.right, name)
+    if isinstance(node, A.QueryAST):
+        if node.from_subquery is not None:
+            if _references_table(node.from_subquery, name):
+                return True
+        elif node.from_table == name:
+            return True
+        for j in node.joins:
+            if j.subquery is not None:
+                if _references_table(j.subquery, name):
+                    return True
+            elif j.table == name:
+                return True
+        return False
+    return False
+
+
+_RECURSIVE_MAX_ITER = 100
+
+
+def _build_recursive_cte(
+    tables: dict[str, DataFrame], name: str, node, registry
+) -> DataFrame:
+    """Bounded-fixpoint evaluation of ``WITH RECURSIVE name AS (base
+    UNION [ALL] step)``: Spark has no recursive plan node, so the step
+    re-evaluates against the previous frontier until it yields no new
+    rows (UNION: set semantics — only rows not seen before continue;
+    UNION ALL: bag semantics — stops when the step is empty).
+
+    Iterative-Spark hygiene as in operators/graph.py: each round's
+    frontier is localCheckpoint'ed so the logical plan doesn't double
+    per iteration; the convergence probe ships one scalar. Depth is
+    capped at 100 rounds — a recursion that deep on a 100 TB input is
+    an algorithmic bug, not a workload."""
+    if not (isinstance(node, A.SetOp) and node.op in ("union", "union_all")):
+        raise ValidationError(
+            f"RECURSIVE CTE {name} must be 'base UNION [ALL] step'"
+        )
+    if _references_table(node.left, name):
+        raise ValidationError(
+            f"RECURSIVE CTE {name}: the base (left) branch must not reference {name}"
+        )
+    distinct = node.op == "union"
+    acc = build_dataframe(tables, node.left, registry)
+    if distinct:
+        acc = acc.distinct()
+    acc = acc.localCheckpoint()
+    frontier = acc
+    for _ in range(_RECURSIVE_MAX_ITER):
+        scoped = dict(tables)
+        scoped[name] = frontier
+        step = build_dataframe(tables=scoped, q=node.right, registry=registry)
+        if distinct:
+            step = step.distinct().subtract(acc)
+        step = step.localCheckpoint()
+        if step.isEmpty():
+            return acc
+        acc = acc.union(step).localCheckpoint()
+        frontier = step
+    raise ValidationError(
+        f"RECURSIVE CTE {name} did not converge within {_RECURSIVE_MAX_ITER} iterations"
+    )
+
+
 def build_dataframe(tables: dict[str, DataFrame], q, registry=None) -> DataFrame:
     if isinstance(q, A.WithQuery):
         tables = dict(tables)  # CTEs shadow base tables, scoped to this query
         for name, sub in q.ctes:
-            tables[name] = build_dataframe(tables, sub, registry)
+            if q.recursive and _references_table(sub, name):
+                tables[name] = _build_recursive_cte(tables, name, sub, registry)
+            else:
+                tables[name] = build_dataframe(tables, sub, registry)
         return build_dataframe(tables, q.body, registry)
     if isinstance(q, A.SetOp):
         left = build_dataframe(tables, q.left, registry)

@@ -548,6 +548,7 @@ class _Parser:
 
     def parse_query_node(self):
         if self.accept_kw("WITH"):
+            recursive = bool(self.accept_kw("RECURSIVE"))
             ctes: list[tuple[str, object]] = []
             while True:
                 name = self.expect_ident("CTE name after WITH")
@@ -557,7 +558,7 @@ class _Parser:
                 self.expect_op(")")
                 if not self.accept_op(","):
                     break
-            return A.WithQuery(ctes, self.parse_query_node())
+            return A.WithQuery(ctes, self.parse_query_node(), recursive)
         node, is_setop = self.parse_intersect_chain(first=True)
         while True:
             tok = self.peek()
