@@ -544,3 +544,37 @@ class TestRecursiveCTE:
             "SELECT COUNT(*) AS n FROM t"
         ).collect()
         assert got[0]["n"] == 1
+
+
+class TestTableAliases:
+    """Base-table aliases (superset): FROM t [AS] a / JOIN t a ON ...;
+    the alias shadows the table name and enables self-joins."""
+
+    def test_self_join_via_aliases(self, db):
+        rows = db.query_sql(
+            "SELECT a.o_orderkey AS ok FROM orders a "
+            "JOIN orders b ON a.o_custkey = b.o_custkey "
+            "WHERE a.o_orderkey < b.o_orderkey ORDER BY ok LIMIT 5"
+        ).collect()
+        assert len(rows) == 5
+
+    def test_qualified_refs_through_alias(self, db):
+        a = db.query_sql(
+            "SELECT o.o_orderkey AS ok, COUNT(*) AS n "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderkey ORDER BY n DESC, ok LIMIT 3"
+        ).collect()
+        b = db.query_sql(
+            "SELECT o_orderkey AS ok, COUNT(*) AS n "
+            "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderkey ORDER BY n DESC, ok LIMIT 3"
+        ).collect()
+        assert a == b
+
+    def test_alias_shadows_table_name(self, db):
+        from warpdb_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="Unknown column: orders."):
+            db.query_sql(
+                "SELECT orders.o_orderkey AS ok FROM orders o LIMIT 1"
+            ).collect()

@@ -131,8 +131,14 @@ class TestQueryParser:
             parse_query("SELECT price")
 
     def test_trailing_tokens(self):
+        # NB: `FROM test EXTRA` is a bare table alias (ANSI), not a
+        # trailing token — trail after a complete clause instead
         with pytest.raises(ParseError, match="Unexpected token after query"):
-            parse_query("SELECT price FROM test EXTRA")
+            parse_query("SELECT price FROM test LIMIT 1 EXTRA")
+
+    def test_bare_alias_is_not_trailing(self):
+        q = parse_query("SELECT price FROM test t")
+        assert (q.from_table, q.from_alias) == ("test", "t")
 
     def test_limit_offset_both_orders(self):
         q1 = parse_query("SELECT price FROM t LIMIT 2 OFFSET 1")

@@ -412,6 +412,9 @@ class JoinClause:
     how: str = "inner"
     # derived table: JOIN (SELECT ...) alias ON ... (superset)
     subquery: "QueryAST | SetOp | WithQuery | None" = None
+    # base-table alias: JOIN t [AS] a ON ... (superset) — qualified
+    # names then resolve against the alias, shadowing the table name
+    alias: str | None = None
 
 
 @dataclass
@@ -439,6 +442,8 @@ class QueryAST:
     # holds the explicit key subsets and group_by the ordered union.
     group_mode: str = "plain"
     grouping_sets: list[list[Node]] = field(default_factory=list)
+    # base-table alias: FROM t [AS] a (superset)
+    from_alias: str | None = None
 
 
 @dataclass

@@ -216,9 +216,13 @@ def _subquery_inner_columns(tables, q) -> dict[str, set[str]]:
         return {}
     if any(j.subquery is not None for j in q.joins):
         return {}
-    scope = {q.from_table: set(_resolve_table(tables, q.from_table).columns)}
+    scope = {
+        (q.from_alias or q.from_table): set(
+            _resolve_table(tables, q.from_table).columns
+        )
+    }
     for j in q.joins:
-        scope[j.table] = set(_resolve_table(tables, j.table).columns)
+        scope[j.alias or j.table] = set(_resolve_table(tables, j.table).columns)
     return scope
 
 
@@ -491,18 +495,20 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         base = build_dataframe(tables, q.from_subquery, registry)
     else:
         base = _resolve_table(tables, q.from_table)
-    scope: dict[str, set[str]] = {q.from_table: set(base.columns)}
-    df = base.alias(q.from_table)
+    from_name = q.from_alias or q.from_table  # alias shadows the name
+    scope: dict[str, set[str]] = {from_name: set(base.columns)}
+    df = base.alias(from_name)
 
     for j in q.joins:
         if j.subquery is not None:
             right = build_dataframe(tables, j.subquery, registry)
         else:
             right = _resolve_table(tables, j.table)
-        if j.table in scope:
-            raise ValidationError(f"Duplicate table in joins: {j.table}")
-        scope[j.table] = set(right.columns)
-        right = right.alias(j.table)
+        jname = j.alias or j.table
+        if jname in scope:
+            raise ValidationError(f"Duplicate table in joins: {jname}")
+        scope[jname] = set(right.columns)
+        right = right.alias(jname)
         if j.condition is None:
             df = df.crossJoin(right)
         else:
@@ -510,7 +516,7 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             cond = Compiler(registry).compile(j.condition)
             df = df.join(right, on=cond, how=j.how)
         if j.how in ("left_semi", "left_anti"):
-            scope.pop(j.table)  # semi/anti joins expose only left columns
+            scope.pop(jname)  # semi/anti joins expose only left columns
 
     if q.where is not None:
         df = _apply_where(df, q.where, tables, scope, registry)

@@ -399,7 +399,7 @@ class _Parser:
         while self.accept_op(","):
             q.select_items.append(self.parse_select_item())
         self.expect_kw("FROM")
-        q.from_subquery, q.from_table = self.parse_table_ref("FROM")
+        q.from_subquery, q.from_table, q.from_alias = self.parse_table_ref("FROM")
 
         while True:
             how = None
@@ -416,12 +416,12 @@ class _Parser:
                 }[kw]
             if how is None:
                 break
-            sub, table = self.parse_table_ref("JOIN")
+            sub, table, alias = self.parse_table_ref("JOIN")
             cond = None
             if how != "cross":
                 self.expect_kw("ON")
                 cond = self.parse_expr()
-            q.joins.append(A.JoinClause(table, cond, how, sub))
+            q.joins.append(A.JoinClause(table, cond, how, sub, alias))
 
         if self.accept_kw("WHERE"):
             q.where = self.parse_expr()
@@ -503,17 +503,26 @@ class _Parser:
         return q
 
     def parse_table_ref(self, clause: str):
-        """``name`` or ``(SELECT ...) [AS] alias`` (derived table —
-        superset; the reference only parses bare identifiers,
-        src/expression.cpp:363-372). Returns (subquery|None, name)."""
+        """``name [[AS] alias]`` or ``(SELECT ...) [AS] alias`` (derived
+        table — superset; the reference only parses bare identifiers,
+        src/expression.cpp:363-372). Returns (subquery|None, name,
+        alias|None); for a derived table the name IS the alias."""
         tok = self.peek()
         if tok.kind == OP and tok.value == "(":
             self.next()
             sub = self.parse_query_node()
             self.expect_op(")")
             self.accept_kw("AS")
-            return sub, self.expect_ident(f"alias for derived table in {clause}")
-        return None, self.expect_ident(f"table name after {clause}")
+            return sub, self.expect_ident(f"alias for derived table in {clause}"), None
+        name = self.expect_ident(f"table name after {clause}")
+        alias = None
+        if self.accept_kw("AS"):
+            alias = self.expect_ident(f"alias after AS in {clause}")
+        elif self.peek().kind == IDENT:
+            # bare alias: FROM edges e — unambiguous, every clause that
+            # can follow a table ref starts with a keyword or operator
+            alias = self.next().value
+        return None, name, alias
 
     def parse_select_item(self) -> tuple[A.Node, str | None]:
         expr = self.parse_expr()
