@@ -143,6 +143,7 @@ DRIVER_PRIORITY: list[str] = [
     "search_hybrid_rrf",
     "dialect_range_interval_frame",
     "dialect_recursive_cte",
+    "dialect_self_join",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

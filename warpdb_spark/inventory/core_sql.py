@@ -795,6 +795,24 @@ def dialect_recursive_cte(spark, sf_dir):
     )
 
 
+def dialect_self_join(spark, sf_dir):
+    """Base-table aliases + self-join through the dialect (superset):
+    pairs of orders by the same customer where the later order is at
+    least 2x the earlier one's value — the canonical same-table
+    comparison that needs ``orders a JOIN orders b`` (aliases shadow
+    the table name per ANSI; pre-alias the dialect rejected this as a
+    duplicate join table). DuckDB runs the identical text."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT a.o_orderkey AS ok_small, b.o_orderkey AS ok_big, "
+        "round(b.o_totalprice / a.o_totalprice, 4) AS ratio "
+        "FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey "
+        "WHERE a.o_orderkey < b.o_orderkey "
+        "AND b.o_totalprice >= 2 * a.o_totalprice "
+        "ORDER BY ratio DESC, ok_small, ok_big LIMIT 50"
+    )
+
+
 def dialect_tpch_q3(spark, sf_dir):
     """Q3 entirely through the dialect front-end: three-table join,
     typed TIMESTAMP literals, nested CAST in the projection, grouped
@@ -1204,6 +1222,7 @@ QUERIES = {
     "dialect_event_time": dialect_event_time,
     "dialect_range_interval_frame": dialect_range_interval_frame,
     "dialect_recursive_cte": dialect_recursive_cte,
+    "dialect_self_join": dialect_self_join,
     "events_sessionize": events_sessionize,
     "events_resample_locf": events_resample_locf,
     "agg_mode_median": agg_mode_median,
@@ -1516,6 +1535,14 @@ ORACLES = {
         "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
         "RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND INTERVAL '30 minutes' FOLLOWING) AS n_1h_centered "
         "FROM events"
+    ),
+    "dialect_self_join": (
+        "SELECT a.o_orderkey AS ok_small, b.o_orderkey AS ok_big, "
+        "round(b.o_totalprice / a.o_totalprice, 4) AS ratio "
+        "FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey "
+        "WHERE a.o_orderkey < b.o_orderkey "
+        "AND b.o_totalprice >= 2 * a.o_totalprice "
+        "ORDER BY ratio DESC, ok_small, ok_big LIMIT 50"
     ),
     "dialect_recursive_cte": (
         "WITH RECURSIVE hop AS ("
