@@ -278,3 +278,55 @@ class TestCosineTopkNp:
             map(tuple, S.cosine_topk_np(emb, queries, k=5).collect())
         )
         assert a == b
+
+
+class TestPPMCodec:
+    """Real pure-numpy P6 codec (operators/multimodal.py): header
+    grammar, round-trip, error paths, resize, and the decode-in-the-
+    loop mapInPandas stats."""
+
+    def test_roundtrip_and_header_grammar(self):
+        import numpy as np
+
+        a = (np.arange(16 * 12 * 3) % 256).astype(np.uint8).reshape(12, 16, 3)
+        assert (M.ppm_decode(M.ppm_encode(a)) == a).all()
+        with_comment = b"P6\n# made by a test\n 16\t12\n255\n" + a.tobytes()
+        assert (M.ppm_decode(with_comment) == a).all()
+
+    def test_error_paths(self):
+        import numpy as np
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not a binary PPM"):
+            M.ppm_decode(b"P5\n1 1\n255\n\x00")
+        with _pytest.raises(ValueError, match="payload size"):
+            M.ppm_decode(b"P6\n4 4\n255\n\x00\x00")
+        with _pytest.raises(ValueError, match="maxval"):
+            a = np.zeros((1, 1, 3), np.uint8)
+            M.ppm_decode(b"P6\n1 1\n65535\n" + a.tobytes())
+        # non-PPM formats stay stubbed
+        with _pytest.raises(NotImplementedError):
+            M.decode_media(b"\x89PNG", "png")
+
+    def test_resize_nearest(self):
+        import numpy as np
+
+        a = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        r = M.resize_nearest(a, 2, 2)
+        assert r.shape == (2, 2, 3)
+        assert (r[0, 0] == a[0, 0]).all() and (r[1, 1] == a[2, 2]).all()
+
+    def test_image_stats_streams_real_decodes(self, spark):
+        import numpy as np
+
+        rows = []
+        for i in range(5):
+            arr = np.full((3, 4, 3), i * 10, dtype=np.uint8)
+            rows.append((i, M.ppm_encode(arr)))
+        blobs = spark.createDataFrame(rows, ["doc_id", "payload"])
+        got = {r["doc_id"]: r for r in M.image_stats(blobs).collect()}
+        for i in range(5):
+            r = got[i]
+            assert (r["width"], r["height"]) == (4, 3)
+            assert r["mean_r"] == r["mean_g"] == r["mean_b"] == i * 10.0

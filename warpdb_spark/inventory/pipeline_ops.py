@@ -497,6 +497,57 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.select("doc_id", "frame_no", F.octet_length("frame").alias("frame_len"))
 
 
+def multimodal_ppm_decode(spark, sf_dir):
+    """REAL image decode in the loop (no imaging library needed): each
+    doc gets a deterministic 16x12 P6 PPM — pixel byte i is
+    (doc_id*31 + i*7) % 256 — encoded AND decoded by the pure-numpy
+    codec (operators/multimodal.py::ppm_encode/ppm_decode, full header
+    grammar), then per-channel means stream out via mapInPandas. Pixel
+    sums are integers (exact in f64), so DuckDB replays the identical
+    means from the formula alone — the oracle checks the codec
+    round-trips the arithmetic bit-for-bit. PIL-class formats remain
+    behind the documented real_decode_stub; PPM proves the decoder
+    plumbing with an actual decoder."""
+    import pandas as _pd
+    from pyspark.sql.types import (
+        BinaryType as _Bin,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w, h = 16, 12
+    encode = M.ppm_encode  # nested-def closure — pickles by value
+
+    def gen(batches):
+        import numpy as _np
+
+        ppm_encode = encode
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                arr = (
+                    (int(doc_id) * 31 + _np.arange(w * h * 3) * 7) % 256
+                ).astype(_np.uint8).reshape(h, w, 3)
+                payloads.append(ppm_encode(arr))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(
+        gen, _ST([_SF("doc_id", _Long()), _SF("payload", _Bin())])
+    )
+    stats = M.image_stats(blobs)
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 # --- statistical / array / regex functions --------------------------------------
 
 def agg_statistical(spark, sf_dir):
@@ -1034,6 +1085,7 @@ QUERIES = {
     "multimodal_blob_meta": multimodal_blob_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_ppm_decode": multimodal_ppm_decode,
     "agg_statistical": agg_statistical,
     "agg_percentiles": agg_percentiles,
     "expr_array_functions": expr_array_functions,
@@ -1472,6 +1524,18 @@ ORACLES = {
         "SELECT doc_id, CAST(frame_no AS INT) AS frame_no, "
         "CAST(least(64, nb - frame_no * 64) AS INT) AS frame_len FROM f "
         "WHERE nb - frame_no * 64 > 0"
+    ),
+    # replay the pixel formula: byte i of doc d is (d*31 + i*7) % 256;
+    # channel c means average bytes 3k+c — integer sums are exact in
+    # f64, so the decoded means match bit-for-bit
+    "multimodal_ppm_decode": (
+        "SELECT doc_id, 16 AS width, 12 AS height, "
+        + ", ".join(
+            f"round(list_avg([CAST((doc_id * 31 + (3 * k + {c}) * 7) % 256 AS DOUBLE) "
+            f"for k in generate_series(0, 191)]), 6) AS mean_{ch}"
+            for c, ch in [(0, "r"), (1, "g"), (2, "b")]
+        )
+        + " FROM documents"
     ),
     "agg_statistical": (
         "SELECT l_returnflag AS flag, round(stddev_samp(l_extendedprice), 4) AS sd_price, "
