@@ -330,3 +330,58 @@ class TestPPMCodec:
             r = got[i]
             assert (r["width"], r["height"]) == (4, 3)
             assert r["mean_r"] == r["mean_g"] == r["mean_b"] == i * 10.0
+
+
+class TestWAVCodec:
+    """Real pure-numpy RIFF/PCM16 codec: round-trip, chunk walking,
+    error paths, and decode-in-the-loop audio stats."""
+
+    def test_roundtrip(self):
+        import numpy as np
+
+        s = ((np.arange(480) * 13 % 2001) - 1000).astype(np.int16)
+        out, rate = M.wav_decode(M.wav_encode(s, 8000))
+        assert rate == 8000 and (out == s).all()
+
+    def test_unknown_chunks_skipped(self):
+        import struct
+
+        import numpy as np
+
+        s = np.array([1, -2, 3], dtype=np.int16)
+        p = M.wav_encode(s, 16000)
+        junk = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        p2 = p[:12] + junk + p[12:]
+        p2 = p[:4] + struct.pack("<I", len(p2) - 8) + p2[8:]
+        out, rate = M.wav_decode(p2)
+        assert rate == 16000 and (out == s).all()
+
+    def test_error_paths(self):
+        import struct
+
+        import numpy as np
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not a RIFF"):
+            M.wav_decode(b"OggS" + b"\x00" * 40)
+        stereo = M.wav_encode(np.array([1], dtype=np.int16), 8000)
+        # corrupt channels field (offset 22 in the canonical layout)
+        bad = stereo[:22] + struct.pack("<H", 2) + stereo[24:]
+        with _pytest.raises(ValueError, match="unsupported WAV layout"):
+            M.wav_decode(bad)
+
+    def test_audio_stats_streams_real_decodes(self, spark):
+        import numpy as np
+
+        rows = []
+        for i in range(4):
+            s = np.full(100, (i + 1) * 100, dtype=np.int16)
+            s[::2] *= -1  # alternate sign: 99 crossings
+            rows.append((i, M.wav_encode(s, 8000)))
+        blobs = spark.createDataFrame(rows, ["doc_id", "payload"])
+        got = {r["doc_id"]: r for r in M.audio_stats(blobs).collect()}
+        for i in range(4):
+            r = got[i]
+            assert r["n_samples"] == 100 and r["sample_rate"] == 8000
+            assert abs(r["rms"] - (i + 1) * 100) < 1e-9
+            assert r["zero_crossings"] == 99

@@ -145,6 +145,7 @@ DRIVER_PRIORITY: list[str] = [
     "dialect_recursive_cte",
     "dialect_self_join",
     "multimodal_ppm_decode",
+    "multimodal_wav_decode",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

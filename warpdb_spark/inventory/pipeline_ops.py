@@ -548,6 +548,51 @@ def multimodal_ppm_decode(spark, sf_dir):
     )
 
 
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode in the loop: each doc gets a deterministic
+    480-sample mono PCM16 WAV — sample t is ((doc_id*7 + t*13) % 2001)
+    - 1000 — encoded AND decoded by the pure-numpy RIFF codec
+    (operators/multimodal.py::wav_encode/wav_decode — chunk walking,
+    fmt validation), then RMS + zero-crossing stats stream out via
+    mapInPandas. Integer sample sums/squares are exact in f64, so
+    DuckDB replays the identical stats from the formula — verifying
+    the codec round-trips bit-for-bit."""
+    import pandas as _pd
+    from pyspark.sql.types import (
+        BinaryType as _Bin,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = 480
+    encode = M.wav_encode  # nested-def closure — pickles by value
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                s = (
+                    (int(doc_id) * 7 + _np.arange(n) * 13) % 2001 - 1000
+                ).astype(_np.int16)
+                payloads.append(encode(s, 8000))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(
+        gen, _ST([_SF("doc_id", _Long()), _SF("payload", _Bin())])
+    )
+    return M.audio_stats(blobs).select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+    )
+
+
 # --- statistical / array / regex functions --------------------------------------
 
 def agg_statistical(spark, sf_dir):
@@ -1086,6 +1131,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_ppm_decode": multimodal_ppm_decode,
+    "multimodal_wav_decode": multimodal_wav_decode,
     "agg_statistical": agg_statistical,
     "agg_percentiles": agg_percentiles,
     "expr_array_functions": expr_array_functions,
@@ -1536,6 +1582,17 @@ ORACLES = {
             for c, ch in [(0, "r"), (1, "g"), (2, "b")]
         )
         + " FROM documents"
+    ),
+    # replay the waveform: sample t of doc d is ((d*7 + t*13) % 2001)
+    # - 1000; rms and sign-flip counts are integer-exact in f64
+    "multimodal_wav_decode": (
+        "WITH s AS (SELECT doc_id, "
+        "[(doc_id * 7 + t * 13) % 2001 - 1000 for t in generate_series(0, 479)] AS w "
+        "FROM documents) "
+        "SELECT doc_id, 480 AS n_samples, 8000 AS sample_rate, "
+        "round(sqrt(list_avg([CAST(x * x AS DOUBLE) for x in w])), 6) AS rms, "
+        "CAST(len(list_filter(generate_series(1, 479), t -> w[t] * w[t + 1] < 0)) AS INT) AS zero_crossings "
+        "FROM s"
     ),
     "agg_statistical": (
         "SELECT l_returnflag AS flag, round(stddev_samp(l_extendedprice), 4) AS sd_price, "

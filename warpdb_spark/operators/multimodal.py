@@ -267,3 +267,92 @@ def image_stats(
             )
 
     return blobs.mapInPandas(gen, out_schema)
+
+
+# --- real audio codec: WAV/PCM16 (pure numpy — no external libraries) -------
+
+def _make_wav_codec():
+    """RIFF/WAVE PCM16 codec pair, nested-def for by-value pickling
+    into worker closures (same rule as the PPM codec)."""
+    import struct
+
+    import numpy as np
+
+    def wav_encode(samples, sample_rate: int = 8000) -> bytes:
+        """Encode an int16 1-D array as a mono PCM16 WAV file."""
+        if samples.dtype != np.int16 or samples.ndim != 1:
+            raise ValueError("wav_encode expects a 1-D int16 array")
+        data = samples.tobytes()
+        fmt = struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+        return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+    def wav_decode(payload: bytes):
+        """Decode a mono PCM16 WAV to (samples int16 array, rate). A
+        REAL parser: walks RIFF chunks (skipping unknown ones), checks
+        the fmt tag/bit depth, validates the data length."""
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, rate, channels, bits = 12, None, None, None
+        data = None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+                (bits,) = struct.unpack("<H", body[14:16])
+                if audio_fmt != 1:
+                    raise ValueError(f"unsupported WAV format tag {audio_fmt} (PCM only)")
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+        if rate is None or data is None:
+            raise ValueError("WAV missing fmt or data chunk")
+        if channels != 1 or bits != 16:
+            raise ValueError(f"unsupported WAV layout: {channels}ch {bits}-bit (mono 16-bit only)")
+        if len(data) % 2:
+            raise ValueError("WAV data chunk length is odd")
+        return np.frombuffer(data, dtype="<i2"), rate
+
+    return wav_encode, wav_decode
+
+
+wav_encode, wav_decode = _make_wav_codec()
+
+
+def audio_stats(blobs: DataFrame) -> DataFrame:
+    """Decode WAV payloads for REAL (mapInPandas) and emit
+    (doc_id, n_samples, sample_rate, rms, zero_crossings). Integer
+    sample sums/squares are exact in f64, so the stats replay in any
+    engine from the sample formula alone."""
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("rms", DoubleType()),
+            StructField("zero_crossings", IntegerType()),
+        ]
+    )
+    decode = wav_decode  # nested-def closure — pickles by value
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate = decode(bytes(p))
+                f = s.astype(np.float64)
+                rms = float(np.sqrt(np.mean(f * f))) if len(s) else 0.0
+                zc = int(np.sum(f[:-1] * f[1:] < 0)) if len(s) > 1 else 0
+                rows.append((doc_id, len(s), rate, rms, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "rms", "zero_crossings"],
+            )
+
+    return blobs.mapInPandas(gen, out_schema)
