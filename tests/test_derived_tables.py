@@ -578,3 +578,30 @@ class TestTableAliases:
             db.query_sql(
                 "SELECT orders.o_orderkey AS ok FROM orders o LIMIT 1"
             ).collect()
+
+
+class TestAggFilter:
+    """ANSI FILTER (WHERE ...) on aggregates (superset)."""
+
+    def test_filter_equals_case_when(self, db):
+        a = db.query_sql(
+            "SELECT o_orderpriority AS pri, "
+            "COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n "
+            "FROM orders GROUP BY o_orderpriority ORDER BY pri"
+        ).collect()
+        b = db.query_sql(
+            "SELECT o_orderpriority AS pri, "
+            "COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n "
+            "FROM orders GROUP BY o_orderpriority ORDER BY pri"
+        ).collect()
+        assert a == b and len(a) > 0
+
+    def test_filter_on_scalar_function_rejected(self, db):
+        with pytest.raises(ParseError, match="requires an aggregate"):
+            db.query_sql(
+                "SELECT round(o_totalprice, 2) FILTER (WHERE 1 = 1) AS x FROM orders"
+            ).collect()
+
+    def test_column_named_filter_still_works(self, db, spark):
+        db.attach("ft", spark.createDataFrame([(1, 5)], ["id", "filter"]))
+        assert db.query_sql("SELECT filter FROM ft").collect()[0][0] == 5

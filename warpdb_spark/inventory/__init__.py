@@ -146,6 +146,7 @@ DRIVER_PRIORITY: list[str] = [
     "dialect_self_join",
     "multimodal_ppm_decode",
     "multimodal_wav_decode",
+    "dialect_agg_filter",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

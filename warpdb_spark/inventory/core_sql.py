@@ -813,6 +813,24 @@ def dialect_self_join(spark, sf_dir):
     )
 
 
+def dialect_agg_filter(spark, sf_dir):
+    """ANSI ``FILTER (WHERE ...)`` on aggregates through the dialect
+    (superset): per-aggregate row predicates compile to
+    agg(CASE WHEN cond THEN arg END) — NULL-skipping gives exactly the
+    ANSI semantics, and the conditional stays inside the one
+    map-side-combined aggregation pass (no per-predicate scans).
+    Composes with DISTINCT and HAVING; FILTER after a scalar function
+    is a ParseError. DuckDB runs the identical text natively."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT o_orderpriority AS pri, COUNT(*) AS n_all, "
+        "COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big, "
+        "round(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS sum_f, "
+        "COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000) AS cust_big "
+        "FROM orders GROUP BY o_orderpriority ORDER BY pri"
+    )
+
+
 def dialect_tpch_q3(spark, sf_dir):
     """Q3 entirely through the dialect front-end: three-table join,
     typed TIMESTAMP literals, nested CAST in the projection, grouped
@@ -1223,6 +1241,7 @@ QUERIES = {
     "dialect_range_interval_frame": dialect_range_interval_frame,
     "dialect_recursive_cte": dialect_recursive_cte,
     "dialect_self_join": dialect_self_join,
+    "dialect_agg_filter": dialect_agg_filter,
     "events_sessionize": events_sessionize,
     "events_resample_locf": events_resample_locf,
     "agg_mode_median": agg_mode_median,
@@ -1535,6 +1554,13 @@ ORACLES = {
         "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
         "RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND INTERVAL '30 minutes' FOLLOWING) AS n_1h_centered "
         "FROM events"
+    ),
+    "dialect_agg_filter": (
+        "SELECT o_orderpriority AS pri, COUNT(*) AS n_all, "
+        "COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big, "
+        "round(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS sum_f, "
+        "COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000) AS cust_big "
+        "FROM orders GROUP BY o_orderpriority ORDER BY pri"
     ),
     "dialect_self_join": (
         "SELECT a.o_orderkey AS ok_small, b.o_orderkey AS ok_big, "

@@ -290,15 +290,23 @@ class Agg(Node):
     func: str  # upper-case
     arg: Node
     distinct: bool = False
+    # ANSI FILTER (WHERE cond) — rows failing cond are excluded from
+    # this aggregate only (superset)
+    filter: "Node | None" = None
 
     def text(self) -> str:
         d = "DISTINCT " if self.distinct else ""
-        return f"{self.func}({d}{self.arg.text()})"
+        base = f"{self.func}({d}{self.arg.text()})"
+        if self.filter is not None:
+            base += f" FILTER (WHERE {self.filter.text()})"
+        return base
 
     def auto_alias(self) -> str:
         return f"{self.func.lower()}_{_safe(self.arg.text())}"
 
     def children(self):
+        if self.filter is not None:
+            return [self.arg, self.filter]
         return [self.arg]
 
 

@@ -256,11 +256,18 @@ class Compiler:
                 "GROUPING() is only valid in SELECT/HAVING/ORDER BY with "
                 "GROUP BY ROLLUP, CUBE, or GROUPING SETS"
             )
+        # FILTER (WHERE c): agg(CASE WHEN c THEN arg END) — aggregates
+        # ignore NULLs, which is exactly the ANSI FILTER semantics
+        fcond = self.compile(n.filter) if n.filter is not None else None
         if isinstance(n.arg, A.Star):
             if n.func != "COUNT":
                 raise ValidationError(f"{n.func}(*) is not supported")
+            if fcond is not None:
+                return F.count(F.when(fcond, F.lit(1)))
             return F.count(F.lit(1))
         arg = self.compile(n.arg)
+        if fcond is not None:
+            arg = F.when(fcond, arg)
         if n.distinct:
             if n.func == "COUNT":
                 return F.countDistinct(arg)

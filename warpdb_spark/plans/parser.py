@@ -317,11 +317,33 @@ class _Parser:
             return A.WindowFunc(upper, args, spec, distinct)
         if upper in _WINDOW_ONLY_FUNCS:
             raise ParseError(f"{upper} requires an OVER clause")
+        filter_cond = self._parse_filter_clause()
         if upper in A.AGG_FUNCS:
             if len(args) != 1:
                 raise ParseError(f"{upper} takes exactly one argument")
-            return A.Agg(upper, args[0], distinct)
+            return A.Agg(upper, args[0], distinct, filter_cond)
+        if filter_cond is not None:
+            raise ParseError("FILTER (WHERE ...) requires an aggregate function")
         return A.Func(name, args)
+
+    def _parse_filter_clause(self):
+        """ANSI ``FILTER (WHERE cond)`` after an aggregate call.
+        FILTER stays a plain identifier — only the ``FILTER (`` shape
+        triggers the clause, so columns named filter keep working."""
+        tok = self.peek()
+        if (
+            tok.kind == IDENT
+            and tok.value.upper() == "FILTER"
+            and self.peek(1).kind == OP
+            and self.peek(1).value == "("
+        ):
+            self.next()
+            self.expect_op("(")
+            self.expect_kw("WHERE")
+            cond = self.parse_expr()
+            self.expect_op(")")
+            return cond
+        return None
 
     def parse_window_spec(self) -> A.WindowSpec:
         self.expect_op("(")
