@@ -605,3 +605,49 @@ class TestAggFilter:
     def test_column_named_filter_still_works(self, db, spark):
         db.attach("ft", spark.createDataFrame([(1, 5)], ["id", "filter"]))
         assert db.query_sql("SELECT filter FROM ft").collect()[0][0] == 5
+
+
+class TestStringAggAndModulo:
+    """STRING_AGG (ordered concat, skip-nulls, FILTER-composable) and
+    the % operator (superset)."""
+
+    @pytest.fixture(scope="class")
+    def ndb(self, spark, sf_dir):
+        return WarpDB(
+            f"{sf_dir}/nation.parquet", spark=spark, table_name="nation"
+        )
+
+    def test_ordered_concat_asc_desc(self, ndb):
+        rows = ndb.query_sql(
+            "SELECT n_regionkey AS rk, "
+            "STRING_AGG(n_name, ',' ORDER BY n_name) AS a, "
+            "STRING_AGG(n_name, ',' ORDER BY n_name DESC) AS d "
+            "FROM nation GROUP BY n_regionkey ORDER BY rk"
+        ).collect()
+        for r in rows:
+            assert r["a"].split(",") == sorted(r["a"].split(","))
+            assert r["d"].split(",") == list(reversed(r["a"].split(",")))
+
+    def test_nulls_skipped(self, ndb, spark):
+        ndb.attach(
+            "vals",
+            spark.createDataFrame(
+                [(1, "a"), (1, None), (1, "b")], ["g", "v"]
+            ),
+        )
+        got = ndb.query_sql(
+            "SELECT g, STRING_AGG(v, '-' ORDER BY v) AS s FROM vals GROUP BY g"
+        ).collect()
+        assert got[0]["s"] == "a-b"
+
+    def test_modulo_operator(self, ndb):
+        rows = ndb.query_sql(
+            "SELECT n_nationkey AS k, n_nationkey % 3 AS m FROM nation ORDER BY k"
+        ).collect()
+        assert all(r["m"] == r["k"] % 3 for r in rows)
+
+    def test_separator_must_be_literal(self, ndb):
+        with pytest.raises(ParseError, match="separator must be a string literal"):
+            ndb.query_sql(
+                "SELECT STRING_AGG(n_name, n_name) AS x FROM nation"
+            ).collect()

@@ -831,6 +831,24 @@ def dialect_agg_filter(spark, sf_dir):
     )
 
 
+def dialect_string_agg(spark, sf_dir):
+    """STRING_AGG with mandatory-literal separator and ORDER BY key
+    through the dialect (superset), plus the % (modulo) operator:
+    customers' order comments... — here, per-region nation rosters and
+    an even/odd split via ``n_nationkey % 2``. Compiled to ONE
+    map-side-combinable aggregate: collect (key, value) structs →
+    array_sort → array_join; NULL values and FILTER-failing rows
+    become NULL structs that collect_list skips (ANSI). DuckDB runs
+    the identical text."""
+    db = _db(spark, sf_dir, "nation")
+    return db.query_sql(
+        "SELECT n_regionkey AS rk, n_nationkey % 2 AS parity, "
+        "STRING_AGG(n_name, ', ' ORDER BY n_name) AS names, "
+        "STRING_AGG(n_name, '|' ORDER BY n_nationkey DESC) AS by_key_desc "
+        "FROM nation GROUP BY n_regionkey, parity ORDER BY rk, parity"
+    )
+
+
 def dialect_tpch_q3(spark, sf_dir):
     """Q3 entirely through the dialect front-end: three-table join,
     typed TIMESTAMP literals, nested CAST in the projection, grouped
@@ -1242,6 +1260,7 @@ QUERIES = {
     "dialect_recursive_cte": dialect_recursive_cte,
     "dialect_self_join": dialect_self_join,
     "dialect_agg_filter": dialect_agg_filter,
+    "dialect_string_agg": dialect_string_agg,
     "events_sessionize": events_sessionize,
     "events_resample_locf": events_resample_locf,
     "agg_mode_median": agg_mode_median,
@@ -1554,6 +1573,12 @@ ORACLES = {
         "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
         "RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND INTERVAL '30 minutes' FOLLOWING) AS n_1h_centered "
         "FROM events"
+    ),
+    "dialect_string_agg": (
+        "SELECT n_regionkey AS rk, n_nationkey % 2 AS parity, "
+        "STRING_AGG(n_name, ', ' ORDER BY n_name) AS names, "
+        "STRING_AGG(n_name, '|' ORDER BY n_nationkey DESC) AS by_key_desc "
+        "FROM nation GROUP BY n_regionkey, parity ORDER BY rk, parity"
     ),
     "dialect_agg_filter": (
         "SELECT o_orderpriority AS pri, COUNT(*) AS n_all, "

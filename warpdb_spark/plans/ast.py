@@ -311,6 +311,38 @@ class Agg(Node):
 
 
 @dataclass
+class StringAgg(Agg):
+    """``STRING_AGG(expr, 'sep' [ORDER BY key [ASC|DESC]])`` (superset)
+    — ordered string concatenation. NULL values are skipped (ANSI);
+    ties on the order key break deterministically by the element value
+    (a superset guarantee — use a unique key for engine parity)."""
+
+    sep: str = ","
+    order_key: "Node | None" = None
+    key_asc: bool = True
+
+    def text(self) -> str:
+        base = f"STRING_AGG({self.arg.text()}, {self.sep!r}"
+        if self.order_key is not None:
+            base += f" ORDER BY {self.order_key.text()} {'ASC' if self.key_asc else 'DESC'}"
+        base += ")"
+        if self.filter is not None:
+            base += f" FILTER (WHERE {self.filter.text()})"
+        return base
+
+    def auto_alias(self) -> str:
+        return f"string_agg_{_safe(self.arg.text())}"
+
+    def children(self):
+        out = [self.arg]
+        if self.order_key is not None:
+            out.append(self.order_key)
+        if self.filter is not None:
+            out.append(self.filter)
+        return out
+
+
+@dataclass
 class WindowSpec:
     partition_by: list[Node] = field(default_factory=list)
     order_by: list[tuple[Node, bool]] = field(default_factory=list)  # (expr, asc)

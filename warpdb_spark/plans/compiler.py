@@ -175,6 +175,8 @@ class Compiler:
             return left * right
         if op == "/":
             return left / right
+        if op == "%":
+            return left % right
         if op in ("=", "=="):
             return left == right
         if op == "!=":
@@ -275,6 +277,24 @@ class Compiler:
                 return F.sum_distinct(arg)
             raise ValidationError(f"{n.func}(DISTINCT ...) is not supported")
         return _AGG_IMPL[n.func](arg)
+
+    def _c_stringagg(self, n: A.StringAgg) -> Column:
+        """Ordered string concatenation without a Spark string_agg:
+        collect (key, value) structs, array_sort (lexicographic — key
+        first, value tie-break), project values, join. Stays one
+        map-side-combinable aggregate; NULL values (and FILTER-failing
+        rows) become NULL structs, which collect_list skips — exactly
+        the ANSI skip-nulls contract."""
+        val = self.compile(n.arg).cast("string")
+        key = self.compile(n.order_key) if n.order_key is not None else val
+        pair = F.struct(key.alias("k"), val.alias("v"))
+        keep = val.isNotNull()
+        if n.filter is not None:
+            keep = keep & self.compile(n.filter)
+        arr = F.array_sort(F.collect_list(F.when(keep, pair)))
+        if not n.key_asc:
+            arr = F.reverse(arr)
+        return F.array_join(F.transform(arr, lambda s: s["v"]), n.sep)
 
     def _c_cast(self, n: A.Cast) -> Column:
         return self.compile(n.operand).cast(n.type_name)

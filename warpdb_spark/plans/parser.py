@@ -171,7 +171,7 @@ class _Parser:
     def parse_term(self) -> A.Node:
         node = self.parse_factor()
         while True:
-            tok = self.accept_op("*", "/")
+            tok = self.accept_op("*", "/", "%")
             if not tok:
                 return node
             node = A.BinOp(tok.value, node, self.parse_factor())
@@ -297,6 +297,8 @@ class _Parser:
             operand = self.parse_expr()
             self.expect_op(")")
             return A.Func("date_part", [A.Str(field.value.upper()), operand])
+        if upper == "STRING_AGG":
+            return self._parse_string_agg()
         distinct = False
         args: list[A.Node] = []
         if self.accept_op("*"):
@@ -325,6 +327,25 @@ class _Parser:
         if filter_cond is not None:
             raise ParseError("FILTER (WHERE ...) requires an aggregate function")
         return A.Func(name, args)
+
+    def _parse_string_agg(self) -> A.Node:
+        """STRING_AGG(expr, 'sep' [ORDER BY key [ASC|DESC]]) — the
+        separator must be a string literal (it becomes the array_join
+        delimiter)."""
+        arg = self.parse_expr()
+        self.expect_op(",")
+        sep_tok = self.next()
+        if sep_tok.kind != STRING:
+            raise ParseError("STRING_AGG separator must be a string literal")
+        order_key, key_asc = None, True
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            order_key, key_asc = self.parse_order_item()
+        self.expect_op(")")
+        filter_cond = self._parse_filter_clause()
+        return A.StringAgg(
+            "STRING_AGG", arg, False, filter_cond, sep_tok.value, order_key, key_asc
+        )
 
     def _parse_filter_clause(self):
         """ANSI ``FILTER (WHERE cond)`` after an aggregate call.

@@ -36,7 +36,7 @@ KEYWORDS = {
 NUMBER, IDENT, STRING, OP, KEYWORD, EOF = "NUMBER", "IDENT", "STRING", "OP", "KEYWORD", "EOF"
 
 _TWO_CHAR_OPS = (">=", "<=", "==", "!=")
-_ONE_CHAR_OPS = "+-*/(),><="
+_ONE_CHAR_OPS = "+-*/%(),><="
 
 
 @dataclass
