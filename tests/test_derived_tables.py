@@ -651,3 +651,49 @@ class TestStringAggAndModulo:
             ndb.query_sql(
                 "SELECT STRING_AGG(n_name, n_name) AS x FROM nation"
             ).collect()
+
+
+class TestNullsOrdering:
+    """ORDER BY ... NULLS FIRST/LAST (superset) — the portable spelling
+    where engine defaults disagree (Spark ASC = NULLS FIRST, DuckDB
+    ASC = NULLS LAST)."""
+
+    @pytest.fixture(scope="class")
+    def vdb(self, spark, sf_dir):
+        db = WarpDB(
+            f"{sf_dir}/nation.parquet", spark=spark, table_name="nation"
+        )
+        db.attach(
+            "v",
+            spark.createDataFrame(
+                [(1, 10.0), (2, None), (3, 5.0), (4, None)], ["id", "x"]
+            ),
+        )
+        return db
+
+    def test_all_four_placements(self, vdb):
+        cases = {
+            "x ASC NULLS FIRST": [2, 4, 3, 1],
+            "x ASC NULLS LAST": [3, 1, 2, 4],
+            "x DESC NULLS FIRST": [2, 4, 1, 3],
+            "x DESC NULLS LAST": [1, 3, 2, 4],
+        }
+        for frag, want in cases.items():
+            got = [
+                r["id"]
+                for r in vdb.query_sql(
+                    f"SELECT id FROM v ORDER BY {frag}, id"
+                ).collect()
+            ]
+            assert got == want, frag
+
+    def test_in_window_spec(self, vdb):
+        rows = vdb.query_sql(
+            "SELECT id, row_number() OVER (ORDER BY x NULLS LAST, id) AS rn "
+            "FROM v ORDER BY id"
+        ).collect()
+        assert {r["id"]: r["rn"] for r in rows} == {1: 2, 2: 3, 3: 1, 4: 4}
+
+    def test_malformed_nulls_clause(self, vdb):
+        with pytest.raises(ParseError, match="FIRST or LAST after NULLS"):
+            vdb.query_sql("SELECT id FROM v ORDER BY x NULLS SOMETIMES").collect()

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from warpdb_spark.errors import ValidationError
 from warpdb_spark.plans import ast as A
-from warpdb_spark.plans.compiler import Compiler, validate
+from warpdb_spark.plans.compiler import Compiler, order_col, validate
 
 
 def _collect_aggs(node: A.Node | None) -> list[A.Agg]:
@@ -177,10 +177,7 @@ def build_dataframe(tables: dict[str, DataFrame], q, registry=None) -> DataFrame
                 validate(e, set(out.columns), "ORDER BY")
             comp = Compiler(registry)
             out = out.orderBy(
-                *[
-                    comp.compile(e).asc() if asc else comp.compile(e).desc()
-                    for e, asc in q.order_by
-                ]
+                *[order_col(comp.compile(e), asc) for e, asc in q.order_by]
             )
         if q.offset is not None:
             out = out.offset(q.offset)
@@ -751,17 +748,14 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
                         "ORDER BY with DISTINCT must reference selected expressions"
                     )
                 c = proj_env.get(e.text(), F.col(e.text()))
-                sort_cols.append(c.asc() if asc else c.desc())
+                sort_cols.append(order_col(c, asc))
             out = out.orderBy(*sort_cols)
     elif q.order_by:
         sort_names = [f"__s{i}" for i in range(len(q.order_by))]
         sort_proj = [comp.compile(e).alias(n) for (e, _), n in zip(q.order_by, sort_names)]
         out = df.select(*proj, *sort_proj)
         out = out.orderBy(
-            *[
-                F.col(n).asc() if asc else F.col(n).desc()
-                for (e, asc), n in zip(q.order_by, sort_names)
-            ]
+            *[order_col(F.col(n), asc) for (e, asc), n in zip(q.order_by, sort_names)]
         ).drop(*sort_names)
     else:
         out = df.select(*proj)

@@ -41,6 +41,16 @@ _AGG_IMPL = {
 }
 
 
+def order_col(col: Column, d) -> Column:
+    """Apply an order direction from parse_order_item: True/False for
+    plain ASC/DESC, or an explicit nulls-placement method name."""
+    if d is True:
+        return col.asc()
+    if d is False:
+        return col.desc()
+    return getattr(col, d)()
+
+
 def _frame_bound(b, is_start: bool) -> int:
     if b == "unbounded_preceding":
         return Window.unboundedPreceding
@@ -381,11 +391,10 @@ class Compiler:
             if has_interval:
                 e, asc = spec.order_by[0]
                 oc = F.unix_micros(self.compile(e).cast("timestamp"))
-                order_cols = [oc.asc() if asc else oc.desc()]
+                order_cols = [order_col(oc, asc)]
             else:
                 order_cols = [
-                    self.compile(e).asc() if asc else self.compile(e).desc()
-                    for e, asc in spec.order_by
+                    order_col(self.compile(e), asc) for e, asc in spec.order_by
                 ]
             w = w.orderBy(*order_cols) if w is not None else Window.orderBy(*order_cols)
         if w is None:

@@ -341,6 +341,10 @@ class _Parser:
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
             order_key, key_asc = self.parse_order_item()
+            if not isinstance(key_asc, bool):
+                # values are non-null by construction (nulls skipped),
+                # so NULLS placement has nothing to order
+                raise ParseError("NULLS FIRST/LAST is not supported in STRING_AGG")
         self.expect_op(")")
         filter_cond = self._parse_filter_clause()
         return A.StringAgg(
@@ -426,12 +430,27 @@ class _Parser:
             return n
         raise ParseError("Expected PRECEDING or FOLLOWING")
 
-    def parse_order_item(self) -> tuple[A.Node, bool]:
+    def parse_order_item(self):
+        """Returns (expr, direction): direction is True (ASC) / False
+        (DESC), or an explicit Column-method name for ``NULLS
+        FIRST/LAST`` variants (e.g. 'asc_nulls_last') — engines
+        disagree on the default (Spark ASC puts NULLS FIRST, DuckDB
+        NULLS LAST), so the explicit forms are the portable spelling."""
         expr = self.parse_expr()
-        if self.accept_kw("DESC"):
-            return expr, False
-        self.accept_kw("ASC")
-        return expr, True
+        asc = not self.accept_kw("DESC")
+        if asc:
+            self.accept_kw("ASC")
+        nulls = None
+        tok = self.peek()
+        if tok.kind == IDENT and tok.value.upper() == "NULLS":
+            self.next()
+            pos = self.next()
+            if pos.kind != IDENT or pos.value.upper() not in ("FIRST", "LAST"):
+                raise ParseError("Expected FIRST or LAST after NULLS")
+            nulls = pos.value.lower()
+        if nulls is None:
+            return expr, asc
+        return expr, f"{'asc' if asc else 'desc'}_nulls_{nulls}"
 
     # -- queries -------------------------------------------------------
     def parse_select(self, in_setop: bool = False) -> A.QueryAST:
