@@ -213,3 +213,29 @@ def test_explain_returns_physical_plan(spark, sf_dir):
     )
     assert "HashAggregate" in plan
     assert "PushedFilters" in plan  # predicate reached the parquet scan
+
+
+class TestProfile:
+    """WarpDB.profile: per-node runtime metrics off the EXECUTED plan
+    (AQE-final), incl. scan row counts — the observability surface of
+    the reference's timing output (src/main.cu:302-306)."""
+
+    def test_profile_reaches_scan_metrics(self, spark, sf_dir):
+        from warpdb_spark.api import WarpDB
+
+        db = WarpDB(
+            f"{sf_dir}/orders.parquet", spark=spark, table_name="orders"
+        )
+        prof = db.profile(
+            "SELECT o_orderpriority AS p, COUNT(*) AS n "
+            "FROM orders GROUP BY o_orderpriority"
+        )
+        names = [r["node"] for r in prof]
+        assert any("Scan" in n for n in names)
+        assert any("HashAggregate" in n for n in names)
+        scan = next(r for r in prof if "Scan" in r["node"])
+        n_rows = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        assert scan["numOutputRows"] == n_rows
+        # depths describe a tree: root at 0, monotone growth down paths
+        assert prof[0]["depth"] == 0
+        assert all(r["depth"] >= 0 for r in prof)

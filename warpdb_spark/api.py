@@ -135,6 +135,42 @@ class WarpDB:
         jmode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
         return df._jdf.queryExecution().explainString(jmode)
 
+    def profile(self, sql: str) -> list[dict]:
+        """Execute a dialect query and return per-physical-node runtime
+        metrics — the observability layer the reference's timing printf
+        (src/main.cu:302-306) gestures at. Each dict: node (operator
+        name), depth (tree depth, 0 = root), and every SQL metric Spark
+        recorded for that node (numOutputRows, spill sizes, shuffle
+        bytes, scan time, ...). The walk is driver-side over the
+        EXECUTED plan, so AQE re-optimizations are reflected."""
+        df = self.query_sql(sql)
+        df.collect()
+        out: list[dict] = []
+
+        def walk(node, depth: int):
+            row = {"node": node.nodeName(), "depth": depth}
+            metrics = node.metrics()
+            it = metrics.iterator()
+            while it.hasNext():
+                kv = it.next()
+                row[str(kv._1())] = int(kv._2().value())
+            out.append(row)
+            children = node.children()
+            for i in range(children.size()):
+                walk(children.apply(i), depth + 1)
+            # adaptive / query-stage nodes hide their subtree behind
+            # non-children references; surface the common ones
+            for attr in ("finalPhysicalPlan", "plan", "child"):
+                if children.size() == 0 and hasattr(node, attr):
+                    try:
+                        walk(getattr(node, attr)(), depth + 1)
+                        break
+                    except Exception:
+                        continue
+
+        walk(df._jdf.queryExecution().executedPlan(), 0)
+        return out
+
     def query_arrow(self, expr: str):
         """Arrow export of ``query`` results (src/warpdb.cpp:500-506,
         src/arrow_utils.cpp:37-94). Returns a pyarrow.Table — the modern
