@@ -148,6 +148,7 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_wav_decode",
     "dialect_agg_filter",
     "dialect_string_agg",
+    "dialect_unnest",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

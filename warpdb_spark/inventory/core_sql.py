@@ -849,6 +849,20 @@ def dialect_string_agg(spark, sf_dir):
     )
 
 
+def dialect_unnest(spark, sf_dir):
+    """DuckDB-style ``unnest(array)`` in the select list through the
+    dialect (superset; aliases to Spark's explode generator): flatten
+    every embedding to (vec_id, element) rows, rounded in an outer
+    derived table because generators must sit at the select top level.
+    DuckDB runs the identical text. At scale this is a zero-shuffle
+    map-side expansion."""
+    db = _db(spark, sf_dir, "embeddings")
+    return db.query_sql(
+        "SELECT vec_id, round(val, 6) AS val FROM "
+        "(SELECT vec_id, unnest(embedding) AS val FROM embeddings) t"
+    )
+
+
 def dialect_tpch_q3(spark, sf_dir):
     """Q3 entirely through the dialect front-end: three-table join,
     typed TIMESTAMP literals, nested CAST in the projection, grouped
@@ -1261,6 +1275,7 @@ QUERIES = {
     "dialect_self_join": dialect_self_join,
     "dialect_agg_filter": dialect_agg_filter,
     "dialect_string_agg": dialect_string_agg,
+    "dialect_unnest": dialect_unnest,
     "events_sessionize": events_sessionize,
     "events_resample_locf": events_resample_locf,
     "agg_mode_median": agg_mode_median,
@@ -1573,6 +1588,10 @@ ORACLES = {
         "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
         "RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND INTERVAL '30 minutes' FOLLOWING) AS n_1h_centered "
         "FROM events"
+    ),
+    "dialect_unnest": (
+        "SELECT vec_id, round(val, 6) AS val FROM "
+        "(SELECT vec_id, unnest(embedding) AS val FROM embeddings) t"
     ),
     "dialect_string_agg": (
         "SELECT n_regionkey AS rk, n_nationkey % 2 AS parity, "

@@ -30,6 +30,10 @@ _FUNC_ALIASES = {
     "lcase": "lower",
     "ucase": "upper",
     "ln": "log",
+    # DuckDB/ANSI spelling of the array-to-rows generator; Spark
+    # requires generators at the top level of a SELECT item — nesting
+    # one inside an expression surfaces Spark's own error
+    "unnest": "explode",
 }
 
 _AGG_IMPL = {
