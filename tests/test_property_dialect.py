@@ -355,3 +355,36 @@ def test_interval_range_frame_matches_duckdb(fdb, fduck, amount, fn, part, end):
     want = [tuple(r) for r in fduck.execute(sql).fetchall()]
     norm = lambda rows: [(i, round(float(w), 6)) for i, w in rows]
     assert norm(got) == norm(want), sql
+
+
+# --- aggregate FILTER clauses vs DuckDB ---
+
+_filter_preds = st.sampled_from(
+    ["price > 11", "id >= 3", "price < 25", "id % 2 = 0", "price >= 10.5"]
+)
+_filter_aggs = st.sampled_from(
+    ["COUNT(*)", "SUM(price)", "MIN(price)", "MAX(id)", "AVG(price)"]
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(agg=_filter_aggs, pred=_filter_preds, pred2=_filter_preds)
+def test_agg_filter_matches_duckdb(qdb, qduck, agg, pred, pred2):
+    """Randomized FILTER (WHERE ...) combinations — two filtered
+    aggregates per query, grouped — must match DuckDB exactly."""
+    sql = (
+        f"SELECT grp, {agg} FILTER (WHERE {pred}) AS a, "
+        f"COUNT(*) FILTER (WHERE {pred2}) AS b "
+        f"FROM t2 GROUP BY grp ORDER BY grp"
+    )
+    got = [tuple(r) for r in qdb.query_sql(sql).collect()]
+    want = qduck.execute(sql).fetchall()
+    norm = lambda rows: [
+        tuple(round(float(c), 9) if isinstance(c, (int, float)) and c is not None else c for c in r)
+        for r in rows
+    ]
+    assert norm(got) == norm(want), sql
