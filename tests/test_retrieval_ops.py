@@ -316,3 +316,38 @@ class TestSemDeDupBlas:
         out = semdedup_prune(emb, k=4, tau=0.9999)
         rows = out.collect()
         assert len(rows) == 4
+
+
+class TestContrastivePairs:
+    def test_triplet_invariants(self, spark, sf_dir):
+        out = R.embedding_contrastive_pairs(spark, sf_dir).collect()
+        n_anchors = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") % 10 == 0)
+            .count()
+        )
+        assert len(out) == n_anchors
+        for r in out:
+            # positive is the hard nearest — must beat the random negative
+            assert r["pos_cos"] >= r["neg_cos"]
+            assert len({r["anchor_id"], r["pos_id"], r["neg_id"]}) == 3
+
+    def test_positive_is_argmax(self, spark, sf_dir):
+        out = {r["anchor_id"]: r for r in R.embedding_contrastive_pairs(spark, sf_dir).collect()}
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        one = sorted(out)[0]
+        a_vec = emb.filter(F.col("vec_id") == one).collect()[0]["embedding"]
+        # recompute directly in python for the sampled anchor
+        import numpy as np
+
+        a = np.array(a_vec, dtype=np.float64)
+        best_id, best_cos = None, -2.0
+        for r in emb.collect():
+            if r["vec_id"] == one:
+                continue
+            v = np.array(r["embedding"], dtype=np.float64)
+            c = round(float(a @ v / (np.linalg.norm(a) * np.linalg.norm(v))), 6)
+            if c > best_cos or (c == best_cos and r["vec_id"] < best_id):
+                best_id, best_cos = r["vec_id"], c
+        assert out[one]["pos_id"] == best_id
+        assert abs(out[one]["pos_cos"] - best_cos) < 1e-9

@@ -149,6 +149,7 @@ DRIVER_PRIORITY: list[str] = [
     "dialect_agg_filter",
     "dialect_string_agg",
     "dialect_unnest",
+    "embedding_contrastive_pairs",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

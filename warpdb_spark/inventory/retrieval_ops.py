@@ -345,6 +345,69 @@ def search_hybrid_rrf(spark, sf_dir):
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)
 
 
+# --- contrastive pair mining -------------------------------------------------
+
+
+def embedding_contrastive_pairs(spark, sf_dir):
+    """Contrastive-training triplet mining over the embedding corpus:
+    for each anchor (vec_id % 10 = 0), the POSITIVE is its
+    highest-cosine neighbor (hard positive; round-6 with id tie-break
+    → engine-replayable) and the NEGATIVE is a content-addressed
+    pseudo-random draw — the candidate minimizing
+    md5(anchor || '-' || cand) (deterministic in any engine, unlike
+    rand()), excluding the anchor and its positive.
+
+    Scale shape: anchors are a small broadcast side, the corpus is
+    scanned once per pass (pos, then neg with the pos excluded via a
+    broadcast join) — never corpus × corpus. Output: one triplet per
+    anchor with both similarities.
+    """
+    from warpdb_spark.functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_vec")
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_vec")
+    )
+    pairs = (
+        cands.crossJoin(F.broadcast(anchors))
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            F.round(
+                V.cosine_similarity(F.col("a_vec"), F.col("c_vec")), 6
+            ).alias("cos"),
+            F.md5(
+                F.concat_ws("-", F.col("anchor_id"), F.col("cand_id"))
+            ).alias("h"),
+        )
+    )
+    pos = pairs.groupBy("anchor_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("cand_id")).alias("nid"))).alias("p")
+    ).select(
+        "anchor_id",
+        (-F.col("p.nid")).alias("pos_id"),
+        F.col("p.cos").alias("pos_cos"),
+    )
+    negs = (
+        pairs.join(F.broadcast(pos), "anchor_id")
+        .filter(F.col("cand_id") != F.col("pos_id"))
+        .groupBy("anchor_id")
+        .agg(F.min(F.struct(F.col("h"), F.col("cand_id"), F.col("cos"))).alias("n"))
+        .select(
+            "anchor_id",
+            F.col("n.cand_id").alias("neg_id"),
+            F.col("n.cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(negs, "anchor_id").select(
+        "anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos"
+    )
+
+
 # --- graph analytics ---------------------------------------------------------
 
 
@@ -390,6 +453,7 @@ QUERIES = {
     "events_resample_interpolate": events_resample_interpolate,
     "graph_pagerank_users": graph_pagerank_users,
     "search_hybrid_rrf": search_hybrid_rrf,
+    "embedding_contrastive_pairs": embedding_contrastive_pairs,
 }
 
 
@@ -498,6 +562,25 @@ ORACLES = {
         "WHEN nb = pb THEN pv "
         "ELSE pv + (CAST(bucket - pb AS DOUBLE) / (nb - pb)) * (nv - pv) END, 6) AS value_interp "
         "FROM vals"
+    ),
+    # hard positive = rank-1 by (cos DESC, id); negative = min md5 hash
+    # with the positive excluded — both fully engine-replayable
+    "embedding_contrastive_pairs": (
+        "WITH a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av "
+        "FROM embeddings WHERE vec_id % 10 = 0), "
+        "c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
+        "p AS (SELECT a.anchor_id, c.cand_id, "
+        "round(list_cosine_similarity(av, cv), 6) AS cos, "
+        "md5(CAST(a.anchor_id AS VARCHAR) || '-' || CAST(c.cand_id AS VARCHAR)) AS h "
+        "FROM a CROSS JOIN c WHERE c.cand_id <> a.anchor_id), "
+        "pos AS (SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rn FROM p) "
+        "WHERE rn = 1), "
+        "neg AS (SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos FROM "
+        "(SELECT p.anchor_id, p.cand_id, p.cos, "
+        "row_number() OVER (PARTITION BY p.anchor_id ORDER BY p.h, p.cand_id) AS rn "
+        "FROM p JOIN pos USING (anchor_id) WHERE p.cand_id <> pos.pos_id) t WHERE rn = 1) "
+        "SELECT anchor_id, pos_id, pos_cos, neg_id, neg_cos FROM pos JOIN neg USING (anchor_id)"
     ),
     # same edge construction + 5 unrolled recurrence steps; initial
     # rank 1e0/N is deliberately UNrounded (Spark's float literal)
