@@ -150,6 +150,7 @@ DRIVER_PRIORITY: list[str] = [
     "dialect_string_agg",
     "dialect_unnest",
     "embedding_contrastive_pairs",
+    "multimodal_video_frames",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",

@@ -593,6 +593,86 @@ def multimodal_wav_decode(spark, sf_dir):
     )
 
 
+def multimodal_video_frames(spark, sf_dir):
+    """REAL video-shaped decode: each doc gets an 8-frame 'video' —
+    a concatenation of 16x12 P6 PPM frames (fixed 589-byte stride —
+    13-byte header + 576 pixel bytes; frame f's pixel i is
+    (doc_id*31 + f*97 + i*7) % 256) — then every 2nd frame is sampled
+    (operators/multimodal.py::sample_frames, pure JVM byte slicing)
+    and DECODED with the real PPM codec; per-frame channel means
+    stream out via mapInPandas. DuckDB replays the formula arithmetic,
+    so the oracle checks byte-accurate frame slicing AND decoding.
+    At scale: frame sampling is a zero-shuffle map-side expansion and
+    decodes stream Arrow-batch-at-a-time."""
+    import pandas as _pd
+    from pyspark.sql.types import (
+        BinaryType as _Bin,
+        DoubleType as _Dbl,
+        IntegerType as _Int,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w, h, n_frames = 16, 12, 8
+    # fixed stride: every frame's header renders identically
+    frame_bytes = len(f"P6\n{w} {h}\n255\n".encode("ascii")) + w * h * 3
+    encode = M.ppm_encode
+    decode = M.ppm_decode
+
+    def gen_video(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                frames = []
+                for f in range(n_frames):
+                    arr = (
+                        (int(doc_id) * 31 + f * 97 + _np.arange(w * h * 3) * 7) % 256
+                    ).astype(_np.uint8).reshape(h, w, 3)
+                    frames.append(encode(arr))
+                payloads.append(b"".join(frames))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    videos = docs.mapInPandas(
+        gen_video, _ST([_SF("doc_id", _Long()), _SF("payload", _Bin())])
+    )
+    sampled = M.sample_frames(videos, frame_size=frame_bytes, every_n=2)
+
+    def gen_stats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, fno, fb in zip(pdf["doc_id"], pdf["frame_no"], pdf["frame"]):
+                img = decode(bytes(fb))
+                means = img.reshape(-1, 3).mean(axis=0)
+                rows.append((doc_id, int(fno), *means))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "mean_r", "mean_g", "mean_b"]
+            )
+
+    out = sampled.mapInPandas(
+        gen_stats,
+        _ST(
+            [
+                _SF("doc_id", _Long()),
+                _SF("frame_no", _Int()),
+                _SF("mean_r", _Dbl()),
+                _SF("mean_g", _Dbl()),
+                _SF("mean_b", _Dbl()),
+            ]
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "frame_no",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 # --- statistical / array / regex functions --------------------------------------
 
 def agg_statistical(spark, sf_dir):
@@ -1132,6 +1212,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
+    "multimodal_video_frames": multimodal_video_frames,
     "agg_statistical": agg_statistical,
     "agg_percentiles": agg_percentiles,
     "expr_array_functions": expr_array_functions,
@@ -1582,6 +1663,16 @@ ORACLES = {
             for c, ch in [(0, "r"), (1, "g"), (2, "b")]
         )
         + " FROM documents"
+    ),
+    # sampled frames 0,2,4,6; frame f pixel i is (d*31 + f*97 + i*7) % 256
+    "multimodal_video_frames": (
+        "SELECT doc_id, CAST(f AS INT) AS frame_no, "
+        + ", ".join(
+            f"round(list_avg([CAST((doc_id * 31 + f * 97 + (3 * k + {c}) * 7) % 256 AS DOUBLE) "
+            f"for k in generate_series(0, 191)]), 6) AS mean_{ch}"
+            for c, ch in [(0, "r"), (1, "g"), (2, "b")]
+        )
+        + " FROM documents, (SELECT unnest([0, 2, 4, 6]) AS f)"
     ),
     # replay the waveform: sample t of doc d is ((d*7 + t*13) % 2001)
     # - 1000; rms and sign-flip counts are integer-exact in f64
