@@ -154,3 +154,36 @@ class TestQueryParser:
     def test_set_ops(self):
         q = parse_query("SELECT price FROM a UNION ALL SELECT price FROM b")
         assert isinstance(q, A.SetOp) and q.op == "union_all"
+
+
+class TestSimpleCaseAndIlike:
+    """Simple-form CASE (desugars to searched equality) and ILIKE
+    (case-insensitive LIKE), both matching DuckDB semantics."""
+
+    def test_simple_case_desugars(self):
+        q = parse_query(
+            "SELECT CASE quantity WHEN 3 THEN 'three' ELSE 'other' END AS c FROM t"
+        )
+        item = q.select_items[0][0]
+        cond = item.whens[0][0]
+        assert cond.op == "==" and cond.right.value == 3
+
+    def test_ilike_parses_and_negates(self):
+        q = parse_query("SELECT price FROM t WHERE name NOT ILIKE 'AbC%'")
+        like = q.where
+        assert like.ci and like.negated and like.pattern == "AbC%"
+
+    def test_ilike_executes_case_insensitively(self, spark):
+        from warpdb_spark.api import WarpDB
+
+        df = spark.createDataFrame(
+            [("Alpha",), ("BETA",), ("gamma",)], ["name"]
+        )
+        db = WarpDB.__new__(WarpDB)  # attach-only shell
+        db.spark = spark
+        db.tables = {"t": df}
+        db.registry = None
+        got = {r["name"] for r in db.query_sql(
+            "SELECT name FROM t WHERE name ILIKE '%a%'"
+        ).collect()}
+        assert got == {"Alpha", "BETA", "gamma"}

@@ -192,10 +192,13 @@ class Like(Node):
     operand: Node
     pattern: str
     negated: bool = False
+    # ILIKE: case-insensitive match (superset)
+    ci: bool = False
 
     def text(self) -> str:
         neg = "NOT " if self.negated else ""
-        return f"({self.operand.text()} {neg}LIKE '{self.pattern}')"
+        kw = "ILIKE" if self.ci else "LIKE"
+        return f"({self.operand.text()} {neg}{kw} '{self.pattern}')"
 
     def children(self):
         return [self.operand]

@@ -224,7 +224,8 @@ class Compiler:
         return ~col if n.negated else col
 
     def _c_like(self, n: A.Like) -> Column:
-        col = self.compile(n.operand).like(n.pattern)
+        operand = self.compile(n.operand)
+        col = operand.ilike(n.pattern) if n.ci else operand.like(n.pattern)
         return ~col if n.negated else col
 
     def _c_isnull(self, n: A.IsNull) -> Column:

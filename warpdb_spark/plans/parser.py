@@ -125,7 +125,7 @@ class _Parser:
             op = "==" if tok.value == "=" else tok.value
             return A.BinOp(op, node, self.parse_additive())
         negated = False
-        if tok.is_kw("NOT") and self.peek(1).is_kw("BETWEEN", "IN", "LIKE"):
+        if tok.is_kw("NOT") and self.peek(1).is_kw("BETWEEN", "IN", "LIKE", "ILIKE"):
             self.next()
             negated = True
             tok = self.peek()
@@ -147,12 +147,12 @@ class _Parser:
                 items.append(self.parse_additive())
             self.expect_op(")")
             return A.InList(node, items, negated)
-        if tok.is_kw("LIKE"):
+        if tok.is_kw("LIKE", "ILIKE"):
             self.next()
             pat = self.next()
             if pat.kind != STRING:
-                raise ParseError("Expected string pattern after LIKE")
-            return A.Like(node, pat.value, negated)
+                raise ParseError(f"Expected string pattern after {tok.value}")
+            return A.Like(node, pat.value, negated, tok.value == "ILIKE")
         if tok.is_kw("IS"):
             self.next()
             neg = bool(self.accept_kw("NOT"))
@@ -223,9 +223,16 @@ class _Parser:
 
     def parse_case(self) -> A.Node:
         self.expect_kw("CASE")
+        # simple form: CASE operand WHEN value THEN ... — desugars to
+        # the searched form with equality conditions (ANSI)
+        operand = None
+        if not self.peek().is_kw("WHEN"):
+            operand = self.parse_expr()
         whens: list[tuple[A.Node, A.Node]] = []
         while self.accept_kw("WHEN"):
             cond = self.parse_expr()
+            if operand is not None:
+                cond = A.BinOp("==", operand, cond)
             self.expect_kw("THEN")
             whens.append((cond, self.parse_expr()))
         if not whens:

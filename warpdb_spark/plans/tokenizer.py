@@ -29,7 +29,7 @@ KEYWORDS = {
     "IN", "LIKE", "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE", "END", "OVER",
     "PARTITION", "ROWS", "RANGE", "PRECEDING", "FOLLOWING", "UNBOUNDED",
     "CURRENT", "ROW", "AS", "UNION", "INTERSECT", "EXCEPT", "ALL", "TRUE",
-    "FALSE", "EXISTS", "WITH", "WINDOW", "QUALIFY", "RECURSIVE",
+    "FALSE", "EXISTS", "WITH", "WINDOW", "QUALIFY", "RECURSIVE", "ILIKE",
 }
 
 # token kinds
