@@ -1,0 +1,122 @@
+"""Tests for the scale-pattern inventory (inventory/scale_ops.py) and
+the triangle-counting operator: hand-computable graphs, EWMA recurrence
+properties, classifier determinism, and global-ordinal consistency."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warpdb_spark.inventory import scale_ops
+from warpdb_spark.operators.triangles import triangle_counts
+
+
+class TestTriangleCounts:
+    def test_single_triangle(self, spark):
+        e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["a", "b"])
+        got = {r["id"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_square_without_diagonal_has_none(self, spark):
+        e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], ["a", "b"])
+        assert triangle_counts(e).count() == 0
+
+    def test_k4_counts(self, spark):
+        # K4: 4 triangles, every node in exactly 3
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        e = spark.createDataFrame(edges, ["a", "b"])
+        got = {r["id"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_two_disjoint_triangles_plus_pendant(self, spark):
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 99)],
+            ["a", "b"],
+        )
+        got = {r["id"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1}
+        assert 99 not in got
+
+    def test_total_triangles_matches_handcount_on_events_graph(self, spark, sf_dir):
+        df = scale_ops.graph_triangle_count(spark, sf_dir)
+        total = df.agg(F.sum("n_triangles")).collect()[0][0]
+        # every triangle contributes exactly 3 corner rows
+        assert total is not None and total % 3 == 0
+
+
+class TestEwmaSmooth:
+    def test_first_event_equals_value(self, spark, sf_dir):
+        df = scale_ops.events_ewma_smooth(spark, sf_dir)
+        ev = scale_ops._t(spark, sf_dir, "events")
+        first = (
+            ev.groupBy("user_id").agg(F.min(F.struct("ts", "event_id")).alias("s"))
+            .select("user_id", F.col("s.event_id").alias("event_id"))
+        )
+        j = df.join(first, ["user_id", "event_id"])
+        bad = j.filter(F.abs(F.col("ewma") - F.col("value")) > 1e-6).count()
+        assert bad == 0
+
+    def test_ewma_bounded_by_running_extremes(self, spark, sf_dir):
+        # a weighted mean of the last 8 values stays inside their range
+        df = scale_ops.events_ewma_smooth(spark, sf_dir)
+        ev = scale_ops._t(spark, sf_dir, "events")
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-7, 0)
+        )
+        bounds = ev.select(
+            "event_id",
+            F.min("value").over(w).alias("lo"),
+            F.max("value").over(w).alias("hi"),
+        )
+        j = df.join(bounds, "event_id")
+        bad = j.filter(
+            (F.col("ewma") < F.col("lo") - 1e-6) | (F.col("ewma") > F.col("hi") + 1e-6)
+        ).count()
+        assert bad == 0
+
+    def test_one_shuffle_plan(self, spark, sf_dir):
+        plan = scale_ops.events_ewma_smooth(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestQualityClassifier:
+    def test_deterministic_and_keep_consistent(self, spark, sf_dir):
+        a = scale_ops.text_quality_classifier(spark, sf_dir).collect()
+        b = scale_ops.text_quality_classifier(spark, sf_dir).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        for r in a:
+            assert r["keep"] == (r["quality_logit"] > 0)
+            assert -0.5 <= r["quality_logit"] <= 0.5
+            assert r["n_tokens"] > 0
+
+    def test_identical_text_identical_score(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spark hash join"), (2, "spark hash join"), (3, "other words here")],
+            ["doc_id", "text"],
+        )
+        import warpdb_spark.inventory.scale_ops as so
+
+        orig = so._t
+        so._t = lambda spark, sf_dir, name: df
+        try:
+            rows = {r["doc_id"]: r["quality_logit"] for r in so.text_quality_classifier(spark, "ignored").collect()}
+        finally:
+            so._t = orig
+        assert rows[1] == rows[2]
+
+    def test_zero_shuffle_plan(self, spark, sf_dir):
+        plan = scale_ops.text_quality_classifier(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestGlobalOrdinal:
+    def test_dense_and_ordered(self, spark, sf_dir):
+        rows = scale_ops.reshape_global_ordinal(spark, sf_dir).collect()
+        n = len(rows)
+        ordinals = sorted(r["ordinal"] for r in rows)
+        assert ordinals == list(range(1, n + 1))
+        by_ord = sorted(rows, key=lambda r: r["ordinal"])
+        doc_ids = [r["doc_id"] for r in by_ord]
+        assert doc_ids == sorted(doc_ids)

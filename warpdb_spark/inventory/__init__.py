@@ -151,6 +151,13 @@ DRIVER_PRIORITY: list[str] = [
     "dialect_unnest",
     "embedding_contrastive_pairs",
     "multimodal_video_frames",
+    # (d7) third-session additions (inventory/scale_ops.py): triangle
+    # counting, truncated EWMA, hashed linear quality scorer, two-phase
+    # global ordinal — novel operator families, never driver-checked
+    "graph_triangle_count",
+    "events_ewma_smooth",
+    "text_quality_classifier",
+    "reshape_global_ordinal",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots
     "flagship_filter_project",
@@ -171,12 +178,13 @@ def load_all():
         core_sql,
         pipeline_ops,
         retrieval_ops,
+        scale_ops,
         tpch_extra,
     )
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for m in (core_sql, tpch_extra, pipeline_ops, analytics_ext, retrieval_ops):
+    for m in (core_sql, tpch_extra, pipeline_ops, analytics_ext, retrieval_ops, scale_ops):
         merged_q.update(m.QUERIES)
         merged_o.update(m.ORACLES)
 
