@@ -111,6 +111,50 @@ class TestQualityClassifier:
         assert "Exchange" not in plan
 
 
+class TestSessionOverlap:
+    def test_banded_equals_naive(self, spark, sf_dir):
+        got = scale_ops.range_join_session_overlap(spark, sf_dir)
+        s = scale_ops._sessions(spark, sf_dir)
+        a, b = s.alias("a"), s.alias("b")
+        naive = (
+            a.join(
+                b,
+                (F.col("a.user_id") < F.col("b.user_id"))
+                & (F.col("a.st") <= F.col("b.en"))
+                & (F.col("b.st") <= F.col("a.en")),
+            )
+            .select(
+                F.col("a.user_id").alias("user_a"),
+                F.col("a.session_seq").alias("session_a"),
+                F.col("b.user_id").alias("user_b"),
+                F.col("b.session_seq").alias("session_b"),
+            )
+        )
+        assert got.count() == naive.count()
+        assert (
+            got.select("user_a", "session_a", "user_b", "session_b")
+            .exceptAll(naive)
+            .count()
+            == 0
+        )
+
+    def test_overlap_nonnegative_and_symmetric_free(self, spark, sf_dir):
+        rows = scale_ops.range_join_session_overlap(spark, sf_dir).collect()
+        for r in rows:
+            assert r["overlap_secs"] >= 0
+            assert r["user_a"] < r["user_b"]
+
+    def test_no_cartesian_in_plan(self, spark, sf_dir):
+        plan = (
+            scale_ops.range_join_session_overlap(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestGlobalOrdinal:
     def test_dense_and_ordered(self, spark, sf_dir):
         rows = scale_ops.reshape_global_ordinal(spark, sf_dir).collect()

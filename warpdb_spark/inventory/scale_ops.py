@@ -186,6 +186,80 @@ _QC_ORACLE = (
 )
 
 
+# --- temporal: interval-overlap join -----------------------------------------
+
+
+def _sessions(spark, sf_dir):
+    """Per-user sessions (1-hour gap rule — the events_sessionize
+    definition) as closed intervals in epoch seconds."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    prev = F.lag(sec).over(w)
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(prev.isNull() | ((sec - prev) > 3600), F.lit(1)).otherwise(F.lit(0)),
+    )
+    seq = F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int")
+    return (
+        flagged.withColumn("session_seq", seq)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(sec).alias("st"),
+            F.max(sec).alias("en"),
+        )
+    )
+
+
+def range_join_session_overlap(spark, sf_dir):
+    """Interval-overlap join (Allen's `overlaps`): every cross-user pair
+    of sessions that share wall-clock time, with the overlap duration.
+
+    A naive formulation is a full cross join with an overlap predicate —
+    quadratic in sessions. The scale shape here is the BANDED interval
+    join: each session explodes to the hour buckets it spans (sessions
+    are gap-bounded, so the fan-out is small), candidate pairs meet
+    through a bucket equi-join (hash-shuffle, never a cartesian), and
+    the exact overlap predicate + distinct dedups multi-bucket hits.
+    Cost: O(session-hours + true overlaps), the interval-join analog of
+    the LSH band trick. Same banding as operators/asof.py's range join,
+    applied to interval×interval instead of point×interval.
+    """
+    s = _sessions(spark, sf_dir)
+    banded = s.select(
+        "user_id",
+        "session_seq",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(F.floor(F.col("st") / 3600), F.floor(F.col("en") / 3600))
+        ).alias("bucket"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .filter(
+            (F.col("x.st") <= F.col("y.en")) & (F.col("y.st") <= F.col("x.en"))
+        )
+        .select(
+            F.col("x.user_id").alias("user_a"),
+            F.col("x.session_seq").alias("session_a"),
+            F.col("y.user_id").alias("user_b"),
+            F.col("y.session_seq").alias("session_b"),
+            (
+                F.least(F.col("x.en"), F.col("y.en"))
+                - F.greatest(F.col("x.st"), F.col("y.st"))
+            ).cast("bigint").alias("overlap_secs"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
 # --- reshape: scale-safe global row numbering --------------------------------
 
 
@@ -234,6 +308,7 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "events_ewma_smooth": events_ewma_smooth,
     "text_quality_classifier": text_quality_classifier,
+    "range_join_session_overlap": range_join_session_overlap,
     "reshape_global_ordinal": reshape_global_ordinal,
 }
 
@@ -253,6 +328,27 @@ ORACLES = {
         "SELECT user_id, count(*) AS n_triangles FROM corners GROUP BY user_id"
     ),
     "events_ewma_smooth": _ewma_oracle(),
+    # plain pairwise overlap join over the sessionize CTE — the banded
+    # Spark path must produce the identical pair set
+    "range_join_session_overlap": (
+        "WITH e0 AS (SELECT user_id, ts, event_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS esec FROM events), "
+        "f AS (SELECT user_id, ts, event_id, esec, "
+        "CASE WHEN lag(esec) OVER w IS NULL "
+        "OR esec - lag(esec) OVER w > 3600 THEN 1 ELSE 0 END AS new_s "
+        "FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, esec, "
+        "CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS session_seq "
+        "FROM f), "
+        "sess AS (SELECT user_id, session_seq, "
+        "min(esec) AS st, max(esec) AS en "
+        "FROM s GROUP BY 1, 2) "
+        "SELECT a.user_id AS user_a, a.session_seq AS session_a, "
+        "b.user_id AS user_b, b.session_seq AS session_b, "
+        "CAST(least(a.en, b.en) - greatest(a.st, b.st) AS BIGINT) AS overlap_secs "
+        "FROM sess a JOIN sess b ON a.user_id < b.user_id "
+        "AND a.st <= b.en AND b.st <= a.en"
+    ),
     "text_quality_classifier": _QC_ORACLE,
     "reshape_global_ordinal": (
         "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS ordinal, n_chars "
