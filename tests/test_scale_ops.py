@@ -111,6 +111,39 @@ class TestQualityClassifier:
         assert "Exchange" not in plan
 
 
+class TestCountMinSketch:
+    def test_never_undercounts_and_bounded(self, spark, sf_dir):
+        rows = scale_ops.sketch_countmin_words(spark, sf_dir).collect()
+        assert len(rows) == len(scale_ops._CMS_PROBES)
+        n_total = None
+        for r in rows:
+            assert r["never_undercounts"] is True
+            assert r["cms_estimate"] >= r["exact_count"]
+
+    def test_sketch_is_mergeable(self, spark, sf_dir):
+        # cell-wise sum of two half-corpus sketches == whole-corpus sketch
+        docs = scale_ops._t(spark, sf_dir, "documents")
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
+        )
+        words = docs.select("doc_id", F.explode(toks).alias("w"))
+        bucket = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("r0_"), F.col("w"))), 1, 8), 16, 10)
+            .cast("long") % scale_ops._CMS_WIDTH
+        )
+        full = {
+            r["b"]: r["c"]
+            for r in words.select(bucket.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        lo = words.filter(F.col("doc_id") % 2 == 0)
+        hi = words.filter(F.col("doc_id") % 2 == 1)
+        merged: dict = {}
+        for part in (lo, hi):
+            for r in part.select(bucket.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect():
+                merged[r["b"]] = merged.get(r["b"], 0) + r["c"]
+        assert merged == full
+
+
 class TestSessionOverlap:
     def test_banded_equals_naive(self, spark, sf_dir):
         got = scale_ops.range_join_session_overlap(spark, sf_dir)

@@ -157,6 +157,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_triangle_count",
     "events_ewma_smooth",
     "text_quality_classifier",
+    "sketch_countmin_words",
     "range_join_session_overlap",
     "reshape_global_ordinal",
     # (e) re-confirm a cross-family sample of prior driver-greens with

@@ -186,6 +186,100 @@ _QC_ORACLE = (
 )
 
 
+# --- sketches: count-min heavy hitters ---------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_PROBES = ["spark", "hash", "join", "table", "scan", "window", "the", "batch"]
+
+
+def sketch_countmin_words(spark, sf_dir):
+    """Count-min sketch word-frequency estimates (Cormode & Muthu 2005):
+    d=4 rows × w=256 counters, row hashes = md5(row_salt ‖ token). The
+    sketch is ONE partial-aggregated shuffle of (row, bucket) cells —
+    d·w counters total regardless of corpus size — and counters are
+    sums, so per-partition / per-day sketches merge by cell-wise
+    addition (the mergeable-state shape that answers heavy-hitter
+    queries at 100 TB without a vocabulary-sized shuffle). Estimate for
+    a probe word = min over rows of its bucket counter; CMS guarantees
+    estimate ≥ exact, and the oracle REPLAYS the identical sketch
+    (same md5 buckets, same sums) plus the exact count, asserting the
+    one-sided error bound as data.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    words = docs.select(F.explode(toks).alias("w"))
+
+    def bucket(row: int, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"r{row}_"), col)), 1, 8), 16, 10
+            ).cast("long")
+            % _CMS_WIDTH
+        )
+
+    cells = words.select(
+        *[bucket(r, F.col("w")).alias(f"b{r}") for r in range(_CMS_DEPTH)]
+    )
+    sketch = [
+        cells.groupBy(f"b{r}").agg(F.count(F.lit(1)).alias(f"c{r}"))
+        for r in range(_CMS_DEPTH)
+    ]
+    probes = spark.createDataFrame([(w,) for w in _CMS_PROBES], ["word"])
+    est = probes.select(
+        "word", *[bucket(r, F.col("word")).alias(f"b{r}") for r in range(_CMS_DEPTH)]
+    )
+    for r in range(_CMS_DEPTH):
+        est = est.join(F.broadcast(sketch[r]), f"b{r}")
+    exact = words.groupBy(F.col("w").alias("word")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    estimate = F.least(*[F.col(f"c{r}") for r in range(_CMS_DEPTH)])
+    return (
+        est.join(exact, "word", "left")
+        .select(
+            "word",
+            estimate.cast("bigint").alias("cms_estimate"),
+            F.coalesce("exact_count", F.lit(0)).cast("bigint").alias("exact_count"),
+            (estimate >= F.coalesce("exact_count", F.lit(0))).alias("never_undercounts"),
+        )
+    )
+
+
+def _cms_oracle() -> str:
+    bucket = (
+        lambda r, col: "CAST(concat('0x', substr(md5(concat('r"
+        + str(r)
+        + "_', "
+        + col
+        + ")), 1, 8)) AS BIGINT) % "
+        + str(_CMS_WIDTH)
+    )
+    rows = []
+    for r in range(_CMS_DEPTH):
+        rows.append(
+            f"s{r} AS (SELECT {bucket(r, 'w')} AS b{r}, count(*) AS c{r} "
+            f"FROM words GROUP BY 1)"
+        )
+    probe_vals = ", ".join(f"('{w}')" for w in _CMS_PROBES)
+    joins = " ".join(f"JOIN s{r} ON s{r}.b{r} = {bucket(r, 'p.word')}" for r in range(_CMS_DEPTH))
+    least = "least(" + ", ".join(f"c{r}" for r in range(_CMS_DEPTH)) + ")"
+    return (
+        "WITH words AS (SELECT unnest(list_filter("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w "
+        "FROM documents), "
+        + ", ".join(rows)
+        + ", exact AS (SELECT w AS word, count(*) AS exact_count FROM words GROUP BY 1), "
+        f"p AS (SELECT * FROM (VALUES {probe_vals}) t(word)) "
+        f"SELECT p.word, CAST({least} AS BIGINT) AS cms_estimate, "
+        "CAST(coalesce(exact_count, 0) AS BIGINT) AS exact_count, "
+        f"{least} >= coalesce(exact_count, 0) AS never_undercounts "
+        f"FROM p {joins} LEFT JOIN exact ON exact.word = p.word"
+    )
+
+
 # --- temporal: interval-overlap join -----------------------------------------
 
 
@@ -308,6 +402,7 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "events_ewma_smooth": events_ewma_smooth,
     "text_quality_classifier": text_quality_classifier,
+    "sketch_countmin_words": sketch_countmin_words,
     "range_join_session_overlap": range_join_session_overlap,
     "reshape_global_ordinal": reshape_global_ordinal,
 }
@@ -350,6 +445,7 @@ ORACLES = {
         "AND a.st <= b.en AND b.st <= a.en"
     ),
     "text_quality_classifier": _QC_ORACLE,
+    "sketch_countmin_words": _cms_oracle(),
     "reshape_global_ordinal": (
         "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS ordinal, n_chars "
         "FROM documents"
