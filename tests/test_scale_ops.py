@@ -111,6 +111,52 @@ class TestQualityClassifier:
         assert "Exchange" not in plan
 
 
+class TestSubwordSegment:
+    def test_compression_bounds_and_totals(self, spark, sf_dir):
+        rows = scale_ops.text_subword_segment(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # every word yields >= 1 subword and <= len(word) singles
+            assert r["n_subwords"] >= r["n_words"]
+            assert abs(r["compression"] - round(r["n_subwords"] / r["n_words"], 6)) < 1e-9
+
+    def test_greedy_matches_pure_python(self, spark, sf_dir):
+        # replicate induction + greedy encode in plain python and
+        # compare the corpus-wide subword total
+        docs = scale_ops._t(spark, sf_dir, "documents").select("text").collect()
+        import re
+        from collections import Counter
+
+        wf = Counter()
+        for r in docs:
+            wf.update(t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t)
+        grams = Counter()
+        for w, f in wf.items():
+            for L in range(2, scale_ops._SW_MAX_LEN + 1):
+                for p in range(0, len(w) - L + 1):
+                    grams[w[p : p + L]] += f
+        top = sorted(grams.items(), key=lambda kv: (-kv[1], kv[0]))[: scale_ops._SW_TOP_GRAMS]
+        vocab = {g for g, _ in top} | set("abcdefghijklmnopqrstuvwxyz0123456789")
+
+        def enc(w):
+            i, n = 0, 0
+            while i < len(w):
+                step = 1
+                for L in range(min(scale_ops._SW_MAX_LEN, len(w) - i), 1, -1):
+                    if w[i : i + L] in vocab:
+                        step = L
+                        break
+                i += step
+                n += 1
+            return n
+
+        expected_total = sum(f * enc(w) for w, f in wf.items())
+        got = scale_ops.text_subword_segment(spark, sf_dir)
+        from pyspark.sql import functions as FF
+
+        assert got.agg(FF.sum("n_subwords")).collect()[0][0] == expected_total
+
+
 class TestCountMinSketch:
     def test_never_undercounts_and_bounded(self, spark, sf_dir):
         rows = scale_ops.sketch_countmin_words(spark, sf_dir).collect()

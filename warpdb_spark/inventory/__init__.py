@@ -158,6 +158,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_ewma_smooth",
     "text_quality_classifier",
     "sketch_countmin_words",
+    "text_subword_segment",
     "range_join_session_overlap",
     "reshape_global_ordinal",
     # (e) re-confirm a cross-family sample of prior driver-greens with

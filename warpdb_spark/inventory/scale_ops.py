@@ -186,6 +186,125 @@ _QC_ORACLE = (
 )
 
 
+# --- text: subword segmentation (tokenizer-aware preprocessing) --------------
+
+_SW_TOP_GRAMS = 24
+_SW_MAX_LEN = 4
+
+
+def text_subword_segment(spark, sf_dir):
+    """BPE-flavored subword segmentation: induce a character-n-gram
+    vocabulary from the corpus (top-24 grams of length 2-4 by
+    frequency-weighted count, plus all single [a-z0-9] chars), then
+    greedily encode every word longest-match-first — the
+    WordPiece/tokenizer-aware preprocessing step of an LLM data
+    pipeline, with tokens-per-word compression as the output metric.
+
+    Scale shape: gram induction is relational (explode word slices →
+    one partial-aggregated shuffle → TakeOrdered top-K); the greedy
+    encode runs over DISTINCT words only (vocabulary-sized, not
+    corpus-sized) in one Arrow-batched mapInPandas with the ≤60-entry
+    vocab broadcast as a plain Python set, and per-doc totals come back
+    through a word-key join. Python touches unique words once; the
+    corpus itself never crosses the Arrow boundary. The oracle replays
+    induction AND encoding exactly: greedy longest-match is a
+    precomputed best-step table + a recursive pointer walk (no
+    aggregate in the recursive term).
+    """
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    words = docs.select("doc_id", F.explode(toks).alias("w"))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+
+    gram_cols = []
+    for L in range(2, _SW_MAX_LEN + 1):
+        # NB: guard, don't clamp — Spark's sequence(1, 0) DESCENDS
+        # (yields [1, 0]), it is not empty like DuckDB's range(1, 0)
+        gram_cols.append(
+            F.expr(
+                f"CASE WHEN length(w) >= {L} THEN "
+                f"transform(sequence(1, length(w) - {L} + 1), "
+                f"p -> substring(w, p, {L})) ELSE array() END"
+            )
+        )
+    grams = (
+        wf.select("freq", F.explode(F.flatten(F.array(*gram_cols))).alias("g"))
+        .groupBy("g")
+        .agg(F.sum("freq").alias("score"))
+        .orderBy(F.desc("score"), "g")
+        .limit(_SW_TOP_GRAMS)
+    )
+    vocab = {r["g"] for r in grams.collect()}  # bounded: top-K grams only
+    vocab |= set("abcdefghijklmnopqrstuvwxyz0123456789")
+    bvocab = spark.sparkContext.broadcast(vocab)
+
+    def encode(batches):
+        v = bvocab.value
+        for pdf in batches:
+            counts = []
+            for w in pdf["w"]:
+                i, n = 0, 0
+                while i < len(w):
+                    step = 1
+                    for L in range(min(_SW_MAX_LEN, len(w) - i), 1, -1):
+                        if w[i : i + L] in v:
+                            step = L
+                            break
+                    i += step
+                    n += 1
+                counts.append(n)
+            yield pd.DataFrame({"w": pdf["w"], "n_sub": counts})
+
+    uw = wf.select("w")
+    seg = uw.mapInPandas(encode, "w string, n_sub int")
+    return (
+        words.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+        )
+        .withColumn(
+            "compression", F.round(F.col("n_subwords") / F.col("n_words"), 6)
+        )
+    )
+
+
+_SW_ORACLE = (
+    "WITH toks AS (SELECT doc_id, unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w "
+    "FROM documents), "
+    "wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY 1), "
+    "grams AS (SELECT substr(wf.w, CAST(p AS INT), CAST(L AS INT)) AS g, "
+    "sum(wf.freq) AS score FROM wf, "
+    f"(SELECT unnest(range(2, {_SW_MAX_LEN + 1})) AS L) ls, "
+    "LATERAL (SELECT unnest(range(1, len(wf.w) - CAST(ls.L AS INT) + 2)) AS p) ps "
+    "WHERE len(wf.w) >= L GROUP BY 1), "
+    f"topg AS (SELECT g FROM grams ORDER BY score DESC, g LIMIT {_SW_TOP_GRAMS}), "
+    "chars AS (SELECT chr(CAST(c AS INT)) AS g FROM "
+    "(SELECT unnest(list_concat(range(97, 123), range(48, 58))) AS c)), "
+    "vocab AS (SELECT DISTINCT g, len(g) AS L FROM "
+    "(SELECT g FROM topg UNION ALL SELECT g FROM chars)), "
+    "uw AS (SELECT w FROM wf), "
+    "pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS p FROM uw), "
+    "best AS (SELECT pos.w, pos.p, max(v.L) AS step FROM pos JOIN vocab v "
+    "ON substr(pos.w, CAST(pos.p AS INT), CAST(v.L AS INT)) = v.g GROUP BY 1, 2), "
+    "walk AS (WITH RECURSIVE r AS ("
+    "SELECT w, CAST(1 AS BIGINT) AS p, 0 AS n FROM uw "
+    "UNION ALL SELECT r.w, CAST(r.p + b.step AS BIGINT), r.n + 1 "
+    "FROM r JOIN best b ON b.w = r.w AND b.p = r.p) "
+    "SELECT w, max(n) AS n_sub FROM r GROUP BY w) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+    "CAST(sum(n_sub) AS BIGINT) AS n_subwords, "
+    "round(sum(n_sub) / CAST(count(*) AS DOUBLE), 6) AS compression "
+    "FROM toks JOIN walk USING (w) GROUP BY doc_id"
+)
+
+
 # --- sketches: count-min heavy hitters ---------------------------------------
 
 _CMS_DEPTH = 4
@@ -403,6 +522,7 @@ QUERIES = {
     "events_ewma_smooth": events_ewma_smooth,
     "text_quality_classifier": text_quality_classifier,
     "sketch_countmin_words": sketch_countmin_words,
+    "text_subword_segment": text_subword_segment,
     "range_join_session_overlap": range_join_session_overlap,
     "reshape_global_ordinal": reshape_global_ordinal,
 }
@@ -446,6 +566,7 @@ ORACLES = {
     ),
     "text_quality_classifier": _QC_ORACLE,
     "sketch_countmin_words": _cms_oracle(),
+    "text_subword_segment": _SW_ORACLE,
     "reshape_global_ordinal": (
         "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS ordinal, n_chars "
         "FROM documents"
