@@ -111,6 +111,91 @@ class TestQualityClassifier:
         assert "Exchange" not in plan
 
 
+class TestTrianglePropertyFuzz:
+    def test_random_graphs_match_bruteforce(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(1234)
+        for trial in range(4):
+            n = rng.randint(5, 12)
+            edges = sorted(
+                {
+                    (a, b)
+                    for a, b in (
+                        tuple(sorted(rng.sample(range(n), 2))) for _ in range(3 * n)
+                    )
+                }
+            )
+            adj = {i: set() for i in range(n)}
+            for a, b in edges:
+                adj[a].add(b)
+                adj[b].add(a)
+            expected: dict = {}
+            for x, y, z in itertools.combinations(range(n), 3):
+                if y in adj[x] and z in adj[x] and z in adj[y]:
+                    for v in (x, y, z):
+                        expected[v] = expected.get(v, 0) + 1
+            e = spark.createDataFrame(edges, ["a", "b"])
+            got = {r["id"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+            assert got == expected, (trial, edges)
+
+
+class TestTrendOls:
+    def test_matches_numpy_polyfit(self, spark, sf_dir):
+        import numpy as np
+
+        rows = scale_ops.events_trend_ols(spark, sf_dir).collect()
+        ev = scale_ops._t(spark, sf_dir, "events").select(
+            "event_type",
+            (F.col("ts").cast("long") - scale_ops._OLS_EPOCH0).alias("x"),
+            F.round(F.col("value") * 100).alias("y"),
+        )
+        pdf = ev.toPandas()
+        for r in rows:
+            g = pdf[pdf.event_type == r["event_type"]]
+            slope, intercept = np.polyfit(g.x, g.y, 1)
+            assert abs(r["slope_per_day"] - slope * 864.0) < 1e-3
+            assert abs(r["intercept_value"] - intercept / 100.0) < 1e-3
+            assert 0.0 <= r["r2"] <= 1.0
+
+
+class TestBigramLogprob:
+    def test_logprob_nonpositive_and_counts(self, spark, sf_dir):
+        rows = scale_ops.text_perplexity_bigram(spark, sf_dir).collect()
+        docs = scale_ops._t(spark, sf_dir, "documents").count()
+        assert len(rows) == docs  # every doc has >= 2 tokens in this corpus
+        for r in rows:
+            assert r["avg_logprob"] <= 0.0
+            assert r["n_bigrams"] >= 1
+
+    def test_conditional_distribution_sums_to_one(self, spark, sf_dir):
+        docs = scale_ops._t(spark, sf_dir, "documents")
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
+        )
+        pairs = F.expr(
+            "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
+            "i -> struct(element_at(toks, CAST(i AS INT)) AS w1, "
+            "element_at(toks, CAST(i + 1 AS INT)) AS w2)) ELSE array() END"
+        )
+        big = (
+            docs.select("doc_id", toks.alias("toks"))
+            .select(F.explode(pairs).alias("p"))
+            .select("p.w1", "p.w2")
+        )
+        c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        cl = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
+        sums = (
+            c2.join(cl, "w1")
+            .groupBy("w1")
+            .agg(F.sum(F.col("c2") / F.col("cl")).alias("total"))
+            .collect()
+        )
+        for r in sums:
+            assert abs(r["total"] - 1.0) < 1e-9
+
+
 class TestSubwordSegment:
     def test_compression_bounds_and_totals(self, spark, sf_dir):
         rows = scale_ops.text_subword_segment(spark, sf_dir).collect()

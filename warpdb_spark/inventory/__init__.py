@@ -159,6 +159,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_quality_classifier",
     "sketch_countmin_words",
     "text_subword_segment",
+    "events_trend_ols",
+    "text_perplexity_bigram",
     "range_join_session_overlap",
     "reshape_global_ordinal",
     # (e) re-confirm a cross-family sample of prior driver-greens with

@@ -305,6 +305,136 @@ _SW_ORACLE = (
 )
 
 
+# --- time series: per-group OLS trend ----------------------------------------
+
+_OLS_EPOCH0 = 1704067200  # 2024-01-01 UTC — recenters x so Σx² stays in BIGINT
+
+
+def events_trend_ols(spark, sf_dir):
+    """Closed-form per-event_type least-squares trend of value over
+    time: slope/intercept/R² from the five classical sums. The sums are
+    computed in INTEGER space (x = epoch-seconds recentered to 2024-01-01
+    so Σx² fits BIGINT; y = value in cents — the data is 2-decimal) so
+    partial aggregation order can't perturb them (float Σ is
+    order-dependent under map-side combine; integer Σ is exact in any
+    order) — the engines then evaluate the same closed-form doubles
+    from identical integers. One partial-aggregated shuffle on the tiny
+    event_type key; the same single pass at 100 TB.
+    """
+    ev = _t(spark, sf_dir, "events")
+    x = (F.col("ts").cast("long") - F.lit(_OLS_EPOCH0)).cast("bigint")
+    y = F.round(F.col("value") * 100).cast("bigint")
+    s = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x  # cents per second
+    intercept = (sy - slope * sx) / n
+    return s.select(
+        "event_type",
+        "n",
+        # value-units per day: cents/sec * 86400 / 100
+        F.round(slope * 864.0, 6).alias("slope_per_day"),
+        F.round(intercept / 100.0, 6).alias("intercept_value"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+_OLS_ORACLE = (
+    "WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    f"CAST(sum(CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH0}) AS BIGINT) AS sx, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy, "
+    f"CAST(sum((CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH0}) * (CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH0})) AS BIGINT) AS sxx, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS syy, "
+    f"CAST(sum((CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH0}) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxy "
+    "FROM events GROUP BY event_type) "
+    "SELECT event_type, n, "
+    "round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 864.0, 6) AS slope_per_day, "
+    "round((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n / 100.0, 6) AS intercept_value, "
+    "round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * "
+    "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) / "
+    "((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+    "(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2 "
+    "FROM s"
+)
+
+
+# --- text: bigram-LM document scoring -----------------------------------------
+
+
+def text_perplexity_bigram(spark, sf_dir):
+    """Bigram-LM document scoring — the perplexity-proxy quality filter
+    one conditional step up from ``text_unigram_logprob``: per-doc mean
+    of log P(w2|w1) with MLE P(w2|w1) = C(w1,w2) / C(w1·) over the
+    corpus itself (left-context counts, so the distribution sums to 1
+    by construction; every doc bigram exists in the counts).
+
+    Scale shape: bigrams materialize as a zero-shuffle array transform
+    on each doc's token array; ONE explode feeds both count tables
+    (bigram counts ≤ vocab², left-context counts vocab-sized — both
+    broadcast-or-AQE territory at 100 TB) and the scoring join; per-doc
+    aggregation is the only corpus-sized shuffle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    # NB: guard — Spark's sequence(1, 0) descends, it is not empty
+    pairs = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, CAST(i AS INT)) AS w1, "
+        "element_at(toks, CAST(i + 1 AS INT)) AS w2)) "
+        "ELSE array() END"
+    )
+    big = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cl = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
+    rates = c2.join(cl, "w1")
+    return (
+        big.join(F.broadcast(rates), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c2").cast("double") / F.col("cl"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+_BIGRAM_ORACLE = (
+    "WITH t AS (SELECT doc_id, list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+    "FROM documents), "
+    "big AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2 "
+    "FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)), "
+    "c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2), "
+    "cl AS (SELECT w1, count(*) AS cl FROM big GROUP BY 1) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "round(avg(ln(CAST(c2.c2 AS DOUBLE) / cl.cl)), 6) AS avg_logprob "
+    "FROM big JOIN c2 USING (w1, w2) JOIN cl USING (w1) GROUP BY doc_id"
+)
+
+
 # --- sketches: count-min heavy hitters ---------------------------------------
 
 _CMS_DEPTH = 4
@@ -523,6 +653,8 @@ QUERIES = {
     "text_quality_classifier": text_quality_classifier,
     "sketch_countmin_words": sketch_countmin_words,
     "text_subword_segment": text_subword_segment,
+    "events_trend_ols": events_trend_ols,
+    "text_perplexity_bigram": text_perplexity_bigram,
     "range_join_session_overlap": range_join_session_overlap,
     "reshape_global_ordinal": reshape_global_ordinal,
 }
@@ -567,6 +699,8 @@ ORACLES = {
     "text_quality_classifier": _QC_ORACLE,
     "sketch_countmin_words": _cms_oracle(),
     "text_subword_segment": _SW_ORACLE,
+    "events_trend_ols": _OLS_ORACLE,
+    "text_perplexity_bigram": _BIGRAM_ORACLE,
     "reshape_global_ordinal": (
         "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS ordinal, n_chars "
         "FROM documents"
