@@ -697,3 +697,57 @@ class TestNullsOrdering:
     def test_malformed_nulls_clause(self, vdb):
         with pytest.raises(ParseError, match="FIRST or LAST after NULLS"):
             vdb.query_sql("SELECT id FROM v ORDER BY x NULLS SOMETIMES").collect()
+
+
+class TestDistinctOn:
+    """DISTINCT ON (superset): Postgres first-row-per-group, with the
+    well-definedness rule (ORDER BY must lead with the ON exprs)
+    enforced instead of assumed."""
+
+    def test_equals_qualify_formulation(self, db):
+        a = db.query_sql(
+            "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice "
+            "FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey"
+        ).collect()
+        b = db.query_sql(
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "FROM orders QUALIFY rn = 1 ORDER BY o_custkey"
+        ).collect()
+        assert [tuple(r)[:3] for r in a] == [tuple(r)[:3] for r in b]
+        assert len(a) > 0
+
+    def test_requires_order_by(self, db):
+        import pytest as _pytest
+
+        from warpdb_spark.errors import ValidationError
+
+        with _pytest.raises(ValidationError, match="requires ORDER BY"):
+            db.query_sql(
+                "SELECT DISTINCT ON (o_custkey) o_orderkey FROM orders"
+            ).collect()
+
+    def test_order_by_must_lead_with_on_exprs(self, db):
+        import pytest as _pytest
+
+        from warpdb_spark.errors import ValidationError
+
+        with _pytest.raises(ValidationError, match="must match initial ORDER BY"):
+            db.query_sql(
+                "SELECT DISTINCT ON (o_custkey) o_orderkey FROM orders "
+                "ORDER BY o_orderkey"
+            ).collect()
+
+    def test_multi_key_and_expression(self, db):
+        rows = db.query_sql(
+            "SELECT DISTINCT ON (o_orderpriority, o_custkey % 10) "
+            "o_orderpriority, o_custkey % 10 AS bucket, o_orderkey "
+            "FROM orders "
+            "ORDER BY o_orderpriority, o_custkey % 10, o_orderkey DESC"
+        ).collect()
+        seen = set()
+        for r in rows:
+            key = (r["o_orderpriority"], r["bucket"])
+            assert key not in seen
+            seen.add(key)

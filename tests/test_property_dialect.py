@@ -388,3 +388,29 @@ def test_agg_filter_matches_duckdb(qdb, qduck, agg, pred, pred2):
         for r in rows
     ]
     assert norm(got) == norm(want), sql
+
+
+# --- DISTINCT ON: randomized cross-check against DuckDB's native form ---
+
+_don_keys = st.sampled_from(["grp", "grp, quantity_null_free"])
+_don_tie = st.sampled_from(["price ASC, id", "price DESC, id", "id DESC"])
+_don_where = st.sampled_from(["", "WHERE price > 10 ", "WHERE id >= 2 "])
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(tie=_don_tie, where=_don_where)
+def test_distinct_on_matches_duckdb(qdb, qduck, tie, where):
+    """DISTINCT ON keeps the first row per ON-group under ORDER BY —
+    the chosen ROW (not just the key) must match DuckDB exactly, for
+    every tie-break direction and pre-filter."""
+    sql = (
+        f"SELECT DISTINCT ON (grp) grp, id, price FROM t2 {where}"
+        f"ORDER BY grp, {tie}"
+    )
+    got = [tuple(r) for r in qdb.query_sql(sql).collect()]
+    want = [tuple(r) for r in qduck.execute(sql).fetchall()]
+    assert got == want, sql

@@ -162,6 +162,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_trend_ols",
     "text_perplexity_bigram",
     "range_join_session_overlap",
+    "dialect_distinct_on",
     "reshape_global_ordinal",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots

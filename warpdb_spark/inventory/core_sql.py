@@ -918,6 +918,22 @@ def dialect_setops(spark, sf_dir):
     )
 
 
+def dialect_distinct_on(spark, sf_dir):
+    """Postgres-style ``SELECT DISTINCT ON`` through the dialect
+    front-end: latest-order-per-customer — the canonical
+    first-row-per-group query. Executes as ONE row_number window
+    (single hash partitioning on the ON keys, within-partition sort,
+    no global sort); the well-definedness rule (ORDER BY must lead
+    with the ON expressions) is enforced as a ValidationError, not
+    left to partition luck. DuckDB runs the identical text natively."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate, "
+        "o_totalprice FROM orders WHERE o_totalprice > 50000 "
+        "ORDER BY o_custkey, o_orderdate DESC, o_orderkey LIMIT 2000"
+    )
+
+
 def histogram_value_buckets(spark, sf_dir):
     """Fixed-width histogram of order totals (floor bucketing)."""
     return (
@@ -1281,6 +1297,7 @@ QUERIES = {
     "agg_mode_median": agg_mode_median,
     "reshape_unpivot": reshape_unpivot,
     "dialect_setops": dialect_setops,
+    "dialect_distinct_on": dialect_distinct_on,
     "dialect_tpch_q3": dialect_tpch_q3,
     "dialect_tpch_q12": dialect_tpch_q12,
 }
@@ -1685,6 +1702,12 @@ ORACLES = {
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
         "AND l_shipdate < TIMESTAMP '1998-01-01' "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    # DuckDB executes the identical DISTINCT ON text natively
+    "dialect_distinct_on": (
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate, "
+        "o_totalprice FROM orders WHERE o_totalprice > 50000 "
+        "ORDER BY o_custkey, o_orderdate DESC, o_orderkey LIMIT 2000"
     ),
     "dialect_setops": (
         "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000 "

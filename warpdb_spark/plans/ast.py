@@ -466,6 +466,10 @@ class QueryAST:
 
     select_items: list[tuple[Node, str | None]] = field(default_factory=list)
     distinct: bool = False
+    # DISTINCT ON (exprs) (superset; Postgres/DuckDB): keep the first
+    # row per ON-group under the query's ORDER BY, which must lead with
+    # the ON expressions (Postgres rule, enforced)
+    distinct_on: list[Node] = field(default_factory=list)
     from_table: str = ""  # table name, or the alias when from_subquery is set
     # derived table: FROM (SELECT ...) alias (superset)
     from_subquery: "QueryAST | SetOp | WithQuery | None" = None

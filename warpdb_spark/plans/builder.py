@@ -526,7 +526,7 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
     # 1-based select-list ordinals; bare names resolve to SELECT aliases
     # — alias-first in ORDER BY (ANSI output-column precedence),
     # column-first in GROUP BY (the alias is an extension there).
-    if q.order_by or q.group_by:
+    if q.order_by or q.group_by or q.distinct_on:
         import dataclasses
 
         alias_map = {alias: item for item, alias in q.select_items if alias}
@@ -548,6 +548,7 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
                 [resolve(k, "GROUP BY", False) for k in s] for s in q.grouping_sets
             ],
             order_by=[(resolve(e, "ORDER BY", True), asc) for e, asc in q.order_by],
+            distinct_on=[resolve(e, "DISTINCT ON", True) for e in q.distinct_on],
         )
 
     aggs: list[A.Agg] = []
@@ -556,6 +557,8 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
     aggs += _collect_aggs(q.having)
     aggs += _collect_aggs(q.qualify)
     for e, _ in q.order_by:
+        aggs += _collect_aggs(e)
+    for e in q.distinct_on:
         aggs += _collect_aggs(e)
     grouped_mode = bool(q.group_by) or bool(aggs)
     alias_names = {alias for _, alias in q.select_items if alias}
@@ -630,6 +633,8 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             df = df.filter(Compiler(registry, env).compile(q.having))
         for e, _ in q.order_by:
             _check_grouped(e, env_texts, "ORDER BY")
+        for e in q.distinct_on:
+            _check_grouped(e, env_texts, "DISTINCT ON")
         if q.qualify is not None:
             # select-list aliases are legal in QUALIFY (output-context
             # clause, same precedence as ORDER BY)
@@ -641,6 +646,8 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             raise ValidationError("HAVING requires GROUP BY or an aggregate")
         for e, _ in q.order_by:
             validate(e, scope, "ORDER BY")
+        for e in q.distinct_on:
+            validate(e, scope, "DISTINCT ON", extra_ok=alias_names)
         if q.qualify is not None:
             validate(q.qualify, scope, "QUALIFY", extra_ok=alias_names)
 
@@ -720,6 +727,32 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         proj_env = dict(env)
         proj_env.update({t: F.col(c) for t, c in wnames.items()})
         comp = Compiler(registry, proj_env)
+
+    if q.distinct_on:
+        # DISTINCT ON (Postgres semantics): first row per ON-group under
+        # the query's ORDER BY. Postgres's well-definedness rule is
+        # enforced, not assumed: ORDER BY must exist and lead with the
+        # ON expressions — otherwise "first" would be partition luck.
+        # Executes as one row_number window (a single hash partitioning
+        # on the ON keys; Spark sorts within partitions — no global
+        # sort at this stage).
+        if not q.order_by:
+            raise ValidationError("SELECT DISTINCT ON requires ORDER BY")
+        on_texts = [e.text() for e in q.distinct_on]
+        lead = [e.text() for e, _ in q.order_by[: len(on_texts)]]
+        if lead != on_texts:
+            raise ValidationError(
+                "SELECT DISTINCT ON expressions must match initial ORDER BY expressions"
+            )
+        from pyspark.sql.window import Window as _W
+
+        rn = F.row_number().over(
+            _W.partitionBy(*[comp.compile(e) for e in q.distinct_on]).orderBy(
+                *[order_col(comp.compile(e), asc) for e, asc in q.order_by]
+            )
+        )
+        df = df.withColumn("__distinct_on_rn", rn)
+        df = df.filter(F.col("__distinct_on_rn") == 1).drop("__distinct_on_rn")
 
     used: set[str] = set()
     names: list[str] = []

@@ -464,6 +464,15 @@ class _Parser:
         self.expect_kw("SELECT")
         q = A.QueryAST()
         q.distinct = bool(self.accept_kw("DISTINCT"))
+        if q.distinct and self.accept_kw("ON"):
+            # DISTINCT ON (a, b) (superset; Postgres/DuckDB) — a
+            # first-row-per-group operator, not row-level DISTINCT
+            q.distinct = False
+            self.expect_op("(")
+            q.distinct_on.append(self.parse_expr())
+            while self.accept_op(","):
+                q.distinct_on.append(self.parse_expr())
+            self.expect_op(")")
         q.select_items.append(self.parse_select_item())
         while self.accept_op(","):
             q.select_items.append(self.parse_select_item())
