@@ -160,6 +160,24 @@ class TestTrendOls:
             assert 0.0 <= r["r2"] <= 1.0
 
 
+class TestMarkovTransitions:
+    def test_rows_normalize_to_one(self, spark, sf_dir):
+        rows = scale_ops.events_markov_transitions(spark, sf_dir).collect()
+        assert rows
+        by_src: dict = {}
+        for r in rows:
+            assert 0.0 < r["p_transition"] <= 1.0
+            by_src.setdefault(r["src_event"], 0.0)
+            by_src[r["src_event"]] += r["n_transitions"]
+        # recompute p from raw counts: sum of p per src ~ 1
+        probs: dict = {}
+        for r in rows:
+            probs.setdefault(r["src_event"], 0.0)
+            probs[r["src_event"]] += r["n_transitions"] / by_src[r["src_event"]]
+        for src, total in probs.items():
+            assert abs(total - 1.0) < 1e-9, src
+
+
 class TestBigramLogprob:
     def test_logprob_nonpositive_and_counts(self, spark, sf_dir):
         rows = scale_ops.text_perplexity_bigram(spark, sf_dir).collect()

@@ -160,6 +160,7 @@ DRIVER_PRIORITY: list[str] = [
     "sketch_countmin_words",
     "text_subword_segment",
     "events_trend_ols",
+    "events_markov_transitions",
     "text_perplexity_bigram",
     "range_join_session_overlap",
     "dialect_distinct_on",

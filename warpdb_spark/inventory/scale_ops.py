@@ -374,6 +374,52 @@ _OLS_ORACLE = (
 )
 
 
+# --- events: Markov transition matrix ----------------------------------------
+
+
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's
+    time-ordered event stream — the product-analytics "what happens
+    next" operator (and the event-sequence analog of
+    ``text_perplexity_bigram``'s left-context MLE). One lead window
+    (single user_id hash partitioning) emits transitions; counts
+    aggregate to an |event_types|² frame — trivially broadcastable —
+    and row-normalize into probabilities through a tiny self-join, so
+    the only corpus-sized work is the one window shuffle at any scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("src_event"),
+        F.lead("event_type").over(w).alias("dst_event"),
+    ).filter(F.col("dst_event").isNotNull())
+    counts = tr.groupBy("src_event", "dst_event").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    totals = counts.groupBy("src_event").agg(
+        F.sum("n_transitions").alias("n_src")
+    )
+    return counts.join(F.broadcast(totals), "src_event").select(
+        "src_event",
+        "dst_event",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("n_src"), 6).alias("p_transition"),
+    )
+
+
+_MARKOV_ORACLE = (
+    "WITH tr AS (SELECT event_type AS src_event, "
+    "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_event "
+    "FROM events), "
+    "c AS (SELECT src_event, dst_event, CAST(count(*) AS BIGINT) AS n_transitions "
+    "FROM tr WHERE dst_event IS NOT NULL GROUP BY 1, 2), "
+    "t AS (SELECT src_event, sum(n_transitions) AS n_src FROM c GROUP BY 1) "
+    "SELECT src_event, dst_event, n_transitions, "
+    "round(n_transitions / CAST(n_src AS DOUBLE), 6) AS p_transition "
+    "FROM c JOIN t USING (src_event)"
+)
+
+
 # --- text: bigram-LM document scoring -----------------------------------------
 
 
@@ -654,6 +700,7 @@ QUERIES = {
     "sketch_countmin_words": sketch_countmin_words,
     "text_subword_segment": text_subword_segment,
     "events_trend_ols": events_trend_ols,
+    "events_markov_transitions": events_markov_transitions,
     "text_perplexity_bigram": text_perplexity_bigram,
     "range_join_session_overlap": range_join_session_overlap,
     "reshape_global_ordinal": reshape_global_ordinal,
@@ -700,6 +747,7 @@ ORACLES = {
     "sketch_countmin_words": _cms_oracle(),
     "text_subword_segment": _SW_ORACLE,
     "events_trend_ols": _OLS_ORACLE,
+    "events_markov_transitions": _MARKOV_ORACLE,
     "text_perplexity_bigram": _BIGRAM_ORACLE,
     "reshape_global_ordinal": (
         "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS ordinal, n_chars "
