@@ -42,6 +42,69 @@ class TestTriangleCounts:
         assert total is not None and total % 3 == 0
 
 
+class TestAdamicAdar:
+    def test_handcomputed_synthetic_graph(self, spark):
+        # events crafted so consecutive users form edges
+        # 1-2, 2-3, 3-4, 4-1, 1-3 within one event_type: the only
+        # non-edge pair is (2,4) with common neighbors {1, 3},
+        # deg(1)=3, deg(3)=3 → AA = 2/ln(3)
+        import datetime
+        import math
+
+        import warpdb_spark.inventory.scale_ops as so
+
+        seq = [1, 2, 3, 4, 1, 3, 1, 4]  # consecutive pairs give the edges
+        base = datetime.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (i, base + datetime.timedelta(seconds=i), u, "x", 1.0)
+                for i, u in enumerate(seq)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        orig = so._t
+        so._t = lambda spark, sf_dir, name: ev
+        try:
+            rows = so.graph_adamic_adar(spark, "ignored").collect()
+        finally:
+            so._t = orig
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["user_a"], r["user_b"], r["n_common"]) == (2, 4, 2)
+        assert abs(r["adamic_adar"] - round(2 / math.log(3), 6)) < 1e-9
+
+    def test_bounds_on_real_graph(self, spark, sf_dir):
+        import warpdb_spark.inventory.scale_ops as so
+
+        # the sf0.001 user graph may be near-complete (few or no
+        # non-edge candidates); assert invariants over whatever exists
+        for r in so.graph_adamic_adar(spark, sf_dir).collect():
+            assert r["user_a"] < r["user_b"]
+            assert r["n_common"] >= 2
+            assert r["adamic_adar"] > 0
+
+    def test_excludes_existing_edges(self, spark, sf_dir):
+        import warpdb_spark.inventory.scale_ops as so
+        from pyspark.sql import Window as W
+
+        got = so.graph_adamic_adar(spark, sf_dir)
+        ev = so._t(spark, sf_dir, "events")
+        w = W.partitionBy("event_type").orderBy("ts", "event_id")
+        nx = ev.select(
+            F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+        )
+        edges = (
+            nx.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+            .select(
+                F.least("src", "dst").alias("user_a"),
+                F.greatest("src", "dst").alias("user_b"),
+            )
+            .distinct()
+        )
+        overlap = got.join(edges, ["user_a", "user_b"]).count()
+        assert overlap == 0
+
+
 class TestEwmaSmooth:
     def test_first_event_equals_value(self, spark, sf_dir):
         df = scale_ops.events_ewma_smooth(spark, sf_dir)

@@ -155,6 +155,7 @@ DRIVER_PRIORITY: list[str] = [
     # counting, truncated EWMA, hashed linear quality scorer, two-phase
     # global ordinal — novel operator families, never driver-checked
     "graph_triangle_count",
+    "graph_adamic_adar",
     "events_ewma_smooth",
     "text_quality_classifier",
     "sketch_countmin_words",

@@ -64,6 +64,89 @@ def graph_triangle_count(spark, sf_dir):
     )
 
 
+# --- graph: Adamic-Adar link prediction --------------------------------------
+
+
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the user-interaction graph:
+    for every NON-edge user pair with ≥2 common neighbors, score =
+    Σ_z 1/ln(deg(z)) over common neighbors z — hub neighbors count
+    less (Adamic & Adar 2003).
+
+    Wedge enumeration from each center z is Σ deg(z)² work; unlike
+    triangle counting there is no orientation trick (both endpoints of
+    a candidate pair must see the SAME center), so the production knob
+    is a center-degree cap: hub centers contribute ≈1/ln(huge) ≈ 0 per
+    pair and can be dropped wholesale — the same degenerate-bucket cap
+    as MinHash-LSH banding. Here the cap sits above this graph's max
+    degree so the oracle replays the full sum. Shuffles: wedge
+    self-join on the center key, one (pair) aggregation, one anti-join
+    against the edge list.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nx = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    )
+    edges = (
+        nx.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    directed = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("z"), F.col("b").alias("nbr"))
+    deg = directed.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    # center-degree cap: production knob, non-binding on this graph
+    capped = directed.join(deg.filter(F.col("deg") <= 1_000_000), "z")
+    d1, d2 = capped.alias("d1"), capped.alias("d2")
+    wedges = d1.join(
+        d2,
+        (F.col("d1.z") == F.col("d2.z")) & (F.col("d1.nbr") < F.col("d2.nbr")),
+    ).select(
+        F.col("d1.nbr").alias("u"),
+        F.col("d2.nbr").alias("v"),
+        (F.lit(1.0) / F.log(F.col("d1.deg").cast("double"))).alias("contrib"),
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum("contrib").alias("aa_raw"),
+    )
+    non_edges = scored.join(
+        edges,
+        (scored["u"] == edges["a"]) & (scored["v"] == edges["b"]),
+        "left_anti",
+    )
+    return non_edges.filter(F.col("n_common") >= 2).select(
+        F.col("u").alias("user_a"),
+        F.col("v").alias("user_b"),
+        "n_common",
+        F.round("aa_raw", 6).alias("adamic_adar"),
+    )
+
+
+_AA_ORACLE = (
+    "WITH nx AS (SELECT user_id AS src, "
+    "lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst "
+    "FROM events), "
+    "E AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM nx WHERE dst IS NOT NULL AND dst <> src), "
+    "D AS (SELECT a AS z, b AS nbr FROM E UNION ALL SELECT b, a FROM E), "
+    "deg AS (SELECT z, count(*) AS deg FROM D GROUP BY 1), "
+    "wedge AS (SELECT d1.nbr AS u, d2.nbr AS v, 1.0 / ln(CAST(deg.deg AS DOUBLE)) AS contrib "
+    "FROM D d1 JOIN D d2 ON d1.z = d2.z AND d1.nbr < d2.nbr "
+    "JOIN deg ON deg.z = d1.z), "
+    "s AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common, sum(contrib) AS aa_raw "
+    "FROM wedge GROUP BY 1, 2) "
+    "SELECT s.u AS user_a, s.v AS user_b, n_common, round(aa_raw, 6) AS adamic_adar "
+    "FROM s LEFT JOIN E ON E.a = s.u AND E.b = s.v "
+    "WHERE E.a IS NULL AND n_common >= 2"
+)
+
+
 # --- time series: truncated EWMA --------------------------------------------
 
 _EWMA_ALPHA = 0.3
@@ -695,6 +778,7 @@ def reshape_global_ordinal(spark, sf_dir):
 
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
+    "graph_adamic_adar": graph_adamic_adar,
     "events_ewma_smooth": events_ewma_smooth,
     "text_quality_classifier": text_quality_classifier,
     "sketch_countmin_words": sketch_countmin_words,
@@ -721,6 +805,7 @@ ORACLES = {
         "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
         "SELECT user_id, count(*) AS n_triangles FROM corners GROUP BY user_id"
     ),
+    "graph_adamic_adar": _AA_ORACLE,
     "events_ewma_smooth": _ewma_oracle(),
     # plain pairwise overlap join over the sessionize CTE — the banded
     # Spark path must produce the identical pair set
