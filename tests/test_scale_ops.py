@@ -105,6 +105,58 @@ class TestAdamicAdar:
         assert overlap == 0
 
 
+class TestContainment:
+    def test_embedded_doc_scores_one_directionally(self, spark):
+        import warpdb_spark.inventory.scale_ops as so
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "web", "alpha beta gamma delta epsilon zeta"),
+                (2, "en", "web", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                (3, "en", "web", "totally different words here now friend"),
+            ],
+            ["doc_id", "lang", "source", "text"],
+        )
+        orig = so._t
+        so._t = lambda spark, sf_dir, name: docs
+        try:
+            rows = {
+                (r["id_a"], r["id_b"]): r
+                for r in so.dedup_containment_ngram(spark, "ignored").collect()
+            }
+        finally:
+            so._t = orig
+        r = rows[(1, 2)]
+        # doc 1's shingles all appear in doc 2 → containment 1.0 one way
+        assert r["containment_a_in_b"] == 1.0
+        assert r["containment_b_in_a"] < 1.0
+        assert (1, 3) not in rows and (2, 3) not in rows
+
+    def test_scores_consistent_on_corpus(self, spark, sf_dir):
+        rows = scale_ops.dedup_containment_ngram(spark, sf_dir).collect()
+        for r in rows:
+            assert 0.0 < r["containment_a_in_b"] <= 1.0
+            assert 0.0 < r["containment_b_in_a"] <= 1.0
+            assert max(r["containment_a_in_b"], r["containment_b_in_a"]) >= 0.5
+
+
+class TestUserRfm:
+    def test_scores_and_code(self, spark, sf_dir):
+        rows = scale_ops.events_user_rfm(spark, sf_dir).collect()
+        n = len(rows)
+        assert n > 0
+        for r in rows:
+            for s in ("r_score", "f_score", "m_score"):
+                assert 1 <= r[s] <= 5
+            assert r["rfm_code"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+            assert r["recency_days"] >= 0
+        # ntile quintiles are balanced within 1
+        from collections import Counter
+
+        counts = Counter(r["r_score"] for r in rows)
+        assert max(counts.values()) - min(counts.values()) <= 1
+
+
 class TestEwmaSmooth:
     def test_first_event_equals_value(self, spark, sf_dir):
         df = scale_ops.events_ewma_smooth(spark, sf_dir)

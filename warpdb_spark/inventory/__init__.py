@@ -156,6 +156,8 @@ DRIVER_PRIORITY: list[str] = [
     # global ordinal — novel operator families, never driver-checked
     "graph_triangle_count",
     "graph_adamic_adar",
+    "dedup_containment_ngram",
+    "events_user_rfm",
     "events_ewma_smooth",
     "text_quality_classifier",
     "sketch_countmin_words",

@@ -64,6 +64,155 @@ def graph_triangle_count(spark, sf_dir):
     )
 
 
+# --- dedup: asymmetric containment -------------------------------------------
+
+
+def dedup_containment_ngram(spark, sf_dir):
+    """Asymmetric near-dup detection by word-3-gram CONTAINMENT —
+    |Sa ∩ Sb| / |Sa| — the direction-aware score Jaccard can't express
+    (a short doc fully embedded in a long one scores ~1 one way and low
+    the other; Jaccard dilutes it). The quote/excerpt/boilerplate
+    detector of a curation pipeline.
+
+    Same blocked shape as ``dedup_ngram_jaccard``: (lang, source)
+    metadata blocks prune the quadratic pair space (at 100 TB block on
+    a MinHash band instead), then the shingle arrays score each
+    candidate via array_intersect — JVM-side, whole-stage codegen.
+    Both directed containments emit per unordered pair.
+    """
+    from warpdb_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(
+            F.size(F.split(T.normalized_text(F.col("text")), " ")) < F.lit(3),
+            F.array(T.normalized_text(F.col("text"))),
+        )
+        .otherwise(
+            F.array_distinct(
+                T.word_ngrams(T.normalized_text(F.col("text")), 3)
+            )
+        )
+        .alias("s"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), "lang", "source", F.col("s").alias("sa")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), "lang", "source", F.col("s").alias("sb")
+    )
+    pairs = a.join(b, ["lang", "source"]).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        inter.alias("n_common"),
+        F.round(inter / F.size("sa"), 6).alias("containment_a_in_b"),
+        F.round(inter / F.size("sb"), 6).alias("containment_b_in_a"),
+    )
+    return scored.filter(
+        (F.col("containment_a_in_b") >= 0.5) | (F.col("containment_b_in_a") >= 0.5)
+    )
+
+
+_CONTAIN_ORACLE = (
+    r"WITH norm AS (SELECT doc_id, lang, source, "
+    r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS n FROM documents), "
+    "sh AS (SELECT doc_id, lang, source, "
+    "CASE WHEN len(string_split(n,' ')) < 3 THEN [n] "
+    "ELSE list_distinct([array_to_string(string_split(n,' ')[i:i+2], ' ') "
+    "for i in generate_series(1, len(string_split(n,' '))-2)]) END AS s "
+    "FROM norm) "
+    "SELECT id_a, id_b, n_common, containment_a_in_b, containment_b_in_a FROM ("
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_common, "
+    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment_a_in_b, "
+    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6) AS containment_b_in_a "
+    "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source "
+    "AND a.doc_id < b.doc_id) "
+    "WHERE containment_a_in_b >= 0.5 OR containment_b_in_a >= 0.5"
+)
+
+
+# --- events: RFM user segmentation -------------------------------------------
+
+
+def events_user_rfm(spark, sf_dir):
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic activity-scoring operator: per-user recency in days from
+    the corpus max timestamp, event count, and value total (summed in
+    integer cents so combine order can't perturb it), each quintiled
+    into 1-5 and combined into the three-digit RFM code.
+
+    One user_id aggregation shuffle; the corpus max rides a one-row
+    broadcast. Quintiles use exact ntile over (metric, user_id) — a
+    deterministic total order both engines replay; at 100 TB the
+    user-level frame is corpus-cardinality/1000s and if even that is
+    too large for a sort, the cutpoints come from approx_percentile
+    broadcast instead (the `events_equidepth_approx` pattern).
+    """
+    ev = _t(spark, sf_dir, "events")
+    esec = F.col("ts").cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(esec).alias("last_sec"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    ref = ev.agg(F.max(esec).alias("ref_sec"))
+    per_user = per_user.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.floor((F.col("ref_sec") - F.col("last_sec")) / 86400).cast("bigint").alias(
+            "recency_days"
+        ),
+        "frequency",
+        F.round(F.col("cents") / 100.0, 2).alias("monetary"),
+        "cents",
+    )
+    # quintiles: recency ascending = most recent first (best score 5)
+    wr = Window.orderBy(F.col("recency_days"), F.col("user_id"))
+    wf_ = Window.orderBy(F.desc("frequency"), F.col("user_id"))
+    wm = Window.orderBy(F.desc("cents"), F.col("user_id"))
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(6) - F.ntile(5).over(wr)).alias("r_score"),
+        (F.lit(6) - F.ntile(5).over(wf_)).alias("f_score"),
+        (F.lit(6) - F.ntile(5).over(wm)).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+            "int"
+        ),
+    )
+
+
+_RFM_ORACLE = (
+    "WITH per_user AS (SELECT user_id, "
+    "max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec, "
+    "CAST(count(*) AS BIGINT) AS frequency, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    "FROM events GROUP BY 1), "
+    "ref AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS ref_sec FROM events), "
+    "base AS (SELECT user_id, "
+    "CAST(floor((ref_sec - last_sec) / 86400.0) AS BIGINT) AS recency_days, "
+    "frequency, round(cents / 100.0, 2) AS monetary, cents "
+    "FROM per_user CROSS JOIN ref), "
+    "scored AS (SELECT user_id, recency_days, frequency, monetary, "
+    "6 - ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score, "
+    "6 - ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score, "
+    "6 - ntile(5) OVER (ORDER BY cents DESC, user_id) AS m_score "
+    "FROM base) "
+    "SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score, "
+    "CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code FROM scored"
+)
+
+
 # --- graph: Adamic-Adar link prediction --------------------------------------
 
 
@@ -779,6 +928,8 @@ def reshape_global_ordinal(spark, sf_dir):
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_adamic_adar": graph_adamic_adar,
+    "dedup_containment_ngram": dedup_containment_ngram,
+    "events_user_rfm": events_user_rfm,
     "events_ewma_smooth": events_ewma_smooth,
     "text_quality_classifier": text_quality_classifier,
     "sketch_countmin_words": sketch_countmin_words,
@@ -806,6 +957,8 @@ ORACLES = {
         "SELECT user_id, count(*) AS n_triangles FROM corners GROUP BY user_id"
     ),
     "graph_adamic_adar": _AA_ORACLE,
+    "dedup_containment_ngram": _CONTAIN_ORACLE,
+    "events_user_rfm": _RFM_ORACLE,
     "events_ewma_smooth": _ewma_oracle(),
     # plain pairwise overlap join over the sessionize CTE — the banded
     # Spark path must produce the identical pair set
