@@ -105,6 +105,46 @@ class TestAdamicAdar:
         assert overlap == 0
 
 
+class TestMmrRerank:
+    def test_diversity_skips_near_duplicate(self, spark):
+        # query 0; vecs 100/101 identical (highest relevance), vec 102
+        # diverse with decent relevance: plain top-2 = {100, 101} but
+        # MMR rank-2 must skip the duplicate and pick 102
+        import warpdb_spark.inventory.scale_ops as so
+
+        # mmr2(dup 101) = 0.7·0.8984 − 0.3·1.0    ≈ 0.329
+        # mmr2(102)     = 0.7·0.8984 − 0.3·0.614  ≈ 0.445  → 102 wins
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (100, [0.9, 0.44, 0.0]),
+            (101, [0.9, 0.44, 0.0]),
+            (102, [0.9, -0.44, 0.0]),
+        ] + [(200 + i, [0.0, 1.0, float(i) / 100]) for i in range(20)]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+        orig = so._t
+        so._t = lambda spark, sf_dir, name: emb
+        try:
+            got = {
+                (r["query_id"], r["mmr_rank"]): r["vec_id"]
+                for r in so.similarity_mmr_rerank(spark, "ignored").collect()
+            }
+        finally:
+            so._t = orig
+        assert got[(0, 1)] == 100
+        assert got[(0, 2)] == 102  # NOT the duplicate 101
+
+    def test_selected_distinct_on_corpus(self, spark, sf_dir):
+        rows = scale_ops.similarity_mmr_rerank(spark, sf_dir).collect()
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+        for q, picks in by_q.items():
+            assert len(picks) == len(set(picks)) == 3, q
+
+
 class TestContainment:
     def test_embedded_doc_scores_one_directionally(self, spark):
         import warpdb_spark.inventory.scale_ops as so

@@ -156,6 +156,7 @@ DRIVER_PRIORITY: list[str] = [
     # global ordinal — novel operator families, never driver-checked
     "graph_triangle_count",
     "graph_adamic_adar",
+    "similarity_mmr_rerank",
     "dedup_containment_ngram",
     "events_user_rfm",
     "events_ewma_smooth",

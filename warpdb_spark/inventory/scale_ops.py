@@ -64,6 +64,202 @@ def graph_triangle_count(spark, sf_dir):
     )
 
 
+# --- retrieval: MMR diversified re-ranking -----------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_MU = 0.3  # NOT computed as 1-λ: Python 1-0.7 != the SQL literal 0.3
+_MMR_SHORTLIST = 20
+_MMR_K = 3
+
+
+def similarity_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's exact cosine top-20 shortlist, greedily
+    pick 3 results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-picked — the diversity re-rank every RAG/retrieval stack
+    bolts onto plain top-k.
+
+    Scale shape: the ONLY corpus-sized stage is the shortlist scan
+    (broadcast queries, one TakeOrdered per query — the
+    ``similarity_topk_bruteforce`` path); everything after runs on
+    k-bounded frames (≤20 rows/query, ≤400 pairwise sims/query), so
+    the greedy loop — inherently sequential — costs O(queries·k²)
+    total, independent of corpus size. The 3 greedy steps are UNROLLED
+    as dataframe stages (the PageRank fixed-iteration pattern), every
+    score rounded to 6 dp before each argmax with id tie-breaks, so
+    the DuckDB oracle replays selection exactly.
+    """
+    from warpdb_spark.functions import vectors as V
+    from warpdb_spark.operators import similarity as S
+
+    lam, mu = _MMR_LAMBDA, _MMR_MU
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    short = S.cosine_topk(
+        emb, queries, k=_MMR_SHORTLIST, id_col="vec_id", vec_col="embedding"
+    ).persist()
+
+    # pairwise sims among each query's shortlist members (≤ k² rows/query)
+    va = emb.select(F.col("vec_id").alias("id_x"), F.col("embedding").alias("vx"))
+    vb = emb.select(F.col("vec_id").alias("id_y"), F.col("embedding").alias("vy"))
+    pairs = (
+        short.select("query_id", F.col("neighbor_id").alias("id_x"))
+        .join(short.select("query_id", F.col("neighbor_id").alias("id_y")), "query_id")
+        .filter(F.col("id_x") != F.col("id_y"))
+    )
+    sims = (
+        pairs.join(F.broadcast(va), "id_x")
+        .join(F.broadcast(vb), "id_y")
+        .select(
+            "query_id",
+            "id_x",
+            "id_y",
+            F.round(V.cosine_similarity(F.col("vx"), F.col("vy")), 6).alias("s"),
+        )
+        .persist()
+    )
+
+    s1 = short.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("s1_id"),
+        F.col("cosine").alias("s1_score"),
+    )
+    c2 = (
+        short.join(s1, "query_id")
+        .filter(F.col("neighbor_id") != F.col("s1_id"))
+        .join(
+            sims.select(
+                "query_id",
+                F.col("id_x").alias("neighbor_id"),
+                F.col("id_y").alias("s1_id"),
+                F.col("s").alias("sim1"),
+            ),
+            ["query_id", "neighbor_id", "s1_id"],
+        )
+        .withColumn(
+            "mmr2", F.round(lam * F.col("cosine") - mu * F.col("sim1"), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("mmr2"), F.col("neighbor_id"))
+    s2 = (
+        c2.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id", F.col("neighbor_id").alias("s2_id"), F.col("mmr2").alias("s2_score")
+        )
+    )
+    c3 = (
+        short.join(s1, "query_id")
+        .join(s2, "query_id")
+        .filter(
+            (F.col("neighbor_id") != F.col("s1_id"))
+            & (F.col("neighbor_id") != F.col("s2_id"))
+        )
+        .join(
+            sims.select(
+                "query_id",
+                F.col("id_x").alias("neighbor_id"),
+                F.col("id_y").alias("s1_id"),
+                F.col("s").alias("sim1"),
+            ),
+            ["query_id", "neighbor_id", "s1_id"],
+        )
+        .join(
+            sims.select(
+                "query_id",
+                F.col("id_x").alias("neighbor_id"),
+                F.col("id_y").alias("s2_id"),
+                F.col("s").alias("sim2"),
+            ),
+            ["query_id", "neighbor_id", "s2_id"],
+        )
+        .withColumn(
+            "mmr3",
+            F.round(
+                lam * F.col("cosine")
+                - mu * F.greatest(F.col("sim1"), F.col("sim2")),
+                6,
+            ),
+        )
+    )
+    w3 = Window.partitionBy("query_id").orderBy(F.desc("mmr3"), F.col("neighbor_id"))
+    s3 = (
+        c3.withColumn("__rn", F.row_number().over(w3))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id", F.col("neighbor_id").alias("s3_id"), F.col("mmr3").alias("s3_score")
+        )
+    )
+    out = (
+        s1.select(
+            "query_id",
+            F.lit(1).alias("mmr_rank"),
+            F.col("s1_id").alias("vec_id"),
+            F.col("s1_score").alias("mmr_score"),
+        )
+        .unionAll(
+            s2.select(
+                "query_id", F.lit(2).alias("mmr_rank"),
+                F.col("s2_id").alias("vec_id"), F.col("s2_score").alias("mmr_score"),
+            )
+        )
+        .unionAll(
+            s3.select(
+                "query_id", F.lit(3).alias("mmr_rank"),
+                F.col("s3_id").alias("vec_id"), F.col("s3_score").alias("mmr_score"),
+            )
+        )
+    )
+    return out
+
+
+def _mmr_oracle() -> str:
+    lam, mu, k = _MMR_LAMBDA, _MMR_MU, _MMR_SHORTLIST
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 10), "
+        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine "
+        "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id), "
+        "short AS (SELECT * FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+        f"FROM scored) WHERE rank <= {k}), "
+        "sims AS (SELECT a.query_id, a.neighbor_id AS id_x, b.neighbor_id AS id_y, "
+        "round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+        "CAST(eb.embedding AS DOUBLE[])), 6) AS s "
+        "FROM short a JOIN short b ON a.query_id = b.query_id "
+        "AND a.neighbor_id <> b.neighbor_id "
+        "JOIN embeddings ea ON ea.vec_id = a.neighbor_id "
+        "JOIN embeddings eb ON eb.vec_id = b.neighbor_id), "
+        "s1 AS (SELECT query_id, neighbor_id AS s1_id, cosine AS s1_score "
+        "FROM short WHERE rank = 1), "
+        "c2 AS (SELECT short.query_id, short.neighbor_id, "
+        f"round({lam} * short.cosine - {mu} * sims.s, 6) AS mmr2 "
+        "FROM short JOIN s1 ON s1.query_id = short.query_id "
+        "AND short.neighbor_id <> s1.s1_id "
+        "JOIN sims ON sims.query_id = short.query_id "
+        "AND sims.id_x = short.neighbor_id AND sims.id_y = s1.s1_id), "
+        "s2 AS (SELECT query_id, neighbor_id AS s2_id, mmr2 AS s2_score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY mmr2 DESC, neighbor_id) AS rn FROM c2) WHERE rn = 1), "
+        "c3 AS (SELECT short.query_id, short.neighbor_id, "
+        f"round({lam} * short.cosine - {mu} * greatest(x.s, y.s), 6) AS mmr3 "
+        "FROM short JOIN s1 ON s1.query_id = short.query_id "
+        "JOIN s2 ON s2.query_id = short.query_id "
+        "AND short.neighbor_id <> s1.s1_id AND short.neighbor_id <> s2.s2_id "
+        "JOIN sims x ON x.query_id = short.query_id "
+        "AND x.id_x = short.neighbor_id AND x.id_y = s1.s1_id "
+        "JOIN sims y ON y.query_id = short.query_id "
+        "AND y.id_x = short.neighbor_id AND y.id_y = s2.s2_id), "
+        "s3 AS (SELECT query_id, neighbor_id AS s3_id, mmr3 AS s3_score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY mmr3 DESC, neighbor_id) AS rn FROM c3) WHERE rn = 1) "
+        "SELECT query_id, 1 AS mmr_rank, s1_id AS vec_id, s1_score AS mmr_score FROM s1 "
+        "UNION ALL SELECT query_id, 2, s2_id, s2_score FROM s2 "
+        "UNION ALL SELECT query_id, 3, s3_id, s3_score FROM s3"
+    )
+
+
 # --- dedup: asymmetric containment -------------------------------------------
 
 
@@ -928,6 +1124,7 @@ def reshape_global_ordinal(spark, sf_dir):
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_adamic_adar": graph_adamic_adar,
+    "similarity_mmr_rerank": similarity_mmr_rerank,
     "dedup_containment_ngram": dedup_containment_ngram,
     "events_user_rfm": events_user_rfm,
     "events_ewma_smooth": events_ewma_smooth,
@@ -957,6 +1154,7 @@ ORACLES = {
         "SELECT user_id, count(*) AS n_triangles FROM corners GROUP BY user_id"
     ),
     "graph_adamic_adar": _AA_ORACLE,
+    "similarity_mmr_rerank": _mmr_oracle(),
     "dedup_containment_ngram": _CONTAIN_ORACLE,
     "events_user_rfm": _RFM_ORACLE,
     "events_ewma_smooth": _ewma_oracle(),
