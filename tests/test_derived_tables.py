@@ -739,6 +739,21 @@ class TestDistinctOn:
                 "ORDER BY o_orderkey"
             ).collect()
 
+    def test_select_windows_see_pre_distinct_frame(self, db):
+        # Postgres/DuckDB: select-list window functions evaluate over
+        # ALL rows BEFORE the DISTINCT ON filter (review finding —
+        # recomputing over the survivors returned the group count)
+        rows = db.query_sql(
+            "SELECT DISTINCT ON (o_orderpriority) o_orderpriority, "
+            "count(*) OVER () AS total FROM orders "
+            "ORDER BY o_orderpriority, o_orderkey"
+        ).collect()
+        n_orders = db.query_sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+        n_priorities = len(rows)
+        assert n_orders > n_priorities
+        for r in rows:
+            assert r["total"] == n_orders  # NOT n_priorities
+
     def test_multi_key_and_expression(self, db):
         rows = db.query_sql(
             "SELECT DISTINCT ON (o_orderpriority, o_custkey % 10) "

@@ -392,7 +392,6 @@ def test_agg_filter_matches_duckdb(qdb, qduck, agg, pred, pred2):
 
 # --- DISTINCT ON: randomized cross-check against DuckDB's native form ---
 
-_don_keys = st.sampled_from(["grp", "grp, quantity_null_free"])
 _don_tie = st.sampled_from(["price ASC, id", "price DESC, id", "id DESC"])
 _don_where = st.sampled_from(["", "WHERE price > 10 ", "WHERE id >= 2 "])
 

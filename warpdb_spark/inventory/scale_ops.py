@@ -30,6 +30,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _alnum_tokens(col):
+    """Lower-cased [a-z0-9]+ token array — the ONE tokenizer every text
+    entry in this module shares; its DuckDB twin is
+    ``list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')``
+    repeated verbatim in each oracle string. Change both together."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+
+def _user_edges(spark, sf_dir):
+    """Undirected canonical user-interaction edges — consecutive users
+    within an event_type (one lead window, linear construction), self-
+    loops dropped, deduplicated, a < b. Shared by the graph entries
+    here and text-identical to ``retrieval_ops.graph_pagerank_users``'s
+    directed variant and every graph oracle's edge CTE."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nx = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    )
+    return (
+        nx.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+
+
 # --- graph: triangle counting ------------------------------------------------
 
 
@@ -47,18 +75,7 @@ def graph_triangle_count(spark, sf_dir):
     """
     from warpdb_spark.operators.triangles import triangle_counts
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    nx = ev.select(
-        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
-    )
-    edges = (
-        nx.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
+    edges = _user_edges(spark, sf_dir)
     return triangle_counts(edges).select(
         F.col("id").alias("user_id"), "n_triangles"
     )
@@ -428,19 +445,7 @@ def graph_adamic_adar(spark, sf_dir):
     self-join on the center key, one (pair) aggregation, one anti-join
     against the edge list.
     """
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    nx = ev.select(
-        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
-    )
-    edges = (
-        nx.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .persist()
-    )
+    edges = _user_edges(spark, sf_dir).persist()
     directed = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).select(F.col("a").alias("z"), F.col("b").alias("nbr"))
@@ -565,9 +570,7 @@ def text_quality_classifier(spark, sf_dir):
     exactly with no float-association noise.
     """
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _alnum_tokens(F.col("text"))
 
     def wint(t):
         bucket = (
@@ -589,11 +592,15 @@ def text_quality_classifier(spark, sf_dir):
             "wsum"
         ),
     ).filter(F.col("n_tokens") > 0)
-    logit = F.col("wsum") / (F.lit(65536.0) * F.col("n_tokens"))
+    # keep derives from the ROUNDED logit: deciding on the raw value
+    # while emitting the rounded one can produce keep=true with
+    # quality_logit=0.0 (wsum=1 over >30 tokens) — self-contradictory
+    # output and an engine-comparison hazard
+    logit = F.round(F.col("wsum") / (F.lit(65536.0) * F.col("n_tokens")), 6)
     return scored.select(
         "doc_id",
         "n_tokens",
-        F.round(logit, 6).alias("quality_logit"),
+        logit.alias("quality_logit"),
         (logit > 0).alias("keep"),
     )
 
@@ -610,7 +617,7 @@ _QC_ORACLE = (
     "FROM t WHERE len(toks) > 0) "
     "SELECT doc_id, n_tokens, "
     "round(wsum / (65536.0 * n_tokens), 6) AS quality_logit, "
-    "wsum / (65536.0 * n_tokens) > 0 AS keep FROM s"
+    "round(wsum / (65536.0 * n_tokens), 6) > 0 AS keep FROM s"
 )
 
 
@@ -642,9 +649,7 @@ def text_subword_segment(spark, sf_dir):
     import pandas as pd
 
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _alnum_tokens(F.col("text"))
     words = docs.select("doc_id", F.explode(toks).alias("w"))
     wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
 
@@ -865,9 +870,7 @@ def text_perplexity_bigram(spark, sf_dir):
     aggregation is the only corpus-sized shuffle.
     """
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _alnum_tokens(F.col("text"))
     # NB: guard — Spark's sequence(1, 0) descends, it is not empty
     pairs = F.expr(
         "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
@@ -930,9 +933,7 @@ def sketch_countmin_words(spark, sf_dir):
     one-sided error bound as data.
     """
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _alnum_tokens(F.col("text"))
     words = docs.select(F.explode(toks).alias("w"))
 
     def bucket(row: int, col):
@@ -955,7 +956,12 @@ def sketch_countmin_words(spark, sf_dir):
         "word", *[bucket(r, F.col("word")).alias(f"b{r}") for r in range(_CMS_DEPTH)]
     )
     for r in range(_CMS_DEPTH):
-        est = est.join(F.broadcast(sketch[r]), f"b{r}")
+        # LEFT join + 0-fill: an empty bucket means the probe word never
+        # hashed there — CMS semantics say its counter is 0, not "drop
+        # the probe" (an inner join would silently lose absent words)
+        est = est.join(F.broadcast(sketch[r]), f"b{r}", "left").withColumn(
+            f"c{r}", F.coalesce(F.col(f"c{r}"), F.lit(0))
+        )
     exact = words.groupBy(F.col("w").alias("word")).agg(
         F.count(F.lit(1)).alias("exact_count")
     )
@@ -987,8 +993,15 @@ def _cms_oracle() -> str:
             f"FROM words GROUP BY 1)"
         )
     probe_vals = ", ".join(f"('{w}')" for w in _CMS_PROBES)
-    joins = " ".join(f"JOIN s{r} ON s{r}.b{r} = {bucket(r, 'p.word')}" for r in range(_CMS_DEPTH))
-    least = "least(" + ", ".join(f"c{r}" for r in range(_CMS_DEPTH)) + ")"
+    joins = " ".join(
+        f"LEFT JOIN s{r} ON s{r}.b{r} = {bucket(r, 'p.word')}"
+        for r in range(_CMS_DEPTH)
+    )
+    least = (
+        "least("
+        + ", ".join(f"coalesce(c{r}, 0)" for r in range(_CMS_DEPTH))
+        + ")"
+    )
     return (
         "WITH words AS (SELECT unnest(list_filter("
         "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w "

@@ -744,6 +744,24 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             raise ValidationError(
                 "SELECT DISTINCT ON expressions must match initial ORDER BY expressions"
             )
+        # Postgres/DuckDB evaluate select-list window functions over the
+        # PRE-DISTINCT-ON frame — materialize any not already bound (the
+        # QUALIFY block may have done some) before the row filter, so
+        # the projection reuses full-frame values instead of silently
+        # recomputing over the one-row-per-group survivors.
+        dw: dict[str, A.WindowFunc] = {}
+        for node in [i for i, _ in q.select_items] + [e for e, _ in q.order_by]:
+            for s in node.walk():
+                if isinstance(s, A.WindowFunc) and s.text() not in comp.env:
+                    dw.setdefault(s.text(), s)
+        if dw:
+            dnames = {t: f"__dw{i}" for i, t in enumerate(dw)}
+            df = df.select(
+                "*", *[comp.compile(w).alias(dnames[t]) for t, w in dw.items()]
+            )
+            denv = dict(comp.env)
+            denv.update({t: F.col(c) for t, c in dnames.items()})
+            comp = Compiler(registry, denv)
         from pyspark.sql.window import Window as _W
 
         rn = F.row_number().over(
