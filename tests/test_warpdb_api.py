@@ -111,6 +111,13 @@ class TestQuerySQL:
         with pytest.raises(ValidationError, match="Unknown column: foo in WHERE clause"):
             db.query_sql("SELECT price FROM test WHERE foo > 1")
 
+    def test_analysis_error_surfaces_as_validation_error(self, db):
+        # Spark analysis failures during plan BUILD (generator on a
+        # scalar column) must wear the dialect's error type, not leak a
+        # raw Py4J AnalysisException through query_sql
+        with pytest.raises(ValidationError, match="Invalid query for this schema"):
+            db.query_sql("SELECT unnest(price) FROM test")
+
     def test_case_expression(self, db):
         out = db.query_sql(
             "SELECT CASE WHEN price > 18 THEN 1 ELSE 0 END AS big FROM test"

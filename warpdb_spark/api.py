@@ -123,7 +123,22 @@ class WarpDB:
         [WHERE] [GROUP BY] [HAVING] [ORDER BY] [LIMIT] [OFFSET], plus the
         documented supersets (src/expression.cpp:270-531)."""
         ast = parse_query(sql)
-        return build_dataframe(self.tables, ast, self.registry)
+        try:
+            return build_dataframe(self.tables, ast, self.registry)
+        except Exception as e:  # noqa: BLE001
+            # Spark analysis errors raised while BUILDING the plan (e.g.
+            # a generator applied to a non-array column) surface as the
+            # dialect's ValidationError with the Spark message attached;
+            # dialect errors pass through untouched. Runtime errors
+            # (ANSI cast failures at .collect()) are out of reach here —
+            # the DataFrame is lazy by contract.
+            from warpdb_spark.errors import WarpDBError
+
+            if isinstance(e, WarpDBError):
+                raise
+            if type(e).__name__ == "AnalysisException":
+                raise ValidationError(f"Invalid query for this schema: {e}") from e
+            raise
 
     def explain(self, sql: str, mode: str = "formatted") -> str:
         """Physical-plan text for a dialect query — the working version
