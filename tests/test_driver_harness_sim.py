@@ -99,6 +99,11 @@ subset = events_entries + [
     "similarity_topk_bruteforce",
     "expr_math_functions",
     "agg_approx_count_distinct",
+    "text_subword_segment",
+    "similarity_mmr_rerank",
+    "sketch_countmin_words",
+    "reshape_global_ordinal",
+    "dialect_distinct_on",
 ]
 for name in subset:
     n = qs[name](spark, sf).count()

@@ -315,6 +315,19 @@ class TestTrendOls:
             assert 0.0 <= r["r2"] <= 1.0
 
 
+class TestTrendOlsPlan:
+    def test_single_shuffle(self, spark, sf_dir):
+        plan = (
+            scale_ops.events_trend_ols(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        # partial aggregation happens map-side before the shuffle
+        assert "partial" in plan.lower()
+
+
 class TestMarkovTransitions:
     def test_rows_normalize_to_one(self, spark, sf_dir):
         rows = scale_ops.events_markov_transitions(spark, sf_dir).collect()
