@@ -766,3 +766,53 @@ class TestDistinctOn:
             key = (r["o_orderpriority"], r["bucket"])
             assert key not in seen
             seen.add(key)
+
+
+class TestIgnoreNulls:
+    """func(args) IGNORE|RESPECT NULLS OVER (...) (superset): ANSI null
+    treatment for lag/lead/first_value/last_value."""
+
+    def test_lag_ignore_nulls_skips_to_last_observation(self, db):
+        rows = db.query_sql(
+            "SELECT o_orderkey AS k, "
+            "lag(CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_totalprice END) "
+            "IGNORE NULLS OVER (ORDER BY o_orderkey) AS prev "
+            "FROM orders ORDER BY o_orderkey LIMIT 50"
+        ).collect()
+        last_obs = None
+        for r in rows:
+            assert r["prev"] == last_obs
+            if r["k"] % 2 != 0:
+                last_obs = db.query_sql(
+                    f"SELECT o_totalprice AS p FROM orders WHERE o_orderkey = {r['k']}"
+                ).collect()[0]["p"]
+
+    def test_respect_nulls_is_default(self, db):
+        a = db.query_sql(
+            "SELECT first_value(o_totalprice) RESPECT NULLS "
+            "OVER (ORDER BY o_orderkey) AS v FROM orders ORDER BY o_orderkey LIMIT 5"
+        ).collect()
+        b = db.query_sql(
+            "SELECT first_value(o_totalprice) "
+            "OVER (ORDER BY o_orderkey) AS v FROM orders ORDER BY o_orderkey LIMIT 5"
+        ).collect()
+        assert [r["v"] for r in a] == [r["v"] for r in b]
+
+    def test_ignore_nulls_requires_over(self, db):
+        import pytest as _pytest
+
+        from warpdb_spark.errors import ParseError
+
+        with _pytest.raises(ParseError, match="requires an OVER clause"):
+            db.query_sql("SELECT lag(o_orderkey) IGNORE NULLS FROM orders").collect()
+
+    def test_ignore_nulls_unsupported_function(self, db):
+        import pytest as _pytest
+
+        from warpdb_spark.errors import ValidationError
+
+        with _pytest.raises(ValidationError, match="only supported for"):
+            db.query_sql(
+                "SELECT row_number() IGNORE NULLS OVER (ORDER BY o_orderkey) "
+                "FROM orders"
+            ).collect()

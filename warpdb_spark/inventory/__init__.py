@@ -168,6 +168,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_perplexity_bigram",
     "range_join_session_overlap",
     "dialect_distinct_on",
+    "window_ignore_nulls",
     "reshape_global_ordinal",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots

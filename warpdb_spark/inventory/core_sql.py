@@ -756,6 +756,26 @@ def dialect_event_time(spark, sf_dir):
     )
 
 
+def window_ignore_nulls(spark, sf_dir):
+    """ANSI null treatment through the dialect (superset):
+    ``lag(x) IGNORE NULLS`` / ``last_value(x) IGNORE NULLS`` — the
+    last-observation-carried-forward idiom over a sparsely-observed
+    column (every 3rd value masked here). PySpark's lag wrapper hides
+    the ignoreNulls flag, so the compiler bridges to the Scala
+    overload; first/last use the native ignorenulls parameter. DuckDB
+    runs its in-argument spelling of the same ANSI semantics."""
+    db = _db(spark, sf_dir, "events")
+    return db.query_sql(
+        "SELECT event_id, user_id, "
+        "lag(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END) IGNORE NULLS "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_obs, "
+        "last_value(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END) IGNORE NULLS "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf "
+        "FROM events"
+    )
+
+
 def dialect_range_interval_frame(spark, sf_dir):
     """Event-time RANGE frame with INTERVAL bounds through the dialect
     (superset): ``RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT
@@ -1298,6 +1318,7 @@ QUERIES = {
     "reshape_unpivot": reshape_unpivot,
     "dialect_setops": dialect_setops,
     "dialect_distinct_on": dialect_distinct_on,
+    "window_ignore_nulls": window_ignore_nulls,
     "dialect_tpch_q3": dialect_tpch_q3,
     "dialect_tpch_q12": dialect_tpch_q12,
 }
@@ -1702,6 +1723,16 @@ ORACLES = {
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
         "AND l_shipdate < TIMESTAMP '1998-01-01' "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    # DuckDB's in-argument IGNORE NULLS spelling of the same semantics
+    "window_ignore_nulls": (
+        "SELECT event_id, user_id, "
+        "lag(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_obs, "
+        "last_value(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf "
+        "FROM events"
     ),
     # DuckDB executes the identical DISTINCT ON text natively
     "dialect_distinct_on": (

@@ -379,11 +379,14 @@ class WindowFunc(Node):
     args: list[Node]
     spec: "WindowSpec | str"  # str = named window, resolved by the builder
     distinct: bool = False
+    # ANSI null treatment: func(args) IGNORE NULLS OVER (...) (superset)
+    ignore_nulls: bool = False
 
     def text(self) -> str:
         inner = ", ".join(a.text() for a in self.args)
         body = self.spec if isinstance(self.spec, str) else self.spec.text()
-        return f"{self.func}({inner}) OVER ({body})"
+        nulls = " IGNORE NULLS" if self.ignore_nulls else ""
+        return f"{self.func}({inner}){nulls} OVER ({body})"
 
     def auto_alias(self) -> str:
         base = self.func.lower()

@@ -333,6 +333,10 @@ class Compiler:
             # Spark (like most engines) has no DISTINCT window aggregates
             raise ValidationError(f"{fname}(DISTINCT ...) OVER (...) is not supported")
         args = [self.compile(a) for a in n.args if not isinstance(a, A.Star)]
+        if n.ignore_nulls and fname not in ("LAG", "LEAD", "FIRST_VALUE", "LAST_VALUE"):
+            raise ValidationError(
+                "IGNORE NULLS is only supported for lag/lead/first_value/last_value"
+            )
         if fname in A.AGG_FUNCS:
             if fname == "COUNT" and (not args or isinstance(n.args[0], A.Star)):
                 base = F.count(F.lit(1))
@@ -352,9 +356,20 @@ class Compiler:
                 if not isinstance(d, (A.Num, A.Str, A.Bool, A.Null)):
                     raise ValidationError(f"{fname} default must be a literal")
                 default = None if isinstance(d, A.Null) else d.value
-            base = getattr(F, fname.lower())(args[0], offset, default)
+            if n.ignore_nulls:
+                # PySpark's lag/lead wrappers don't expose the ANSI
+                # ignoreNulls flag; the Scala overload does
+                from pyspark.sql import SparkSession
+
+                jfn = SparkSession.active()._jvm.org.apache.spark.sql.functions
+                jc = getattr(jfn, fname.lower())(args[0]._jc, offset, default, True)
+                base = Column(jc)
+            else:
+                base = getattr(F, fname.lower())(args[0], offset, default)
         elif fname in ("FIRST_VALUE", "LAST_VALUE"):
-            base = (F.first if fname == "FIRST_VALUE" else F.last)(args[0])
+            base = (F.first if fname == "FIRST_VALUE" else F.last)(
+                args[0], ignorenulls=n.ignore_nulls
+            )
         else:
             raise ValidationError(f"Unknown window function: {fname}")
         return base.over(spec)

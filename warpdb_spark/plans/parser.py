@@ -318,12 +318,23 @@ class _Parser:
                 args.append(self.parse_expr())
         self.expect_op(")")
 
+        # ANSI null treatment: func(args) [IGNORE|RESPECT] NULLS OVER ...
+        ignore_nulls = False
+        if self.peek().kind == IDENT and self.peek().value.upper() in ("IGNORE", "RESPECT"):
+            which = self.next().value.upper()
+            nxt = self.next()
+            if nxt.kind != IDENT or nxt.value.upper() != "NULLS":
+                raise ParseError(f"Expected NULLS after {which}")
+            ignore_nulls = which == "IGNORE"
+            if not self.peek().is_kw("OVER"):
+                raise ParseError(f"{which} NULLS requires an OVER clause")
+
         if self.peek().is_kw("OVER"):
             self.next()
             if self.peek().kind == IDENT:  # OVER w — named window (superset)
-                return A.WindowFunc(upper, args, self.next().value, distinct)
+                return A.WindowFunc(upper, args, self.next().value, distinct, ignore_nulls)
             spec = self.parse_window_spec()
-            return A.WindowFunc(upper, args, spec, distinct)
+            return A.WindowFunc(upper, args, spec, distinct, ignore_nulls)
         if upper in _WINDOW_ONLY_FUNCS:
             raise ParseError(f"{upper} requires an OVER clause")
         filter_cond = self._parse_filter_clause()
