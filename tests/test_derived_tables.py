@@ -816,3 +816,54 @@ class TestIgnoreNulls:
                 "SELECT row_number() IGNORE NULLS OVER (ORDER BY o_orderkey) "
                 "FROM orders"
             ).collect()
+
+
+class TestAnsiFetchAndBoolAggs:
+    def test_fetch_first_equals_limit(self, db):
+        a = db.query_sql(
+            "SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey "
+            "FETCH FIRST 7 ROWS ONLY"
+        ).collect()
+        b = db.query_sql(
+            "SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 7"
+        ).collect()
+        assert a == b and len(a) == 7
+
+    def test_offset_rows_fetch_next(self, db):
+        a = db.query_sql(
+            "SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey "
+            "OFFSET 3 ROWS FETCH NEXT 4 ROWS ONLY"
+        ).collect()
+        b = db.query_sql(
+            "SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey "
+            "LIMIT 4 OFFSET 3"
+        ).collect()
+        assert a == b and len(a) == 4
+
+    def test_bool_aggs_match_manual(self, db):
+        rows = db.query_sql(
+            "SELECT o_orderstatus AS st, bool_and(o_totalprice > 1000) AS all_big, "
+            "bool_or(o_totalprice > 400000) AS any_huge, "
+            "SUM(CASE WHEN o_totalprice > 1000 THEN 0 ELSE 1 END) AS n_small, "
+            "SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS n_huge "
+            "FROM orders GROUP BY o_orderstatus"
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["all_big"] == (r["n_small"] == 0)
+            assert r["any_huge"] == (r["n_huge"] > 0)
+
+    def test_bool_agg_as_window(self, db):
+        rows = db.query_sql(
+            "SELECT o_orderkey AS k, bool_or(o_totalprice > 400000) "
+            "OVER (PARTITION BY o_orderstatus) AS grp_any FROM orders "
+            "ORDER BY k LIMIT 5"
+        ).collect()
+        assert len(rows) == 5
+
+    def test_fetch_requires_only(self, db):
+        with pytest.raises(ParseError, match="Expected ONLY"):
+            db.query_sql(
+                "SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+                "FETCH FIRST 5 ROWS"
+            )

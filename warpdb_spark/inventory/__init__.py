@@ -169,6 +169,7 @@ DRIVER_PRIORITY: list[str] = [
     "range_join_session_overlap",
     "dialect_distinct_on",
     "window_ignore_nulls",
+    "dialect_ansi_fetch_bool",
     "reshape_global_ordinal",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots

@@ -776,6 +776,22 @@ def window_ignore_nulls(spark, sf_dir):
     )
 
 
+def dialect_ansi_fetch_bool(spark, sf_dir):
+    """ANSI surface additions through the dialect (superset): BOOL_AND /
+    BOOL_OR aggregates (with map-side partial aggregation like any
+    other agg) and the ``OFFSET n ROWS FETCH FIRST n ROWS ONLY``
+    spelling of OFFSET/LIMIT. DuckDB runs the identical text."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT o_orderstatus AS st, "
+        "bool_and(o_totalprice > 1000) AS all_over_1k, "
+        "bool_or(o_orderpriority = '1-URGENT') AS any_urgent, "
+        "count(*) AS n "
+        "FROM orders GROUP BY o_orderstatus "
+        "ORDER BY st OFFSET 1 ROWS FETCH FIRST 2 ROWS ONLY"
+    )
+
+
 def dialect_range_interval_frame(spark, sf_dir):
     """Event-time RANGE frame with INTERVAL bounds through the dialect
     (superset): ``RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT
@@ -1319,6 +1335,7 @@ QUERIES = {
     "dialect_setops": dialect_setops,
     "dialect_distinct_on": dialect_distinct_on,
     "window_ignore_nulls": window_ignore_nulls,
+    "dialect_ansi_fetch_bool": dialect_ansi_fetch_bool,
     "dialect_tpch_q3": dialect_tpch_q3,
     "dialect_tpch_q12": dialect_tpch_q12,
 }
@@ -1723,6 +1740,15 @@ ORACLES = {
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
         "AND l_shipdate < TIMESTAMP '1998-01-01' "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    # identical text in both engines
+    "dialect_ansi_fetch_bool": (
+        "SELECT o_orderstatus AS st, "
+        "bool_and(o_totalprice > 1000) AS all_over_1k, "
+        "bool_or(o_orderpriority = '1-URGENT') AS any_urgent, "
+        "count(*) AS n "
+        "FROM orders GROUP BY o_orderstatus "
+        "ORDER BY st OFFSET 1 ROWS FETCH FIRST 2 ROWS ONLY"
     ),
     # DuckDB's in-argument IGNORE NULLS spelling of the same semantics
     "window_ignore_nulls": (

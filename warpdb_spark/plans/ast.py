@@ -281,7 +281,7 @@ class Cast(Node):
 # GROUPING is aggregate-LIKE (computed in the agg, only legal under
 # ROLLUP/CUBE/GROUPING SETS — the builder validates the mode and wires
 # its argument to the pre-projected grouping column)
-AGG_FUNCS = {"SUM", "AVG", "COUNT", "MIN", "MAX", "GROUPING"}
+AGG_FUNCS = {"SUM", "AVG", "COUNT", "MIN", "MAX", "GROUPING", "BOOL_AND", "BOOL_OR"}
 
 
 @dataclass

@@ -42,6 +42,9 @@ _AGG_IMPL = {
     "COUNT": F.count,
     "MIN": F.min,
     "MAX": F.max,
+    # ANSI boolean aggregates (superset; identical in DuckDB)
+    "BOOL_AND": F.bool_and,
+    "BOOL_OR": F.bool_or,
 }
 
 

@@ -583,13 +583,33 @@ class _Parser:
             while self.accept_op(","):
                 q.order_by.append(self.parse_order_item())
         # reference grammar parses LIMIT then OFFSET
-        # (src/expression.cpp:497-522); accept either order.
+        # (src/expression.cpp:497-522); accept either order. OFFSET may
+        # carry the ANSI ROW/ROWS noise word.
         for _ in range(2):
             if q.limit is None and self.accept_kw("LIMIT"):
                 q.limit = self.expect_int("LIMIT")
             if q.offset is None and self.accept_kw("OFFSET"):
                 q.offset = self.expect_int("OFFSET")
+                self._accept_rows_word()
+        # ANSI spelling: FETCH FIRST|NEXT n ROWS ONLY (superset)
+        if q.limit is None and self.accept_kw("FETCH"):
+            which = self.next()
+            if which.kind != IDENT or which.value.upper() not in ("FIRST", "NEXT"):
+                raise ParseError("Expected FIRST or NEXT after FETCH")
+            q.limit = self.expect_int("FETCH")
+            if not self._accept_rows_word():
+                raise ParseError("Expected ROW or ROWS in FETCH clause")
+            only = self.next()
+            if only.kind != IDENT or only.value.upper() != "ONLY":
+                raise ParseError("Expected ONLY in FETCH clause")
         return q
+
+    def _accept_rows_word(self) -> bool:
+        # ROW/ROWS are KEYWORD tokens (window-frame grammar)
+        if self.peek().is_kw("ROW", "ROWS"):
+            self.next()
+            return True
+        return False
 
     def parse_table_ref(self, clause: str):
         """``name [[AS] alias]`` or ``(SELECT ...) [AS] alias`` (derived

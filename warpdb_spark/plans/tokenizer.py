@@ -30,6 +30,7 @@ KEYWORDS = {
     "PARTITION", "ROWS", "RANGE", "PRECEDING", "FOLLOWING", "UNBOUNDED",
     "CURRENT", "ROW", "AS", "UNION", "INTERSECT", "EXCEPT", "ALL", "TRUE",
     "FALSE", "EXISTS", "WITH", "WINDOW", "QUALIFY", "RECURSIVE", "ILIKE",
+    "FETCH",
 }
 
 # token kinds
