@@ -867,3 +867,35 @@ class TestAnsiFetchAndBoolAggs:
                 "SELECT o_orderkey FROM orders ORDER BY o_orderkey "
                 "FETCH FIRST 5 ROWS"
             )
+
+
+class TestArrayAgg:
+    def test_ordered_native_type(self, db):
+        rows = db.query_sql(
+            "SELECT o_orderstatus AS st, "
+            "array_agg(o_totalprice ORDER BY o_totalprice DESC) AS prices "
+            "FROM orders WHERE o_orderkey < 200 GROUP BY o_orderstatus"
+        ).collect()
+        assert rows
+        for r in rows:
+            vals = list(r["prices"])
+            assert vals == sorted(vals, reverse=True)
+            assert all(isinstance(v, float) for v in vals)
+
+    def test_default_order_is_value(self, db):
+        rows = db.query_sql(
+            "SELECT array_agg(o_orderkey) AS ks FROM orders WHERE o_orderkey < 10"
+        ).collect()
+        assert list(rows[0]["ks"]) == sorted(rows[0]["ks"])
+
+    def test_filter_clause(self, db):
+        rows = db.query_sql(
+            "SELECT array_agg(o_orderkey ORDER BY o_orderkey) "
+            "FILTER (WHERE o_totalprice > 200000) AS ks "
+            "FROM orders WHERE o_orderkey < 100"
+        ).collect()
+        manual = db.query_sql(
+            "SELECT o_orderkey AS k FROM orders "
+            "WHERE o_orderkey < 100 AND o_totalprice > 200000 ORDER BY o_orderkey"
+        ).collect()
+        assert list(rows[0]["ks"]) == [r["k"] for r in manual]

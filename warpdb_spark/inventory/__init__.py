@@ -170,6 +170,7 @@ DRIVER_PRIORITY: list[str] = [
     "dialect_distinct_on",
     "window_ignore_nulls",
     "dialect_ansi_fetch_bool",
+    "dialect_array_agg",
     "reshape_global_ordinal",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots

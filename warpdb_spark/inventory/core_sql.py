@@ -776,6 +776,22 @@ def window_ignore_nulls(spark, sf_dir):
     )
 
 
+def dialect_array_agg(spark, sf_dir):
+    """ARRAY_AGG(expr ORDER BY key) through the dialect (superset):
+    ordered native-type array collection — compiled to ONE map-side-
+    combinable aggregate (collect (key, value) structs → array_sort →
+    project), the same shape as STRING_AGG but preserving the element
+    type. Nulls skipped per the dialect contract, so the DuckDB oracle
+    adds FILTER (x IS NOT NULL) to its null-keeping array_agg."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT o_orderpriority AS pri, "
+        "array_agg(o_orderkey ORDER BY o_orderkey) AS keys, count(*) AS n "
+        "FROM orders WHERE o_custkey % 50 = 0 "
+        "GROUP BY o_orderpriority ORDER BY pri"
+    )
+
+
 def dialect_ansi_fetch_bool(spark, sf_dir):
     """ANSI surface additions through the dialect (superset): BOOL_AND /
     BOOL_OR aggregates (with map-side partial aggregation like any
@@ -1336,6 +1352,7 @@ QUERIES = {
     "dialect_distinct_on": dialect_distinct_on,
     "window_ignore_nulls": window_ignore_nulls,
     "dialect_ansi_fetch_bool": dialect_ansi_fetch_bool,
+    "dialect_array_agg": dialect_array_agg,
     "dialect_tpch_q3": dialect_tpch_q3,
     "dialect_tpch_q12": dialect_tpch_q12,
 }
@@ -1740,6 +1757,14 @@ ORACLES = {
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
         "AND l_shipdate < TIMESTAMP '1998-01-01' "
         "GROUP BY 1 ORDER BY 1"
+    ),
+    # dialect skips nulls; DuckDB's array_agg keeps them -> FILTER
+    "dialect_array_agg": (
+        "SELECT o_orderpriority AS pri, "
+        "array_agg(o_orderkey ORDER BY o_orderkey) FILTER (o_orderkey IS NOT NULL) AS keys, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM orders WHERE o_custkey % 50 = 0 "
+        "GROUP BY o_orderpriority ORDER BY pri"
     ),
     # identical text in both engines
     "dialect_ansi_fetch_bool": (

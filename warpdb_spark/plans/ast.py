@@ -336,6 +336,30 @@ class StringAgg(Agg):
     def auto_alias(self) -> str:
         return f"string_agg_{_safe(self.arg.text())}"
 
+
+@dataclass
+class ArrayAgg(Agg):
+    """``ARRAY_AGG(expr [ORDER BY key [ASC|DESC]])`` (superset) —
+    ordered array collection keeping the element's native type. NULL
+    values are skipped (same contract as STRING_AGG — DuckDB's
+    array_agg keeps NULLs, so oracles add FILTER (x IS NOT NULL));
+    order-key ties break by element value."""
+
+    order_key: "Node | None" = None
+    key_asc: bool = True
+
+    def text(self) -> str:
+        base = f"ARRAY_AGG({self.arg.text()}"
+        if self.order_key is not None:
+            base += f" ORDER BY {self.order_key.text()} {'ASC' if self.key_asc else 'DESC'}"
+        base += ")"
+        if self.filter is not None:
+            base += f" FILTER (WHERE {self.filter.text()})"
+        return base
+
+    def auto_alias(self) -> str:
+        return f"array_agg_{_safe(self.arg.text())}"
+
     def children(self):
         out = [self.arg]
         if self.order_key is not None:

@@ -314,6 +314,22 @@ class Compiler:
             arr = F.reverse(arr)
         return F.array_join(F.transform(arr, lambda s: s["v"]), n.sep)
 
+    def _c_arrayagg(self, n: A.ArrayAgg) -> Column:
+        """Ordered array collection: collect (key, value) structs,
+        array_sort (key first, value tie-break), project values —
+        native element type preserved, one map-side-combinable
+        aggregate, nulls skipped (ANSI-style, matching STRING_AGG)."""
+        val = self.compile(n.arg)
+        key = self.compile(n.order_key) if n.order_key is not None else val
+        pair = F.struct(key.alias("k"), val.alias("v"))
+        keep = val.isNotNull()
+        if n.filter is not None:
+            keep = keep & self.compile(n.filter)
+        arr = F.array_sort(F.collect_list(F.when(keep, pair)))
+        if not n.key_asc:
+            arr = F.reverse(arr)
+        return F.transform(arr, lambda s: s["v"])
+
     def _c_cast(self, n: A.Cast) -> Column:
         return self.compile(n.operand).cast(n.type_name)
 

@@ -306,6 +306,8 @@ class _Parser:
             return A.Func("date_part", [A.Str(field.value.upper()), operand])
         if upper == "STRING_AGG":
             return self._parse_string_agg()
+        if upper == "ARRAY_AGG":
+            return self._parse_array_agg()
         distinct = False
         args: list[A.Node] = []
         if self.accept_op("*"):
@@ -368,6 +370,20 @@ class _Parser:
         return A.StringAgg(
             "STRING_AGG", arg, False, filter_cond, sep_tok.value, order_key, key_asc
         )
+
+    def _parse_array_agg(self) -> A.Node:
+        """ARRAY_AGG(expr [ORDER BY key [ASC|DESC]]) — ordered array
+        collection, native element type, nulls skipped."""
+        arg = self.parse_expr()
+        order_key, key_asc = None, True
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            order_key, key_asc = self.parse_order_item()
+            if not isinstance(key_asc, bool):
+                raise ParseError("NULLS FIRST/LAST is not supported in ARRAY_AGG")
+        self.expect_op(")")
+        filter_cond = self._parse_filter_clause()
+        return A.ArrayAgg("ARRAY_AGG", arg, False, filter_cond, order_key, key_asc)
 
     def _parse_filter_clause(self):
         """ANSI ``FILTER (WHERE cond)`` after an aggregate call.
