@@ -187,3 +187,35 @@ class TestSimpleCaseAndIlike:
             "SELECT name FROM t WHERE name ILIKE '%a%'"
         ).collect()}
         assert got == {"Alpha", "BETA", "gamma"}
+
+
+class TestComments:
+    """SQL comments (superset): -- line and /* block */. Without these,
+    `SELECT 1 --2` silently parsed as double negation (= 3) where SQL
+    means `SELECT 1`."""
+
+    def test_line_comment_skipped(self):
+        toks = [t.value for t in tokenize("SELECT 1 -- trailing words\n + 2 FROM t")]
+        assert toks[:6] == ["SELECT", "1", "+", "2", "FROM", "t"]
+
+    def test_line_comment_is_not_double_negation(self):
+        q = parse_query("SELECT price --2\n FROM t")
+        assert q.select_items[0][0].text() == "price"
+
+    def test_block_comment_spanning_lines(self):
+        toks = [t.value for t in tokenize("SELECT /* pick\n this */ price FROM t")]
+        assert toks[:4] == ["SELECT", "price", "FROM", "t"]
+
+    def test_spaced_double_minus_still_negates(self):
+        e = parse_expression("- -price")
+        assert isinstance(e, A.Neg) and isinstance(e.operand, A.Neg)
+
+    def test_unterminated_block_comment(self):
+        with pytest.raises(TokenizeError, match="Unterminated block comment"):
+            tokenize("SELECT price /* oops FROM t")
+
+    def test_position_tracking_after_block_comment(self):
+        # errors after a multi-line comment must still carry the right line
+        with pytest.raises(ParseError) as ei:
+            parse_query("SELECT /* a\nb */ FROM t")
+        assert "FROM" in str(ei.value)

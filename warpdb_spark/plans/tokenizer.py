@@ -69,6 +69,29 @@ def tokenize(text: str) -> list[Token]:
             i += 1
             col += 1
             continue
+        # SQL comments: -- to end of line, /* ... */ (may span lines)
+        if ch == "-" and i + 1 < n and text[i + 1] == "-":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue  # the \n branch handles line/col
+        if ch == "/" and i + 1 < n and text[i + 1] == "*":
+            start_line, start_col = line, col
+            i += 2
+            col += 2
+            while True:
+                if i + 1 >= n:
+                    raise TokenizeError("Unterminated block comment", start_line, start_col)
+                if text[i] == "*" and text[i + 1] == "/":
+                    i += 2
+                    col += 2
+                    break
+                if text[i] == "\n":
+                    line += 1
+                    col = 1
+                else:
+                    col += 1
+                i += 1
+            continue
         start_line, start_col = line, col
         if ch.isdigit() or (ch == "." and i + 1 < n and text[i + 1].isdigit()):
             j = i
