@@ -899,3 +899,43 @@ class TestArrayAgg:
             "WHERE o_orderkey < 100 AND o_totalprice > 200000 ORDER BY o_orderkey"
         ).collect()
         assert list(rows[0]["ks"]) == [r["k"] for r in manual]
+
+
+class TestBroadcastHint:
+    def test_hint_forces_broadcast_plan(self, db):
+        plan = (
+            db.query_sql(
+                "SELECT /*+ BROADCAST(customer) */ c_mktsegment AS seg, count(*) AS n "
+                "FROM orders JOIN customer ON o_custkey = c_custkey "
+                "GROUP BY c_mktsegment"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_hint_results_equal_unhinted(self, db):
+        a = db.query_sql(
+            "SELECT /*+ BROADCAST(customer) */ c_mktsegment AS seg, count(*) AS n "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY seg"
+        ).collect()
+        b = db.query_sql(
+            "SELECT c_mktsegment AS seg, count(*) AS n "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY seg"
+        ).collect()
+        assert a == b
+
+    def test_alias_targeting_and_unknown_hint(self, db):
+        rows = db.query_sql(
+            "SELECT /*+ REPARTITION(8), BROADCASTJOIN(c) */ c.c_custkey AS k "
+            "FROM orders JOIN customer c ON o_custkey = c.c_custkey "
+            "ORDER BY k LIMIT 3"
+        ).collect()
+        assert len(rows) == 3
+
+    def test_malformed_hint_is_parse_error(self, db):
+        with pytest.raises(ParseError, match="Malformed optimizer hint"):
+            db.query_sql("SELECT /*+ BROADCAST */ o_orderkey FROM orders")

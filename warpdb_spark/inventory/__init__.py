@@ -171,6 +171,7 @@ DRIVER_PRIORITY: list[str] = [
     "window_ignore_nulls",
     "dialect_ansi_fetch_bool",
     "dialect_array_agg",
+    "dialect_broadcast_hint",
     "reshape_global_ordinal",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots

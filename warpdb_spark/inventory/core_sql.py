@@ -792,6 +792,23 @@ def dialect_array_agg(spark, sf_dir):
     )
 
 
+def dialect_broadcast_hint(spark, sf_dir):
+    """Optimizer hints through the dialect (superset): ``/*+
+    BROADCAST(t) */`` forces the named side of a join to broadcast —
+    the scale knob for dim joins expressed in the query text itself
+    (Spark-hint semantics; BROADCASTJOIN/MAPJOIN aliases accepted,
+    unknown hint names ignored like every engine). DuckDB sees the
+    hint as a comment, so the oracle runs the IDENTICAL text; the
+    BroadcastHashJoin plan shape is pinned in pytest."""
+    db = _db(spark, sf_dir, "orders", "customer")
+    return db.query_sql(
+        "SELECT /*+ BROADCAST(customer) */ c_mktsegment AS seg, "
+        "count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY seg"
+    )
+
+
 def dialect_ansi_fetch_bool(spark, sf_dir):
     """ANSI surface additions through the dialect (superset): BOOL_AND /
     BOOL_OR aggregates (with map-side partial aggregation like any
@@ -1352,6 +1369,7 @@ QUERIES = {
     "dialect_distinct_on": dialect_distinct_on,
     "window_ignore_nulls": window_ignore_nulls,
     "dialect_ansi_fetch_bool": dialect_ansi_fetch_bool,
+    "dialect_broadcast_hint": dialect_broadcast_hint,
     "dialect_array_agg": dialect_array_agg,
     "dialect_tpch_q3": dialect_tpch_q3,
     "dialect_tpch_q12": dialect_tpch_q12,
@@ -1765,6 +1783,13 @@ ORACLES = {
         "CAST(count(*) AS BIGINT) AS n "
         "FROM orders WHERE o_custkey % 50 = 0 "
         "GROUP BY o_orderpriority ORDER BY pri"
+    ),
+    # DuckDB reads the hint as a comment -> identical text
+    "dialect_broadcast_hint": (
+        "SELECT /*+ BROADCAST(customer) */ c_mktsegment AS seg, "
+        "CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY seg"
     ),
     # identical text in both engines
     "dialect_ansi_fetch_bool": (

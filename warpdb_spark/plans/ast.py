@@ -518,6 +518,9 @@ class QueryAST:
     grouping_sets: list[list[Node]] = field(default_factory=list)
     # base-table alias: FROM t [AS] a (superset)
     from_alias: str | None = None
+    # /*+ BROADCAST(t, ...) */ optimizer hint after SELECT (superset):
+    # table names / aliases whose side should broadcast-join
+    broadcast_hints: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -495,6 +495,9 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
     from_name = q.from_alias or q.from_table  # alias shadows the name
     scope: dict[str, set[str]] = {from_name: set(base.columns)}
     df = base.alias(from_name)
+    hinted = set(q.broadcast_hints)
+    if hinted & {from_name, q.from_table}:
+        df = F.broadcast(df)
 
     for j in q.joins:
         if j.subquery is not None:
@@ -506,6 +509,8 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             raise ValidationError(f"Duplicate table in joins: {jname}")
         scope[jname] = set(right.columns)
         right = right.alias(jname)
+        if hinted & {jname, j.table}:
+            right = F.broadcast(right)
         if j.condition is None:
             df = df.crossJoin(right)
         else:

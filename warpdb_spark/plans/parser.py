@@ -28,6 +28,7 @@ from warpdb_spark.errors import ParseError
 from warpdb_spark.plans import ast as A
 from warpdb_spark.plans.tokenizer import (
     EOF,
+    HINT,
     IDENT,
     KEYWORD,
     NUMBER,
@@ -490,6 +491,25 @@ class _Parser:
     def parse_select(self, in_setop: bool = False) -> A.QueryAST:
         self.expect_kw("SELECT")
         q = A.QueryAST()
+        # /*+ HINT(args) ... */ right after SELECT (superset). Only
+        # BROADCAST/BROADCASTJOIN/MAPJOIN are acted on; other hint
+        # names are accepted and ignored (standard engine behavior) —
+        # a malformed hint body is a ParseError, not a silent no-op.
+        while self.peek().kind == HINT:
+            body = self.next().value
+            import re as _re
+
+            pos = 0
+            for m in _re.finditer(r"(\w+)\s*\(([^)]*)\)\s*,?\s*", body):
+                if m.start() != pos:
+                    raise ParseError(f"Malformed optimizer hint: {body!r}")
+                pos = m.end()
+                if m.group(1).upper() in ("BROADCAST", "BROADCASTJOIN", "MAPJOIN"):
+                    q.broadcast_hints.extend(
+                        t.strip() for t in m.group(2).split(",") if t.strip()
+                    )
+            if pos != len(body):
+                raise ParseError(f"Malformed optimizer hint: {body!r}")
         q.distinct = bool(self.accept_kw("DISTINCT"))
         if q.distinct and self.accept_kw("ON"):
             # DISTINCT ON (a, b) (superset; Postgres/DuckDB) — a

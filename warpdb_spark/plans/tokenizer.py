@@ -35,6 +35,7 @@ KEYWORDS = {
 
 # token kinds
 NUMBER, IDENT, STRING, OP, KEYWORD, EOF = "NUMBER", "IDENT", "STRING", "OP", "KEYWORD", "EOF"
+HINT = "HINT"  # /*+ ... */ optimizer hint (content as the value)
 
 _TWO_CHAR_OPS = (">=", "<=", "==", "!=")
 _ONE_CHAR_OPS = "+-*/%(),><="
@@ -75,13 +76,19 @@ def tokenize(text: str) -> list[Token]:
                 i += 1
             continue  # the \n branch handles line/col
         if ch == "/" and i + 1 < n and text[i + 1] == "*":
+            is_hint = i + 2 < n and text[i + 2] == "+"
             start_line, start_col = line, col
-            i += 2
-            col += 2
+            i += 3 if is_hint else 2
+            col += 3 if is_hint else 2
+            body_start = i
             while True:
                 if i + 1 >= n:
                     raise TokenizeError("Unterminated block comment", start_line, start_col)
                 if text[i] == "*" and text[i + 1] == "/":
+                    if is_hint:
+                        tokens.append(
+                            Token(HINT, text[body_start:i].strip(), start_line, start_col)
+                        )
                     i += 2
                     col += 2
                     break
