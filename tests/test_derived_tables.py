@@ -939,3 +939,61 @@ class TestBroadcastHint:
     def test_malformed_hint_is_parse_error(self, db):
         with pytest.raises(ParseError, match="Malformed optimizer hint"):
             db.query_sql("SELECT /*+ BROADCAST */ o_orderkey FROM orders")
+
+
+class TestSelectStar:
+    def test_star_expands_all_columns_in_order(self, db, spark, sf_dir):
+        rows = db.query_sql(
+            "SELECT * FROM orders WHERE o_orderkey < 5 ORDER BY o_orderkey"
+        )
+        raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        assert rows.columns == raw.columns
+        assert rows.count() > 0
+
+    def test_qualified_star_joins(self, db):
+        rows = db.query_sql(
+            "SELECT c.*, o_orderkey FROM orders JOIN customer c "
+            "ON o_custkey = c.c_custkey WHERE o_orderkey < 5 ORDER BY o_orderkey"
+        )
+        assert rows.columns[-1] == "o_orderkey"
+        assert rows.columns[0].startswith("c_")
+
+    def test_star_with_grouping_requires_keys(self, db):
+        from warpdb_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="must appear in GROUP BY"):
+            db.query_sql("SELECT * FROM orders GROUP BY o_orderstatus").collect()
+
+    def test_unknown_table_star(self, db):
+        from warpdb_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="Unknown table: nosuch"):
+            db.query_sql("SELECT nosuch.* FROM orders")
+
+
+class TestGroupByAll:
+    def test_equals_explicit_keys(self, db):
+        a = db.query_sql(
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+            "FROM orders GROUP BY ALL ORDER BY 1, 2"
+        ).collect()
+        b = db.query_sql(
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+            "FROM orders GROUP BY o_orderstatus, o_orderpriority ORDER BY 1, 2"
+        ).collect()
+        assert a == b and len(a) > 0
+
+    def test_aggregate_less_group_by_is_distinct(self, db):
+        a = db.query_sql(
+            "SELECT o_orderstatus FROM orders GROUP BY o_orderstatus ORDER BY 1"
+        ).collect()
+        b = db.query_sql(
+            "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus"
+        ).collect()
+        assert a == b
+
+    def test_all_requires_nonaggregate_item(self, db):
+        from warpdb_spark.errors import ValidationError
+
+        with pytest.raises(ValidationError, match="non-aggregate select item"):
+            db.query_sql("SELECT count(*) AS n FROM orders GROUP BY ALL").collect()

@@ -172,6 +172,8 @@ DRIVER_PRIORITY: list[str] = [
     "dialect_ansi_fetch_bool",
     "dialect_array_agg",
     "dialect_broadcast_hint",
+    "dialect_select_star",
+    "dialect_group_by_all",
     "reshape_global_ordinal",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots

@@ -809,6 +809,33 @@ def dialect_broadcast_hint(spark, sf_dir):
     )
 
 
+def dialect_select_star(spark, sf_dir):
+    """``SELECT *`` / ``t.*`` through the dialect (superset): stars
+    expand to concrete qualified columns in declaration order BEFORE
+    validation, so every downstream pass (grouping checks, QUALIFY,
+    ordinals) sees plain columns. Column pruning still applies — a
+    later projection of fewer columns prunes the scan as usual."""
+    db = _db(spark, sf_dir, "orders", "customer")
+    return db.query_sql(
+        "SELECT c.*, o_orderkey, o_totalprice FROM orders "
+        "JOIN customer c ON o_custkey = c.c_custkey "
+        "WHERE o_totalprice > 400000 ORDER BY o_orderkey"
+    )
+
+
+def dialect_group_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` (superset; DuckDB): keys = every non-aggregate
+    select item in select order, resolved by the builder — plus
+    aggregate-less GROUP BY executing as distinct key tuples. DuckDB
+    runs the identical text."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT o_orderstatus AS st, o_orderpriority AS pri, "
+        "count(*) AS n, round(avg(o_totalprice), 2) AS avg_total "
+        "FROM orders GROUP BY ALL ORDER BY st, pri"
+    )
+
+
 def dialect_ansi_fetch_bool(spark, sf_dir):
     """ANSI surface additions through the dialect (superset): BOOL_AND /
     BOOL_OR aggregates (with map-side partial aggregation like any
@@ -1370,6 +1397,8 @@ QUERIES = {
     "window_ignore_nulls": window_ignore_nulls,
     "dialect_ansi_fetch_bool": dialect_ansi_fetch_bool,
     "dialect_broadcast_hint": dialect_broadcast_hint,
+    "dialect_select_star": dialect_select_star,
+    "dialect_group_by_all": dialect_group_by_all,
     "dialect_array_agg": dialect_array_agg,
     "dialect_tpch_q3": dialect_tpch_q3,
     "dialect_tpch_q12": dialect_tpch_q12,
@@ -1783,6 +1812,16 @@ ORACLES = {
         "CAST(count(*) AS BIGINT) AS n "
         "FROM orders WHERE o_custkey % 50 = 0 "
         "GROUP BY o_orderpriority ORDER BY pri"
+    ),
+    "dialect_select_star": (
+        "SELECT c.*, o_orderkey, o_totalprice FROM orders "
+        "JOIN customer c ON o_custkey = c.c_custkey "
+        "WHERE o_totalprice > 400000 ORDER BY o_orderkey"
+    ),
+    "dialect_group_by_all": (
+        "SELECT o_orderstatus AS st, o_orderpriority AS pri, "
+        "CAST(count(*) AS BIGINT) AS n, round(avg(o_totalprice), 2) AS avg_total "
+        "FROM orders GROUP BY ALL ORDER BY st, pri"
     ),
     # DuckDB reads the hint as a comment -> identical text
     "dialect_broadcast_hint": (

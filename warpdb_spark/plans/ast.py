@@ -114,7 +114,16 @@ class Var(Node):
 
 @dataclass
 class Star(Node):
+    """``*`` — inside COUNT(*), or as a select item (superset:
+    ``SELECT *`` / ``SELECT t.*``, expanded by the builder to the
+    in-scope columns in declaration order)."""
+
+    table: str | None = None  # qualified star: t.*
+
     def text(self) -> str:
+        return f"{self.table}.*" if self.table else "*"
+
+    def auto_alias(self) -> str:
         return "*"
 
 
@@ -521,6 +530,9 @@ class QueryAST:
     # /*+ BROADCAST(t, ...) */ optimizer hint after SELECT (superset):
     # table names / aliases whose side should broadcast-join
     broadcast_hints: list[str] = field(default_factory=list)
+    # GROUP BY ALL (superset; DuckDB): group by every non-aggregate
+    # select item — resolved by the builder once select items are known
+    group_by_all: bool = False
 
 
 @dataclass

@@ -494,6 +494,8 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         base = _resolve_table(tables, q.from_table)
     from_name = q.from_alias or q.from_table  # alias shadows the name
     scope: dict[str, set[str]] = {from_name: set(base.columns)}
+    # declaration-ordered twin of `scope` for SELECT * expansion
+    scope_order: dict[str, list[str]] = {from_name: list(base.columns)}
     df = base.alias(from_name)
     hinted = set(q.broadcast_hints)
     if hinted & {from_name, q.from_table}:
@@ -508,6 +510,7 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         if jname in scope:
             raise ValidationError(f"Duplicate table in joins: {jname}")
         scope[jname] = set(right.columns)
+        scope_order[jname] = list(right.columns)
         right = right.alias(jname)
         if hinted & {jname, j.table}:
             right = F.broadcast(right)
@@ -519,9 +522,50 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             df = df.join(right, on=cond, how=j.how)
         if j.how in ("left_semi", "left_anti"):
             scope.pop(jname)  # semi/anti joins expose only left columns
+            scope_order.pop(jname)
 
     if q.where is not None:
         df = _apply_where(df, q.where, tables, scope, registry)
+
+    # SELECT * / t.* expand to concrete qualified Vars BEFORE any other
+    # pass, so validation, aggregation, and QUALIFY all see plain
+    # columns (declaration order; duplicate names across tables get
+    # _unique_name suffixes at projection like any other collision)
+    if any(isinstance(i, A.Star) for i, _ in q.select_items):
+        import dataclasses
+
+        expanded: list[tuple[A.Node, str | None]] = []
+        for item, alias in q.select_items:
+            if not isinstance(item, A.Star):
+                expanded.append((item, alias))
+                continue
+            if item.table is not None:
+                if item.table not in scope_order:
+                    raise ValidationError(
+                        f"Unknown table: {item.table} in SELECT clause"
+                    )
+                srcs = [(item.table, c) for c in scope_order[item.table]]
+            else:
+                srcs = [(t, c) for t, cl in scope_order.items() for c in cl]
+            expanded.extend((A.Var(f"{t}.{c}"), c) for t, c in srcs)
+        q = dataclasses.replace(q, select_items=expanded)
+
+    # GROUP BY ALL (superset; DuckDB): keys = every select item with no
+    # aggregate or window function, in select order
+    if q.group_by_all:
+        import dataclasses
+
+        keys = [
+            item
+            for item, _ in q.select_items
+            if not _collect_aggs(item)
+            and not any(isinstance(s, A.WindowFunc) for s in item.walk())
+        ]
+        if not keys:
+            raise ValidationError(
+                "GROUP BY ALL requires at least one non-aggregate select item"
+            )
+        q = dataclasses.replace(q, group_by=keys)
 
     # all column names visible in the pre-aggregation frame (shared by
     # ORDER BY/GROUP BY alias resolution and QUALIFY alias scoping)
@@ -605,6 +649,10 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             return plain.compile(a).alias(agg_aliases[t])
 
         agg_cols = [_compile_agg(t, a) for t, a in agg_by_text.items()]
+        if not agg_cols:
+            # aggregate-less GROUP BY (legal SQL: distinct key tuples);
+            # Spark's agg() asserts non-empty, so carry a dropped dummy
+            agg_cols = [F.count(F.lit(1)).alias("__gb_dummy")]
         if q.group_by:
             if mode == "plain":
                 df = df.groupBy(*key_cols).agg(*agg_cols)

@@ -554,7 +554,11 @@ class _Parser:
             self.expect_kw("BY")
             nxt = self.peek()
             head = nxt.value.upper() if nxt.kind == IDENT else None
-            if head in ("ROLLUP", "CUBE") and self.peek(1).kind == OP and self.peek(1).value == "(":
+            if self.accept_kw("ALL"):
+                # GROUP BY ALL (superset; DuckDB) — keys resolved from
+                # the select list by the builder
+                q.group_by_all = True
+            elif head in ("ROLLUP", "CUBE") and self.peek(1).kind == OP and self.peek(1).value == "(":
                 # GROUP BY ROLLUP(a, b) / CUBE(a, b) (superset)
                 self.next()
                 q.group_mode = head.lower()
@@ -670,6 +674,20 @@ class _Parser:
         return None, name, alias
 
     def parse_select_item(self) -> tuple[A.Node, str | None]:
+        # SELECT * / SELECT t.* (superset) — no alias allowed
+        tok = self.peek()
+        if tok.kind == OP and tok.value == "*":
+            self.next()
+            return A.Star(), None
+        if (
+            tok.kind == IDENT
+            and tok.value.endswith(".")
+            and self.peek(1).kind == OP
+            and self.peek(1).value == "*"
+        ):
+            self.next()
+            self.next()
+            return A.Star(tok.value[:-1]), None
         expr = self.parse_expr()
         if self.accept_kw("AS"):
             return expr, self.expect_ident("alias after AS")
