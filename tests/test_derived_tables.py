@@ -997,3 +997,23 @@ class TestGroupByAll:
 
         with pytest.raises(ValidationError, match="non-aggregate select item"):
             db.query_sql("SELECT count(*) AS n FROM orders GROUP BY ALL").collect()
+
+
+class TestOrderByAll:
+    def test_equals_explicit_order(self, db):
+        a = db.query_sql(
+            "SELECT o_orderstatus AS s, o_orderpriority AS p FROM orders "
+            "WHERE o_orderkey < 100 ORDER BY ALL"
+        ).collect()
+        b = db.query_sql(
+            "SELECT o_orderstatus AS s, o_orderpriority AS p FROM orders "
+            "WHERE o_orderkey < 100 ORDER BY s, p"
+        ).collect()
+        assert a == b and len(a) > 0
+
+    def test_desc_direction(self, db):
+        rows = db.query_sql(
+            "SELECT o_orderstatus AS s FROM orders GROUP BY ALL ORDER BY ALL DESC"
+        ).collect()
+        vals = [r["s"] for r in rows]
+        assert vals == sorted(vals, reverse=True)

@@ -832,7 +832,7 @@ def dialect_group_by_all(spark, sf_dir):
     return db.query_sql(
         "SELECT o_orderstatus AS st, o_orderpriority AS pri, "
         "count(*) AS n, round(avg(o_totalprice), 2) AS avg_total "
-        "FROM orders GROUP BY ALL ORDER BY st, pri"
+        "FROM orders GROUP BY ALL ORDER BY ALL"
     )
 
 
@@ -1821,7 +1821,7 @@ ORACLES = {
     "dialect_group_by_all": (
         "SELECT o_orderstatus AS st, o_orderpriority AS pri, "
         "CAST(count(*) AS BIGINT) AS n, round(avg(o_totalprice), 2) AS avg_total "
-        "FROM orders GROUP BY ALL ORDER BY st, pri"
+        "FROM orders GROUP BY ALL ORDER BY ALL"
     ),
     # DuckDB reads the hint as a comment -> identical text
     "dialect_broadcast_hint": (

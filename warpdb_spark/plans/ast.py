@@ -533,6 +533,10 @@ class QueryAST:
     # GROUP BY ALL (superset; DuckDB): group by every non-aggregate
     # select item — resolved by the builder once select items are known
     group_by_all: bool = False
+    # ORDER BY ALL [ASC|DESC] (superset; DuckDB): sort by every select
+    # item left-to-right
+    order_by_all: bool = False
+    order_by_all_asc: bool = True
 
 
 @dataclass

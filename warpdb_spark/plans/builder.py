@@ -550,6 +550,16 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             expanded.extend((A.Var(f"{t}.{c}"), c) for t, c in srcs)
         q = dataclasses.replace(q, select_items=expanded)
 
+    # ORDER BY ALL (superset; DuckDB): sort by every select item
+    # left-to-right in the requested direction
+    if q.order_by_all:
+        import dataclasses
+
+        q = dataclasses.replace(
+            q,
+            order_by=[(item, q.order_by_all_asc) for item, _ in q.select_items],
+        )
+
     # GROUP BY ALL (superset; DuckDB): keys = every select item with no
     # aggregate or window function, in select order
     if q.group_by_all:

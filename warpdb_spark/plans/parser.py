@@ -619,9 +619,18 @@ class _Parser:
             return q
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
-            q.order_by.append(self.parse_order_item())
-            while self.accept_op(","):
+            if self.accept_kw("ALL"):
+                # ORDER BY ALL [ASC|DESC] (superset; DuckDB) — resolved
+                # to the select items by the builder
+                q.order_by_all = True
+                if self.accept_kw("DESC"):
+                    q.order_by_all_asc = False
+                else:
+                    self.accept_kw("ASC")
+            else:
                 q.order_by.append(self.parse_order_item())
+                while self.accept_op(","):
+                    q.order_by.append(self.parse_order_item())
         # reference grammar parses LIMIT then OFFSET
         # (src/expression.cpp:497-522); accept either order. OFFSET may
         # carry the ANSI ROW/ROWS noise word.
