@@ -219,3 +219,23 @@ class TestComments:
         with pytest.raises(ParseError) as ei:
             parse_query("SELECT /* a\nb */ FROM t")
         assert "FROM" in str(ei.value)
+
+
+class TestJsonArrow:
+    def test_arrow_desugars_to_get_json_object(self):
+        e = parse_expression("props ->> 'k'")
+        assert isinstance(e, A.Func) and e.name == "GET_JSON_OBJECT"
+        assert e.args[1].value == "$.k"
+
+    def test_chained_arrows_nest(self):
+        e = parse_expression("props ->> 'a' ->> 'b'")
+        assert isinstance(e, A.Func)
+        assert isinstance(e.args[0], A.Func)
+
+    def test_arrow_requires_string_key(self):
+        with pytest.raises(ParseError, match="string literal key"):
+            parse_expression("props ->> k")
+
+    def test_arrow_binds_tighter_than_comparison(self):
+        e = parse_expression("props ->> 'k' == '5'")
+        assert isinstance(e, A.BinOp) and e.op == "=="

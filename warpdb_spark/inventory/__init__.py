@@ -174,6 +174,7 @@ DRIVER_PRIORITY: list[str] = [
     "dialect_broadcast_hint",
     "dialect_select_star",
     "dialect_group_by_all",
+    "dialect_json_arrow",
     "reshape_global_ordinal",
     # (e) re-confirm a cross-family sample of prior driver-greens with
     # the remaining window slots

@@ -836,6 +836,22 @@ def dialect_group_by_all(spark, sf_dir):
     )
 
 
+def dialect_json_arrow(spark, sf_dir):
+    """Postgres/DuckDB ``->>'key'`` JSON text extraction through the
+    dialect (superset): postfix operator desugaring to
+    get_json_object(expr, '$.key') — chainable for nested objects,
+    missing keys are NULL, pure JVM scan (zero shuffle before the
+    aggregate). DuckDB executes its native ->> on the identical text."""
+    db = _db(spark, sf_dir, "events")
+    return db.query_sql(
+        "SELECT event_type AS et, "
+        "count(*) AS n, "
+        "round(avg(CAST(props ->> 'k' AS double)), 6) AS mean_k "
+        "FROM events WHERE props ->> 'k' IS NOT NULL "
+        "GROUP BY event_type ORDER BY et"
+    )
+
+
 def dialect_ansi_fetch_bool(spark, sf_dir):
     """ANSI surface additions through the dialect (superset): BOOL_AND /
     BOOL_OR aggregates (with map-side partial aggregation like any
@@ -1399,6 +1415,7 @@ QUERIES = {
     "dialect_broadcast_hint": dialect_broadcast_hint,
     "dialect_select_star": dialect_select_star,
     "dialect_group_by_all": dialect_group_by_all,
+    "dialect_json_arrow": dialect_json_arrow,
     "dialect_array_agg": dialect_array_agg,
     "dialect_tpch_q3": dialect_tpch_q3,
     "dialect_tpch_q12": dialect_tpch_q12,
@@ -1812,6 +1829,13 @@ ORACLES = {
         "CAST(count(*) AS BIGINT) AS n "
         "FROM orders WHERE o_custkey % 50 = 0 "
         "GROUP BY o_orderpriority ORDER BY pri"
+    ),
+    "dialect_json_arrow": (
+        "SELECT event_type AS et, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "round(avg(CAST(props ->> 'k' AS double)), 6) AS mean_k "
+        "FROM events WHERE props ->> 'k' IS NOT NULL "
+        "GROUP BY event_type ORDER BY et"
     ),
     "dialect_select_star": (
         "SELECT c.*, o_orderkey, o_totalprice FROM orders "

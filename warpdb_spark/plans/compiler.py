@@ -259,6 +259,9 @@ class Compiler:
             # trunc(date, fmt) / date_format(ts, fmt): string is SECOND
             if lname in ("trunc", "date_format") and len(n.args) == 2 and isinstance(n.args[1], A.Str):
                 return getattr(F, lname)(self.compile(n.args[0]), n.args[1].value)
+            # get_json_object(col, path): JSONPath is a Python string
+            if lname == "get_json_object" and len(n.args) == 2 and isinstance(n.args[1], A.Str):
+                return F.get_json_object(self.compile(n.args[0]), n.args[1].value)
         args = [self.compile(a) for a in n.args]
         if in_registry:
             return self.registry.call(lname, *args)

@@ -178,6 +178,18 @@ class _Parser:
             node = A.BinOp(tok.value, node, self.parse_factor())
 
     def parse_factor(self) -> A.Node:
+        node = self._parse_factor_atom()
+        # postfix JSON text extraction: expr ->> 'key' (superset;
+        # Postgres/DuckDB) — desugars to get_json_object(expr, '$.key'),
+        # chainable for nested objects
+        while self.accept_op("->>"):
+            key = self.next()
+            if key.kind != STRING:
+                raise ParseError("->> requires a string literal key")
+            node = A.Func("GET_JSON_OBJECT", [node, A.Str("$." + key.value)])
+        return node
+
+    def _parse_factor_atom(self) -> A.Node:
         tok = self.peek()
         if tok.kind == OP and tok.value == "-":
             self.next()

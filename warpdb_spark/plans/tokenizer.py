@@ -145,6 +145,11 @@ def tokenize(text: str) -> list[Token]:
             col += j + 1 - i
             i = j + 1
             continue
+        if text[i : i + 3] == "->>":  # JSON text-extract operator
+            tokens.append(Token(OP, "->>", start_line, start_col))
+            i += 3
+            col += 3
+            continue
         two = text[i : i + 2]
         if two in _TWO_CHAR_OPS:
             tokens.append(Token(OP, two, start_line, start_col))
