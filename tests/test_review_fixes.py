@@ -282,3 +282,110 @@ class TestParameterizedCast:
         db = WarpDB(df=spark.createDataFrame([Row(v=1.5)]), table_name="a", spark=spark)
         with pytest.raises(ParseError, match="integer type parameter"):
             db.query_sql("SELECT CAST(v AS DECIMAL(1.5)) AS d FROM a")
+
+
+class TestOrderedAggValidation:
+    """Round-3 review: StringAgg lost its children() when ArrayAgg was
+    inserted — walk()/validate() skipped the STRING_AGG ORDER BY key, so
+    unknown columns there surfaced as raw AnalysisException instead of
+    ValidationError."""
+
+    def test_string_agg_unknown_order_key_raises_validation_error(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(g=1, v="a")]), table_name="t", spark=spark)
+        with pytest.raises(ValidationError, match="Unknown column: nope"):
+            db.query_sql("SELECT g, STRING_AGG(v, ',' ORDER BY nope) AS s FROM t GROUP BY g")
+
+    def test_array_agg_unknown_order_key_raises_validation_error(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(g=1, v="a")]), table_name="t", spark=spark)
+        with pytest.raises(ValidationError, match="Unknown column: nope"):
+            db.query_sql("SELECT g, ARRAY_AGG(v ORDER BY nope) AS s FROM t GROUP BY g")
+
+    def test_string_agg_order_key_in_walk(self):
+        from warpdb_spark.plans import ast as A
+
+        node = A.StringAgg("STRING_AGG", A.Var("v"), False, None,
+                           sep=",", order_key=A.Var("k"), key_asc=True)
+        names = {s.name for s in node.walk() if isinstance(s, A.Var)}
+        assert names == {"v", "k"}
+
+
+class TestOrderedAggDescTieBreak:
+    """Round-3 review: DESC was implemented as sort+reverse, which also
+    reversed the documented ascending element-value tie-break."""
+
+    def test_string_agg_desc_ties_break_value_ascending(self, spark):
+        rows = [Row(g=1, k=2, v="b"), Row(g=1, k=2, v="a"), Row(g=1, k=1, v="c")]
+        db = WarpDB(df=spark.createDataFrame(rows), table_name="t", spark=spark)
+        out = db.query_sql(
+            "SELECT g, STRING_AGG(v, ',' ORDER BY k DESC) AS s FROM t GROUP BY g"
+        )
+        # k=2 ties: a before b (value ascending), then k=1
+        assert out.first().s == "a,b,c"
+
+    def test_array_agg_desc_ties_break_value_ascending(self, spark):
+        rows = [Row(g=1, k=2, v=20.0), Row(g=1, k=2, v=10.0), Row(g=1, k=1, v=30.0)]
+        db = WarpDB(df=spark.createDataFrame(rows), table_name="t", spark=spark)
+        out = db.query_sql("SELECT g, ARRAY_AGG(v ORDER BY k DESC) AS a FROM t GROUP BY g")
+        assert out.first().a == [10.0, 20.0, 30.0]
+
+    def test_string_agg_asc_unchanged(self, spark):
+        rows = [Row(g=1, k=1, v="y"), Row(g=1, k=2, v="x")]
+        db = WarpDB(df=spark.createDataFrame(rows), table_name="t", spark=spark)
+        out = db.query_sql("SELECT g, STRING_AGG(v, ',' ORDER BY k) AS s FROM t GROUP BY g")
+        assert out.first().s == "y,x"
+
+
+class TestHintOutsideSelectPosition:
+    """Round-3 review: a /*+ ... */ comment anywhere but right after
+    SELECT broke parsing with an unexpected-token error; engines treat
+    hint-shaped comments elsewhere as plain comments."""
+
+    def test_hint_in_where_position_ignored(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(v=1.0), Row(v=5.0)]), table_name="t", spark=spark)
+        out = db.query_sql("SELECT v FROM t /*+ NOT_A_REAL_HINT(x) */ WHERE v > 2")
+        assert [r.v for r in out.collect()] == [5.0]
+
+    def test_hint_before_select_ignored(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(v=1.0)]), table_name="t", spark=spark)
+        out = db.query_sql("/*+ BROADCAST(t) */ SELECT v FROM t")
+        assert out.count() == 1
+
+    def test_post_select_hint_still_parsed(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(v=1.0)]), table_name="t", spark=spark)
+        ast = __import__("warpdb_spark.plans.parser", fromlist=["parse_query"]).parse_query(
+            "SELECT /*+ BROADCAST(t) */ v FROM t"
+        )
+        assert ast.broadcast_hints == ["t"]
+
+    def test_malformed_post_select_hint_still_rejected(self, spark):
+        db = WarpDB(df=spark.createDataFrame([Row(v=1.0)]), table_name="t", spark=spark)
+        with pytest.raises(ParseError, match="Malformed optimizer hint"):
+            db.query_sql("SELECT /*+ oops */ v FROM t")
+
+
+class TestAnalysisExceptionSubclassWrapped:
+    """Round-3 review: AnalysisException was matched by exact class name,
+    so pyspark.errors subclasses escaped the ValidationError wrapping."""
+
+    def test_subclass_instance_is_wrapped(self, spark):
+        from pyspark.errors import AnalysisException
+
+        class FakeSubclass(AnalysisException):
+            pass
+
+        db = WarpDB(df=spark.createDataFrame([Row(v=1.0)]), table_name="t", spark=spark)
+        import warpdb_spark.plans.builder as B
+
+        orig = B.build_dataframe
+
+        def boom(*a, **k):
+            raise FakeSubclass("synthetic analysis failure")
+
+        import warpdb_spark.api as api_mod
+
+        api_mod.build_dataframe, saved = boom, api_mod.build_dataframe
+        try:
+            with pytest.raises(ValidationError, match="Invalid query for this schema"):
+                db.query_sql("SELECT v FROM t")
+        finally:
+            api_mod.build_dataframe = saved

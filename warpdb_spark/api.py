@@ -136,7 +136,11 @@ class WarpDB:
 
             if isinstance(e, WarpDBError):
                 raise
-            if type(e).__name__ == "AnalysisException":
+            try:
+                from pyspark.errors import AnalysisException
+            except ImportError:  # pragma: no cover - pyspark<3.4 layout
+                AnalysisException = ()  # type: ignore[assignment]
+            if isinstance(e, AnalysisException) or type(e).__name__ == "AnalysisException":
                 raise ValidationError(f"Invalid query for this schema: {e}") from e
             raise
 

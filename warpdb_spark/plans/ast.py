@@ -323,15 +323,32 @@ class Agg(Node):
 
 
 @dataclass
-class StringAgg(Agg):
+class OrderedAgg(Agg):
+    """Base for aggregates carrying an optional ``ORDER BY key`` —
+    children() must include the order key so walk()/validate() see it
+    (an unknown column in the ORDER BY must raise ValidationError, not
+    a raw AnalysisException at build time)."""
+
+    order_key: "Node | None" = None
+    key_asc: bool = True
+
+    def children(self):
+        out = [self.arg]
+        if self.order_key is not None:
+            out.append(self.order_key)
+        if self.filter is not None:
+            out.append(self.filter)
+        return out
+
+
+@dataclass
+class StringAgg(OrderedAgg):
     """``STRING_AGG(expr, 'sep' [ORDER BY key [ASC|DESC]])`` (superset)
     — ordered string concatenation. NULL values are skipped (ANSI);
     ties on the order key break deterministically by the element value
     (a superset guarantee — use a unique key for engine parity)."""
 
     sep: str = ","
-    order_key: "Node | None" = None
-    key_asc: bool = True
 
     def text(self) -> str:
         base = f"STRING_AGG({self.arg.text()}, {self.sep!r}"
@@ -347,15 +364,12 @@ class StringAgg(Agg):
 
 
 @dataclass
-class ArrayAgg(Agg):
+class ArrayAgg(OrderedAgg):
     """``ARRAY_AGG(expr [ORDER BY key [ASC|DESC]])`` (superset) —
     ordered array collection keeping the element's native type. NULL
     values are skipped (same contract as STRING_AGG — DuckDB's
     array_agg keeps NULLs, so oracles add FILTER (x IS NOT NULL));
     order-key ties break by element value."""
-
-    order_key: "Node | None" = None
-    key_asc: bool = True
 
     def text(self) -> str:
         base = f"ARRAY_AGG({self.arg.text()}"
@@ -368,14 +382,6 @@ class ArrayAgg(Agg):
 
     def auto_alias(self) -> str:
         return f"array_agg_{_safe(self.arg.text())}"
-
-    def children(self):
-        out = [self.arg]
-        if self.order_key is not None:
-            out.append(self.order_key)
-        if self.filter is not None:
-            out.append(self.filter)
-        return out
 
 
 @dataclass

@@ -632,8 +632,13 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         for a in aggs:
             agg_by_text.setdefault(a.text(), a)
         for a in agg_by_text.values():
-            if not isinstance(a.arg, A.Star):
-                validate(a.arg, scope, "aggregate")
+            # validate every child (argument, FILTER condition, and an
+            # ordered-agg ORDER BY key) — not just the argument, so an
+            # unknown column anywhere in the aggregate raises here
+            # instead of a raw AnalysisException at build time
+            for sub in a.children():
+                if not isinstance(sub, A.Star):
+                    validate(sub, scope, "aggregate")
         key_aliases = {k.text(): f"__k{i}" for i, k in enumerate(q.group_by)}
         agg_aliases = {t: f"__a{i}" for i, t in enumerate(agg_by_text)}
         key_cols = [plain.compile(k).alias(key_aliases[k.text()]) for k in q.group_by]

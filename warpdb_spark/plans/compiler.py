@@ -299,10 +299,35 @@ class Compiler:
             raise ValidationError(f"{n.func}(DISTINCT ...) is not supported")
         return _AGG_IMPL[n.func](arg)
 
+    @staticmethod
+    def _ordered_pairs(pairs: Column, key_asc: bool) -> Column:
+        """Sort an array of (k, v) structs by k ASC|DESC with ties
+        broken by v ASCENDING in both directions (the documented
+        contract). ASC uses plain array_sort (struct-lexicographic ==
+        key-then-value, both ascending). DESC needs a comparator so the
+        direction applies to the key only — a reverse() would also flip
+        the value tie-break. Null keys (order key evaluating NULL on a
+        non-null value) compare as ties and fall through to the value
+        order. The comparator is a Catalyst lambda, still codegen'd and
+        map-side-combinable."""
+        if key_asc:
+            return F.array_sort(pairs)
+
+        def cmp(a, b):
+            return (
+                F.when(a["k"] < b["k"], F.lit(1))
+                .when(a["k"] > b["k"], F.lit(-1))
+                .when(a["v"] < b["v"], F.lit(-1))
+                .when(a["v"] > b["v"], F.lit(1))
+                .otherwise(F.lit(0))
+            )
+
+        return F.array_sort(pairs, cmp)
+
     def _c_stringagg(self, n: A.StringAgg) -> Column:
         """Ordered string concatenation without a Spark string_agg:
-        collect (key, value) structs, array_sort (lexicographic — key
-        first, value tie-break), project values, join. Stays one
+        collect (key, value) structs, sort (key direction, value
+        ascending tie-break), project values, join. Stays one
         map-side-combinable aggregate; NULL values (and FILTER-failing
         rows) become NULL structs, which collect_list skips — exactly
         the ANSI skip-nulls contract."""
@@ -312,14 +337,12 @@ class Compiler:
         keep = val.isNotNull()
         if n.filter is not None:
             keep = keep & self.compile(n.filter)
-        arr = F.array_sort(F.collect_list(F.when(keep, pair)))
-        if not n.key_asc:
-            arr = F.reverse(arr)
+        arr = self._ordered_pairs(F.collect_list(F.when(keep, pair)), n.key_asc)
         return F.array_join(F.transform(arr, lambda s: s["v"]), n.sep)
 
     def _c_arrayagg(self, n: A.ArrayAgg) -> Column:
-        """Ordered array collection: collect (key, value) structs,
-        array_sort (key first, value tie-break), project values —
+        """Ordered array collection: collect (key, value) structs, sort
+        (key direction, value ascending tie-break), project values —
         native element type preserved, one map-side-combinable
         aggregate, nulls skipped (ANSI-style, matching STRING_AGG)."""
         val = self.compile(n.arg)
@@ -328,9 +351,7 @@ class Compiler:
         keep = val.isNotNull()
         if n.filter is not None:
             keep = keep & self.compile(n.filter)
-        arr = F.array_sort(F.collect_list(F.when(keep, pair)))
-        if not n.key_asc:
-            arr = F.reverse(arr)
+        arr = self._ordered_pairs(F.collect_list(F.when(keep, pair)), n.key_asc)
         return F.transform(arr, lambda s: s["v"])
 
     def _c_cast(self, n: A.Cast) -> Column:
@@ -380,10 +401,18 @@ class Compiler:
                 default = None if isinstance(d, A.Null) else d.value
             if n.ignore_nulls:
                 # PySpark's lag/lead wrappers don't expose the ANSI
-                # ignoreNulls flag; the Scala overload does
+                # ignoreNulls flag; the Scala overload does. Under
+                # Spark Connect there is no _jvm — fail with a clear
+                # message instead of an opaque AttributeError.
                 from pyspark.sql import SparkSession
 
-                jfn = SparkSession.active()._jvm.org.apache.spark.sql.functions
+                jvm = getattr(SparkSession.active(), "_jvm", None)
+                if jvm is None:
+                    raise ValidationError(
+                        f"{fname} ... IGNORE NULLS requires a classic (JVM) "
+                        "SparkSession; it is not available over Spark Connect"
+                    )
+                jfn = jvm.org.apache.spark.sql.functions
                 jc = getattr(jfn, fname.lower())(args[0]._jc, offset, default, True)
                 base = Column(jc)
             else:

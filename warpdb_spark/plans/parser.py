@@ -50,12 +50,29 @@ class _Parser:
     def __init__(self, tokens: list[Token]):
         self.tokens = tokens
         self.pos = 0
+        # /*+ ... */ is only meaningful immediately after SELECT; in any
+        # other position engines treat a hint-shaped comment as a plain
+        # comment. peek/next skip HINT tokens transparently unless
+        # parse_select flips this while reading the post-SELECT run.
+        self._hint_mode = False
 
     # -- token helpers -------------------------------------------------
+    def _skip_hints(self, i: int) -> int:
+        if not self._hint_mode:
+            while i < len(self.tokens) - 1 and self.tokens[i].kind == HINT:
+                i += 1
+        return i
+
     def peek(self, ahead: int = 0) -> Token:
-        return self.tokens[min(self.pos + ahead, len(self.tokens) - 1)]
+        i = self._skip_hints(self.pos)
+        for _ in range(ahead):
+            if self.tokens[i].kind == EOF:
+                break
+            i = self._skip_hints(i + 1)
+        return self.tokens[min(i, len(self.tokens) - 1)]
 
     def next(self) -> Token:
+        self.pos = self._skip_hints(self.pos)
         tok = self.tokens[self.pos]
         if tok.kind != EOF:
             self.pos += 1
@@ -381,7 +398,8 @@ class _Parser:
         self.expect_op(")")
         filter_cond = self._parse_filter_clause()
         return A.StringAgg(
-            "STRING_AGG", arg, False, filter_cond, sep_tok.value, order_key, key_asc
+            "STRING_AGG", arg, False, filter_cond,
+            sep=sep_tok.value, order_key=order_key, key_asc=key_asc,
         )
 
     def _parse_array_agg(self) -> A.Node:
@@ -396,7 +414,10 @@ class _Parser:
                 raise ParseError("NULLS FIRST/LAST is not supported in ARRAY_AGG")
         self.expect_op(")")
         filter_cond = self._parse_filter_clause()
-        return A.ArrayAgg("ARRAY_AGG", arg, False, filter_cond, order_key, key_asc)
+        return A.ArrayAgg(
+            "ARRAY_AGG", arg, False, filter_cond,
+            order_key=order_key, key_asc=key_asc,
+        )
 
     def _parse_filter_clause(self):
         """ANSI ``FILTER (WHERE cond)`` after an aggregate call.
@@ -507,6 +528,7 @@ class _Parser:
         # BROADCAST/BROADCASTJOIN/MAPJOIN are acted on; other hint
         # names are accepted and ignored (standard engine behavior) —
         # a malformed hint body is a ParseError, not a silent no-op.
+        self._hint_mode = True
         while self.peek().kind == HINT:
             body = self.next().value
             import re as _re
@@ -522,6 +544,7 @@ class _Parser:
                     )
             if pos != len(body):
                 raise ParseError(f"Malformed optimizer hint: {body!r}")
+        self._hint_mode = False
         q.distinct = bool(self.accept_kw("DISTINCT"))
         if q.distinct and self.accept_kw("ON"):
             # DISTINCT ON (a, b) (superset; Postgres/DuckDB) — a
