@@ -1,5 +1,6 @@
 """Inventory loading contract: entry ordering for the driver's bounded
-correctness window, and loud failure when a submodule can't import
+correctness window, rotation-bookkeeping invariants (no dupes, pending
+always ahead of green), and loud failure when a submodule can't import
 (a silent except-ImportError previously made 34 entries vanish)."""
 
 import sys
@@ -7,34 +8,77 @@ import sys
 import pytest
 
 from warpdb_spark import inventory
+from warpdb_spark.inventory import rotation
 
 
 def test_driver_priority_entries_come_first():
     q, o = inventory.load_all()
     names = list(q)
     assert names[: len(inventory.DRIVER_PRIORITY)] == inventory.DRIVER_PRIORITY
-    # r3 rotation: everything that broke or was never checked must sit
-    # inside the driver's ~50-entry window — the recovered events
-    # entries, the re-cast q12, the r2 additions, and the entries whose
-    # oracles were upgraded this round
-    window = names[:50]
-    for must in (
-        "reshape_pivot",
-        "stream_session_windows",
-        "window_lag_lead",
-        "events_cohort_retention",
-        "tpch_q12_priority_lines",
-        "agg_grouping_sets",
-        "embedding_kmeans_clusters",
-        "pipeline_corpus_curation",
-        "similarity_ann_lsh",
-        "similarity_ivf",
-        "window_qualify",
-    ):
-        assert must in window, must
     # every priority name has a callable; oracle coverage stays declared
     assert all(callable(q[n]) for n in names)
     assert set(o) <= set(q)
+
+
+def test_window_is_all_never_driver_checked():
+    """The driver verifies ~50 entries from the front: as long as any
+    entry lacks a driver-green row, the front of the emission order must
+    be exclusively such entries (pending-before-green)."""
+    q, _ = inventory.load_all()
+    names = list(q)
+    n_pending = len(rotation.PENDING_ORDER)
+    window = names[: min(50, n_pending)]
+    for name in window:
+        assert name not in rotation.DRIVER_GREEN, (
+            f"{name} already driver-green (r{rotation.DRIVER_GREEN.get(name)}) "
+            "but occupies a front-window slot"
+        )
+    # and nothing pending hides behind a green entry
+    first_green_idx = next(
+        (i for i, n in enumerate(names) if n in rotation.DRIVER_GREEN), len(names)
+    )
+    assert first_green_idx == n_pending
+
+
+def test_rotation_bookkeeping_invariants():
+    q, _ = inventory.load_all()
+    inv = set(q)
+    pending = rotation.PENDING_ORDER
+    green = rotation.DRIVER_GREEN
+    # no duplicates
+    assert len(set(pending)) == len(pending)
+    # disjoint: a green entry must not hog a pending slot
+    assert not (set(pending) & set(green))
+    # complete: every inventory entry is tracked exactly once
+    assert set(pending) | set(green) == inv
+    # rounds are sane
+    assert all(isinstance(r, int) and r >= 1 for r in green.values())
+
+
+def test_rotation_build_rejects_drift(monkeypatch):
+    q, _ = inventory.load_all()
+    names = list(q)
+    # duplicate pending name
+    monkeypatch.setattr(rotation, "PENDING_ORDER", ["dialect_setops", "dialect_setops"])
+    with pytest.raises(RuntimeError, match="duplicate"):
+        rotation.build_driver_priority(names)
+    # pending ∩ green
+    monkeypatch.setattr(rotation, "PENDING_ORDER", ["reshape_pivot"])
+    with pytest.raises(RuntimeError, match="both pending and green"):
+        rotation.build_driver_priority(names)
+    # untracked inventory entry
+    monkeypatch.setattr(rotation, "PENDING_ORDER", [])
+    monkeypatch.setattr(
+        rotation,
+        "DRIVER_GREEN",
+        {k: v for k, v in rotation.DRIVER_GREEN.items() if k != "reshape_pivot"},
+    )
+    with pytest.raises(RuntimeError, match="missing from rotation bookkeeping"):
+        rotation.build_driver_priority(names)
+    # unknown name
+    monkeypatch.setattr(rotation, "PENDING_ORDER", ["no_such_entry"])
+    with pytest.raises(RuntimeError, match="no_such_entry"):
+        rotation.build_driver_priority(names)
 
 
 def test_unknown_priority_name_raises(monkeypatch):

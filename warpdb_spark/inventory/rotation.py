@@ -1,0 +1,249 @@
+"""Driver-verification rotation bookkeeping (generated mechanically).
+
+``DRIVER_GREEN`` maps each inventory entry that has EVER received a
+green row in a driver correctness window (CORRECTNESS_r{N}.json) to
+the round of its first green row. ``PENDING_ORDER`` risk-ranks the
+entries still awaiting their first driver check; the rotation rule is
+mechanical: every pending entry is emitted before every green entry,
+so the driver's ~50-entry window always verifies never-checked names
+first. After each round, move that round's freshly green names from
+``PENDING_ORDER`` into ``DRIVER_GREEN`` (tools/update_rotation.py
+prints the edit). Invariants are enforced by build_driver_priority()
+and pinned in tests/test_inventory_contract.py.
+
+Round-1/2 attributions were recovered from those rounds' verdict
+texts (the JSON artifacts were overwritten); round-3 names come from
+CORRECTNESS_r03.json directly.
+"""
+
+from __future__ import annotations
+
+DRIVER_GREEN: dict[str, int] = {
+    "reshape_pivot": 3,
+    "json_extract_props": 3,
+    "asof_join_clicks_purchases": 3,
+    "range_join_value_bands": 3,
+    "stream_interval_join_attribution": 3,
+    "stream_tumbling_hourly": 3,
+    "stream_sliding_2h": 3,
+    "stream_session_windows": 3,
+    "window_lag_lead": 1,
+    "window_frame_moving_avg": 1,
+    "events_funnel_conversion": 3,
+    "events_cohort_retention": 3,
+    "tpch_q12_priority_lines": 3,
+    "agg_grouping_sets": 2,
+    "window_value_functions": 3,
+    "pack_sequences_chunked": 2,
+    "sample_stratified": 2,
+    "decontam_eval_overlap": 2,
+    "text_repetition_stats": 3,
+    "text_vocab_oov": 3,
+    "text_gopher_rules": 3,
+    "text_unigram_logprob": 3,
+    "embedding_quantize_int8": 3,
+    "embedding_kmeans_assign": 3,
+    "embedding_kmeans_clusters": 3,
+    "reshape_chunk_documents": 2,
+    "join_salted_skew": 2,
+    "pipeline_corpus_curation": 2,
+    "tpch_q2_min_cost_supplier": 3,
+    "tpch_q7_volume_shipping": 3,
+    "tpch_q8_market_share": 3,
+    "similarity_ann_lsh": 3,
+    "similarity_ivf": 3,
+    "window_qualify": 3,
+    "asof_join_next_purchase": 3,
+    "agg_approx_percentile": 3,
+    "dialect_event_time": 3,
+    "dialect_tpch_q1": 3,
+    "dialect_tpch_q6": 3,
+    "corpus_stats_by_stratum": 3,
+    "dedup_span_boilerplate": 3,
+    "events_sessionize": 3,
+    "events_resample_locf": 3,
+    "agg_mode_median": 3,
+    "reshape_unpivot": 3,
+    "text_edit_distance_pairs": 3,
+    "sample_weighted": 3,
+    "events_zscore_outliers": 3,
+    "text_top_bigrams": 3,
+    "sample_token_budget": 3,
+    "flagship_filter_project": 1,
+    "dialect_expression_projection": 1,
+    "dialect_cte_scalar_in": 2,
+    "window_running_sum": 1,
+    "window_rank_family": 1,
+    "udaf_group_median": 1,
+    "dedup_minhash_lsh": 2,
+    "dialect_predicates": 1,
+    "expr_case_when": 1,
+    "expr_string_functions": 1,
+    "expr_date_functions": 1,
+    "dialect_groupby_having": 1,
+    "agg_global": 1,
+    "agg_distinct": 1,
+    "agg_count_distinct": 1,
+    "agg_rollup": 1,
+    "agg_cube": 1,
+    "sort_topk": 1,
+    "dialect_offset_limit": 1,
+    "dialect_exists_theta": 2,
+    "dialect_derived_table_q18": 2,
+    "join_inner_rowlevel": 1,
+    "join_broadcast_dims": 1,
+    "join_semi": 1,
+    "join_anti": 1,
+    "join_left_outer": 1,
+    "join_full_outer": 1,
+    "join_cross_product": 1,
+    "join_theta": 1,
+    "window_rank_topn": 1,
+    "expr_math_functions": 2,
+    "setop_union": 1,
+    "setop_intersect": 1,
+    "window_range_frame": 1,
+    "dedup_exact": 2,
+    "dedup_exact_text": 2,
+    "dedup_minhash_survivors": 2,
+    "sample_hash_bucket": 2,
+    "dedup_cluster_components": 2,
+    "dedup_ngram_jaccard": 2,
+    "dedup_simhash_candidates": 2,
+    "dedup_embedding_cosine": 2,
+    "dedup_embedding_lsh": 2,
+    "similarity_topk_bruteforce": 2,
+    "expr_array_functions": 2,
+    "expr_regexp_extract": 2,
+    "reshape_explode_tokens": 2,
+    "pii_scrub": 2,
+    "pack_sequences_greedy": 2,
+}
+
+# Never-driver-checked entries, highest risk first: dialect executors
+# (parser->builder->compiler, the most moving parts), then replay-oracle
+# and multi-stage operator entries, then warehouse maintenance, then
+# the remainder in module order. New entries are inserted at the front
+# of the block matching their risk class.
+PENDING_ORDER: list[str] = [
+    "dialect_setops",
+    "setop_intersect_all",
+    "dialect_tpch_q3",
+    "dialect_tpch_q12",
+    "dialect_rollup_grouping",
+    "dialect_grouping_sets",
+    "dialect_range_interval_frame",
+    "dialect_recursive_cte",
+    "dialect_self_join",
+    "dialect_agg_filter",
+    "dialect_string_agg",
+    "dialect_unnest",
+    "dialect_distinct_on",
+    "dialect_ansi_fetch_bool",
+    "dialect_array_agg",
+    "dialect_broadcast_hint",
+    "dialect_select_star",
+    "dialect_group_by_all",
+    "dialect_json_arrow",
+    "window_ignore_nulls",
+    "embedding_pq_codes",
+    "similarity_pq_adc",
+    "similarity_pq_rerank",
+    "graph_pagerank_users",
+    "dedup_semantic_semdedup",
+    "text_bm25_search",
+    "search_hybrid_rrf",
+    "agg_hll_union_days",
+    "sketch_countmin_words",
+    "text_subword_segment",
+    "graph_triangle_count",
+    "graph_adamic_adar",
+    "similarity_mmr_rerank",
+    "dedup_incremental_new_docs",
+    "dedup_containment_ngram",
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+    "multimodal_video_frames",
+    "embedding_contrastive_pairs",
+    "text_quality_classifier",
+    "text_perplexity_bigram",
+    "reshape_global_ordinal",
+    "window_distinct_count",
+    "merge_upsert_orders",
+    "scd2_event_intervals",
+    "table_diff_cdc",
+    "stream_static_enrich",
+    "events_anomaly_mad",
+    "events_equidepth_quantiles",
+    "events_equidepth_approx",
+    "profile_table_columns",
+    "table_fingerprint",
+    "stats_correlation_matrix",
+    "events_value_histogram",
+    "events_rollup_cascade",
+    "events_resample_interpolate",
+    "events_user_rfm",
+    "events_ewma_smooth",
+    "events_trend_ols",
+    "events_markov_transitions",
+    "range_join_session_overlap",
+    "setop_except_all",
+    "tpch_q3_shipping_priority",
+    "agg_approx_count_distinct",
+    "setop_except",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customer",
+    "histogram_value_buckets",
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counting",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_single_return_supplier",
+    "tpch_q22_dormant_customers",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_md5_fingerprint",
+    "text_winnow_fingerprint",
+    "text_tfidf_top_terms",
+    "multimodal_blob_meta",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "agg_statistical",
+    "agg_percentiles",
+]
+
+
+def build_driver_priority(inventory_names: list[str]) -> list[str]:
+    """Full emission order: all pending entries (risk-ranked), then all
+    green entries in inventory order. Raises if the bookkeeping has
+    drifted: duplicate names, names missing from the inventory, or an
+    entry listed as both pending and green (a green entry hogging a
+    window slot)."""
+    inv = set(inventory_names)
+    if len(set(PENDING_ORDER)) != len(PENDING_ORDER):
+        dupes = [n for i, n in enumerate(PENDING_ORDER) if n in PENDING_ORDER[:i]]
+        raise RuntimeError(f"duplicate names in PENDING_ORDER: {dupes}")
+    overlap = set(PENDING_ORDER) & set(DRIVER_GREEN)
+    if overlap:
+        raise RuntimeError(f"entries both pending and green: {sorted(overlap)}")
+    missing = [n for n in (*PENDING_ORDER, *DRIVER_GREEN) if n not in inv]
+    if missing:
+        raise RuntimeError(f"rotation names not in inventory: {missing}")
+    unlisted = [n for n in inventory_names
+                if n not in DRIVER_GREEN and n not in set(PENDING_ORDER)]
+    if unlisted:
+        raise RuntimeError(
+            f"entries missing from rotation bookkeeping (add to PENDING_ORDER): {unlisted}"
+        )
+    greens = [n for n in inventory_names if n in DRIVER_GREEN]
+    return list(PENDING_ORDER) + greens
