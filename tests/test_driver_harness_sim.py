@@ -37,6 +37,104 @@ def test_testdata_schema_assumptions():
         assert "list" in str(emb.field("embedding").type), (sf, emb)
 
 
+# Arrow schema snapshot of EVERY testdata table as of round 4. The ts
+# column is exempted above (the schema-adaptive reader handles its known
+# encodings); everything else must match exactly — the round-2 incident
+# showed testdata encodings can drift between rounds, and this makes any
+# drift fail in minute one of the round instead of inside the driver run.
+_TABLE_SCHEMAS = {
+    "region": {"r_regionkey": "int32", "r_name": "string"},
+    "nation": {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"},
+    "customer": {
+        "c_custkey": "int64",
+        "c_name": "string",
+        "c_nationkey": "int32",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "int64",
+        "s_name": "string",
+        "s_nationkey": "int32",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "int64",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int32",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "int64",
+        "o_custkey": "int64",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "<time>",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "int64",
+        "l_partkey": "int64",
+        "l_suppkey": "int64",
+        "l_linenumber": "int32",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "<time>",
+    },
+    "events": {
+        "event_id": "int64",
+        "ts": "<time>",
+        "user_id": "int64",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "int64",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "int64",
+    },
+    "embeddings": {
+        "vec_id": "int64",
+        "embedding": "list<element: float>",
+        "label": "int32",
+    },
+}
+
+# encodings the schema-adaptive readers handle for time-like columns
+_TIME_OK = {
+    "int64", "timestamp[ns]", "timestamp[us]", "timestamp[ms]", "timestamp[s]",
+    "timestamp[us, tz=UTC]", "timestamp[ns, tz=UTC]", "date32[day]",
+}
+
+
+def test_all_table_schemas_pinned():
+    """Round-start canary: every table, every column, every sf."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        for table, expected in _TABLE_SCHEMAS.items():
+            schema = pq.read_schema(f"{d}/{table}.parquet")
+            got = {f.name: str(f.type) for f in schema}
+            assert set(got) == set(expected), (sf, table, sorted(got), sorted(expected))
+            for col, want in expected.items():
+                if want == "<time>":
+                    assert got[col] in _TIME_OK, (sf, table, col, got[col])
+                else:
+                    assert got[col] == want, (sf, table, col, got[col], want)
+
+
 # Entries whose Spark side touches the events table (event-time ops):
 # ALL of them run under the plain session — this exact set regressed in
 # round 2 when the testdata's ts encoding changed.
