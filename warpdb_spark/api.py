@@ -82,6 +82,16 @@ class WarpDB:
         self.registry.register_pandas(name, fn, return_type)
         return self
 
+    def register_udtf(self, name: str, fn) -> "WarpDB":
+        """Register a ``@pyspark.sql.functions.udtf``-decorated class as
+        a table-valued function callable from the dialect's FROM clause:
+        ``SELECT ... FROM name(table.column, literals...)`` laterally
+        applies it per source row (superset; the reference's call syntax
+        src/expression.cpp:210-223 generalized to table position).
+        ``split_ngrams(text, n)`` is preloaded."""
+        self.registry.register_udtf(name, fn)
+        return self
+
     def load_custom_module(self, path: str) -> "WarpDB":
         """File-based UDF registration — the direct analog of the
         reference prepending ``./custom.cu`` to every kernel

@@ -28,12 +28,31 @@ from pyspark.sql.types import DataType, DoubleType
 class FunctionRegistry:
     def __init__(self):
         self._fns: dict[str, Callable[..., Column]] = {}
+        # table-valued functions (Spark Python UDTFs), callable from the
+        # dialect's FROM clause — kept separate from scalar functions so
+        # a name can't silently shadow across the two surfaces
+        self._udtfs: dict[str, object] = {}
 
     def __contains__(self, name: str) -> bool:
         return name.lower() in self._fns
 
     def names(self) -> list[str]:
         return sorted(self._fns)
+
+    def register_udtf(self, name: str, fn: object) -> None:
+        """``fn`` is a ``@pyspark.sql.functions.udtf``-decorated class
+        (or the raw class — it is registered with Spark at call time by
+        the builder)."""
+        self._udtfs[name.lower()] = fn
+
+    def has_udtf(self, name: str) -> bool:
+        return name.lower() in self._udtfs
+
+    def udtf(self, name: str) -> object:
+        return self._udtfs[name.lower()]
+
+    def udtf_names(self) -> list[str]:
+        return sorted(self._udtfs)
 
     def register_builtin(self, name: str, builder: Callable[..., Column]) -> None:
         """``builder`` composes Columns (JVM-side, codegen-friendly)."""
@@ -63,4 +82,8 @@ def default_registry() -> FunctionRegistry:
     pure column composition, so it fuses into WholeStageCodegen."""
     reg = FunctionRegistry()
     reg.register_builtin("discount", lambda price, factor: price * factor)
+    from warpdb_spark.functions.udtfs import default_udtfs
+
+    for name, fn in default_udtfs().items():
+        reg.register_udtf(name, fn)
     return reg

@@ -868,6 +868,25 @@ def dialect_ansi_fetch_bool(spark, sf_dir):
     )
 
 
+def dialect_udtf_ngrams(spark, sf_dir):
+    """Real Python UDTF in the dialect's FROM clause (superset; closes
+    SURVEY §2.8's table-function row — the reference's generic call
+    syntax src/expression.cpp:210-223 generalized to table position):
+    ``FROM split_ngrams(documents.text, 2)`` laterally applies the
+    ``@udtf``-registered SplitNgrams class per document, then a plain
+    GROUP BY counts bigrams. Catalyst plans the UDTF as an Arrow-batched
+    Generate over the filter-pushed scan (the ``doc_id % 20`` predicate
+    executes BEFORE the Python stage), so the Python rate applies only
+    to the sampled 5%; full-corpus n-gram counting stays on the
+    zero-Python HOF path (``text_top_bigrams``). DuckDB replays the
+    identical tokenization with a list comprehension + unnest."""
+    db = _db(spark, sf_dir, "documents")
+    return db.query_sql(
+        "SELECT ngram, COUNT(*) AS tf FROM split_ngrams(documents.text, 2) "
+        "WHERE doc_id % 20 = 0 GROUP BY ngram ORDER BY tf DESC, ngram LIMIT 50"
+    )
+
+
 def dialect_range_interval_frame(spark, sf_dir):
     """Event-time RANGE frame with INTERVAL bounds through the dialect
     (superset): ``RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT
@@ -1416,6 +1435,7 @@ QUERIES = {
     "dialect_select_star": dialect_select_star,
     "dialect_group_by_all": dialect_group_by_all,
     "dialect_json_arrow": dialect_json_arrow,
+    "dialect_udtf_ngrams": dialect_udtf_ngrams,
     "dialect_array_agg": dialect_array_agg,
     "dialect_tpch_q3": dialect_tpch_q3,
     "dialect_tpch_q12": dialect_tpch_q12,
@@ -1836,6 +1856,15 @@ ORACLES = {
         "round(avg(CAST(props ->> 'k' AS double)), 6) AS mean_k "
         "FROM events WHERE props ->> 'k' IS NOT NULL "
         "GROUP BY event_type ORDER BY et"
+    ),
+    "dialect_udtf_ngrams": (
+        r"WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), "
+        r"'\s+', ' ', 'g')), ' ') AS toks FROM documents WHERE doc_id % 20 = 0), "
+        "ng AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) "
+        "ELSE [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] END) "
+        "AS ngram FROM t) "
+        "SELECT ngram, COUNT(*) AS tf FROM ng GROUP BY ngram "
+        "ORDER BY tf DESC, ngram LIMIT 50"
     ),
     "dialect_select_star": (
         "SELECT c.*, o_orderkey, o_totalprice FROM orders "

@@ -126,6 +126,8 @@ DRIVER_GREEN: dict[str, int] = {
 # the remainder in module order. New entries are inserted at the front
 # of the block matching their risk class.
 PENDING_ORDER: list[str] = [
+    # round-4 additions — brand new surfaces, checked first
+    "dialect_udtf_ngrams",
     "dialect_setops",
     "setop_intersect_all",
     "dialect_tpch_q3",

@@ -487,6 +487,26 @@ class Exists(_SubqueryNode):
 
 
 @dataclass
+class TableFuncCall(Node):
+    """Table-valued function call in FROM position (superset — the
+    reference's generic call syntax src/expression.cpp:210-223
+    generalized to table position): ``FROM split_ngrams(documents.text,
+    2)``. The first argument must be a qualified ``table.column``
+    reference naming the lateral source table; remaining arguments are
+    literals. Executes as ``source, LATERAL udtf(col, ...)`` — source
+    columns plus the UDTF's output columns are visible downstream."""
+
+    name: str  # lower-cased function name
+    args: list = field(default_factory=list)
+
+    def text(self) -> str:
+        return f"{self.name}({', '.join(a.text() for a in self.args)})"
+
+    def children(self):
+        return list(self.args)
+
+
+@dataclass
 class JoinClause:
     """JOIN <table> ON <cond> (src/expression.cpp:375-401,
     include/expression.hpp:123-126); ``how`` generalizes the

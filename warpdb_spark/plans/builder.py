@@ -82,6 +82,12 @@ def _references_table(node, name: str) -> bool:
         return False if shadowed else _references_table(node.body, name)
     if isinstance(node, A.SetOp):
         return _references_table(node.left, name) or _references_table(node.right, name)
+    if isinstance(node, A.TableFuncCall):
+        # FROM udtf(table.col, ...) reads `table`
+        return any(
+            isinstance(a, A.Var) and "." in a.name and a.name.rsplit(".", 1)[0] == name
+            for a in node.args
+        )
     if isinstance(node, A.QueryAST):
         if node.from_subquery is not None:
             if _references_table(node.from_subquery, name):
@@ -184,7 +190,69 @@ def build_dataframe(tables: dict[str, DataFrame], q, registry=None) -> DataFrame
         if q.limit is not None:
             out = out.limit(q.limit)
         return out
+    if isinstance(q, A.TableFuncCall):
+        return _build_table_func(tables, q, registry)
     return _build_select(tables, q, registry)
+
+
+def _build_table_func(tables: dict[str, DataFrame], tfc: A.TableFuncCall, registry) -> DataFrame:
+    """Execute ``FROM udtf(table.col, lit...)`` as a Spark lateral join:
+    the registered Python UDTF is applied once per source row, and the
+    result exposes the source table's columns followed by the UDTF's
+    output columns. Planned by Catalyst as Generate over the (filter-
+    pushed) source scan — the UDTF is Arrow-batched per partition, no
+    driver involvement, so it distributes like any other projection
+    (Python-rate; pre-filter the source for hot paths)."""
+    name = tfc.name
+    if registry is None or not registry.has_udtf(name):
+        known = ", ".join(registry.udtf_names()) if registry is not None else ""
+        raise ValidationError(
+            f"Unknown table function: {name}" + (f" (registered: {known})" if known else "")
+        )
+    if not tfc.args:
+        raise ValidationError(f"Table function {name} requires a table.column first argument")
+    first = tfc.args[0]
+    if not (isinstance(first, A.Var) and "." in first.name):
+        raise ValidationError(
+            f"Table function {name}: first argument must be a qualified "
+            "table.column reference naming the lateral source table"
+        )
+    table, col = first.name.rsplit(".", 1)
+    if table not in tables:
+        raise ValidationError(f"Unknown table: {table} in table function {name}")
+    src = tables[table]
+    if col not in src.columns:
+        raise ValidationError(f"Unknown column: {first.name} in table function {name}")
+    lit_sql: list[str] = []
+    for a in tfc.args[1:]:
+        if isinstance(a, A.Num):
+            lit_sql.append(repr(a.value))
+        elif isinstance(a, A.Str):
+            lit_sql.append("'" + a.value.replace("'", "''") + "'")
+        elif isinstance(a, A.Bool):
+            lit_sql.append("true" if a.value else "false")
+        elif isinstance(a, A.Null):
+            lit_sql.append("NULL")
+        else:
+            raise ValidationError(
+                f"Table function {name}: arguments after the column must be literals"
+            )
+    spark = src.sparkSession
+    reg_name = f"__wdb_udtf_{name}"
+    spark.udtf.register(reg_name, registry.udtf(name))
+    view = _sq_alias("tfsrc")
+    src.createOrReplaceTempView(view)
+    args = ", ".join([f"s.{col}"] + lit_sql)
+    out = spark.sql(f"SELECT s.*, f.* FROM {view} AS s, LATERAL {reg_name}({args}) AS f")
+    # Generate output columns shadowing source columns would make the
+    # downstream scope ambiguous — reject loudly
+    gen_cols = out.columns[len(src.columns):]
+    overlap = set(src.columns) & set(gen_cols)
+    if overlap:
+        raise ValidationError(
+            f"Table function {name} output columns collide with source columns: {sorted(overlap)}"
+        )
+    return out
 
 
 def _conjuncts(node: A.Node) -> list[A.Node]:

@@ -708,6 +708,24 @@ class _Parser:
             self.accept_kw("AS")
             return sub, self.expect_ident(f"alias for derived table in {clause}"), None
         name = self.expect_ident(f"table name after {clause}")
+        if self.peek().kind == OP and self.peek().value == "(":
+            # table-valued function: FROM split_ngrams(documents.text, 2)
+            # (superset; reference call syntax generalized to table
+            # position, src/expression.cpp:210-223)
+            self.next()
+            args: list[A.Node] = []
+            if not (self.peek().kind == OP and self.peek().value == ")"):
+                args.append(self.parse_expr())
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+            self.expect_op(")")
+            alias = None
+            if self.accept_kw("AS"):
+                alias = self.expect_ident(f"alias after AS in {clause}")
+            elif self.peek().kind == IDENT:
+                alias = self.next().value
+            tfc = A.TableFuncCall(name.lower(), args)
+            return tfc, alias or name.lower(), None
         alias = None
         if self.accept_kw("AS"):
             alias = self.expect_ident(f"alias after AS in {clause}")
