@@ -351,3 +351,29 @@ class TestContrastivePairs:
                 best_id, best_cos = r["vec_id"], c
         assert out[one]["pos_id"] == best_id
         assert abs(out[one]["pos_cos"] - best_cos) < 1e-9
+
+
+class TestRerankCrossFeatures:
+    def test_rerank_is_permutation_of_candidates(self, spark):
+        from warpdb_spark.inventory.retrieval_ops import (
+            search_hybrid_rrf,
+            search_rerank_cross_features,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        cand = {r.doc_id for r in search_hybrid_rrf(spark, sf).collect()}
+        rr = search_rerank_cross_features(spark, sf).collect()
+        assert {r.doc_id for r in rr} == cand
+        assert sorted(r.rerank_pos for r in rr) == list(range(1, len(cand) + 1))
+        # integer-space scoring: exact, no float drift
+        assert all(isinstance(r.rerank_score, int) for r in rr)
+
+    def test_rerank_order_matches_score(self, spark):
+        from warpdb_spark.inventory.retrieval_ops import search_rerank_cross_features
+
+        rows = sorted(
+            search_rerank_cross_features(spark, "/root/testdata/sf0.001").collect(),
+            key=lambda r: r.rerank_pos,
+        )
+        keys = [(-r.rerank_score, r.doc_id) for r in rows]
+        assert keys == sorted(keys)

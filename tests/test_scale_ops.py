@@ -514,3 +514,52 @@ class TestGlobalOrdinal:
         by_ord = sorted(rows, key=lambda r: r["ordinal"])
         doc_ids = [r["doc_id"] for r in by_ord]
         assert doc_ids == sorted(doc_ids)
+
+
+class TestAnnRecallEntry:
+    def test_recall_bounds_and_coverage(self, spark):
+        from warpdb_spark.inventory.pipeline_ops import similarity_ann_recall
+
+        rows = similarity_ann_recall(spark, "/root/testdata/sf0.001").collect()
+        # 20 queries x 2 settings
+        assert len(rows) == 40
+        assert {r.num_planes for r in rows} == {4, 8}
+        for r in rows:
+            assert 0 <= r.n_hits <= 5
+            assert abs(r.recall_at_5 - r.n_hits / 5.0) < 1e-9
+            assert r.matches_exact == (r.n_hits == 5)
+
+    def test_coarser_buckets_no_worse_mean_recall(self, spark):
+        """4 planes -> bigger buckets -> candidate supersets: mean
+        recall must be >= the 8-plane setting on any corpus."""
+        from warpdb_spark.inventory.pipeline_ops import similarity_ann_recall
+
+        rows = similarity_ann_recall(spark, "/root/testdata/sf0.001").collect()
+        mean = {p: 0.0 for p in (4, 8)}
+        for r in rows:
+            mean[r.num_planes] += r.n_hits
+        assert mean[4] >= mean[8]
+
+
+class TestLangConfidenceEntry:
+    def test_confidence_calibration_invariants(self, spark):
+        from warpdb_spark.inventory.pipeline_ops import (
+            text_lang_confidence,
+            text_lang_id,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        conf = {r.doc_id: r for r in text_lang_confidence(spark, sf).collect()}
+        pred = {r.doc_id: r.lang_pred for r in text_lang_id(spark, sf).collect()}
+        assert set(conf) == set(pred)
+        for doc_id, r in conf.items():
+            assert r.lang_pred == pred[doc_id]  # same argmax as lang_id
+            assert r.best_score >= r.second_score >= 0
+            assert r.margin == r.best_score - r.second_score
+            assert 0.0 <= r.confidence <= 1.0
+            if r.best_score > 0:
+                # best/total with 5 langs is at least 1/5 when any hit
+                assert r.confidence >= 0.2 - 1e-9
+            assert r.reliable == (
+                r.best_score > 0 and r.confidence >= 0.5 and r.margin >= 2
+            )

@@ -73,6 +73,55 @@ def text_quality_score(spark, sf_dir):
     return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
 
 
+def text_lang_confidence(spark, sf_dir):
+    """Language-ID confidence calibration over the text_lang_id
+    heuristic: per-doc stopword/CJK scores for all five languages, then
+    confidence = best_score / total_score (share-of-evidence — the
+    standard cheap calibration when scores are count-valued) and
+    margin = best − runner-up (0 on ties, so ambiguous docs are
+    flaggable). ``reliable`` gates on confidence ≥ 0.5 AND margin ≥ 2 —
+    the filter a corpus pipeline applies before trusting lang routing.
+    All scores are exact integers (same stopword lists as lang_id);
+    the only float is one final rounded division, so DuckDB replays
+    every value. Zero-shuffle codegen scan, same scale shape as
+    text_lang_id."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = [
+        (lang, T.stopword_hits(F.col("text"), words))
+        for lang, words in sorted(T.STOPWORDS.items())
+    ]
+    scored.append(("zh", T.cjk_char_count(F.col("text"))))
+    scored.sort(key=lambda kv: kv[0])
+    arr = F.sort_array(F.array(*[s.cast("long") for _, s in scored]), asc=False)
+    d = docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        arr[0].alias("best_score"),
+        arr[1].alias("second_score"),
+        (arr[0] - arr[1]).alias("margin"),
+        F.aggregate(
+            F.array(*[s.cast("long") for _, s in scored]),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_score"),
+    )
+    conf = F.when(
+        F.col("total_score") > 0,
+        F.round(F.col("best_score") / F.col("total_score"), 6),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        "lang_pred",
+        "best_score",
+        "second_score",
+        "margin",
+        conf.alias("confidence"),
+        ((F.col("best_score") > 0) & (conf >= 0.5) & (F.col("margin") >= 2)).alias(
+            "reliable"
+        ),
+    )
+
+
 def text_md5_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", T.md5_fingerprint(F.col("text")).alias("fingerprint"))
@@ -383,6 +432,51 @@ def similarity_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ivf_topk(emb, queries, k=5, num_lists=16, nprobe=4)
+
+
+def similarity_ann_recall(spark, sf_dir):
+    """ANN recall/cost trade-off measurement IN-QUERY: run the
+    hyperplane-LSH top-5 at two index settings (num_planes=4 — coarse
+    buckets, more candidates, higher recall; num_planes=8 — finer
+    buckets, cheaper probes) and score each against the exact BLAS
+    top-5, emitting per-query n_hits / recall@5 / matches_exact. This
+    is the calibration query an ANN deployment runs before picking its
+    index parameters — recall is computed by the engine itself, not by
+    an offline script.
+
+    Scale: each ANN leg is the bucketed-probing plan of
+    similarity_ann_lsh (shuffle O(candidates), never all-pairs); the
+    exact leg is one broadcast-query scan; the recall joins touch ≤100
+    rows per leg. Every stage is md5-deterministic, so DuckDB replays
+    both index settings, the exact ranking, and the recall arithmetic
+    bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk_np(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "neighbor_id")
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    legs = []
+    for p in (4, 8):
+        ap = S.ann_lsh_topk(emb, queries, k=5, num_planes=p).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            exact.join(ap, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        n = F.coalesce(F.col("n"), F.lit(0))
+        legs.append(
+            qids.join(hits, "query_id", "left").select(
+                "query_id",
+                F.lit(p).alias("num_planes"),
+                n.cast("int").alias("n_hits"),
+                F.round(n / 5.0, 2).alias("recall_at_5"),
+                (n == 5).alias("matches_exact"),
+            )
+        )
+    return legs[0].unionAll(legs[1])
 
 
 def embedding_quantize_int8(spark, sf_dir):
@@ -1184,6 +1278,7 @@ def dedup_incremental_new_docs(spark, sf_dir):
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,
+    "text_lang_confidence": text_lang_confidence,
     "text_quality_score": text_quality_score,
     "text_md5_fingerprint": text_md5_fingerprint,
     "text_winnow_fingerprint": text_winnow_fingerprint,
@@ -1206,6 +1301,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity_ann_lsh,
+    "similarity_ann_recall": similarity_ann_recall,
     "similarity_ivf": similarity_ivf,
     "multimodal_blob_meta": multimodal_blob_meta,
     "multimodal_features": multimodal_features,
@@ -1278,6 +1374,43 @@ SELECT doc_id,
        WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
        ELSE 'zh' END AS lang_pred
 FROM scored
+"""
+
+# text_lang_confidence: same integer score matrix as _LANG_ID_SQL plus
+# share-of-evidence confidence, margin, and the reliability gate —
+# lang_pred tie-break (lexicographic) must match text.py::lang_id
+_LANG_CONF_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+    {_LANG_SCORE.format(toks=_toks, words=_STOP['de'])} AS s_de,
+    {_LANG_SCORE.format(toks=_toks, words=_STOP['en'])} AS s_en,
+    {_LANG_SCORE.format(toks=_toks, words=_STOP['es'])} AS s_es,
+    {_LANG_SCORE.format(toks=_toks, words=_STOP['fr'])} AS s_fr,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS s_zh
+  FROM documents
+), m AS (
+  SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+    list_reverse_sort([CAST(s_de AS BIGINT), CAST(s_en AS BIGINT),
+      CAST(s_es AS BIGINT), CAST(s_fr AS BIGINT), CAST(s_zh AS BIGINT)]) AS srt,
+    CAST(s_de + s_en + s_es + s_fr + s_zh AS BIGINT) AS total_score
+  FROM scored
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'unknown'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+       ELSE 'zh' END AS lang_pred,
+  srt[1] AS best_score,
+  srt[2] AS second_score,
+  srt[1] - srt[2] AS margin,
+  CASE WHEN total_score > 0 THEN round(srt[1] * 1.0 / total_score, 6) ELSE 0.0 END
+    AS confidence,
+  srt[1] > 0
+    AND (CASE WHEN total_score > 0 THEN round(srt[1] * 1.0 / total_score, 6) ELSE 0.0 END) >= 0.5
+    AND srt[1] - srt[2] >= 2 AS reliable
+FROM m
 """
 
 _QUALITY_EXPR = (
@@ -1448,6 +1581,7 @@ ORACLES = {
         "length(text) AS n_chars_computed FROM documents"
     ),
     "text_lang_id": _LANG_ID_SQL,
+    "text_lang_confidence": _LANG_CONF_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_md5_fingerprint": f"SELECT doc_id, md5({_norm}) AS fingerprint FROM documents",
     "text_winnow_fingerprint": (
@@ -1943,3 +2077,59 @@ ORACLES = {
         "FROM s GROUP BY user_id, sid"
     ),
 }
+
+
+def _ann_lsh_cte(p: int, pre: str) -> str:
+    """LSH replay CTE chain (planes → signatures → Hamming-1 probes →
+    candidate top-5) parameterized by plane count — the generator behind
+    the similarity_ann_lsh oracle, reused per index setting by
+    similarity_ann_recall. Mirrors operators/similarity.py::ann_lsh_topk
+    (seed 42, 64-dim corpus, k=5, queries vec_id<20)."""
+    return (
+        f"{pre}planes AS (SELECT p, list_transform(range(0, 64), d -> "
+        "CAST(CAST(concat('0x', substr(md5(concat('42_', p, '_', d)), 1, 8)) AS BIGINT) AS DOUBLE) "
+        f"/ 2147483648.0 - 1.0) AS pv FROM range(0, {p}) t(p)), "
+        f"{pre}sigs AS (SELECT vec_id, embedding, "
+        "string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig FROM ("
+        "SELECT e.vec_id, e.embedding, pl.p, "
+        "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * pl.pv[i])) AS dot "
+        f"FROM embeddings e CROSS JOIN {pre}planes pl) GROUP BY vec_id, embedding), "
+        f"{pre}qprobes AS (SELECT vec_id AS query_id, embedding AS qv, "
+        f"unnest(list_prepend(sig, list_transform(range(0, {p}), i -> concat("
+        "substr(sig, 1, CAST(i AS INT)), "
+        "CASE WHEN substr(sig, CAST(i + 1 AS INT), 1) = '1' THEN '0' ELSE '1' END, "
+        f"substr(sig, CAST(i + 2 AS INT), CAST({p - 1} - i AS INT)))))) AS bucket "
+        f"FROM {pre}sigs WHERE vec_id < 20), "
+        f"{pre}cand AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+        "max(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6)) AS cosine "
+        f"FROM {pre}qprobes q JOIN {pre}sigs c ON c.sig = q.bucket WHERE c.vec_id <> q.query_id "
+        "GROUP BY 1, 2), "
+        f"{pre}top AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM {pre}cand) "
+        "WHERE rank <= 5)"
+    )
+
+
+def _ann_recall_leg(p: int, pre: str) -> str:
+    return (
+        f"SELECT q.query_id, {p} AS num_planes, "
+        f"CAST(coalesce(h.n, 0) AS INT) AS n_hits, "
+        f"round(coalesce(h.n, 0) / 5.0, 2) AS recall_at_5, "
+        f"coalesce(h.n, 0) = 5 AS matches_exact "
+        "FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 20) q "
+        f"LEFT JOIN (SELECT e.query_id, count(*) AS n FROM ex e "
+        f"JOIN {pre}top t ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id "
+        "GROUP BY 1) h ON q.query_id = h.query_id"
+    )
+
+
+ORACLES["similarity_ann_recall"] = (
+    f"WITH {_ann_lsh_cte(4, 'a4')}, {_ann_lsh_cte(8, 'a8')}, "
+    "ex AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM ("
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
+    "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 20) q "
+    "WHERE c.vec_id != q.vec_id)) WHERE rank <= 5) "
+    f"{_ann_recall_leg(4, 'a4')} UNION ALL {_ann_recall_leg(8, 'a8')}"
+)

@@ -345,6 +345,70 @@ def search_hybrid_rrf(spark, sf_dir):
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)
 
 
+def search_rerank_cross_features(spark, sf_dir):
+    """Cross-encoder-style feature rerank over the hybrid-RRF candidate
+    list — the standard retrieve-then-rerank serving shape: the cheap
+    first stage (search_hybrid_rrf) nominates 20 candidates, then a
+    second-stage scorer computes QUERY-DOCUMENT CROSS features (here:
+    bm25_rank, ann_rank, and the query-doc distinct-token overlap that
+    neither single-leg ranking sees) and combines them with a hashed
+    linear model (md5-derived integer pseudo-weights — the same
+    deterministic stand-in discipline as text_quality_classifier; swap
+    in a broadcast learned vector in production).
+
+    Scale: the expensive cross features are computed for 20 candidates,
+    not the corpus — the first stage bounds second-stage cost, exactly
+    like a real cross-encoder deployment. Scoring is integer-space
+    (exact in any engine); the one join against documents is a 20-row
+    broadcast lookup. DuckDB replays both retrieval legs, the overlap
+    feature, the weights, and the fused order bit-for-bit."""
+    fused = search_hybrid_rrf(spark, sf_dir)  # doc_id, bm25_rank, ann_rank, rrf_score
+    docs = _t(spark, sf_dir, "documents")
+
+    def alnum(c):
+        return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+    def w(name):
+        # one exact integer weight per feature, derivable in any engine:
+        # first 4 md5 hex chars of 'w_<name>' - 32768  ∈ [-32768, 32767]
+        return (
+            F.conv(F.substring(F.md5(F.lit("w_" + name)), 1, 4), 16, 10).cast("long")
+            - 32768
+        )
+
+    q_toks = docs.filter(F.col("doc_id") == 0).select(
+        F.array_distinct(alnum(F.col("text"))).alias("q_toks")
+    )
+    cand = fused.join(docs.select("doc_id", "text"), "doc_id", "left").crossJoin(
+        F.broadcast(q_toks)
+    )
+    overlap = F.coalesce(
+        F.size(F.array_intersect(F.array_distinct(alnum(F.col("text"))), F.col("q_toks"))),
+        F.lit(0),
+    ).cast("long")
+    feats = cand.select(
+        "doc_id",
+        "bm25_rank",
+        "ann_rank",
+        overlap.alias("overlap_tokens"),
+    )
+    score = (
+        w("bm25") * F.col("bm25_rank")
+        + w("ann") * F.col("ann_rank")
+        + w("overlap") * F.col("overlap_tokens")
+    )
+    return feats.select(
+        "doc_id",
+        "bm25_rank",
+        "ann_rank",
+        "overlap_tokens",
+        score.alias("rerank_score"),
+        F.row_number()
+        .over(Window.orderBy(score.desc(), "doc_id"))
+        .alias("rerank_pos"),
+    )
+
+
 # --- contrastive pair mining -------------------------------------------------
 
 
@@ -453,6 +517,7 @@ QUERIES = {
     "events_resample_interpolate": events_resample_interpolate,
     "graph_pagerank_users": graph_pagerank_users,
     "search_hybrid_rrf": search_hybrid_rrf,
+    "search_rerank_cross_features": search_rerank_cross_features,
     "embedding_contrastive_pairs": embedding_contrastive_pairs,
 }
 
@@ -598,3 +663,35 @@ ORACLES = {
         "FROM p5 LEFT JOIN od ON od.id = p5.id"
     ),
 }
+
+
+# search_rerank_cross_features reuses the full hybrid-RRF replay: the
+# first stage's final SELECT becomes a cand20 CTE, then the cross
+# features (documents join + distinct-token overlap vs the doc-0 query)
+# and the md5-derived integer weights replay the second stage exactly.
+_ALNUM_DD = "list_distinct(list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> ''))"
+
+_RRF_HEAD, _RRF_TAIL = ORACLES["search_hybrid_rrf"].split(
+    "SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM fused "
+)
+assert _RRF_TAIL == "ORDER BY rrf_score DESC, doc_id LIMIT 20"
+
+ORACLES["search_rerank_cross_features"] = (
+    _RRF_HEAD
+    + ", cand20 AS (SELECT doc_id, bm25_rank, ann_rank FROM fused "
+    "ORDER BY rrf_score DESC, doc_id LIMIT 20), "
+    f"qt AS (SELECT {_ALNUM_DD.format(col='text')} AS q_toks FROM documents WHERE doc_id = 0), "
+    "f AS (SELECT c.doc_id, c.bm25_rank, c.ann_rank, "
+    "CAST(coalesce(len(list_intersect("
+    f"{_ALNUM_DD.format(col='d.text')}, qt.q_toks)), 0) AS BIGINT) AS overlap_tokens "
+    "FROM cand20 c LEFT JOIN documents d ON c.doc_id = d.doc_id CROSS JOIN qt), "
+    "w AS (SELECT "
+    "CAST(concat('0x', substr(md5('w_bm25'), 1, 4)) AS BIGINT) - 32768 AS w_bm, "
+    "CAST(concat('0x', substr(md5('w_ann'), 1, 4)) AS BIGINT) - 32768 AS w_ann, "
+    "CAST(concat('0x', substr(md5('w_overlap'), 1, 4)) AS BIGINT) - 32768 AS w_ov) "
+    "SELECT doc_id, bm25_rank, ann_rank, overlap_tokens, "
+    "w_bm * bm25_rank + w_ann * ann_rank + w_ov * overlap_tokens AS rerank_score, "
+    "CAST(row_number() OVER (ORDER BY w_bm * bm25_rank + w_ann * ann_rank + "
+    "w_ov * overlap_tokens DESC, doc_id) AS INT) AS rerank_pos "
+    "FROM f CROSS JOIN w"
+)

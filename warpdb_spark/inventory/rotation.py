@@ -128,6 +128,9 @@ DRIVER_GREEN: dict[str, int] = {
 PENDING_ORDER: list[str] = [
     # round-4 additions — brand new surfaces, checked first
     "dialect_udtf_ngrams",
+    "text_lang_confidence",
+    "similarity_ann_recall",
+    "search_rerank_cross_features",
     "dialect_setops",
     "setop_intersect_all",
     "dialect_tpch_q3",
