@@ -202,6 +202,12 @@ subset = events_entries + [
     "sketch_countmin_words",
     "reshape_global_ordinal",
     "dialect_distinct_on",
+    # round-4 additions — the UDTF entry registers a Spark UDTF and a
+    # temp view on whatever session the driver provides
+    "dialect_udtf_ngrams",
+    "search_rerank_cross_features",
+    "similarity_ann_recall",
+    "text_lang_confidence",
 ]
 for name in subset:
     n = qs[name](spark, sf).count()
