@@ -138,3 +138,18 @@ class TestErrorPaths:
     def test_no_args(self, docs_db):
         with pytest.raises(ValidationError, match="requires a table.column"):
             docs_db.query_sql("SELECT x FROM split_ngrams()")
+
+
+class TestJoinPosition:
+    def test_udtf_as_join_source(self, docs_db):
+        """A table function in JOIN position behaves like a derived
+        table: its lateral result (source cols + generated cols) joins
+        on the given condition, with alias-qualified access."""
+        out = docs_db.query_sql(
+            "SELECT d.doc_id, g.ngram FROM documents d "
+            "JOIN split_ngrams(documents.text, 2) AS g ON d.doc_id = g.doc_id "
+            "WHERE d.doc_id = 1 ORDER BY g.pos"
+        )
+        assert [r.ngram for r in out.collect()] == [
+            "the quick", "quick brown", "brown fox",
+        ]

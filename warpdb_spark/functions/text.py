@@ -48,16 +48,35 @@ def bpe_ish_token_count(col: Column) -> Column:
     )
 
 
+def let(expr: Column, body) -> Column:
+    """Per-row let-binding for higher-order-function expressions:
+    evaluate ``expr`` ONCE per row and pass it to ``body`` as a lambda
+    variable (a bound VALUE, not an expression tree).
+
+    Spark HOF lambdas are interpreted with no common-subexpression
+    elimination, so a captured Column referenced inside a lambda is
+    re-evaluated per ELEMENT — word_ngrams re-tokenizing the document
+    for every output position was O(tokens²) per doc (measured 7.2s vs
+    0.6s for corpus bigram counts at sf0.1, PLANS.md round 4). Wrapping
+    the expensive subtree as the single element of an array and
+    transforming over it makes it a NamedLambdaVariable: evaluated once
+    per row, referenced by value inside any nested lambda."""
+    return F.transform(F.array(expr), body)[0]
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """Word n-gram shingles as an array of space-joined strings; empty
     when the document has fewer than n tokens. Pure HOF composition —
-    no explode, no shuffle."""
-    toks = tokens(col)
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    no explode, no shuffle; the token array is let-bound so
+    tokenization runs once per row, not once per output n-gram."""
+    return let(
+        tokens(col),
+        lambda tk: F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            )
+        ),
     )
 
 
@@ -175,8 +194,9 @@ def rolling_fingerprint(col: Column, window: int = 5) -> Column:
     the whole normalized text. Pure HOF composition — no shuffle, no
     Python in the scan path."""
     norm = normalized_text(col)
-    grams = word_ngrams(norm, window)
-    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
-    return F.when(F.size(grams) == 0, F.substring(F.md5(norm), 1, 16)).otherwise(
-        F.array_min(hashes)
+    return let(
+        word_ngrams(norm, window),
+        lambda gs: F.when(F.size(gs) == 0, F.substring(F.md5(norm), 1, 16)).otherwise(
+            F.array_min(F.transform(gs, lambda g: F.substring(F.md5(g), 1, 16)))
+        ),
     )

@@ -73,13 +73,18 @@ def minhash_signature(
     grams = T.word_ngrams(T.normalized_text(text_col), shingle_size)
     grams = F.when(F.size(grams) == 0, F.array(T.normalized_text(text_col))).otherwise(grams)
     seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
-    # One nested-HOF expression: the (large) shingle expression appears
-    # exactly once in the plan. Building 64 separate array_min(transform)
-    # columns instead duplicates it 64x and sends Catalyst/codegen
-    # superlinear. NB: inner lambda takes exactly one arg — a two-arg
-    # transform lambda means (element, index) to Spark.
-    return F.transform(
-        seeds, lambda s: F.array_min(F.transform(grams, lambda g: F.xxhash64(s, g)))
+    # let-bind the shingle array (T.let): HOF lambdas are interpreted
+    # with no CSE, so a captured grams EXPRESSION would re-shingle the
+    # doc once per seed (64x); as a lambda variable it is computed once
+    # per row. Building 64 separate array_min(transform) columns would
+    # be worse still (64x in the plan itself). NB: inner lambdas take
+    # exactly one arg — a two-arg transform lambda means (element,
+    # index) to Spark.
+    return T.let(
+        grams,
+        lambda gs: F.transform(
+            seeds, lambda s: F.array_min(F.transform(gs, lambda g: F.xxhash64(s, g)))
+        ),
     )
 
 
