@@ -79,9 +79,23 @@ def main(selected: list[str]) -> int:
     import duckdb
 
     import __spark_entry__ as entry
-    from warpdb_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_PLAIN_SESSION"):
+        # driver rehearsal: an unconfigured default session, exactly
+        # what the harness hands the entries (no Kryo/AQE/UTC pinning —
+        # entries must self-configure what they need)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-plain")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from warpdb_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
