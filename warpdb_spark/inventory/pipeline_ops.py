@@ -461,8 +461,10 @@ def similarity_ann_recall(spark, sf_dir):
         ap = S.ann_lsh_topk(emb, queries, k=5, num_planes=p).select(
             "query_id", "neighbor_id"
         )
+        # the approx top-k is ≤ |queries|·k rows — broadcast it so the
+        # recall check is a map-side semi join, not a sort-merge
         hits = (
-            exact.join(ap, ["query_id", "neighbor_id"], "left_semi")
+            exact.join(F.broadcast(ap), ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n"))
         )
