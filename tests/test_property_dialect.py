@@ -413,3 +413,76 @@ def test_distinct_on_matches_duckdb(qdb, qduck, tie, where):
     got = [tuple(r) for r in qdb.query_sql(sql).collect()]
     want = [tuple(r) for r in qduck.execute(sql).fetchall()]
     assert got == want, sql
+
+
+# --- STRING_AGG / ARRAY_AGG: randomized order-key cross-check ---------------
+
+_OA_ROWS = [
+    (1, "g1", "e"), (2, "g1", "a"), (3, "g1", "c"), (4, "g2", "b"),
+    (5, "g2", "d"), (6, "g3", "f"), (7, "g3", "a"), (8, "g3", "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def oadb(spark, tmp_path_factory):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(k=k, g=g, v=v) for k, g, v in _OA_ROWS])
+    return WarpDB(df=df, table_name="t", spark=spark)
+
+
+@pytest.fixture(scope="module")
+def oaduck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k BIGINT, g VARCHAR, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", _OA_ROWS)
+    return con
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    key=st.sampled_from(["k", "v", "k + 1", "0 - k"]),
+    desc=st.booleans(),
+    use_filter=st.booleans(),
+)
+def test_string_agg_order_matches_duckdb(oadb, oaduck, key, desc, use_filter):
+    """Unique order keys (k and v are unique per group) — the engines'
+    tie-break contracts differ, so uniqueness isolates the ordering
+    machinery itself: direction, expression keys, FILTER composition."""
+    d = "DESC" if desc else "ASC"
+    filt = " FILTER (WHERE k != 4)" if use_filter else ""
+    sql = (
+        f"SELECT g, STRING_AGG(v, ',' ORDER BY {key} {d}){filt} AS s "
+        "FROM t GROUP BY g ORDER BY g"
+    )
+    got = [(r.g, r.s) for r in oadb.query_sql(sql).collect()]
+    want = oaduck.execute(sql).fetchall()
+    # DuckDB renders an empty group (all rows filtered) as NULL; our
+    # array_join renders '' — normalize both to ''
+    want = [(g, s or "") for g, s in want]
+    got = [(g, s or "") for g, s in got]
+    assert got == want, sql
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    key=st.sampled_from(["k", "v", "k * 2"]),
+    desc=st.booleans(),
+)
+def test_array_agg_order_matches_duckdb(oadb, oaduck, key, desc):
+    d = "DESC" if desc else "ASC"
+    sql = (
+        f"SELECT g, ARRAY_AGG(v ORDER BY {key} {d}) AS a "
+        "FROM t GROUP BY g ORDER BY g"
+    )
+    got = [(r.g, list(r.a)) for r in oadb.query_sql(sql).collect()]
+    want = [(g, list(a)) for g, a in oaduck.execute(sql).fetchall()]
+    assert got == want, sql
