@@ -377,3 +377,37 @@ class TestRerankCrossFeatures:
         )
         keys = [(-r.rerank_score, r.doc_id) for r in rows]
         assert keys == sorted(keys)
+
+
+class TestNdcgEntry:
+    def test_ndcg_invariants(self, spark):
+        from warpdb_spark.inventory.retrieval_ops import search_eval_ndcg
+
+        rows = sorted(
+            search_eval_ndcg(spark, "/root/testdata/sf0.001").collect(),
+            key=lambda r: r.pos,
+        )
+        assert [r.pos for r in rows] == list(range(1, 21))
+        # DCG and IDCG are running sums -> non-decreasing; ndcg in [0,1]
+        for a, b in zip(rows, rows[1:]):
+            assert b.dcg >= a.dcg - 1e-9
+            assert b.idcg >= a.idcg - 1e-9
+        for r in rows:
+            assert r.dcg <= r.idcg + 1e-6  # ideal ordering dominates
+            assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+            assert r.rel in (0, 1, 2, 3)
+
+
+class TestMixtureAlphaEntry:
+    def test_distributions_sum_to_one_and_boost_direction(self, spark):
+        from warpdb_spark.inventory.pipeline_ops import sample_mixture_alpha
+
+        rows = sample_mixture_alpha(spark, "/root/testdata/sf0.001").collect()
+        assert abs(sum(r.p_natural for r in rows) - 1.0) < 1e-3
+        assert abs(sum(r.p_alpha for r in rows) - 1.0) < 1e-3
+        # alpha<1 flattens: the largest language is downweighted, the
+        # smallest is upweighted
+        big = max(rows, key=lambda r: r.n_tokens)
+        small = min(rows, key=lambda r: r.n_tokens)
+        assert big.boost <= 1.0 + 1e-6
+        assert small.boost >= 1.0 - 1e-6

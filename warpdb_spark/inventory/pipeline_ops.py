@@ -237,6 +237,46 @@ def sample_weighted(spark, sf_dir):
     )
 
 
+def sample_mixture_alpha(spark, sf_dir):
+    """Temperature-scaled data-mixture weights (the mT5/XLM-R α-sampling
+    rule, α=0.3): per-language token counts c_i from one corpus scan,
+    then p_i = c_i^α / Σ c_j^α — upweighting low-resource languages
+    relative to their natural share p_nat = c_i / Σ c_j. Output carries
+    both distributions plus the boost factor p_α/p_nat — the table a
+    training run feeds its sampler.
+
+    Scale: one partial-aggregated shuffle on the (tiny) lang key; the
+    Σ-normalizers are a one-row broadcast cross join. Shares and boosts
+    are round-6 (pow/div are the only float steps), so DuckDB replays
+    the whole computation."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    alpha = 0.3
+    per = per.withColumn("w_alpha", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)))
+    totals = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w_alpha").alias("tot_w")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("p_natural"),
+            F.round(F.col("w_alpha") / F.col("tot_w"), 6).alias("p_alpha"),
+            F.round(
+                (F.col("w_alpha") / F.col("tot_w"))
+                / (F.col("n_tokens") / F.col("tot_tokens")),
+                6,
+            ).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
 def events_zscore_outliers(spark, sf_dir):
     """Per-key anomaly screen: flag events whose value is >2 population
     standard deviations from their event_type mean. The (tiny) per-type
@@ -1293,6 +1333,7 @@ QUERIES = {
     "dedup_minhash_survivors": dedup_minhash_survivors,
     "sample_hash_bucket": sample_hash_bucket,
     "sample_weighted": sample_weighted,
+    "sample_mixture_alpha": sample_mixture_alpha,
     "events_zscore_outliers": events_zscore_outliers,
     "events_anomaly_mad": events_anomaly_mad,
     "dedup_cluster_components": dedup_cluster_components,
@@ -1616,6 +1657,18 @@ ORACLES = {
     "sample_hash_bucket": (
         "SELECT doc_id, lang, source FROM documents "
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"
+    ),
+    "sample_mixture_alpha": (
+        r"WITH per AS (SELECT lang, count(*) AS n_docs, "
+        r"CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens "
+        "FROM documents GROUP BY lang), "
+        "t AS (SELECT sum(n_tokens) AS tot_tokens, "
+        "sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS tot_w FROM per) "
+        "SELECT lang, n_docs, n_tokens, "
+        "round(n_tokens * 1.0 / tot_tokens, 6) AS p_natural, "
+        "round(pow(CAST(n_tokens AS DOUBLE), 0.3) / tot_w, 6) AS p_alpha, "
+        "round((pow(CAST(n_tokens AS DOUBLE), 0.3) / tot_w) / (n_tokens * 1.0 / tot_tokens), 6) AS boost "
+        "FROM per CROSS JOIN t ORDER BY lang"
     ),
     "sample_weighted": (
         "SELECT doc_id, lang, source, n_chars FROM documents "

@@ -409,6 +409,92 @@ def search_rerank_cross_features(spark, sf_dir):
     )
 
 
+def search_eval_ndcg(spark, sf_dir):
+    """Graded retrieval evaluation IN-QUERY: nDCG@20 of the hybrid-RRF
+    ranking, with relevance grades derived from the exact-cosine rank
+    of each candidate (rank ≤5 → rel 3, ≤10 → 2, ≤20 → 1, else 0 —
+    the standard graded-judgment ladder with the exact ranking as the
+    judge). Emits per-position gain, cumulative DCG, ideal DCG, and
+    nDCG — the eval table a retrieval deployment tracks per release.
+
+    Scale: exact ranks come from ONE broadcast-query corpus scan joined
+    against the 20 broadcast candidates (O(20·N) predicate work, no
+    global sort — rank = 1 + count-ahead); the DCG windows run over a
+    20-row frame. Cosines are round-6 with id tie-breaks and both
+    engines accumulate the running sums in the same position order, so
+    DuckDB replays every value."""
+    from warpdb_spark.functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        F.round(V.cosine_similarity(F.col("embedding"), F.col("q_vec")), 6).alias("cos"),
+    )
+    fused = search_hybrid_rrf(spark, sf_dir)
+    w_pos = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    cand = fused.select("doc_id", F.row_number().over(w_pos).alias("pos"))
+    cc = cand.join(
+        scored.select(F.col("vec_id").alias("doc_id"), F.col("cos").alias("c_cos")),
+        "doc_id",
+    )
+    ahead = (
+        scored.crossJoin(
+            F.broadcast(cc.select(F.col("doc_id").alias("c_id"), "c_cos"))
+        )
+        .filter(
+            (F.col("cos") > F.col("c_cos"))
+            | ((F.col("cos") == F.col("c_cos")) & (F.col("vec_id") < F.col("c_id")))
+        )
+        .groupBy("c_id")
+        .agg(F.count(F.lit(1)).alias("n_ahead"))
+    )
+    rk = cc.join(ahead, cc.doc_id == ahead.c_id, "left").select(
+        "doc_id",
+        "pos",
+        (F.coalesce("n_ahead", F.lit(0)) + 1).cast("int").alias("exact_rank"),
+    )
+    rel = (
+        F.when(F.col("exact_rank") <= 5, 3)
+        .when(F.col("exact_rank") <= 10, 2)
+        .when(F.col("exact_rank") <= 20, 1)
+        .otherwise(0)
+    )
+    g = rk.select("doc_id", "pos", "exact_rank", rel.alias("rel"))
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("pos") + 1)
+    w_seq = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = g.select(
+        "doc_id", "pos", "exact_rank", "rel",
+        gain.alias("__gain"),
+        F.sum(gain).over(w_seq).alias("__dcg"),
+    )
+    w_ideal = Window.orderBy(F.col("rel").desc(), "pos")
+    ideal = g.select(
+        F.row_number().over(w_ideal).alias("ipos"), F.col("rel").alias("irel")
+    )
+    igain = (F.pow(F.lit(2.0), F.col("irel")) - 1) / F.log2(F.col("ipos") + 1)
+    w_iseq = Window.orderBy("ipos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    icum = ideal.select("ipos", F.sum(igain).over(w_iseq).alias("__idcg"))
+    return (
+        d.join(icum, d.pos == icum.ipos)
+        .select(
+            "pos",
+            "doc_id",
+            "exact_rank",
+            "rel",
+            F.round("__gain", 6).alias("gain"),
+            F.round("__dcg", 6).alias("dcg"),
+            F.round("__idcg", 6).alias("idcg"),
+            F.round(
+                F.coalesce(F.try_divide(F.col("__dcg"), F.col("__idcg")), F.lit(0.0)), 6
+            ).alias("ndcg"),
+        )
+        .orderBy("pos")
+    )
+
+
 # --- contrastive pair mining -------------------------------------------------
 
 
@@ -518,6 +604,7 @@ QUERIES = {
     "graph_pagerank_users": graph_pagerank_users,
     "search_hybrid_rrf": search_hybrid_rrf,
     "search_rerank_cross_features": search_rerank_cross_features,
+    "search_eval_ndcg": search_eval_ndcg,
     "embedding_contrastive_pairs": embedding_contrastive_pairs,
 }
 
@@ -694,4 +781,34 @@ ORACLES["search_rerank_cross_features"] = (
     "CAST(row_number() OVER (ORDER BY w_bm * bm25_rank + w_ann * ann_rank + "
     "w_ov * overlap_tokens DESC, doc_id) AS INT) AS rerank_pos "
     "FROM f CROSS JOIN w"
+)
+
+
+# search_eval_ndcg: candidate list from the RRF replay, exact ranks via
+# count-ahead against the one-scan cosine frame, DCG/IDCG as running
+# sums in position order (both engines accumulate sequentially).
+ORACLES["search_eval_ndcg"] = (
+    _RRF_HEAD
+    + ", cand20 AS (SELECT doc_id, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS pos "
+    "FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20), "
+    "sc AS (SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos "
+    "FROM embeddings), "
+    "cc AS (SELECT c.doc_id, c.pos, s.cos AS c_cos FROM cand20 c "
+    "JOIN sc s ON s.vec_id = c.doc_id), "
+    "rk AS (SELECT cc.doc_id, cc.pos, CAST(1 + count(v.vec_id) AS INT) AS exact_rank "
+    "FROM cc LEFT JOIN sc v ON v.cos > cc.c_cos OR (v.cos = cc.c_cos AND v.vec_id < cc.doc_id) "
+    "GROUP BY cc.doc_id, cc.pos), "
+    "g AS (SELECT doc_id, pos, exact_rank, CASE WHEN exact_rank <= 5 THEN 3 "
+    "WHEN exact_rank <= 10 THEN 2 WHEN exact_rank <= 20 THEN 1 ELSE 0 END AS rel FROM rk), "
+    "d AS (SELECT doc_id, pos, exact_rank, rel, "
+    "(pow(2.0, rel) - 1) / log2(pos + 1) AS gain_raw, "
+    "sum((pow(2.0, rel) - 1) / log2(pos + 1)) OVER (ORDER BY pos) AS dcg_raw FROM g), "
+    "idl AS (SELECT row_number() OVER (ORDER BY rel DESC, pos) AS ipos, rel AS irel FROM g), "
+    "icm AS (SELECT ipos, sum((pow(2.0, irel) - 1) / log2(ipos + 1)) OVER (ORDER BY ipos) "
+    "AS idcg_raw FROM idl) "
+    "SELECT d.pos, d.doc_id, d.exact_rank, d.rel, round(d.gain_raw, 6) AS gain, "
+    "round(d.dcg_raw, 6) AS dcg, round(i.idcg_raw, 6) AS idcg, "
+    "round(CASE WHEN i.idcg_raw > 0 THEN d.dcg_raw / i.idcg_raw ELSE 0.0 END, 6) AS ndcg "
+    "FROM d JOIN icm i ON d.pos = i.ipos ORDER BY d.pos"
 )

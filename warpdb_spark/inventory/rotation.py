@@ -131,6 +131,8 @@ PENDING_ORDER: list[str] = [
     "text_lang_confidence",
     "similarity_ann_recall",
     "search_rerank_cross_features",
+    "sample_mixture_alpha",
+    "search_eval_ndcg",
     "dialect_setops",
     "setop_intersect_all",
     "dialect_tpch_q3",
