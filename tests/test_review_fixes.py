@@ -389,3 +389,77 @@ class TestAnalysisExceptionSubclassWrapped:
                 db.query_sql("SELECT v FROM t")
         finally:
             api_mod.build_dataframe = saved
+
+
+class TestOrderedAggNullKeys:
+    """Round-4 self-review: the DESC comparator treated a NULL order key
+    as a tie with EVERY key — non-transitive, so null-keyed elements
+    interleaved arbitrarily (and TimSort can throw on frames >= 32).
+    Contract now: NULL keys sort LAST under DESC (DuckDB default),
+    value-ascending within the null group."""
+
+    def test_desc_null_keys_sort_last_value_ascending(self, spark):
+        rows = [
+            Row(g=1, k=5, v="a"), Row(g=1, k=None, v="m"), Row(g=1, k=1, v="z"),
+            Row(g=1, k=3, v="b"), Row(g=1, k=None, v="c"),
+        ]
+        db = WarpDB(df=spark.createDataFrame(rows), table_name="t", spark=spark)
+        out = db.query_sql(
+            "SELECT g, STRING_AGG(v, ',' ORDER BY k DESC) AS s FROM t GROUP BY g"
+        )
+        assert out.first().s == "a,b,z,c,m"
+
+    def test_desc_null_keys_large_group_no_contract_violation(self, spark):
+        # >= 32 elements exercises TimSort's merge path where a
+        # non-transitive comparator throws
+        rows = [Row(g=1, k=(None if i % 3 == 0 else i), v=f"v{i:02d}") for i in range(40)]
+        db = WarpDB(df=spark.createDataFrame(rows), table_name="t", spark=spark)
+        s = db.query_sql(
+            "SELECT g, STRING_AGG(v, ',' ORDER BY k DESC) AS s FROM t GROUP BY g"
+        ).first().s
+        parts = s.split(",")
+        nonnull = [f"v{i:02d}" for i in sorted((i for i in range(40) if i % 3 != 0), reverse=True)]
+        nulls = sorted(f"v{i:02d}" for i in range(0, 40, 3))
+        assert parts == nonnull + nulls
+
+
+class TestUpdateRotationParse:
+    """Round-4 self-review: split('PENDING_ORDER') matched the word in
+    the module docstring, so the tool parsed zero pending names and was
+    a silent no-op."""
+
+    def test_pending_names_parse_from_rotation_source(self):
+        import importlib
+        import tools.update_rotation as ur
+        import re
+
+        src = ur.ROTATION.read_text()
+        block = src.split("PENDING_ORDER: list[str] = [", 1)[1].split("]", 1)[0]
+        names = re.findall(r'^    "([a-z0-9_]+)",$', block, re.M)
+        from warpdb_spark.inventory import rotation
+
+        assert names == rotation.PENDING_ORDER
+        assert len(names) > 0
+
+    def test_dry_run_reports_window_entries(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+        import os
+
+        from warpdb_spark.inventory import rotation
+
+        # synthetic artifact: first two pending entries green
+        art = {
+            n: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+            for n in rotation.PENDING_ORDER[:2]
+        }
+        p = tmp_path / "CORRECTNESS_rX.json"
+        p.write_text(json.dumps(art))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "update_rotation.py"), str(p), "9"],
+            capture_output=True, text=True, cwd=repo,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "newly green pending: 2" in out.stdout

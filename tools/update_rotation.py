@@ -41,7 +41,12 @@ def main() -> int:
     data = json.loads(artifact.read_text())
 
     src = ROTATION.read_text()
-    pending = re.findall(r'^    "([a-z0-9_]+)",$', src.split("PENDING_ORDER")[1], re.M)
+    # anchor on the list ASSIGNMENT, not the word (which the module
+    # docstring also uses repeatedly)
+    pending_block = src.split("PENDING_ORDER: list[str] = [", 1)[1].split("]", 1)[0]
+    pending = re.findall(r'^    "([a-z0-9_]+)",$', pending_block, re.M)
+    if not pending:
+        raise SystemExit("could not parse PENDING_ORDER from rotation.py")
     newly_green = [n for n in pending if n in data and fully_green(data[n])]
     red = [n for n in pending if n in data and not fully_green(data[n])]
 

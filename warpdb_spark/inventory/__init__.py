@@ -12,10 +12,11 @@ round). The order is generated mechanically from
 first driver-green row (``rotation.PENDING_ORDER``, risk-ranked —
 dialect executors and replay-oracle entries first) is emitted before
 every entry that already has one (``rotation.DRIVER_GREEN``), so each
-round's window verifies ~50 never-checked names. Round-4 rotation: the
-94 entries never seen in any driver window (the round-3 verdict's
-backlog) front the queue; the 99 prior driver-greens follow, still
-guarded by the local oracle gate (tools/check_oracle.py) + pytest.
+round's window verifies ~50 never-checked names. The authoritative
+counts live in rotation.py itself (len(PENDING_ORDER) pending —
+the round-3 verdict's 94-entry backlog plus this round's additions —
+and len(DRIVER_GREEN) prior greens); everything stays guarded by the
+local oracle gate (tools/check_oracle.py) + pytest either way.
 """
 
 from __future__ import annotations

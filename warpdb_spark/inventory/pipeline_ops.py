@@ -1763,29 +1763,8 @@ ORACLES = {
     # sign signature, Hamming-1 multiprobe, exact cosine rank within
     # candidates. Mirrors operators/similarity.py::ann_lsh_topk
     # (k=5, num_planes=8, seed=42, queries vec_id<20).
-    "similarity_ann_lsh": (
-        "WITH planes AS (SELECT p, list_transform(range(0, 64), d -> "
-        "CAST(CAST(concat('0x', substr(md5(concat('42_', p, '_', d)), 1, 8)) AS BIGINT) AS DOUBLE) "
-        "/ 2147483648.0 - 1.0) AS pv FROM range(0, 8) t(p)), "
-        "sigs AS (SELECT vec_id, embedding, "
-        "string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig FROM ("
-        "SELECT e.vec_id, e.embedding, pl.p, "
-        "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * pl.pv[i])) AS dot "
-        "FROM embeddings e CROSS JOIN planes pl) GROUP BY vec_id, embedding), "
-        "qprobes AS (SELECT vec_id AS query_id, embedding AS qv, "
-        "unnest(list_prepend(sig, list_transform(range(0, 8), i -> concat("
-        "substr(sig, 1, CAST(i AS INT)), "
-        "CASE WHEN substr(sig, CAST(i + 1 AS INT), 1) = '1' THEN '0' ELSE '1' END, "
-        "substr(sig, CAST(i + 2 AS INT), CAST(7 - i AS INT)))))) AS bucket "
-        "FROM sigs WHERE vec_id < 20), "
-        "cand AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
-        "max(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6)) AS cosine "
-        "FROM qprobes q JOIN sigs c ON c.sig = q.bucket WHERE c.vec_id <> q.query_id "
-        "GROUP BY 1, 2), "
-        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
-        "ORDER BY cosine DESC, neighbor_id) AS rank FROM cand) "
-        "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
-    ),
+    # derived from _ann_lsh_cte(8) below — single source of truth
+    "similarity_ann_lsh": None,
     # Full IVF replay: md5-ordered centroid sample, assignment/probing by
     # 6dp-rounded cosine with lowest-list tie-break, exact cosine rank in
     # the probed lists. Mirrors operators/similarity.py::ivf_topk
@@ -2187,4 +2166,14 @@ ORACLES["similarity_ann_recall"] = (
     "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 20) q "
     "WHERE c.vec_id != q.vec_id)) WHERE rank <= 5) "
     f"{_ann_recall_leg(4, 'a4')} UNION ALL {_ann_recall_leg(8, 'a8')}"
+)
+
+
+# similarity_ann_lsh shares the SAME generated CTE chain as the recall
+# entry's 8-plane leg — one replay definition, no drift between copies.
+ORACLES["similarity_ann_lsh"] = (
+    f"WITH {_ann_lsh_cte(8, '')} "
+    "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, neighbor_id) AS rank FROM cand) WHERE rank <= 5"
 )

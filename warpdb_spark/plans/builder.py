@@ -243,7 +243,15 @@ def _build_table_func(tables: dict[str, DataFrame], tfc: A.TableFuncCall, regist
     view = _sq_alias("tfsrc")
     src.createOrReplaceTempView(view)
     args = ", ".join([f"s.{col}"] + lit_sql)
-    out = spark.sql(f"SELECT s.*, f.* FROM {view} AS s, LATERAL {reg_name}({args}) AS f")
+    try:
+        out = spark.sql(
+            f"SELECT s.*, f.* FROM {view} AS s, LATERAL {reg_name}({args}) AS f"
+        )
+    finally:
+        # spark.sql analyzes eagerly — the resolved plan no longer
+        # references the view name, so dropping it immediately keeps the
+        # catalog from growing one view per query on long-lived sessions
+        spark.catalog.dropTempView(view)
     # Generate output columns shadowing source columns would make the
     # downstream scope ambiguous — reject loudly
     gen_cols = out.columns[len(src.columns):]

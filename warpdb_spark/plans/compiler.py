@@ -306,20 +306,32 @@ class Compiler:
         contract). ASC uses plain array_sort (struct-lexicographic ==
         key-then-value, both ascending). DESC needs a comparator so the
         direction applies to the key only — a reverse() would also flip
-        the value tie-break. Null keys (order key evaluating NULL on a
-        non-null value) compare as ties and fall through to the value
-        order. The comparator is a Catalyst lambda, still codegen'd and
+        the value tie-break. NULL keys (order key evaluating NULL on a
+        non-null value) sort LAST as their own group (DuckDB's DESC
+        default), value-ascending within it — the null branches are
+        explicit because a null comparison falling through to the value
+        branches would make the comparator non-transitive (arbitrary
+        interleaving; TimSort contract violations on frames ≥32). The
+        comparator is a Catalyst lambda, still codegen'd and
         map-side-combinable."""
         if key_asc:
             return F.array_sort(pairs)
 
-        def cmp(a, b):
+        def vcmp(a, b):
             return (
-                F.when(a["k"] < b["k"], F.lit(1))
-                .when(a["k"] > b["k"], F.lit(-1))
-                .when(a["v"] < b["v"], F.lit(-1))
+                F.when(a["v"] < b["v"], F.lit(-1))
                 .when(a["v"] > b["v"], F.lit(1))
                 .otherwise(F.lit(0))
+            )
+
+        def cmp(a, b):
+            return (
+                F.when(a["k"].isNull() & b["k"].isNull(), vcmp(a, b))
+                .when(a["k"].isNull(), F.lit(1))
+                .when(b["k"].isNull(), F.lit(-1))
+                .when(a["k"] < b["k"], F.lit(1))
+                .when(a["k"] > b["k"], F.lit(-1))
+                .otherwise(vcmp(a, b))
             )
 
         return F.array_sort(pairs, cmp)
