@@ -324,3 +324,34 @@ class TestPqSearch:
         c2 = sorted((r["vec_id"], tuple(r["codes"])) for r in S.pq_encode(emb, cb).collect())
         assert c1 == c2
         assert all(len(c) == 16 and all(0 <= x < 32 for x in c) for _, c in c1)
+
+
+class TestCusumEntry:
+    def test_cusum_invariants(self, spark):
+        from warpdb_spark.inventory.pipeline_ops import events_cusum_changepoints
+
+        rows = events_cusum_changepoints(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r.cusum >= 0.0  # one-sided statistic is nonnegative
+
+    def test_cusum_detects_injected_shift(self, spark):
+        """A mean shift mid-stream must push the statistic over 4 sigma
+        after the shift, and stay under before it."""
+        from warpdb_spark.inventory import pipeline_ops as P
+        from pyspark.sql import Row
+        import datetime
+
+        base = datetime.datetime(2025, 1, 1)
+        rows = [
+            Row(event_id=i, event_type="m", ts=base + datetime.timedelta(minutes=i),
+                value=10.0 + (0.5 if i % 2 else -0.5) + (8.0 if i >= 60 else 0.0))
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows)
+        import unittest.mock as mock
+
+        with mock.patch.object(P, "_t", lambda s, d, n: df):
+            out = {r.event_id: r for r in P.events_cusum_changepoints(spark, "x").collect()}
+        assert not any(out[i].is_alarm for i in range(30))     # stable regime
+        assert all(out[i].is_alarm for i in range(80, 100))    # post-shift

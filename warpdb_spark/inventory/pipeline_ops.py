@@ -303,6 +303,54 @@ def events_zscore_outliers(spark, sf_dir):
     )
 
 
+def events_cusum_changepoints(spark, sf_dir):
+    """One-sided CUSUM change-point detection per event_type (Page
+    1954): s_i = max(0, s_{i-1} + (x_i − μ − k)) with slack k = σ/2 and
+    alarm threshold h = 4σ — the standard drift monitor for metric
+    streams. The recurrence LOOKS sequential, but the classic identity
+    s_i = S_i − min_{j≤i} S_j (S = prefix sum of deviations) turns it
+    into TWO stock window functions — cumsum and running-min — so the
+    whole operator is shuffle-once-on-type, zero-Python, and works on a
+    100 TB stream exactly like any other window.
+
+    Determinism: μ and σ are rounded to 6dp, then each deviation is
+    SNAPPED TO INTEGER MICRO-UNITS before accumulating — float prefix
+    sums are association-sensitive (DuckDB's windowed SUM runs on a
+    segment tree, Spark's sequentially, and the ~1e-13 disagreement
+    flips round-6 boundaries; measured on this table), while int64
+    sums are exact in any evaluation order. Output: every event with
+    its CUSUM statistic and the alarm flag, both derived from the
+    integer state, so the hash check is exact."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sigma"),
+    )
+    d = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "__d",
+        F.round((F.col("value") - F.col("mu") - F.col("sigma") / 2) * 1e6, 0).cast(
+            "long"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__S", F.sum("__d").over(w)).withColumn(
+        "__Smin", F.least(F.min("__S").over(w), F.lit(0).cast("long"))
+    )
+    cusum_int = F.col("__S") - F.col("__Smin")
+    return d.select(
+        "event_id",
+        "event_type",
+        F.round(cusum_int / 1e6, 6).alias("cusum"),
+        (cusum_int > F.round(4 * F.col("sigma") * 1e6, 0).cast("long")).alias(
+            "is_alarm"
+        ),
+    )
+
+
 def events_anomaly_mad(spark, sf_dir):
     """Robust per-key anomaly screen: median/MAD instead of mean/stddev,
     so a handful of extreme values cannot inflate the very threshold
@@ -1335,6 +1383,7 @@ QUERIES = {
     "sample_weighted": sample_weighted,
     "sample_mixture_alpha": sample_mixture_alpha,
     "events_zscore_outliers": events_zscore_outliers,
+    "events_cusum_changepoints": events_cusum_changepoints,
     "events_anomaly_mad": events_anomaly_mad,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1674,6 +1723,21 @@ ORACLES = {
         "SELECT doc_id, lang, source, n_chars FROM documents "
         "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
         "AS DOUBLE) / 4294967296.0 < n_chars / 553.0"
+    ),
+    "events_cusum_changepoints": (
+        "WITH s AS (SELECT event_type, round(avg(value), 6) AS mu, "
+        "round(stddev_pop(value), 6) AS sigma FROM events GROUP BY 1), "
+        "d AS (SELECT event_id, e.event_type, ts, sigma, "
+        "CAST(round((value - mu - sigma / 2) * 1e6) AS BIGINT) AS dd "
+        "FROM events e JOIN s USING (event_type)), "
+        "c1 AS (SELECT event_id, event_type, ts, sigma, sum(dd) OVER "
+        "(PARTITION BY event_type ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S FROM d), "
+        "c2 AS (SELECT event_id, event_type, sigma, S, least(min(S) OVER "
+        "(PARTITION BY event_type ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS smin FROM c1) "
+        "SELECT event_id, event_type, round((S - smin) / 1e6, 6) AS cusum, "
+        "S - smin > CAST(round(4 * sigma * 1e6) AS BIGINT) AS is_alarm FROM c2"
     ),
     "events_zscore_outliers": (
         "WITH s AS (SELECT event_type, avg(value) AS mu, "

@@ -133,6 +133,7 @@ PENDING_ORDER: list[str] = [
     "search_rerank_cross_features",
     "sample_mixture_alpha",
     "search_eval_ndcg",
+    "events_cusum_changepoints",
     "dialect_setops",
     "setop_intersect_all",
     "dialect_tpch_q3",
