@@ -320,3 +320,25 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, val)
+
+
+class TestCusumPlanShape:
+    def test_one_fact_shuffle_shared_sort(self, spark):
+        """CUSUM = cumsum + running-min over the SAME window spec: the
+        plan must shuffle the fact once on event_type, sort once, and
+        stack both Window nodes on that sort (a second Sort or Exchange
+        between them means the frames diverged)."""
+        from warpdb_spark.inventory.pipeline_ops import events_cusum_changepoints
+
+        plan = _plan(events_cusum_changepoints(spark, "/root/testdata/sf0.001"))
+        lines = [l for l in plan.splitlines()]
+        n_sort = sum("Sort [event_type" in l for l in lines)
+        n_win = sum(l.strip(" +-:*").startswith("Window [") for l in lines)
+        fact_exchanges = sum(
+            "Exchange hashpartitioning(event_type" in l and "Broadcast" not in l
+            for l in lines
+        )
+        # stats agg shuffles its own tiny frame; the fact side shuffles once
+        assert n_win == 2, plan[:1500]
+        assert n_sort == 1, plan[:1500]
+        assert fact_exchanges <= 2, plan[:1500]

@@ -320,7 +320,11 @@ def events_cusum_changepoints(spark, sf_dir):
     flips round-6 boundaries; measured on this table), while int64
     sums are exact in any evaluation order. Output: every event with
     its CUSUM statistic and the alarm flag, both derived from the
-    integer state, so the hash check is exact."""
+    integer state, so the hash check is exact. Int64 headroom: at 1e6
+    units per value-unit, the prefix sum holds ~9.2e18 — in-control
+    streams random-walk at σ·√n units (~1e15 for 1e12 events of σ=1e3),
+    and a stream in sustained drift alarms long before the sum could
+    approach the bound; shrink the snap unit for wider value ranges."""
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     stats = ev.groupBy("event_type").agg(
         F.round(F.avg("value"), 6).alias("mu"),
