@@ -301,3 +301,41 @@ class TestBudgetFill:
         )
         out = C.budget_fill(df, "lang", "n", "doc_id", budget=25).collect()
         assert len(out) == 3 and max(r["cum"] for r in out) == 30
+
+
+class TestBatchFormation:
+    def test_bucketed_batches_invariants(self, spark):
+        from warpdb_spark.inventory.pipeline_ops import pack_batches_bucketed
+
+        rows = pack_batches_bucketed(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.n_docs <= 16
+            assert r.sum_tokens <= r.max_tokens * r.n_docs
+            assert 0.0 <= r.padding_frac < 1.0
+            # bucket width 64: the max length inside a bucket stays in range
+            assert r.bucket * 64 <= r.max_tokens < (r.bucket + 1) * 64
+
+    def test_length_sorting_beats_random_batching(self, spark):
+        """The whole point: length-sorted batches waste less padding
+        than hash-ordered batches of the same size."""
+        from pyspark.sql import functions as F, Window
+        from warpdb_spark.functions import text as T
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        d = docs.select(
+            "doc_id", T.token_count(F.col("text")).cast("long").alias("n")
+        )
+        def waste(w):
+            b = d.withColumn("bno", ((F.row_number().over(w) - 1) / 16).cast("long"))
+            agg = b.groupBy("bno").agg(
+                F.max("n").alias("mx"), F.sum("n").alias("sm"), F.count("*").alias("c")
+            )
+            tot = agg.agg(
+                F.sum(F.col("mx") * F.col("c")).alias("padded"), F.sum("sm").alias("real")
+            ).first()
+            return 1 - tot.real / tot.padded
+
+        sorted_waste = waste(Window.orderBy("n", "doc_id"))
+        random_waste = waste(Window.orderBy(F.md5(F.col("doc_id").cast("string"))))
+        assert sorted_waste < random_waste

@@ -1012,6 +1012,49 @@ def pack_sequences_greedy(spark, sf_dir):
     return C.pack_greedy(_packing_input(spark, sf_dir), "doc_id", "grp", "n_tokens", budget=1024)
 
 
+def pack_batches_bucketed(spark, sf_dir):
+    """Length-bucketed training-batch formation — the padding-efficiency
+    step between packing and the data loader: docs are bucketed by
+    token length (width-64 ranges), ordered (n_tokens, doc_id) within
+    the bucket, and grouped into fixed-size batches of 16; each batch
+    reports its member count, max/sum tokens, and the padding fraction
+    wasted if padded to the batch max (the number dynamic batching is
+    tuned to minimize). Length-sorted batching is what keeps that
+    fraction low — random batching pads every batch to its longest
+    straggler.
+
+    Scale: one shuffle on the bucket key, per-bucket sorted windows run
+    in parallel (no global sort — the same shape as sessionization),
+    and the per-batch aggregate is map-side combinable. All integers
+    except the final rounded division, so DuckDB replays every row."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).withColumn("bucket", (F.col("n_tokens") / 64).cast("long"))
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    batched = d.withColumn(
+        "batch_no", ((F.row_number().over(w) - 1) / 16).cast("long")
+    )
+    return (
+        batched.groupBy("bucket", "batch_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_no",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            F.round(
+                1 - F.col("sum_tokens") / (F.col("max_tokens") * F.col("n_docs")), 6
+            ).alias("padding_frac"),
+        )
+    )
+
+
 def sample_stratified(spark, sf_dir):
     """Deterministic stratified sample: 3 docs per (lang, source)
     stratum with the smallest md5 content address — stable across runs,
@@ -1415,6 +1458,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "pack_sequences_chunked": pack_sequences_chunked,
     "pack_sequences_greedy": pack_sequences_greedy,
+    "pack_batches_bucketed": pack_batches_bucketed,
     "sample_stratified": sample_stratified,
     "decontam_eval_overlap": decontam_eval_overlap,
     "text_repetition_stats": text_repetition_stats,
@@ -1986,6 +2030,17 @@ ORACLES = {
         "CASE WHEN p.acc + dd.n_tokens > 1024 THEN dd.n_tokens ELSE p.acc + dd.n_tokens END "
         "FROM p JOIN dd ON dd.grp = p.grp AND dd.rn = p.rn + 1) "
         "SELECT grp, doc_id, n_tokens, CAST(bin AS INT) AS bin FROM p"
+    ),
+    "pack_batches_bucketed": (
+        r"WITH d AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) "
+        "AS n_tokens FROM documents), "
+        "b AS (SELECT doc_id, n_tokens, CAST(floor(n_tokens / 64) AS BIGINT) AS bucket FROM d), "
+        "r AS (SELECT *, CAST(floor((row_number() OVER "
+        "(PARTITION BY bucket ORDER BY n_tokens, doc_id) - 1) / 16) AS BIGINT) AS batch_no FROM b) "
+        "SELECT bucket, batch_no, count(*) AS n_docs, max(n_tokens) AS max_tokens, "
+        "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, "
+        "round(1 - sum(n_tokens) * 1.0 / (max(n_tokens) * count(*)), 6) AS padding_frac "
+        "FROM r GROUP BY bucket, batch_no"
     ),
     "sample_stratified": (
         "SELECT doc_id, lang, source, CAST(rk AS INT) AS rk FROM "

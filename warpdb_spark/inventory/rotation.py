@@ -134,6 +134,7 @@ PENDING_ORDER: list[str] = [
     "sample_mixture_alpha",
     "search_eval_ndcg",
     "events_cusum_changepoints",
+    "pack_batches_bucketed",
     "dialect_setops",
     "setop_intersect_all",
     "dialect_tpch_q3",
