@@ -463,3 +463,34 @@ class TestUpdateRotationParse:
         )
         assert out.returncode == 0, out.stderr
         assert "newly green pending: 2" in out.stdout
+
+    def test_write_roundtrip_moves_entries(self, tmp_path, monkeypatch):
+        import json
+        import re
+        import importlib
+        import tools.update_rotation as ur
+        from warpdb_spark.inventory import rotation
+
+        # work on a copy of the real file
+        copy = tmp_path / "rotation.py"
+        copy.write_text(ur.ROTATION.read_text())
+        monkeypatch.setattr(ur, "ROTATION", copy)
+        moved = rotation.PENDING_ORDER[:3]
+        art = tmp_path / "c.json"
+        art.write_text(json.dumps({
+            moved[0]: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+            moved[1]: {"rows_match": True, "schema_match": True, "hash_match": None, "err": None},
+            moved[2]: {"rows_match": False, "schema_match": True, "hash_match": False,
+                        "err": "boom"},
+        }))
+        monkeypatch.setattr("sys.argv", ["update_rotation.py", str(art), "4", "--write"])
+        assert ur.main() == 0
+        out = copy.read_text()
+        block = out.split("PENDING_ORDER: list[str] = [", 1)[1].split("]", 1)[0]
+        pending_after = re.findall(r'^    "([a-z0-9_]+)",$', block, re.M)
+        # fully-green and rows-only-green move; the red entry stays
+        assert moved[0] not in pending_after
+        assert moved[1] not in pending_after
+        assert moved[2] in pending_after
+        assert f'"{moved[0]}": 4,' in out
+        assert f'"{moved[1]}": 4,' in out
