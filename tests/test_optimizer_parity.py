@@ -338,7 +338,9 @@ class TestCusumPlanShape:
             "Exchange hashpartitioning(event_type" in l and "Broadcast" not in l
             for l in lines
         )
-        # stats agg shuffles its own tiny frame; the fact side shuffles once
+        # exactly 2: the fact side's ONE shuffle + the stats aggregate's
+        # own tiny exchange (== is deliberate — a <= bound could hide a
+        # second fact shuffle appearing while the stats one disappears)
         assert n_win == 2, plan[:1500]
         assert n_sort == 1, plan[:1500]
-        assert fact_exchanges <= 2, plan[:1500]
+        assert fact_exchanges == 2, plan[:1500]

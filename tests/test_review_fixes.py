@@ -429,7 +429,6 @@ class TestUpdateRotationParse:
     a silent no-op."""
 
     def test_pending_names_parse_from_rotation_source(self):
-        import importlib
         import tools.update_rotation as ur
         import re
 
@@ -467,7 +466,6 @@ class TestUpdateRotationParse:
     def test_write_roundtrip_moves_entries(self, tmp_path, monkeypatch):
         import json
         import re
-        import importlib
         import tools.update_rotation as ur
         from warpdb_spark.inventory import rotation
 

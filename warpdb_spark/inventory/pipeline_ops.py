@@ -320,11 +320,13 @@ def events_cusum_changepoints(spark, sf_dir):
     flips round-6 boundaries; measured on this table), while int64
     sums are exact in any evaluation order. Output: every event with
     its CUSUM statistic and the alarm flag, both derived from the
-    integer state, so the hash check is exact. Int64 headroom: at 1e6
-    units per value-unit, the prefix sum holds ~9.2e18 — in-control
-    streams random-walk at σ·√n units (~1e15 for 1e12 events of σ=1e3),
-    and a stream in sustained drift alarms long before the sum could
-    approach the bound; shrink the snap unit for wider value ranges."""
+    integer state, so the hash check is exact. Headroom: the prefix sum
+    drifts LINEARLY at −k = −σ/2 per row (μ is the in-sample mean, so
+    Σ(x−μ) telescopes to 0 and only the slack accumulates) — int64
+    micro-units would overflow a single event_type around 1.8e10 rows
+    at σ=1e3, so the accumulator is DECIMAL(38,0): still exact in any
+    evaluation order in both engines, with ~1e38-unit range (≥1e28
+    rows per type before re-baselining is needed)."""
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     stats = ev.groupBy("event_type").agg(
         F.round(F.avg("value"), 6).alias("mu"),
@@ -333,7 +335,7 @@ def events_cusum_changepoints(spark, sf_dir):
     d = ev.join(F.broadcast(stats), "event_type").withColumn(
         "__d",
         F.round((F.col("value") - F.col("mu") - F.col("sigma") / 2) * 1e6, 0).cast(
-            "long"
+            "decimal(38,0)"
         ),
     )
     w = (
@@ -342,16 +344,16 @@ def events_cusum_changepoints(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = d.withColumn("__S", F.sum("__d").over(w)).withColumn(
-        "__Smin", F.least(F.min("__S").over(w), F.lit(0).cast("long"))
+        "__Smin", F.least(F.min("__S").over(w), F.lit(0).cast("decimal(38,0)"))
     )
     cusum_int = F.col("__S") - F.col("__Smin")
     return d.select(
         "event_id",
         "event_type",
         F.round(cusum_int / 1e6, 6).alias("cusum"),
-        (cusum_int > F.round(4 * F.col("sigma") * 1e6, 0).cast("long")).alias(
-            "is_alarm"
-        ),
+        (
+            cusum_int > F.round(4 * F.col("sigma") * 1e6, 0).cast("decimal(38,0)")
+        ).alias("is_alarm"),
     )
 
 
@@ -1028,9 +1030,11 @@ def pack_batches_bucketed(spark, sf_dir):
     and the per-batch aggregate is map-side combinable. All integers
     except the final rounded division, so DuckDB replays every row."""
     docs = _t(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
-    ).withColumn("bucket", (F.col("n_tokens") / 64).cast("long"))
+    d = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens"))
+        .withColumn("bucket", (F.col("n_tokens") / 64).cast("long"))
+    )
     w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
     batched = d.withColumn(
         "batch_no", ((F.row_number().over(w) - 1) / 16).cast("long")
@@ -1776,16 +1780,16 @@ ORACLES = {
         "WITH s AS (SELECT event_type, round(avg(value), 6) AS mu, "
         "round(stddev_pop(value), 6) AS sigma FROM events GROUP BY 1), "
         "d AS (SELECT event_id, e.event_type, ts, sigma, "
-        "CAST(round((value - mu - sigma / 2) * 1e6) AS BIGINT) AS dd "
+        "CAST(round((value - mu - sigma / 2) * 1e6) AS DECIMAL(38,0)) AS dd "
         "FROM events e JOIN s USING (event_type)), "
         "c1 AS (SELECT event_id, event_type, ts, sigma, sum(dd) OVER "
         "(PARTITION BY event_type ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S FROM d), "
         "c2 AS (SELECT event_id, event_type, sigma, S, least(min(S) OVER "
         "(PARTITION BY event_type ORDER BY ts, event_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS smin FROM c1) "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), CAST(0 AS DECIMAL(38,0))) AS smin FROM c1) "
         "SELECT event_id, event_type, round((S - smin) / 1e6, 6) AS cusum, "
-        "S - smin > CAST(round(4 * sigma * 1e6) AS BIGINT) AS is_alarm FROM c2"
+        "S - smin > CAST(round(4 * sigma * 1e6) AS DECIMAL(38,0)) AS is_alarm FROM c2"
     ),
     "events_zscore_outliers": (
         "WITH s AS (SELECT event_type, avg(value) AS mu, "
@@ -2033,7 +2037,7 @@ ORACLES = {
     ),
     "pack_batches_bucketed": (
         r"WITH d AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) "
-        "AS n_tokens FROM documents), "
+        "AS n_tokens FROM documents WHERE trim(text) <> ''), "
         "b AS (SELECT doc_id, n_tokens, CAST(floor(n_tokens / 64) AS BIGINT) AS bucket FROM d), "
         "r AS (SELECT *, CAST(floor((row_number() OVER "
         "(PARTITION BY bucket ORDER BY n_tokens, doc_id) - 1) / 16) AS BIGINT) AS batch_no FROM b) "
