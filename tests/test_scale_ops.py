@@ -563,3 +563,36 @@ class TestLangConfidenceEntry:
             assert r.reliable == (
                 r.best_score > 0 and r.confidence >= 0.5 and r.margin >= 2
             )
+
+
+class TestRakeEntry:
+    def test_rake_known_document(self, spark):
+        """Hand-checked RAKE on a tiny doc: stopwords split phrases,
+        degree/freq scoring picks the long phrase."""
+        from warpdb_spark.inventory import pipeline_ops as P
+        from pyspark.sql import Row
+        import unittest.mock as mock
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="deep learning models for deep learning")]
+        )
+        # tokens: deep learning models [for=stop] deep learning
+        # phrases: "deep learning models" (len 3), "deep learning" (len 2)
+        # deg: deep=5 learning=5 models=3; freq: deep=2 learning=2 models=1
+        # scores: deep=2.5 learning=2.5 models=3
+        # phrase1 = 2.5+2.5+3 = 8.0 ; phrase2 = 5.0
+        with mock.patch.object(P, "_t", lambda s, d, n: df):
+            rows = P.text_keywords_rake(spark, "x").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.phrase == "deep learning models"
+        assert r.score == 8.0
+        assert r.n_words == 3
+
+    def test_one_row_per_doc_with_phrases(self, spark):
+        from warpdb_spark.inventory.pipeline_ops import text_keywords_rake
+
+        rows = text_keywords_rake(spark, "/root/testdata/sf0.001").collect()
+        ids = [r.doc_id for r in rows]
+        assert len(ids) == len(set(ids))
+        assert all(r.score > 0 for r in rows)

@@ -135,6 +135,63 @@ def text_winnow_fingerprint(spark, sf_dir):
     return docs.select("doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def text_keywords_rake(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010) — per-document, no
+    corpus statistics (the complement of text_tfidf_top_terms):
+    candidate phrases are maximal stopword-free token runs, each word
+    scores degree/frequency within ITS document (degree = summed length
+    of the phrases it appears in), and a phrase scores the sum of its
+    words' scores. Output: each document's top phrase (score desc,
+    phrase asc tie-break).
+
+    Scale: posexplode → per-doc windows → per-(doc,word) aggregates —
+    everything partitions on doc_id, so the operator is embarrassingly
+    parallel across documents with one shuffle; degree/frequency are
+    integers, the one division is rounded, and phrase assembly is an
+    ordered string_agg twin, so DuckDB replays it exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    alnum = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    stop = T.STOPWORDS["en"]
+    toks = docs.select("doc_id", F.posexplode(alnum).alias("pos", "w"))
+    t = toks.withColumn("is_stop", F.col("w").isin(stop).cast("int"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    nt = t.withColumn("phrase_id", F.sum("is_stop").over(w_doc)).filter(
+        F.col("is_stop") == 0
+    )
+    plen = nt.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos").alias("p"), F.col("w").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("phrase"),
+    )
+    occ = nt.join(plen.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
+    wstat = occ.groupBy("doc_id", "w").agg(
+        F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq")
+    )
+    pscore = (
+        occ.join(wstat, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.round(F.sum(F.col("deg") / F.col("freq")), 6).alias("score"))
+        .join(plen, ["doc_id", "phrase_id"])
+    )
+    w_top = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("phrase")
+    )
+    return (
+        pscore.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "phrase", "score", F.col("plen").cast("long").alias("n_words"))
+    )
+
+
 def text_tfidf_top_terms(spark, sf_dir):
     """Top-3 characteristic terms per doc by TF-IDF."""
     from warpdb_spark.operators.text_analytics import top_terms
@@ -1424,6 +1481,7 @@ QUERIES = {
     "text_md5_fingerprint": text_md5_fingerprint,
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_keywords_rake": text_keywords_rake,
     "corpus_stats_by_stratum": corpus_stats_by_stratum,
     "dedup_span_boilerplate": dedup_span_boilerplate,
     "dedup_exact": dedup_exact,
@@ -2085,6 +2143,28 @@ ORACLES = {
         "SELECT t.doc_id, count(*) AS n_tokens, count(v.token) AS n_in_vocab, "
         "round((count(*) - count(v.token)) * 1.0 / count(*), 6) AS oov_rate "
         "FROM tok t LEFT JOIN v ON t.token = v.token GROUP BY t.doc_id"
+    ),
+    "text_keywords_rake": (
+        "WITH t0 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS tk FROM documents), "
+        "tok AS (SELECT doc_id, unnest([{'pos': i, 'w': tk[i]} for i in generate_series(1, len(tk))], recursive := true) FROM t0), "
+        "m AS (SELECT doc_id, pos, w, CASE WHEN w IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for') "
+        "THEN 1 ELSE 0 END AS is_stop FROM tok), "
+        "m2 AS (SELECT doc_id, pos, w, is_stop, sum(is_stop) OVER (PARTITION BY doc_id "
+        "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id FROM m), "
+        "nt AS (SELECT doc_id, pos, w, phrase_id FROM m2 WHERE is_stop = 0), "
+        "pl AS (SELECT doc_id, phrase_id, count(*) AS plen, "
+        "string_agg(w, ' ' ORDER BY pos) AS phrase FROM nt GROUP BY 1, 2), "
+        "occ AS (SELECT n.doc_id, n.phrase_id, n.w, p.plen FROM nt n "
+        "JOIN pl p USING (doc_id, phrase_id)), "
+        "ws AS (SELECT doc_id, w, CAST(sum(plen) AS BIGINT) AS deg, count(*) AS freq "
+        "FROM occ GROUP BY 1, 2), "
+        "ps AS (SELECT o.doc_id, o.phrase_id, round(sum(ws.deg * 1.0 / ws.freq), 6) AS score "
+        "FROM occ o JOIN ws ON o.doc_id = ws.doc_id AND o.w = ws.w GROUP BY 1, 2), "
+        "r AS (SELECT p.doc_id, pl.phrase, p.score, CAST(pl.plen AS BIGINT) AS n_words, "
+        "row_number() OVER (PARTITION BY p.doc_id ORDER BY p.score DESC, pl.phrase) AS rk "
+        "FROM ps p JOIN pl USING (doc_id, phrase_id)) "
+        "SELECT doc_id, phrase, score, n_words FROM r WHERE rk = 1"
     ),
     "text_top_bigrams": (
         f"WITH t AS (SELECT string_split({_norm}, ' ') AS toks FROM documents), "

@@ -135,6 +135,7 @@ PENDING_ORDER: list[str] = [
     "search_eval_ndcg",
     "events_cusum_changepoints",
     "pack_batches_bucketed",
+    "text_keywords_rake",
     "dialect_setops",
     "setop_intersect_all",
     "dialect_tpch_q3",
