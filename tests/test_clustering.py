@@ -102,3 +102,33 @@ class TestKmeans:
             if prev is not None:
                 assert inertia <= prev + 1e-9
             prev = inertia
+
+
+class TestLabelAgreement:
+    def test_planted_mislabel_is_flagged(self, spark):
+        """Two tight clusters with one label flipped: the flipped vector
+        must be the suspect; clean vectors must agree with neighbors."""
+        from warpdb_spark.inventory import pipeline_ops as P
+        from pyspark.sql import Row
+        import unittest.mock as mock
+
+        def vec(base, i):
+            v = [0.0] * 64
+            v[base] = 10.0
+            v[32 + base] = float(i % 3)  # slight jitter, same direction
+            return v
+
+        rows = (
+            [Row(vec_id=i, embedding=vec(0, i), label=0) for i in range(6)]
+            + [Row(vec_id=6 + i, embedding=vec(1, i), label=1) for i in range(6)]
+        )
+        # flip one label inside cluster 0
+        rows[3] = Row(vec_id=3, embedding=vec(0, 3), label=9)
+        df = spark.createDataFrame(rows)
+        with mock.patch.object(P, "_t", lambda s, d, n: df):
+            out = {r.vec_id: r for r in P.embedding_label_agreement(spark, "x").collect()}
+        assert out[3].is_suspect and out[3].knn_label == 0
+        for i in (0, 1, 2, 4, 5):
+            assert not out[i].is_suspect
+        for i in range(6, 12):
+            assert not out[i].is_suspect

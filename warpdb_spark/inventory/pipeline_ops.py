@@ -632,6 +632,70 @@ def similarity_ann_recall(spark, sf_dir):
     return legs[0].unionAll(legs[1])
 
 
+def embedding_label_agreement(spark, sf_dir):
+    """Label-noise screen via neighborhood agreement (confident-learning
+    lite): for each labeled vector, take its exact top-5 cosine
+    neighbors, vote their labels (majority, smallest-label tie-break),
+    and flag vectors whose own label disagrees — the standard cheap
+    mislabeled-example detector for classifier training sets. Output:
+    vec_id, own label, neighborhood majority, agreement fraction, and
+    the suspect flag.
+
+    Scale: the kNN leg is the similarity_topk_bruteforce BLAS scan
+    (broadcast queries, mapInArrow batches — swap in the LSH/IVF leg
+    for larger query sets); the vote is a ≤5-row-per-vector aggregate.
+    Counts are integers and the ranking is round-6 with id tie-breaks,
+    so DuckDB replays neighbors, votes, and flags exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    nn = S.cosine_topk_np(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "neighbor_id")
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_mode = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("nl"))
+    majority = (
+        votes.withColumn("rk", F.row_number().over(w_mode))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("nl").alias("knn_label"))
+    )
+    agree_n = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+            ),
+            "neighbor_id",
+        )
+        .join(
+            labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("own")),
+            "query_id",
+        )
+        .groupBy("query_id", "own")
+        .agg(
+            F.sum((F.col("nl") == F.col("own")).cast("int")).cast("long").alias("n_match")
+        )
+    )
+    return (
+        agree_n.join(majority, "query_id")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("own").alias("label"),
+            "knn_label",
+            F.round(F.col("n_match") / 5.0, 2).alias("agreement_frac"),
+            (F.col("own") != F.col("knn_label")).alias("is_suspect"),
+        )
+    )
+
+
 def embedding_quantize_int8(spark, sf_dir):
     """Symmetric int8 scalar quantization of the embedding column (the
     standard vector-index compression step): per-vector scale =
@@ -1531,6 +1595,7 @@ QUERIES = {
     "text_gopher_rules": text_gopher_rules,
     "text_unigram_logprob": text_unigram_logprob,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_label_agreement": embedding_label_agreement,
     "embedding_kmeans_assign": embedding_kmeans_assign,
     "embedding_kmeans_clusters": embedding_kmeans_clusters,
     "reshape_chunk_documents": reshape_chunk_documents,
@@ -2218,6 +2283,28 @@ ORACLES = {
     # int8 quantization replica: identical IEEE-double steps (abs-max /
     # 127 scale, half-away-from-zero round), so codes/md5/error match
     # bit-for-bit.
+    "embedding_label_agreement": (
+        "WITH nn AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank "
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 100) q "
+        "WHERE c.vec_id != q.vec_id) WHERE rank <= 5), "
+        "v AS (SELECT nn.query_id, l.label AS nl FROM nn "
+        "JOIN embeddings l ON l.vec_id = nn.neighbor_id), "
+        "votes AS (SELECT query_id, nl, count(*) AS c FROM v GROUP BY 1, 2), "
+        "maj AS (SELECT query_id, nl AS knn_label FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nl) AS rk "
+        "FROM votes) WHERE rk = 1), "
+        "agg AS (SELECT v.query_id, o.label AS own, "
+        "CAST(sum(CASE WHEN v.nl = o.label THEN 1 ELSE 0 END) AS BIGINT) AS n_match "
+        "FROM v JOIN embeddings o ON o.vec_id = v.query_id GROUP BY 1, 2) "
+        "SELECT a.query_id AS vec_id, a.own AS label, m.knn_label, "
+        "round(a.n_match / 5.0, 2) AS agreement_frac, "
+        "a.own <> m.knn_label AS is_suspect "
+        "FROM agg a JOIN maj m ON a.query_id = m.query_id"
+    ),
     "embedding_quantize_int8": (
         "WITH m AS (SELECT vec_id, embedding AS e, "
         "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax FROM embeddings), "

@@ -136,6 +136,7 @@ PENDING_ORDER: list[str] = [
     "events_cusum_changepoints",
     "pack_batches_bucketed",
     "text_keywords_rake",
+    "embedding_label_agreement",
     "dialect_setops",
     "setop_intersect_all",
     "dialect_tpch_q3",
