@@ -596,3 +596,22 @@ class TestRakeEntry:
         ids = [r.doc_id for r in rows]
         assert len(ids) == len(set(ids))
         assert all(r.score > 0 for r in rows)
+
+
+class TestCharEntropyEntry:
+    def test_entropy_known_values(self, spark):
+        from warpdb_spark.inventory import pipeline_ops as P
+        from pyspark.sql import Row
+        import unittest.mock as mock
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="aaaa"),        # H = 0
+            Row(doc_id=2, text="abab"),        # H = 1
+            Row(doc_id=3, text="abcd"),        # H = 2
+        ])
+        with mock.patch.object(P, "_t", lambda s, d, n: df):
+            out = {r.doc_id: r for r in P.text_char_entropy(spark, "x").collect()}
+        assert out[1].entropy_bits == 0.0 and not out[1].in_natural_band
+        assert out[2].entropy_bits == 1.0
+        assert out[3].entropy_bits == 2.0
+        assert out[1].n_chars == 4 and out[1].n_distinct_chars == 1

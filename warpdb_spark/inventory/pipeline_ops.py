@@ -1199,6 +1199,38 @@ def decontam_eval_overlap(spark, sf_dir):
     return C.contamination_report(corpus, eval_df, "doc_id", "text", shingle_size=3)
 
 
+def text_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document — the
+    standard gibberish/boilerplate screen orthogonal to the token-level
+    heuristics (random noise scores HIGH, repeated padding scores LOW;
+    natural text sits in a mid band, here flagged at [2.5, 5.0] bits).
+    One explode + (doc, char) count + per-doc entropy fold — partitions
+    on doc_id, the 100 TB shape of any per-doc distribution stat.
+    Counts are integers; H = log2(n) − Σ c·log2(c)/n is computed from
+    them with one rounded result, so DuckDB replays it exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    ent = cc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            6,
+        ).alias("entropy_bits"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        "entropy_bits",
+        F.col("entropy_bits").between(2.5, 5.0).alias("in_natural_band"),
+    )
+
+
 def text_repetition_stats(spark, sf_dir):
     """Repetition/boilerplate signals (duplicate-bigram fraction, top
     token ratio) — pure HOF quality-filter inputs."""
@@ -1588,6 +1620,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "decontam_eval_overlap": decontam_eval_overlap,
     "text_repetition_stats": text_repetition_stats,
+    "text_char_entropy": text_char_entropy,
     "text_vocab_oov": text_vocab_oov,
     "text_top_bigrams": text_top_bigrams,
     "sample_token_budget": sample_token_budget,
@@ -2188,6 +2221,15 @@ ORACLES = {
         "ov AS (SELECT doc_id, count(*) AS n_overlap FROM ex JOIN ev USING (gm) GROUP BY doc_id) "
         "SELECT cor.doc_id, n_overlap, len(grams) AS n_shingles, "
         "round(n_overlap * 1.0 / len(grams), 6) AS ratio FROM ov JOIN cor ON ov.doc_id = cor.doc_id"
+    ),
+    "text_char_entropy": (
+        "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents), "
+        "f AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2), "
+        "e AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars, "
+        "count(*) AS n_distinct_chars, "
+        "round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits FROM f GROUP BY 1) "
+        "SELECT doc_id, n_chars, n_distinct_chars, entropy_bits, "
+        "entropy_bits BETWEEN 2.5 AND 5.0 AS in_natural_band FROM e"
     ),
     "text_repetition_stats": (
         f"WITH t AS (SELECT doc_id, string_split({_norm}, ' ') AS toks FROM documents), "

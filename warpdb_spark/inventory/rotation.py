@@ -137,6 +137,7 @@ PENDING_ORDER: list[str] = [
     "pack_batches_bucketed",
     "text_keywords_rake",
     "embedding_label_agreement",
+    "text_char_entropy",
     "dialect_setops",
     "setop_intersect_all",
     "dialect_tpch_q3",
