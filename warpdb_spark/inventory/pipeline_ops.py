@@ -147,7 +147,8 @@ def text_keywords_rake(spark, sf_dir):
     Scale: posexplode → per-doc windows → per-(doc,word) aggregates —
     everything partitions on doc_id, so the operator is embarrassingly
     parallel across documents with one shuffle; degree/frequency are
-    integers, the one division is rounded, and phrase assembly is an
+    integers, each word's score is snapped to integer micro-units
+    before the (order-free, exact) sum, and phrase assembly is an
     ordered string_agg twin, so DuckDB replays it exactly."""
     docs = _t(spark, sf_dir, "documents")
     alnum = F.filter(
@@ -176,10 +177,17 @@ def text_keywords_rake(spark, sf_dir):
     wstat = occ.groupBy("doc_id", "w").agg(
         F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq")
     )
+    # per-word score snapped to integer micro-units BEFORE the sum — a
+    # float sum's association differs between engines (the CUSUM rule:
+    # rounded per-row values wash out noise, accumulated float state
+    # does not), and the rounded sum is the RANKING key, so it must be
+    # bit-exact. deg/freq are identical ints in both engines, so the
+    # division and 6dp snap are too; the int64 sum is order-free.
+    wscore_int = F.round((F.col("deg") / F.col("freq")) * 1e6, 0).cast("long")
     pscore = (
         occ.join(wstat, ["doc_id", "w"])
         .groupBy("doc_id", "phrase_id")
-        .agg(F.round(F.sum(F.col("deg") / F.col("freq")), 6).alias("score"))
+        .agg(F.round(F.sum(wscore_int) / 1e6, 6).alias("score"))
         .join(plen, ["doc_id", "phrase_id"])
     )
     w_top = Window.partitionBy("doc_id").orderBy(
@@ -668,21 +676,18 @@ def embedding_label_agreement(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("query_id", F.col("nl").alias("knn_label"))
     )
+    # n_match falls out of the SAME votes aggregate (the count for
+    # nl == own label, 0 if absent) — no second pass over the kNN join
+    own = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("own")
+    )
     agree_n = (
-        nn.join(
-            labels.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
-            ),
-            "neighbor_id",
+        own.join(
+            votes,
+            (votes.query_id == own.query_id) & (votes.nl == own.own),
+            "left",
         )
-        .join(
-            labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("own")),
-            "query_id",
-        )
-        .groupBy("query_id", "own")
-        .agg(
-            F.sum((F.col("nl") == F.col("own")).cast("int")).cast("long").alias("n_match")
-        )
+        .select(own.query_id, "own", F.coalesce("c", F.lit(0)).alias("n_match"))
     )
     return (
         agree_n.join(majority, "query_id")
@@ -2255,7 +2260,7 @@ ORACLES = {
         "WITH t0 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
         "'[^a-z0-9]+'), x -> x <> '') AS tk FROM documents), "
         "tok AS (SELECT doc_id, unnest([{'pos': i, 'w': tk[i]} for i in generate_series(1, len(tk))], recursive := true) FROM t0), "
-        "m AS (SELECT doc_id, pos, w, CASE WHEN w IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for') "
+        f"m AS (SELECT doc_id, pos, w, CASE WHEN list_contains({_STOP['en']}, w) "
         "THEN 1 ELSE 0 END AS is_stop FROM tok), "
         "m2 AS (SELECT doc_id, pos, w, is_stop, sum(is_stop) OVER (PARTITION BY doc_id "
         "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id FROM m), "
@@ -2266,7 +2271,7 @@ ORACLES = {
         "JOIN pl p USING (doc_id, phrase_id)), "
         "ws AS (SELECT doc_id, w, CAST(sum(plen) AS BIGINT) AS deg, count(*) AS freq "
         "FROM occ GROUP BY 1, 2), "
-        "ps AS (SELECT o.doc_id, o.phrase_id, round(sum(ws.deg * 1.0 / ws.freq), 6) AS score "
+        "ps AS (SELECT o.doc_id, o.phrase_id, round(sum(CAST(round(ws.deg * 1.0 / ws.freq * 1e6) AS BIGINT)) / 1e6, 6) AS score "
         "FROM occ o JOIN ws ON o.doc_id = ws.doc_id AND o.w = ws.w GROUP BY 1, 2), "
         "r AS (SELECT p.doc_id, pl.phrase, p.score, CAST(pl.plen AS BIGINT) AS n_words, "
         "row_number() OVER (PARTITION BY p.doc_id ORDER BY p.score DESC, pl.phrase) AS rk "
