@@ -1,0 +1,107 @@
+"""Round-4 dialect surfaces: SELECT * EXCLUDE/REPLACE, TRY_CAST, and
+LIMIT/FETCH ... WITH TIES (all DuckDB-compatible spellings — the
+inventory entries run the identical text in both engines)."""
+
+import pytest
+from pyspark.sql import Row
+
+from warpdb_spark.api import WarpDB
+from warpdb_spark.errors import ParseError, ValidationError
+
+
+@pytest.fixture()
+def tdb(spark):
+    rows = [
+        Row(a=1, b="x", c=5.0), Row(a=2, b="y", c=5.0), Row(a=3, b="3", c=2.0),
+    ]
+    return WarpDB(df=spark.createDataFrame(rows), table_name="t", spark=spark)
+
+
+class TestStarModifiers:
+    def test_exclude(self, tdb):
+        out = tdb.query_sql("SELECT * EXCLUDE (b) FROM t ORDER BY a")
+        assert out.columns == ["a", "c"]
+        assert out.count() == 3
+
+    def test_replace(self, tdb):
+        out = tdb.query_sql("SELECT * REPLACE (c * 2 AS c) FROM t ORDER BY a")
+        assert out.columns == ["a", "b", "c"]
+        assert [r.c for r in out.collect()] == [10.0, 10.0, 4.0]
+
+    def test_exclude_and_replace_compose(self, tdb):
+        out = tdb.query_sql(
+            "SELECT * EXCLUDE (b) REPLACE (a + 10 AS a) FROM t ORDER BY a"
+        )
+        assert out.columns == ["a", "c"]
+        assert [r.a for r in out.collect()] == [11, 12, 13]
+
+    def test_qualified_star_modifiers(self, tdb):
+        out = tdb.query_sql("SELECT t.* EXCLUDE (c) FROM t ORDER BY a")
+        assert out.columns == ["a", "b"]
+
+    def test_unknown_exclude_column(self, tdb):
+        with pytest.raises(ValidationError, match="Unknown column: zz in EXCLUDE"):
+            tdb.query_sql("SELECT * EXCLUDE (zz) FROM t")
+
+    def test_unknown_replace_column(self, tdb):
+        with pytest.raises(ValidationError, match="Unknown column: zz in REPLACE"):
+            tdb.query_sql("SELECT * REPLACE (1 AS zz) FROM t")
+
+    def test_column_named_exclude_still_works(self, spark):
+        db = WarpDB(
+            df=spark.createDataFrame([Row(exclude=1)]), table_name="t", spark=spark
+        )
+        assert db.query_sql("SELECT exclude FROM t").first().exclude == 1
+
+
+class TestTryCast:
+    def test_failure_yields_null(self, tdb):
+        out = tdb.query_sql("SELECT b, TRY_CAST(b AS INT) AS bi FROM t ORDER BY b")
+        assert [(r.b, r.bi) for r in out.collect()] == [
+            ("3", 3), ("x", None), ("y", None),
+        ]
+
+    def test_plain_cast_still_errors_under_ansi(self, tdb):
+        import pyspark
+
+        with pytest.raises(Exception):
+            tdb.query_sql("SELECT CAST(b AS INT) AS bi FROM t").collect()
+
+    def test_text_roundtrip(self):
+        from warpdb_spark.plans.parser import parse_query
+
+        ast = parse_query("SELECT TRY_CAST(b AS INT) AS x FROM t")
+        assert "TRY_CAST(b AS INT)" in ast.select_items[0][0].text()
+
+
+class TestWithTies:
+    def test_limit_with_ties_keeps_boundary_ties(self, tdb):
+        out = tdb.query_sql("SELECT a, c FROM t ORDER BY c DESC LIMIT 1 WITH TIES")
+        assert sorted(r.a for r in out.collect()) == [1, 2]
+
+    def test_fetch_with_ties(self, tdb):
+        out = tdb.query_sql(
+            "SELECT a, c FROM t ORDER BY c DESC FETCH FIRST 1 ROWS WITH TIES"
+        )
+        assert sorted(r.a for r in out.collect()) == [1, 2]
+
+    def test_no_ties_at_boundary_is_plain_limit(self, tdb):
+        out = tdb.query_sql("SELECT a, c FROM t ORDER BY c LIMIT 1 WITH TIES")
+        assert [r.a for r in out.collect()] == [3]
+
+    def test_on_setop_tail(self, tdb):
+        out = tdb.query_sql(
+            "SELECT a, c FROM t UNION ALL SELECT a, c FROM t "
+            "ORDER BY c DESC LIMIT 1 WITH TIES"
+        )
+        assert sorted(r.a for r in out.collect()) == [1, 1, 2, 2]
+
+    def test_requires_order_by(self, tdb):
+        with pytest.raises(ValidationError, match="requires ORDER BY"):
+            tdb.query_sql("SELECT a FROM t LIMIT 1 WITH TIES").collect()
+
+    def test_rejects_offset(self, tdb):
+        with pytest.raises(ValidationError, match="cannot be combined with OFFSET"):
+            tdb.query_sql(
+                "SELECT a FROM t ORDER BY a LIMIT 1 WITH TIES OFFSET 1"
+            ).collect()

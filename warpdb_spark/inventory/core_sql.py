@@ -887,6 +887,52 @@ def dialect_udtf_ngrams(spark, sf_dir):
     )
 
 
+def dialect_star_modifiers(spark, sf_dir):
+    """DuckDB-style star modifiers through the dialect (superset):
+    ``SELECT * EXCLUDE (cols) REPLACE (expr AS col)`` — projection
+    surgery without enumerating the schema, the ergonomic form wide
+    tables need. Expansion happens at plan build (the star becomes
+    qualified Vars minus excludes, with replaced expressions aliased in
+    place), so Catalyst sees a plain projection and column pruning
+    reaches the scan. DuckDB executes the identical text."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT * EXCLUDE (o_orderpriority, o_orderstatus) "
+        "REPLACE (round(o_totalprice / 1000, 3) AS o_totalprice) "
+        "FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"
+    )
+
+
+def dialect_try_cast(spark, sf_dir):
+    """``TRY_CAST(expr AS type)`` through the dialect (superset):
+    NULL on conversion failure instead of the session's ANSI runtime
+    error — the safe-ingest idiom for dirty columns. Compiles to
+    Column.try_cast (JVM-side, codegen); DuckDB executes the identical
+    text."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT o_orderpriority AS pri, "
+        "TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri_num, "
+        "TRY_CAST(o_orderpriority AS DOUBLE) AS bad_cast, "
+        "count(*) AS n "
+        "FROM orders GROUP BY o_orderpriority ORDER BY pri"
+    )
+
+
+def dialect_with_ties(spark, sf_dir):
+    """``ORDER BY ... LIMIT n WITH TIES`` / ``FETCH FIRST n ROWS WITH
+    TIES`` (superset; ANSI/Postgres spelling): rows tying the boundary
+    on the sort keys are kept. Executes as rank() over the query's
+    ORDER BY ≤ n — one ordered pass, the same cost class as the ORDER
+    BY itself (a plain LIMIT stays TakeOrderedAndProject). DuckDB has
+    no WITH TIES, so the oracle replays the rank filter explicitly."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT o_custkey, count(*) AS n FROM orders "
+        "GROUP BY o_custkey ORDER BY n DESC LIMIT 10 WITH TIES"
+    )
+
+
 def dialect_range_interval_frame(spark, sf_dir):
     """Event-time RANGE frame with INTERVAL bounds through the dialect
     (superset): ``RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT
@@ -1436,6 +1482,9 @@ QUERIES = {
     "dialect_group_by_all": dialect_group_by_all,
     "dialect_json_arrow": dialect_json_arrow,
     "dialect_udtf_ngrams": dialect_udtf_ngrams,
+    "dialect_star_modifiers": dialect_star_modifiers,
+    "dialect_try_cast": dialect_try_cast,
+    "dialect_with_ties": dialect_with_ties,
     "dialect_array_agg": dialect_array_agg,
     "dialect_tpch_q3": dialect_tpch_q3,
     "dialect_tpch_q12": dialect_tpch_q12,
@@ -1856,6 +1905,23 @@ ORACLES = {
         "round(avg(CAST(props ->> 'k' AS double)), 6) AS mean_k "
         "FROM events WHERE props ->> 'k' IS NOT NULL "
         "GROUP BY event_type ORDER BY et"
+    ),
+    "dialect_star_modifiers": (
+        "SELECT * EXCLUDE (o_orderpriority, o_orderstatus) "
+        "REPLACE (round(o_totalprice / 1000, 3) AS o_totalprice) "
+        "FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"
+    ),
+    "dialect_try_cast": (
+        "SELECT o_orderpriority AS pri, "
+        "TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri_num, "
+        "TRY_CAST(o_orderpriority AS DOUBLE) AS bad_cast, "
+        "count(*) AS n "
+        "FROM orders GROUP BY o_orderpriority ORDER BY pri"
+    ),
+    "dialect_with_ties": (
+        "WITH g AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey), "
+        "r AS (SELECT o_custkey, n, rank() OVER (ORDER BY n DESC) AS rk FROM g) "
+        "SELECT o_custkey, n FROM r WHERE rk <= 10"
     ),
     "dialect_udtf_ngrams": (
         r"WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), "

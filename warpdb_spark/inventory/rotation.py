@@ -138,6 +138,9 @@ PENDING_ORDER: list[str] = [
     "text_keywords_rake",
     "embedding_label_agreement",
     "text_char_entropy",
+    "dialect_star_modifiers",
+    "dialect_try_cast",
+    "dialect_with_ties",
     "dialect_setops",
     "setop_intersect_all",
     "dialect_tpch_q3",

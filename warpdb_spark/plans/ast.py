@@ -119,9 +119,24 @@ class Star(Node):
     in-scope columns in declaration order)."""
 
     table: str | None = None  # qualified star: t.*
+    # SELECT * EXCLUDE (a, b) / REPLACE (expr AS col) (superset; DuckDB)
+    exclude: list = field(default_factory=list)  # column names to drop
+    replace: list = field(default_factory=list)  # (expr, col-name) pairs
 
     def text(self) -> str:
-        return f"{self.table}.*" if self.table else "*"
+        base = f"{self.table}.*" if self.table else "*"
+        if self.exclude:
+            base += f" EXCLUDE ({', '.join(self.exclude)})"
+        if self.replace:
+            base += (
+                " REPLACE ("
+                + ", ".join(f"{e.text()} AS {n}" for e, n in self.replace)
+                + ")"
+            )
+        return base
+
+    def children(self):
+        return [e for e, _ in self.replace]
 
     def auto_alias(self) -> str:
         return "*"
@@ -276,9 +291,13 @@ class Cast(Node):
 
     operand: Node
     type_name: str  # normalized lower-case spark type name
+    # TRY_CAST (superset; DuckDB/Spark): NULL on failure instead of an
+    # ANSI runtime error
+    try_: bool = False
 
     def text(self) -> str:
-        return f"CAST({self.operand.text()} AS {self.type_name.upper()})"
+        fn = "TRY_CAST" if self.try_ else "CAST"
+        return f"{fn}({self.operand.text()} AS {self.type_name.upper()})"
 
     def auto_alias(self) -> str:
         return self.operand.auto_alias()
@@ -542,6 +561,8 @@ class QueryAST:
     order_by: list[tuple[Node, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
+    # LIMIT n WITH TIES / FETCH ... WITH TIES (superset)
+    limit_with_ties: bool = False
     # named windows: WINDOW w AS (...) [, ...] (superset)
     windows: dict[str, WindowSpec] = field(default_factory=dict)
     # QUALIFY: post-window row filter (superset; DuckDB/Snowflake/BigQuery)
@@ -579,6 +600,8 @@ class SetOp:
     order_by: list[tuple[Node, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
+    # LIMIT n WITH TIES on the combined result (superset)
+    limit_with_ties: bool = False
 
 
 @dataclass

@@ -185,10 +185,18 @@ def build_dataframe(tables: dict[str, DataFrame], q, registry=None) -> DataFrame
             out = out.orderBy(
                 *[order_col(comp.compile(e), asc) for e, asc in q.order_by]
             )
-        if q.offset is not None:
-            out = out.offset(q.offset)
-        if q.limit is not None:
-            out = out.limit(q.limit)
+        if q.limit_with_ties and q.limit is not None:
+            if not q.order_by:
+                raise ValidationError("LIMIT ... WITH TIES requires ORDER BY")
+            comp = Compiler(registry)
+            sort_cols = [order_col(comp.compile(e), asc) for e, asc in q.order_by]
+            out = _apply_with_ties(out, sort_cols, q.limit, q.offset)
+            out = out.orderBy(*sort_cols)
+        else:
+            if q.offset is not None:
+                out = out.offset(q.offset)
+            if q.limit is not None:
+                out = out.limit(q.limit)
         return out
     if isinstance(q, A.TableFuncCall):
         return _build_table_func(tables, q, registry)
@@ -531,6 +539,25 @@ def _apply_where(df, where: A.Node, tables, scope, registry):
     return df
 
 
+def _apply_with_ties(out: DataFrame, sort_cols, limit: int, offset) -> DataFrame:
+    """ANSI/DuckDB ``WITH TIES``: keep every row tying the boundary row
+    on the ORDER BY keys — rank() over the query's sort, filter ≤ n.
+    One global ordered pass (the same cost class as the ORDER BY the
+    clause requires); a plain LIMIT stays TakeOrderedAndProject.
+    OFFSET composition is rejected — engines disagree on whether ties
+    count before or after the offset."""
+    from pyspark.sql import Window
+
+    if offset is not None:
+        raise ValidationError("LIMIT ... WITH TIES cannot be combined with OFFSET")
+    w = Window.orderBy(*sort_cols)
+    return (
+        out.withColumn("__ties_rk", F.rank().over(w))
+        .filter(F.col("__ties_rk") <= limit)
+        .drop("__ties_rk")
+    )
+
+
 def _resolve_table(tables: dict[str, DataFrame], name: str) -> DataFrame:
     if name in tables:
         return tables[name]
@@ -623,7 +650,28 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
                 srcs = [(item.table, c) for c in scope_order[item.table]]
             else:
                 srcs = [(t, c) for t, cl in scope_order.items() for c in cl]
-            expanded.extend((A.Var(f"{t}.{c}"), c) for t, c in srcs)
+            if item.exclude or item.replace:
+                colnames = {c for _, c in srcs}
+                for ex in item.exclude:
+                    if ex not in colnames:
+                        raise ValidationError(
+                            f"Unknown column: {ex} in EXCLUDE clause"
+                        )
+                rep = {}
+                for expr, name in item.replace:
+                    if name not in colnames:
+                        raise ValidationError(
+                            f"Unknown column: {name} in REPLACE clause"
+                        )
+                    rep[name] = expr
+                for t, c in srcs:
+                    if c in item.exclude:
+                        continue
+                    expanded.append(
+                        (rep[c], c) if c in rep else (A.Var(f"{t}.{c}"), c)
+                    )
+            else:
+                expanded.extend((A.Var(f"{t}.{c}"), c) for t, c in srcs)
         q = dataclasses.replace(q, select_items=expanded)
 
     # ORDER BY ALL (superset; DuckDB): sort by every select item
@@ -949,16 +997,27 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         sort_names = [f"__s{i}" for i in range(len(q.order_by))]
         sort_proj = [comp.compile(e).alias(n) for (e, _), n in zip(q.order_by, sort_names)]
         out = df.select(*proj, *sort_proj)
-        out = out.orderBy(
-            *[order_col(F.col(n), asc) for (e, asc), n in zip(q.order_by, sort_names)]
-        ).drop(*sort_names)
+        sort_cols = [
+            order_col(F.col(n), asc) for (e, asc), n in zip(q.order_by, sort_names)
+        ]
+        if q.limit_with_ties and q.limit is not None:
+            out = _apply_with_ties(out, sort_cols, q.limit, q.offset)
+        out = out.orderBy(*sort_cols).drop(*sort_names)
     else:
         out = df.select(*proj)
 
     # reference applies OFFSET before LIMIT (src/warpdb.cpp:485-495);
     # df.offset(m).limit(n) has identical semantics.
-    if q.offset is not None:
-        out = out.offset(q.offset)
-    if q.limit is not None:
-        out = out.limit(q.limit)
+    if q.limit_with_ties and q.limit is not None:
+        if not q.order_by or (q.distinct and q.order_by):
+            raise ValidationError(
+                "LIMIT ... WITH TIES requires ORDER BY"
+                if not q.order_by
+                else "LIMIT ... WITH TIES is not supported with DISTINCT"
+            )
+    else:
+        if q.offset is not None:
+            out = out.offset(q.offset)
+        if q.limit is not None:
+            out = out.limit(q.limit)
     return out

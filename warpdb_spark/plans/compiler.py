@@ -367,7 +367,10 @@ class Compiler:
         return F.transform(arr, lambda s: s["v"])
 
     def _c_cast(self, n: A.Cast) -> Column:
-        return self.compile(n.operand).cast(n.type_name)
+        c = self.compile(n.operand)
+        # TRY_CAST: NULL on conversion failure (vs the session's ANSI
+        # runtime error) — Column.try_cast, same semantics as DuckDB's
+        return c.try_cast(n.type_name) if n.try_ else c.cast(n.type_name)
 
     def _c_scalarsubquery(self, n: A.ScalarSubquery) -> Column:
         raise ValidationError(

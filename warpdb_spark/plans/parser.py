@@ -318,12 +318,12 @@ class _Parser:
     def parse_call(self, name: str) -> A.Node:
         upper = name.upper()
         self.expect_op("(")
-        if upper == "CAST":
+        if upper in ("CAST", "TRY_CAST"):
             operand = self.parse_expr()
             self.expect_kw("AS")
             tname = self._parse_cast_type()
             self.expect_op(")")
-            return A.Cast(operand, tname)
+            return A.Cast(operand, tname, try_=upper == "TRY_CAST")
         if upper == "EXTRACT":
             # EXTRACT(field FROM expr) — ANSI special form (superset);
             # lowers to date_part(field, expr)
@@ -672,6 +672,7 @@ class _Parser:
         for _ in range(2):
             if q.limit is None and self.accept_kw("LIMIT"):
                 q.limit = self.expect_int("LIMIT")
+                q.limit_with_ties = self._accept_with_ties()
             if q.offset is None and self.accept_kw("OFFSET"):
                 q.offset = self.expect_int("OFFSET")
                 self._accept_rows_word()
@@ -683,10 +684,25 @@ class _Parser:
             q.limit = self.expect_int("FETCH")
             if not self._accept_rows_word():
                 raise ParseError("Expected ROW or ROWS in FETCH clause")
-            only = self.next()
-            if only.kind != IDENT or only.value.upper() != "ONLY":
-                raise ParseError("Expected ONLY in FETCH clause")
+            if self._accept_with_ties():
+                q.limit_with_ties = True
+            else:
+                only = self.next()
+                if only.kind != IDENT or only.value.upper() != "ONLY":
+                    raise ParseError("Expected ONLY or WITH TIES in FETCH clause")
         return q
+
+    def _accept_with_ties(self) -> bool:
+        """``WITH TIES`` after LIMIT n / FETCH ... ROWS (superset;
+        ANSI/DuckDB) — rows tying the boundary on the ORDER BY keys are
+        kept."""
+        if self.peek().is_kw("WITH") and (
+            self.peek(1).kind == IDENT and self.peek(1).value.upper() == "TIES"
+        ):
+            self.next()
+            self.next()
+            return True
+        return False
 
     def _accept_rows_word(self) -> bool:
         # ROW/ROWS are KEYWORD tokens (window-frame grammar)
@@ -694,6 +710,38 @@ class _Parser:
             self.next()
             return True
         return False
+
+    def _parse_star_modifiers(self, star: "A.Star") -> "A.Star":
+        """DuckDB-style ``* EXCLUDE (a, b)`` / ``* REPLACE (expr AS c)``
+        star modifiers (superset). EXCLUDE/REPLACE stay plain
+        identifiers — only the ``NAME (`` shape right after a star
+        triggers the clause, so columns with those names keep working."""
+        while True:
+            tok = self.peek()
+            if (
+                tok.kind == IDENT
+                and tok.value.upper() in ("EXCLUDE", "REPLACE")
+                and self.peek(1).kind == OP
+                and self.peek(1).value == "("
+            ):
+                kind = self.next().value.upper()
+                self.expect_op("(")
+                if kind == "EXCLUDE":
+                    star.exclude.append(self.expect_ident("column name in EXCLUDE"))
+                    while self.accept_op(","):
+                        star.exclude.append(self.expect_ident("column name in EXCLUDE"))
+                else:
+                    while True:
+                        expr = self.parse_expr()
+                        self.expect_kw("AS")
+                        star.replace.append(
+                            (expr, self.expect_ident("column name in REPLACE"))
+                        )
+                        if not self.accept_op(","):
+                            break
+                self.expect_op(")")
+                continue
+            return star
 
     def parse_table_ref(self, clause: str):
         """``name [[AS] alias]`` or ``(SELECT ...) [AS] alias`` (derived
@@ -740,7 +788,7 @@ class _Parser:
         tok = self.peek()
         if tok.kind == OP and tok.value == "*":
             self.next()
-            return A.Star(), None
+            return self._parse_star_modifiers(A.Star()), None
         if (
             tok.kind == IDENT
             and tok.value.endswith(".")
@@ -749,7 +797,7 @@ class _Parser:
         ):
             self.next()
             self.next()
-            return A.Star(tok.value[:-1]), None
+            return self._parse_star_modifiers(A.Star(tok.value[:-1])), None
         expr = self.parse_expr()
         if self.accept_kw("AS"):
             return expr, self.expect_ident("alias after AS")
@@ -820,6 +868,7 @@ class _Parser:
             for _ in range(2):
                 if node.limit is None and self.accept_kw("LIMIT"):
                     node.limit = self.expect_int("LIMIT")
+                    node.limit_with_ties = self._accept_with_ties()
                 if node.offset is None and self.accept_kw("OFFSET"):
                     node.offset = self.expect_int("OFFSET")
         return node
