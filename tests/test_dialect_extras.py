@@ -105,3 +105,48 @@ class TestWithTies:
             tdb.query_sql(
                 "SELECT a FROM t ORDER BY a LIMIT 1 WITH TIES OFFSET 1"
             ).collect()
+
+
+class TestStarModifierStrictness:
+    """Round-4 self-review: DuckDB rejects these shapes, so identical
+    text must not silently succeed here."""
+
+    def test_exclude_everything_rejected(self, tdb):
+        with pytest.raises(ValidationError, match="removes every column"):
+            tdb.query_sql("SELECT * EXCLUDE (a, b, c) FROM t")
+
+    def test_replace_of_excluded_rejected(self, tdb):
+        with pytest.raises(ValidationError, match="also EXCLUDEd"):
+            tdb.query_sql("SELECT * EXCLUDE (c) REPLACE (c * 2 AS c) FROM t")
+
+    def test_duplicate_exclude_clause_rejected(self, tdb):
+        with pytest.raises(ParseError, match="Duplicate EXCLUDE"):
+            tdb.query_sql("SELECT * EXCLUDE (a) EXCLUDE (b) FROM t")
+
+    def test_duplicate_exclude_name_rejected(self, tdb):
+        with pytest.raises(ParseError, match="Duplicate column in EXCLUDE"):
+            tdb.query_sql("SELECT * EXCLUDE (a, a) FROM t")
+
+    def test_duplicate_replace_target_rejected(self, tdb):
+        with pytest.raises(ParseError, match="Duplicate column in REPLACE"):
+            tdb.query_sql("SELECT * REPLACE (a + 1 AS a, a + 2 AS a) FROM t")
+
+
+class TestWithTiesNulls:
+    def test_explicit_nulls_last_matches_duckdb_set(self, spark):
+        """Nullable sort keys must spell NULLS placement explicitly (the
+        dialect's ORDER BY stance) — then both engines return the same
+        row set."""
+        import duckdb
+
+        db = WarpDB(
+            df=spark.createDataFrame(
+                [Row(a=1, c=None), Row(a=2, c=1.0), Row(a=3, c=1.0)]
+            ),
+            table_name="t",
+            spark=spark,
+        )
+        out = db.query_sql(
+            "SELECT a FROM t ORDER BY c ASC NULLS LAST LIMIT 1 WITH TIES"
+        )
+        assert sorted(r.a for r in out.collect()) == [2, 3]

@@ -924,8 +924,12 @@ def dialect_with_ties(spark, sf_dir):
     TIES`` (superset; ANSI/Postgres spelling): rows tying the boundary
     on the sort keys are kept. Executes as rank() over the query's
     ORDER BY ≤ n — one ordered pass, the same cost class as the ORDER
-    BY itself (a plain LIMIT stays TakeOrderedAndProject). DuckDB has
-    no WITH TIES, so the oracle replays the rank filter explicitly."""
+    BY itself (a plain LIMIT stays TakeOrderedAndProject; the rank is
+    a single ordered pass — a reporting clause, not a corpus operator).
+    Nullable sort keys must spell NULLS FIRST/LAST explicitly (the
+    dialect's documented ORDER BY stance — engine defaults differ and
+    WITH TIES makes the returned SET depend on them). DuckDB has no
+    WITH TIES, so the oracle replays the rank filter explicitly."""
     db = _db(spark, sf_dir, "orders")
     return db.query_sql(
         "SELECT o_custkey, count(*) AS n FROM orders "

@@ -177,22 +177,21 @@ def build_dataframe(tables: dict[str, DataFrame], q, registry=None) -> DataFrame
             out = left.exceptAll(right)
         else:
             raise ValidationError(f"Unknown set operation: {q.op}")
+        sort_cols = []
         if q.order_by:
             # tail clauses sort the COMBINED result by its output columns
             for e, _ in q.order_by:
                 validate(e, set(out.columns), "ORDER BY")
             comp = Compiler(registry)
-            out = out.orderBy(
-                *[order_col(comp.compile(e), asc) for e, asc in q.order_by]
-            )
+            sort_cols = [order_col(comp.compile(e), asc) for e, asc in q.order_by]
         if q.limit_with_ties and q.limit is not None:
             if not q.order_by:
                 raise ValidationError("LIMIT ... WITH TIES requires ORDER BY")
-            comp = Compiler(registry)
-            sort_cols = [order_col(comp.compile(e), asc) for e, asc in q.order_by]
             out = _apply_with_ties(out, sort_cols, q.limit, q.offset)
             out = out.orderBy(*sort_cols)
         else:
+            if sort_cols:
+                out = out.orderBy(*sort_cols)
             if q.offset is not None:
                 out = out.offset(q.offset)
             if q.limit is not None:
@@ -540,10 +539,17 @@ def _apply_where(df, where: A.Node, tables, scope, registry):
 
 
 def _apply_with_ties(out: DataFrame, sort_cols, limit: int, offset) -> DataFrame:
-    """ANSI/DuckDB ``WITH TIES``: keep every row tying the boundary row
-    on the ORDER BY keys — rank() over the query's sort, filter ≤ n.
-    One global ordered pass (the same cost class as the ORDER BY the
-    clause requires); a plain LIMIT stays TakeOrderedAndProject.
+    """ANSI/Postgres ``WITH TIES``: keep every row tying the boundary
+    row on the ORDER BY keys — rank() over the query's sort, filter
+    ≤ n. The unpartitioned rank funnels rows through ONE task (unlike a
+    plain ORDER BY's range-partitioned sort), so this is a top-n
+    reporting clause, not a big-data operator; the production
+    optimization — take the sorted top-n, extract the boundary key
+    tuple, filter the input against it — is noted, not implemented.
+    NULL sort keys follow the engine's ASC/DESC default placement
+    (Spark: NULLS FIRST under ASC), which DIFFERS from DuckDB — with
+    nullable keys the returned SET can differ, so spell NULLS
+    FIRST/LAST explicitly (the dialect's documented ORDER BY stance).
     OFFSET composition is rejected — engines disagree on whether ties
     count before or after the offset."""
     from pyspark.sql import Window
@@ -657,11 +663,18 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
                         raise ValidationError(
                             f"Unknown column: {ex} in EXCLUDE clause"
                         )
+                if set(item.exclude) >= colnames:
+                    # DuckDB also rejects a star that excludes everything
+                    raise ValidationError("EXCLUDE removes every column of *")
                 rep = {}
                 for expr, name in item.replace:
                     if name not in colnames:
                         raise ValidationError(
                             f"Unknown column: {name} in REPLACE clause"
+                        )
+                    if name in item.exclude:
+                        raise ValidationError(
+                            f"REPLACE column {name} is also EXCLUDEd"
                         )
                     rep[name] = expr
                 for t, c in srcs:
@@ -1009,12 +1022,10 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
     # reference applies OFFSET before LIMIT (src/warpdb.cpp:485-495);
     # df.offset(m).limit(n) has identical semantics.
     if q.limit_with_ties and q.limit is not None:
-        if not q.order_by or (q.distinct and q.order_by):
-            raise ValidationError(
-                "LIMIT ... WITH TIES requires ORDER BY"
-                if not q.order_by
-                else "LIMIT ... WITH TIES is not supported with DISTINCT"
-            )
+        if not q.order_by:
+            raise ValidationError("LIMIT ... WITH TIES requires ORDER BY")
+        if q.distinct:
+            raise ValidationError("LIMIT ... WITH TIES is not supported with DISTINCT")
     else:
         if q.offset is not None:
             out = out.offset(q.offset)

@@ -725,18 +725,26 @@ class _Parser:
                 and self.peek(1).value == "("
             ):
                 kind = self.next().value.upper()
+                if (kind == "EXCLUDE" and star.exclude) or (
+                    kind == "REPLACE" and star.replace
+                ):
+                    raise ParseError(f"Duplicate {kind} clause after *")
                 self.expect_op("(")
                 if kind == "EXCLUDE":
                     star.exclude.append(self.expect_ident("column name in EXCLUDE"))
                     while self.accept_op(","):
                         star.exclude.append(self.expect_ident("column name in EXCLUDE"))
+                    dupes = [c for i, c in enumerate(star.exclude) if c in star.exclude[:i]]
+                    if dupes:
+                        raise ParseError(f"Duplicate column in EXCLUDE: {dupes[0]}")
                 else:
                     while True:
                         expr = self.parse_expr()
                         self.expect_kw("AS")
-                        star.replace.append(
-                            (expr, self.expect_ident("column name in REPLACE"))
-                        )
+                        name = self.expect_ident("column name in REPLACE")
+                        if any(n == name for _, n in star.replace):
+                            raise ParseError(f"Duplicate column in REPLACE: {name}")
+                        star.replace.append((expr, name))
                         if not self.accept_op(","):
                             break
                 self.expect_op(")")
