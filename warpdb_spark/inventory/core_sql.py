@@ -919,6 +919,20 @@ def dialect_try_cast(spark, sf_dir):
     )
 
 
+def dialect_ilike(spark, sf_dir):
+    """Case-insensitive pattern matching through the dialect (superset;
+    Postgres/DuckDB ``ILIKE`` / ``NOT ILIKE``): compiles to
+    Column.ilike — a JVM-side predicate that stays in the scan's
+    codegen stage, no shuffle. DuckDB executes the identical text."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT o_orderpriority AS pri, count(*) AS n FROM orders "
+        "WHERE o_orderpriority ILIKE '%urgent%' "
+        "AND o_orderpriority NOT ILIKE '2-%' "
+        "GROUP BY o_orderpriority ORDER BY pri"
+    )
+
+
 def dialect_with_ties(spark, sf_dir):
     """``ORDER BY ... LIMIT n WITH TIES`` / ``FETCH FIRST n ROWS WITH
     TIES`` (superset; ANSI/Postgres spelling): rows tying the boundary
@@ -1489,6 +1503,7 @@ QUERIES = {
     "dialect_star_modifiers": dialect_star_modifiers,
     "dialect_try_cast": dialect_try_cast,
     "dialect_with_ties": dialect_with_ties,
+    "dialect_ilike": dialect_ilike,
     "dialect_array_agg": dialect_array_agg,
     "dialect_tpch_q3": dialect_tpch_q3,
     "dialect_tpch_q12": dialect_tpch_q12,
@@ -1921,6 +1936,12 @@ ORACLES = {
         "TRY_CAST(o_orderpriority AS DOUBLE) AS bad_cast, "
         "count(*) AS n "
         "FROM orders GROUP BY o_orderpriority ORDER BY pri"
+    ),
+    "dialect_ilike": (
+        "SELECT o_orderpriority AS pri, count(*) AS n FROM orders "
+        "WHERE o_orderpriority ILIKE '%urgent%' "
+        "AND o_orderpriority NOT ILIKE '2-%' "
+        "GROUP BY o_orderpriority ORDER BY pri"
     ),
     "dialect_with_ties": (
         "WITH g AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey), "

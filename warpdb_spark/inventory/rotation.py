@@ -141,6 +141,7 @@ PENDING_ORDER: list[str] = [
     "dialect_star_modifiers",
     "dialect_try_cast",
     "dialect_with_ties",
+    "dialect_ilike",
     "dialect_setops",
     "setop_intersect_all",
     "dialect_tpch_q3",
