@@ -908,7 +908,10 @@ def dialect_try_cast(spark, sf_dir):
     NULL on conversion failure instead of the session's ANSI runtime
     error — the safe-ingest idiom for dirty columns. Compiles to
     Column.try_cast (JVM-side, codegen); DuckDB executes the identical
-    text."""
+    text. Documented divergence (property-fuzz finding): DuckDB casts
+    decimal STRINGS to integer types by rounding ('2.5' -> 3) where
+    Spark yields NULL — the dialect keeps Spark semantics, so oracle
+    entries avoid that input class."""
     db = _db(spark, sf_dir, "orders")
     return db.query_sql(
         "SELECT o_orderpriority AS pri, "
