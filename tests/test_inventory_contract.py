@@ -89,6 +89,32 @@ def test_unknown_priority_name_raises(monkeypatch):
         inventory.load_all()
 
 
+def test_no_nested_typed_result_columns(spark, sf_dir):
+    """The driver's canonicalizer runs pandas ``sort_values`` over the
+    raw result columns and dies with ``TypeError: unhashable type:
+    'list'`` on any array/map/struct-typed cell (the r4
+    ``dialect_array_agg`` red row). Ban the class: every entry's result
+    schema must be flat — serialize nested values (array_join/to_json)
+    before returning them."""
+    from pyspark.sql import types as T
+
+    q, _ = inventory.load_all()
+    offenders = {}
+    for name, fn in q.items():
+        schema = fn(spark, sf_dir).schema  # analysis only, no execution
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if nested:
+            offenders[name] = nested
+    assert not offenders, (
+        "entries returning nested-typed columns (driver canonicalizer "
+        f"cannot hash them): {offenders}"
+    )
+
+
 def test_submodule_import_failure_is_loud(monkeypatch):
     """If pipeline_ops can't import, load_all must raise — not quietly
     drop its 34 entries and report a greener round than is real."""

@@ -782,11 +782,18 @@ def dialect_array_agg(spark, sf_dir):
     combinable aggregate (collect (key, value) structs → array_sort →
     project), the same shape as STRING_AGG but preserving the element
     type. Nulls skipped per the dialect contract, so the DuckDB oracle
-    adds FILTER (x IS NOT NULL) to its null-keeping array_agg."""
+    adds FILTER (x IS NOT NULL) to its null-keeping array_agg.
+
+    The entry RESULT serializes the array via array_join — the driver's
+    canonicalizer (pandas sort_values over raw columns) cannot hash
+    nested-typed columns, so no inventory entry may return one
+    (tests/test_inventory_contract.py pins the ban). The native
+    array<bigint> behavior stays asserted in tests/test_dialect.py."""
     db = _db(spark, sf_dir, "orders")
     return db.query_sql(
         "SELECT o_orderpriority AS pri, "
-        "array_agg(o_orderkey ORDER BY o_orderkey) AS keys, count(*) AS n "
+        "array_join(array_agg(o_orderkey ORDER BY o_orderkey), ',') AS keys, "
+        "count(*) AS n "
         "FROM orders WHERE o_custkey % 50 = 0 "
         "GROUP BY o_orderpriority ORDER BY pri"
     )
@@ -1913,10 +1920,13 @@ ORACLES = {
         "AND l_shipdate < TIMESTAMP '1998-01-01' "
         "GROUP BY 1 ORDER BY 1"
     ),
-    # dialect skips nulls; DuckDB's array_agg keeps them -> FILTER
+    # dialect skips nulls; DuckDB's array_agg keeps them -> FILTER.
+    # Serialized via array_to_string so the driver canonicalizer (which
+    # cannot hash list-typed cells) gets a flat string on both sides.
     "dialect_array_agg": (
         "SELECT o_orderpriority AS pri, "
-        "array_agg(o_orderkey ORDER BY o_orderkey) FILTER (o_orderkey IS NOT NULL) AS keys, "
+        "array_to_string(array_agg(o_orderkey ORDER BY o_orderkey) "
+        "FILTER (o_orderkey IS NOT NULL), ',') AS keys, "
         "CAST(count(*) AS BIGINT) AS n "
         "FROM orders WHERE o_custkey % 50 = 0 "
         "GROUP BY o_orderpriority ORDER BY pri"

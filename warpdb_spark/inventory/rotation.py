@@ -118,6 +118,55 @@ DRIVER_GREEN: dict[str, int] = {
     "reshape_explode_tokens": 2,
     "pii_scrub": 2,
     "pack_sequences_greedy": 2,
+    "dialect_udtf_ngrams": 4,
+    "text_lang_confidence": 4,
+    "similarity_ann_recall": 4,
+    "search_rerank_cross_features": 4,
+    "sample_mixture_alpha": 4,
+    "search_eval_ndcg": 4,
+    "events_cusum_changepoints": 4,
+    "pack_batches_bucketed": 4,
+    "text_keywords_rake": 4,
+    "embedding_label_agreement": 4,
+    "text_char_entropy": 4,
+    "dialect_star_modifiers": 4,
+    "dialect_try_cast": 4,
+    "dialect_with_ties": 4,
+    "dialect_ilike": 4,
+    "dialect_setops": 4,
+    "setop_intersect_all": 4,
+    "dialect_tpch_q3": 4,
+    "dialect_tpch_q12": 4,
+    "dialect_rollup_grouping": 4,
+    "dialect_grouping_sets": 4,
+    "dialect_range_interval_frame": 4,
+    "dialect_recursive_cte": 4,
+    "dialect_self_join": 4,
+    "dialect_agg_filter": 4,
+    "dialect_string_agg": 4,
+    "dialect_unnest": 4,
+    "dialect_distinct_on": 4,
+    "dialect_ansi_fetch_bool": 4,
+    "dialect_broadcast_hint": 4,
+    "dialect_select_star": 4,
+    "dialect_group_by_all": 4,
+    "dialect_json_arrow": 4,
+    "window_ignore_nulls": 4,
+    "embedding_pq_codes": 4,
+    "similarity_pq_adc": 4,
+    "similarity_pq_rerank": 4,
+    "graph_pagerank_users": 4,
+    "dedup_semantic_semdedup": 4,
+    "text_bm25_search": 4,
+    "search_hybrid_rrf": 4,
+    "agg_hll_union_days": 4,
+    "sketch_countmin_words": 4,
+    "text_subword_segment": 4,
+    "graph_triangle_count": 4,
+    "graph_adamic_adar": 4,
+    "similarity_mmr_rerank": 4,
+    "dedup_incremental_new_docs": 4,
+    "dedup_containment_ngram": 4,
 }
 
 # Never-driver-checked entries, highest risk first: dialect executors
@@ -127,56 +176,7 @@ DRIVER_GREEN: dict[str, int] = {
 # of the block matching their risk class.
 PENDING_ORDER: list[str] = [
     # round-4 additions — brand new surfaces, checked first
-    "dialect_udtf_ngrams",
-    "text_lang_confidence",
-    "similarity_ann_recall",
-    "search_rerank_cross_features",
-    "sample_mixture_alpha",
-    "search_eval_ndcg",
-    "events_cusum_changepoints",
-    "pack_batches_bucketed",
-    "text_keywords_rake",
-    "embedding_label_agreement",
-    "text_char_entropy",
-    "dialect_star_modifiers",
-    "dialect_try_cast",
-    "dialect_with_ties",
-    "dialect_ilike",
-    "dialect_setops",
-    "setop_intersect_all",
-    "dialect_tpch_q3",
-    "dialect_tpch_q12",
-    "dialect_rollup_grouping",
-    "dialect_grouping_sets",
-    "dialect_range_interval_frame",
-    "dialect_recursive_cte",
-    "dialect_self_join",
-    "dialect_agg_filter",
-    "dialect_string_agg",
-    "dialect_unnest",
-    "dialect_distinct_on",
-    "dialect_ansi_fetch_bool",
     "dialect_array_agg",
-    "dialect_broadcast_hint",
-    "dialect_select_star",
-    "dialect_group_by_all",
-    "dialect_json_arrow",
-    "window_ignore_nulls",
-    "embedding_pq_codes",
-    "similarity_pq_adc",
-    "similarity_pq_rerank",
-    "graph_pagerank_users",
-    "dedup_semantic_semdedup",
-    "text_bm25_search",
-    "search_hybrid_rrf",
-    "agg_hll_union_days",
-    "sketch_countmin_words",
-    "text_subword_segment",
-    "graph_triangle_count",
-    "graph_adamic_adar",
-    "similarity_mmr_rerank",
-    "dedup_incremental_new_docs",
-    "dedup_containment_ngram",
     "multimodal_ppm_decode",
     "multimodal_wav_decode",
     "multimodal_video_frames",

@@ -262,6 +262,16 @@ class Compiler:
             # get_json_object(col, path): JSONPath is a Python string
             if lname == "get_json_object" and len(n.args) == 2 and isinstance(n.args[1], A.Str):
                 return F.get_json_object(self.compile(n.args[0]), n.args[1].value)
+            # array_join(arr, sep[, null_repl]): sep/null_repl are
+            # Python strings in the pyspark signature, not Columns
+            if (
+                lname in ("array_join", "array_to_string")
+                and len(n.args) in (2, 3)
+                and all(isinstance(a, A.Str) for a in n.args[1:])
+            ):
+                return F.array_join(
+                    self.compile(n.args[0]), *[a.value for a in n.args[1:]]
+                )
         args = [self.compile(a) for a in n.args]
         if in_registry:
             return self.registry.call(lname, *args)
