@@ -473,22 +473,95 @@ class TestUpdateRotationParse:
         copy = tmp_path / "rotation.py"
         copy.write_text(ur.ROTATION.read_text())
         monkeypatch.setattr(ur, "ROTATION", copy)
-        moved = rotation.PENDING_ORDER[:3]
+        moved = rotation.PENDING_ORDER[:4]
         art = tmp_path / "c.json"
         art.write_text(json.dumps({
             moved[0]: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+            # a missing/None hash means the check never RAN — must NOT
+            # be promoted to DRIVER_GREEN (r4 ADVICE finding)
             moved[1]: {"rows_match": True, "schema_match": True, "hash_match": None, "err": None},
             moved[2]: {"rows_match": False, "schema_match": True, "hash_match": False,
                         "err": "boom"},
+            # explicit hash-exempt sentinel DOES promote
+            moved[3]: {"rows_match": True, "schema_match": True,
+                        "hash_match": "skipped", "err": None},
         }))
         monkeypatch.setattr("sys.argv", ["update_rotation.py", str(art), "4", "--write"])
         assert ur.main() == 0
         out = copy.read_text()
         block = out.split("PENDING_ORDER: list[str] = [", 1)[1].split("]", 1)[0]
         pending_after = re.findall(r'^    "([a-z0-9_]+)",$', block, re.M)
-        # fully-green and rows-only-green move; the red entry stays
+        # explicit-green moves; hash-never-ran and red stay pending
         assert moved[0] not in pending_after
-        assert moved[1] not in pending_after
+        assert moved[1] in pending_after
         assert moved[2] in pending_after
+        assert moved[3] not in pending_after
         assert f'"{moved[0]}": 4,' in out
-        assert f'"{moved[1]}": 4,' in out
+        assert f'"{moved[1]}": 4,' not in out
+        assert f'"{moved[3]}": 4,' in out
+
+
+class TestRound5AdviceFixes:
+    """Regressions for the five r4 ADVICE findings."""
+
+    def test_fully_green_requires_explicit_hash_pass(self):
+        import tools.update_rotation as ur
+
+        base = {"rows_match": True, "schema_match": True, "err": None}
+        assert ur.fully_green({**base, "hash_match": True})
+        assert ur.fully_green({**base, "hash_match": "skipped"})
+        assert not ur.fully_green({**base, "hash_match": None})
+        assert not ur.fully_green(base)  # field absent entirely
+        assert not ur.fully_green({**base, "hash_match": False})
+
+    def test_with_ties_survives_user_ties_rk_column(self, spark):
+        rows = [Row(v=1, g=10), Row(v=2, g=10), Row(v=3, g=20), Row(v=4, g=20)]
+        db = WarpDB(df=spark.createDataFrame(rows), table_name="t", spark=spark)
+        out = db.query_sql(
+            "SELECT v AS __ties_rk, g FROM t ORDER BY g FETCH FIRST 1 ROWS WITH TIES"
+        )
+        got = sorted((r["__ties_rk"], r.g) for r in out.collect())
+        # boundary g=10 ties -> both rows kept, user column intact
+        assert got == [(1, 10), (2, 10)]
+
+    def test_table_func_quotes_source_column(self, spark):
+        from warpdb_spark.functions.registry import default_registry
+        from warpdb_spark.plans import ast as A
+        from warpdb_spark.plans.builder import _build_table_func
+
+        df = spark.createDataFrame([Row(doc_id=1)]).withColumn(
+            "text body", F.lit("alpha beta gamma")
+        )
+        tfc = A.TableFuncCall(
+            name="split_ngrams",
+            args=[A.Var(name="docs.text body"), A.Num(2)],
+        )
+        out = _build_table_func({"docs": df}, tfc, default_registry())
+        grams = sorted(r.ngram for r in out.collect())
+        assert grams == ["alpha beta", "beta gamma"]
+
+    def test_string_agg_asc_null_order_keys_sort_last(self, spark):
+        # DuckDB default is NULLS LAST in both directions; plain
+        # array_sort would have put the NULL-keyed value FIRST under ASC
+        rows = [
+            Row(g=1, k=2, v="b"),
+            Row(g=1, k=None, v="z"),
+            Row(g=1, k=1, v="a"),
+        ]
+        db = WarpDB(df=spark.createDataFrame(rows), table_name="t", spark=spark)
+        out = db.query_sql(
+            "SELECT g, STRING_AGG(v, ',' ORDER BY k) AS s, "
+            "STRING_AGG(v, ',' ORDER BY k DESC) AS sd FROM t GROUP BY g"
+        )
+        r = out.first()
+        assert r.s == "a,b,z"
+        assert r.sd == "b,a,z"
+
+    def test_split_ngrams_rejects_fractional_n(self):
+        from warpdb_spark.functions import udtfs
+
+        cls = getattr(udtfs.SplitNgrams, "func", udtfs.SplitNgrams)
+        with pytest.raises(ValueError, match="must be an integer"):
+            list(cls().eval("a b c", 2.7))
+        # integral-valued floats still accepted (2.0 == 2)
+        assert list(cls().eval("a b c", 2.0)) == [(0, "a b"), (1, "b c")]

@@ -24,10 +24,13 @@ ROTATION = REPO / "warpdb_spark" / "inventory" / "rotation.py"
 
 
 def fully_green(row: dict) -> bool:
+    # hash_match must be an EXPLICIT pass: True, or the 'skipped'
+    # sentinel the driver writes for hash-exempt (rows-only) entries. A
+    # missing/None hash field means the check never ran — not green.
     return bool(
         row.get("rows_match")
         and row.get("schema_match")
-        and (row.get("hash_match") or row.get("hash_match") is None)
+        and row.get("hash_match") in (True, "skipped")
         and not row.get("err")
     )
 

@@ -47,6 +47,10 @@ class SplitNgrams:
     def eval(self, text, n):
         if text is None or n is None:
             return
+        if n != int(n):
+            # reject silently-lossy fractional n loudly, matching the
+            # dialect's strictness on malformed arguments elsewhere
+            raise ValueError(f"split_ngrams: n must be an integer, got {n!r}")
         n = int(n)
         if n < 1:
             return

@@ -249,7 +249,11 @@ def _build_table_func(tables: dict[str, DataFrame], tfc: A.TableFuncCall, regist
     spark.udtf.register(reg_name, registry.udtf(name))
     view = _sq_alias("tfsrc")
     src.createOrReplaceTempView(view)
-    args = ", ".join([f"s.{col}"] + lit_sql)
+    # backtick-quote the column so names needing quoting (mixed case
+    # under case-sensitive resolution, special characters) stay a
+    # column reference instead of escaping into raw SQL
+    quoted_col = "`" + col.replace("`", "``") + "`"
+    args = ", ".join([f"s.{quoted_col}"] + lit_sql)
     try:
         out = spark.sql(
             f"SELECT s.*, f.* FROM {view} AS s, LATERAL {reg_name}({args}) AS f"
@@ -557,10 +561,13 @@ def _apply_with_ties(out: DataFrame, sort_cols, limit: int, offset) -> DataFrame
     if offset is not None:
         raise ValidationError("LIMIT ... WITH TIES cannot be combined with OFFSET")
     w = Window.orderBy(*sort_cols)
+    # unique helper name — a projection that already yields __ties_rk
+    # must not be silently overwritten by withColumn and then dropped
+    rk = _sq_alias("ties_rk")
     return (
-        out.withColumn("__ties_rk", F.rank().over(w))
-        .filter(F.col("__ties_rk") <= limit)
-        .drop("__ties_rk")
+        out.withColumn(rk, F.rank().over(w))
+        .filter(F.col(rk) <= limit)
+        .drop(rk)
     )
 
 

@@ -313,19 +313,18 @@ class Compiler:
     def _ordered_pairs(pairs: Column, key_asc: bool) -> Column:
         """Sort an array of (k, v) structs by k ASC|DESC with ties
         broken by v ASCENDING in both directions (the documented
-        contract). ASC uses plain array_sort (struct-lexicographic ==
-        key-then-value, both ascending). DESC needs a comparator so the
-        direction applies to the key only — a reverse() would also flip
-        the value tie-break. NULL keys (order key evaluating NULL on a
-        non-null value) sort LAST as their own group (DuckDB's DESC
-        default), value-ascending within it — the null branches are
-        explicit because a null comparison falling through to the value
-        branches would make the comparator non-transitive (arbitrary
-        interleaving; TimSort contract violations on frames ≥32). The
+        contract). Both directions use a comparator so NULL keys (order
+        key evaluating NULL on a non-null value) sort LAST as their own
+        group in BOTH directions (DuckDB's default NULLS LAST — plain
+        array_sort's struct-lexicographic order would put them FIRST
+        under ASC, a cross-engine set divergence), value-ascending
+        within it. The null branches are explicit because a null
+        comparison falling through to the value branches would make the
+        comparator non-transitive (arbitrary interleaving; TimSort
+        contract violations on frames ≥32). DESC cannot be a reverse()
+        of ASC — that would also flip the value tie-break. The
         comparator is a Catalyst lambda, still codegen'd and
         map-side-combinable."""
-        if key_asc:
-            return F.array_sort(pairs)
 
         def vcmp(a, b):
             return (
@@ -334,13 +333,15 @@ class Compiler:
                 .otherwise(F.lit(0))
             )
 
+        lt, gt = (F.lit(-1), F.lit(1)) if key_asc else (F.lit(1), F.lit(-1))
+
         def cmp(a, b):
             return (
                 F.when(a["k"].isNull() & b["k"].isNull(), vcmp(a, b))
                 .when(a["k"].isNull(), F.lit(1))
                 .when(b["k"].isNull(), F.lit(-1))
-                .when(a["k"] < b["k"], F.lit(1))
-                .when(a["k"] > b["k"], F.lit(-1))
+                .when(a["k"] < b["k"], lt)
+                .when(a["k"] > b["k"], gt)
                 .otherwise(vcmp(a, b))
             )
 
