@@ -615,3 +615,44 @@ class TestCharEntropyEntry:
         assert out[2].entropy_bits == 1.0
         assert out[3].entropy_bits == 2.0
         assert out[1].n_chars == 4 and out[1].n_distinct_chars == 1
+
+
+class TestMaxSharedRun:
+    def test_planted_runs_exact_and_bounded(self, spark, monkeypatch):
+        import warpdb_spark.inventory.scale_ops as so
+
+        w = [f"w{i}" for i in range(16)]
+        docs = spark.createDataFrame(
+            [
+                # pair (1,2): exactly the 5-word run w3..w7 shared
+                (1, "en", "web", " ".join(w)),
+                (2, "en", "web", "x y " + " ".join(w[3:8]) + " z q r"),
+                # pair (1,3): shares a 14-word run -> reported bounded at 12
+                (3, "en", "web", "pre " + " ".join(w[0:14]) + " post"),
+                # shares only 2 consecutive words with doc 1 -> below k_min
+                (4, "en", "web", "a b " + " ".join(w[0:2]) + " c d e f"),
+                # identical to doc 1 but different block -> never paired
+                (5, "fr", "web", " ".join(w)),
+            ],
+            ["doc_id", "lang", "source", "text"],
+        )
+        monkeypatch.setattr(so, "_t", lambda spark, sf_dir, name: docs)
+        rows = {
+            (r["id_a"], r["id_b"]): r
+            for r in so.dedup_max_shared_run(spark, "ignored").collect()
+        }
+        assert rows[(1, 2)]["max_shared_run"] == 5
+        # n_shared_3grams for a clean 5-run = 5 - 3 + 1 = 3
+        assert rows[(1, 2)]["n_shared_3grams"] == 3
+        assert rows[(1, 3)]["max_shared_run"] == 12  # bounded at k
+        assert (1, 4) not in rows  # 2-word overlap is below the 3-gram floor
+        assert not any(5 in p for p in rows)  # cross-block pair never formed
+        # (2,3) share w3..w7 via doc 1's words too
+        assert rows[(2, 3)]["max_shared_run"] == 5
+
+    def test_values_in_range_on_corpus(self, spark, sf_dir):
+        rows = scale_ops.dedup_max_shared_run(spark, sf_dir).collect()
+        for r in rows:
+            assert 3 <= r["max_shared_run"] <= 12
+            # a shared n-run implies >= n-2 shared 3-grams
+            assert r["n_shared_3grams"] >= r["max_shared_run"] - 2

@@ -153,3 +153,51 @@ class TestJoinPosition:
         assert [r.ngram for r in out.collect()] == [
             "the quick", "quick brown", "brown fox",
         ]
+
+
+class TestSentenceSplit:
+    """sentence_split(text) — the second registered UDTF: multi-column
+    lateral output (index, sentence, char span) with per-row running
+    offset state."""
+
+    def test_spans_reconstruct_source(self, spark):
+        text = "One two. Three four. Five"
+        db = WarpDB(
+            df=spark.createDataFrame([Row(doc_id=1, text=text)]),
+            table_name="documents", spark=spark,
+        )
+        out = db.query_sql(
+            "SELECT sent_idx, sentence, char_start, char_end "
+            "FROM sentence_split(documents.text) ORDER BY sent_idx"
+        ).collect()
+        assert [(r.sent_idx, r.sentence) for r in out] == [
+            (0, "One two"), (1, "Three four"), (2, "Five"),
+        ]
+        # spans index the ORIGINAL text exactly
+        for r in out:
+            assert text[r.char_start:r.char_end] == r.sentence
+
+    def test_null_no_rows_empty_one_empty_sentence(self, spark):
+        db = WarpDB(
+            df=spark.createDataFrame(
+                [Row(doc_id=1, text=None), Row(doc_id=2, text="")]
+            ),
+            table_name="documents", spark=spark,
+        )
+        out = db.query_sql(
+            "SELECT doc_id, sentence, char_start, char_end "
+            "FROM sentence_split(documents.text)"
+        ).collect()
+        assert [(r.doc_id, r.sentence, r.char_start, r.char_end) for r in out] == [
+            (2, "", 0, 0)
+        ]
+
+    def test_predicate_pushes_below_udtf(self, spark, sf_dir):
+        """Source predicates must reach the scan below the Python stage
+        (deterministic-marked UDTF), same as SplitNgrams."""
+        db = WarpDB(f"{sf_dir}/documents.parquet", spark=spark, table_name="documents")
+        plan = db.query_sql(
+            "SELECT sentence FROM sentence_split(documents.text) WHERE doc_id % 25 = 0"
+        )._jdf.queryExecution().executedPlan().toString()
+        scan = [ln for ln in plan.split("\n") if "FileScan" in ln or "PushedFilters" in ln]
+        assert any("doc_id" in ln for ln in scan), plan

@@ -62,6 +62,31 @@ class SplitNgrams:
             yield i, " ".join(toks[i : i + n])
 
 
+@udtf(returnType="sent_idx: int, sentence: string, char_start: int, char_end: int")
+class SentenceSplit:
+    """``sentence_split(text)`` — one output row per sentence with its
+    character span in the ORIGINAL text: (index, sentence, start, end).
+    Sentences are the maximal runs between literal ``'. '`` separators
+    (a deterministic, engine-replayable rule — a regex boundary model
+    would drift from any SQL oracle), so ``char_start`` advances by
+    ``len(sentence) + 2`` per row and ``char_end`` is exclusive. NULL
+    text yields no rows (lateral drop); an empty string yields a single
+    empty sentence, matching DuckDB's ``string_split('', '. ')``.
+
+    Demonstrates the multi-column lateral surface beyond SplitNgrams:
+    four typed output columns with per-row running state (the offset),
+    still a pure function of the input row — deterministic-marked so
+    source predicates push below the Python stage into the scan."""
+
+    def eval(self, text):
+        if text is None:
+            return
+        pos = 0
+        for i, sent in enumerate(text.split(". ")):
+            yield i, sent, pos, pos + len(sent)
+            pos += len(sent) + 2
+
+
 def default_udtfs() -> dict[str, object]:
     """Name -> decorated UDTF object preloaded into every registry (the
     analog of custom.cu's always-available device functions).
@@ -72,4 +97,7 @@ def default_udtfs() -> dict[str, object]:
     DataFilters (verified in tests/test_udtf.py); a non-deterministic
     UDTF runs Python over every row first. User registrations should
     call ``.asDeterministic()`` when their eval() is pure."""
-    return {"split_ngrams": SplitNgrams.asDeterministic()}
+    return {
+        "split_ngrams": SplitNgrams.asDeterministic(),
+        "sentence_split": SentenceSplit.asDeterministic(),
+    }

@@ -894,6 +894,26 @@ def dialect_udtf_ngrams(spark, sf_dir):
     )
 
 
+def dialect_udtf_sentences(spark, sf_dir):
+    """Second Python UDTF through the dialect FROM clause (superset),
+    proving the registration surface generalizes beyond SplitNgrams:
+    ``FROM sentence_split(documents.text)`` emits FOUR typed columns per
+    lateral row — sentence index, the sentence, and its character span
+    in the original text (running-offset state inside eval, still a
+    pure per-row function). The ``doc_id % 25`` predicate pushes below
+    the deterministic-marked UDTF into the parquet scan, so Python runs
+    on the 4% sample only. DuckDB replays the identical literal-'. '
+    split with a struct-comprehension unnest and reconstructs the
+    offsets with a windowed length sum (integer state — no float
+    accumulation to diverge)."""
+    db = _db(spark, sf_dir, "documents")
+    return db.query_sql(
+        "SELECT doc_id, sent_idx, sentence, char_start, char_end "
+        "FROM sentence_split(documents.text) WHERE doc_id % 25 = 0 "
+        "ORDER BY doc_id, sent_idx"
+    )
+
+
 def dialect_star_modifiers(spark, sf_dir):
     """DuckDB-style star modifiers through the dialect (superset):
     ``SELECT * EXCLUDE (cols) REPLACE (expr AS col)`` — projection
@@ -1510,6 +1530,7 @@ QUERIES = {
     "dialect_group_by_all": dialect_group_by_all,
     "dialect_json_arrow": dialect_json_arrow,
     "dialect_udtf_ngrams": dialect_udtf_ngrams,
+    "dialect_udtf_sentences": dialect_udtf_sentences,
     "dialect_star_modifiers": dialect_star_modifiers,
     "dialect_try_cast": dialect_try_cast,
     "dialect_with_ties": dialect_with_ties,
@@ -1969,6 +1990,22 @@ ORACLES = {
         "AS ngram FROM t) "
         "SELECT ngram, COUNT(*) AS tf FROM ng GROUP BY ngram "
         "ORDER BY tf DESC, ngram LIMIT 50"
+    ),
+    # literal-'. ' split; offsets rebuilt via windowed INTEGER length
+    # sums (start_i = sum(len+2) over preceding sentences)
+    "dialect_udtf_sentences": (
+        "WITH p AS (SELECT doc_id, "
+        "unnest([{'i': i, 's': string_split(text, '. ')[i]} "
+        "for i in generate_series(1, len(string_split(text, '. ')))], "
+        "recursive := true) "
+        "FROM documents WHERE doc_id % 25 = 0), "
+        "q AS (SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, s AS sentence, "
+        "CAST(coalesce(sum(len(s) + 2) OVER (PARTITION BY doc_id ORDER BY i "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS char_start "
+        "FROM p) "
+        "SELECT doc_id, sent_idx, sentence, char_start, "
+        "CAST(char_start + len(sentence) AS INT) AS char_end "
+        "FROM q ORDER BY doc_id, sent_idx"
     ),
     "dialect_select_star": (
         "SELECT c.*, o_orderkey, o_totalprice FROM orders "

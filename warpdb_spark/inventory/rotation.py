@@ -175,7 +175,10 @@ DRIVER_GREEN: dict[str, int] = {
 # the remainder in module order. New entries are inserted at the front
 # of the block matching their risk class.
 PENDING_ORDER: list[str] = [
-    # round-4 additions — brand new surfaces, checked first
+    # round-5 additions — brand new surfaces, checked first
+    "dialect_udtf_sentences",
+    "dedup_max_shared_run",
+    # round-4 additions
     "dialect_array_agg",
     "multimodal_ppm_decode",
     "multimodal_wav_decode",

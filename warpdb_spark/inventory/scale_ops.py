@@ -350,6 +350,86 @@ _CONTAIN_ORACLE = (
 )
 
 
+def dedup_max_shared_run(spark, sf_dir):
+    """Longest shared contiguous word run per candidate pair, bounded
+    at k=12 — the suffix-array-style exact-substring signal that
+    containment/Jaccard can't see (a verbatim 12-word quote inside two
+    otherwise-different docs scores near-zero Jaccard but is a hard
+    duplication signal for training data).
+
+    Exactness from the n-gram identity: two docs share a contiguous
+    word run of length ≥ n ⟺ their word-n-gram sets intersect, so
+    ``max(n in 3..12 with overlap)`` IS min(longest-common-word-
+    substring, 12) — no suffix array needed at bounded k. Same
+    (lang, source) blocking as ``dedup_containment_ngram`` prunes the
+    pair space (block on a MinHash band at 100 TB); the per-n arrays
+    ride the one block-key shuffle, all overlap tests are JVM
+    array ops in whole-stage codegen. Production note: hash each gram
+    to int64 (xxhash64) to cut the shuffled array payload ~10×; kept
+    as strings here so DuckDB replays the identical grams.
+    """
+    from warpdb_spark.functions import text as T
+
+    ns = list(range(3, 13))
+    docs = _t(spark, sf_dir, "documents")
+    norm = T.normalized_text(F.col("text"))
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        *[F.array_distinct(T.word_ngrams(norm, n)).alias(f"ng{n}") for n in ns],
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), "lang", "source",
+        *[F.col(f"ng{n}").alias(f"a{n}") for n in ns],
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), "lang", "source",
+        *[F.col(f"ng{n}").alias(f"b{n}") for n in ns],
+    )
+    pairs = a.join(b, ["lang", "source"]).filter(F.col("id_a") < F.col("id_b"))
+    run = F.greatest(
+        *[
+            F.when(F.arrays_overlap(F.col(f"a{n}"), F.col(f"b{n}")), F.lit(n))
+            .otherwise(F.lit(0))
+            for n in ns
+        ]
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            run.alias("max_shared_run"),
+            F.size(F.array_intersect("a3", "b3")).alias("n_shared_3grams"),
+        )
+        .filter(F.col("max_shared_run") >= 3)
+    )
+
+
+def _max_run_oracle() -> str:
+    ns = list(range(3, 13))
+    grams = ", ".join(
+        f"list_distinct([array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, len(toks) - {n - 1})]) AS ng{n}"
+        for n in ns
+    )
+    ladder = ", ".join(
+        f"CASE WHEN list_has_any(a.ng{n}, b.ng{n}) THEN {n} ELSE 0 END" for n in ns
+    )
+    return (
+        r"WITH norm AS (SELECT doc_id, lang, source, "
+        r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS nrm FROM documents), "
+        "tok AS (SELECT doc_id, lang, source, string_split(nrm, ' ') AS toks FROM norm), "
+        f"sh AS (SELECT doc_id, lang, source, {grams} FROM tok) "
+        "SELECT id_a, id_b, max_shared_run, n_shared_3grams FROM ("
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"greatest({ladder}) AS max_shared_run, "
+        "CAST(len(list_intersect(a.ng3, b.ng3)) AS INT) AS n_shared_3grams "
+        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source "
+        "AND a.doc_id < b.doc_id) WHERE max_shared_run >= 3"
+    )
+
+
 # --- events: RFM user segmentation -------------------------------------------
 
 
@@ -1139,6 +1219,7 @@ QUERIES = {
     "graph_adamic_adar": graph_adamic_adar,
     "similarity_mmr_rerank": similarity_mmr_rerank,
     "dedup_containment_ngram": dedup_containment_ngram,
+    "dedup_max_shared_run": dedup_max_shared_run,
     "events_user_rfm": events_user_rfm,
     "events_ewma_smooth": events_ewma_smooth,
     "text_quality_classifier": text_quality_classifier,
@@ -1169,6 +1250,7 @@ ORACLES = {
     "graph_adamic_adar": _AA_ORACLE,
     "similarity_mmr_rerank": _mmr_oracle(),
     "dedup_containment_ngram": _CONTAIN_ORACLE,
+    "dedup_max_shared_run": _max_run_oracle(),
     "events_user_rfm": _RFM_ORACLE,
     "events_ewma_smooth": _ewma_oracle(),
     # plain pairwise overlap join over the sessionize CTE — the banded
