@@ -150,3 +150,37 @@ class TestWithTiesNulls:
             "SELECT a FROM t ORDER BY c ASC NULLS LAST LIMIT 1 WITH TIES"
         )
         assert sorted(r.a for r in out.collect()) == [2, 3]
+
+
+class TestArrayJoinLiterals:
+    def test_array_join_over_array_agg(self, spark):
+        from pyspark.sql import Row
+        from warpdb_spark.api import WarpDB
+
+        db = WarpDB(
+            df=spark.createDataFrame([Row(g=1, v=3), Row(g=1, v=1), Row(g=1, v=2)]),
+            table_name="t", spark=spark,
+        )
+        r = db.query_sql(
+            "SELECT g, array_join(array_agg(v ORDER BY v), '-') AS s FROM t GROUP BY g"
+        ).first()
+        assert r.s == "1-2-3"
+        # DuckDB-name alias + 3-arg null replacement accepted
+        r2 = db.query_sql(
+            "SELECT array_to_string(array_agg(v ORDER BY v), ',', '?') AS s FROM t"
+        ).first()
+        assert r2.s == "1,2,3"
+
+    def test_non_literal_separator_rejected(self, spark):
+        import pytest
+        from pyspark.sql import Row
+        from warpdb_spark.api import WarpDB
+        from warpdb_spark.errors import ValidationError
+
+        db = WarpDB(
+            df=spark.createDataFrame([Row(g=1, v=1)]), table_name="t", spark=spark
+        )
+        with pytest.raises(ValidationError, match="string-literal separator"):
+            db.query_sql(
+                "SELECT array_join(array_agg(v), g) AS s FROM t GROUP BY g"
+            )

@@ -656,3 +656,14 @@ class TestMaxSharedRun:
             assert 3 <= r["max_shared_run"] <= 12
             # a shared n-run implies >= n-2 shared 3-grams
             assert r["n_shared_3grams"] >= r["max_shared_run"] - 2
+
+
+class TestMaxSharedRunPlan:
+    def test_join_is_keyed_not_cartesian(self, spark, sf_dir):
+        plan = (
+            scale_ops.dedup_max_shared_run(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        # candidate pairing rides the (lang, source) block key
+        assert "lang" in plan and "source" in plan

@@ -201,3 +201,26 @@ class TestSentenceSplit:
         )._jdf.queryExecution().executedPlan().toString()
         scan = [ln for ln in plan.split("\n") if "FileScan" in ln or "PushedFilters" in ln]
         assert any("doc_id" in ln for ln in scan), plan
+
+
+class TestSentenceSplitProperties:
+    def test_spans_partition_source_for_random_texts(self):
+        """Property (no Spark needed — pure eval()): spans tile the
+        original text exactly, separated by the literal '. '."""
+        from hypothesis import given, strategies as st
+
+        from warpdb_spark.functions import udtfs
+
+        cls = getattr(udtfs.SentenceSplit, "func", udtfs.SentenceSplit)
+
+        @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200))
+        def check(text):
+            rows = list(cls().eval(text))
+            assert rows, "non-null text must emit at least one sentence"
+            # indices are dense, spans index the source, '. '.join round-trips
+            assert [r[0] for r in rows] == list(range(len(rows)))
+            for _, sent, start, end in rows:
+                assert text[start:end] == sent
+            assert ". ".join(r[1] for r in rows) == text
+
+        check()

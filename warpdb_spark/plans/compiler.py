@@ -263,12 +263,17 @@ class Compiler:
             if lname == "get_json_object" and len(n.args) == 2 and isinstance(n.args[1], A.Str):
                 return F.get_json_object(self.compile(n.args[0]), n.args[1].value)
             # array_join(arr, sep[, null_repl]): sep/null_repl are
-            # Python strings in the pyspark signature, not Columns
-            if (
-                lname in ("array_join", "array_to_string")
-                and len(n.args) in (2, 3)
-                and all(isinstance(a, A.Str) for a in n.args[1:])
-            ):
+            # Python strings in the pyspark signature, not Columns —
+            # reject non-literal separators loudly (the fallthrough
+            # would be a raw Py4J NOT_ITERABLE error)
+            if lname in ("array_join", "array_to_string"):
+                if len(n.args) not in (2, 3) or not all(
+                    isinstance(a, A.Str) for a in n.args[1:]
+                ):
+                    raise ValidationError(
+                        f"{n.name} expects (array, separator[, null_replacement]) "
+                        "with string-literal separator/replacement"
+                    )
                 return F.array_join(
                     self.compile(n.args[0]), *[a.value for a in n.args[1:]]
                 )
