@@ -580,3 +580,83 @@ def test_with_ties_matches_duckdb_rank_replay(smdb, smduck, n, desc):
         f"SELECT k, v FROM r WHERE rk <= {n}"
     ).fetchall()
     assert sorted((r.k, r.v) for r in got) == sorted(want)
+
+
+# --- sentence_split UDTF vs DuckDB (round 5) --------------------------------
+
+_frag = st.sampled_from(
+    ["alpha", "b", ". ", ".", " ", "", "é", "漢字", "x. y", "..", ". . ", "end."]
+)
+_doc = st.lists(_frag, max_size=10).map("".join)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=st.lists(_doc, min_size=1, max_size=4))
+def test_sentence_split_matches_duckdb(spark, texts):
+    """The production oracle (struct-comprehension split + windowed
+    length sums) must agree with the UDTF row-for-row on arbitrary
+    corpora — separators at edges, consecutive separators, empty docs,
+    multi-byte code points. Lengths are code-point counts in BOTH
+    engines (verified: DuckDB len() == Python len() incl. astral)."""
+    import pandas as pd
+
+    from warpdb_spark.api import WarpDB
+    from warpdb_spark.inventory.core_sql import ORACLES
+
+    # doc_ids multiples of 25 so the entry's sampling predicate keeps all
+    rows = [(i * 25, t) for i, t in enumerate(texts)]
+    db = WarpDB(
+        df=spark.createDataFrame(rows, ["doc_id", "text"]),
+        table_name="documents",
+        spark=spark,
+    )
+    got = db.query_sql(
+        "SELECT doc_id, sent_idx, sentence, char_start, char_end "
+        "FROM sentence_split(documents.text) WHERE doc_id % 25 = 0 "
+        "ORDER BY doc_id, sent_idx"
+    ).collect()
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(ORACLES["dialect_udtf_sentences"]).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+_words = st.sampled_from(["w0", "w1", "w2", "w3", "w4", "the", "a"])
+_run_doc = st.lists(_words, max_size=20).map(" ".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=st.lists(_run_doc, min_size=2, max_size=5))
+def test_max_shared_run_matches_duckdb(spark, texts):
+    """Random small-vocabulary corpora (dense accidental overlaps,
+    repeated words, blank docs) — the JVM arrays_overlap ladder and
+    DuckDB's comprehension ladder must emit the identical pair set and
+    run lengths."""
+    import pandas as pd
+
+    import warpdb_spark.inventory.scale_ops as so
+
+    rows = [(i, "en", "web", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+    orig = so._t
+    so._t = lambda spark, sf_dir, name: df
+    try:
+        got = sorted(tuple(r) for r in so.dedup_max_shared_run(spark, "x").collect())
+    finally:
+        so._t = orig
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    )
+    want = sorted(tuple(r) for r in con.execute(so.ORACLES["dedup_max_shared_run"]).fetchall())
+    assert got == want
