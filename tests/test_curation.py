@@ -339,3 +339,35 @@ class TestBatchFormation:
         sorted_waste = waste(Window.orderBy("n", "doc_id"))
         random_waste = waste(Window.orderBy(F.md5(F.col("doc_id").cast("string"))))
         assert sorted_waste < random_waste
+
+
+class TestScriptShares:
+    def test_planted_composition(self, spark, monkeypatch):
+        import warpdb_spark.inventory.pipeline_ops as po
+
+        docs = spark.createDataFrame(
+            [
+                (1, "abcd 12"),      # 8 chars: 4 alpha, 2 digit, 1 ws... wait
+                (2, "漢字漢字"),      # all cjk
+                (3, "1234"),         # all digit
+                (4, "!!!"),          # all other
+                (5, ""),             # empty -> excluded
+            ],
+            ["doc_id", "text"],
+        )
+        monkeypatch.setattr(po, "_t", lambda spark, sf_dir, name: docs)
+        got = {r.doc_id: r for r in po.text_script_shares(spark, "x").collect()}
+        r1 = got[1]  # "abcd 12" = 7 chars: 4 alpha, 2 digit, 1 space
+        assert r1.n_chars_total == 7
+        assert r1.share_alpha == round(4 / 7, 6)
+        assert r1.share_digit == round(2 / 7, 6)
+        assert r1.share_ws == round(1 / 7, 6)
+        assert r1.dominant_class == "alpha"
+        assert got[2].share_cjk == 1.0 and got[2].dominant_class == "cjk"
+        assert got[3].dominant_class == "digit"
+        assert got[4].share_other == 1.0 and got[4].dominant_class == "other"
+        assert 5 not in got
+        # shares always partition to ~1
+        for r in got.values():
+            total = r.share_alpha + r.share_digit + r.share_cjk + r.share_ws + r.share_other
+            assert abs(total - 1.0) < 1e-5

@@ -411,3 +411,28 @@ class TestMixtureAlphaEntry:
         small = min(rows, key=lambda r: r.n_tokens)
         assert big.boost <= 1.0 + 1e-6
         assert small.boost >= 1.0 - 1e-6
+
+
+class TestHardNegatives:
+    def test_membership_threshold_and_order(self, spark, sf_dir):
+        from warpdb_spark.inventory import retrieval_ops as ro
+
+        rows = ro.search_hard_negatives(spark, sf_dir).collect()
+        assert rows, "corpus must yield some hard negatives"
+        # every hard negative is semantically far from the query...
+        assert all(r.cos < ro._HN_TAU for r in rows)
+        # ...but lexically top-ranked (a member of BM25 top-50)
+        top = {
+            r.doc_id: i + 1
+            for i, r in enumerate(
+                ro._bm25_scored(spark, sf_dir)
+                .orderBy(F.col("bm25").desc(), "doc_id")
+                .limit(ro._HN_TOPN)
+                .collect()
+            )
+        }
+        for r in rows:
+            assert top[r.doc_id] == r.bm25_rank
+        # emitted strongest-lexical first (total order on the int rank)
+        ranks = [r.bm25_rank for r in rows]
+        assert ranks == sorted(ranks)

@@ -667,3 +667,47 @@ class TestMaxSharedRunPlan:
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
         # candidate pairing rides the (lang, source) block key
         assert "lang" in plan and "source" in plan
+
+
+class TestNgramNovelty:
+    def test_planted_first_occurrences(self, spark, monkeypatch):
+        import warpdb_spark.inventory.scale_ops as so
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d"),          # 2 grams, both first-seen -> 1.0
+                (2, "a b c x y z"),      # 4 grams, 'a b c' seen in doc 1 -> 3/4
+                (3, "a b c d"),          # exact dup of doc 1 -> 0.0
+                (4, "q"),                # too short: no grams, absent
+            ],
+            ["doc_id", "text"],
+        )
+        monkeypatch.setattr(so, "_t", lambda spark, sf_dir, name: docs)
+        got = {r.doc_id: r for r in so.corpus_ngram_novelty(spark, "x").collect()}
+        assert got[1].novelty == 1.0 and got[1].n_grams == 2
+        assert got[2].novelty == 0.75 and got[2].n_novel == 3
+        assert got[3].novelty == 0.0
+        assert 4 not in got
+
+
+class TestShardAssignBytes:
+    def test_two_phase_matches_single_window(self, spark, sf_dir):
+        """The distributed two-phase prefix sum must equal the oracle's
+        one-window formulation row for row."""
+        got = {
+            r.doc_id: (r.byte_start, r.shard)
+            for r in scale_ops.shard_assign_bytes(spark, sf_dir).collect()
+        }
+        docs = sorted(
+            (r.doc_id, r.n_chars)
+            for r in scale_ops._t(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .collect()
+        )
+        acc = 0
+        for doc_id, n in docs:
+            assert got[doc_id] == (acc, acc // scale_ops._SHARD_BUDGET)
+            acc += n
+        # shards are contiguous 0..max with none skipped
+        shards = sorted({s for _, s in got.values()})
+        assert shards == list(range(shards[-1] + 1))

@@ -1236,6 +1236,41 @@ def text_char_entropy(spark, sf_dir):
     )
 
 
+def text_script_shares(spark, sf_dir):
+    """Per-document script/character-class composition — the writing-
+    system screen a multilingual 100 TB corpus needs before language-ID
+    is even meaningful (a 'lang=en' doc that is 60% CJK is mislabeled;
+    a doc that is 40% digits is a table dump). Counts per class come
+    from regexp strip-and-measure (alpha, digit, CJK, whitespace,
+    other), shares are one rounded division each, and the dominant
+    class is a fixed-precedence CASE over the integer counts — all
+    codegen'd in the scan projection, ZERO shuffle at any scale.
+    DuckDB replays the identical regexes ('g' flag) and CASE."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    cjk = F.length(F.regexp_replace(F.col("text"), "[^一-鿿]", ""))
+    ws = F.length(F.regexp_replace(F.col("text"), "[^ \\t\\n]", ""))
+    other = n - alpha - digit - cjk - ws
+    dominant = (
+        F.when((alpha >= digit) & (alpha >= cjk) & (alpha >= other), "alpha")
+        .when((digit >= cjk) & (digit >= other), "digit")
+        .when(cjk >= other, "cjk")
+        .otherwise("other")
+    )
+    return docs.filter(n > 0).select(
+        "doc_id",
+        n.alias("n_chars_total"),
+        F.round(alpha / n, 6).alias("share_alpha"),
+        F.round(digit / n, 6).alias("share_digit"),
+        F.round(cjk / n, 6).alias("share_cjk"),
+        F.round(ws / n, 6).alias("share_ws"),
+        F.round(other / n, 6).alias("share_other"),
+        dominant.alias("dominant_class"),
+    )
+
+
 def text_repetition_stats(spark, sf_dir):
     """Repetition/boilerplate signals (duplicate-bigram fraction, top
     token ratio) — pure HOF quality-filter inputs."""
@@ -1625,6 +1660,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "decontam_eval_overlap": decontam_eval_overlap,
     "text_repetition_stats": text_repetition_stats,
+    "text_script_shares": text_script_shares,
     "text_char_entropy": text_char_entropy,
     "text_vocab_oov": text_vocab_oov,
     "text_top_bigrams": text_top_bigrams,
@@ -2235,6 +2271,24 @@ ORACLES = {
         "round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits FROM f GROUP BY 1) "
         "SELECT doc_id, n_chars, n_distinct_chars, entropy_bits, "
         "entropy_bits BETWEEN 2.5 AND 5.0 AS in_natural_band FROM e"
+    ),
+    "text_script_shares": (
+        "WITH c AS (SELECT doc_id, len(text) AS n, "
+        "len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha, "
+        "len(regexp_replace(text, '[^0-9]', '', 'g')) AS digit, "
+        "len(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk, "
+        "len(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS ws "
+        "FROM documents WHERE len(text) > 0), "
+        "d AS (SELECT *, n - alpha - digit - cjk - ws AS oth FROM c) "
+        "SELECT doc_id, CAST(n AS INT) AS n_chars_total, "
+        "round(alpha * 1.0 / n, 6) AS share_alpha, "
+        "round(digit * 1.0 / n, 6) AS share_digit, "
+        "round(cjk * 1.0 / n, 6) AS share_cjk, "
+        "round(ws * 1.0 / n, 6) AS share_ws, "
+        "round(oth * 1.0 / n, 6) AS share_other, "
+        "CASE WHEN alpha >= digit AND alpha >= cjk AND alpha >= oth THEN 'alpha' "
+        "WHEN digit >= cjk AND digit >= oth THEN 'digit' "
+        "WHEN cjk >= oth THEN 'cjk' ELSE 'other' END AS dominant_class FROM d"
     ),
     "text_repetition_stats": (
         f"WITH t AS (SELECT doc_id, string_split({_norm}, ' ') AS toks FROM documents), "

@@ -409,6 +409,53 @@ def search_rerank_cross_features(spark, sf_dir):
     )
 
 
+_HN_TOPN = 50
+_HN_TAU = 0.05
+
+
+def search_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retriever training: documents that the
+    LEXICAL ranker loves (BM25 top-50) but that are semantically far
+    from the query (cosine to the query embedding < 0.05) — the
+    classic "lexically plausible, semantically wrong" negatives that
+    teach a dual-encoder or cross-encoder what keyword overlap alone
+    can't distinguish (DPR / ANCE-style mining, done entirely
+    in-engine).
+
+    Scale: the BM25 leg is the shared filtered-postings aggregation
+    (shuffle volume O(matching postings), not corpus tokens) cut to 50
+    rows by TakeOrderedAndProject; those 50 broadcast into one
+    embeddings scan (query vector is a one-row broadcast), so no
+    embedding ever shuffles. Output ordered by bm25_rank — a total
+    order on an integer, replayed exactly by the oracle.
+    """
+    from warpdb_spark.functions import vectors as V
+
+    bm = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_HN_TOPN)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    bm_ranked = bm.select(
+        "doc_id", "bm25", F.row_number().over(w).alias("bm25_rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    cos = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(V.cosine_similarity(F.col("embedding"), F.col("q_vec")), 6).alias(
+            "cos"
+        ),
+    )
+    return (
+        cos.join(F.broadcast(bm_ranked), "doc_id")
+        .filter(F.col("cos") < F.lit(_HN_TAU))
+        .select("doc_id", "bm25", "bm25_rank", "cos")
+        .orderBy("bm25_rank")
+    )
+
+
 def search_eval_ndcg(spark, sf_dir):
     """Graded retrieval evaluation IN-QUERY: nDCG@20 of the hybrid-RRF
     ranking, with relevance grades derived from the exact-cosine rank
@@ -605,6 +652,7 @@ QUERIES = {
     "search_hybrid_rrf": search_hybrid_rrf,
     "search_rerank_cross_features": search_rerank_cross_features,
     "search_eval_ndcg": search_eval_ndcg,
+    "search_hard_negatives": search_hard_negatives,
     "embedding_contrastive_pairs": embedding_contrastive_pairs,
 }
 
@@ -811,4 +859,22 @@ ORACLES["search_eval_ndcg"] = (
     "round(d.dcg_raw, 6) AS dcg, round(i.idcg_raw, 6) AS idcg, "
     "round(CASE WHEN i.idcg_raw > 0 THEN d.dcg_raw / i.idcg_raw ELSE 0.0 END, 6) AS ndcg "
     "FROM d JOIN icm i ON d.pos = i.ipos ORDER BY d.pos"
+)
+
+
+# search_hard_negatives: BM25 top-50 replay + one-pass cosine frame;
+# the filter and the integer-rank total order replay exactly.
+ORACLES["search_hard_negatives"] = (
+    f"WITH {_BM25_CTE}, "
+    "bmagg AS (SELECT doc_id, round(sum(w), 6) AS bm25 FROM scored GROUP BY doc_id), "
+    "bmtop AS (SELECT doc_id, bm25, "
+    "CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS bm25_rank "
+    f"FROM bmagg ORDER BY bm25 DESC, doc_id LIMIT {_HN_TOPN}), "
+    "ann AS (SELECT vec_id AS doc_id, "
+    "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos "
+    "FROM embeddings) "
+    "SELECT b.doc_id, b.bm25, b.bm25_rank, a.cos "
+    "FROM bmtop b JOIN ann a USING (doc_id) "
+    f"WHERE a.cos < {_HN_TAU} ORDER BY bm25_rank"
 )

@@ -239,6 +239,13 @@ PENDING_ORDER: list[str] = [
     "multimodal_frame_sample",
     "agg_statistical",
     "agg_percentiles",
+    # round-5 late additions — placed BEHIND the already-rehearsed
+    # 50-entry r5 window (slots 1-50 are frozen once rehearsed; these
+    # rotate with the ≤12 leftovers in r6)
+    "search_hard_negatives",
+    "text_script_shares",
+    "corpus_ngram_novelty",
+    "shard_assign_bytes",
 ]
 
 

@@ -1212,6 +1212,101 @@ def reshape_global_ordinal(spark, sf_dir):
     )
 
 
+def corpus_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY against everything ingested before
+    it (ingest order = doc_id): the fraction of a doc's distinct word
+    3-grams whose FIRST corpus occurrence is the doc itself. The
+    corpus-growth diagnostic of a streaming curation pipeline — a
+    novelty collapse means the crawl is re-reading itself; per-doc
+    novelty ≈ 0 marks late-arriving duplicates that survived pair
+    dedup.
+
+    Inverted-index shape: explode distinct grams, min(doc_id) per gram
+    (map-side-combinable — the hot boilerplate grams combine before
+    the shuffle, so gram skew adds map work, not reducer skew), join
+    first-seen back to the postings on the gram, re-aggregate per doc.
+    Two key shuffles total (gram, then doc_id), both integer-counted —
+    the novelty ratio is the only division and it is rounded once.
+    """
+    from warpdb_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.word_ngrams(T.normalized_text(F.col("text")), 3))
+        ).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
+_SHARD_BUDGET = 16_000  # chars per output shard
+
+
+def shard_assign_bytes(spark, sf_dir):
+    """Deterministic byte-budget shard assignment: docs in doc_id
+    (ingest) order pack into output shards of ~16k chars — shard id =
+    floor(byte_start / budget) where byte_start is the exclusive
+    prefix sum of n_chars. The write-planning operator that turns a
+    curated corpus into evenly-sized training files with a
+    run-reproducible doc→file map (no rand(), no partition-count
+    dependence).
+
+    Same two-phase shape as reshape_global_ordinal: range-repartition
+    on doc_id, per-partition n_chars SUMS (≤numPartitions rows) prefix-
+    summed into offsets on the driver, then a within-partition running
+    sum + offset — no single-task global window. All-integer state, so
+    any evaluation order yields the identical prefix sums and the
+    oracle's one-window formulation replays it exactly.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    parts = docs.repartitionByRange(8, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    parts = parts.persist()
+    sums = sorted(
+        (r["pid"], r["s"])
+        for r in parts.groupBy("pid").agg(F.sum("n_chars").alias("s")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, s in sums:
+        offsets[pid] = acc
+        acc += s
+    omap = F.create_map(
+        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    byte_start = (
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)) + omap[F.col("pid")]
+    )
+    return parts.select(
+        "doc_id",
+        "n_chars",
+        byte_start.alias("byte_start"),
+        F.floor(byte_start / F.lit(_SHARD_BUDGET)).alias("shard"),
+    )
+
+
 # -----------------------------------------------------------------------------
 
 QUERIES = {
@@ -1230,6 +1325,8 @@ QUERIES = {
     "text_perplexity_bigram": text_perplexity_bigram,
     "range_join_session_overlap": range_join_session_overlap,
     "reshape_global_ordinal": reshape_global_ordinal,
+    "corpus_ngram_novelty": corpus_ngram_novelty,
+    "shard_assign_bytes": shard_assign_bytes,
 }
 
 ORACLES = {
@@ -1283,5 +1380,30 @@ ORACLES = {
     "reshape_global_ordinal": (
         "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS ordinal, n_chars "
         "FROM documents"
+    ),
+    # same tokenization as _max_run_oracle; min-per-gram = first corpus
+    # occurrence, novelty = share of self-first grams
+    "corpus_ngram_novelty": (
+        r"WITH norm AS (SELECT doc_id, "
+        r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS nrm FROM documents), "
+        "tok AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM norm), "
+        "g AS (SELECT doc_id, unnest(list_distinct("
+        "[array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)]"
+        ")) AS gm FROM tok), "
+        "first AS (SELECT gm, min(doc_id) AS first_id FROM g GROUP BY gm) "
+        "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
+        "round(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty "
+        "FROM g JOIN first f USING (gm) GROUP BY g.doc_id"
+    ),
+    # one-window formulation of the two-phase prefix sum (integer
+    # state: identical in any evaluation order)
+    "shard_assign_bytes": (
+        "WITH p AS (SELECT doc_id, n_chars, "
+        "CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_start "
+        "FROM documents) "
+        "SELECT doc_id, n_chars, byte_start, "
+        "CAST(floor(byte_start / 16000) AS BIGINT) AS shard FROM p"
     ),
 }
