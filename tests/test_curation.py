@@ -371,3 +371,26 @@ class TestScriptShares:
         for r in got.values():
             total = r.share_alpha + r.share_digit + r.share_cjk + r.share_ws + r.share_other
             assert abs(total - 1.0) < 1e-5
+
+
+class TestEmbeddingDimProfile:
+    def test_planted_moments_and_dead_dim(self, spark, monkeypatch):
+        import warpdb_spark.inventory.pipeline_ops as po
+
+        vecs = [
+            (1, [1.0, 0.5, 0.0]),
+            (2, [3.0, 0.5, 0.0]),
+            (3, [2.0, 0.5, 4.0]),
+        ]
+        emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        monkeypatch.setattr(po, "_t", lambda spark, sf_dir, name: emb)
+        got = {r.dim: r for r in po.embedding_dim_profile(spark, "x").collect()}
+        d0 = got[0]  # values 1,2,3: mean 2, pop-std sqrt(2/3)
+        assert d0.n_vecs == 3 and d0.mean == 2.0
+        assert d0.std == pytest.approx((2 / 3) ** 0.5, abs=1e-6)
+        assert (d0.min_val, d0.max_val) == (1.0, 3.0)
+        assert not d0.is_dead
+        d1 = got[1]  # constant 0.5: dead, zero std
+        assert d1.is_dead and d1.std == 0.0 and d1.zero_frac == 0.0
+        d2 = got[2]  # 0,0,4: zero_frac 2/3
+        assert d2.zero_frac == pytest.approx(round(2 / 3, 6))

@@ -711,3 +711,22 @@ class TestShardAssignBytes:
         # shards are contiguous 0..max with none skipped
         shards = sorted({s for _, s in got.values()})
         assert shards == list(range(shards[-1] + 1))
+
+
+class TestSeasonalityHourly:
+    def test_moments_consistent_on_corpus(self, spark, sf_dir):
+        rows = scale_ops.events_seasonality_hourly(spark, sf_dir).collect()
+        assert rows
+        by_type = {}
+        for r in rows:
+            assert 0 <= r.hour <= 23
+            by_type.setdefault(r.event_type, []).append(r)
+        for et, rs in by_type.items():
+            # one overall mean per type; hourly means aggregate back to it
+            assert len({r.overall_mean for r in rs}) == 1
+            n_all = sum(r.n_events for r in rs)
+            wmean = sum(r.n_events * r.hour_mean for r in rs) / n_all
+            assert wmean == pytest.approx(rs[0].overall_mean, abs=1e-4)
+            # lift is the mean ratio
+            for r in rs:
+                assert r.lift == pytest.approx(r.hour_mean / r.overall_mean, abs=1e-4)

@@ -1185,6 +1185,52 @@ def pack_batches_bucketed(spark, sf_dir):
     )
 
 
+def embedding_dim_profile(spark, sf_dir):
+    """Per-DIMENSION embedding health profile — the collapsed/dead-
+    dimension screen run before trusting any ANN index built on a new
+    encoder drop: per dim, count / mean / std / min / max / zero
+    fraction and a dead-dim flag (max == min). A dimension with ~zero
+    variance wastes index bits; a saturated one distorts cosine.
+
+    Shape: posexplode to (dim, value) — at 100 TB this is the one
+    shuffle, keyed on the (tiny, fixed) dim id with map-side partial
+    aggregation, so reducers see num_dims rows of partial sums, not
+    vectors. Determinism: values snap to INTEGER micro-units before
+    any sum (float sums are association-sensitive across engines —
+    the CUSUM lesson); mean/var/std derive from the exact integer
+    moments with the identical double expression on both sides
+    (explicit m1*m1, no pow). int64 x² micro-moments overflow around
+    9e6 vectors·dim at |x|≤1; the oracle-checked profile runs at
+    corpus scale with DECIMAL if needed (documented, not hit here)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    xi = F.round(F.col("x").cast("double") * 1e6, 0).cast("long")
+    per = (
+        d.select("dim", xi.alias("xi"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("xi").alias("s1"),
+            F.sum(F.col("xi") * F.col("xi")).alias("s2"),
+            F.min("xi").alias("mn"),
+            F.max("xi").alias("mx"),
+            F.sum(F.when(F.col("xi") == 0, 1).otherwise(0)).alias("nz"),
+        )
+    )
+    m1 = F.col("s1") / F.col("n_vecs")
+    var_micro2 = F.col("s2") / F.col("n_vecs") - m1 * m1
+    return per.select(
+        "dim",
+        "n_vecs",
+        F.round(m1 / 1e6, 6).alias("mean"),
+        F.round(F.sqrt(F.greatest(var_micro2, F.lit(0.0))) / 1e6, 6).alias("std"),
+        F.round(F.col("mn") / 1e6, 6).alias("min_val"),
+        F.round(F.col("mx") / 1e6, 6).alias("max_val"),
+        F.round(F.col("nz") / F.col("n_vecs"), 6).alias("zero_frac"),
+        (F.col("mx") == F.col("mn")).alias("is_dead"),
+    )
+
+
 def sample_stratified(spark, sf_dir):
     """Deterministic stratified sample: 3 docs per (lang, source)
     stratum with the smallest md5 content address — stable across runs,
@@ -1661,6 +1707,7 @@ QUERIES = {
     "decontam_eval_overlap": decontam_eval_overlap,
     "text_repetition_stats": text_repetition_stats,
     "text_script_shares": text_script_shares,
+    "embedding_dim_profile": embedding_dim_profile,
     "text_char_entropy": text_char_entropy,
     "text_vocab_oov": text_vocab_oov,
     "text_top_bigrams": text_top_bigrams,
@@ -2242,6 +2289,24 @@ ORACLES = {
         "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, "
         "round(1 - sum(n_tokens) * 1.0 / (max(n_tokens) * count(*)), 6) AS padding_frac "
         "FROM r GROUP BY bucket, batch_no"
+    ),
+    # identical integer micro-unit moments; 1-based comprehension dim
+    # shifted to posexplode's 0-based index
+    "embedding_dim_profile": (
+        "WITH d AS (SELECT unnest([{'dim': j - 1, "
+        "'xi': CAST(round(CAST(embedding[j] AS DOUBLE) * 1e6, 0) AS BIGINT)} "
+        "for j in generate_series(1, len(embedding))], recursive := true) "
+        "FROM embeddings), "
+        "per AS (SELECT dim, count(*) AS n_vecs, "
+        "CAST(sum(xi) AS BIGINT) AS s1, CAST(sum(xi * xi) AS BIGINT) AS s2, "
+        "min(xi) AS mn, max(xi) AS mx, "
+        "CAST(sum(CASE WHEN xi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz "
+        "FROM d GROUP BY dim) "
+        "SELECT CAST(dim AS INT) AS dim, n_vecs, "
+        "round(s1 * 1.0 / n_vecs / 1e6, 6) AS mean, "
+        "round(sqrt(greatest(s2 * 1.0 / n_vecs - (s1 * 1.0 / n_vecs) * (s1 * 1.0 / n_vecs), 0.0)) / 1e6, 6) AS std, "
+        "round(mn / 1e6, 6) AS min_val, round(mx / 1e6, 6) AS max_val, "
+        "round(nz * 1.0 / n_vecs, 6) AS zero_frac, mx = mn AS is_dead FROM per"
     ),
     "sample_stratified": (
         "SELECT doc_id, lang, source, CAST(rk AS INT) AS rk FROM "

@@ -246,6 +246,8 @@ PENDING_ORDER: list[str] = [
     "text_script_shares",
     "corpus_ngram_novelty",
     "shard_assign_bytes",
+    "embedding_dim_profile",
+    "events_seasonality_hourly",
 ]
 
 

@@ -1256,6 +1256,49 @@ def corpus_ngram_novelty(spark, sf_dir):
     )
 
 
+def events_seasonality_hourly(spark, sf_dir):
+    """Hour-of-day seasonality profile per event_type: event count,
+    hourly mean value, the type's overall mean, and the hourly LIFT
+    (hour mean / overall mean) — the load-shaping/anomaly-baseline
+    table every metrics pipeline keeps (an alert threshold that
+    ignores a 3× diurnal swing pages at breakfast every day).
+
+    One aggregation shuffle on (event_type, hour) — 24×|types| result
+    rows at any corpus size — plus a |types|-row broadcast join for
+    the overall means. Hours derive from integer epoch-second
+    arithmetic (UTC-pinned, engine-identical); value sums snap to
+    integer micro-units first, and BOTH means divide exact integer
+    moments inside one rounded expression, so the lift hash-matches
+    in any evaluation order (the CUSUM determinism rule)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    esec = F.col("ts").cast("long")
+    vi = F.round(F.col("value") * 1e6, 0).cast("long")
+    base = ev.select(
+        "event_type",
+        F.pmod(F.floor(esec / 3600), F.lit(24)).cast("int").alias("hour"),
+        vi.alias("vi"),
+    )
+    hourly = base.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("vi").alias("s1")
+    )
+    overall = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("vi").alias("s_all")
+    )
+    j = hourly.join(F.broadcast(overall), "event_type")
+    hour_mean = F.col("s1") / F.col("n_events") / 1e6
+    overall_mean = F.col("s_all") / F.col("n_all") / 1e6
+    return j.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(hour_mean, 6).alias("hour_mean"),
+        F.round(overall_mean, 6).alias("overall_mean"),
+        F.round(
+            (F.col("s1") / F.col("n_events")) / (F.col("s_all") / F.col("n_all")), 6
+        ).alias("lift"),
+    )
+
+
 _SHARD_BUDGET = 16_000  # chars per output shard
 
 
@@ -1327,6 +1370,7 @@ QUERIES = {
     "reshape_global_ordinal": reshape_global_ordinal,
     "corpus_ngram_novelty": corpus_ngram_novelty,
     "shard_assign_bytes": shard_assign_bytes,
+    "events_seasonality_hourly": events_seasonality_hourly,
 }
 
 ORACLES = {
@@ -1395,6 +1439,21 @@ ORACLES = {
         "CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
         "round(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty "
         "FROM g JOIN first f USING (gm) GROUP BY g.doc_id"
+    ),
+    # identical integer-moment arithmetic; hour from floor(epoch)
+    "events_seasonality_hourly": (
+        "WITH b AS (SELECT event_type, "
+        "CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INT) AS hour, "
+        "CAST(round(value * 1e6, 0) AS BIGINT) AS vi FROM events), "
+        "h AS (SELECT event_type, hour, count(*) AS n_events, "
+        "CAST(sum(vi) AS BIGINT) AS s1 FROM b GROUP BY 1, 2), "
+        "o AS (SELECT event_type, count(*) AS n_all, "
+        "CAST(sum(vi) AS BIGINT) AS s_all FROM b GROUP BY 1) "
+        "SELECT h.event_type, h.hour, h.n_events, "
+        "round(s1 * 1.0 / n_events / 1e6, 6) AS hour_mean, "
+        "round(s_all * 1.0 / n_all / 1e6, 6) AS overall_mean, "
+        "round((s1 * 1.0 / n_events) / (s_all * 1.0 / n_all), 6) AS lift "
+        "FROM h JOIN o USING (event_type)"
     ),
     # one-window formulation of the two-phase prefix sum (integer
     # state: identical in any evaluation order)
