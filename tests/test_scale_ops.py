@@ -730,3 +730,59 @@ class TestSeasonalityHourly:
             # lift is the mean ratio
             for r in rs:
                 assert r.lift == pytest.approx(r.hour_mean / r.overall_mean, abs=1e-4)
+
+
+class TestMinhashCalibration:
+    def test_identical_docs_estimate_one(self, spark, monkeypatch):
+        import warpdb_spark.inventory.scale_ops as so
+
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (0, "en", "web", text),
+                (3, "en", "web", text),                      # exact dup of 0
+                (6, "en", "web", "totally different words here now ok"),
+                (7, "en", "web", text),                      # excluded: % 3 != 0
+            ],
+            ["doc_id", "lang", "source", "text"],
+        )
+        monkeypatch.setattr(so, "_t", lambda spark, sf_dir, name: docs)
+        rows = {
+            (r.id_a, r.id_b): r
+            for r in so.dedup_minhash_estimate_calibration(spark, "x").collect()
+        }
+        dup = rows[(0, 3)]
+        assert dup.n_matching == so._MH_CAL_SEEDS
+        assert dup.jaccard_est == 1.0 and dup.jaccard_exact == 1.0
+        assert dup.abs_err == 0.0 and dup.within_3sigma
+        assert not any(7 in p for p in rows)  # sampling predicate applied
+        for r in rows.values():  # estimates are exact multiples of 1/16
+            assert abs(r.jaccard_est * so._MH_CAL_SEEDS - r.n_matching) < 1e-9
+            assert 0.0 <= r.jaccard_exact <= 1.0
+
+    def test_estimator_unbiased_enough_on_corpus(self, spark, sf_dir):
+        rows = scale_ops.dedup_minhash_estimate_calibration(spark, sf_dir).collect()
+        assert rows
+        # the entry's own verdict column should overwhelmingly pass
+        frac_ok = sum(r.within_3sigma for r in rows) / len(rows)
+        assert frac_ok > 0.95
+
+
+class TestZipfAlpha:
+    def test_planted_power_law(self, spark, monkeypatch):
+        import warpdb_spark.inventory.scale_ops as so
+
+        # counts c_r = round(3000 / r): an alpha=1 power law
+        words = " ".join(
+            " ".join([f"w{r:02d}"] * round(3000 / r)) for r in range(1, 61)
+        )
+        docs = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+        monkeypatch.setattr(so, "_t", lambda spark, sf_dir, name: docs)
+        r = so.text_zipf_alpha(spark, "x").first()
+        assert r.n_terms == 50
+        assert 0.95 < r.zipf_alpha < 1.05
+        assert r.r2 > 0.999
+
+    def test_corpus_r2_in_range(self, spark, sf_dir):
+        r = scale_ops.text_zipf_alpha(spark, sf_dir).first()
+        assert 0.0 <= r.r2 <= 1.0 and r.zipf_alpha > 0

@@ -248,6 +248,8 @@ PENDING_ORDER: list[str] = [
     "shard_assign_bytes",
     "embedding_dim_profile",
     "events_seasonality_hourly",
+    "dedup_minhash_estimate_calibration",
+    "text_zipf_alpha",
 ]
 
 

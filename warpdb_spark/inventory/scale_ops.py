@@ -1256,6 +1256,130 @@ def corpus_ngram_novelty(spark, sf_dir):
     )
 
 
+_MH_CAL_SEEDS = 16
+
+
+def dedup_minhash_estimate_calibration(spark, sf_dir):
+    """MinHash ESTIMATOR calibration in-query: for sampled candidate
+    pairs, the signature-agreement Jaccard estimate (matching
+    components / 16) side by side with the EXACT 3-gram Jaccard, the
+    absolute error, and a 3σ tolerance verdict (σ = √(J(1−J)/16) ≤
+    0.125 → bound 0.375). The go/no-go table for choosing num_hashes
+    before trusting the LSH dedup path on a new corpus — run on a
+    sample, read the error column, size the signatures.
+
+    The production signatures use xxhash64 (dedup.py); THIS entry uses
+    the engine-portable md5-derived hash (the rolling_fingerprint
+    trick: first 16 hex chars of md5(seed|gram), string-min per seed)
+    so DuckDB replays every signature component bit-for-bit — the
+    estimator's statistics are hash-family-independent, which is
+    exactly what makes the calibration transferable. Pairs ride the
+    (lang, source) blocking with a doc_id % 3 sample; gram arrays join
+    once, all min/compare work is JVM codegen."""
+    from warpdb_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    norm = T.normalized_text(F.col("text"))
+    grams = F.array_distinct(T.word_ngrams(norm, 3))
+    def _sig(s: int):
+        # NB: must be a ONE-arg lambda — a second parameter (even with
+        # a default) makes Spark pass (element, index) and the index
+        # column silently replaces the seed
+        return F.array_min(
+            F.transform(
+                F.col("g"),
+                lambda gm: F.substring(F.md5(F.concat(F.lit(f"{s}|"), gm)), 1, 16),
+            )
+        ).alias(f"h{s}")
+
+    sigs = [_sig(s) for s in range(_MH_CAL_SEEDS)]
+    sh = (
+        docs.select("doc_id", "lang", "source", grams.alias("g"))
+        .filter(F.size("g") > 0)
+        .select("doc_id", "lang", "source", "g", *sigs)
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), "lang", "source",
+        F.col("g").alias("ga"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(_MH_CAL_SEEDS)],
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), "lang", "source",
+        F.col("g").alias("gb"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(_MH_CAL_SEEDS)],
+    )
+    pairs = a.join(b, ["lang", "source"]).filter(F.col("id_a") < F.col("id_b"))
+    matches = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(_MH_CAL_SEEDS)
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    est = matches / F.lit(float(_MH_CAL_SEEDS))
+    jac = inter / union
+    return pairs.select(
+        "id_a",
+        "id_b",
+        matches.alias("n_matching"),
+        F.round(est, 6).alias("jaccard_est"),
+        F.round(jac, 6).alias("jaccard_exact"),
+        F.round(F.abs(est - jac), 6).alias("abs_err"),
+        (F.abs(est - jac) <= 0.375).alias("within_3sigma"),
+    )
+
+
+def text_zipf_alpha(spark, sf_dir):
+    """Corpus Zipf exponent: log-log OLS over the top-50 term
+    frequencies — rank r vs count c should follow c ∝ r^(−α) with
+    α ≈ 1 for natural language; α far from 1 flags template/generated
+    corpora before they poison a training mix. One term-count shuffle
+    (map-side combined), a 50-row TakeOrderedAndProject with a total
+    order (count DESC, term), then a single-row OLS fold.
+
+    Determinism: ln(rank)/ln(count) come from exact integers, but OLS
+    SUMS over 50 doubles are association-sensitive — so each log
+    snaps to integer MICRO-units first (the CUSUM rule; micro not
+    nano because the OLS needs xi*yi products and nano-units squared
+    overflow int64 under ANSI mode). The snapped integers ARE the
+    definition on both sides, so granularity costs no parity; slope/
+    r² derive from the exact integer moments in one identical double
+    expression per engine."""
+    from warpdb_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("term")
+    )
+    top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(50)
+    )
+    w = Window.orderBy(F.col("c").desc(), "term")
+    ranked = top.select("term", "c", F.row_number().over(w).alias("r"))
+    xi = F.round(F.log(F.col("r").cast("double")) * 1e6, 0).cast("long")
+    yi = F.round(F.log(F.col("c").cast("double")) * 1e6, 0).cast("long")
+    m = ranked.select(xi.alias("xi"), yi.alias("yi")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("yi") * F.col("yi")).alias("syy"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    varx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vary = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    slope = cov / varx
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(-slope, 6).alias("zipf_alpha"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+
+
 def events_seasonality_hourly(spark, sf_dir):
     """Hour-of-day seasonality profile per event_type: event count,
     hourly mean value, the type's overall mean, and the hourly LIFT
@@ -1371,6 +1495,8 @@ QUERIES = {
     "corpus_ngram_novelty": corpus_ngram_novelty,
     "shard_assign_bytes": shard_assign_bytes,
     "events_seasonality_hourly": events_seasonality_hourly,
+    "dedup_minhash_estimate_calibration": dedup_minhash_estimate_calibration,
+    "text_zipf_alpha": text_zipf_alpha,
 }
 
 ORACLES = {
@@ -1439,6 +1565,56 @@ ORACLES = {
         "CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
         "round(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty "
         "FROM g JOIN first f USING (gm) GROUP BY g.doc_id"
+    ),
+    # full signature replay: md5-derived per-seed string-min components
+    # are engine-portable, so estimate, exact, and verdict all hash
+    "dedup_minhash_estimate_calibration": (
+        r"WITH norm AS (SELECT doc_id, lang, source, "
+        r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS nrm "
+        "FROM documents WHERE doc_id % 3 = 0), "
+        "tok AS (SELECT doc_id, lang, source, string_split(nrm, ' ') AS toks FROM norm), "
+        "sh0 AS (SELECT doc_id, lang, source, "
+        "list_distinct([array_to_string(toks[i:i+2], ' ') "
+        "for i in generate_series(1, len(toks) - 2)]) AS g FROM tok), "
+        "sh AS (SELECT doc_id, lang, source, g, "
+        + ", ".join(
+            f"list_min(list_transform(g, gm -> substr(md5('{s}|' || gm), 1, 16))) AS h{s}"
+            for s in range(16)
+        )
+        + " FROM sh0 WHERE len(g) > 0), "
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, ("
+        + " + ".join(f"CASE WHEN a.h{s} = b.h{s} THEN 1 ELSE 0 END" for s in range(16))
+        + ") AS n_matching, "
+        "len(list_intersect(a.g, b.g)) AS inter, "
+        "len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS un "
+        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source "
+        "AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, CAST(n_matching AS INT) AS n_matching, "
+        "round(n_matching / 16.0, 6) AS jaccard_est, "
+        "round(inter * 1.0 / un, 6) AS jaccard_exact, "
+        "round(abs(n_matching / 16.0 - inter * 1.0 / un), 6) AS abs_err, "
+        "abs(n_matching / 16.0 - inter * 1.0 / un) <= 0.375 AS within_3sigma FROM p"
+    ),
+    # nano-snapped log moments -> identical OLS double expression
+    "text_zipf_alpha": (
+        r"WITH norm AS (SELECT trim(regexp_replace(lower(text),'\s+',' ','g')) AS nrm "
+        "FROM documents), "
+        "t AS (SELECT unnest(string_split(nrm, ' ')) AS term FROM norm WHERE nrm <> ''), "
+        "cnt AS (SELECT term, count(*) AS c FROM t GROUP BY term "
+        "ORDER BY c DESC, term LIMIT 50), "
+        "rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM cnt), "
+        "s AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6, 0) AS BIGINT) AS xi, "
+        "CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS yi FROM rk), "
+        "m AS (SELECT count(*) AS n, CAST(sum(xi) AS BIGINT) AS sx, "
+        "CAST(sum(yi) AS BIGINT) AS sy, CAST(sum(xi * xi) AS BIGINT) AS sxx, "
+        "CAST(sum(yi * yi) AS BIGINT) AS syy, CAST(sum(xi * yi) AS BIGINT) AS sxy FROM s) "
+        "SELECT n AS n_terms, "
+        "round(-((sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n)) / "
+        "(sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n))), 6) AS zipf_alpha, "
+        "round(((sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n)) * "
+        "(sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))) / "
+        "((sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n)) * "
+        "(syy * 1.0 / n - (sy * 1.0 / n) * (sy * 1.0 / n))), 6) AS r2 FROM m"
     ),
     # identical integer-moment arithmetic; hour from floor(epoch)
     "events_seasonality_hourly": (
