@@ -895,7 +895,9 @@ def dialect_udtf_ngrams(spark, sf_dir):
 
 
 def dialect_udtf_sentences(spark, sf_dir):
-    """Second Python UDTF through the dialect FROM clause (superset),
+    """Second Python UDTF through the dialect FROM clause (superset;
+    the reference's generic call syntax src/expression.cpp:210-223
+    generalized to table position, as dialect_udtf_ngrams),
     proving the registration surface generalizes beyond SplitNgrams:
     ``FROM sentence_split(documents.text)`` emits FOUR typed columns per
     lateral row — sentence index, the sentence, and its character span
