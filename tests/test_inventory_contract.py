@@ -100,15 +100,23 @@ def test_no_nested_typed_result_columns(spark, sf_dir):
 
     q, _ = inventory.load_all()
     offenders = {}
-    for name, fn in q.items():
-        schema = fn(spark, sf_dir).schema  # analysis only, no execution
-        nested = [
-            f.name
-            for f in schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
-        ]
-        if nested:
-            offenders[name] = nested
+    try:
+        for name, fn in q.items():
+            # mostly analysis-only; a few entries (the two-phase
+            # prefix-sum family) run driver-side aggregate jobs and
+            # persist() at DataFrame-construction time
+            schema = fn(spark, sf_dir).schema
+            nested = [
+                f.name
+                for f in schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            ]
+            if nested:
+                offenders[name] = nested
+    finally:
+        # drop the construction-time persist()s so the shared session
+        # fixture doesn't carry pinned DataFrames for the rest of the run
+        spark.catalog.clearCache()
     assert not offenders, (
         "entries returning nested-typed columns (driver canonicalizer "
         f"cannot hash them): {offenders}"

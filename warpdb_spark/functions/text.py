@@ -64,20 +64,27 @@ def let(expr: Column, body) -> Column:
     return F.transform(F.array(expr), body)[0]
 
 
+def word_ngrams_from_tokens(tk: Column, n: int) -> Column:
+    """N-grams from an ALREADY-TOKENIZED array column; empty when the
+    array has fewer than n tokens. Use this (with ``tokens()``
+    projected once into a real column) when deriving several gram
+    sizes from one document — composing word_ngrams() per size would
+    re-embed the tokenize+normalize subtree in every projection and
+    lean on codegen CSE to avoid recomputing it."""
+    return F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+        )
+    )
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """Word n-gram shingles as an array of space-joined strings; empty
     when the document has fewer than n tokens. Pure HOF composition —
     no explode, no shuffle; the token array is let-bound so
     tokenization runs once per row, not once per output n-gram."""
-    return let(
-        tokens(col),
-        lambda tk: F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tk) - n),
-                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
-            )
-        ),
-    )
+    return let(tokens(col), lambda tk: word_ngrams_from_tokens(tk, n))
 
 
 def stopword_hits(col: Column, words: list[str]) -> Column:

@@ -788,7 +788,8 @@ def dialect_array_agg(spark, sf_dir):
     canonicalizer (pandas sort_values over raw columns) cannot hash
     nested-typed columns, so no inventory entry may return one
     (tests/test_inventory_contract.py pins the ban). The native
-    array<bigint> behavior stays asserted in tests/test_dialect.py."""
+    array<bigint> behavior stays asserted in tests/test_derived_tables.py
+    and tests/test_dialect_extras.py."""
     db = _db(spark, sf_dir, "orders")
     return db.query_sql(
         "SELECT o_orderpriority AS pri, "

@@ -372,12 +372,20 @@ def dedup_max_shared_run(spark, sf_dir):
 
     ns = list(range(3, 13))
     docs = _t(spark, sf_dir, "documents")
-    norm = T.normalized_text(F.col("text"))
-    sh = docs.select(
+    # tokenize ONCE into a real column; the 10 gram ladders derive from
+    # it instead of re-embedding normalize+split per size
+    toksed = docs.select(
+        "doc_id", "lang", "source",
+        T.tokens(T.normalized_text(F.col("text"))).alias("tk"),
+    )
+    sh = toksed.select(
         "doc_id",
         "lang",
         "source",
-        *[F.array_distinct(T.word_ngrams(norm, n)).alias(f"ng{n}") for n in ns],
+        *[
+            F.array_distinct(T.word_ngrams_from_tokens(F.col("tk"), n)).alias(f"ng{n}")
+            for n in ns
+        ],
     )
     a = sh.select(
         F.col("doc_id").alias("id_a"), "lang", "source",
@@ -1173,6 +1181,32 @@ def range_join_session_overlap(spark, sf_dir):
 # --- reshape: scale-safe global row numbering --------------------------------
 
 
+def _partition_prefix_offsets(df: DataFrame, measure):
+    """Shared two-phase prefix-sum scaffolding (reshape_global_ordinal /
+    shard_assign_bytes): range-repartition on doc_id, aggregate
+    ``measure`` per partition (a ≤-numPartitions-row collect — bounded
+    by partition count, never data), prefix-sum on the driver. Returns
+    (partitioned_df_with_pid, offsets_map_column). Range partitions are
+    ascending in partition id, so within-partition state + offset is
+    globally consistent regardless of sampled boundaries."""
+    parts = df.repartitionByRange(8, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    parts = parts.persist()
+    per_part = sorted(
+        (r["pid"], r["m"])
+        for r in parts.groupBy("pid").agg(measure.alias("m")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, m in per_part:
+        offsets[pid] = acc
+        acc += m
+    omap = F.create_map(
+        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
+    )
+    return parts, omap
+
+
 def reshape_global_ordinal(spark, sf_dir):
     """Global 1-based ordinal over documents ordered by doc_id — the
     two-phase formulation: range-repartition on the key, count rows per
@@ -1189,21 +1223,7 @@ def reshape_global_ordinal(spark, sf_dir):
     where the sampled boundaries land.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    parts = docs.repartitionByRange(8, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    parts = parts.persist()
-    counts = sorted(
-        (r["pid"], r["cnt"])
-        for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
-        acc += cnt
-    omap = F.create_map(
-        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
-    )
+    parts, omap = _partition_prefix_offsets(docs, F.count(F.lit(1)))
     w = Window.partitionBy("pid").orderBy("doc_id")
     return parts.select(
         "doc_id",
@@ -1373,10 +1393,14 @@ def text_zipf_alpha(spark, sf_dir):
     varx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
     vary = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
     slope = cov / varx
+    # degenerate corpora (all top terms tied -> varx or vary 0) yield
+    # NULL, not NaN: Spark's 0/0 is NaN, DuckDB's is NULL — agree
     return m.select(
         F.col("n").alias("n_terms"),
-        F.round(-slope, 6).alias("zipf_alpha"),
-        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+        F.when(varx > 0, F.round(-slope, 6)).alias("zipf_alpha"),
+        F.when((varx > 0) & (vary > 0), F.round((cov * cov) / (varx * vary), 6)).alias(
+            "r2"
+        ),
     )
 
 
@@ -1417,8 +1441,14 @@ def events_seasonality_hourly(spark, sf_dir):
         "n_events",
         F.round(hour_mean, 6).alias("hour_mean"),
         F.round(overall_mean, 6).alias("overall_mean"),
-        F.round(
-            (F.col("s1") / F.col("n_events")) / (F.col("s_all") / F.col("n_all")), 6
+        # NULL, not NaN/Inf, when the overall mean is exactly zero —
+        # Spark's 0/0 is NaN but DuckDB's is NULL; agree on NULL
+        F.when(
+            F.col("s_all") != 0,
+            F.round(
+                (F.col("s1") / F.col("n_events")) / (F.col("s_all") / F.col("n_all")),
+                6,
+            ),
         ).alias("lift"),
     )
 
@@ -1443,21 +1473,7 @@ def shard_assign_bytes(spark, sf_dir):
     oracle's one-window formulation replays it exactly.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    parts = docs.repartitionByRange(8, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    parts = parts.persist()
-    sums = sorted(
-        (r["pid"], r["s"])
-        for r in parts.groupBy("pid").agg(F.sum("n_chars").alias("s")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, s in sums:
-        offsets[pid] = acc
-        acc += s
-    omap = F.create_map(
-        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
-    )
+    parts, omap = _partition_prefix_offsets(docs, F.sum("n_chars"))
     w = (
         Window.partitionBy("pid")
         .orderBy("doc_id")
@@ -1609,17 +1625,23 @@ ORACLES = {
         "CAST(sum(yi) AS BIGINT) AS sy, CAST(sum(xi * xi) AS BIGINT) AS sxx, "
         "CAST(sum(yi * yi) AS BIGINT) AS syy, CAST(sum(xi * yi) AS BIGINT) AS sxy FROM s) "
         "SELECT n AS n_terms, "
+        "CASE WHEN sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n) > 0 THEN "
         "round(-((sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n)) / "
-        "(sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n))), 6) AS zipf_alpha, "
+        "(sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n))), 6) END AS zipf_alpha, "
+        "CASE WHEN sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n) > 0 "
+        "AND syy * 1.0 / n - (sy * 1.0 / n) * (sy * 1.0 / n) > 0 THEN "
         "round(((sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n)) * "
         "(sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))) / "
         "((sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n)) * "
-        "(syy * 1.0 / n - (sy * 1.0 / n) * (sy * 1.0 / n))), 6) AS r2 FROM m"
+        "(syy * 1.0 / n - (sy * 1.0 / n) * (sy * 1.0 / n))), 6) END AS r2 FROM m"
     ),
-    # identical integer-moment arithmetic; hour from floor(epoch)
+    # identical integer-moment arithmetic; hour from floor(epoch).
+    # Pre-1970 epochs: Spark floors the division and pmod is
+    # non-negative, while DuckDB's // TRUNCATES and % keeps sign ->
+    # explicit floor() + double-mod normalization
     "events_seasonality_hourly": (
         "WITH b AS (SELECT event_type, "
-        "CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INT) AS hour, "
+        "CAST(((CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) % 24) + 24) % 24 AS INT) AS hour, "
         "CAST(round(value * 1e6, 0) AS BIGINT) AS vi FROM events), "
         "h AS (SELECT event_type, hour, count(*) AS n_events, "
         "CAST(sum(vi) AS BIGINT) AS s1 FROM b GROUP BY 1, 2), "
@@ -1628,7 +1650,8 @@ ORACLES = {
         "SELECT h.event_type, h.hour, h.n_events, "
         "round(s1 * 1.0 / n_events / 1e6, 6) AS hour_mean, "
         "round(s_all * 1.0 / n_all / 1e6, 6) AS overall_mean, "
-        "round((s1 * 1.0 / n_events) / (s_all * 1.0 / n_all), 6) AS lift "
+        "CASE WHEN s_all <> 0 THEN "
+        "round((s1 * 1.0 / n_events) / (s_all * 1.0 / n_all), 6) END AS lift "
         "FROM h JOIN o USING (event_type)"
     ),
     # one-window formulation of the two-phase prefix sum (integer
