@@ -660,3 +660,57 @@ def test_max_shared_run_matches_duckdb(spark, texts):
     )
     want = sorted(tuple(r) for r in con.execute(so.ORACLES["dedup_max_shared_run"]).fetchall())
     assert got == want
+
+
+# --- window frame fuzz (round 5): ROWS BETWEEN bounds vs DuckDB -------------
+# price values in _Q_ROWS are exact binary fractions, so frame sums are
+# association-insensitive and the comparison is exact at 6dp.
+
+_frame_fn = st.sampled_from(
+    ["sum(price)", "min(price)", "max(price)", "count(price)", "avg(price)"]
+)
+_frame_lo = st.sampled_from(
+    ["UNBOUNDED PRECEDING", "2 PRECEDING", "1 PRECEDING", "CURRENT ROW"]
+)
+_frame_hi = st.sampled_from(
+    ["CURRENT ROW", "1 FOLLOWING", "2 FOLLOWING", "UNBOUNDED FOLLOWING"]
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(fn=_frame_fn, lo=_frame_lo, hi=_frame_hi, part=_partitions)
+def test_rows_frame_matches_duckdb(qdb, qduck, fn, lo, hi, part):
+    sql = (
+        f"SELECT id, round({fn} OVER ({part}ORDER BY id "
+        f"ROWS BETWEEN {lo} AND {hi}), 6) AS s FROM t2 ORDER BY id"
+    )
+    got = [(r.id, r.s) for r in qdb.query_sql(sql).collect()]
+    want = qduck.execute(sql).fetchall()
+    assert got == [(i, v) for i, v in want], sql
+
+
+_gb_where = st.sampled_from(["", "WHERE price > 8 ", "WHERE id % 2 = 0 ", "WHERE grp != 'b' "])
+_gb_having = st.sampled_from(["", "HAVING count(*) > 1 ", "HAVING sum(price) > 20 "])
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(w=_gb_where, h=_gb_having)
+def test_group_by_all_pipeline_matches_duckdb(qdb, qduck, w, h):
+    """GROUP BY ALL + HAVING + ORDER BY ALL: identical text on both
+    engines (DuckDB invented the ALL shorthands; the dialect adopted
+    them), random WHERE/HAVING composition."""
+    sql = (
+        "SELECT grp, round(sum(price), 6) AS sv, count(*) AS n "
+        f"FROM t2 {w}GROUP BY ALL {h}ORDER BY ALL"
+    )
+    got = [(r.grp, r.sv, r.n) for r in qdb.query_sql(sql).collect()]
+    want = qduck.execute(sql).fetchall()
+    assert got == [tuple(r) for r in want], sql
