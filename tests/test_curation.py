@@ -394,3 +394,28 @@ class TestEmbeddingDimProfile:
         assert d1.is_dead and d1.std == 0.0 and d1.zero_frac == 0.0
         d2 = got[2]  # 0,0,4: zero_frac 2/3
         assert d2.zero_frac == pytest.approx(round(2 / 3, 6))
+
+
+class TestReadabilityFK:
+    def test_planted_counts_and_grade(self, spark, monkeypatch):
+        import warpdb_spark.inventory.pipeline_ops as po
+
+        docs = spark.createDataFrame(
+            [
+                (1, "The cat sat. The dog ran. Good"),   # 7 words, 3 sentences
+                (2, "aeiou bcdfg"),                       # 2 words, 1 sentence, 1 vowel group
+                (3, ""),                                  # excluded
+            ],
+            ["doc_id", "text"],
+        )
+        monkeypatch.setattr(po, "_t", lambda spark, sf_dir, name: docs)
+        got = {r.doc_id: r for r in po.text_readability_fk(spark, "x").collect()}
+        r1 = got[1]
+        assert (r1.n_words, r1.n_sentences) == (7, 3)
+        # vowel groups: e,a,a,e,o,a,oo -> 7
+        assert r1.n_syllable_groups == 7
+        expected = round(0.39 * (7 / 3) + 11.8 * (7 / 7) - 15.59, 6)
+        assert r1.fk_grade == pytest.approx(expected, abs=1e-6)
+        r2 = got[2]
+        assert (r2.n_words, r2.n_sentences, r2.n_syllable_groups) == (2, 1, 1)
+        assert 3 not in got

@@ -1317,6 +1317,41 @@ def text_script_shares(spark, sf_dir):
     )
 
 
+def text_readability_fk(spark, sf_dir):
+    """Flesch-Kincaid-style readability grade per document — the
+    classic curation knob for filtering toward a target reading level
+    (web corpora skew bimodal: listicles and legalese). All three
+    inputs are exact integer counts with deterministic rules: words =
+    the shared whitespace tokenizer; sentences = the literal '. '
+    split (the sentence_split contract); syllables ≈ vowel-group runs
+    ([aeiouy]+ in lowercased text — the standard proxy; true syllable
+    counting needs a dictionary). grade = 0.39·(W/S) + 11.8·(Syl/W) −
+    15.59 computed once from the integers and rounded — zero shuffle,
+    pure codegen scan at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(T.tokens(T.normalized_text(F.col("text"))))
+    n_sents = F.size(F.split(F.col("text"), "\\. "))
+    n_syll = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^aeiouy]+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    grade = F.round(
+        0.39 * (n_words / n_sents) + 11.8 * (n_syll / n_words) - 15.59, 6
+    )
+    return (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sents.alias("n_sentences"),
+            n_syll.alias("n_syllable_groups"),
+            F.when(n_words > 0, grade).alias("fk_grade"),
+        )
+    )
+
+
 def text_repetition_stats(spark, sf_dir):
     """Repetition/boilerplate signals (duplicate-bigram fraction, top
     token ratio) — pure HOF quality-filter inputs."""
@@ -1708,6 +1743,7 @@ QUERIES = {
     "text_repetition_stats": text_repetition_stats,
     "text_script_shares": text_script_shares,
     "embedding_dim_profile": embedding_dim_profile,
+    "text_readability_fk": text_readability_fk,
     "text_char_entropy": text_char_entropy,
     "text_vocab_oov": text_vocab_oov,
     "text_top_bigrams": text_top_bigrams,
@@ -2354,6 +2390,22 @@ ORACLES = {
         "CASE WHEN alpha >= digit AND alpha >= cjk AND alpha >= oth THEN 'alpha' "
         "WHEN digit >= cjk AND digit >= oth THEN 'digit' "
         "WHEN cjk >= oth THEN 'cjk' ELSE 'other' END AS dominant_class FROM d"
+    ),
+    # words = shared tokenizer (blank-safe); sentences = literal '. '
+    # split; syllables = [aeiouy]+ runs. One rounded double expression.
+    "text_readability_fk": (
+        r"WITH c AS (SELECT doc_id, "
+        r"len(list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+        r"'\s+', ' ', 'g')), ' '), x -> x <> '')) AS w, "
+        "len(string_split(text, '. ')) AS s, "
+        r"len(list_filter(string_split_regex(lower(text), '[^aeiouy]+'), "
+        "x -> x <> '')) AS syl "
+        "FROM documents WHERE len(text) > 0) "
+        "SELECT doc_id, CAST(w AS INT) AS n_words, CAST(s AS INT) AS n_sentences, "
+        "CAST(syl AS INT) AS n_syllable_groups, "
+        "CASE WHEN w > 0 THEN "
+        "round(0.39 * (w * 1.0 / s) + 11.8 * (syl * 1.0 / w) - 15.59, 6) END AS fk_grade "
+        "FROM c"
     ),
     "text_repetition_stats": (
         f"WITH t AS (SELECT doc_id, string_split({_norm}, ' ') AS toks FROM documents), "

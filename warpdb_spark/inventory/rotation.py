@@ -250,6 +250,7 @@ PENDING_ORDER: list[str] = [
     "events_seasonality_hourly",
     "dedup_minhash_estimate_calibration",
     "text_zipf_alpha",
+    "text_readability_fk",
 ]
 
 
