@@ -786,3 +786,32 @@ class TestZipfAlpha:
     def test_corpus_r2_in_range(self, spark, sf_dir):
         r = scale_ops.text_zipf_alpha(spark, sf_dir).first()
         assert 0.0 <= r.r2 <= 1.0 and r.zipf_alpha > 0
+
+
+class TestWeightedMedian:
+    def test_planted_weights_shift_median(self, spark, monkeypatch):
+        import warpdb_spark.inventory.scale_ops as so
+
+        # type a: values 1..4 with weights 1,1,1,5 (user_id%5+1):
+        # total 8, half 4 -> first value whose cumw >= 4 is value=4
+        rows = [
+            (1, "a", 1.0, 0),   # wt 1
+            (2, "a", 2.0, 0),   # wt 1
+            (3, "a", 3.0, 0),   # wt 1
+            (4, "a", 4.0, 4),   # wt 5
+            # type b: uniform weights -> plain lower median of 10,20,30 = 20
+            (5, "b", 10.0, 0), (6, "b", 20.0, 0), (7, "b", 30.0, 0),
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "event_type", "value", "user_id"]
+        )
+        monkeypatch.setattr(so, "_t", lambda spark, sf_dir, name: ev)
+        got = {r.event_type: r for r in so.agg_weighted_median(spark, "x").collect()}
+        assert got["a"].total_weight == 8
+        assert got["a"].weighted_median == 4.0  # heavy tail pulls it up
+        assert got["b"].weighted_median == 20.0
+
+    def test_uniform_weights_bounded_by_range(self, spark, sf_dir):
+        for r in scale_ops.agg_weighted_median(spark, sf_dir).collect():
+            assert r.total_weight >= r.n  # weights are >= 1
+            assert r.weighted_median is not None

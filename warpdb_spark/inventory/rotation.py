@@ -251,6 +251,7 @@ PENDING_ORDER: list[str] = [
     "dedup_minhash_estimate_calibration",
     "text_zipf_alpha",
     "text_readability_fk",
+    "agg_weighted_median",
 ]
 
 

@@ -1404,6 +1404,46 @@ def text_zipf_alpha(spark, sf_dir):
     )
 
 
+def agg_weighted_median(spark, sf_dir):
+    """WEIGHTED median per group — the importance-weighted order
+    statistic plain median/percentile can't express (corpus stats
+    where each record carries a weight: dedup multiplicity, sampling
+    weight, token count). Weights here are deterministic integers
+    (user_id % 5 + 1); the lower weighted median is the smallest value
+    whose running cumulative weight reaches half the group total.
+
+    One event_type window shuffle; the cumulative sum is INTEGER (the
+    determinism rule — DuckDB's segment-tree windowed SUM and Spark's
+    sequential one agree exactly on ints), ties on equal values are
+    ordered by event_id so both engines walk the identical prefix, and
+    the median is a SELECTED raw value (no arithmetic) — exact hash.
+    At 100 TB a hot group's sort dominates; swap to approx_percentile
+    with weight-expanded duplicates or a t-digest for the approximate
+    path (cf. events_equidepth_approx)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        (F.col("user_id") % 5 + 1).alias("wt"),
+    )
+    wseq = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    d = ev.withColumn("cumw", F.sum("wt").over(wseq)).withColumn(
+        "totw", F.sum("wt").over(wall)
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("totw").alias("total_weight"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("value"))).alias(
+            "weighted_median"
+        ),
+    )
+
+
 def events_seasonality_hourly(spark, sf_dir):
     """Hour-of-day seasonality profile per event_type: event count,
     hourly mean value, the type's overall mean, and the hourly LIFT
@@ -1511,6 +1551,7 @@ QUERIES = {
     "corpus_ngram_novelty": corpus_ngram_novelty,
     "shard_assign_bytes": shard_assign_bytes,
     "events_seasonality_hourly": events_seasonality_hourly,
+    "agg_weighted_median": agg_weighted_median,
     "dedup_minhash_estimate_calibration": dedup_minhash_estimate_calibration,
     "text_zipf_alpha": text_zipf_alpha,
 }
@@ -1581,6 +1622,20 @@ ORACLES = {
         "CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
         "round(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty "
         "FROM g JOIN first f USING (gm) GROUP BY g.doc_id"
+    ),
+    # integer cumulative weights -> association-proof; median is a
+    # selected raw value, no arithmetic
+    "agg_weighted_median": (
+        "WITH d AS (SELECT event_type, event_id, value, user_id % 5 + 1 AS wt, "
+        "CAST(sum(user_id % 5 + 1) OVER (PARTITION BY event_type "
+        "ORDER BY value, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS cumw, "
+        "CAST(sum(user_id % 5 + 1) OVER (PARTITION BY event_type) AS BIGINT) AS totw "
+        "FROM events) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "max(totw) AS total_weight, "
+        "min(CASE WHEN 2 * cumw >= totw THEN value END) AS weighted_median "
+        "FROM d GROUP BY event_type"
     ),
     # full signature replay: md5-derived per-seed string-min components
     # are engine-portable, so estimate, exact, and verdict all hash
