@@ -714,3 +714,69 @@ def test_group_by_all_pipeline_matches_duckdb(qdb, qduck, w, h):
     got = [(r.grp, r.sv, r.n) for r in qdb.query_sql(sql).collect()]
     want = qduck.execute(sql).fetchall()
     assert got == [tuple(r) for r in want], sql
+
+
+# --- round-5 late-entry fuzzes: oracle strings replayed on random data ------
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=st.lists(_doc, min_size=1, max_size=4))
+def test_readability_matches_duckdb(spark, texts):
+    """text_readability_fk vs its oracle on arbitrary corpora — word/
+    sentence/syllable counting edge cases (blank docs, separators at
+    edges, multi-byte chars, no vowels)."""
+    import pandas as pd
+
+    import warpdb_spark.inventory.pipeline_ops as po
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    orig = po._t
+    po._t = lambda s, d, n: df
+    try:
+        got = sorted(tuple(r) for r in po.text_readability_fk(spark, "x").collect())
+    finally:
+        po._t = orig
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(tuple(r) for r in con.execute(po.ORACLES["text_readability_fk"]).fetchall())
+    assert got == want
+
+
+_wm_vals = st.sampled_from([1.0, 2.5, 2.5, 7.25, 10.0, -3.5])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), _wm_vals, st.integers(0, 9)),
+    min_size=1, max_size=12,
+))
+def test_weighted_median_matches_duckdb(spark, rows):
+    """agg_weighted_median vs its oracle on random groups with
+    duplicate values and varied integer weights — the cumulative-
+    weight prefix walk must agree exactly."""
+    import pandas as pd
+
+    import warpdb_spark.inventory.scale_ops as so
+
+    data = [(i, t, v, u) for i, (t, v, u) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["event_id", "event_type", "value", "user_id"])
+    orig = so._t
+    so._t = lambda s, d, n: df
+    try:
+        got = sorted(tuple(r) for r in so.agg_weighted_median(spark, "x").collect())
+    finally:
+        so._t = orig
+    con = duckdb.connect()
+    con.register(
+        "events", pd.DataFrame(data, columns=["event_id", "event_type", "value", "user_id"])
+    )
+    want = sorted(tuple(r) for r in con.execute(so.ORACLES["agg_weighted_median"]).fetchall())
+    assert got == want
