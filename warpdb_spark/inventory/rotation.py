@@ -167,6 +167,56 @@ DRIVER_GREEN: dict[str, int] = {
     "similarity_mmr_rerank": 4,
     "dedup_incremental_new_docs": 4,
     "dedup_containment_ngram": 4,
+    "dialect_udtf_sentences": 5,
+    "dedup_max_shared_run": 5,
+    "dialect_array_agg": 5,
+    "multimodal_ppm_decode": 5,
+    "multimodal_wav_decode": 5,
+    "multimodal_video_frames": 5,
+    "embedding_contrastive_pairs": 5,
+    "text_quality_classifier": 5,
+    "text_perplexity_bigram": 5,
+    "reshape_global_ordinal": 5,
+    "window_distinct_count": 5,
+    "merge_upsert_orders": 5,
+    "scd2_event_intervals": 5,
+    "table_diff_cdc": 5,
+    "stream_static_enrich": 5,
+    "events_anomaly_mad": 5,
+    "events_equidepth_quantiles": 5,
+    "events_equidepth_approx": 5,
+    "profile_table_columns": 5,
+    "table_fingerprint": 5,
+    "stats_correlation_matrix": 5,
+    "events_value_histogram": 5,
+    "events_rollup_cascade": 5,
+    "events_resample_interpolate": 5,
+    "events_user_rfm": 5,
+    "events_ewma_smooth": 5,
+    "events_trend_ols": 5,
+    "events_markov_transitions": 5,
+    "range_join_session_overlap": 5,
+    "setop_except_all": 5,
+    "tpch_q3_shipping_priority": 5,
+    "agg_approx_count_distinct": 5,
+    "setop_except": 5,
+    "tpch_q1_pricing_summary": 5,
+    "tpch_q5_local_supplier_volume": 5,
+    "tpch_q6_forecast_revenue": 5,
+    "tpch_q18_large_volume_customer": 5,
+    "histogram_value_buckets": 5,
+    "tpch_q4_order_priority": 5,
+    "tpch_q10_returned_items": 5,
+    "tpch_q14_promo_revenue": 5,
+    "tpch_q9_product_profit": 5,
+    "tpch_q11_important_stock": 5,
+    "tpch_q13_customer_distribution": 5,
+    "tpch_q15_top_supplier": 5,
+    "tpch_q16_supplier_counting": 5,
+    "tpch_q17_small_qty_revenue": 5,
+    "tpch_q19_disjunctive_revenue": 5,
+    "tpch_q20_promotion_suppliers": 5,
+    "tpch_q21_single_return_supplier": 5,
 }
 
 # Never-driver-checked entries, highest risk first: dialect executors
@@ -176,57 +226,7 @@ DRIVER_GREEN: dict[str, int] = {
 # of the block matching their risk class.
 PENDING_ORDER: list[str] = [
     # round-5 additions — brand new surfaces, checked first
-    "dialect_udtf_sentences",
-    "dedup_max_shared_run",
     # round-4 additions
-    "dialect_array_agg",
-    "multimodal_ppm_decode",
-    "multimodal_wav_decode",
-    "multimodal_video_frames",
-    "embedding_contrastive_pairs",
-    "text_quality_classifier",
-    "text_perplexity_bigram",
-    "reshape_global_ordinal",
-    "window_distinct_count",
-    "merge_upsert_orders",
-    "scd2_event_intervals",
-    "table_diff_cdc",
-    "stream_static_enrich",
-    "events_anomaly_mad",
-    "events_equidepth_quantiles",
-    "events_equidepth_approx",
-    "profile_table_columns",
-    "table_fingerprint",
-    "stats_correlation_matrix",
-    "events_value_histogram",
-    "events_rollup_cascade",
-    "events_resample_interpolate",
-    "events_user_rfm",
-    "events_ewma_smooth",
-    "events_trend_ols",
-    "events_markov_transitions",
-    "range_join_session_overlap",
-    "setop_except_all",
-    "tpch_q3_shipping_priority",
-    "agg_approx_count_distinct",
-    "setop_except",
-    "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q18_large_volume_customer",
-    "histogram_value_buckets",
-    "tpch_q4_order_priority",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counting",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_single_return_supplier",
     "tpch_q22_dormant_customers",
     "text_token_stats",
     "text_lang_id",
