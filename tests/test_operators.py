@@ -161,6 +161,18 @@ class TestDedup:
         assert (1, 2) in pairs
         assert all(p != (1, 3) for p in pairs)  # opposite vector
 
+    def test_capped_key_pairs_drops_hot_buckets_and_dedups(self, spark):
+        keyed = spark.createDataFrame(
+            # 'hot' holds 4 docs (over cap 3): dropped wholesale.
+            # (1,2) collide on BOTH k1 and k2: emitted once (distinct).
+            [(1, "hot"), (2, "hot"), (3, "hot"), (4, "hot"),
+             (1, "k1"), (2, "k1"), (1, "k2"), (2, "k2"), (3, "k3"), (5, "k3")],
+            ["doc_id", "key"],
+        )
+        out = D.capped_key_pairs(keyed, max_bucket_size=3)
+        rows = out.collect()
+        assert sorted((r.id_a, r.id_b) for r in rows) == [(1, 2), (3, 5)]
+
 
 class TestSimilarity:
     def test_bruteforce_topk_exact(self, vecs):

@@ -624,14 +624,16 @@ class TestMaxSharedRun:
         w = [f"w{i}" for i in range(16)]
         docs = spark.createDataFrame(
             [
-                # pair (1,2): exactly the 5-word run w3..w7 shared
+                # pair (1,2): exactly the 7-word run w3..w9 shared
                 (1, "en", "web", " ".join(w)),
-                (2, "en", "web", "x y " + " ".join(w[3:8]) + " z q r"),
+                (2, "en", "web", "x y " + " ".join(w[3:10]) + " z q r"),
                 # pair (1,3): shares a 14-word run -> reported bounded at 12
                 (3, "en", "web", "pre " + " ".join(w[0:14]) + " post"),
-                # shares only 2 consecutive words with doc 1 -> below k_min
-                (4, "en", "web", "a b " + " ".join(w[0:2]) + " c d e f"),
-                # identical to doc 1 but different block -> never paired
+                # shares only a 5-word run with doc 1 -> below the floor (6)
+                (4, "en", "web", "a b " + " ".join(w[0:5]) + " c d e f"),
+                # identical to doc 1, different metadata: anchors are
+                # content-only, so this pair IS formed (the old
+                # (lang, source) blocking would have missed it)
                 (5, "fr", "web", " ".join(w)),
             ],
             ["doc_id", "lang", "source", "text"],
@@ -641,19 +643,20 @@ class TestMaxSharedRun:
             (r["id_a"], r["id_b"]): r
             for r in so.dedup_max_shared_run(spark, "ignored").collect()
         }
-        assert rows[(1, 2)]["max_shared_run"] == 5
-        # n_shared_3grams for a clean 5-run = 5 - 3 + 1 = 3
-        assert rows[(1, 2)]["n_shared_3grams"] == 3
+        assert rows[(1, 2)]["max_shared_run"] == 7
+        # n_shared_3grams for a clean 7-run = 7 - 3 + 1 = 5
+        assert rows[(1, 2)]["n_shared_3grams"] == 5
         assert rows[(1, 3)]["max_shared_run"] == 12  # bounded at k
-        assert (1, 4) not in rows  # 2-word overlap is below the 3-gram floor
-        assert not any(5 in p for p in rows)  # cross-block pair never formed
-        # (2,3) share w3..w7 via doc 1's words too
-        assert rows[(2, 3)]["max_shared_run"] == 5
+        assert (1, 4) not in rows  # 5-word overlap is below the 6 floor
+        assert rows[(1, 5)]["max_shared_run"] == 12  # cross-metadata dup caught
+        # (2,3) share w3..w9 via doc 1's words too
+        assert rows[(2, 3)]["max_shared_run"] == 7
 
     def test_values_in_range_on_corpus(self, spark, sf_dir):
         rows = scale_ops.dedup_max_shared_run(spark, sf_dir).collect()
+        assert rows
         for r in rows:
-            assert 3 <= r["max_shared_run"] <= 12
+            assert 6 <= r["max_shared_run"] <= 12
             # a shared n-run implies >= n-2 shared 3-grams
             assert r["n_shared_3grams"] >= r["max_shared_run"] - 2
 
@@ -665,8 +668,8 @@ class TestMaxSharedRunPlan:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-        # candidate pairing rides the (lang, source) block key
-        assert "lang" in plan and "source" in plan
+        # candidate pairing rides the md5-16 anchor-gram key
+        assert "md5" in plan
 
 
 class TestNgramNovelty:

@@ -277,6 +277,52 @@ def _mmr_oracle() -> str:
     )
 
 
+# --- dedup: shared capped candidate generation --------------------------------
+#
+# Every pair-report dedup entry routes its candidate generation
+# through operators.dedup.capped_key_pairs (bounded buckets, distinct
+# pairs) with an engine-portable md5 key so the DuckDB oracle replays
+# the identical candidate set. Two key policies (rationale in the
+# helper's docstring): anchor grams for run/containment detection,
+# minhash bands for Jaccard-score calibration.
+
+_ANCHOR_CAP = 50  # max document frequency for an anchor gram
+_BAND_CAP = 100  # max bucket size for a signature band
+
+
+def _anchor_keys(sh, gram_col):
+    """(doc_id, key) anchor assignment: one row per distinct gram per
+    doc, key = first 16 md5 hex chars of the gram (portable across
+    engines; fixed-width keys also cut the shuffled payload vs raw
+    gram strings). Empty gram arrays self-exclude (explode of an
+    empty array emits no rows)."""
+    return sh.select("doc_id", F.explode(gram_col).alias("__gm")).select(
+        "doc_id", F.substring(F.md5("__gm"), 1, 16).alias("key")
+    )
+
+
+def _capped_pairs_sql(inv_cte: str, cap: int) -> str:
+    """DuckDB replay of capped_key_pairs over an ``(doc_id, key)`` CTE
+    named ``inv_cte``: emits ``ok`` (buckets within cap) and ``cand``
+    (distinct id_a < id_b within surviving buckets)."""
+    return (
+        f"ok AS (SELECT key FROM {inv_cte} GROUP BY key "
+        f"HAVING count(*) <= {cap}), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM {inv_cte} a JOIN {inv_cte} b "
+        "ON a.key = b.key AND a.doc_id < b.doc_id "
+        "JOIN ok ON ok.key = a.key)"
+    )
+
+
+def _anchor_inv_sql(sh_cte: str, gram_col: str) -> str:
+    """DuckDB replay of _anchor_keys: unnest the gram array, md5-16."""
+    return (
+        f"inv0 AS (SELECT doc_id, unnest({gram_col}) AS gm FROM {sh_cte}), "
+        "inv AS (SELECT doc_id, substr(md5(gm), 1, 16) AS key FROM inv0)"
+    )
+
+
 # --- dedup: asymmetric containment -------------------------------------------
 
 
@@ -287,19 +333,27 @@ def dedup_containment_ngram(spark, sf_dir):
     the other; Jaccard dilutes it). The quote/excerpt/boilerplate
     detector of a curation pipeline.
 
-    Same blocked shape as ``dedup_ngram_jaccard``: (lang, source)
-    metadata blocks prune the quadratic pair space (at 100 TB block on
-    a MinHash band instead), then the shingle arrays score each
-    candidate via array_intersect — JVM-side, whole-stage codegen.
-    Both directed containments emit per unordered pair.
+    Candidates come from the capped ANCHOR-GRAM index
+    (``operators.dedup.capped_key_pairs``): one md5-16 key per
+    distinct 3-gram, buckets over ``_ANCHOR_CAP`` docs dropped. Exact
+    recall for every pair sharing a non-boilerplate gram — which any
+    containment >= 0.5 pair does unless ALL of the smaller doc's
+    grams are corpus-hot — and the candidate count is bounded by
+    n_grams * cap^2 at any corpus size (the old (lang, source) block
+    join squared up within a block). MinHash banding would be the
+    WRONG candidate policy here: an excerpt embedded in a long doc
+    has high containment but Jaccard diluted toward 0, exactly the
+    pair a Jaccard-recall filter drops. Scoring joins the shingle
+    frame (persisted once, three consumers) back to both pair sides —
+    JVM array ops in whole-stage codegen.
     """
+    from pyspark import StorageLevel
     from warpdb_spark.functions import text as T
+    from warpdb_spark.operators.dedup import capped_key_pairs
 
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
-        "lang",
-        "source",
         F.when(
             F.size(F.split(T.normalized_text(F.col("text")), " ")) < F.lit(3),
             F.array(T.normalized_text(F.col("text"))),
@@ -310,14 +364,11 @@ def dedup_containment_ngram(spark, sf_dir):
             )
         )
         .alias("s"),
-    )
-    a = sh.select(
-        F.col("doc_id").alias("id_a"), "lang", "source", F.col("s").alias("sa")
-    )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"), "lang", "source", F.col("s").alias("sb")
-    )
-    pairs = a.join(b, ["lang", "source"]).filter(F.col("id_a") < F.col("id_b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = capped_key_pairs(_anchor_keys(sh, "s"), _ANCHOR_CAP)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sa", "sb"))
     scored = pairs.select(
         "id_a",
@@ -331,71 +382,91 @@ def dedup_containment_ngram(spark, sf_dir):
     )
 
 
-_CONTAIN_ORACLE = (
-    r"WITH norm AS (SELECT doc_id, lang, source, "
-    r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS n FROM documents), "
-    "sh AS (SELECT doc_id, lang, source, "
-    "CASE WHEN len(string_split(n,' ')) < 3 THEN [n] "
-    "ELSE list_distinct([array_to_string(string_split(n,' ')[i:i+2], ' ') "
-    "for i in generate_series(1, len(string_split(n,' '))-2)]) END AS s "
-    "FROM norm) "
-    "SELECT id_a, id_b, n_common, containment_a_in_b, containment_b_in_a FROM ("
-    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-    "CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_common, "
-    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment_a_in_b, "
-    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6) AS containment_b_in_a "
-    "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source "
-    "AND a.doc_id < b.doc_id) "
-    "WHERE containment_a_in_b >= 0.5 OR containment_b_in_a >= 0.5"
-)
+def _contain_oracle() -> str:
+    return (
+        r"WITH norm AS (SELECT doc_id, "
+        r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS n FROM documents), "
+        "sh AS (SELECT doc_id, "
+        "CASE WHEN len(string_split(n,' ')) < 3 THEN [n] "
+        "ELSE list_distinct([array_to_string(string_split(n,' ')[i:i+2], ' ') "
+        "for i in generate_series(1, len(string_split(n,' '))-2)]) END AS s "
+        "FROM norm), "
+        + _anchor_inv_sql("sh", "s")
+        + ", "
+        + _capped_pairs_sql("inv", _ANCHOR_CAP)
+        + " SELECT id_a, id_b, n_common, containment_a_in_b, containment_b_in_a FROM ("
+        "SELECT id_a, id_b, "
+        "CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_common, "
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment_a_in_b, "
+        "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6) AS containment_b_in_a "
+        "FROM cand JOIN sh a ON a.doc_id = cand.id_a "
+        "JOIN sh b ON b.doc_id = cand.id_b) "
+        "WHERE containment_a_in_b >= 0.5 OR containment_b_in_a >= 0.5"
+    )
+
+
+_CONTAIN_ORACLE = _contain_oracle()
+
+
+_RUN_MIN = 6  # shortest reported shared run (anchor gram size)
+_RUN_MAX = 12  # run length bound k
 
 
 def dedup_max_shared_run(spark, sf_dir):
     """Longest shared contiguous word run per candidate pair, bounded
-    at k=12 — the suffix-array-style exact-substring signal that
-    containment/Jaccard can't see (a verbatim 12-word quote inside two
-    otherwise-different docs scores near-zero Jaccard but is a hard
-    duplication signal for training data).
+    at k=12 and floored at 6 — the suffix-array-style exact-substring
+    signal that containment/Jaccard can't see (a verbatim 12-word
+    quote inside two otherwise-different docs scores near-zero Jaccard
+    but is a hard duplication signal for training data).
 
     Exactness from the n-gram identity: two docs share a contiguous
     word run of length ≥ n ⟺ their word-n-gram sets intersect, so
-    ``max(n in 3..12 with overlap)`` IS min(longest-common-word-
-    substring, 12) — no suffix array needed at bounded k. Same
-    (lang, source) blocking as ``dedup_containment_ngram`` prunes the
-    pair space (block on a MinHash band at 100 TB); the per-n arrays
-    ride the one block-key shuffle, all overlap tests are JVM
-    array ops in whole-stage codegen. Production note: hash each gram
-    to int64 (xxhash64) to cut the shuffled array payload ~10×; kept
-    as strings here so DuckDB replays the identical grams.
+    ``max(n in 6..12 with overlap)`` IS min(longest-common-word-
+    substring, 12) — no suffix array needed at bounded k. The same
+    identity drives candidate generation: pairs come from the capped
+    6-gram ANCHOR index (``operators.dedup.capped_key_pairs``), so
+    recall is EXACT for every pair sharing a run ≥ 6 through at least
+    one non-boilerplate 6-gram, and candidates are bounded by
+    n_grams * cap^2 at any corpus size (the old (lang, source) block
+    join squared up within a block; MinHash banding would miss these
+    pairs outright — a 12-word quote between 1000-word docs is
+    Jaccard ≈ 0.01). The gram ladders derive from one tokens column
+    (tokenize once — codegen does not CSE repeated HOF subtrees) and
+    ride the anchor shuffle; overlap tests are JVM array ops in
+    whole-stage codegen. Anchor keys are md5-16 so DuckDB replays the
+    identical candidate set.
     """
+    from pyspark import StorageLevel
     from warpdb_spark.functions import text as T
+    from warpdb_spark.operators.dedup import capped_key_pairs
 
-    ns = list(range(3, 13))
+    ns = list(range(_RUN_MIN, _RUN_MAX + 1))
     docs = _t(spark, sf_dir, "documents")
-    # tokenize ONCE into a real column; the 10 gram ladders derive from
+    # tokenize ONCE into a real column; the gram ladders derive from
     # it instead of re-embedding normalize+split per size
     toksed = docs.select(
-        "doc_id", "lang", "source",
-        T.tokens(T.normalized_text(F.col("text"))).alias("tk"),
+        "doc_id", T.tokens(T.normalized_text(F.col("text"))).alias("tk")
     )
     sh = toksed.select(
         "doc_id",
-        "lang",
-        "source",
+        F.array_distinct(T.word_ngrams_from_tokens(F.col("tk"), 3)).alias("ng3"),
         *[
             F.array_distinct(T.word_ngrams_from_tokens(F.col("tk"), n)).alias(f"ng{n}")
             for n in ns
         ],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = capped_key_pairs(_anchor_keys(sh, f"ng{_RUN_MIN}"), _ANCHOR_CAP)
     a = sh.select(
-        F.col("doc_id").alias("id_a"), "lang", "source",
+        F.col("doc_id").alias("id_a"),
+        F.col("ng3").alias("a3"),
         *[F.col(f"ng{n}").alias(f"a{n}") for n in ns],
     )
     b = sh.select(
-        F.col("doc_id").alias("id_b"), "lang", "source",
+        F.col("doc_id").alias("id_b"),
+        F.col("ng3").alias("b3"),
         *[F.col(f"ng{n}").alias(f"b{n}") for n in ns],
     )
-    pairs = a.join(b, ["lang", "source"]).filter(F.col("id_a") < F.col("id_b"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     run = F.greatest(
         *[
             F.when(F.arrays_overlap(F.col(f"a{n}"), F.col(f"b{n}")), F.lit(n))
@@ -410,31 +481,36 @@ def dedup_max_shared_run(spark, sf_dir):
             run.alias("max_shared_run"),
             F.size(F.array_intersect("a3", "b3")).alias("n_shared_3grams"),
         )
-        .filter(F.col("max_shared_run") >= 3)
+        .filter(F.col("max_shared_run") >= _RUN_MIN)
     )
 
 
 def _max_run_oracle() -> str:
-    ns = list(range(3, 13))
+    ns = [3] + list(range(_RUN_MIN, _RUN_MAX + 1))
     grams = ", ".join(
         f"list_distinct([array_to_string(toks[i:i+{n - 1}], ' ') "
         f"for i in generate_series(1, len(toks) - {n - 1})]) AS ng{n}"
         for n in ns
     )
     ladder = ", ".join(
-        f"CASE WHEN list_has_any(a.ng{n}, b.ng{n}) THEN {n} ELSE 0 END" for n in ns
+        f"CASE WHEN list_has_any(a.ng{n}, b.ng{n}) THEN {n} ELSE 0 END"
+        for n in range(_RUN_MIN, _RUN_MAX + 1)
     )
     return (
-        r"WITH norm AS (SELECT doc_id, lang, source, "
+        r"WITH norm AS (SELECT doc_id, "
         r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS nrm FROM documents), "
-        "tok AS (SELECT doc_id, lang, source, string_split(nrm, ' ') AS toks FROM norm), "
-        f"sh AS (SELECT doc_id, lang, source, {grams} FROM tok) "
-        "SELECT id_a, id_b, max_shared_run, n_shared_3grams FROM ("
-        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "tok AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM norm), "
+        f"sh AS (SELECT doc_id, {grams} FROM tok), "
+        + _anchor_inv_sql("sh", f"ng{_RUN_MIN}")
+        + ", "
+        + _capped_pairs_sql("inv", _ANCHOR_CAP)
+        + " SELECT id_a, id_b, max_shared_run, n_shared_3grams FROM ("
+        "SELECT id_a, id_b, "
         f"greatest({ladder}) AS max_shared_run, "
         "CAST(len(list_intersect(a.ng3, b.ng3)) AS INT) AS n_shared_3grams "
-        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source "
-        "AND a.doc_id < b.doc_id) WHERE max_shared_run >= 3"
+        "FROM cand JOIN sh a ON a.doc_id = cand.id_a "
+        "JOIN sh b ON b.doc_id = cand.id_b) "
+        f"WHERE max_shared_run >= {_RUN_MIN}"
     )
 
 
@@ -1277,6 +1353,7 @@ def corpus_ngram_novelty(spark, sf_dir):
 
 
 _MH_CAL_SEEDS = 16
+_MH_CAL_BANDS = 8  # leading signature components used as r=1 band keys
 
 
 def dedup_minhash_estimate_calibration(spark, sf_dir):
@@ -1293,10 +1370,21 @@ def dedup_minhash_estimate_calibration(spark, sf_dir):
     trick: first 16 hex chars of md5(seed|gram), string-min per seed)
     so DuckDB replays every signature component bit-for-bit — the
     estimator's statistics are hash-family-independent, which is
-    exactly what makes the calibration transferable. Pairs ride the
-    (lang, source) blocking with a doc_id % 3 sample; gram arrays join
-    once, all min/compare work is JVM codegen."""
+    exactly what makes the calibration transferable. Candidate pairs
+    come from r=1 MinHash BANDING over the signature's own first
+    ``_MH_CAL_BANDS`` components via the shared capped generator
+    (``operators.dedup.capped_key_pairs``, bucket cap ``_BAND_CAP``)
+    on a doc_id % 3 sample — the sampled pairs are exactly the pairs
+    an LSH pass at these parameters would surface, i.e. the
+    population the estimator will be trusted on (candidacy odds
+    1-(1-J)^8, so the error table covers the J range LSH actually
+    emits). The old (lang, source) block join squared up within a
+    block; banded buckets are capped, so candidates stay linear in
+    corpus size. Gram/signature arrays join back once per side; all
+    min/compare work is JVM codegen."""
+    from pyspark import StorageLevel
     from warpdb_spark.functions import text as T
+    from warpdb_spark.operators.dedup import capped_key_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     norm = T.normalized_text(F.col("text"))
@@ -1314,21 +1402,34 @@ def dedup_minhash_estimate_calibration(spark, sf_dir):
 
     sigs = [_sig(s) for s in range(_MH_CAL_SEEDS)]
     sh = (
-        docs.select("doc_id", "lang", "source", grams.alias("g"))
+        docs.select("doc_id", grams.alias("g"))
         .filter(F.size("g") > 0)
-        .select("doc_id", "lang", "source", "g", *sigs)
+        .select("doc_id", "g", *sigs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    keyed = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("|", F.lit(str(s)), F.col(f"h{s}"))
+                    for s in range(_MH_CAL_BANDS)
+                ]
+            )
+        ).alias("key"),
+    )
+    cand = capped_key_pairs(keyed, _BAND_CAP)
     a = sh.select(
-        F.col("doc_id").alias("id_a"), "lang", "source",
+        F.col("doc_id").alias("id_a"),
         F.col("g").alias("ga"),
         *[F.col(f"h{s}").alias(f"a{s}") for s in range(_MH_CAL_SEEDS)],
     )
     b = sh.select(
-        F.col("doc_id").alias("id_b"), "lang", "source",
+        F.col("doc_id").alias("id_b"),
         F.col("g").alias("gb"),
         *[F.col(f"h{s}").alias(f"b{s}") for s in range(_MH_CAL_SEEDS)],
     )
-    pairs = a.join(b, ["lang", "source"]).filter(F.col("id_a") < F.col("id_b"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     matches = sum(
         F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
         for s in range(_MH_CAL_SEEDS)
@@ -1638,28 +1739,33 @@ ORACLES = {
         "FROM d GROUP BY event_type"
     ),
     # full signature replay: md5-derived per-seed string-min components
-    # are engine-portable, so estimate, exact, and verdict all hash
+    # are engine-portable, so the banded candidate set, estimate,
+    # exact, and verdict all hash
     "dedup_minhash_estimate_calibration": (
-        r"WITH norm AS (SELECT doc_id, lang, source, "
+        r"WITH norm AS (SELECT doc_id, "
         r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS nrm "
         "FROM documents WHERE doc_id % 3 = 0), "
-        "tok AS (SELECT doc_id, lang, source, string_split(nrm, ' ') AS toks FROM norm), "
-        "sh0 AS (SELECT doc_id, lang, source, "
+        "tok AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM norm), "
+        "sh0 AS (SELECT doc_id, "
         "list_distinct([array_to_string(toks[i:i+2], ' ') "
         "for i in generate_series(1, len(toks) - 2)]) AS g FROM tok), "
-        "sh AS (SELECT doc_id, lang, source, g, "
+        "sh AS (SELECT doc_id, g, "
         + ", ".join(
             f"list_min(list_transform(g, gm -> substr(md5('{s}|' || gm), 1, 16))) AS h{s}"
             for s in range(16)
         )
         + " FROM sh0 WHERE len(g) > 0), "
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, ("
+        "inv AS (SELECT doc_id, unnest(["
+        + ", ".join(f"'{s}|' || h{s}" for s in range(_MH_CAL_BANDS))
+        + "]) AS key FROM sh), "
+        + _capped_pairs_sql("inv", _BAND_CAP)
+        + ", p AS (SELECT id_a, id_b, ("
         + " + ".join(f"CASE WHEN a.h{s} = b.h{s} THEN 1 ELSE 0 END" for s in range(16))
         + ") AS n_matching, "
         "len(list_intersect(a.g, b.g)) AS inter, "
         "len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS un "
-        "FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source "
-        "AND a.doc_id < b.doc_id) "
+        "FROM cand JOIN sh a ON a.doc_id = cand.id_a "
+        "JOIN sh b ON b.doc_id = cand.id_b) "
         "SELECT id_a, id_b, CAST(n_matching AS INT) AS n_matching, "
         "round(n_matching / 16.0, 6) AS jaccard_est, "
         "round(inter * 1.0 / un, 6) AS jaccard_exact, "

@@ -174,6 +174,48 @@ def _pairs_from_shingles(
     )
 
 
+def capped_key_pairs(keyed: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Distinct candidate id pairs (id_a < id_b) from a generic
+    ``(doc_id, key)`` bucket assignment — the shared candidate
+    generator behind every pair-report dedup entry.
+
+    Applies the same ``max_bucket_size`` discipline as
+    ``_pairs_from_shingles``: buckets larger than the cap are dropped
+    wholesale via a broadcast anti-join (the hot-bucket list is at
+    most |assignments| / cap rows, so it stays broadcastable at any
+    corpus size). With the cap in force, the candidate count is
+    bounded by ``n_buckets * cap^2 / 2`` — linear in corpus size for
+    a fixed cap, never quadratic. Callers choose the key policy:
+
+    - anchor grams (``key = md5(gram)[:16]`` per distinct gram):
+      exact recall for pairs sharing any non-hot gram — the right
+      policy for verbatim-run / containment detection, where the
+      interesting pairs have LOW set-Jaccard by construction and
+      MinHash banding would miss them;
+    - minhash bands (``key = seed|signature_component``):
+      probability-of-candidacy 1-(1-J)^bands — the right policy when
+      the downstream score IS set similarity.
+
+    Keys built from md5 are engine-portable, so a DuckDB oracle
+    replays the identical candidate set bit-for-bit.
+    """
+    hot = (
+        keyed.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("key")
+    )
+    ok = keyed.join(F.broadcast(hot), "key", "left_anti")
+    a = ok.select("key", F.col("doc_id").alias("id_a"))
+    b = ok.select("key", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
