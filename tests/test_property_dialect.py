@@ -746,7 +746,10 @@ def test_readability_matches_duckdb(spark, texts):
     assert got == want
 
 
-_wm_vals = st.sampled_from([1.0, 2.5, 2.5, 7.25, 10.0, -3.5])
+# NULL values included: the prefix walk must order them identically on
+# both engines (Spark's bare ASC is NULLS FIRST, DuckDB's is NULLS
+# LAST — the entry spells asc_nulls_last to agree)
+_wm_vals = st.sampled_from([1.0, 2.5, 2.5, 7.25, 10.0, -3.5, None])
 
 
 @settings(
@@ -760,14 +763,16 @@ _wm_vals = st.sampled_from([1.0, 2.5, 2.5, 7.25, 10.0, -3.5])
 ))
 def test_weighted_median_matches_duckdb(spark, rows):
     """agg_weighted_median vs its oracle on random groups with
-    duplicate values and varied integer weights — the cumulative-
-    weight prefix walk must agree exactly."""
-    import pandas as pd
+    duplicate values, NULL values, and varied integer weights — the
+    cumulative-weight prefix walk must agree exactly."""
+    import pyarrow as pa
 
     import warpdb_spark.inventory.scale_ops as so
 
     data = [(i, t, v, u) for i, (t, v, u) in enumerate(rows)]
-    df = spark.createDataFrame(data, ["event_id", "event_type", "value", "user_id"])
+    df = spark.createDataFrame(
+        data, "event_id long, event_type string, value double, user_id long"
+    )
     orig = so._t
     so._t = lambda s, d, n: df
     try:
@@ -775,8 +780,16 @@ def test_weighted_median_matches_duckdb(spark, rows):
     finally:
         so._t = orig
     con = duckdb.connect()
+    # arrow keeps None a true NULL (a pandas float column would turn it
+    # into NaN, which DuckDB treats as a value, not NULL)
     con.register(
-        "events", pd.DataFrame(data, columns=["event_id", "event_type", "value", "user_id"])
+        "events",
+        pa.table({
+            "event_id": pa.array([d[0] for d in data], pa.int64()),
+            "event_type": pa.array([d[1] for d in data], pa.string()),
+            "value": pa.array([d[2] for d in data], pa.float64()),
+            "user_id": pa.array([d[3] for d in data], pa.int64()),
+        }),
     )
     want = sorted(tuple(r) for r in con.execute(so.ORACLES["agg_weighted_median"]).fetchall())
     assert got == want

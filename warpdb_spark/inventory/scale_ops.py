@@ -1528,8 +1528,11 @@ def agg_weighted_median(spark, sf_dir):
         (F.col("user_id") % 5 + 1).alias("wt"),
     )
     wseq = (
+        # asc_nulls_last: Spark's bare ASC default is NULLS FIRST while
+        # DuckDB's is NULLS LAST — spell it so both engines walk the
+        # identical prefix if value ever carries NULLs (fuzz-pinned)
         Window.partitionBy("event_type")
-        .orderBy("value", "event_id")
+        .orderBy(F.asc_nulls_last("value"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wall = Window.partitionBy("event_type")
@@ -1772,7 +1775,7 @@ ORACLES = {
         "round(abs(n_matching / 16.0 - inter * 1.0 / un), 6) AS abs_err, "
         "abs(n_matching / 16.0 - inter * 1.0 / un) <= 0.375 AS within_3sigma FROM p"
     ),
-    # nano-snapped log moments -> identical OLS double expression
+    # micro-snapped log moments -> identical OLS double expression
     "text_zipf_alpha": (
         r"WITH norm AS (SELECT trim(regexp_replace(lower(text),'\s+',' ','g')) AS nrm "
         "FROM documents), "
