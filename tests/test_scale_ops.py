@@ -771,6 +771,46 @@ class TestMinhashCalibration:
         assert frac_ok > 0.95
 
 
+class TestWeightedMedianApprox:
+    def test_planted_rank_verdicts(self, spark, monkeypatch):
+        import warpdb_spark.inventory.scale_ops as so
+
+        # weights = user_id % 5 + 1; group 'a' values 1..5 with weights
+        # 1..5 -> totw 15, weighted median 4 (cumw 1,3,6,10,15)
+        data = [(i, "a", float(i + 1), i) for i in range(5)]
+        ev = spark.createDataFrame(
+            data, "event_id long, event_type string, value double, user_id long"
+        )
+        monkeypatch.setattr(so, "_t", lambda s, d, n: ev)
+        rows = {r.event_type: r for r in so.agg_weighted_median_approx(spark, "x").collect()}
+        r = rows["a"]
+        assert r.n == 5 and r.total_weight == 15
+        assert r.ok_below and r.ok_incl
+
+    def test_all_verdicts_true_on_corpus(self, spark, sf_dir):
+        rows = scale_ops.agg_weighted_median_approx(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.ok_below and r.ok_incl, r
+
+
+class TestDhashNearDup:
+    def test_same_pattern_class_is_near(self, spark, sf_dir):
+        from warpdb_spark.inventory import pipeline_ops as P
+
+        rows = P.multimodal_dhash_neardup(spark, sf_dir).collect()
+        assert rows
+        near = [r for r in rows if r.is_near]
+        assert near
+        for r in rows:
+            assert 0 <= r.hamming <= 64
+            assert r.is_near == (r.hamming <= 6)
+            # near-dups only occur within a base-pattern class (cross
+            # class hamming is >= 22 by construction)
+            if r.is_near:
+                assert r.id_a % 25 == r.id_b % 25
+
+
 class TestZipfAlpha:
     def test_planted_power_law(self, spark, monkeypatch):
         import warpdb_spark.inventory.scale_ops as so

@@ -165,6 +165,73 @@ class TestStatefulStreaming:
         assert got["b"] == (2, 9.0)
 
 
+class TestFirstSeenStatefulDedup:
+    """streaming/stateful.py::first_seen driving incremental MinHash
+    dedup over real micro-batches must emit the same novelty set as
+    the batch-identical inventory entry (stream_incremental_dedup)."""
+
+    T1 = "alpha beta gamma delta epsilon zeta eta theta"
+    T2 = "completely different words in this one here now"
+    T3 = "yet another unrelated document body text sample"
+
+    def test_stateful_matches_batch_novelty(self, spark, tmp_path):
+        import unittest.mock as mock
+
+        import warpdb_spark.inventory.analytics_ext as ax
+        from warpdb_spark.operators.dedup import portable_band_keys
+        from warpdb_spark.streaming.stateful import first_seen
+
+        d = tmp_path / "docs"
+        d.mkdir()
+        import os
+        import time
+
+        (d / "b1.csv").write_text(
+            f"doc_id,text\n1,{self.T1}\n2,{self.T2}\n3,{self.T1}\n"
+        )
+        (d / "b2.csv").write_text(f"doc_id,text\n4,{self.T1}\n5,{self.T3}\n")
+        # the file source orders micro-batches by modification time —
+        # pin b1 strictly earlier so arrival order matches doc_id order
+        now = time.time()
+        os.utime(d / "b1.csv", (now - 10, now - 10))
+        os.utime(d / "b2.csv", (now, now))
+        schema = "doc_id LONG, text STRING"
+        stream = (
+            spark.readStream.option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .schema(schema)
+            .csv(str(d))
+        )
+        keyed = portable_band_keys(stream, "doc_id", "text", n_bands=4)
+        out = first_seen(keyed, "key", "doc_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("first_seen_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        live = spark.sql(
+            "SELECT doc_id, bool_and(novel_for_key) AS is_novel "
+            "FROM first_seen_out GROUP BY doc_id"
+        )
+        got = {r.doc_id: r.is_novel for r in live.collect()}
+
+        docs = spark.read.option("header", True).schema(schema).csv(str(d))
+        with mock.patch.object(ax, "_t", lambda s, sd, n: docs):
+            want = {
+                r.doc_id: r.is_novel
+                for r in ax.stream_incremental_dedup(spark, "x").collect()
+            }
+        assert got == want
+        # 3 is a within-batch dup of 1; 4 is a cross-batch dup of 1
+        assert want[1] and want[2] and want[5]
+        assert not want[3] and not want[4]
+
+
 class TestWatermarkLateData:
     def test_late_event_dropped_in_append_mode(self, spark, tmp_path):
         """Files arrive as separate micro-batches; the watermark advances

@@ -569,8 +569,46 @@ def dialect_grouping_sets(spark, sf_dir):
     ).withColumn("total", F.round(F.col("total"), 2))
 
 
+def stream_incremental_dedup(spark, sf_dir):
+    """Incremental MinHash dedup shaped for STREAMING ingest — the
+    §2.9 streaming pillar married to the dedup pillar: each document
+    carries 4 engine-portable r=1 band keys
+    (operators/dedup.py::portable_band_keys, "s|" + md5-min shingle
+    hash); a doc is NOVEL iff it is the first arrival of EVERY one of
+    its band keys, i.e. no earlier doc (smaller doc_id = arrival
+    order) claimed any band.
+
+    The entry runs the batch-identical plan: first-arrival per key is
+    a map-side-combined min, the join back rides the same key
+    partitioning (exchange reuse), then one per-doc aggregation — two
+    shuffles total, 4 rows per doc. The LIVE stream is
+    streaming/stateful.py::first_seen (applyInPandasWithState, state
+    = one long per key), pytest-pinned to emit the identical novelty
+    set across real micro-batches (tests/test_streaming.py). At
+    100 TB the state store is the band-key index itself — bounded by
+    distinct keys, evictable by timeout for bounded retention."""
+    from warpdb_spark.operators.dedup import portable_band_keys
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = portable_band_keys(docs, "doc_id", "text", n_bands=4)
+    firsts = keyed.groupBy("key").agg(F.min("doc_id").alias("first_id"))
+    per_doc = (
+        keyed.join(firsts, "key")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("first_id") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_dup_bands")
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_dup_bands", (F.col("n_dup_bands") == 0).alias("is_novel")
+    )
+
+
 QUERIES = {
     "scd2_event_intervals": scd2_event_intervals,
+    "stream_incremental_dedup": stream_incremental_dedup,
     "table_diff_cdc": table_diff_cdc,
     "events_equidepth_quantiles": events_equidepth_quantiles,
     "events_equidepth_approx": events_equidepth_approx,
@@ -666,6 +704,26 @@ SELECT query_id, neighbor_id, dist2, rank FROM (
 
 
 ORACLES = {
+    # band keys replayed bit-for-bit (md5-min shingle hash per seed);
+    # novelty = first arrival of every band key
+    "stream_incremental_dedup": (
+        r"WITH norm AS (SELECT doc_id, "
+        r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS n FROM documents), "
+        "sh AS (SELECT doc_id, "
+        "CASE WHEN len(string_split(n,' ')) < 3 THEN [n] "
+        "ELSE list_distinct([array_to_string(string_split(n,' ')[i:i+2], ' ') "
+        "for i in generate_series(1, len(string_split(n,' '))-2)]) END AS g "
+        "FROM norm), "
+        "sig AS (SELECT doc_id, list_min(list_transform(g, gm -> substr(md5('0|' || gm), 1, 16))) AS h0, list_min(list_transform(g, gm -> substr(md5('1|' || gm), 1, 16))) AS h1, list_min(list_transform(g, gm -> substr(md5('2|' || gm), 1, 16))) AS h2, list_min(list_transform(g, gm -> substr(md5('3|' || gm), 1, 16))) AS h3 FROM sh), "
+        "inv AS (SELECT doc_id, unnest(['0|' || h0, '1|' || h1, '2|' || h2, '3|' || h3]) AS key FROM sig), "
+        "f AS (SELECT key, min(doc_id) AS first_id FROM inv GROUP BY key) "
+        "SELECT inv.doc_id, "
+        "CAST(sum(CASE WHEN first_id < inv.doc_id THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dup_bands, "
+        "CAST(sum(CASE WHEN first_id < inv.doc_id THEN 1 ELSE 0 END) AS BIGINT) = 0 "
+        "AS is_novel "
+        "FROM inv JOIN f USING (key) GROUP BY inv.doc_id"
+    ),
     "events_equidepth_approx": """
         WITH q AS (
             SELECT event_type, value,

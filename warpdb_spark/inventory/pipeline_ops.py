@@ -864,6 +864,97 @@ def multimodal_ppm_decode(spark, sf_dir):
     )
 
 
+def multimodal_dhash_neardup(spark, sf_dir):
+    """Perceptual-hash (dHash) near-duplicate detection for the image
+    modality — image dedup joining the text-dedup family: each doc
+    gets a deterministic 9x8 grayscale P6 PPM (pixel i of doc d is
+    ``(i*((d%25)*37+11) + i*i*7 + noise) % 256`` with noise 5 when
+    ``(d*13+i)%97 < 2`` — 25 base patterns plus per-doc pixel noise,
+    so same-pattern docs land hamming ≤ 2 and cross-pattern ≥ 22),
+    encoded AND decoded by the pure-numpy codec
+    (operators/multimodal.py::ppm_encode/ppm_decode); the 64-bit
+    dHash (row-wise adjacent-pixel comparisons over the DECODED
+    frame) streams out of mapInPandas as a 64-char bit string. A real
+    photo would be resized to 9x8 grayscale first — that resize sits
+    behind the documented real_decode_stub seam; the synthetic frame
+    is already 9x8, so the hash/band/pair plumbing is fully real.
+
+    Candidates ride the round-6 shared capped generator
+    (operators/dedup.py::capped_key_pairs) with 4 hamming-LSH bands
+    (16 bits each — identical-band collision is the classic
+    Hamming-space LSH), bucket cap 100: candidate count stays linear
+    in corpus size, boilerplate-frame buckets drop wholesale. The
+    DuckDB oracle replays pixels, hash, bands, cap, and hamming from
+    the formula alone, so the codec round-trip is hash-checked end to
+    end. hamming ≤ 6 flags a near-dup."""
+    import pandas as _pd
+    from pyspark.sql.types import (
+        LongType as _Long,
+        StringType as _Str,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    from warpdb_spark.operators.dedup import capped_key_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    encode, decode = M.ppm_encode, M.ppm_decode  # closures — pickle by value
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            bits = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                i = _np.arange(72)
+                noise = _np.where((d * 13 + i) % 97 < 2, 5, 0)
+                g = ((i * ((d % 25) * 37 + 11) + i * i * 7 + noise) % 256).astype(
+                    _np.uint8
+                )
+                arr = _np.repeat(g.reshape(8, 9, 1), 3, axis=2)
+                dec = decode(encode(arr))[:, :, 0].astype(_np.int64)
+                bits.append(
+                    "".join(
+                        "1" if dec[y, x + 1] > dec[y, x] else "0"
+                        for y in range(8)
+                        for x in range(8)
+                    )
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "bits": bits})
+
+    hb = docs.mapInPandas(
+        gen, _ST([_SF("doc_id", _Long()), _SF("bits", _Str())])
+    ).persist()
+    keyed = hb.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", F.lit(str(s)), F.substring("bits", s * 16 + 1, 16)
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("key"),
+    )
+    cand = capped_key_pairs(keyed, 100)
+    a = hb.select(F.col("doc_id").alias("id_a"), F.col("bits").alias("bits_a"))
+    b = hb.select(F.col("doc_id").alias("id_b"), F.col("bits").alias("bits_b"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    hamming = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> "
+        "acc + IF(substring(bits_a, i, 1) <> substring(bits_b, i, 1), 1, 0))"
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        hamming.alias("hamming"),
+        (hamming <= 6).alias("is_near"),
+    )
+
+
 def multimodal_wav_decode(spark, sf_dir):
     """REAL audio decode in the loop: each doc gets a deterministic
     480-sample mono PCM16 WAV — sample t is ((doc_id*7 + t*13) % 2001)
@@ -1725,6 +1816,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_ppm_decode": multimodal_ppm_decode,
+    "multimodal_dhash_neardup": multimodal_dhash_neardup,
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_video_frames": multimodal_video_frames,
     "agg_statistical": agg_statistical,
@@ -2219,6 +2311,26 @@ ORACLES = {
     # replay the pixel formula: byte i of doc d is (d*31 + i*7) % 256;
     # channel c means average bytes 3k+c — integer sums are exact in
     # f64, so the decoded means match bit-for-bit
+    # pixels, dHash, bands, cap, and hamming replayed from the formula
+    "multimodal_dhash_neardup": (
+        "WITH px AS (SELECT doc_id, "
+        "[(i*((doc_id%25)*37+11) + i*i*7 + CASE WHEN (doc_id*13+i)%97 < 2 THEN 5 ELSE 0 END) % 256 "
+        "for i in generate_series(0, 71)] AS g FROM documents), "
+        "hb AS (SELECT doc_id, array_to_string([CASE WHEN g[(j//8)*9 + (j%8) + 2] > g[(j//8)*9 + (j%8) + 1] THEN '1' ELSE '0' END for j in generate_series(0, 63)], '') AS bits FROM px), "
+        "inv AS (SELECT doc_id, unnest(['0|' || substr(bits, 1, 16), "
+        "'1|' || substr(bits, 17, 16), '2|' || substr(bits, 33, 16), "
+        "'3|' || substr(bits, 49, 16)]) AS key FROM hb), "
+        "ok AS (SELECT key FROM inv GROUP BY key HAVING count(*) <= 100), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM inv a JOIN inv b ON a.key = b.key AND a.doc_id < b.doc_id "
+        "JOIN ok ON ok.key = a.key), "
+        "p AS (SELECT id_a, id_b, "
+        "CAST(list_sum([CASE WHEN substr(a.bits, i, 1) <> substr(b.bits, i, 1) "
+        "THEN 1 ELSE 0 END for i in generate_series(1, 64)]) AS INT) AS hamming "
+        "FROM cand JOIN hb a ON a.doc_id = cand.id_a "
+        "JOIN hb b ON b.doc_id = cand.id_b) "
+        "SELECT id_a, id_b, hamming, hamming <= 6 AS is_near FROM p"
+    ),
     "multimodal_ppm_decode": (
         "SELECT doc_id, 16 AS width, 12 AS height, "
         + ", ".join(

@@ -252,6 +252,11 @@ PENDING_ORDER: list[str] = [
     "text_zipf_alpha",
     "text_readability_fk",
     "agg_weighted_median",
+    # round-6 additions — placed BEHIND the 22 never-driver-checked
+    # names (which fit the 50-slot window with room to spare)
+    "agg_weighted_median_approx",
+    "stream_incremental_dedup",
+    "multimodal_dhash_neardup",
 ]
 
 

@@ -1548,6 +1548,51 @@ def agg_weighted_median(spark, sf_dir):
     )
 
 
+def agg_weighted_median_approx(spark, sf_dir):
+    """The 100 TB twin of ``agg_weighted_median`` — the hot-group
+    approximate path that entry's docstring promises: no per-group
+    sort anywhere. Weights are bounded small integers (user_id % 5
+    + 1), so the weighted median is the plain median of the
+    weight-EXPANDED rows (each row duplicated wt times via
+    explode(sequence) — a bounded ≤5× map-side blowup, no shuffle),
+    and percentile_approx computes it with a tiny mergeable KLL-style
+    sketch: map-side partials, one (type) reduce of sketch bytes.
+
+    Verified the ``events_equidepth_approx`` way: the sketch's value
+    must sit at the right WEIGHTED RANK — the weight mass strictly
+    below it under half + 2%, the mass up to and including it at
+    least half − 2% (the exact weighted median satisfies both with
+    zero slack, so the oracle computes the exact median via the
+    cumulative-weight walk and emits the same booleans — both engines
+    produce all-TRUE, hash-checked). Rank checks ride one broadcast
+    of the |types|-row sketch output back over a second scan."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("user_id") % 5 + 1).alias("wt")
+    )
+    expanded = ev.withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("wt"))))
+    appx = expanded.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 100000).alias("wma")
+    )
+    j = ev.join(F.broadcast(appx), "event_type")
+    g = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wt").alias("totw"),
+        F.sum(F.when(F.col("value") < F.col("wma"), F.col("wt")).otherwise(0)).alias(
+            "w_below"
+        ),
+        F.sum(F.when(F.col("value") <= F.col("wma"), F.col("wt")).otherwise(0)).alias(
+            "w_incl"
+        ),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.col("totw").alias("total_weight"),
+        (F.col("w_below") < F.col("totw") / 2 + F.col("totw") * 0.02).alias("ok_below"),
+        (F.col("w_incl") >= F.col("totw") / 2 - F.col("totw") * 0.02).alias("ok_incl"),
+    )
+
+
 def events_seasonality_hourly(spark, sf_dir):
     """Hour-of-day seasonality profile per event_type: event count,
     hourly mean value, the type's overall mean, and the hourly LIFT
@@ -1656,6 +1701,7 @@ QUERIES = {
     "shard_assign_bytes": shard_assign_bytes,
     "events_seasonality_hourly": events_seasonality_hourly,
     "agg_weighted_median": agg_weighted_median,
+    "agg_weighted_median_approx": agg_weighted_median_approx,
     "dedup_minhash_estimate_calibration": dedup_minhash_estimate_calibration,
     "text_zipf_alpha": text_zipf_alpha,
 }
@@ -1740,6 +1786,28 @@ ORACLES = {
         "max(totw) AS total_weight, "
         "min(CASE WHEN 2 * cumw >= totw THEN value END) AS weighted_median "
         "FROM d GROUP BY event_type"
+    ),
+    # exact weighted median via the same cumw walk, then the entry's
+    # rank-tolerance booleans evaluated AT it (zero slack -> all TRUE)
+    "agg_weighted_median_approx": (
+        "WITH d AS (SELECT event_type, event_id, value, "
+        "user_id % 5 + 1 AS wt, "
+        "CAST(sum(user_id % 5 + 1) OVER (PARTITION BY event_type "
+        "ORDER BY value, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS cumw, "
+        "CAST(sum(user_id % 5 + 1) OVER (PARTITION BY event_type) AS BIGINT) AS totw "
+        "FROM events), "
+        "m AS (SELECT event_type, "
+        "min(CASE WHEN 2 * cumw >= totw THEN value END) AS wm "
+        "FROM d GROUP BY event_type), "
+        "g AS (SELECT d.event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(wt) AS BIGINT) AS totw, "
+        "CAST(sum(CASE WHEN value < wm THEN wt ELSE 0 END) AS BIGINT) AS w_below, "
+        "CAST(sum(CASE WHEN value <= wm THEN wt ELSE 0 END) AS BIGINT) AS w_incl "
+        "FROM d JOIN m ON m.event_type = d.event_type GROUP BY d.event_type) "
+        "SELECT event_type, n, totw AS total_weight, "
+        "w_below < totw / 2.0 + totw * 0.02 AS ok_below, "
+        "w_incl >= totw / 2.0 - totw * 0.02 AS ok_incl FROM g"
     ),
     # full signature replay: md5-derived per-seed string-min components
     # are engine-portable, so the banded candidate set, estimate,

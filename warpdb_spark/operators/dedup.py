@@ -216,6 +216,49 @@ def capped_key_pairs(keyed: DataFrame, max_bucket_size: int) -> DataFrame:
     )
 
 
+def portable_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Engine-portable r=1 MinHash band keys, one ``(doc_id, key)`` row
+    per band: ``key = "s|" + min over distinct shingles of
+    md5("s|" + gram)[:16]``. Short docs fall back to the whole
+    normalized text as the single shingle (the ``_shingle_frame``
+    rule), so every doc gets exactly ``n_bands`` keys. md5-derived
+    keys replay bit-for-bit in a SQL oracle — the portable sibling of
+    the xxhash64 production signatures above, shared by the
+    ``stream_incremental_dedup`` entry and its live-stream test."""
+    grams = F.array_distinct(
+        T.word_ngrams(T.normalized_text(F.col(text_col)), shingle_size)
+    )
+    grams = F.when(
+        F.size(grams) == 0, F.array(T.normalized_text(F.col(text_col)))
+    ).otherwise(grams)
+    sh = df.select(F.col(id_col).alias("doc_id"), grams.alias("__g"))
+
+    def band(s: int) -> Column:
+        # one-arg lambda: a second parameter would receive the element
+        # index, silently replacing the seed
+        return F.concat_ws(
+            "|",
+            F.lit(str(s)),
+            F.array_min(
+                F.transform(
+                    F.col("__g"),
+                    lambda gm: F.substring(F.md5(F.concat(F.lit(f"{s}|"), gm)), 1, 16),
+                )
+            ),
+        )
+
+    return sh.select(
+        "doc_id",
+        F.explode(F.array(*[band(s) for s in range(n_bands)])).alias("key"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
