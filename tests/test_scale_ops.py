@@ -811,6 +811,76 @@ class TestDhashNearDup:
                 assert r.id_a % 25 == r.id_b % 25
 
 
+class TestHapaxRatio:
+    def test_planted_counts(self, spark, monkeypatch):
+        from warpdb_spark.inventory import pipeline_ops as P
+        import unittest.mock as mock
+
+        docs = spark.createDataFrame(
+            [(1, "web", "a a b"), (2, "web", "a c"), (3, "web", "   ")],
+            ["doc_id", "source", "text"],
+        )
+        with mock.patch.object(P, "_t", lambda s, d, n: docs):
+            r = P.text_hapax_ratio(spark, "x").collect()[0]
+        # tokens: a a b a c -> vocab {a:3, b:1, c:1}; blank doc excluded
+        assert r.n_tokens == 5 and r.vocab == 3 and r.n_hapax == 2
+        assert r.hapax_share == round(2 / 3, 6)
+        assert r.type_token_ratio == 0.6
+
+
+class TestSourceVocabJaccard:
+    def test_planted_overlap(self, spark, monkeypatch):
+        import warpdb_spark.inventory.scale_ops as so
+
+        docs = spark.createDataFrame(
+            [
+                (1, "s1", "apple banana cherry"),
+                (2, "s2", "apple banana date"),
+                (3, "s3", "fig grape"),
+            ],
+            ["doc_id", "source", "text"],
+        )
+        monkeypatch.setattr(so, "_t", lambda s, d, n: docs)
+        rows = {
+            (r.src_a, r.src_b): r
+            for r in so.text_source_vocab_jaccard(spark, "x").collect()
+        }
+        r = rows[("s1", "s2")]
+        assert r.n_common == 2 and r.vocab_jaccard == 0.5  # 2 / (3+3-2)
+        assert rows[("s1", "s3")].n_common == 0
+        assert rows[("s1", "s3")].vocab_jaccard == 0.0
+
+    def test_grid_complete_on_corpus(self, spark, sf_dir):
+        rows = scale_ops.text_source_vocab_jaccard(spark, sf_dir).collect()
+        # all unordered source pairs present, including zero-overlap ones
+        srcs = {r.src_a for r in rows} | {r.src_b for r in rows}
+        assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+        for r in rows:
+            assert 0.0 <= r.vocab_jaccard <= 1.0
+
+
+class TestInterarrivalProfile:
+    def test_planted_gaps(self, spark, monkeypatch):
+        import datetime as dt
+
+        import warpdb_spark.inventory.scale_ops as so
+
+        t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        ev = spark.createDataFrame(
+            [
+                (1, "a", t0),
+                (2, "a", t0 + dt.timedelta(seconds=10)),
+                (3, "a", t0 + dt.timedelta(seconds=30)),
+            ],
+            "event_id long, event_type string, ts timestamp",
+        )
+        monkeypatch.setattr(so, "_t", lambda s, d, n: ev)
+        r = so.events_interarrival_profile(spark, "x").collect()[0]
+        # gaps 10, 20: p50 selects rank ceil(0.5*2)=1 -> 10; p90 rank 2 -> 20
+        assert r.n_gaps == 2 and r.mean_gap_s == 15.0
+        assert r.p50_gap_s == 10 and r.p90_gap_s == 20 and r.max_gap_s == 20
+
+
 class TestZipfAlpha:
     def test_planted_power_law(self, spark, monkeypatch):
         import warpdb_spark.inventory.scale_ops as so

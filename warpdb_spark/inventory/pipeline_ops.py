@@ -1373,6 +1373,40 @@ def text_char_entropy(spark, sf_dir):
     )
 
 
+def text_hapax_ratio(spark, sf_dir):
+    """Per-source vocabulary health: token count, vocabulary size,
+    hapax-legomenon count (terms occurring exactly once within the
+    source), hapax share, and type-token ratio — the quickest
+    template-vs-natural-text discriminator a curation pipeline has
+    (natural corpora run ~40-60% hapax; generated/templated text
+    collapses toward 0).
+
+    One (source, term) aggregation shuffle — map-side combined, so a
+    billion tokens reduce to |vocab| partials — then a per-source
+    rollup of counts-of-counts. Blank docs are excluded on BOTH sides
+    (DuckDB's string_split counts a blank doc as one token while the
+    shared tokenizer yields zero — the determinism rule). All outputs
+    are exact integer ratios rounded once."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.filter(T.normalized_text(F.col("text")) != "").select(
+        "source", F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("term")
+    )
+    cnt = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    g = cnt.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    return g.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "n_hapax",
+        F.round(F.col("n_hapax") / F.col("vocab"), 6).alias("hapax_share"),
+        F.round(F.col("vocab") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+    )
+
+
 def text_script_shares(spark, sf_dir):
     """Per-document script/character-class composition — the writing-
     system screen a multilingual 100 TB corpus needs before language-ID
@@ -1834,6 +1868,7 @@ QUERIES = {
     "decontam_eval_overlap": decontam_eval_overlap,
     "text_repetition_stats": text_repetition_stats,
     "text_script_shares": text_script_shares,
+    "text_hapax_ratio": text_hapax_ratio,
     "embedding_dim_profile": embedding_dim_profile,
     "text_readability_fk": text_readability_fk,
     "text_char_entropy": text_char_entropy,
@@ -2055,6 +2090,21 @@ _KMEANS_CLUSTERS_SQL = (
 
 
 ORACLES = {
+    # counts-of-counts over the shared tokenizer; blank docs excluded
+    # on both sides (string_split counts a blank doc as one token)
+    "text_hapax_ratio": (
+        r"WITH norm AS (SELECT source, "
+        r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS nrm FROM documents), "
+        "t AS (SELECT source, unnest(string_split(nrm, ' ')) AS term "
+        "FROM norm WHERE nrm <> ''), "
+        "c AS (SELECT source, term, count(*) AS c FROM t GROUP BY source, term) "
+        "SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS vocab, "
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, "
+        "round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS hapax_share, "
+        "round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio "
+        "FROM c GROUP BY source"
+    ),
     "embedding_kmeans_clusters": _KMEANS_CLUSTERS_SQL,
     # replays span extraction (5-grams, 0-based starts), the >=2-distinct-
     # doc hot set, covered-position union, and ordered reassembly exactly

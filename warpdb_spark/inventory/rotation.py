@@ -257,6 +257,9 @@ PENDING_ORDER: list[str] = [
     "agg_weighted_median_approx",
     "stream_incremental_dedup",
     "multimodal_dhash_neardup",
+    "text_hapax_ratio",
+    "text_source_vocab_jaccard",
+    "events_interarrival_profile",
 ]
 
 

@@ -1681,8 +1681,107 @@ def shard_assign_bytes(spark, sf_dir):
 
 # -----------------------------------------------------------------------------
 
+_VJ_TOP = 100  # per-source vocabulary signature size
+
+
+def text_source_vocab_jaccard(spark, sf_dir):
+    """Pairwise vocabulary similarity BETWEEN sources: each source is
+    signed by its top-100 terms (count DESC, term tie-break — a total
+    order both engines replay), then every source pair gets
+    |A ∩ B| and Jaccard — the corpus-mixing diagnostic that flags two
+    "different" crawls as the same feed before they double-weight a
+    training mix.
+
+    Scale shape: term counts are one map-side-combined shuffle; the
+    top-100 per source is a bounded window over per-source vocab; the
+    pair grid is |sources|² rows (tiny at any corpus size — sources
+    are a catalog dimension, not data) built from one broadcast
+    self-join of the signature frame on term, LEFT-joined back to the
+    grid so zero-overlap pairs report 0, not absence."""
+    from warpdb_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.filter(T.normalized_text(F.col("text")) != "").select(
+        "source", F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("term")
+    )
+    cnt = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "term")
+    top = cnt.select(
+        "source", "term", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _VJ_TOP)
+    sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("n_sig"))
+    a = top.select(F.col("source").alias("src_a"), "term")
+    b = top.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sig").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_sig").alias("nb"))
+    grid = sa.crossJoin(sb).filter(F.col("src_a") < F.col("src_b"))
+    j = grid.join(inter, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        F.round(
+            F.coalesce("n_common", F.lit(0))
+            / (F.col("na") + F.col("nb") - F.coalesce("n_common", F.lit(0))),
+            6,
+        ).alias("vocab_jaccard"),
+    )
+    return j
+
+
+def events_interarrival_profile(spark, sf_dir):
+    """Per-type inter-arrival-time profile: gap count, mean gap, and
+    exact p50/p90 gaps in integer seconds — the feed-health table that
+    separates "the producer slowed down" from "the producer died"
+    (a dead feed's max gap explodes while its median stays flat).
+
+    Gaps come from one lag window over (ts, event_id) — integer epoch
+    seconds, so every statistic is exact. Percentiles are SELECTED by
+    explicit rank (value at row_number ceil(q·n) in gap order with
+    event_id tie-break) rather than an engine quantile builtin —
+    Spark's percentile and DuckDB's quantile_cont interpolate with
+    different position formulas, selected-rank values are identical by
+    construction. Two window passes over the same event_type
+    partitioning (one exchange, reused); the rank selection is the
+    same bounded pattern as the weighted median."""
+    ev = _t(spark, sf_dir, "events")
+    esec = F.col("ts").cast("long")
+    wo = Window.partitionBy("event_type").orderBy(esec, "event_id")
+    g = ev.select(
+        "event_type",
+        "event_id",
+        (esec - F.lag(esec).over(wo)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "gap",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        F.round(F.sum("gap") / F.max("n"), 6).alias("mean_gap_s"),
+        F.min(
+            F.when(F.col("rn") >= F.ceil(F.col("n") * 0.5), F.col("gap"))
+        ).alias("p50_gap_s"),
+        F.min(
+            F.when(F.col("rn") >= F.ceil(F.col("n") * 0.9), F.col("gap"))
+        ).alias("p90_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+    )
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
+    "text_source_vocab_jaccard": text_source_vocab_jaccard,
+    "events_interarrival_profile": events_interarrival_profile,
     "graph_adamic_adar": graph_adamic_adar,
     "similarity_mmr_rerank": similarity_mmr_rerank,
     "dedup_containment_ngram": dedup_containment_ngram,
@@ -1707,6 +1806,47 @@ QUERIES = {
 }
 
 ORACLES = {
+    # identical total order (count DESC, term) -> identical signatures
+    "text_source_vocab_jaccard": (
+        r"WITH norm AS (SELECT source, "
+        r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS nrm FROM documents), "
+        "t AS (SELECT source, unnest(string_split(nrm, ' ')) AS term "
+        "FROM norm WHERE nrm <> ''), "
+        "c AS (SELECT source, term, count(*) AS c FROM t GROUP BY source, term), "
+        "top AS (SELECT source, term FROM (SELECT source, term, "
+        "row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rn FROM c) "
+        "WHERE rn <= 100), "
+        "sz AS (SELECT source, count(*) AS n_sig FROM top GROUP BY source), "
+        "i AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "CAST(count(*) AS BIGINT) AS n_common "
+        "FROM top a JOIN top b ON a.term = b.term AND a.source < b.source "
+        "GROUP BY 1, 2), "
+        "g AS (SELECT sa.source AS src_a, sb.source AS src_b, "
+        "sa.n_sig AS na, sb.n_sig AS nb FROM sz sa, sz sb "
+        "WHERE sa.source < sb.source) "
+        "SELECT g.src_a, g.src_b, "
+        "CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common, "
+        "round(coalesce(i.n_common, 0) * 1.0 / "
+        "(g.na + g.nb - coalesce(i.n_common, 0)), 6) AS vocab_jaccard "
+        "FROM g LEFT JOIN i ON i.src_a = g.src_a AND i.src_b = g.src_b"
+    ),
+    # selected-rank percentiles (engine quantile builtins interpolate
+    # with different position formulas; explicit ranks are identical)
+    "events_interarrival_profile": (
+        "WITH e AS (SELECT event_type, event_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS esec FROM events), "
+        "g AS (SELECT event_type, event_id, esec - lag(esec) OVER "
+        "(PARTITION BY event_type ORDER BY esec, event_id) AS gap FROM e), "
+        "r AS (SELECT event_type, gap, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY gap, event_id) AS rn, "
+        "count(*) OVER (PARTITION BY event_type) AS n "
+        "FROM g WHERE gap IS NOT NULL) "
+        "SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps, "
+        "round(sum(gap) * 1.0 / max(n), 6) AS mean_gap_s, "
+        "CAST(min(CASE WHEN rn >= ceil(n * 0.5) THEN gap END) AS BIGINT) AS p50_gap_s, "
+        "CAST(min(CASE WHEN rn >= ceil(n * 0.9) THEN gap END) AS BIGINT) AS p90_gap_s, "
+        "CAST(max(gap) AS BIGINT) AS max_gap_s FROM r GROUP BY event_type"
+    ),
     # id-ordered 3-way self-join enumerates the identical triangle set
     # the degree-oriented Spark path produces
     "graph_triangle_count": (
