@@ -881,6 +881,53 @@ class TestInterarrivalProfile:
         assert r.p50_gap_s == 10 and r.p90_gap_s == 20 and r.max_gap_s == 20
 
 
+class TestWinsorize:
+    def test_planted_clamp(self, spark, monkeypatch):
+        import datetime as dt
+
+        import warpdb_spark.inventory.scale_ops as so
+
+        t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        # 20 values 1..20: p5 cut = rank ceil(1)=1 -> 1.0; p95 cut =
+        # rank ceil(19)=19 -> 19.0; only value 20 clamps (down to 19)
+        ev = spark.createDataFrame(
+            [(i, "a", float(i), t0) for i in range(1, 21)],
+            "event_id long, event_type string, value double, ts timestamp",
+        )
+        monkeypatch.setattr(so, "_t", lambda s, d, n: ev)
+        r = so.events_value_winsorize(spark, "x").collect()[0]
+        assert r.n == 20 and r.p5_cut == 1.0 and r.p95_cut == 19.0
+        assert r.n_clamped_lo == 0 and r.n_clamped_hi == 1
+        assert r.mean_raw == 10.5 and r.mean_winsorized == 10.45
+
+    def test_bounds_on_corpus(self, spark, sf_dir):
+        for r in scale_ops.events_value_winsorize(spark, sf_dir).collect():
+            assert r.p5_cut <= r.p95_cut
+            assert r.n_clamped_lo + r.n_clamped_hi <= r.n
+
+
+class TestDegreeDistribution:
+    def test_histogram_totals_match_user_count(self, spark, sf_dir):
+        rows = scale_ops.graph_degree_distribution(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.degree >= 1 and r.n_users >= 1
+
+
+class TestPartitionSkewReport:
+    def test_buckets_cover_corpus(self, spark, sf_dir):
+        from warpdb_spark.inventory import analytics_ext as ax
+
+        rows = ax.table_partition_skew_report(spark, sf_dir).collect()
+        assert 1 <= len(rows) <= 32
+        docs = ax._t(spark, sf_dir, "documents")
+        assert sum(r.n_rows for r in rows) == docs.count()
+        # skew ratios average to ~1 by construction (bucket count times
+        # share of total)
+        mean_skew = sum(r.row_skew for r in rows) / len(rows)
+        assert abs(mean_skew - 1.0) < 0.01
+
+
 class TestZipfAlpha:
     def test_planted_power_law(self, spark, monkeypatch):
         import warpdb_spark.inventory.scale_ops as so

@@ -606,9 +606,47 @@ def stream_incremental_dedup(spark, sf_dir):
     )
 
 
+def table_partition_skew_report(spark, sf_dir):
+    """Partition-skew diagnostics for a planned hash-partitioning:
+    assign each document to one of 32 engine-portable hash buckets
+    (md5-hex-prefix, the ``sample_weighted`` trick) and report
+    per-bucket row and byte (n_chars) totals plus their ratio to the
+    perfectly-even share — the pre-flight check before choosing a
+    partition key at 100 TB (a 3× hot bucket at 32 partitions stays
+    3× hot at 32k; fix the KEY, not the count).
+
+    One map-side-combined groupBy over a codegen'd scan (32 result
+    rows at any corpus size); the even-share denominators ride a
+    one-row broadcast. All ratios divide exact integers once."""
+    docs = _t(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 32
+    ).cast("int")
+    per = (
+        docs.select(b.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_chars").alias("n_bytes"))
+    )
+    tot = per.agg(
+        F.sum("n_rows").alias("tr"),
+        F.sum("n_bytes").alias("tb"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        "n_bytes",
+        F.round(F.col("n_rows") * F.col("nb") / F.col("tr"), 6).alias("row_skew"),
+        F.round(F.col("n_bytes") * F.col("nb") / F.col("tb"), 6).alias("byte_skew"),
+    )
+
+
 QUERIES = {
     "scd2_event_intervals": scd2_event_intervals,
     "stream_incremental_dedup": stream_incremental_dedup,
+    "table_partition_skew_report": table_partition_skew_report,
     "table_diff_cdc": table_diff_cdc,
     "events_equidepth_quantiles": events_equidepth_quantiles,
     "events_equidepth_approx": events_equidepth_approx,
@@ -704,6 +742,18 @@ SELECT query_id, neighbor_id, dist2, rank FROM (
 
 
 ORACLES = {
+    # md5-hex-prefix bucket replayed via the 0x-cast trick
+    "table_partition_skew_report": (
+        "WITH p AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::UBIGINT % 32 AS INT) AS bucket, n_chars FROM documents), "
+        "per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(n_chars) AS BIGINT) AS n_bytes FROM p GROUP BY bucket), "
+        "tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tr, "
+        "CAST(sum(n_bytes) AS BIGINT) AS tb, count(*) AS nb FROM per) "
+        "SELECT bucket, n_rows, n_bytes, "
+        "round(n_rows * nb * 1.0 / tr, 6) AS row_skew, "
+        "round(n_bytes * nb * 1.0 / tb, 6) AS byte_skew FROM per, tot"
+    ),
     # band keys replayed bit-for-bit (md5-min shingle hash per seed);
     # novelty = first arrival of every band key
     "stream_incremental_dedup": (

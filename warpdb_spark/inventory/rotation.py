@@ -260,6 +260,9 @@ PENDING_ORDER: list[str] = [
     "text_hapax_ratio",
     "text_source_vocab_jaccard",
     "events_interarrival_profile",
+    "events_value_winsorize",
+    "graph_degree_distribution",
+    "table_partition_skew_report",
 ]
 
 

@@ -1778,10 +1778,98 @@ def events_interarrival_profile(spark, sf_dir):
     )
 
 
+def events_value_winsorize(spark, sf_dir):
+    """Winsorization report per event_type: clamp values to exact
+    [p5, p95] cutpoints and report how much the tails moved — the
+    outlier-taming step metrics pipelines run before any mean-based
+    rollup (one fat-finger event can drag an hourly mean for weeks).
+
+    Cutpoints are SELECTED raw values by explicit rank (the
+    ``events_interarrival_profile`` rule — engine quantile builtins
+    interpolate differently), broadcast back over a second scan
+    (|types| rows). The clamp itself is pure selection
+    (least/greatest — no arithmetic), then means snap to integer
+    micro-units before summing so evaluation order can't flip the
+    hash. Two passes over one event_type partitioning."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    cuts = r.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") >= F.ceil(F.col("n") * 0.05), F.col("value"))).alias(
+            "lo"
+        ),
+        F.min(F.when(F.col("rn") >= F.ceil(F.col("n") * 0.95), F.col("value"))).alias(
+            "hi"
+        ),
+    )
+    j = ev.join(F.broadcast(cuts), "event_type")
+    vi = F.round(F.col("value") * 1e6, 0).cast("long")
+    wi = F.round(F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))) * 1e6, 0).cast(
+        "long"
+    )
+    g = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias("n_clamped_lo"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias("n_clamped_hi"),
+        F.sum(vi).alias("s_raw"),
+        F.sum(wi).alias("s_win"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "n_clamped_lo",
+        "n_clamped_hi",
+        F.round("lo", 6).alias("p5_cut"),
+        F.round("hi", 6).alias("p95_cut"),
+        F.round(F.col("s_raw") / F.col("n") / 1e6, 6).alias("mean_raw"),
+        F.round(F.col("s_win") / F.col("n") / 1e6, 6).alias("mean_winsorized"),
+    )
+
+
+def graph_degree_distribution(spark, sf_dir):
+    """Degree distribution of the user-interaction graph (same
+    session-transition edge derivation as ``graph_triangle_count``):
+    histogram of undirected degree → user count, the first thing to
+    read before running PageRank/components at scale (a power-law
+    tail says "expect hub skew"; a spike at degree 1 says the graph
+    is mostly pairs and component-finding is trivial).
+
+    Edge derivation rides one event_type window; distinct undirected
+    edges one shuffle; degrees one map-side-combined count; the
+    histogram reduces to at most max-degree rows. Nothing here is
+    quadratic — hubs add counts, not pairs."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nx = ev.select(
+        F.col("user_id").alias("src"),
+        F.lead("user_id").over(wo).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    edges = nx.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        edges.select(F.col("a").alias("user_id"))
+        .unionAll(edges.select(F.col("b").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "text_source_vocab_jaccard": text_source_vocab_jaccard,
     "events_interarrival_profile": events_interarrival_profile,
+    "events_value_winsorize": events_value_winsorize,
+    "graph_degree_distribution": graph_degree_distribution,
     "graph_adamic_adar": graph_adamic_adar,
     "similarity_mmr_rerank": similarity_mmr_rerank,
     "dedup_containment_ngram": dedup_containment_ngram,
@@ -1806,6 +1894,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    # selected-rank cutpoints + micro-snapped means; clamp is pure
+    # selection (least/greatest) so both engines pick identical values
+    "events_value_winsorize": (
+        "WITH r AS (SELECT event_type, event_id, value, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, "
+        "count(*) OVER (PARTITION BY event_type) AS n FROM events), "
+        "cuts AS (SELECT event_type, "
+        "min(CASE WHEN rn >= ceil(n * 0.05) THEN value END) AS lo, "
+        "min(CASE WHEN rn >= ceil(n * 0.95) THEN value END) AS hi "
+        "FROM r GROUP BY event_type), "
+        "j AS (SELECT e.event_type, e.value, c.lo, c.hi, "
+        "CAST(round(e.value * 1e6, 0) AS BIGINT) AS vi, "
+        "CAST(round(greatest(c.lo, least(c.hi, e.value)) * 1e6, 0) AS BIGINT) AS wi "
+        "FROM events e JOIN cuts c USING (event_type)) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo, "
+        "CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi, "
+        "round(min(lo), 6) AS p5_cut, round(min(hi), 6) AS p95_cut, "
+        "round(sum(vi) * 1.0 / count(*) / 1e6, 6) AS mean_raw, "
+        "round(sum(wi) * 1.0 / count(*) / 1e6, 6) AS mean_winsorized "
+        "FROM j GROUP BY event_type"
+    ),
+    # same edge derivation as graph_triangle_count; degrees then a
+    # counts-of-counts histogram
+    "graph_degree_distribution": (
+        "WITH nx AS (SELECT user_id AS src, "
+        "lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst "
+        "FROM events), "
+        "E AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM nx WHERE dst IS NOT NULL AND dst <> src), "
+        "d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS degree FROM ("
+        "SELECT a AS user_id FROM E UNION ALL SELECT b FROM E) GROUP BY user_id) "
+        "SELECT degree, CAST(count(*) AS BIGINT) AS n_users FROM d GROUP BY degree"
+    ),
     # identical total order (count DESC, term) -> identical signatures
     "text_source_vocab_jaccard": (
         r"WITH norm AS (SELECT source, "
