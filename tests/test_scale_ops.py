@@ -928,6 +928,62 @@ class TestPartitionSkewReport:
         assert abs(mean_skew - 1.0) < 0.01
 
 
+class TestKnnIndegree:
+    def test_votes_conserved(self, spark, sf_dir):
+        from warpdb_spark.inventory import pipeline_ops as P
+
+        rows = P.similarity_knn_indegree(spark, sf_dir).collect()
+        emb = P._t(spark, sf_dir, "embeddings")
+        n_queries = emb.filter(F.col("vec_id") % 5 == 0).count()
+        # every query casts exactly 5 votes
+        assert sum(r.in_degree * r.n_vecs for r in rows) == 5 * n_queries
+
+
+class TestPairMargin:
+    def test_planted_margin(self, spark, monkeypatch):
+        from warpdb_spark.inventory import pipeline_ops as P
+        import unittest.mock as mock
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),      # query
+                (1, [1.0, 0.01]),     # clear top-1
+                (2, [0.0, 1.0]),      # orthogonal
+                (30, [0.7, 0.7]),     # diagonal
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        with mock.patch.object(P, "_t", lambda s, d, n: emb):
+            rows = {r.query_id: r for r in P.similarity_pair_margin(spark, "x").collect()}
+        r = rows[0]
+        assert r.top1_id == 1 and r.top1_cos > 0.99
+        assert r.margin > 0.2 and r.is_confident
+
+    def test_margin_consistency_on_corpus(self, spark, sf_dir):
+        from warpdb_spark.inventory import pipeline_ops as P
+
+        for r in P.similarity_pair_margin(spark, sf_dir).collect():
+            assert r.top1_cos >= r.top2_cos
+            assert r.margin == round(r.top1_cos - r.top2_cos, 6)
+            assert r.is_confident == (r.margin >= 0.05)
+
+
+class TestCosineHistogram:
+    def test_bins_and_totals(self, spark, sf_dir):
+        from warpdb_spark.inventory import pipeline_ops as P
+
+        rows = P.embedding_cosine_histogram(spark, sf_dir).collect()
+        emb = P._t(spark, sf_dir, "embeddings")
+        n = emb.filter(F.col("vec_id") % 7 == 0).count()
+        assert sum(r.n_pairs for r in rows) == n * (n - 1) // 2
+        for r in rows:
+            assert 0 <= r.bin <= 9
+            # bin means must sit inside the bin's [-1,1) interval (with
+            # rounding slack at the edges)
+            lo, hi = r.bin / 5 - 1, (r.bin + 1) / 5 - 1
+            assert lo - 1e-6 <= r.mean_cosine <= hi + 1e-6
+
+
 class TestZipfAlpha:
     def test_planted_power_law(self, spark, monkeypatch):
         import warpdb_spark.inventory.scale_ops as so

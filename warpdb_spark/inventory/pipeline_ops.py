@@ -571,6 +571,99 @@ def similarity_topk_bruteforce(spark, sf_dir):
     return S.cosine_topk_np(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
 
 
+def similarity_knn_indegree(spark, sf_dir):
+    """kNN-graph in-degree profile — the hub detector run before
+    trusting any embedding-neighborhood operation (a "hub" vector that
+    appears in everyone's top-k list poisons kNN-based dedup and
+    retrieval; isotropic embeddings show a tight in-degree spread,
+    degenerate ones a fat tail). Queries are the deterministic
+    vec_id % 5 == 0 sample; each one's exact top-5 (the
+    ``similarity_topk_bruteforce`` scoring path, round-6 cosine with
+    id tie-break) votes for its neighbors, then in-degrees reduce to
+    a counts-of-counts histogram — bounded by max in-degree rows.
+
+    Scale: the sample is a fixed-rate slice (hash-prefix rate at
+    100 TB); scoring is the Arrow-batched BLAS path; the histogram is
+    two map-side-combined aggregations. Nothing quadratic in the
+    corpus — only sample × corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    topk = S.cosine_topk_np(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
+    deg = topk.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("in_degree"))
+    return deg.groupBy("in_degree").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def similarity_pair_margin(spark, sf_dir):
+    """Top-1 vs top-2 margin per query — the retrieval-confidence
+    signal: a large margin means the nearest neighbor is
+    unambiguous (safe to auto-label / auto-dedup), a thin one means
+    the answer is a coin flip and needs review. Pivoted from the
+    exact top-k ranking (round-6 cosine, id tie-break), so both
+    engines select identical winners; margin is one subtraction of
+    two already-rounded values, rounded once more."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = S.cosine_topk_np(emb, queries, k=2, id_col="vec_id", vec_col="embedding")
+    g = topk.groupBy("query_id").agg(
+        F.min(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias("top1_id"),
+        F.min(F.when(F.col("rank") == 1, F.col("cosine"))).alias("top1_cos"),
+        F.min(F.when(F.col("rank") == 2, F.col("cosine"))).alias("top2_cos"),
+    )
+    margin = F.round(F.col("top1_cos") - F.col("top2_cos"), 6)
+    return g.select(
+        "query_id",
+        "top1_id",
+        "top1_cos",
+        "top2_cos",
+        margin.alias("margin"),
+        (margin >= 0.05).alias("is_confident"),
+    )
+
+
+def embedding_cosine_histogram(spark, sf_dir):
+    """Pairwise-cosine distribution over a deterministic sample
+    (vec_id % 7 == 0) — the corpus-isotropy check: healthy embedding
+    spaces pile mass near 0, collapsed ("anisotropic") ones shift the
+    whole histogram right, and that shift predicts ANN recall loss
+    before any index is built. All sample pairs score with round-6
+    cosine, bin into 10 equal [-1, 1) buckets (floor on the rounded
+    value — identical in both engines), and reduce to bin counts plus
+    a micro-snapped mean per bin.
+
+    The sample is FIXED-SIZE by rate (hash-prefix rate at 100 TB), so
+    the pair count is sample², bounded regardless of corpus size —
+    the same budget argument as the calibration entry."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    c = F.round(dot / (na * nb), 6)
+    binned = pairs.select(
+        F.least(F.lit(9), F.floor((c + 1.0) * 5).cast("int")).alias("bin"),
+        F.round(c * 1e6, 0).cast("long").alias("ci"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("ci").alias("s")
+    )
+    return g.select(
+        "bin",
+        "n_pairs",
+        F.round(F.col("s") / F.col("n_pairs") / 1e6, 6).alias("mean_cosine"),
+    )
+
+
 def similarity_ann_lsh(spark, sf_dir):
     """Approximate top-k via random-hyperplane LSH + Hamming-1
     multiprobe. The hyperplanes are md5-derived (engine-portable
@@ -1843,6 +1936,9 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "similarity_knn_indegree": similarity_knn_indegree,
+    "similarity_pair_margin": similarity_pair_margin,
+    "embedding_cosine_histogram": embedding_cosine_histogram,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_recall": similarity_ann_recall,
     "similarity_ivf": similarity_ivf,
@@ -2090,6 +2186,49 @@ _KMEANS_CLUSTERS_SQL = (
 
 
 ORACLES = {
+    # same scoring CTE as similarity_topk_bruteforce, then in-degree
+    # counts-of-counts
+    "similarity_knn_indegree": (
+        "WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id % 5 = 0) q "
+        "WHERE c.vec_id != q.vec_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM s), "
+        "d AS (SELECT neighbor_id, CAST(count(*) AS BIGINT) AS in_degree "
+        "FROM r WHERE rank <= 5 GROUP BY neighbor_id) "
+        "SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vecs "
+        "FROM d GROUP BY in_degree"
+    ),
+    "similarity_pair_margin": (
+        "WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 20) q "
+        "WHERE c.vec_id != q.vec_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM s), "
+        "t AS (SELECT query_id, "
+        "min(CASE WHEN rank = 1 THEN neighbor_id END) AS top1_id, "
+        "min(CASE WHEN rank = 1 THEN cosine END) AS top1_cos, "
+        "min(CASE WHEN rank = 2 THEN cosine END) AS top2_cos "
+        "FROM r WHERE rank <= 2 GROUP BY query_id) "
+        "SELECT query_id, top1_id, top1_cos, top2_cos, "
+        "round(top1_cos - top2_cos, 6) AS margin, "
+        "round(top1_cos - top2_cos, 6) >= 0.05 AS is_confident FROM t"
+    ),
+    "embedding_cosine_histogram": (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id % 7 = 0), "
+        "p AS (SELECT round(list_cosine_similarity(a.v, b.v), 6) AS c "
+        "FROM v a, v b WHERE a.vec_id < b.vec_id), "
+        "b2 AS (SELECT least(9, CAST(floor((c + 1.0) * 5) AS INT)) AS bin, "
+        "CAST(round(c * 1e6, 0) AS BIGINT) AS ci FROM p) "
+        "SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs, "
+        "round(sum(ci) * 1.0 / count(*) / 1e6, 6) AS mean_cosine "
+        "FROM b2 GROUP BY bin"
+    ),
     # counts-of-counts over the shared tokenizer; blank docs excluded
     # on both sides (string_split counts a blank doc as one token)
     "text_hapax_ratio": (

@@ -263,6 +263,9 @@ PENDING_ORDER: list[str] = [
     "events_value_winsorize",
     "graph_degree_distribution",
     "table_partition_skew_report",
+    "similarity_knn_indegree",
+    "similarity_pair_margin",
+    "embedding_cosine_histogram",
 ]
 
 
