@@ -984,6 +984,57 @@ class TestCosineHistogram:
             assert lo - 1e-6 <= r.mean_cosine <= hi + 1e-6
 
 
+class TestTrainValSplit:
+    def test_shares_and_totals(self, spark, sf_dir):
+        from warpdb_spark.inventory import pipeline_ops as P
+
+        rows = P.reshape_train_val_split(spark, sf_dir).collect()
+        docs = P._t(spark, sf_dir, "documents")
+        assert sum(r.n_docs for r in rows) == docs.count()
+        assert {r.split for r in rows} <= {"train", "val", "test"}
+        by_src: dict = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append(r.share_of_source)
+        for src, shares in by_src.items():
+            assert abs(sum(shares) - 1.0) < 1e-5, src
+
+
+class TestDedupLossBySource:
+    def test_planted_loss(self, spark, monkeypatch):
+        from warpdb_spark.inventory import pipeline_ops as P
+        import unittest.mock as mock
+
+        docs = spark.createDataFrame(
+            [
+                (1, "s1", 10, "same text here"),
+                (2, "s1", 10, "same text here"),   # dup of 1, same source
+                (3, "s2", 20, "same text here"),   # dup of 1, other source
+                (4, "s2", 30, "unique content"),
+            ],
+            ["doc_id", "source", "n_chars", "text"],
+        )
+        with mock.patch.object(P, "_t", lambda s, d, n: docs):
+            rows = {r.source: r for r in P.dedup_loss_by_source(spark, "x").collect()}
+        assert rows["s1"].n_docs == 2 and rows["s1"].n_docs_kept == 1
+        assert rows["s1"].char_loss_share == 0.5
+        # s2's dup loses to doc 1's fingerprint entirely
+        assert rows["s2"].n_docs_kept == 1 and rows["s2"].n_chars_kept == 30
+        assert rows["s2"].char_loss_share == 0.4
+
+
+class TestDedupRateByBatch:
+    def test_batches_bounded_and_rates_valid(self, spark, sf_dir):
+        from warpdb_spark.inventory import analytics_ext as ax
+
+        rows = ax.stream_dedup_rate_by_batch(spark, sf_dir).collect()
+        assert rows
+        docs = ax._t(spark, sf_dir, "documents")
+        assert sum(r.n_docs for r in rows) == docs.count()
+        for r in rows:
+            assert 0 <= r.n_novel <= r.n_docs
+            assert 0.0 <= r.novelty_rate <= 1.0
+
+
 class TestZipfAlpha:
     def test_planted_power_law(self, spark, monkeypatch):
         import warpdb_spark.inventory.scale_ops as so

@@ -643,10 +643,49 @@ def table_partition_skew_report(spark, sf_dir):
     )
 
 
+def stream_dedup_rate_by_batch(spark, sf_dir):
+    """Ingest-monitoring curve for the incremental dedup stream: docs
+    arrive in micro-batches of 100 (batch = doc_id // 100, the
+    arrival order ``stream_incremental_dedup`` replays); per batch,
+    how many docs were novel vs rejected by the standing band-key
+    state. A healthy fresh crawl holds a high novelty rate; a
+    re-crawl shows it collapsing batch over batch — THE dashboard
+    number an ingest pipeline alerts on.
+
+    Same two-shuffle shape as ``stream_incremental_dedup`` (first
+    arrival per key is a map-side-combined min; batching adds only a
+    column), output is one row per batch forever — bounded."""
+    from warpdb_spark.operators.dedup import portable_band_keys
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = portable_band_keys(docs, "doc_id", "text", n_bands=4)
+    firsts = keyed.groupBy("key").agg(F.min("doc_id").alias("first_id"))
+    per_doc = (
+        keyed.join(firsts, "key")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("first_id") < F.col("doc_id"), 1).otherwise(0)).alias(
+                "dup"
+            )
+        )
+    )
+    g = per_doc.groupBy(F.floor(F.col("doc_id") / 100).alias("batch_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.lit(1) - F.col("dup")).alias("n_novel"),
+    )
+    return g.select(
+        "batch_id",
+        "n_docs",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_docs"), 6).alias("novelty_rate"),
+    )
+
+
 QUERIES = {
     "scd2_event_intervals": scd2_event_intervals,
     "stream_incremental_dedup": stream_incremental_dedup,
     "table_partition_skew_report": table_partition_skew_report,
+    "stream_dedup_rate_by_batch": stream_dedup_rate_by_batch,
     "table_diff_cdc": table_diff_cdc,
     "events_equidepth_quantiles": events_equidepth_quantiles,
     "events_equidepth_approx": events_equidepth_approx,
@@ -742,6 +781,28 @@ SELECT query_id, neighbor_id, dist2, rank FROM (
 
 
 ORACLES = {
+    # same band-key CTEs as stream_incremental_dedup, rolled up per
+    # arrival batch of 100 docs
+    "stream_dedup_rate_by_batch": (
+        r"WITH norm AS (SELECT doc_id, "
+        r"trim(regexp_replace(lower(text),'\s+',' ','g')) AS n FROM documents), "
+        "sh AS (SELECT doc_id, "
+        "CASE WHEN len(string_split(n,' ')) < 3 THEN [n] "
+        "ELSE list_distinct([array_to_string(string_split(n,' ')[i:i+2], ' ') "
+        "for i in generate_series(1, len(string_split(n,' '))-2)]) END AS g "
+        "FROM norm), "
+        "sig AS (SELECT doc_id, list_min(list_transform(g, gm -> substr(md5('0|' || gm), 1, 16))) AS h0, list_min(list_transform(g, gm -> substr(md5('1|' || gm), 1, 16))) AS h1, list_min(list_transform(g, gm -> substr(md5('2|' || gm), 1, 16))) AS h2, list_min(list_transform(g, gm -> substr(md5('3|' || gm), 1, 16))) AS h3 FROM sh), "
+        "inv AS (SELECT doc_id, unnest(['0|' || h0, '1|' || h1, '2|' || h2, '3|' || h3]) AS key FROM sig), "
+        "f AS (SELECT key, min(doc_id) AS first_id FROM inv GROUP BY key), "
+        "p AS (SELECT inv.doc_id, "
+        "max(CASE WHEN first_id < inv.doc_id THEN 1 ELSE 0 END) AS dup "
+        "FROM inv JOIN f USING (key) GROUP BY inv.doc_id) "
+        "SELECT CAST(doc_id // 100 AS BIGINT) AS batch_id, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(1 - dup) AS BIGINT) AS n_novel, "
+        "round(sum(1 - dup) * 1.0 / count(*), 6) AS novelty_rate "
+        "FROM p GROUP BY 1"
+    ),
     # md5-hex-prefix bucket replayed via the 0x-cast trick
     "table_partition_skew_report": (
         "WITH p AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"

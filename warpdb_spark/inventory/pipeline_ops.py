@@ -284,6 +284,78 @@ def sample_hash_bucket(spark, sf_dir):
     )
 
 
+def reshape_train_val_split(spark, sf_dir):
+    """Deterministic train/val/test split report (95/4/1 by the
+    md5-hex-prefix uniform, the ``sample_weighted`` trick): per
+    (split, source), document count, character volume, and the
+    split's share WITHIN the source — the pre-training sanity table
+    that catches a source whose val slice went empty (or a split
+    whose shares drifted) before a single GPU-hour is spent.
+
+    The split predicate is a codegen'd scan (no shuffle, stable
+    across runs, partitions, AND engines — rand()-based splits are
+    none of these); one (split, source) aggregation + a |sources|-row
+    broadcast for the within-source shares."""
+    docs = _t(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+    split = (
+        F.when(u < 0.95, "train").when(u < 0.99, "val").otherwise("test")
+    )
+    per = docs.select(split.alias("split"), "source", "n_chars").groupBy(
+        "split", "source"
+    ).agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    tot = per.groupBy("source").agg(F.sum("n_docs").alias("src_docs"))
+    return per.join(F.broadcast(tot), "source").select(
+        "split",
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("n_docs") / F.col("src_docs"), 6).alias("share_of_source"),
+    )
+
+
+def dedup_loss_by_source(spark, sf_dir):
+    """Exact-dedup impact report per source: documents and character
+    volume before vs after normalized-content dedup (md5 fingerprint,
+    survivor = smallest doc_id), plus the char-loss share — the
+    budget table a curation run publishes so downstream consumers
+    know how much of each source was boilerplate (a source losing
+    40% to exact dedup is a crawler bug, not a corpus).
+
+    One fingerprint aggregation (map-side combined min) + one
+    broadcast-scale join back; survivors attribute their volume to
+    their own source. Loss shares divide exact integers once."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = T.md5_fingerprint(F.col("text"))
+    d = docs.select("doc_id", "source", "n_chars", fp.alias("fp"))
+    keep = d.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    flagged = d.join(keep, "fp").select(
+        "source",
+        "n_chars",
+        (F.col("doc_id") == F.col("keep_id")).alias("kept"),
+    )
+    g = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_docs_kept"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0)).alias(
+            "n_chars_kept"
+        ),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_docs_kept",
+        "n_chars",
+        "n_chars_kept",
+        F.round(1 - F.col("n_chars_kept") / F.col("n_chars"), 6).alias(
+            "char_loss_share"
+        ),
+    )
+
+
 def sample_weighted(spark, sf_dir):
     """Deterministic weighted sampling: doc i survives iff
     u(i) < n_chars/max_chars where u(i) is a uniform-ish [0,1) value
@@ -1925,6 +1997,8 @@ QUERIES = {
     "dedup_minhash_survivors": dedup_minhash_survivors,
     "sample_hash_bucket": sample_hash_bucket,
     "sample_weighted": sample_weighted,
+    "reshape_train_val_split": reshape_train_val_split,
+    "dedup_loss_by_source": dedup_loss_by_source,
     "sample_mixture_alpha": sample_mixture_alpha,
     "events_zscore_outliers": events_zscore_outliers,
     "events_cusum_changepoints": events_cusum_changepoints,
@@ -2186,6 +2260,35 @@ _KMEANS_CLUSTERS_SQL = (
 
 
 ORACLES = {
+    # md5-hex-prefix uniform replayed via the 0x-cast trick
+    "reshape_train_val_split": (
+        "WITH d AS (SELECT source, n_chars, "
+        "CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
+        "AS DOUBLE) / 4294967296.0 < 0.95 THEN 'train' "
+        "WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
+        "AS DOUBLE) / 4294967296.0 < 0.99 THEN 'val' ELSE 'test' END AS split "
+        "FROM documents), "
+        "per AS (SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars FROM d GROUP BY split, source), "
+        "tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs "
+        "FROM per GROUP BY source) "
+        "SELECT split, per.source, n_docs, n_chars, "
+        "round(n_docs * 1.0 / src_docs, 6) AS share_of_source "
+        "FROM per JOIN tot ON tot.source = per.source"
+    ),
+    # survivor = min doc_id per normalized-content fingerprint
+    "dedup_loss_by_source": (
+        f"WITH d AS (SELECT doc_id, source, n_chars, md5({_norm}) AS fp "
+        "FROM documents), "
+        "k AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept, "
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, "
+        "CAST(sum(CASE WHEN doc_id = keep_id THEN n_chars ELSE 0 END) AS BIGINT) AS n_chars_kept, "
+        "round(1 - sum(CASE WHEN doc_id = keep_id THEN n_chars ELSE 0 END) * 1.0 / sum(n_chars), 6) "
+        "AS char_loss_share "
+        "FROM d JOIN k USING (fp) GROUP BY source"
+    ),
     # same scoring CTE as similarity_topk_bruteforce, then in-degree
     # counts-of-counts
     "similarity_knn_indegree": (

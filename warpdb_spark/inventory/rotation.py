@@ -266,6 +266,9 @@ PENDING_ORDER: list[str] = [
     "similarity_knn_indegree",
     "similarity_pair_margin",
     "embedding_cosine_histogram",
+    "reshape_train_val_split",
+    "dedup_loss_by_source",
+    "stream_dedup_rate_by_batch",
 ]
 
 
