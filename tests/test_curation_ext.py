@@ -1,0 +1,315 @@
+"""Tests for the curation/analytics extension inventory
+(inventory/curation_ext.py): hand-computable fixtures for each
+statistic, determinism of the hash-priority sample, truncation
+semantics of the sequence builder, and invariants on the real
+sf0.001 tables."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import warpdb_spark.inventory.curation_ext as cx
+
+
+@pytest.fixture
+def inject(monkeypatch):
+    """Route cx._t to a fixed DataFrame regardless of table name."""
+
+    def _set(df):
+        monkeypatch.setattr(cx, "_t", lambda spark, sf_dir, name: df)
+
+    return _set
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+
+
+TS0 = datetime.datetime(2024, 1, 1)
+
+
+class TestGini:
+    def test_equal_values_give_zero(self, spark, inject):
+        df = spark.createDataFrame(
+            [(i, "P", 100.0) for i in range(1, 6)],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        )
+        inject(df)
+        r = cx.agg_gini_by_segment(spark, "x").collect()[0]
+        assert r["gini"] == 0.0
+        assert r["n_orders"] == 5 and r["total_value"] == 500.0
+
+    def test_hand_computed_two_values(self, spark, inject):
+        # x = [1, 3] ascending: G = 2*(1*1+2*3)/(2*4) - 3/2 = 14/8-12/8
+        df = spark.createDataFrame(
+            [(1, "P", 1.0), (2, "P", 3.0)],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        )
+        inject(df)
+        r = cx.agg_gini_by_segment(spark, "x").collect()[0]
+        assert r["gini"] == 0.25
+
+    def test_real_data_bounds(self, spark, sf_dir):
+        for r in cx.agg_gini_by_segment(spark, sf_dir).collect():
+            assert 0.0 <= r["gini"] < 1.0
+
+
+class TestReservoir:
+    def test_cap_and_determinism(self, spark, sf_dir):
+        a = cx.sample_reservoir_per_key(spark, sf_dir)
+        sizes = a.groupBy("lang", "source").count().collect()
+        assert all(r["count"] <= 5 for r in sizes)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, cx.sample_reservoir_per_key(spark, sf_dir).collect())
+        )
+
+    def test_priority_is_md5_of_salted_id(self, spark, sf_dir):
+        import hashlib
+
+        r = cx.sample_reservoir_per_key(spark, sf_dir).collect()[0]
+        want = hashlib.md5(f"{r['doc_id']}:rsv".encode()).hexdigest()
+        assert r["priority"] == want
+
+
+class TestUserSequences:
+    def test_order_and_truncation(self, spark, inject):
+        rows = [
+            (i, TS0 + datetime.timedelta(seconds=i), 1, f"e{i:02d}", 1.0)
+            for i in range(25)
+        ] + [(100, TS0, 2, "solo", 1.0)]
+        inject(_events(spark, rows))
+        got = {r["user_id"]: r for r in
+               cx.reshape_user_sequences(spark, "x").collect()}
+        assert got[1]["n_events"] == 25 and got[1]["truncated"]
+        assert got[1]["seq"] == ">".join(f"e{i:02d}" for i in range(20))
+        assert got[2]["seq"] == "solo" and not got[2]["truncated"]
+
+    def test_tie_breaks_on_event_id(self, spark, inject):
+        rows = [(2, TS0, 1, "b", 1.0), (1, TS0, 1, "a", 1.0)]
+        inject(_events(spark, rows))
+        assert cx.reshape_user_sequences(spark, "x").collect()[0]["seq"] == "a>b"
+
+
+class TestChi2:
+    def test_independent_table_has_zero_contrib(self, spark, inject):
+        # 2 types × 4 dayparts, identical counts → obs == expected
+        rows = []
+        eid = 0
+        for part in range(4):
+            for t in ("a", "b"):
+                for _ in range(3):
+                    rows.append(
+                        (eid, TS0 + datetime.timedelta(hours=6 * part), eid, t, 1.0)
+                    )
+                    eid += 1
+        inject(_events(spark, rows))
+        for r in cx.stats_chi2_independence(spark, "x").collect():
+            assert r["chi2_contrib"] == 0.0
+            assert r["expected"] == r["obs"]
+
+    def test_marginals_sum(self, spark, sf_dir):
+        rows = cx.stats_chi2_independence(spark, sf_dir).collect()
+        assert all(r["chi2_contrib"] >= 0 for r in rows)
+        assert sum(r["obs"] for r in rows) == 1000  # sf0.001 events
+
+
+class TestHill:
+    def test_pareto_exponent_recovered(self, spark, inject):
+        # exact Pareto(α=2) quantiles: x_i = (i/n)^(-1/2) — the Hill
+        # estimator on the top-100 of n=500 should land near 2
+        n = 500
+        rows = [
+            (i, TS0, i, "p", (i / n) ** -0.5) for i in range(1, n + 1)
+        ]
+        inject(_events(spark, rows))
+        r = cx.events_hill_tail_index(spark, "x").collect()[0]
+        assert r["k"] == 100
+        assert 1.7 < r["hill_alpha"] < 2.3
+
+    def test_small_groups_dropped(self, spark, inject):
+        inject(_events(spark, [(i, TS0, i, "tiny", 1.0 + i) for i in range(50)]))
+        assert cx.events_hill_tail_index(spark, "x").count() == 0
+
+
+class TestEntropy:
+    def test_uniform_is_log2_k(self, spark, inject):
+        rows = []
+        eid = 0
+        for cohort in range(2):
+            for t in ("a", "b", "c", "d"):
+                for _ in range(5):
+                    rows.append((eid, TS0, cohort, t, 1.0))
+                    eid += 1
+        inject(_events(spark, rows))
+        for r in cx.agg_group_entropy(spark, "x").collect():
+            assert r["entropy_bits"] == 2.0 and r["n_types"] == 4
+
+    def test_single_type_is_zero(self, spark, inject):
+        inject(_events(spark, [(i, TS0, 3, "only", 1.0) for i in range(10)]))
+        r = cx.agg_group_entropy(spark, "x").collect()[0]
+        assert r["entropy_bits"] == 0.0 and r["cohort"] == 3
+
+
+class TestFreshness:
+    def test_lag_and_recent_share(self, spark, inject):
+        rows = [
+            (1, TS0 + datetime.timedelta(days=2), 1, "fresh", 1.0),
+            (2, TS0 + datetime.timedelta(days=2, hours=-12), 2, "fresh", 1.0),
+            (3, TS0, 3, "stale", 1.0),
+        ]
+        inject(_events(spark, rows))
+        got = {r["event_type"]: r for r in
+               cx.table_freshness_report(spark, "x").collect()}
+        assert got["fresh"]["lag_us"] == 0
+        assert got["fresh"]["n_last_24h"] == 2  # 12h-old row inside window
+        assert got["stale"]["lag_us"] == 2 * 86400 * 10**6
+        assert got["stale"]["share_last_24h"] == 0.0
+
+
+class TestCodeDetect:
+    def test_code_doc_flagged_prose_not(self, spark, inject):
+        code = "if (x == 1) { y[0] = <z>; }"  # 12 symbol chars
+        prose = "plain words only here"
+        df = spark.createDataFrame(
+            [(1, code, "en", "s", len(code)), (2, prose, "en", "t", len(prose))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        inject(df)
+        got = {r["source"]: r for r in cx.text_code_detect(spark, "x").collect()}
+        assert got["s"]["n_flagged"] == 1 and got["s"]["n_sym_chars"] == 12
+        assert got["t"]["n_flagged"] == 0 and got["t"]["mean_sym_density"] == 0.0
+
+
+class TestPrefixCluster:
+    def test_planted_prefix_family(self, spark, inject):
+        stem = "the same beginning " * 5  # > 64 chars normalized
+        df = spark.createDataFrame(
+            [
+                (1, stem + "tail one", "en", "a", 1),
+                (2, stem + "a different tail", "en", "b", 1),
+                (3, "totally different document", "en", "a", 1),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        inject(df)
+        got = {r["cluster_size"]: r for r in
+               cx.dedup_prefix_cluster(spark, "x").collect()}
+        assert got[2]["n_clusters"] == 1 and got[2]["n_docs"] == 2
+        assert got[2]["max_sources_in_cluster"] == 2
+        assert got[1]["n_clusters"] == 1
+
+
+class TestVocabCoverage:
+    def test_hand_counts(self, spark, inject):
+        # 10×"a", 5×"b", 1×"c": top-10 covers everything at each cp
+        text = " ".join(["a"] * 10 + ["b"] * 5 + ["c"])
+        df = spark.createDataFrame(
+            [(1, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        inject(df)
+        rows = {r["top_n"]: r for r in
+                cx.text_vocab_coverage_curve(spark, "x").collect()}
+        assert set(rows) == {10, 100, 1000, 5000}
+        for r in rows.values():
+            assert r["vocab_size"] == 3 and r["total_tokens"] == 16
+            assert r["covered_tokens"] == 16 and r["coverage"] == 1.0
+
+    def test_monotone_on_real_data(self, spark, sf_dir):
+        rows = sorted(
+            cx.text_vocab_coverage_curve(spark, sf_dir).collect(),
+            key=lambda r: r["top_n"],
+        )
+        covs = [r["coverage"] for r in rows]
+        assert covs == sorted(covs)
+        assert all(0 < c <= 1 for c in covs)
+
+
+class TestWindowDistribution:
+    def test_rank_formulas(self, spark, inject):
+        # single priority, orderkeys 37 and 74 at known rank positions
+        df = spark.createDataFrame(
+            [(37, "P", 10.0), (74, "P", 20.0), (3, "P", 30.0), (4, "P", 40.0)],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        )
+        inject(df)
+        got = {r["o_orderkey"]: r for r in
+               cx.window_distribution_functions(spark, "x").collect()}
+        assert set(got) == {37, 74}
+        assert got[37]["pct_rank"] == 0.0 and got[37]["cume_dist"] == 0.25
+        assert got[74]["pct_rank"] == round(1 / 3, 6)
+        assert got[74]["cume_dist"] == 0.5
+
+
+class TestNeighborJaccard:
+    def test_hand_computed_path_graph(self, spark, inject):
+        # path 1-2-3-4-5: pairs two apart share exactly one neighbour
+        # (dropped by the ≥2 filter); add edge 1-3 and 3-5 via the
+        # consecutive-user construction: seq 1,2,3,4,5,1,3,5
+        seq = [1, 2, 3, 4, 5, 1, 3, 5]
+        rows = [
+            (i, TS0 + datetime.timedelta(seconds=i), u, "x", 1.0)
+            for i, u in enumerate(seq)
+        ]
+        inject(_events(spark, rows))
+        got = {(r["u"], r["v"]): r for r in
+               cx.graph_neighbor_jaccard(spark, "x").collect()}
+        # N(1)={2,3,5}... pair (1,5): common = {3} plus? compute via code
+        for (u, v), r in got.items():
+            assert u < v and r["common"] >= 2
+            assert 0 < r["jaccard"] <= 1
+            assert r["jaccard"] == round(
+                r["common"] / (r["deg_u"] + r["deg_v"] - r["common"]), 6
+            )
+
+    def test_symmetric_star_counts(self, spark, inject):
+        # star: center 9 touches 1,2,3 → every leaf pair shares only
+        # {9}: below the ≥2 bar unless leaves also connect. Build
+        # K3 + center via consecutive users.
+        seq = [1, 9, 2, 9, 3, 9, 1, 2, 3, 1]
+        rows = [
+            (i, TS0 + datetime.timedelta(seconds=i), u, "x", 1.0)
+            for i, u in enumerate(seq)
+        ]
+        inject(_events(spark, rows))
+        rows_out = cx.graph_neighbor_jaccard(spark, "x").collect()
+        # leaves 1,2,3 pairwise share {9, third leaf} → common=2
+        pairs = {(r["u"], r["v"]) for r in rows_out}
+        assert {(1, 2), (1, 3), (2, 3)} <= pairs
+
+
+class TestWelchZtest:
+    def test_identical_arms_give_zero(self, spark, inject):
+        rows = []
+        for uid in range(10):  # same values in both arms
+            for k in range(3):
+                rows.append((uid * 10 + k, TS0, uid, "purchase", 10.0 + k))
+        inject(_events(spark, rows))
+        r = cx.events_ab_welch_ztest(spark, "x").collect()[0]
+        assert r["z_score"] == 0.0
+        assert r["mean0"] == r["mean1"] == 11.0
+        # 15 values {10,11,12}×5 per arm: Σ(x-11)² = 10, /14
+        assert r["var0"] == r["var1"] == round(10 / 14, 6)
+
+    def test_shifted_arm_detected(self, spark, inject):
+        rows = []
+        for uid in range(20):
+            shift = 100.0 if uid % 2 else 0.0
+            for k in range(5):
+                rows.append((uid * 10 + k, TS0, uid, "purchase",
+                             10.0 + k + shift))
+        inject(_events(spark, rows))
+        r = cx.events_ab_welch_ztest(spark, "x").collect()[0]
+        assert r["mean1"] - r["mean0"] == 100.0
+        assert r["z_score"] > 50
+
+    def test_aa_on_real_data_is_small(self, spark, sf_dir):
+        r = cx.events_ab_welch_ztest(spark, sf_dir).collect()[0]
+        assert abs(r["z_score"]) < 4  # hash-split A/A
+        assert r["n0"] > 0 and r["n1"] > 0

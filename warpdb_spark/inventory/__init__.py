@@ -48,6 +48,7 @@ def load_all():
     from warpdb_spark.inventory import (
         analytics_ext,
         core_sql,
+        curation_ext,
         pipeline_ops,
         retrieval_ops,
         scale_ops,
@@ -56,7 +57,8 @@ def load_all():
 
     merged_q: dict = {}
     merged_o: dict = {}
-    for m in (core_sql, tpch_extra, pipeline_ops, analytics_ext, retrieval_ops, scale_ops):
+    for m in (core_sql, tpch_extra, pipeline_ops, analytics_ext, retrieval_ops,
+              scale_ops, curation_ext):
         merged_q.update(m.QUERIES)
         merged_o.update(m.ORACLES)
 

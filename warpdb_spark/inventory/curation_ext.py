@@ -1,0 +1,794 @@
+"""Curation / analytics extension inventory (round 6).
+
+Thirteen operators a 100 TB training-data pipeline runs between "raw
+corpus" and "tokenizer": inequality + distribution diagnostics (Gini,
+chi-square independence, Hill tail index, group entropy, distribution
+window functions), deterministic sampling/splitting (hash-priority
+reservoir), behaviour-sequence construction, freshness/ops reporting,
+code-likeness detection, prefix-cluster dedup, vocabulary-coverage
+sizing, neighbour-set similarity, and a two-proportion A/B z-test.
+
+Reference parity: the reference engine (src/warpdb.cpp, ~2.6k LoC
+filter/project/aggregate core) has none of these; they follow SURVEY
+§2's "pipeline operators a 100 TB corpus needs" mandate. Every entry
+is exact-oracle-checked against DuckDB. Determinism rules shared with
+the rest of the inventory: money/value/log moments snap to integer
+micro-units BEFORE any aggregation (integer sums are
+evaluation-order-proof; double sums are not), hashes are md5 (both
+engines bit-identical), and every ORDER BY carries a unique tiebreak
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from warpdb_spark.sources.readers import ns_to_timestamp
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return ns_to_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"), "ts")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# one tokenizer, shared verbatim with scale_ops._alnum_tokens
+def _alnum_tokens(col):
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+
+_DD_TOKS = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+)
+_DD_NORM = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+# --- inequality: Gini coefficient per group ----------------------------------
+
+
+def agg_gini_by_segment(spark, sf_dir):
+    """Gini coefficient of order value per order priority — the
+    inequality number a data-mixture owner watches (a source or
+    segment whose value mass concentrates into a few records skews
+    any proportional sampling downstream). Rank-sum identity:
+    G = 2·Σ i·xᵢ / (n·Σ xᵢ) − (n+1)/n with x ascending.
+
+    Prices snap to integer cents first, so both moment sums (Σ i·xᵢ ≤
+    n²·max-cents ≈ 4.5e16 at sf1 — inside int64) are exact integers
+    and the only float op is the final division. The per-group rank is
+    a per-group sort — the same shuffle class as any exact order
+    statistic; the 100 TB variant swaps the exact rank for a binned
+    Lorenz curve (fixed-width value buckets, no sort), same
+    aggregation shape as ``events_value_histogram``."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    r = o.select("o_orderpriority", "o_orderkey", cents.alias("cents")).withColumn(
+        "i", F.row_number().over(w)
+    )
+    g = r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"),
+    )
+    gini = (
+        2.0 * F.col("six") / (F.col("n_orders") * F.col("sx"))
+        - (F.col("n_orders") + 1) / F.col("n_orders")
+    )
+    return g.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("sx") / 100.0, 2).alias("total_value"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+# --- sampling: deterministic hash-priority reservoir -------------------------
+
+
+def sample_reservoir_per_key(spark, sf_dir):
+    """k-per-stratum reservoir sample (k = 5 per (lang, source)) with
+    an md5 priority instead of rand(): survivor set is stable across
+    runs, partitionings, AND engines — the property that makes a
+    sample auditable and a resume re-entrant. Priority = md5(doc_id ||
+    ':rsv'); the salt decorrelates this sample from every other
+    md5-keyed decision (split, weighted sampling) in the pipeline.
+
+    Per-stratum top-k by hash is a bounded heap per group (Spark plans
+    the rank-filter as a partial top-k; no global sort); at 100 TB the
+    same expression runs map-side with a k-row heap per stratum per
+    task. One shuffle on the stratum key."""
+    d = _t(spark, sf_dir, "documents")
+    prio = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rsv")))
+    w = Window.partitionBy("lang", "source").orderBy("priority", "doc_id")
+    return (
+        d.select("lang", "source", "doc_id", "n_chars", prio.alias("priority"))
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= 5)
+        .select("lang", "source", "pick", "doc_id", "n_chars", "priority")
+    )
+
+
+# --- reshape: behaviour sequences --------------------------------------------
+
+
+def reshape_user_sequences(spark, sf_dir):
+    """Per-user ordered event-type sequence (first 20 events by (ts,
+    event_id)), the canonical behaviour-sequence construction for
+    sequence-model training: `click>view>purchase>...` plus the
+    user's TOTAL event count and a truncation flag.
+
+    One shuffle on user_id; the 20-event cap bounds both the string
+    and the per-group state (unbounded collect_list is the classic
+    sequence-builder OOM at 100 TB). The ordered aggregation is
+    array_sort(collect_list(struct(rn, type))) — sorts ≤20 elements
+    per user, engine-portable, no ordered-agg dependency."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n_events", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+    agg = (
+        r.filter(F.col("rn") <= 20)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("seq"),
+        )
+    )
+    return agg.select(
+        "user_id", "n_events", "seq", (F.col("n_events") > 20).alias("truncated")
+    )
+
+
+# --- stats: chi-square independence ------------------------------------------
+
+
+def stats_chi2_independence(spark, sf_dir):
+    """Chi-square contingency between event_type and 6-hour day-part:
+    observed count, expected count under independence (row-total ×
+    col-total / N), and the cell's χ² contribution — the drift test a
+    pipeline runs to decide whether a categorical and a time bucket
+    are independent (a feature whose distribution moves with daypart
+    leaks time into the model).
+
+    One (type, daypart) aggregation (|types|×4 rows at ANY corpus
+    size) + two broadcast marginals; all counts are exact integers, so
+    expected = (rt·ct)/N and the contribution divide identical doubles
+    on both engines. Day-part derives from integer epoch-second
+    arithmetic, UTC-pinned."""
+    ev = _t(spark, sf_dir, "events")
+    esec = F.col("ts").cast("long")
+    part = F.pmod(F.floor(esec / 21600), F.lit(4)).cast("int")
+    obs = (
+        ev.select("event_type", part.alias("daypart"))
+        .groupBy("event_type", "daypart")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    ct = obs.groupBy("daypart").agg(F.sum("obs").alias("ct"))
+    n = obs.agg(F.sum("obs").alias("n"))
+    j = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "daypart")
+        .crossJoin(F.broadcast(n))
+    )
+    exp = (F.col("rt") * F.col("ct")) / F.col("n")
+    return j.select(
+        "event_type",
+        "daypart",
+        "obs",
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6).alias(
+            "chi2_contrib"
+        ),
+    )
+
+
+# --- events: Hill tail-index estimator ---------------------------------------
+
+
+def events_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the power-law tail index per event_type over
+    the top k = 100 positive values: α̂ = k / Σᵢ(ln xᵢ − ln x₍ₖ₊₁₎).
+    The heavy-tail dial a value-weighted sampler checks before
+    trusting a mean (α ≤ 2 ⇒ infinite variance ⇒ means lie).
+
+    The per-type top-(k+1) is a bounded heap (rank ≤ 101 filter —
+    partial top-k, no full sort); log moments snap to integer
+    micro-units before summation (the ``text_zipf_alpha`` rule:
+    ln's last-ulp may differ between libms, the snapped integers do
+    not), so Σ is exact and only the final division is float."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    li = F.round(F.log(F.col("value")) * 1e6, 0).cast("long")
+    r = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 101)
+        .withColumn("li", li)
+    )
+    g = r.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rn") <= 100, F.col("li"))).alias("sum_top"),
+        F.max(F.when(F.col("rn") == 101, F.col("li"))).alias("l_k1"),
+        F.count(F.lit(1)).alias("n_got"),
+    )
+    return (
+        g.filter(F.col("n_got") == 101)
+        .select(
+            "event_type",
+            F.lit(100).alias("k"),
+            F.round(
+                100e6 / (F.col("sum_top") - 100 * F.col("l_k1")), 6
+            ).alias("hill_alpha"),
+        )
+    )
+
+
+# --- agg: Shannon entropy per cohort -----------------------------------------
+
+
+def agg_group_entropy(spark, sf_dir):
+    """Shannon entropy (bits) of the event-type mix per user cohort
+    (cohort = user_id mod 10) — the diversity score a curriculum /
+    mixture designer tracks per slice (a cohort collapsing to one
+    event type is a logging bug or a bot).
+
+    Two integer-count aggregations ((cohort,type) then cohort);
+    per-term p·log₂p snaps to integer micro-units BEFORE the
+    per-cohort sum, so the entropy is evaluation-order-proof. Result
+    rows = 10 at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.select(F.pmod(F.col("user_id"), F.lit(10)).cast("int").alias("cohort"),
+                  "event_type")
+        .groupBy("cohort", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = c.groupBy("cohort").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    term = F.round(-(p * F.log2(p)) * 1e6, 0).cast("long")
+    j = c.join(F.broadcast(n), "cohort").select(
+        "cohort", "n", term.alias("term"), "c"
+    )
+    return (
+        j.groupBy("cohort")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum("term") / 1e6, 6).alias("entropy_bits"),
+        )
+    )
+
+
+# --- table: freshness report -------------------------------------------------
+
+
+def table_freshness_report(spark, sf_dir):
+    """Per-event-type freshness: newest record, lag behind the
+    GLOBAL newest record (µs, exact integer), and the share of the
+    type's rows inside the global last-24h window — the ops table a
+    scheduler reads before trusting a partition ("type X stopped 3
+    days ago" is an ingest outage, not a quiet day).
+
+    One per-type aggregation + a one-row broadcast of the global max;
+    timestamps compare as exact int64 microseconds (no float time
+    math). Result rows = |types| at any corpus size."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    per = (
+        ev.crossJoin(F.broadcast(gmax))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("newest"),
+            F.max(F.unix_micros(F.col("gmax")) - F.unix_micros(F.col("ts"))).alias(
+                "_drop"
+            ),
+            F.sum(
+                F.when(
+                    F.unix_micros(F.col("gmax")) - F.unix_micros(F.col("ts"))
+                    <= 86400_000_000,
+                    1,
+                ).otherwise(0)
+            ).alias("n_last_24h"),
+            F.max(F.unix_micros(F.col("gmax"))).alias("gm"),
+        )
+    )
+    return per.select(
+        "event_type",
+        "n_events",
+        "newest",
+        (F.col("gm") - F.unix_micros(F.col("newest"))).alias("lag_us"),
+        "n_last_24h",
+        F.round(F.col("n_last_24h") / F.col("n_events"), 6).alias("share_last_24h"),
+    )
+
+
+# --- text: code-likeness detection -------------------------------------------
+
+
+def text_code_detect(spark, sf_dir):
+    """Code-likeness profile per (lang, source): mean code-symbol
+    density ({}();=<>[] chars / n_chars) and the share of documents
+    over a 2% density threshold — the filter a natural-language
+    corpus runs to quarantine source-code contamination (code in a
+    prose corpus shifts token statistics and poisons language-ID).
+
+    Pure codegen scan, zero pre-aggregation shuffle: symbol counts
+    come from length-difference after regexp_replace (global on both
+    engines — DuckDB needs the explicit 'g' flag). Per-doc densities
+    snap to integer micro-units before the mean, so the aggregate is
+    evaluation-order-proof."""
+    d = _t(spark, sf_dir, "documents")
+    stripped = F.regexp_replace(F.col("text"), r"[{}()\[\];=<>]", "")
+    sym = F.length("text") - F.length(stripped)
+    di = F.round(sym * F.lit(1e6) / F.col("n_chars"), 0).cast("long")
+    base = d.select(
+        "lang", "source", di.alias("di"), sym.alias("sym")
+    )
+    g = base.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("sym").alias("n_sym_chars"),
+        F.sum("di").alias("sdi"),
+        F.sum(F.when(F.col("di") > 20000, 1).otherwise(0)).alias("n_flagged"),
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_sym_chars",
+        F.round(F.col("sdi") / F.col("n_docs") / 1e6, 6).alias("mean_sym_density"),
+        "n_flagged",
+        F.round(F.col("n_flagged") / F.col("n_docs"), 6).alias("flagged_share"),
+    )
+
+
+# --- dedup: normalized-prefix clustering -------------------------------------
+
+
+def dedup_prefix_cluster(spark, sf_dir):
+    """Prefix-cluster dedup profile: md5 over the first 64 chars of
+    normalized text groups documents that share an opening (truncated
+    /extended/re-crawled variants that EXACT dedup misses because the
+    tails differ). Reported as counts-of-counts (cluster size →
+    number of clusters, docs, distinct sources) — the shape diagnostic
+    that says "this corpus has 40k 2-doc prefix families" without
+    materializing pairs.
+
+    One fingerprint aggregation (map-side combined) + one tiny
+    counts-of-counts aggregation; no joins, no pair space at all —
+    this is the O(n) front-door before any pairwise detector runs."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = F.md5(F.substring(norm, 1, 64))
+    per = d.select(fp.alias("fp"), "source").groupBy("fp").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        per.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            F.max("n_sources").alias("max_sources_in_cluster"),
+        )
+    )
+
+
+# --- text: vocabulary coverage curve -----------------------------------------
+
+
+def text_vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve: share of the corpus token mass
+    covered by the top-{10, 100, 1000, 5000} terms — the table that
+    sizes a tokenizer vocabulary (if 5k terms cover 98%, a 64k vocab
+    buys nothing but embedding rows).
+
+    Term counting is one shuffle; the rank is a window over the
+    VOCABULARY (corpus-size-independent, and the two-phase
+    ``reshape_global_ordinal`` pattern replaces it if the vocab ever
+    outgrows one pass). Checkpoint sums are integer-exact
+    conditionals off one ranked frame."""
+    d = _t(spark, sf_dir, "documents")
+    terms = (
+        d.select(F.explode(_alnum_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = terms.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("term"))),
+    )
+    cps = [10, 100, 1000, 5000]
+    agg = ranked.agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+        *[
+            F.sum(F.when(F.col("r") <= cp, F.col("c")).otherwise(0)).alias(
+                f"cov{cp}"
+            )
+            for cp in cps
+        ],
+    )
+    stacked = agg.select(
+        "total",
+        "vocab",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(cp).alias("top_n"), F.col(f"cov{cp}").alias("covered")
+                    )
+                    for cp in cps
+                ]
+            )
+        ).alias("s"),
+    )
+    return stacked.select(
+        F.col("s.top_n").alias("top_n"),
+        F.col("vocab").alias("vocab_size"),
+        F.col("s.covered").alias("covered_tokens"),
+        F.col("total").alias("total_tokens"),
+        F.round(F.col("s.covered") / F.col("total"), 6).alias("coverage"),
+    )
+
+
+# --- window: distribution functions ------------------------------------------
+
+
+def window_distribution_functions(spark, sf_dir):
+    """percent_rank / cume_dist / ntile(10) of order value within
+    order priority — the distribution-function window family (SURVEY
+    §2.5; the reference parses OVER but cannot execute it,
+    include/expression.hpp:112). The ORDER BY carries (cents,
+    o_orderkey), a unique key, so rank ties — the classic
+    nondeterminism in percent_rank — cannot occur, and both engines
+    produce identical (n-1)-denominator ranks. Output keeps every
+    37th order: the window computes over FULL partitions (filter
+    applied above the window, checked by the predicate placement),
+    the report stays bounded."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    r = (
+        o.select("o_orderpriority", "o_orderkey", cents.alias("cents"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .withColumn("decile", F.ntile(10).over(w))
+    )
+    return r.filter(F.col("o_orderkey") % 37 == 0).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("cents") / 100.0, 2).alias("order_value"),
+        F.round("pr", 6).alias("pct_rank"),
+        F.round("cd", 6).alias("cume_dist"),
+        "decile",
+    )
+
+
+# --- graph: neighbour-set Jaccard --------------------------------------------
+
+
+def graph_neighbor_jaccard(spark, sf_dir):
+    """Neighbour-set Jaccard for user pairs with ≥2 common neighbours
+    in the interaction graph: |N(u)∩N(v)| / |N(u)∪N(v)| — structural
+    role similarity (two users who touch the same crowd), the
+    set-overlap sibling of ``graph_adamic_adar``'s weighted score.
+
+    Same wedge enumeration as Adamic-Adar: Σ deg(z)² work centred on
+    z, bounded in production by the hub-degree cap (a hub's wedges
+    are pure noise for role similarity); here the cap is non-binding
+    so the oracle replays the full sum. Integer counts exact; the
+    only float is the final ratio."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nx = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    )
+    edges = (
+        nx.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    directed = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("z"), F.col("b").alias("nbr"))
+    deg = directed.groupBy("nbr").agg(F.count(F.lit(1)).alias("deg"))
+    d1, d2 = directed.alias("d1"), directed.alias("d2")
+    common = (
+        d1.join(
+            d2,
+            (F.col("d1.z") == F.col("d2.z")) & (F.col("d1.nbr") < F.col("d2.nbr")),
+        )
+        .select(F.col("d1.nbr").alias("u"), F.col("d2.nbr").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    j = (
+        common.join(deg.select(F.col("nbr").alias("u"), F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("nbr").alias("v"), F.col("deg").alias("deg_v")), "v")
+    )
+    return j.select(
+        "u",
+        "v",
+        "common",
+        "deg_u",
+        "deg_v",
+        F.round(
+            F.col("common")
+            / (F.col("deg_u") + F.col("deg_v") - F.col("common")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+# --- events: two-proportion A/B z-test ---------------------------------------
+
+
+def events_ab_welch_ztest(spark, sf_dir):
+    """Welch two-sample z-test on purchase value between deterministic
+    user arms (arm = user_id mod 2) — the experiment readout shape:
+    per-arm n / mean / variance and z = (m₁−m₀)/√(v₀/n₀ + v₁/n₁). On
+    hash-split arms with no treatment the expected z ≈ 0, which makes
+    this the A/A sanity test every experimentation pipeline ships
+    first (a non-null A/A means the split or the metric is broken).
+    A mean-value metric rather than a conversion proportion: with
+    dense per-user activity a has-purchased proportion saturates at
+    1.0 and the pooled-variance test divides by zero.
+
+    One conditional aggregation folds both arms into ONE result row.
+    Moments are exact integers — values snap to centi-units so the
+    SQUARED sum stays inside int64 (5.6e4² × 1e8 rows ≈ 3e17) — and
+    the mean/variance/z arithmetic runs the identical expression tree
+    on identical integers on both engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = F.pmod(F.col("user_id"), F.lit(2)).cast("int")
+    si = F.round(F.col("value") * 100, 0).cast("long")
+    b = ev.select(arm.alias("arm"), si.alias("si"))
+    one = b.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("si"))).alias("s0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("si") * F.col("si"))).alias("q0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("si"))).alias("s1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("si") * F.col("si"))).alias("q1"),
+    )
+    m0 = F.col("s0") / (100.0 * F.col("n0"))
+    m1 = F.col("s1") / (100.0 * F.col("n1"))
+    v0 = (F.col("q0") / 1e4 - F.col("n0") * m0 * m0) / (F.col("n0") - 1)
+    v1 = (F.col("q1") / 1e4 - F.col("n1") * m1 * m1) / (F.col("n1") - 1)
+    z = (m1 - m0) / F.sqrt(v0 / F.col("n0") + v1 / F.col("n1"))
+    return one.select(
+        "n0",
+        F.round(m0, 6).alias("mean0"),
+        F.round(v0, 6).alias("var0"),
+        "n1",
+        F.round(m1, 6).alias("mean1"),
+        F.round(v1, 6).alias("var1"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+QUERIES = {
+    "agg_gini_by_segment": agg_gini_by_segment,
+    "sample_reservoir_per_key": sample_reservoir_per_key,
+    "reshape_user_sequences": reshape_user_sequences,
+    "stats_chi2_independence": stats_chi2_independence,
+    "events_hill_tail_index": events_hill_tail_index,
+    "agg_group_entropy": agg_group_entropy,
+    "table_freshness_report": table_freshness_report,
+    "text_code_detect": text_code_detect,
+    "dedup_prefix_cluster": dedup_prefix_cluster,
+    "text_vocab_coverage_curve": text_vocab_coverage_curve,
+    "window_distribution_functions": window_distribution_functions,
+    "graph_neighbor_jaccard": graph_neighbor_jaccard,
+    "events_ab_welch_ztest": events_ab_welch_ztest,
+}
+
+_toks = _DD_TOKS.format(col="text")
+
+ORACLES = {
+    # integer-cents rank-sum identity
+    "agg_gini_by_segment": (
+        "WITH c AS (SELECT o_orderpriority, o_orderkey, "
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY cents, o_orderkey) AS i FROM c) "
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+        "round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS total_value, "
+        "round(2.0 * CAST(sum(i * cents) AS BIGINT) "
+        "/ (count(*) * CAST(sum(cents) AS BIGINT)) "
+        "- (count(*) + 1) * 1.0 / count(*), 6) AS gini "
+        "FROM r GROUP BY o_orderpriority"
+    ),
+    # md5 priority replayed bit-for-bit
+    "sample_reservoir_per_key": (
+        "WITH p AS (SELECT lang, source, doc_id, n_chars, "
+        "md5(CAST(doc_id AS VARCHAR) || ':rsv') AS priority FROM documents), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang, source "
+        "ORDER BY priority, doc_id) AS pick FROM p) "
+        "SELECT lang, source, CAST(pick AS BIGINT) AS pick, doc_id, n_chars, "
+        "priority FROM r WHERE pick <= 5"
+    ),
+    # ordered string_agg over the rank-capped frame
+    "reshape_user_sequences": (
+        "WITH r AS (SELECT user_id, event_type, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+        "count(*) OVER (PARTITION BY user_id) AS n_events FROM events) "
+        "SELECT user_id, CAST(max(n_events) AS BIGINT) AS n_events, "
+        "string_agg(event_type, '>' ORDER BY rn) AS seq, "
+        "max(n_events) > 20 AS truncated "
+        "FROM r WHERE rn <= 20 GROUP BY user_id"
+    ),
+    # exact-integer marginals; UTC epoch-second dayparts
+    "stats_chi2_independence": (
+        "WITH b AS (SELECT event_type, "
+        "CAST(((CAST(floor(floor(epoch(ts)) / 21600) AS BIGINT) % 4) + 4) % 4 AS INT) "
+        "AS daypart FROM events), "
+        "o AS (SELECT event_type, daypart, CAST(count(*) AS BIGINT) AS obs "
+        "FROM b GROUP BY 1, 2), "
+        "rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt FROM o GROUP BY 1), "
+        "ct AS (SELECT daypart, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY 1), "
+        "n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o) "
+        "SELECT o.event_type, o.daypart, obs, "
+        "round((rt * ct) * 1.0 / n, 6) AS expected, "
+        "round((obs - (rt * ct) * 1.0 / n) * (obs - (rt * ct) * 1.0 / n) "
+        "/ ((rt * ct) * 1.0 / n), 6) AS chi2_contrib "
+        "FROM o JOIN rt USING (event_type) JOIN ct USING (daypart) CROSS JOIN n"
+    ),
+    # micro-snapped log moments (the zipf rule)
+    "events_hill_tail_index": (
+        "WITH r AS (SELECT event_type, "
+        "CAST(round(ln(value) * 1e6, 0) AS BIGINT) AS li, "
+        "row_number() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id) AS rn "
+        "FROM events WHERE value > 0), "
+        "g AS (SELECT event_type, "
+        "CAST(sum(CASE WHEN rn <= 100 THEN li END) AS BIGINT) AS sum_top, "
+        "max(CASE WHEN rn = 101 THEN li END) AS l_k1, "
+        "count(*) AS n_got FROM r WHERE rn <= 101 GROUP BY event_type) "
+        "SELECT event_type, CAST(100 AS INT) AS k, "
+        "round(100e6 / (sum_top - 100 * l_k1), 6) AS hill_alpha "
+        "FROM g WHERE n_got = 101"
+    ),
+    # per-term micro-snap before the cohort sum
+    "agg_group_entropy": (
+        "WITH c AS (SELECT ((user_id % 10) + 10) % 10 AS cohort, event_type, "
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "n AS (SELECT cohort, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1), "
+        "t AS (SELECT c.cohort, n.n, "
+        "CAST(round(-((c * 1.0 / n) * log2(c * 1.0 / n)) * 1e6, 0) AS BIGINT) "
+        "AS term FROM c JOIN n USING (cohort)) "
+        "SELECT CAST(cohort AS INT) AS cohort, max(n) AS n_events, "
+        "CAST(count(*) AS BIGINT) AS n_types, "
+        "round(CAST(sum(term) AS BIGINT) / 1e6, 6) AS entropy_bits "
+        "FROM t GROUP BY cohort"
+    ),
+    # exact int64-microsecond lag vs the broadcast global max
+    "table_freshness_report": (
+        "WITH g AS (SELECT max(ts) AS gmax FROM events) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "max(ts) AS newest, "
+        "CAST(epoch_us(max(gmax)) - epoch_us(max(ts)) AS BIGINT) AS lag_us, "
+        "CAST(sum(CASE WHEN epoch_us(gmax) - epoch_us(ts) <= 86400000000 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h, "
+        "round(sum(CASE WHEN epoch_us(gmax) - epoch_us(ts) <= 86400000000 "
+        "THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS share_last_24h "
+        "FROM events CROSS JOIN g GROUP BY event_type"
+    ),
+    # length-diff symbol counting; 'g' flag on the DuckDB side
+    "text_code_detect": (
+        "WITH b AS (SELECT lang, source, n_chars, "
+        "length(text) - length(regexp_replace(text, '[{}()\\[\\];=<>]', '', 'g')) "
+        "AS sym FROM documents), "
+        "d AS (SELECT lang, source, sym, "
+        "CAST(round(sym * 1e6 / n_chars, 0) AS BIGINT) AS di FROM b) "
+        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(sym) AS BIGINT) AS n_sym_chars, "
+        "round(CAST(sum(di) AS BIGINT) * 1.0 / count(*) / 1e6, 6) AS mean_sym_density, "
+        "CAST(sum(CASE WHEN di > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, "
+        "round(sum(CASE WHEN di > 20000 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) "
+        "AS flagged_share "
+        "FROM d GROUP BY lang, source"
+    ),
+    # counts-of-counts over 64-char normalized-prefix fingerprints
+    "dedup_prefix_cluster": (
+        f"WITH f AS (SELECT md5(substr({_DD_NORM.format(col='text')}, 1, 64)) AS fp, "
+        "source FROM documents), "
+        "per AS (SELECT fp, CAST(count(*) AS BIGINT) AS cluster_size, "
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM f GROUP BY fp) "
+        "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, "
+        "CAST(sum(cluster_size) AS BIGINT) AS n_docs, "
+        "max(n_sources) AS max_sources_in_cluster "
+        "FROM per GROUP BY cluster_size"
+    ),
+    # rank over the vocabulary; integer checkpoint sums
+    "text_vocab_coverage_curve": (
+        f"WITH tok AS (SELECT unnest({_toks}) AS term FROM documents), "
+        "tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term), "
+        "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM tc), "
+        "a AS (SELECT CAST(sum(c) AS BIGINT) AS total, "
+        "CAST(count(*) AS BIGINT) AS vocab, "
+        "CAST(sum(CASE WHEN r <= 10 THEN c ELSE 0 END) AS BIGINT) AS cov10, "
+        "CAST(sum(CASE WHEN r <= 100 THEN c ELSE 0 END) AS BIGINT) AS cov100, "
+        "CAST(sum(CASE WHEN r <= 1000 THEN c ELSE 0 END) AS BIGINT) AS cov1000, "
+        "CAST(sum(CASE WHEN r <= 5000 THEN c ELSE 0 END) AS BIGINT) AS cov5000 "
+        "FROM r) "
+        "SELECT CAST(t.top_n AS INT) AS top_n, vocab AS vocab_size, "
+        "CASE t.top_n WHEN 10 THEN cov10 WHEN 100 THEN cov100 "
+        "WHEN 1000 THEN cov1000 ELSE cov5000 END AS covered_tokens, "
+        "total AS total_tokens, "
+        "round((CASE t.top_n WHEN 10 THEN cov10 WHEN 100 THEN cov100 "
+        "WHEN 1000 THEN cov1000 ELSE cov5000 END) * 1.0 / total, 6) AS coverage "
+        "FROM a CROSS JOIN (VALUES (10), (100), (1000), (5000)) AS t(top_n)"
+    ),
+    # unique (cents, key) ORDER BY makes rank ties impossible
+    "window_distribution_functions": (
+        "WITH c AS (SELECT o_orderpriority, o_orderkey, "
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders), "
+        "r AS (SELECT *, "
+        "percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey) AS pr, "
+        "cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey) AS cd, "
+        "ntile(10) OVER (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey) AS decile "
+        "FROM c) "
+        "SELECT o_orderpriority, o_orderkey, round(cents / 100.0, 2) AS order_value, "
+        "round(pr, 6) AS pct_rank, round(cd, 6) AS cume_dist, "
+        "CAST(decile AS INT) AS decile "
+        "FROM r WHERE o_orderkey % 37 = 0"
+    ),
+    # same edge CTE as every graph oracle; wedge count + degree union
+    "graph_neighbor_jaccard": (
+        "WITH nx AS (SELECT user_id AS src, lead(user_id) OVER "
+        "(PARTITION BY event_type ORDER BY ts, event_id) AS dst FROM events), "
+        "e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM nx WHERE dst IS NOT NULL AND dst <> src), "
+        "d AS (SELECT a AS z, b AS nbr FROM e UNION ALL SELECT b, a FROM e), "
+        "deg AS (SELECT nbr, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY nbr), "
+        "w AS (SELECT d1.nbr AS u, d2.nbr AS v FROM d d1 JOIN d d2 "
+        "ON d1.z = d2.z AND d1.nbr < d2.nbr), "
+        "cm AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common FROM w "
+        "GROUP BY u, v HAVING count(*) >= 2) "
+        "SELECT u, v, common, du.deg AS deg_u, dv.deg AS deg_v, "
+        "round(common * 1.0 / (du.deg + dv.deg - common), 6) AS jaccard "
+        "FROM cm JOIN deg du ON du.nbr = u JOIN deg dv ON dv.nbr = v"
+    ),
+    # centi-snapped integer moments folded to one row; identical
+    # mean/variance/z expression tree both sides
+    "events_ab_welch_ztest": (
+        "WITH b AS (SELECT ((user_id % 2) + 2) % 2 AS arm, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS si "
+        "FROM events WHERE event_type = 'purchase'), "
+        "o AS (SELECT "
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
+        "CAST(sum(CASE WHEN arm = 0 THEN si END) AS BIGINT) AS s0, "
+        "CAST(sum(CASE WHEN arm = 0 THEN si * si END) AS BIGINT) AS q0, "
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        "CAST(sum(CASE WHEN arm = 1 THEN si END) AS BIGINT) AS s1, "
+        "CAST(sum(CASE WHEN arm = 1 THEN si * si END) AS BIGINT) AS q1 FROM b) "
+        "SELECT n0, round(s0 / (100.0 * n0), 6) AS mean0, "
+        "round((q0 / 1e4 - n0 * (s0 / (100.0 * n0)) * (s0 / (100.0 * n0))) "
+        "/ (n0 - 1), 6) AS var0, "
+        "n1, round(s1 / (100.0 * n1), 6) AS mean1, "
+        "round((q1 / 1e4 - n1 * (s1 / (100.0 * n1)) * (s1 / (100.0 * n1))) "
+        "/ (n1 - 1), 6) AS var1, "
+        "round((s1 / (100.0 * n1) - s0 / (100.0 * n0)) / sqrt( "
+        "((q0 / 1e4 - n0 * (s0 / (100.0 * n0)) * (s0 / (100.0 * n0))) / (n0 - 1)) / n0 "
+        "+ ((q1 / 1e4 - n1 * (s1 / (100.0 * n1)) * (s1 / (100.0 * n1))) / (n1 - 1)) / n1"
+        "), 6) AS z_score FROM o"
+    ),
+}

@@ -269,6 +269,22 @@ PENDING_ORDER: list[str] = [
     "reshape_train_val_split",
     "dedup_loss_by_source",
     "stream_dedup_rate_by_batch",
+    # round-6 curation_ext batch — fills the window to exactly 50
+    # pending (37 + 13); ordered behind everything above so the r5
+    # backlog is still verified first
+    "agg_gini_by_segment",
+    "sample_reservoir_per_key",
+    "reshape_user_sequences",
+    "stats_chi2_independence",
+    "events_hill_tail_index",
+    "agg_group_entropy",
+    "table_freshness_report",
+    "text_code_detect",
+    "dedup_prefix_cluster",
+    "text_vocab_coverage_curve",
+    "window_distribution_functions",
+    "graph_neighbor_jaccard",
+    "events_ab_welch_ztest",
 ]
 
 
