@@ -15,10 +15,14 @@ import warpdb_spark.inventory.curation_ext as cx
 
 @pytest.fixture
 def inject(monkeypatch):
-    """Route cx._t to a fixed DataFrame regardless of table name."""
+    """Route cx._t (and scale_ops._t, which the shared _user_edges
+    helper reads through) to a fixed DataFrame regardless of table
+    name."""
+    import warpdb_spark.inventory.scale_ops as so
 
     def _set(df):
         monkeypatch.setattr(cx, "_t", lambda spark, sf_dir, name: df)
+        monkeypatch.setattr(so, "_t", lambda spark, sf_dir, name: df)
 
     return _set
 

@@ -793,3 +793,47 @@ def test_weighted_median_matches_duckdb(spark, rows):
     )
     want = sorted(tuple(r) for r in con.execute(so.ORACLES["agg_weighted_median"]).fetchall())
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), _wm_vals),
+    min_size=1, max_size=12,
+))
+def test_winsorize_matches_duckdb_with_nulls(spark, rows):
+    """events_value_winsorize vs its oracle on random groups including
+    NULL values — the rank window must place NULLs last on both
+    engines and the CASE-form clamp must keep NULL rows NULL (the
+    agg_weighted_median NULL-ordering rule, applied to the other
+    selected-rank entry)."""
+    import pyarrow as pa
+
+    import warpdb_spark.inventory.scale_ops as so
+
+    data = [(i, t, v) for i, (t, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id long, event_type string, value double"
+    )
+    orig = so._t
+    so._t = lambda s, d, n: df
+    try:
+        got = sorted(tuple(r) for r in so.events_value_winsorize(spark, "x").collect())
+    finally:
+        so._t = orig
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pa.table({
+            "event_id": pa.array([d[0] for d in data], pa.int64()),
+            "event_type": pa.array([d[1] for d in data], pa.string()),
+            "value": pa.array([d[2] for d in data], pa.float64()),
+        }),
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(so.ORACLES["events_value_winsorize"]).fetchall()
+    )
+    assert got == want

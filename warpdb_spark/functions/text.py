@@ -181,8 +181,23 @@ def distinct_stopword_hits(col: Column, words: list[str] | None = None) -> Colum
 
 
 def normalized_text(col: Column) -> Column:
-    """Dedup normalization: lower-case, collapse whitespace, trim."""
+    """Dedup normalization: lower-case, collapse whitespace, trim.
+    DuckDB twin: ``DD_NORM`` below — change both together."""
     return F.trim(F.regexp_replace(F.lower(col), _WS, " "))
+
+
+def alnum_tokens(col: Column) -> Column:
+    """Lower-cased [a-z0-9]+ token array — the ONE corpus tokenizer the
+    text inventory entries share. DuckDB twin: ``DD_ALNUM_TOKS`` below —
+    change both together."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+
+# DuckDB oracle twins of the two normalizers above ({col} templates).
+DD_NORM = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+DD_ALNUM_TOKS = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+)
 
 
 def md5_fingerprint(col: Column) -> Column:

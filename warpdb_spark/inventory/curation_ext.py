@@ -24,6 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from warpdb_spark.functions.text import (
+    DD_ALNUM_TOKS,
+    DD_NORM,
+    alnum_tokens as _alnum_tokens,
+    normalized_text,
+)
+from warpdb_spark.inventory.scale_ops import _user_edges
 from warpdb_spark.sources.readers import ns_to_timestamp
 
 
@@ -33,17 +40,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         return ns_to_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"), "ts")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-# one tokenizer, shared verbatim with scale_ops._alnum_tokens
-def _alnum_tokens(col):
-    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit(""))
-
-
-_DD_TOKS = (
-    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
-)
-_DD_NORM = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
 
 
 # --- inequality: Gini coefficient per group ----------------------------------
@@ -295,9 +291,6 @@ def table_freshness_report(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.max("ts").alias("newest"),
-            F.max(F.unix_micros(F.col("gmax")) - F.unix_micros(F.col("ts"))).alias(
-                "_drop"
-            ),
             F.sum(
                 F.when(
                     F.unix_micros(F.col("gmax")) - F.unix_micros(F.col("ts"))
@@ -373,8 +366,7 @@ def dedup_prefix_cluster(spark, sf_dir):
     counts-of-counts aggregation; no joins, no pair space at all —
     this is the O(n) front-door before any pairwise detector runs."""
     d = _t(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    fp = F.md5(F.substring(norm, 1, 64))
+    fp = F.md5(F.substring(normalized_text(F.col("text")), 1, 64))
     per = d.select(fp.alias("fp"), "source").groupBy("fp").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.countDistinct("source").alias("n_sources"),
@@ -482,6 +474,10 @@ def window_distribution_functions(spark, sf_dir):
 
 # --- graph: neighbour-set Jaccard --------------------------------------------
 
+# wedge-center degree cap; 1M = non-binding at oracle scale (DuckDB
+# replays the full sum), dropped to O(100) on dense production graphs
+_JACCARD_CENTER_CAP = 1_000_000
+
 
 def graph_neighbor_jaccard(spark, sf_dir):
     """Neighbour-set Jaccard for user pairs with ≥2 common neighbours
@@ -489,26 +485,30 @@ def graph_neighbor_jaccard(spark, sf_dir):
     role similarity (two users who touch the same crowd), the
     set-overlap sibling of ``graph_adamic_adar``'s weighted score.
 
-    Same wedge enumeration as Adamic-Adar: Σ deg(z)² work centred on
-    z, bounded in production by the hub-degree cap (a hub's wedges
-    are pure noise for role similarity); here the cap is non-binding
-    so the oracle replays the full sum. Integer counts exact; the
-    only float is the final ratio."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    nx = ev.select(
-        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
-    )
-    edges = (
-        nx.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
-        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
+    Same wedge enumeration as Adamic-Adar (and the same shared
+    ``_user_edges`` derivation): Σ deg(z)² work centred on z, bounded
+    by a hub-CENTER degree cap (a hub's wedges are pure noise for
+    role similarity); the cap sits above this graph's max degree so
+    the oracle replays the full sum. Integer counts exact; the only
+    float is the final ratio."""
+    edges = _user_edges(spark, sf_dir)
     directed = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).select(F.col("a").alias("z"), F.col("b").alias("nbr"))
     deg = directed.groupBy("nbr").agg(F.count(F.lit(1)).alias("deg"))
-    d1, d2 = directed.alias("d1"), directed.alias("d2")
+    # center-degree cap: production knob, non-binding on the test
+    # graph (the graph_adamic_adar discipline). On DENSE graphs it is
+    # the load-bearing bound: the 20M-event/200k-user replay produced
+    # 356M candidate pairs uncapped vs a bounded set at cap 64 —
+    # wedge output grows with Σ deg(z)², and hub centers say nothing
+    # about role similarity anyway.
+    center_deg = deg.select(F.col("nbr").alias("z"), F.col("deg").alias("zdeg"))
+    capped = directed.join(
+        F.broadcast(center_deg.filter(F.col("zdeg") > _JACCARD_CENTER_CAP)),
+        "z",
+        "left_anti",
+    )
+    d1, d2 = capped.alias("d1"), capped.alias("d2")
     common = (
         d1.join(
             d2,
@@ -600,7 +600,7 @@ QUERIES = {
     "events_ab_welch_ztest": events_ab_welch_ztest,
 }
 
-_toks = _DD_TOKS.format(col="text")
+_toks = DD_ALNUM_TOKS.format(col="text")
 
 ORACLES = {
     # integer-cents rank-sum identity
@@ -708,7 +708,7 @@ ORACLES = {
     ),
     # counts-of-counts over 64-char normalized-prefix fingerprints
     "dedup_prefix_cluster": (
-        f"WITH f AS (SELECT md5(substr({_DD_NORM.format(col='text')}, 1, 64)) AS fp, "
+        f"WITH f AS (SELECT md5(substr({DD_NORM.format(col='text')}, 1, 64)) AS fp, "
         "source FROM documents), "
         "per AS (SELECT fp, CAST(count(*) AS BIGINT) AS cluster_size, "
         "CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM f GROUP BY fp) "

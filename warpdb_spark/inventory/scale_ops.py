@@ -30,12 +30,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _alnum_tokens(col):
-    """Lower-cased [a-z0-9]+ token array — the ONE tokenizer every text
-    entry in this module shares; its DuckDB twin is
-    ``list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')``
-    repeated verbatim in each oracle string. Change both together."""
-    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+# the ONE corpus tokenizer every text entry shares (hoisted to
+# functions.text in round 6); its DuckDB twin DD_ALNUM_TOKS is still
+# repeated verbatim in each oracle string here — change both together
+from warpdb_spark.functions.text import alnum_tokens as _alnum_tokens  # noqa: E402
 
 
 def _user_edges(spark, sf_dir):
@@ -1792,7 +1790,11 @@ def events_value_winsorize(spark, sf_dir):
     micro-units before summing so evaluation order can't flip the
     hash. Two passes over one event_type partitioning."""
     ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # NULLS LAST to match the oracle's ORDER BY default (the
+    # agg_weighted_median rule — Spark's bare ASC is NULLS FIRST)
+    wr = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     wc = Window.partitionBy("event_type")
     r = ev.select(
         "event_type",
@@ -1810,9 +1812,14 @@ def events_value_winsorize(spark, sf_dir):
     )
     j = ev.join(F.broadcast(cuts), "event_type")
     vi = F.round(F.col("value") * 1e6, 0).cast("long")
-    wi = F.round(F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))) * 1e6, 0).cast(
-        "long"
+    # CASE-form clamp: NULL value falls through to ELSE → stays NULL on
+    # BOTH engines (Spark's greatest/least skip NULLs, DuckDB's don't)
+    clamped = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
     )
+    wi = F.round(clamped * 1e6, 0).cast("long")
     g = j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias("n_clamped_lo"),
@@ -1846,15 +1853,7 @@ def graph_degree_distribution(spark, sf_dir):
     edges one shuffle; degrees one map-side-combined count; the
     histogram reduces to at most max-degree rows. Nothing here is
     quadratic — hubs add counts, not pairs."""
-    ev = _t(spark, sf_dir, "events")
-    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    nx = ev.select(
-        F.col("user_id").alias("src"),
-        F.lead("user_id").over(wo).alias("dst"),
-    ).filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
-    edges = nx.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    edges = _user_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("user_id"))
         .unionAll(edges.select(F.col("b").alias("user_id")))
@@ -1906,7 +1905,8 @@ ORACLES = {
         "FROM r GROUP BY event_type), "
         "j AS (SELECT e.event_type, e.value, c.lo, c.hi, "
         "CAST(round(e.value * 1e6, 0) AS BIGINT) AS vi, "
-        "CAST(round(greatest(c.lo, least(c.hi, e.value)) * 1e6, 0) AS BIGINT) AS wi "
+        "CAST(round((CASE WHEN e.value < c.lo THEN c.lo "
+        "WHEN e.value > c.hi THEN c.hi ELSE e.value END) * 1e6, 0) AS BIGINT) AS wi "
         "FROM events e JOIN cuts c USING (event_type)) "
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
         "CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo, "
