@@ -317,3 +317,30 @@ class TestWelchZtest:
         r = cx.events_ab_welch_ztest(spark, sf_dir).collect()[0]
         assert abs(r["z_score"]) < 4  # hash-split A/A
         assert r["n0"] > 0 and r["n1"] > 0
+
+
+class TestPlanShapes:
+    """Physical-plan pins for the scale-load-bearing shapes (the
+    test_optimizer_parity discipline): rank-filter top-k must stay a
+    WindowGroupLimit (per-group bounded heap, no full-partition sort
+    materialization) and the wedge join must never degrade to a
+    cartesian/nested-loop product."""
+
+    @staticmethod
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_reservoir_uses_window_group_limit(self, spark, sf_dir):
+        assert "WindowGroupLimit" in self._plan(
+            cx.sample_reservoir_per_key(spark, sf_dir)
+        )
+
+    def test_hill_uses_window_group_limit(self, spark, sf_dir):
+        assert "WindowGroupLimit" in self._plan(
+            cx.events_hill_tail_index(spark, sf_dir)
+        )
+
+    def test_jaccard_has_no_cartesian(self, spark, sf_dir):
+        p = self._plan(cx.graph_neighbor_jaccard(spark, sf_dir))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoop" not in p
