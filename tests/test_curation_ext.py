@@ -63,6 +63,33 @@ class TestGini:
         for r in cx.agg_gini_by_segment(spark, sf_dir).collect():
             assert 0.0 <= r["gini"] < 1.0
 
+    def test_rank_moment_sums_in_decimal(self, spark, sf_dir):
+        # Σ i·cents grows as n²·max-cents — a long sum crashed under
+        # ANSI at 4M rows/group in the 20M replay. The accumulator
+        # must stay decimal(38,0) (exact, order-proof, ~1e38 headroom).
+        df = cx.agg_gini_by_segment(spark, sf_dir)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "decimal(38,0)" in plan
+
+    def test_binned_matches_exact_within_tolerance(self, spark, sf_dir):
+        exact = {
+            r["o_orderpriority"]: r["gini"]
+            for r in cx.agg_gini_by_segment(spark, sf_dir).collect()
+        }
+        for r in cx.agg_gini_binned(spark, sf_dir).collect():
+            assert abs(r["gini"] - exact[r["o_orderpriority"]]) < 1e-3
+            assert r["n_buckets"] >= 2
+
+    def test_binned_equal_values_give_zero(self, spark, inject):
+        df = spark.createDataFrame(
+            [(i, "P", 100.0) for i in range(1, 6)],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        )
+        inject(df)
+        r = cx.agg_gini_binned(spark, "x").collect()[0]
+        assert r["gini"] == 0.0
+        assert r["n_orders"] == 5 and r["n_buckets"] == 1
+
 
 class TestReservoir:
     def test_cap_and_determinism(self, spark, sf_dir):

@@ -285,6 +285,9 @@ PENDING_ORDER: list[str] = [
     "window_distribution_functions",
     "graph_neighbor_jaccard",
     "events_ab_welch_ztest",
+    # round-6 late additions — behind the rehearsed 50-entry r6 window;
+    # these front the r7 window
+    "agg_gini_binned",
 ]
 
 

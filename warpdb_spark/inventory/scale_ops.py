@@ -908,24 +908,30 @@ _OLS_EPOCH0 = 1704067200  # 2024-01-01 UTC — recenters x so Σx² stays in BIG
 def events_trend_ols(spark, sf_dir):
     """Closed-form per-event_type least-squares trend of value over
     time: slope/intercept/R² from the five classical sums. The sums are
-    computed in INTEGER space (x = epoch-seconds recentered to 2024-01-01
-    so Σx² fits BIGINT; y = value in cents — the data is 2-decimal) so
-    partial aggregation order can't perturb them (float Σ is
-    order-dependent under map-side combine; integer Σ is exact in any
-    order) — the engines then evaluate the same closed-form doubles
-    from identical integers. One partial-aggregated shuffle on the tiny
-    event_type key; the same single pass at 100 TB.
+    computed in INTEGER space (x = epoch-seconds recentered to
+    2024-01-01; y = value in cents — the data is 2-decimal) so partial
+    aggregation order can't perturb them (float Σ is order-dependent
+    under map-side combine; integer Σ is exact in any order) — the
+    engines then evaluate the same closed-form doubles from identical
+    integers. The three second-moment sums accumulate in DECIMAL(38,0):
+    x² of a multi-year recentered timestamp is ~1e15-1e16 per row, so a
+    BIGINT Σx² is already past int64 at a few million rows per group (a
+    20M-row replay crashed the long sum under ANSI); decimal keeps the
+    sum exact and order-proof to ~1e38. DuckDB's BIGINT SUM widens to
+    HUGEINT natively — same exact integer, same final double. One
+    partial-aggregated shuffle on the tiny event_type key; the same
+    single pass at 100 TB.
     """
     ev = _t(spark, sf_dir, "events")
     x = (F.col("ts").cast("long") - F.lit(_OLS_EPOCH0)).cast("bigint")
     y = F.round(F.col("value") * 100).cast("bigint")
     s = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy, sxy = (
