@@ -123,6 +123,35 @@ def test_no_nested_typed_result_columns(spark, sf_dir):
     )
 
 
+def test_no_long_product_moment_sums(spark, sf_dir):
+    """Ban the rows²-growth int64 overflow class: a SUM over a product
+    of two long-typed columns (Σ i·x rank moments, Σ x² second
+    moments) crosses int64 at a few million rows per group — ANSI mode
+    crashes at scale, non-ANSI silently wraps (found live in round 6:
+    agg_gini_by_segment and events_trend_ols both crashed a 20M-row
+    replay). Integer product-moments must accumulate in decimal(38,0);
+    tools/lint_moment_overflow.py holds the rule over every entry's
+    analyzed plan."""
+    from tools.lint_moment_overflow import lint_plan
+
+    q, _ = inventory.load_all()
+    offenders = {}
+    try:
+        for name, fn in q.items():
+            try:
+                plan = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+            except Exception:
+                continue  # construction failures are other tests' business
+            findings = lint_plan(plan)
+            if findings:
+                offenders[name] = findings
+    finally:
+        spark.catalog.clearCache()
+    assert not offenders, (
+        f"long-product moment sums (int64 overflow at scale): {offenders}"
+    )
+
+
 def test_submodule_import_failure_is_loud(monkeypatch):
     """If pipeline_ops can't import, load_all must raise — not quietly
     drop its 34 entries and report a greener round than is real."""

@@ -95,8 +95,14 @@ def main():
 
     import warpdb_spark.inventory.curation_ext as cx
 
+    # Replay the wedge join in its cap-binding configuration (the
+    # uncapped 1M run on this uniformly-dense synthetic graph is the
+    # documented 951s quadratic blowup; see PLANS.md round 6).
+    cx._JACCARD_CENTER_CAP = 64
+
     entries = [
         ("agg_gini_by_segment", cx.agg_gini_by_segment),
+        ("agg_gini_binned", cx.agg_gini_binned),
         ("window_distribution_functions", cx.window_distribution_functions),
         ("sample_reservoir_per_key", cx.sample_reservoir_per_key),
         ("reshape_user_sequences", cx.reshape_user_sequences),
@@ -112,7 +118,16 @@ def main():
     ]
     for name, fn in entries:
         t0 = time.time()
-        n = fn(spark, OUT).count()
+        df = fn(spark, OUT)
+        # Force FULL materialization: .count() lets Spark prune every
+        # column the count doesn't need (it erased the gini moment
+        # sums entirely and hid an int64 overflow), so hash every
+        # column and bit_xor the hashes (bit_xor cannot overflow,
+        # unlike summing full-range longs).
+        h = df.select(
+            F.xxhash64(*[F.col(c).cast("string") for c in df.columns]).alias("h")
+        )
+        n = h.agg(F.count(F.lit(1)).alias("n"), F.bit_xor("h")).collect()[0]["n"]
         print(f"{name}: {n} rows in {time.time()-t0:.1f}s")
 
     shutil.rmtree(OUT, ignore_errors=True)

@@ -71,7 +71,10 @@ def agg_gini_by_segment(spark, sf_dir):
     g = r.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("sx"),
-        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).alias("six"),
+        # cast BEFORE the multiply: the long product i*cents itself
+        # overflows once i (≈ group row count) reaches ~2e11 at 5e7
+        # cents; decimal×long multiplies in decimal space
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("six"),
     )
     gini = (
         2.0 * F.col("six").cast("double")
@@ -610,10 +613,12 @@ def events_ab_welch_ztest(spark, sf_dir):
     1.0 and the pooled-variance test divides by zero.
 
     One conditional aggregation folds both arms into ONE result row.
-    Moments are exact integers — values snap to centi-units so the
-    SQUARED sum stays inside int64 (5.6e4² × 1e8 rows ≈ 3e17) — and
-    the mean/variance/z arithmetic runs the identical expression tree
-    on identical integers on both engines."""
+    Moments are exact integers — values snap to centi-units, and the
+    SQUARED sums accumulate in DECIMAL(38,0) (5.6e4² per row ≈ 3e9
+    crosses int64 around 3e9 rows; decimal keeps the sum exact and
+    order-proof to ~1e38, and DuckDB's BIGINT SUM widens to HUGEINT
+    natively) — and the mean/variance/z arithmetic runs the identical
+    expression tree on identical integers on both engines."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     arm = F.pmod(F.col("user_id"), F.lit(2)).cast("int")
     si = F.round(F.col("value") * 100, 0).cast("long")
@@ -621,10 +626,14 @@ def events_ab_welch_ztest(spark, sf_dir):
     one = b.agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
         F.sum(F.when(F.col("arm") == 0, F.col("si"))).alias("s0"),
-        F.sum(F.when(F.col("arm") == 0, F.col("si") * F.col("si"))).alias("q0"),
+        F.sum(
+            F.when(F.col("arm") == 0, (F.col("si") * F.col("si")).cast("decimal(38,0)"))
+        ).alias("q0"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("arm") == 1, F.col("si"))).alias("s1"),
-        F.sum(F.when(F.col("arm") == 1, F.col("si") * F.col("si"))).alias("q1"),
+        F.sum(
+            F.when(F.col("arm") == 1, (F.col("si") * F.col("si")).cast("decimal(38,0)"))
+        ).alias("q1"),
     )
     m0 = F.col("s0") / (100.0 * F.col("n0"))
     m1 = F.col("s1") / (100.0 * F.col("n1"))

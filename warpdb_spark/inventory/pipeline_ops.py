@@ -1455,9 +1455,12 @@ def embedding_dim_profile(spark, sf_dir):
     any sum (float sums are association-sensitive across engines —
     the CUSUM lesson); mean/var/std derive from the exact integer
     moments with the identical double expression on both sides
-    (explicit m1*m1, no pow). int64 x² micro-moments overflow around
-    9e6 vectors·dim at |x|≤1; the oracle-checked profile runs at
-    corpus scale with DECIMAL if needed (documented, not hit here)."""
+    (explicit m1*m1, no pow). The x² micro-moment sum crosses int64
+    at only ~9e6 vectors per dim at |x|≤1, so it accumulates in
+    DECIMAL(38,0) — exact, order-proof, ~1e38 headroom (the rule
+    tools/lint_moment_overflow.py enforces repo-wide); DuckDB's
+    BIGINT SUM widens to HUGEINT natively, so the oracle stays
+    bit-identical."""
     emb = _t(spark, sf_dir, "embeddings")
     d = emb.select(F.posexplode("embedding").alias("dim", "x"))
     xi = F.round(F.col("x").cast("double") * 1e6, 0).cast("long")
@@ -1467,14 +1470,16 @@ def embedding_dim_profile(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.sum("xi").alias("s1"),
-            F.sum(F.col("xi") * F.col("xi")).alias("s2"),
+            F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("s2"),
             F.min("xi").alias("mn"),
             F.max("xi").alias("mx"),
             F.sum(F.when(F.col("xi") == 0, 1).otherwise(0)).alias("nz"),
         )
     )
     m1 = F.col("s1") / F.col("n_vecs")
-    var_micro2 = F.col("s2") / F.col("n_vecs") - m1 * m1
+    # explicit double division: decimal/long division in Spark rounds
+    # at a fixed decimal scale, which is NOT the oracle's double math
+    var_micro2 = F.col("s2").cast("double") / F.col("n_vecs") - m1 * m1
     return per.select(
         "dim",
         "n_vecs",

@@ -1489,9 +1489,12 @@ def text_zipf_alpha(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("xi").alias("sx"),
         F.sum("yi").alias("sy"),
-        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
-        F.sum(F.col("yi") * F.col("yi")).alias("syy"),
-        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        # bounded (50 rows, |log·1e6| ≤ ~3e7 → Σ ≤ 5e16) but held to
+        # the repo-wide rule: integer product-moments accumulate in
+        # decimal(38,0) (tools/lint_moment_overflow.py enforces it)
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("yi") * F.col("yi")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("xi") * F.col("yi")).cast("decimal(38,0)")).alias("sxy"),
     )
     n = F.col("n").cast("double")
     cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
