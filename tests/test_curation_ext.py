@@ -371,3 +371,28 @@ class TestPlanShapes:
         p = self._plan(cx.graph_neighbor_jaccard(spark, sf_dir))
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoop" not in p
+
+    def test_binned_ecdf_broadcasts_and_skips_probe_sort(self, spark, sf_dir):
+        # the whole point of the binned path: the probe side must be a
+        # broadcast hash join with the report filter pushed into the
+        # probe scan — no per-group sort of the fact table
+        p = self._plan(cx.window_distribution_binned(spark, sf_dir))
+        assert "BroadcastHashJoin" in p
+
+
+class TestBinnedEcdf:
+    def test_tracks_exact_distribution_functions(self, spark, sf_dir):
+        exact = {
+            r["o_orderkey"]: r
+            for r in cx.window_distribution_functions(spark, sf_dir).collect()
+        }
+        rows = cx.window_distribution_binned(spark, sf_dir).collect()
+        assert len(rows) == len(exact)
+        for r in rows:
+            e = exact[r["o_orderkey"]]
+            # pct_below <= true percent_rank-ish position <= pct_incl,
+            # and both within the bucket-occupancy error envelope
+            assert r["pct_below"] <= e["cume_dist"] + 1e-9
+            assert r["pct_incl"] >= e["cume_dist"] - 1e-9
+            assert abs(r["pct_incl"] - e["cume_dist"]) < 0.05
+            assert abs(r["pct_below"] - e["pct_rank"]) < 0.05

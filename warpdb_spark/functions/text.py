@@ -115,9 +115,15 @@ def lang_id(col: Column) -> Column:
     return out
 
 
+_ASCII_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
 def alpha_ratio(col: Column) -> Column:
+    # translate delete-and-measure: per-char map lookup, measured 12×
+    # faster than the equivalent regexp_replace strip at 1M docs and
+    # bit-identical (PLANS.md round 6); oracles keep the regex form
     n = F.length(col)
-    alpha = F.length(F.regexp_replace(col, "[^A-Za-z]", ""))
+    alpha = n - F.length(F.translate(col, _ASCII_ALPHA, ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(alpha / n)
 
 

@@ -383,13 +383,16 @@ def text_code_detect(spark, sf_dir):
     prose corpus shifts token statistics and poisons language-ID).
 
     Pure codegen scan, zero pre-aggregation shuffle: symbol counts
-    come from length-difference after regexp_replace (global on both
-    engines — DuckDB needs the explicit 'g' flag). Per-doc densities
+    come from length-difference after `translate` delete (a per-char
+    map lookup, 12× faster than the regexp_replace strip it replaced;
+    the DuckDB oracle keeps the regex with its 'g' flag — identical
+    counts either way). Per-doc densities
     snap to integer micro-units before the mean, so the aggregate is
     evaluation-order-proof."""
     d = _t(spark, sf_dir, "documents")
-    stripped = F.regexp_replace(F.col("text"), r"[{}()\[\];=<>]", "")
-    sym = F.length("text") - F.length(stripped)
+    # translate delete-and-measure (12× vs regexp strip, PLANS.md r6);
+    # the DuckDB oracle keeps the regex form — identical counts
+    sym = F.length("text") - F.length(F.translate(F.col("text"), "{}()[];=<>", ""))
     di = F.round(sym * F.lit(1e6) / F.col("n_chars"), 0).cast("long")
     base = d.select(
         "lang", "source", di.alias("di"), sym.alias("sym")
@@ -533,6 +536,51 @@ def window_distribution_functions(spark, sf_dir):
     )
 
 
+def window_distribution_binned(spark, sf_dir):
+    """Sort-free approximate ECDF — the 100 TB path for the
+    distribution-function window family. The exact entry
+    (``window_distribution_functions``) is a per-group sort of the
+    whole fact table (honest cost 13.7s at 20M rows); this one builds
+    a binned ECDF instead: one partial-agg shuffle to (group, $250
+    bucket) counts, a cumulative window over the ≤few-thousand bucket
+    rows per group, then a broadcast join back onto the (filtered)
+    probe rows — the report filter pushes below the join on the probe
+    side, which the exact window structurally cannot allow (its
+    window must see full partitions). pct_below ≈ percent_rank and
+    pct_incl ≈ cume_dist with error bounded by the row's bucket
+    occupancy share. All-integer bucket ids and counts make the
+    approximation exact-oracle-checkable — DuckDB replays identical
+    buckets, cumulatives, and final doubles."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    rows = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        cents.alias("cents"),
+        F.floor(cents / F.lit(_GINI_BUCKET_CENTS)).cast("long").alias("bucket"),
+    )
+    b = rows.groupBy("o_orderpriority", "bucket").agg(F.count(F.lit(1)).alias("nb"))
+    wb = Window.partitionBy("o_orderpriority").orderBy("bucket")
+    ecdf = b.select(
+        "o_orderpriority",
+        "bucket",
+        "nb",
+        (F.sum("nb").over(wb) - F.col("nb")).alias("cum_below"),
+        F.sum("nb").over(wb).alias("cum_incl"),
+        F.sum("nb").over(Window.partitionBy("o_orderpriority")).alias("n_total"),
+    )
+    probe = rows.filter(F.col("o_orderkey") % 37 == 0)
+    j = probe.join(F.broadcast(ecdf), ["o_orderpriority", "bucket"])
+    return j.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("cents") / 100.0, 2).alias("order_value"),
+        "bucket",
+        F.round(F.col("cum_below") / F.col("n_total"), 6).alias("pct_below"),
+        F.round(F.col("cum_incl") / F.col("n_total"), 6).alias("pct_incl"),
+    )
+
+
 # --- graph: neighbour-set Jaccard --------------------------------------------
 
 # wedge-center degree cap; 1M = non-binding at oracle scale (DuckDB
@@ -664,6 +712,7 @@ QUERIES = {
     "dedup_prefix_cluster": dedup_prefix_cluster,
     "text_vocab_coverage_curve": text_vocab_coverage_curve,
     "window_distribution_functions": window_distribution_functions,
+    "window_distribution_binned": window_distribution_binned,
     "graph_neighbor_jaccard": graph_neighbor_jaccard,
     "events_ab_welch_ztest": events_ab_welch_ztest,
 }
@@ -699,6 +748,24 @@ ORACLES = {
         "round(1.0 - CAST(sum(nb * (2 * cum_s - sb)) AS DOUBLE) "
         "/ (CAST(sum(nb) AS DOUBLE) * CAST(sum(sb) AS DOUBLE)), 6) AS gini "
         "FROM w GROUP BY o_orderpriority"
+    ),
+    # binned ECDF broadcast back onto filtered probe rows
+    "window_distribution_binned": (
+        "WITH r AS (SELECT o_orderpriority, o_orderkey, "
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, "
+        "CAST(floor(CAST(round(o_totalprice * 100, 0) AS BIGINT) "
+        f"/ {_GINI_BUCKET_CENTS}.0) AS BIGINT) AS bucket FROM orders), "
+        "b AS (SELECT o_orderpriority, bucket, count(*) AS nb FROM r GROUP BY 1, 2), "
+        "e AS (SELECT o_orderpriority, bucket, nb, "
+        "sum(nb) OVER (PARTITION BY o_orderpriority ORDER BY bucket) - nb AS cum_below, "
+        "sum(nb) OVER (PARTITION BY o_orderpriority ORDER BY bucket) AS cum_incl, "
+        "sum(nb) OVER (PARTITION BY o_orderpriority) AS n_total FROM b) "
+        "SELECT r.o_orderpriority, r.o_orderkey, "
+        "round(r.cents / 100.0, 2) AS order_value, r.bucket, "
+        "round(CAST(e.cum_below AS DOUBLE) / e.n_total, 6) AS pct_below, "
+        "round(CAST(e.cum_incl AS DOUBLE) / e.n_total, 6) AS pct_incl "
+        "FROM r JOIN e ON r.o_orderpriority = e.o_orderpriority "
+        "AND r.bucket = e.bucket WHERE r.o_orderkey % 37 = 0"
     ),
     # md5 priority replayed bit-for-bit
     "sample_reservoir_per_key": (

@@ -288,6 +288,7 @@ PENDING_ORDER: list[str] = [
     # round-6 late additions — behind the rehearsed 50-entry r6 window;
     # these front the r7 window
     "agg_gini_binned",
+    "window_distribution_binned",
 ]
 
 
