@@ -104,6 +104,7 @@ def main():
         ("agg_gini_by_segment", cx.agg_gini_by_segment),
         ("agg_gini_binned", cx.agg_gini_binned),
         ("window_distribution_functions", cx.window_distribution_functions),
+        ("window_distribution_binned", cx.window_distribution_binned),
         ("sample_reservoir_per_key", cx.sample_reservoir_per_key),
         ("reshape_user_sequences", cx.reshape_user_sequences),
         ("stats_chi2_independence", cx.stats_chi2_independence),
