@@ -132,17 +132,16 @@ def test_no_long_product_moment_sums(spark, sf_dir):
     replay). Integer product-moments must accumulate in decimal(38,0);
     tools/lint_moment_overflow.py holds the rule over every entry's
     analyzed plan."""
-    from tools.lint_moment_overflow import lint_plan
+    from tools.lint_moment_overflow import lint_df
 
     q, _ = inventory.load_all()
     offenders = {}
     try:
         for name, fn in q.items():
             try:
-                plan = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+                findings = lint_df(fn(spark, sf_dir))
             except Exception:
                 continue  # construction failures are other tests' business
-            findings = lint_plan(plan)
             if findings:
                 offenders[name] = findings
     finally:

@@ -29,6 +29,7 @@ from warpdb_spark.functions.text import (
     DD_NORM,
     alnum_tokens as _alnum_tokens,
     normalized_text,
+    translate_count,
 )
 from warpdb_spark.inventory.scale_ops import _user_edges
 from warpdb_spark.sources.readers import ns_to_timestamp
@@ -392,7 +393,7 @@ def text_code_detect(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     # translate delete-and-measure (12× vs regexp strip, PLANS.md r6);
     # the DuckDB oracle keeps the regex form — identical counts
-    sym = F.length("text") - F.length(F.translate(F.col("text"), "{}()[];=<>", ""))
+    sym = translate_count(F.col("text"), "{}()[];=<>")
     di = F.round(sym * F.lit(1e6) / F.col("n_chars"), 0).cast("long")
     base = d.select(
         "lang", "source", di.alias("di"), sym.alias("sym")
@@ -675,12 +676,12 @@ def events_ab_welch_ztest(spark, sf_dir):
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
         F.sum(F.when(F.col("arm") == 0, F.col("si"))).alias("s0"),
         F.sum(
-            F.when(F.col("arm") == 0, (F.col("si") * F.col("si")).cast("decimal(38,0)"))
+            F.when(F.col("arm") == 0, F.col("si").cast("decimal(38,0)") * F.col("si"))
         ).alias("q0"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("arm") == 1, F.col("si"))).alias("s1"),
         F.sum(
-            F.when(F.col("arm") == 1, (F.col("si") * F.col("si")).cast("decimal(38,0)"))
+            F.when(F.col("arm") == 1, F.col("si").cast("decimal(38,0)") * F.col("si"))
         ).alias("q1"),
     )
     m0 = F.col("s0") / (100.0 * F.col("n0"))
@@ -927,10 +928,10 @@ ORACLES = {
         "o AS (SELECT "
         "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
         "CAST(sum(CASE WHEN arm = 0 THEN si END) AS BIGINT) AS s0, "
-        "CAST(sum(CASE WHEN arm = 0 THEN si * si END) AS BIGINT) AS q0, "
+        "CAST(sum(CASE WHEN arm = 0 THEN si * si END) AS HUGEINT) AS q0, "
         "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
         "CAST(sum(CASE WHEN arm = 1 THEN si END) AS BIGINT) AS s1, "
-        "CAST(sum(CASE WHEN arm = 1 THEN si * si END) AS BIGINT) AS q1 FROM b) "
+        "CAST(sum(CASE WHEN arm = 1 THEN si * si END) AS HUGEINT) AS q1 FROM b) "
         "SELECT n0, round(s0 / (100.0 * n0), 6) AS mean0, "
         "round((q0 / 1e4 - n0 * (s0 / (100.0 * n0)) * (s0 / (100.0 * n0))) "
         "/ (n0 - 1), 6) AS var0, "

@@ -1470,7 +1470,7 @@ def embedding_dim_profile(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.sum("xi").alias("s1"),
-            F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("s2"),
+            F.sum(F.col("xi").cast("decimal(38,0)") * F.col("xi")).alias("s2"),
             F.min("xi").alias("mn"),
             F.max("xi").alias("mx"),
             F.sum(F.when(F.col("xi") == 0, 1).otherwise(0)).alias("nz"),
@@ -1594,12 +1594,11 @@ def text_script_shares(spark, sf_dir):
     regex strip-and-measure for every class; both methods count the
     same chars, so results are value-identical."""
     docs = _t(spark, sf_dir, "documents")
-    _ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
     n = F.length("text")
-    alpha = n - F.length(F.translate(F.col("text"), _ALPHA, ""))
-    digit = n - F.length(F.translate(F.col("text"), "0123456789", ""))
+    alpha = T.translate_count(F.col("text"), T.ASCII_ALPHA)
+    digit = T.translate_count(F.col("text"), T.ASCII_DIGIT)
     cjk = F.length(F.regexp_replace(F.col("text"), "[^一-鿿]", ""))
-    ws = n - F.length(F.translate(F.col("text"), " \t\n", ""))
+    ws = T.translate_count(F.col("text"), T.ASCII_WS)
     other = n - alpha - digit - cjk - ws
     dominant = (
         F.when((alpha >= digit) & (alpha >= cjk) & (alpha >= other), "alpha")
@@ -2750,7 +2749,7 @@ ORACLES = {
         "for j in generate_series(1, len(embedding))], recursive := true) "
         "FROM embeddings), "
         "per AS (SELECT dim, count(*) AS n_vecs, "
-        "CAST(sum(xi) AS BIGINT) AS s1, CAST(sum(xi * xi) AS BIGINT) AS s2, "
+        "CAST(sum(xi) AS BIGINT) AS s1, CAST(sum(xi * xi) AS HUGEINT) AS s2, "
         "min(xi) AS mn, max(xi) AS mx, "
         "CAST(sum(CASE WHEN xi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz "
         "FROM d GROUP BY dim) "

@@ -929,9 +929,9 @@ def events_trend_ols(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
         F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy, sxy = (
@@ -956,11 +956,11 @@ def events_trend_ols(spark, sf_dir):
 
 _OLS_ORACLE = (
     "WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
-    f"CAST(sum(CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH0}) AS BIGINT) AS sx, "
-    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy, "
-    f"CAST(sum((CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH0}) * (CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH0})) AS BIGINT) AS sxx, "
-    "CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS syy, "
-    f"CAST(sum((CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH0}) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxy "
+    f"CAST(sum(CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH0}) AS HUGEINT) AS sx, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sy, "
+    f"CAST(sum((CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH0}) * (CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH0})) AS HUGEINT) AS sxx, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS syy, "
+    f"CAST(sum((CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH0}) * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sxy "
     "FROM events GROUP BY event_type) "
     "SELECT event_type, n, "
     "round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
@@ -1492,9 +1492,9 @@ def text_zipf_alpha(spark, sf_dir):
         # bounded (50 rows, |log·1e6| ≤ ~3e7 → Σ ≤ 5e16) but held to
         # the repo-wide rule: integer product-moments accumulate in
         # decimal(38,0) (tools/lint_moment_overflow.py enforces it)
-        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("yi") * F.col("yi")).cast("decimal(38,0)")).alias("syy"),
-        F.sum((F.col("xi") * F.col("yi")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.col("xi").cast("decimal(38,0)") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("yi").cast("decimal(38,0)") * F.col("yi")).alias("syy"),
+        F.sum(F.col("xi").cast("decimal(38,0)") * F.col("yi")).alias("sxy"),
     )
     n = F.col("n").cast("double")
     cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
@@ -2124,9 +2124,9 @@ ORACLES = {
         "rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM cnt), "
         "s AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6, 0) AS BIGINT) AS xi, "
         "CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS yi FROM rk), "
-        "m AS (SELECT count(*) AS n, CAST(sum(xi) AS BIGINT) AS sx, "
-        "CAST(sum(yi) AS BIGINT) AS sy, CAST(sum(xi * xi) AS BIGINT) AS sxx, "
-        "CAST(sum(yi * yi) AS BIGINT) AS syy, CAST(sum(xi * yi) AS BIGINT) AS sxy FROM s) "
+        "m AS (SELECT count(*) AS n, CAST(sum(xi) AS HUGEINT) AS sx, "
+        "CAST(sum(yi) AS HUGEINT) AS sy, CAST(sum(xi * xi) AS HUGEINT) AS sxx, "
+        "CAST(sum(yi * yi) AS HUGEINT) AS syy, CAST(sum(xi * yi) AS HUGEINT) AS sxy FROM s) "
         "SELECT n AS n_terms, "
         "CASE WHEN sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n) > 0 THEN "
         "round(-((sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n)) / "
