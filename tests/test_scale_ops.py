@@ -811,6 +811,29 @@ class TestDhashNearDup:
                 assert r.id_a % 25 == r.id_b % 25
 
 
+class TestAudioNearDup:
+    def test_same_waveform_class_is_near(self, spark, sf_dir):
+        from warpdb_spark.inventory import pipeline_ops as P
+
+        rows = P.multimodal_audio_neardup(spark, sf_dir).collect()
+        assert rows
+        near = [r for r in rows if r.is_near]
+        assert near
+        for r in rows:
+            assert 0 <= r.hamming <= 31
+            assert r.is_near == (r.hamming <= 2)
+            # the envelope-delta hash separates base waveforms: near
+            # pairs must come from the same base class
+            if r.is_near:
+                assert r.id_a % 25 == r.id_b % 25
+        # every same-base candidate pair should survive as near (the
+        # sparse +50 noise cannot flip a 15-sample integer envelope
+        # delta of this waveform family by more than 2 bits)
+        same_base = [r for r in rows if r.id_a % 25 == r.id_b % 25]
+        assert same_base
+        assert sum(1 for r in same_base if r.is_near) >= 0.9 * len(same_base)
+
+
 class TestHapaxRatio:
     def test_planted_counts(self, spark, monkeypatch):
         from warpdb_spark.inventory import pipeline_ops as P

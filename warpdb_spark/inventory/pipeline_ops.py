@@ -1165,6 +1165,94 @@ def multimodal_wav_decode(spark, sf_dir):
     )
 
 
+def multimodal_audio_neardup(spark, sf_dir):
+    """Audio near-duplicate detection — completing the dedup×modality
+    matrix (text MinHash/SimHash, image dHash, now audio): each doc
+    gets a deterministic 480-sample mono PCM16 WAV from one of 25
+    base waveforms plus per-doc sample noise (sample t of doc d is
+    ``(t*((d%25)*37+11) + t*t*13 + noise) % 2001 − 1000`` with noise
+    50 when ``(d*13+t)%97 < 2``), encoded AND decoded by the real
+    RIFF codec (operators/multimodal.py::wav_encode/wav_decode), then
+    fingerprinted as a 31-bit ENERGY-ENVELOPE DELTA hash: 32 windows
+    of 15 samples, bit w = 1 iff Σ|s| of window w+1 exceeds window w
+    — integer sums, so the comparison is exact on both engines (the
+    same reason dHash compares decoded ints). Same-base docs differ
+    only in the sparse noise, landing hamming ≤ 2; cross-base
+    waveforms decorrelate.
+
+    Candidates ride the shared capped generator
+    (operators/dedup.py::capped_key_pairs) with 3 hamming-LSH bands
+    (10+10+11 bits — a band space wide enough that random collisions
+    are ~2⁻¹⁰ per band), bucket cap 100 — linear candidate growth,
+    hot buckets dropped wholesale. The DuckDB oracle replays waveform, envelope,
+    bits, bands, cap, and hamming from the formula alone, so the
+    codec round-trip is hash-checked end to end. hamming ≤ 2 flags a
+    near-dup."""
+    import pandas as _pd
+    from pyspark.sql.types import (
+        LongType as _Long,
+        StringType as _Str,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    from warpdb_spark.operators.dedup import capped_key_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = 480
+    encode, decode = M.wav_encode, M.wav_decode  # closures — pickle by value
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            bits = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                t = _np.arange(n, dtype=_np.int64)
+                noise = _np.where((d * 13 + t) % 97 < 2, 50, 0)
+                s = ((t * ((d % 25) * 37 + 11) + t * t * 13 + noise) % 2001
+                     - 1000).astype(_np.int16)
+                dec, _rate = decode(encode(s, 8000))
+                env = _np.abs(dec.astype(_np.int64)).reshape(32, 15).sum(axis=1)
+                bits.append(
+                    "".join("1" if env[w + 1] > env[w] else "0" for w in range(31))
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "bits": bits})
+
+    hb = docs.mapInPandas(
+        gen, _ST([_SF("doc_id", _Long()), _SF("bits", _Str())])
+    ).persist()
+    bands = [(0, 1, 10), (1, 11, 10), (2, 21, 11)]
+    keyed = hb.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", F.lit(str(i)), F.substring("bits", start, width)
+                    )
+                    for i, start, width in bands
+                ]
+            )
+        ).alias("key"),
+    )
+    cand = capped_key_pairs(keyed, 100)
+    a = hb.select(F.col("doc_id").alias("id_a"), F.col("bits").alias("bits_a"))
+    b = hb.select(F.col("doc_id").alias("id_b"), F.col("bits").alias("bits_b"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    hamming = F.expr(
+        "aggregate(sequence(1, 31), 0, (acc, i) -> "
+        "acc + IF(substring(bits_a, i, 1) <> substring(bits_b, i, 1), 1, 0))"
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        hamming.alias("hamming"),
+        (hamming <= 2).alias("is_near"),
+    )
+
+
 def multimodal_video_frames(spark, sf_dir):
     """REAL video-shaped decode: each doc gets an 8-frame 'video' —
     a concatenation of 16x12 P6 PPM frames (fixed 589-byte stride —
@@ -2033,6 +2121,7 @@ QUERIES = {
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_dhash_neardup": multimodal_dhash_neardup,
     "multimodal_wav_decode": multimodal_wav_decode,
+    "multimodal_audio_neardup": multimodal_audio_neardup,
     "multimodal_video_frames": multimodal_video_frames,
     "agg_statistical": agg_statistical,
     "agg_percentiles": agg_percentiles,
@@ -2652,6 +2741,33 @@ ORACLES = {
             for c, ch in [(0, "r"), (1, "g"), (2, "b")]
         )
         + " FROM documents, (SELECT unnest([0, 2, 4, 6]) AS f)"
+    ),
+    # replay waveform -> envelope sums -> 15-bit delta hash -> 3
+    # hamming-LSH bands -> capped pairs -> hamming, all from the
+    # sample formula (integer-exact on both engines)
+    "multimodal_audio_neardup": (
+        "WITH s AS (SELECT doc_id, "
+        "[abs((t*((doc_id%25)*37+11) + t*t*13 + CASE WHEN (doc_id*13+t)%97 < 2 "
+        "THEN 50 ELSE 0 END) % 2001 - 1000) for t in generate_series(0, 479)] AS w "
+        "FROM documents), "
+        "env AS (SELECT doc_id, "
+        "[list_sum(w[15*k+1 : 15*k+15]) for k in generate_series(0, 31)] AS e "
+        "FROM s), "
+        "hb AS (SELECT doc_id, array_to_string([CASE WHEN e[j+2] > e[j+1] "
+        "THEN '1' ELSE '0' END for j in generate_series(0, 30)], '') AS bits "
+        "FROM env), "
+        "inv AS (SELECT doc_id, unnest(['0|' || substr(bits, 1, 10), "
+        "'1|' || substr(bits, 11, 10), '2|' || substr(bits, 21, 11)]) AS key FROM hb), "
+        "ok AS (SELECT key FROM inv GROUP BY key HAVING count(*) <= 100), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM inv a JOIN inv b ON a.key = b.key AND a.doc_id < b.doc_id "
+        "JOIN ok ON ok.key = a.key), "
+        "p AS (SELECT id_a, id_b, "
+        "CAST(list_sum([CASE WHEN substr(a.bits, i, 1) <> substr(b.bits, i, 1) "
+        "THEN 1 ELSE 0 END for i in generate_series(1, 31)]) AS INT) AS hamming "
+        "FROM cand JOIN hb a ON a.doc_id = cand.id_a "
+        "JOIN hb b ON b.doc_id = cand.id_b) "
+        "SELECT id_a, id_b, hamming, hamming <= 2 AS is_near FROM p"
     ),
     # replay the waveform: sample t of doc d is ((d*7 + t*13) % 2001)
     # - 1000; rms and sign-flip counts are integer-exact in f64

@@ -289,6 +289,7 @@ PENDING_ORDER: list[str] = [
     # these front the r7 window
     "agg_gini_binned",
     "window_distribution_binned",
+    "multimodal_audio_neardup",
 ]
 
 
