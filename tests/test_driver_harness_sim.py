@@ -208,6 +208,11 @@ subset = events_entries + [
     "search_rerank_cross_features",
     "similarity_ann_recall",
     "text_lang_confidence",
+    # round-6 late additions — binned scale paths + the audio
+    # mapInPandas entry (exercises Arrow batches on a plain session)
+    "agg_gini_binned",
+    "window_distribution_binned",
+    "multimodal_audio_neardup",
 ]
 for name in subset:
     n = qs[name](spark, sf).count()

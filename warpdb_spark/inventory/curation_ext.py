@@ -1,12 +1,14 @@
 """Curation / analytics extension inventory (round 6).
 
-Thirteen operators a 100 TB training-data pipeline runs between "raw
-corpus" and "tokenizer": inequality + distribution diagnostics (Gini,
+Fifteen operators a 100 TB training-data pipeline runs between "raw
+corpus" and "tokenizer": inequality + distribution diagnostics (Gini
+— exact rank-sum AND the sort-free binned-Lorenz scale path,
 chi-square independence, Hill tail index, group entropy, distribution
-window functions), deterministic sampling/splitting (hash-priority
-reservoir), behaviour-sequence construction, freshness/ops reporting,
+window functions — exact AND the binned-ECDF scale path),
+deterministic sampling/splitting (hash-priority reservoir),
+behaviour-sequence construction, freshness/ops reporting,
 code-likeness detection, prefix-cluster dedup, vocabulary-coverage
-sizing, neighbour-set similarity, and a two-proportion A/B z-test.
+sizing, neighbour-set similarity, and a Welch mean-value A/A z-test.
 
 Reference parity: the reference engine (src/warpdb.cpp, ~2.6k LoC
 filter/project/aggregate core) has none of these; they follow SURVEY
