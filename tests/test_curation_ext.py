@@ -346,6 +346,88 @@ class TestWelchZtest:
         assert r["n0"] > 0 and r["n1"] > 0
 
 
+class TestKsTwoSample:
+    def test_identical_arms_give_zero(self, spark, inject):
+        rows = []
+        for uid in range(10):  # same values in both arms
+            for k in range(3):
+                rows.append((uid * 10 + k, TS0, uid, "purchase", 10.0 + k))
+        rows.append((999, TS0, 0, "purchase", None))  # NULL value dropped
+        inject(_events(spark, rows))
+        r = cx.stats_ks_two_sample(spark, "x").collect()[0]
+        assert r["ks_d"] == 0.0 and r["ks_stat"] == 0.0
+        assert r["n0"] == r["n1"] == 15
+
+    def test_separated_arms_give_one(self, spark, inject):
+        rows = [(u, TS0, u, "purchase", 10.0 if u % 2 == 0 else 100.0)
+                for u in range(20)]
+        inject(_events(spark, rows))
+        r = cx.stats_ks_two_sample(spark, "x").collect()[0]
+        assert r["ks_d"] == 1.0
+        assert r["ks_at_value"] == 10.0  # the arm-0 mass point
+
+    def test_hand_computed_half_with_tie_pinned(self, spark, inject):
+        # arm0 = {1, 2}, arm1 = {2, 3}: |ECDF0-ECDF1| is 1/2 at both
+        # value 1 and value 2 — the argmax must pin to the SMALLER
+        # cents on both engines
+        rows = [(1, TS0, 0, "purchase", 1.0), (2, TS0, 2, "purchase", 2.0),
+                (3, TS0, 1, "purchase", 2.0), (4, TS0, 3, "purchase", 3.0)]
+        inject(_events(spark, rows))
+        r = cx.stats_ks_two_sample(spark, "x").collect()[0]
+        assert r["ks_d"] == 0.5
+        assert r["ks_at_value"] == 1.0
+        assert r["ks_stat"] == round(math.sqrt(4 / 4) * 0.5, 6)
+
+    def test_aa_on_real_data_is_small(self, spark, sf_dir):
+        r = cx.stats_ks_two_sample(spark, sf_dir).collect()[0]
+        # hash-split A/A: ks_stat beyond ~2 would reject at alpha<<.001
+        assert r["ks_stat"] < 2.0
+        assert 0.0 <= r["ks_d"] <= 1.0
+
+
+class TestPsiValueDrift:
+    def test_identical_distributions_give_zero(self, spark, inject):
+        rows = []
+        for t, ty in enumerate(["click", "view"]):
+            for k in range(4):
+                rows.append((t * 10 + k, TS0, 1, ty, 10.0 if k % 2 else 60.0))
+        inject(_events(spark, rows))
+        for r in cx.events_psi_value_drift(spark, "x").collect():
+            assert r["psi"] == 0.0
+            assert r["n_buckets_used"] == 2 and r["n_buckets_zero"] == 0
+
+    def test_disjoint_buckets_counted_not_fudged(self, spark, inject):
+        # A all in bucket 0, B all in bucket 1: every bucket has a
+        # structural zero on one side -> excluded and counted, psi 0
+        rows = [(1, TS0, 1, "A", 10.0), (2, TS0, 1, "A", 11.0),
+                (3, TS0, 1, "B", 30.0), (4, TS0, 1, "B", 31.0)]
+        inject(_events(spark, rows))
+        for r in cx.events_psi_value_drift(spark, "x").collect():
+            assert r["psi"] == 0.0
+            assert r["n_buckets_used"] == 0 and r["n_buckets_zero"] == 2
+
+    def test_hand_computed_psi(self, spark, inject):
+        # A: shares [3/4, 1/4]; B(rest of A) symmetric -> psi =
+        # 2 * (1/2) * ln(3) for both types
+        rows = ([(i, TS0, 1, "A", 10.0) for i in range(3)]
+                + [(3, TS0, 1, "A", 30.0)]
+                + [(4, TS0, 1, "B", 10.0)]
+                + [(5 + i, TS0, 1, "B", 30.0) for i in range(3)])
+        inject(_events(spark, rows))
+        out = cx.events_psi_value_drift(spark, "x").collect()
+        expect = round(round(0.5 * math.log(3) * 1e6) * 2 / 1e6, 6)
+        for r in out:
+            assert r["psi"] == expect
+            assert r["n_type"] == 4 and r["n_rest"] == 4
+
+    def test_real_data_shape(self, spark, sf_dir):
+        rows = cx.events_psi_value_drift(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["psi"] >= 0.0
+            assert r["n_buckets_used"] + r["n_buckets_zero"] >= 1
+
+
 class TestPlanShapes:
     """Physical-plan pins for the scale-load-bearing shapes (the
     test_optimizer_parity discipline): rank-filter top-k must stay a

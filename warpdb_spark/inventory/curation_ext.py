@@ -702,6 +702,163 @@ def events_ab_welch_ztest(spark, sf_dir):
     )
 
 
+def stats_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov distance on purchase value
+    between deterministic user arms (arm = user_id mod 2) — the
+    SHAPE-drift companion to events_ab_welch_ztest's mean test: a
+    mixture change that leaves the mean intact (heavier tail + more
+    zeros) is invisible to z but moves D = max |ECDF₀ − ECDF₁|. On
+    hash-split arms the expected D is ~0 (the A/A reading); the same
+    plan pointed at source-vs-source computes ingest drift.
+
+    Exactness: values snap to integer cents, the ECDF compare runs on
+    the integer cross-products |cumₐ·n₁ − cum_b·n₀| (DECIMAL(38,0) —
+    cum·n crosses int64 near 3e9 rows/arm; DuckDB uses HUGEINT), and
+    only the final divisions are float. The argmax row is pinned by
+    (diff DESC, cents ASC), so ties resolve identically on both
+    engines.
+
+    Scale shape: one map-side-combined groupBy on the raw events
+    collapses the stream to ≤~49k rows (one per distinct cent value —
+    bounded by the VALUE DOMAIN, not the corpus), and the cumulative
+    window + argmax run over that bounded frame (same discipline as
+    text_zipf_alpha's 50-row window). ks_stat is the
+    √(n₀n₁/(n₀+n₁))·D normalization a drift monitor thresholds."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    arm = F.pmod(F.col("user_id"), F.lit(2)).cast("int")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    d = (
+        ev.select(arm.alias("arm"), cents.alias("cents"))
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    # arm totals fold into the SAME bounded window pass (unbounded
+    # frame) — a separate d.agg() would re-scan the raw events, and
+    # at 100 TB the second scan, not the ≤49k-row window, is the cost
+    wall = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = d.select(
+        "cents",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n0"),
+        F.sum("cb").over(wall).alias("n1"),
+    )
+    diff = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.col("n1")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("n0")
+    )
+    r = j.select("cents", "n0", "n1", diff.alias("dnum"))
+    pick = Window.orderBy(F.desc("dnum"), F.asc("cents"))
+    top = r.withColumn("rn", F.row_number().over(pick)).filter(F.col("rn") == 1)
+    ks = F.col("dnum").cast("double") / (
+        F.col("n0").cast("double") * F.col("n1")
+    )
+    return top.select(
+        "n0",
+        "n1",
+        F.round(ks, 6).alias("ks_d"),
+        F.round(F.col("cents") / 100.0, 2).alias("ks_at_value"),
+        F.round(
+            F.sqrt(
+                F.col("n0").cast("double")
+                * F.col("n1")
+                / (F.col("n0") + F.col("n1"))
+            )
+            * ks,
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+_PSI_BUCKET_CENTS = 2500  # $25 buckets — ≤~20 over the value domain
+
+
+def events_psi_value_drift(spark, sf_dir):
+    """Population Stability Index of purchase-value distribution, each
+    event type vs the REST of the corpus — the per-source drift
+    scorecard a mixture owner reads before reweighting: PSI < 0.1
+    stable, 0.1–0.25 drifting, > 0.25 broken (the credit-scoring
+    thresholds). PSI = Σ_buckets (pₐ−p_b)·ln(pₐ/p_b) over $25 value
+    buckets; every term is ≥ 0, and buckets where either side is
+    empty are EXCLUDED and counted in n_buckets_zero instead of being
+    epsilon-fudged (an epsilon turns structural zeros into unbounded
+    log terms).
+
+    Exactness: shares are ratios of exact integer counts, so both
+    engines feed ln() the identical double; each bucket's
+    contribution snaps to integer micro-units BEFORE the sum (the
+    text_zipf_alpha micro-snapped-log-moment discipline — integer
+    sums are order-proof, double sums are not; all terms are
+    non-negative so HALF_UP and round-half-away agree).
+
+    Scale shape: ONE map-side-combined groupBy collapses the corpus
+    to (type × bucket) rows — buckets are bounded by the VALUE
+    DOMAIN (~20 at $25 width), types by the taxonomy, so the grid,
+    rest-shares, and PSI fold all run over O(types·buckets) rows no
+    matter the corpus size. No second scan, no window over raw rows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    bucket = F.floor(cents / F.lit(_PSI_BUCKET_CENTS)).cast("long")
+    g = (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n_tb"))
+    )
+    types = g.select("event_type").distinct()
+    buckets = g.select("bucket").distinct()
+    full = (
+        types.crossJoin(buckets)
+        .join(g, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n_tb", F.lit(0)).alias("n_tb"),
+        )
+    )
+    per_bucket = g.groupBy("bucket").agg(F.sum("n_tb").alias("n_b"))
+    per_type = g.groupBy("event_type").agg(F.sum("n_tb").alias("n_t"))
+    n_total = g.agg(F.sum("n_tb").alias("n_all"))
+    j = (
+        full.join(per_bucket, "bucket")
+        .join(per_type, "event_type")
+        .crossJoin(F.broadcast(n_total))
+    )
+    n_rest_b = F.col("n_b") - F.col("n_tb")
+    n_rest = F.col("n_all") - F.col("n_t")
+    pa = F.col("n_tb").cast("double") / F.col("n_t")
+    pb = n_rest_b.cast("double") / n_rest
+    contrib = (pa - pb) * F.log(pa / pb)
+    usable = (F.col("n_tb") > 0) & (n_rest_b > 0)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("n_t").alias("n_type"),
+            F.max(n_rest).alias("n_rest"),
+            F.sum(F.when(usable, 1).otherwise(0)).alias("n_buckets_used"),
+            F.sum(F.when(~usable, 1).otherwise(0)).alias("n_buckets_zero"),
+            F.round(
+                F.sum(
+                    F.when(
+                        usable, F.round(contrib * 1e6, 0).cast("long")
+                    ).otherwise(0)
+                )
+                / 1e6,
+                6,
+            ).alias("psi"),
+        )
+    )
+
+
 QUERIES = {
     "agg_gini_by_segment": agg_gini_by_segment,
     "agg_gini_binned": agg_gini_binned,
@@ -718,11 +875,73 @@ QUERIES = {
     "window_distribution_binned": window_distribution_binned,
     "graph_neighbor_jaccard": graph_neighbor_jaccard,
     "events_ab_welch_ztest": events_ab_welch_ztest,
+    "stats_ks_two_sample": stats_ks_two_sample,
+    "events_psi_value_drift": events_psi_value_drift,
 }
 
 _toks = DD_ALNUM_TOKS.format(col="text")
 
 ORACLES = {
+    # integer cross-product ECDF compare; argmax pinned (diff DESC, cents)
+    "stats_ks_two_sample": (
+        "WITH b AS (SELECT ((user_id % 2) + 2) % 2 AS arm, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents "
+        "FROM events WHERE event_type = 'purchase' "
+        "AND value IS NOT NULL AND user_id IS NOT NULL), "
+        "d AS (SELECT cents, "
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb "
+        "FROM b GROUP BY cents), "
+        "c AS (SELECT cents, sum(ca) OVER (ORDER BY cents) AS cum_a, "
+        "sum(cb) OVER (ORDER BY cents) AS cum_b, "
+        "CAST(sum(ca) OVER () AS BIGINT) AS n0, "
+        "CAST(sum(cb) OVER () AS BIGINT) AS n1 FROM d), "
+        "r AS (SELECT cents, n0, n1, "
+        "abs(CAST(cum_a AS HUGEINT) * n1 - CAST(cum_b AS HUGEINT) * n0) AS dnum "
+        "FROM c), "
+        "p AS (SELECT *, row_number() OVER (ORDER BY dnum DESC, cents) AS rn "
+        "FROM r) "
+        "SELECT n0, n1, "
+        "round(CAST(dnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1), 6) AS ks_d, "
+        "round(cents / 100.0, 2) AS ks_at_value, "
+        "round(sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1)) "
+        "* (CAST(dnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1)), 6) AS ks_stat "
+        "FROM p WHERE rn = 1"
+    ),
+    # micro-snapped PSI terms over the (type x bucket) grid
+    "events_psi_value_drift": (
+        "WITH raw AS (SELECT event_type, "
+        "CAST(floor(CAST(round(value * 100, 0) AS BIGINT) "
+        f"/ {_PSI_BUCKET_CENTS}.0) AS BIGINT) AS bucket "
+        "FROM events WHERE value IS NOT NULL), "
+        "g AS (SELECT event_type, bucket, count(*) AS n_tb "
+        "FROM raw GROUP BY 1, 2), "
+        "grid AS (SELECT t.event_type, k.bucket FROM "
+        "(SELECT DISTINCT event_type FROM g) t CROSS JOIN "
+        "(SELECT DISTINCT bucket FROM g) k), "
+        "f AS (SELECT grid.event_type, grid.bucket, "
+        "coalesce(g.n_tb, 0) AS n_tb FROM grid LEFT JOIN g "
+        "ON g.event_type = grid.event_type AND g.bucket = grid.bucket), "
+        "pb AS (SELECT bucket, sum(n_tb) AS n_b FROM g GROUP BY 1), "
+        "pt AS (SELECT event_type, sum(n_tb) AS n_t FROM g GROUP BY 1), "
+        "tot AS (SELECT sum(n_tb) AS n_all FROM g), "
+        "j AS (SELECT f.event_type, f.n_tb, pb.n_b, pt.n_t, tot.n_all "
+        "FROM f JOIN pb USING (bucket) "
+        "JOIN pt ON pt.event_type = f.event_type CROSS JOIN tot) "
+        "SELECT event_type, CAST(max(n_t) AS BIGINT) AS n_type, "
+        "CAST(max(n_all - n_t) AS BIGINT) AS n_rest, "
+        "CAST(sum(CASE WHEN n_tb > 0 AND n_b - n_tb > 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_buckets_used, "
+        "CAST(sum(CASE WHEN n_tb > 0 AND n_b - n_tb > 0 THEN 0 ELSE 1 END) "
+        "AS BIGINT) AS n_buckets_zero, "
+        "round(CAST(sum(CASE WHEN n_tb > 0 AND n_b - n_tb > 0 THEN "
+        "CAST(round((CAST(n_tb AS DOUBLE) / n_t "
+        "- CAST(n_b - n_tb AS DOUBLE) / (n_all - n_t)) "
+        "* ln((CAST(n_tb AS DOUBLE) / n_t) "
+        "/ (CAST(n_b - n_tb AS DOUBLE) / (n_all - n_t))) * 1e6, 0) AS BIGINT) "
+        "ELSE 0 END) AS DOUBLE) / 1e6, 6) AS psi "
+        "FROM j GROUP BY event_type"
+    ),
     # integer-cents rank-sum identity
     "agg_gini_by_segment": (
         "WITH c AS (SELECT o_orderpriority, o_orderkey, "

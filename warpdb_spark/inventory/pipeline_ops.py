@@ -2742,7 +2742,7 @@ ORACLES = {
         )
         + " FROM documents, (SELECT unnest([0, 2, 4, 6]) AS f)"
     ),
-    # replay waveform -> envelope sums -> 15-bit delta hash -> 3
+    # replay waveform -> envelope sums -> 31-bit delta hash -> 3
     # hamming-LSH bands -> capped pairs -> hamming, all from the
     # sample formula (integer-exact on both engines)
     "multimodal_audio_neardup": (

@@ -290,6 +290,8 @@ PENDING_ORDER: list[str] = [
     "agg_gini_binned",
     "window_distribution_binned",
     "multimodal_audio_neardup",
+    "stats_ks_two_sample",
+    "events_psi_value_drift",
 ]
 
 
