@@ -213,6 +213,10 @@ subset = events_entries + [
     "agg_gini_binned",
     "window_distribution_binned",
     "multimodal_audio_neardup",
+    "stats_ks_two_sample",
+    "events_psi_value_drift",
+    "join_bloom_prefilter",
+    "stats_bootstrap_poisson_ci",
 ]
 for name in subset:
     n = qs[name](spark, sf).count()

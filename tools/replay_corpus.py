@@ -78,6 +78,24 @@ def build_orders(spark, out_dir: str, n_orders: int = 20_000_000):
     orders.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
 
+def build_lineitem(spark, out_dir: str, n_lines: int = 20_000_000,
+                   n_orders: int = 5_000_000):
+    """n_lines fact rows over n_orders order keys (testdata columns the
+    bloom-prefilter entry reads; ~4 lines/order like TPC-H)."""
+    lines = spark.range(n_lines).select(
+        F.pmod(F.xxhash64(F.col("id") * 17), F.lit(n_orders)).alias("l_orderkey"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("l_returnflag"),
+        F.round(
+            F.pmod(F.xxhash64(F.col("id") * 23), F.lit(9500000)) / 100.0 + 900.0, 2
+        ).alias("l_extendedprice"),
+        (F.pmod(F.xxhash64(F.col("id") * 29), F.lit(11)) / 100.0).alias("l_discount"),
+    )
+    lines.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+
 def build_events(spark, out_dir: str, n_events: int = 20_000_000,
                  n_users: int = 200_000):
     """n_events rows over n_users users, int64-ns ts (testdata layout)."""

@@ -1,14 +1,17 @@
 """Curation / analytics extension inventory (round 6).
 
-Fifteen operators a 100 TB training-data pipeline runs between "raw
-corpus" and "tokenizer": inequality + distribution diagnostics (Gini
+Operators a 100 TB training-data pipeline runs between "raw corpus"
+and "tokenizer": inequality + distribution diagnostics (Gini
 — exact rank-sum AND the sort-free binned-Lorenz scale path,
 chi-square independence, Hill tail index, group entropy, distribution
 window functions — exact AND the binned-ECDF scale path),
 deterministic sampling/splitting (hash-priority reservoir),
 behaviour-sequence construction, freshness/ops reporting,
 code-likeness detection, prefix-cluster dedup, vocabulary-coverage
-sizing, neighbour-set similarity, and a Welch mean-value A/A z-test.
+sizing, neighbour-set similarity, the drift triangle (Welch mean
+z-test, two-sample KS shape test, PSI mixture scorecard), a
+Bloom-filter semi-join reduction (the runtime-filter pattern), and a
+deterministic Poisson-bootstrap confidence interval.
 
 Reference parity: the reference engine (src/warpdb.cpp, ~2.6k LoC
 filter/project/aggregate core) has none of these; they follow SURVEY
@@ -859,6 +862,197 @@ def events_psi_value_drift(spark, sf_dir):
     )
 
 
+# --- join: Bloom-filter semi-join reduction (runtime-filter pattern) ---------
+
+_BLOOM_BITS = 1 << 16  # m: fixed bitmap size; FPR rises with |dim|, size doesn't
+_BLOOM_WORD = 30  # bits per word — stays positive, so /2^b arithmetic is exact
+_BLOOM_K = 3  # hash functions; FPR ≈ (1 − e^{−kn/m})^k
+
+
+def _bloom_u32(col, salt: int):
+    """Engine-portable u32 hash: first 8 md5 hex digits of 'key:salt'
+    (the sample_weighted idiom — DuckDB replays it bit-for-bit)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", col.cast("string"), F.lit(str(salt)))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter semi-join reduction — the runtime-filter pattern
+    Spark's AQE applies under `spark.sql.optimizer.runtime.bloomFilter`
+    (the expressions behind it, BloomFilterAggregate/might_contain, are
+    not in the public registry, so this builds the portable version):
+    urgent orders' keys are folded into a FIXED 64 Kbit bitmap, the
+    100×-bigger lineitem side is prefiltered against it BEFORE the join
+    shuffle, and the exact join then removes the bloom's false
+    positives. Why not just broadcast the keys? A 1e9-key build side
+    is ~8 GB as a hash set but the bitmap stays 8 KB at any |dim| (FPR
+    rising instead) — the bloom is what you ship when the build side
+    outgrows the broadcast budget but its KEY SET still compresses.
+
+    Fully distributed: the bitmap lives as a ≤⌈m/30⌉-row (word_idx,
+    word) table — 30-bit words keep every value positive so the bit
+    test is exact double arithmetic (word/2^b only shifts the
+    exponent; no engine-specific shift builtins) — and each of the k=3
+    probes is a broadcast hash join against it; no driver collect
+    anywhere. Spark's cast(double AS long) TRUNCATES while DuckDB's
+    CAST ROUNDS, so every word index takes an explicit floor() on both
+    engines (found as a 5-row divergence at sf0.01: positions with
+    pos/30 fractional part ≥ .5 landed in different words).
+
+    The output exposes the filter's work: n_bloom_pass − n_matched is
+    the false-positive count (≈0.2% of non-matching rows at sf0.01 —
+    kn/m = 0.14), and the oracle replays the ENTIRE bloom path, not
+    just the final join, so the driver hash-checks the bitmap itself."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    pos = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(_bloom_u32(F.col("o_orderkey"), i), F.lit(_BLOOM_BITS))
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.floor(F.col("pos") / _BLOOM_WORD).alias("widx"),
+            F.pow(F.lit(2.0), F.pmod(F.col("pos"), F.lit(_BLOOM_WORD)))
+            .cast("long")
+            .alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    fact = li.select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    for i in range(_BLOOM_K):
+        p = F.pmod(_bloom_u32(F.col("l_orderkey"), i), F.lit(_BLOOM_BITS))
+        fact = fact.withColumn(f"w{i}", F.floor(p / _BLOOM_WORD)).withColumn(
+            f"b{i}", F.pmod(p, F.lit(_BLOOM_WORD))
+        )
+        wi = words.select(F.col("widx").alias(f"w{i}"), F.col("word").alias(f"word{i}"))
+        fact = fact.join(F.broadcast(wi), f"w{i}", "left").filter(
+            F.pmod(
+                F.floor(
+                    F.coalesce(F.col(f"word{i}"), F.lit(0))
+                    / F.pow(F.lit(2.0), F.col(f"b{i}"))
+                ),
+                F.lit(2),
+            )
+            == 1
+        )
+    joined = fact.join(dim, fact.l_orderkey == dim.o_orderkey, "left")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)).alias(
+            "n_matched"
+        ),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderkey").isNotNull(),
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("revenue"),
+    )
+
+
+# --- stats: deterministic Poisson bootstrap CI --------------------------------
+
+# Poisson(1) CDF cut points on the u32 hash domain: floor(CDF(k)·2^32)
+# for k = 0..6; the residual tail (P ≈ 8.3e-5) truncates to w = 7.
+_POIS_CUTS = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+)
+_N_BOOT = 64
+
+
+def stats_bootstrap_poisson_ci(spark, sf_dir):
+    """95% bootstrap CI for mean purchase value via the Poisson(1)
+    bootstrap — THE bootstrap that scales: resampling n rows with
+    replacement needs a global draw, but Poisson(1) counts are
+    per-row-independent (multinomial → Poisson approximation), so each
+    row mints its B replica weights locally from an engine-portable
+    hash and the corpus is never materialized B times off the scan.
+    Weights are deterministic: w = inverse-CDF of Poisson(1) applied
+    to u32(md5(event_id:b)) via 7 INTEGER cut points (floor(CDF·2^32)
+    — the compare is exact integer vs integer, no float CDF on either
+    engine), tail truncated at 7 (P ≈ 8e-5, E[w] ≈ 0.99999).
+
+    One exploded pass (×65 CPU, the bootstrap's price) with map-side
+    combine collapses to 65 replica rows per task — the shuffle moves
+    O(B), not O(n·B); replica b = −1 carries weight 1 everywhere so
+    the point estimate rides the SAME scan instead of a second one.
+    Weighted moments accumulate w·cents in DECIMAL(38,0) (w ≤ 7 —
+    headroom past 1e12 rows; DuckDB widens to HUGEINT natively); the
+    CI picks ranks 2 and 63 of the 64 exact replica means (2.5% / 97.5%)
+    with ties broken by b, a window over exactly 64 rows."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    base = ev.select("event_id", cents.alias("cents"))
+    b = base.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(-1), F.lit(_N_BOOT - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("event_id").cast("string"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    wexpr = F.when(F.col("b") == -1, F.lit(1))
+    for k, cut in enumerate(_POIS_CUTS):
+        wexpr = wexpr.when(u < cut, F.lit(k))
+    wexpr = wexpr.otherwise(F.lit(7))
+    rep = (
+        b.select("b", "cents", wexpr.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .withColumn("mean", F.col("swc").cast("double") / (100.0 * F.col("sw")))
+    )
+    rank = Window.orderBy(F.asc("mean"), F.asc("b"))
+    ranked = rep.filter(F.col("b") >= 0).withColumn("rn", F.row_number().over(rank))
+    point = rep.filter(F.col("b") == -1).select(
+        F.col("sw").alias("n_rows"), F.round(F.col("mean"), 6).alias("point_mean")
+    )
+    ci = ranked.agg(
+        F.round(F.max(F.when(F.col("rn") == 2, F.col("mean"))), 6).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("rn") == _N_BOOT - 1, F.col("mean"))), 6
+        ).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_replicas"),
+    )
+    return point.crossJoin(ci)
+
+
 QUERIES = {
     "agg_gini_by_segment": agg_gini_by_segment,
     "agg_gini_binned": agg_gini_binned,
@@ -877,11 +1071,80 @@ QUERIES = {
     "events_ab_welch_ztest": events_ab_welch_ztest,
     "stats_ks_two_sample": stats_ks_two_sample,
     "events_psi_value_drift": events_psi_value_drift,
+    "join_bloom_prefilter": join_bloom_prefilter,
+    "stats_bootstrap_poisson_ci": stats_bootstrap_poisson_ci,
 }
 
 _toks = DD_ALNUM_TOKS.format(col="text")
 
 ORACLES = {
+    # full bloom-path replay: identical md5 positions, 30-bit words,
+    # explicit floor() on word indices (Spark cast truncates, DuckDB
+    # CAST rounds), exact /2^b bit tests
+    "join_bloom_prefilter": (
+        "WITH dim AS (SELECT o_orderkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT'), "
+        "pos AS (SELECT (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) "
+        f"|| ':' || i), 1, 8))::UBIGINT % {_BLOOM_BITS}) AS pos "
+        f"FROM dim CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS i)), "
+        "words AS (SELECT CAST(floor(pos / 30) AS BIGINT) AS widx, "
+        "bit_or(CAST(power(2, pos % 30) AS BIGINT)) AS word "
+        "FROM pos GROUP BY 1), "
+        "f AS (SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount, "
+        "(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':0'), 1, 8))"
+        f"::UBIGINT % {_BLOOM_BITS}) AS p0, "
+        "(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':1'), 1, 8))"
+        f"::UBIGINT % {_BLOOM_BITS}) AS p1, "
+        "(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':2'), 1, 8))"
+        f"::UBIGINT % {_BLOOM_BITS}) AS p2 "
+        "FROM lineitem), "
+        "pass AS (SELECT f.* FROM f "
+        "LEFT JOIN words w0 ON w0.widx = CAST(floor(f.p0 / 30) AS BIGINT) "
+        "LEFT JOIN words w1 ON w1.widx = CAST(floor(f.p1 / 30) AS BIGINT) "
+        "LEFT JOIN words w2 ON w2.widx = CAST(floor(f.p2 / 30) AS BIGINT) "
+        "WHERE CAST(floor(coalesce(w0.word, 0) / power(2, f.p0 % 30)) "
+        "AS BIGINT) % 2 = 1 "
+        "AND CAST(floor(coalesce(w1.word, 0) / power(2, f.p1 % 30)) "
+        "AS BIGINT) % 2 = 1 "
+        "AND CAST(floor(coalesce(w2.word, 0) / power(2, f.p2 % 30)) "
+        "AS BIGINT) % 2 = 1) "
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_bloom_pass, "
+        "CAST(sum(CASE WHEN dim.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_matched, "
+        "round(sum(CASE WHEN dim.o_orderkey IS NOT NULL "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS revenue "
+        "FROM pass LEFT JOIN dim ON pass.l_orderkey = dim.o_orderkey "
+        "GROUP BY l_returnflag"
+    ),
+    # integer Poisson(1) inverse-CDF weights from the same md5 u32;
+    # replica b = -1 is the unit-weight point estimate
+    "stats_bootstrap_poisson_ci": (
+        "WITH base AS (SELECT event_id, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents "
+        "FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), "
+        "ex AS (SELECT event_id, cents, b FROM base "
+        f"CROSS JOIN (SELECT unnest(range(-1, {_N_BOOT})) AS b)), "
+        "wts AS (SELECT b, cents, CASE WHEN b = -1 THEN 1 ELSE (CASE "
+        f"WHEN u < {_POIS_CUTS[0]} THEN 0 WHEN u < {_POIS_CUTS[1]} THEN 1 "
+        f"WHEN u < {_POIS_CUTS[2]} THEN 2 WHEN u < {_POIS_CUTS[3]} THEN 3 "
+        f"WHEN u < {_POIS_CUTS[4]} THEN 4 WHEN u < {_POIS_CUTS[5]} THEN 5 "
+        f"WHEN u < {_POIS_CUTS[6]} THEN 6 ELSE 7 END) END AS w "
+        "FROM (SELECT *, ('0x' || substr(md5(CAST(event_id AS VARCHAR) "
+        "|| ':' || b), 1, 8))::UBIGINT AS u FROM ex)), "
+        "rep AS (SELECT b, sum(CAST(w AS HUGEINT) * cents) AS swc, "
+        "CAST(sum(w) AS BIGINT) AS sw FROM wts GROUP BY b), "
+        "m AS (SELECT b, CAST(swc AS DOUBLE) / (100.0 * sw) AS mean, sw "
+        "FROM rep), "
+        "ranked AS (SELECT *, row_number() OVER (ORDER BY mean, b) AS rn "
+        "FROM m WHERE b >= 0), "
+        "point AS (SELECT sw AS n_rows, round(mean, 6) AS point_mean "
+        "FROM m WHERE b = -1), "
+        "ci AS (SELECT round(max(CASE WHEN rn = 2 THEN mean END), 6) AS ci_lo, "
+        f"round(max(CASE WHEN rn = {_N_BOOT - 1} THEN mean END), 6) AS ci_hi, "
+        "CAST(count(*) AS BIGINT) AS n_replicas FROM ranked) "
+        "SELECT point.n_rows, point.point_mean, ci.ci_lo, ci.ci_hi, "
+        "ci.n_replicas FROM point CROSS JOIN ci"
+    ),
     # integer cross-product ECDF compare; argmax pinned (diff DESC, cents)
     "stats_ks_two_sample": (
         "WITH b AS (SELECT ((user_id % 2) + 2) % 2 AS arm, "

@@ -292,6 +292,8 @@ PENDING_ORDER: list[str] = [
     "multimodal_audio_neardup",
     "stats_ks_two_sample",
     "events_psi_value_drift",
+    "join_bloom_prefilter",
+    "stats_bootstrap_poisson_ci",
 ]
 
 
