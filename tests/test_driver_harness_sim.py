@@ -221,6 +221,7 @@ subset = events_entries + [
 for name in subset:
     n = qs[name](spark, sf).count()
     assert n >= 0, name
+    spark.catalog.clearCache()  # drop entry-local persist() caches
 print("PLAIN_SESSION_OK", len(subset))
 """
 

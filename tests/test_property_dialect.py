@@ -837,3 +837,102 @@ def test_winsorize_matches_duckdb_with_nulls(spark, rows):
         tuple(r) for r in con.execute(so.ORACLES["events_value_winsorize"]).fetchall()
     )
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), _wm_vals, st.integers(0, 9)),
+    min_size=1, max_size=12,
+))
+def test_weighted_median_approx_matches_duckdb_with_nulls(spark, rows):
+    """agg_weighted_median_approx vs its oracle on groups with NULL
+    values: percentile_approx ignores NULLs, so the entry must filter
+    them up front on BOTH sides or the oracle's cumulative-weight walk
+    counts NULL rows' weights toward the crossing and the rank-check
+    booleans flip between engines."""
+    import pyarrow as pa
+
+    import warpdb_spark.inventory.scale_ops as so
+
+    data = [(i, t, v, u) for i, (t, v, u) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id long, event_type string, value double, user_id long"
+    )
+    orig = so._t
+    so._t = lambda s, d, n: df
+    try:
+        got = sorted(
+            tuple(r) for r in so.agg_weighted_median_approx(spark, "x").collect()
+        )
+    finally:
+        so._t = orig
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pa.table({
+            "event_id": pa.array([d[0] for d in data], pa.int64()),
+            "event_type": pa.array([d[1] for d in data], pa.string()),
+            "value": pa.array([d[2] for d in data], pa.float64()),
+            "user_id": pa.array([d[3] for d in data], pa.int64()),
+        }),
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(so.ORACLES["agg_weighted_median_approx"]).fetchall()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=st.lists(
+    st.tuples(
+        _wm_vals, st.one_of(st.none(), st.integers(0, 9))
+    ),
+    min_size=0, max_size=12,
+))
+def test_welch_ztest_matches_duckdb_with_nulls(spark, rows):
+    """events_ab_welch_ztest vs its oracle on purchase rows including
+    NULL values and NULL user_ids: both must be filtered up front or a
+    NULL value inflates an arm's n while dropping out of the moment
+    sums, silently deflating the mean. Four fixed rows keep both arms
+    at n >= 2 so the variance denominators stay positive."""
+    import pyarrow as pa
+
+    import warpdb_spark.inventory.curation_ext as cx
+
+    anchored = [(10.0, 0), (20.0, 2), (30.0, 1), (40.0, 3)] + list(rows)
+    data = [(i, "purchase", v, u) for i, (v, u) in enumerate(anchored)]
+    df = spark.createDataFrame(
+        data, "event_id long, event_type string, value double, user_id long"
+    )
+    orig = cx._t
+    cx._t = lambda s, d, n: df
+    try:
+        got = sorted(
+            tuple(r) for r in cx.events_ab_welch_ztest(spark, "x").collect()
+        )
+    finally:
+        cx._t = orig
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pa.table({
+            "event_id": pa.array([d[0] for d in data], pa.int64()),
+            "event_type": pa.array([d[1] for d in data], pa.string()),
+            "value": pa.array([d[2] for d in data], pa.float64()),
+            "user_id": pa.array([d[3] for d in data], pa.int64()),
+        }),
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(cx.ORACLES["events_ab_welch_ztest"]).fetchall()
+    )
+    assert got == want

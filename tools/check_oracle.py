@@ -112,6 +112,10 @@ def main(selected: list[str]) -> int:
             sdf = queries[name](spark, SF_DIR)
             srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
+            # a few entries persist() a shared frame for the duration
+            # of their own job; drop those caches between entries so a
+            # full 255-entry sweep doesn't accumulate stale storage
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")

@@ -290,7 +290,15 @@ def events_hill_tail_index(spark, sf_dir):
         F.count(F.lit(1)).alias("n_got"),
     )
     return (
-        g.filter(F.col("n_got") == 101)
+        # a zero denominator (top 101 values all equal — possible once
+        # a type's row count far exceeds the distinct-value domain)
+        # drops the group like the n_got < 101 case: Spark's non-ANSI
+        # x/0 yields NULL but DuckDB yields inf, so the guard must sit
+        # in the predicate, not the division
+        g.filter(
+            (F.col("n_got") == 101)
+            & (F.col("sum_top") - 100 * F.col("l_k1") > 0)
+        )
         .select(
             "event_type",
             F.lit(100).alias("k"),
@@ -394,8 +402,11 @@ def text_code_detect(spark, sf_dir):
     the DuckDB oracle keeps the regex with its 'g' flag — identical
     counts either way). Per-doc densities
     snap to integer micro-units before the mean, so the aggregate is
-    evaluation-order-proof."""
-    d = _t(spark, sf_dir, "documents")
+    evaluation-order-proof. Zero-length docs are excluded up front:
+    sym/0 is NULL on Spark but NaN on DuckDB (whose round→BIGINT cast
+    then errors), and a NULL density row would silently skew the mean
+    by staying in n_docs while dropping out of the sum."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     # translate delete-and-measure (12× vs regexp strip, PLANS.md r6);
     # the DuckDB oracle keeps the regex form — identical counts
     sym = translate_count(F.col("text"), "{}()[];=<>")
@@ -672,8 +683,15 @@ def events_ab_welch_ztest(spark, sf_dir):
     crosses int64 around 3e9 rows; decimal keeps the sum exact and
     order-proof to ~1e38, and DuckDB's BIGINT SUM widens to HUGEINT
     natively) — and the mean/variance/z arithmetic runs the identical
-    expression tree on identical integers on both engines."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    expression tree on identical integers on both engines. NULL
+    values/users are filtered up front (the stats_ks_two_sample
+    discipline): a NULL value with a valid arm would inflate n while
+    being excluded from the moment sums, silently halving the mean."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
     arm = F.pmod(F.col("user_id"), F.lit(2)).cast("int")
     si = F.round(F.col("value") * 100, 0).cast("long")
     b = ev.select(arm.alias("arm"), si.alias("si"))
@@ -954,13 +972,22 @@ def join_bloom_prefilter(spark, sf_dir):
         F.sum(F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)).alias(
             "n_matched"
         ),
+        # revenue snaps the per-row product to integer cents BEFORE the
+        # sum (the module's money rule: integer sums are
+        # evaluation-order-proof, double sums are not; the per-row
+        # product is the identical IEEE double on both engines and
+        # never lands on an exact half-cent, so the snap agrees)
         F.round(
             F.sum(
                 F.when(
                     F.col("o_orderkey").isNotNull(),
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                ).otherwise(0.0)
-            ),
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                        0,
+                    ).cast("long"),
+                ).otherwise(0)
+            )
+            / 100.0,
             2,
         ).alias("revenue"),
     )
@@ -1111,8 +1138,9 @@ ORACLES = {
         "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_bloom_pass, "
         "CAST(sum(CASE WHEN dim.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) "
         "AS BIGINT) AS n_matched, "
-        "round(sum(CASE WHEN dim.o_orderkey IS NOT NULL "
-        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS revenue "
+        "round(CAST(sum(CASE WHEN dim.o_orderkey IS NOT NULL "
+        "THEN CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) "
+        "ELSE 0 END) AS BIGINT) / 100.0, 2) AS revenue "
         "FROM pass LEFT JOIN dim ON pass.l_orderkey = dim.o_orderkey "
         "GROUP BY l_returnflag"
     ),
@@ -1300,7 +1328,7 @@ ORACLES = {
         "count(*) AS n_got FROM r WHERE rn <= 101 GROUP BY event_type) "
         "SELECT event_type, CAST(100 AS INT) AS k, "
         "round(100e6 / (sum_top - 100 * l_k1), 6) AS hill_alpha "
-        "FROM g WHERE n_got = 101"
+        "FROM g WHERE n_got = 101 AND sum_top - 100 * l_k1 > 0"
     ),
     # per-term micro-snap before the cohort sum
     "agg_group_entropy": (
@@ -1331,7 +1359,7 @@ ORACLES = {
     "text_code_detect": (
         "WITH b AS (SELECT lang, source, n_chars, "
         "length(text) - length(regexp_replace(text, '[{}()\\[\\];=<>]', '', 'g')) "
-        "AS sym FROM documents), "
+        "AS sym FROM documents WHERE n_chars > 0), "
         "d AS (SELECT lang, source, sym, "
         "CAST(round(sym * 1e6 / n_chars, 0) AS BIGINT) AS di FROM b) "
         "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, "
@@ -1408,7 +1436,8 @@ ORACLES = {
     "events_ab_welch_ztest": (
         "WITH b AS (SELECT ((user_id % 2) + 2) % 2 AS arm, "
         "CAST(round(value * 100, 0) AS BIGINT) AS si "
-        "FROM events WHERE event_type = 'purchase'), "
+        "FROM events WHERE event_type = 'purchase' "
+        "AND value IS NOT NULL AND user_id IS NOT NULL), "
         "o AS (SELECT "
         "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
         "CAST(sum(CASE WHEN arm = 0 THEN si END) AS BIGINT) AS s0, "

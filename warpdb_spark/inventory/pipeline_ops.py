@@ -42,9 +42,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# DuckDB fragments shared by several oracles
+# DuckDB fragments shared by several oracles. The normalizer is the
+# shared functions.text.DD_NORM (one authoritative copy — a drift
+# between the two would silently split Spark/oracle normalization).
 _DD_TOKS = "string_split_regex(trim({col}), '\\s+')"
-_DD_NORM = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+_DD_NORM = T.DD_NORM
 _DD_SHINGLES = (
     "CASE WHEN len(toks) < 3 THEN [norm] ELSE list_distinct(list_transform("
     "range(1, greatest(len(toks) - 1, 1)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END"

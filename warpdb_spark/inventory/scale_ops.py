@@ -1572,9 +1572,16 @@ def agg_weighted_median_approx(spark, sf_dir):
     zero slack, so the oracle computes the exact median via the
     cumulative-weight walk and emits the same booleans — both engines
     produce all-TRUE, hash-checked). Rank checks ride one broadcast
-    of the |types|-row sketch output back over a second scan."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", "value", (F.col("user_id") % 5 + 1).alias("wt")
+    of the |types|-row sketch output back over a second scan.
+
+    NULL values are filtered up front on BOTH sides: percentile_approx
+    ignores NULLs but the oracle's cumulative-weight walk would count
+    NULL rows' weights toward the crossing (NULLS LAST), so an
+    unfiltered NULL would flip the booleans between engines."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", (F.col("user_id") % 5 + 1).alias("wt"))
     )
     expanded = ev.withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("wt"))))
     appx = expanded.groupBy("event_type").agg(
@@ -2067,7 +2074,7 @@ ORACLES = {
         "ORDER BY value, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
         "AS BIGINT) AS cumw, "
         "CAST(sum(user_id % 5 + 1) OVER (PARTITION BY event_type) AS BIGINT) AS totw "
-        "FROM events), "
+        "FROM events WHERE value IS NOT NULL), "
         "m AS (SELECT event_type, "
         "min(CASE WHEN 2 * cumw >= totw THEN value END) AS wm "
         "FROM d GROUP BY event_type), "
