@@ -461,6 +461,22 @@ class TestPlanShapes:
         p = self._plan(cx.window_distribution_binned(spark, sf_dir))
         assert "BroadcastHashJoin" in p
 
+    def test_bloom_probes_are_broadcast_joins(self, spark, sf_dir):
+        # every bitmap probe must be a broadcast hash join against the
+        # words table — a shuffle on the fact side before the bloom
+        # has filtered it defeats the entire prefilter
+        p = self._plan(cx.join_bloom_prefilter(spark, sf_dir))
+        assert p.count("BroadcastHashJoin") >= cx._BLOOM_K
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoop" not in p
+
+    def test_bootstrap_has_partial_aggregation(self, spark, sf_dir):
+        # the exploded replica pass must map-side combine: a
+        # partial_sum before the exchange keeps the shuffle at O(B)
+        # rows per task instead of O(n·B)
+        p = self._plan(cx.stats_bootstrap_poisson_ci(spark, sf_dir))
+        assert "partial_sum" in p
+
 
 class TestBinnedEcdf:
     def test_tracks_exact_distribution_functions(self, spark, sf_dir):
