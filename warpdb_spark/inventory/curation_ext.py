@@ -1028,7 +1028,16 @@ def stats_bootstrap_poisson_ci(spark, sf_dir):
     Weighted moments accumulate w·cents in DECIMAL(38,0) (w ≤ 7 —
     headroom past 1e12 rows; DuckDB widens to HUGEINT natively); the
     CI picks ranks 2 and 63 of the 64 exact replica means (2.5% / 97.5%)
-    with ties broken by b, a window over exactly 64 rows."""
+    with ties broken by b, a window over exactly 65 rows.
+
+    Single-branch shape: the point row and the CI ranks fold into ONE
+    conditional aggregation over one ranked 65-row frame (b = −1
+    sorts last, so rn 1..64 ranks exactly the bootstrap replicas). A
+    first cut crossJoined a b = −1 branch with a b ≥ 0 branch — the
+    grouping-key filters pushed below each branch's aggregation and
+    the plan scanned (and md5-weighted) the raw events TWICE; at
+    100 TB the scan is the cost, so the fold is load-bearing (the
+    stats_ks_two_sample lesson, reconfirmed by plan audit here)."""
     ev = _t(spark, sf_dir, "events").filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     )
@@ -1065,19 +1074,22 @@ def stats_bootstrap_poisson_ci(spark, sf_dir):
         )
         .withColumn("mean", F.col("swc").cast("double") / (100.0 * F.col("sw")))
     )
-    rank = Window.orderBy(F.asc("mean"), F.asc("b"))
-    ranked = rep.filter(F.col("b") >= 0).withColumn("rn", F.row_number().over(rank))
-    point = rep.filter(F.col("b") == -1).select(
-        F.col("sw").alias("n_rows"), F.round(F.col("mean"), 6).alias("point_mean")
-    )
-    ci = ranked.agg(
+    # one ranked pass over the 65-row frame: the b = -1 point row
+    # sorts LAST (is_point = 1), so rn 1..64 ranks the replicas
+    is_point = (F.col("b") == -1).cast("int")
+    rank = Window.orderBy(is_point.asc(), F.asc("mean"), F.asc("b"))
+    ranked = rep.withColumn("rn", F.row_number().over(rank))
+    return ranked.agg(
+        F.max(F.when(F.col("b") == -1, F.col("sw"))).alias("n_rows"),
+        F.round(
+            F.max(F.when(F.col("b") == -1, F.col("mean"))), 6
+        ).alias("point_mean"),
         F.round(F.max(F.when(F.col("rn") == 2, F.col("mean"))), 6).alias("ci_lo"),
         F.round(
             F.max(F.when(F.col("rn") == _N_BOOT - 1, F.col("mean"))), 6
         ).alias("ci_hi"),
-        F.count(F.lit(1)).alias("n_replicas"),
+        F.sum(F.when(F.col("b") >= 0, 1).otherwise(0)).alias("n_replicas"),
     )
-    return point.crossJoin(ci)
 
 
 QUERIES = {
@@ -1163,15 +1175,15 @@ ORACLES = {
         "CAST(sum(w) AS BIGINT) AS sw FROM wts GROUP BY b), "
         "m AS (SELECT b, CAST(swc AS DOUBLE) / (100.0 * sw) AS mean, sw "
         "FROM rep), "
-        "ranked AS (SELECT *, row_number() OVER (ORDER BY mean, b) AS rn "
-        "FROM m WHERE b >= 0), "
-        "point AS (SELECT sw AS n_rows, round(mean, 6) AS point_mean "
-        "FROM m WHERE b = -1), "
-        "ci AS (SELECT round(max(CASE WHEN rn = 2 THEN mean END), 6) AS ci_lo, "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(ORDER BY CASE WHEN b = -1 THEN 1 ELSE 0 END, mean, b) AS rn "
+        "FROM m) "
+        "SELECT max(CASE WHEN b = -1 THEN sw END) AS n_rows, "
+        "round(max(CASE WHEN b = -1 THEN mean END), 6) AS point_mean, "
+        "round(max(CASE WHEN rn = 2 THEN mean END), 6) AS ci_lo, "
         f"round(max(CASE WHEN rn = {_N_BOOT - 1} THEN mean END), 6) AS ci_hi, "
-        "CAST(count(*) AS BIGINT) AS n_replicas FROM ranked) "
-        "SELECT point.n_rows, point.point_mean, ci.ci_lo, ci.ci_hi, "
-        "ci.n_replicas FROM point CROSS JOIN ci"
+        "CAST(sum(CASE WHEN b >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_replicas "
+        "FROM ranked"
     ),
     # integer cross-product ECDF compare; argmax pinned (diff DESC, cents)
     "stats_ks_two_sample": (
