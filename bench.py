@@ -6,6 +6,14 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with the noop sink (full execution, no driver
 collect) so the measured time is scan+compute+shuffle, the same work a
 cluster run would do per partition.
+
+Variance hardening (round 7): the suite runs THREE full interleaved
+passes in one JVM; ``value`` is the sum of per-query minima (the
+steady-state figure), with ``single_pass`` (pass-1 total),
+``pass_totals`` and a fixed-cost ``calib_sec`` probe recorded
+alongside so a load-contaminated run is self-evident from the
+artifact instead of needing a re-run to diagnose (r6's driver run
+read 18.5s on code that brackets at 10.4-12.6s).
 """
 
 from __future__ import annotations
@@ -68,17 +76,52 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
-    # best-of-2: report steady-state per query (single runs on a busy
-    # local JVM carry multi-second GC/scheduler noise)
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
+    # Calibration probe: a fixed CPU-bound JVM job whose cost is
+    # load-sensitive but code-invariant. Its reading contextualizes the
+    # suite numbers — a calib 2x its quiet-machine envelope (~0.4-0.6s
+    # on this sandbox) means the run was contaminated by external load,
+    # not a plan regression.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        # sum of small residues, not raw hashes: |residue| < 1e3 so the
+        # 50M-row sum stays ~5e10, far from int64 under ANSI mode
+        spark.range(0, 50_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id") % 1000).alias("h")
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # min-of-3, pass-interleaved: run the WHOLE suite three times in
+    # one JVM and take each query's min across passes. Interleaving at
+    # the pass level means a transient sandbox load spike contaminates
+    # one pass, not the same query three times — the per-query min is
+    # the steady-state number a quiet machine would produce. The
+    # single-pass (pass-1) total is kept alongside as the honest
+    # "one cold-ish sweep" figure.
+    PASSES = 3
+    per_pass: list[dict[str, float]] = []
+    calibs = [_calibrate()]
+    for p in range(PASSES):
+        pass_times: dict[str, float] = {}
+        for name in names:
             t0 = time.perf_counter()
             _force(qs[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            pass_times[name] = time.perf_counter() - t0
+        per_pass.append(pass_times)
+        calibs.append(_calibrate())
+        print(
+            f"# pass {p + 1}: {round(sum(pass_times.values()), 3)}s"
+            f" (calib {calibs[-1]}s)",
+            file=sys.stderr,
+        )
+
+    timings = {
+        name: round(min(pt[name] for pt in per_pass), 3) for name in names
+    }
+    for name in names:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    single_pass = round(sum(per_pass[0].values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     record = {
@@ -87,6 +130,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "method": "min_of_3_interleaved",
+        "single_pass": single_pass,
+        "pass_totals": [round(sum(pt.values()), 3) for pt in per_pass],
+        "calib_sec": calibs,
     }
     print(json.dumps(record))
     # Append to the per-round history so later rounds can diff

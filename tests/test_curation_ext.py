@@ -299,6 +299,29 @@ class TestNeighborJaccard:
                 r["common"] / (r["deg_u"] + r["deg_v"] - r["common"]), 6
             )
 
+    def test_cap_binding_consistent_semantics(self, spark, inject, monkeypatch):
+        # When the center cap BINDS, degrees must be counted over the
+        # same capped (non-hub) neighbour sets the wedges walk — the r6
+        # advice fix. Graph: hub 9 → {1,2,3,4}; leaf edges 4-1, 1-2,
+        # 2-3, 3-1. Full degrees: 9:4, 1:4, 2:3, 3:3, 4:2. Cap 3 drops
+        # centers 9 and 1. Surviving ≥2-common pair is (1,9) with
+        # common=3 (wedges via 2,3,4), N'(1)={2,3,4}, N'(9)={2,3,4} →
+        # jaccard 3/(3+3-3) = 1.0 exactly. The OLD inconsistent
+        # semantics (full degrees 4,4) would read 3/5 = 0.6.
+        monkeypatch.setattr(cx, "_JACCARD_CENTER_CAP", 3)
+        seq = [1, 9, 2, 9, 3, 9, 4, 1, 2, 3, 1]
+        rows = [
+            (i, TS0 + datetime.timedelta(seconds=i), u, "x", 1.0)
+            for i, u in enumerate(seq)
+        ]
+        inject(_events(spark, rows))
+        got = {(r["u"], r["v"]): r for r in
+               cx.graph_neighbor_jaccard(spark, "x").collect()}
+        assert set(got) == {(1, 9)}
+        r = got[(1, 9)]
+        assert (r["common"], r["deg_u"], r["deg_v"]) == (3, 3, 3)
+        assert r["jaccard"] == 1.0
+
     def test_symmetric_star_counts(self, spark, inject):
         # star: center 9 touches 1,2,3 → every leaf pair shares only
         # {9}: below the ≥2 bar unless leaves also connect. Build

@@ -614,26 +614,35 @@ def graph_neighbor_jaccard(spark, sf_dir):
     Same wedge enumeration as Adamic-Adar (and the same shared
     ``_user_edges`` derivation): Σ deg(z)² work centred on z, bounded
     by a hub-CENTER degree cap (a hub's wedges are pure noise for
-    role similarity); the cap sits above this graph's max degree so
-    the oracle replays the full sum. Integer counts exact; the only
-    float is the final ratio."""
+    role similarity). CONSISTENT capped semantics: when the cap binds,
+    hub nodes are removed from the neighbourhoods themselves, so
+    deg_u/deg_v count the same non-hub neighbour sets the wedge count
+    walks and jaccard stays exactly |N'(u)∩N'(v)| / |N'(u)∪N'(v)| with
+    N' = non-hub neighbours (uncapped degrees against capped wedge
+    counts would bias the ratio low — r6 advice). The oracle replays
+    the identical cap, so the entry stays hash-checkable even on a
+    dataset whose max degree exceeds the cap. Integer counts exact;
+    the only float is the final ratio."""
     edges = _user_edges(spark, sf_dir)
     directed = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).select(F.col("a").alias("z"), F.col("b").alias("nbr"))
-    deg = directed.groupBy("nbr").agg(F.count(F.lit(1)).alias("deg"))
+    full_deg = directed.groupBy("nbr").agg(F.count(F.lit(1)).alias("deg"))
     # center-degree cap: production knob, non-binding on the test
     # graph (the graph_adamic_adar discipline). On DENSE graphs it is
     # the load-bearing bound: the 20M-event/200k-user replay produced
     # 356M candidate pairs uncapped vs a bounded set at cap 64 —
     # wedge output grows with Σ deg(z)², and hub centers say nothing
-    # about role similarity anyway.
-    center_deg = deg.select(F.col("nbr").alias("z"), F.col("deg").alias("zdeg"))
+    # about role similarity anyway. Hubs are identified by FULL degree
+    # (the cap's definition), then dropped from every neighbourhood.
+    center_deg = full_deg.select(F.col("nbr").alias("z"), F.col("deg").alias("zdeg"))
     capped = directed.join(
         F.broadcast(center_deg.filter(F.col("zdeg") > _JACCARD_CENTER_CAP)),
         "z",
         "left_anti",
     )
+    # endpoint degrees over the SAME capped edge set the wedges use
+    deg = capped.groupBy("nbr").agg(F.count(F.lit(1)).alias("deg"))
     d1, d2 = capped.alias("d1"), capped.alias("d2")
     common = (
         d1.join(
@@ -707,6 +716,12 @@ def events_ab_welch_ztest(spark, sf_dir):
             F.when(F.col("arm") == 1, F.col("si").cast("decimal(38,0)") * F.col("si"))
         ).alias("q1"),
     )
+    # degenerate-arm guard (r6 advice, the hill-estimator discipline):
+    # variance divides by n-1 and z by sqrt(v0/n0 + v1/n1); below two
+    # observations per arm Spark's non-ANSI x/0 yields NULL while
+    # DuckDB doubles yield inf/NaN — guard on BOTH engines so the
+    # entry degrades to zero rows, not an engine divergence
+    one = one.filter((F.col("n0") > 1) & (F.col("n1") > 1))
     m0 = F.col("s0") / (100.0 * F.col("n0"))
     m1 = F.col("s1") / (100.0 * F.col("n1"))
     v0 = (F.col("q0") / 1e4 - F.col("n0") * m0 * m0) / (F.col("n0") - 1)
@@ -780,7 +795,15 @@ def stats_ks_two_sample(spark, sf_dir):
     )
     r = j.select("cents", "n0", "n1", diff.alias("dnum"))
     pick = Window.orderBy(F.desc("dnum"), F.asc("cents"))
-    top = r.withColumn("rn", F.row_number().over(pick)).filter(F.col("rn") == 1)
+    # empty-arm guard (r6 advice): ks divides by n0*n1 — an empty arm
+    # makes Spark's non-ANSI x/0 NULL but DuckDB inf/NaN. Unlike the
+    # Welch entry there is no n-1, so n ≥ 1 per arm is sufficient:
+    # a one-observation ECDF is well-defined.
+    top = (
+        r.filter((F.col("n0") > 0) & (F.col("n1") > 0))
+        .withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+    )
     ks = F.col("dnum").cast("double") / (
         F.col("n0").cast("double") * F.col("n1")
     )
@@ -1203,7 +1226,7 @@ ORACLES = {
         "abs(CAST(cum_a AS HUGEINT) * n1 - CAST(cum_b AS HUGEINT) * n0) AS dnum "
         "FROM c), "
         "p AS (SELECT *, row_number() OVER (ORDER BY dnum DESC, cents) AS rn "
-        "FROM r) "
+        "FROM r WHERE n0 > 0 AND n1 > 0) "
         "SELECT n0, n1, "
         "round(CAST(dnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1), 6) AS ks_d, "
         "round(cents / 100.0, 2) AS ks_at_value, "
@@ -1253,7 +1276,7 @@ ORACLES = {
         "ORDER BY cents, o_orderkey) AS i FROM c) "
         "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
         "round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS total_value, "
-        "round(2.0 * CAST(sum(i * cents) AS DOUBLE) "
+        "round(2.0 * CAST(sum(CAST(i AS HUGEINT) * cents) AS DOUBLE) "
         "/ (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)) "
         "- (count(*) + 1) * 1.0 / count(*), 6) AS gini "
         "FROM r GROUP BY o_orderpriority"
@@ -1427,15 +1450,21 @@ ORACLES = {
         "CAST(decile AS INT) AS decile "
         "FROM r WHERE o_orderkey % 37 = 0"
     ),
-    # same edge CTE as every graph oracle; wedge count + degree union
+    # same edge CTE as every graph oracle; the center cap is mirrored
+    # (hubs identified by FULL degree, then dropped from every
+    # neighbourhood) so the oracle replays the capped semantics exactly
+    # rather than failing if data density ever exceeds the cap
     "graph_neighbor_jaccard": (
         "WITH nx AS (SELECT user_id AS src, lead(user_id) OVER "
         "(PARTITION BY event_type ORDER BY ts, event_id) AS dst FROM events), "
         "e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
         "FROM nx WHERE dst IS NOT NULL AND dst <> src), "
         "d AS (SELECT a AS z, b AS nbr FROM e UNION ALL SELECT b, a FROM e), "
-        "deg AS (SELECT nbr, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY nbr), "
-        "w AS (SELECT d1.nbr AS u, d2.nbr AS v FROM d d1 JOIN d d2 "
+        "fdeg AS (SELECT nbr, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY nbr), "
+        "dc AS (SELECT d.z, d.nbr FROM d JOIN fdeg ON fdeg.nbr = d.z "
+        f"WHERE fdeg.deg <= {_JACCARD_CENTER_CAP}), "
+        "deg AS (SELECT nbr, CAST(count(*) AS BIGINT) AS deg FROM dc GROUP BY nbr), "
+        "w AS (SELECT d1.nbr AS u, d2.nbr AS v FROM dc d1 JOIN dc d2 "
         "ON d1.z = d2.z AND d1.nbr < d2.nbr), "
         "cm AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common FROM w "
         "GROUP BY u, v HAVING count(*) >= 2) "
@@ -1456,7 +1485,8 @@ ORACLES = {
         "CAST(sum(CASE WHEN arm = 0 THEN si * si END) AS HUGEINT) AS q0, "
         "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
         "CAST(sum(CASE WHEN arm = 1 THEN si END) AS BIGINT) AS s1, "
-        "CAST(sum(CASE WHEN arm = 1 THEN si * si END) AS HUGEINT) AS q1 FROM b) "
+        "CAST(sum(CASE WHEN arm = 1 THEN si * si END) AS HUGEINT) AS q1 FROM b), "
+        "g AS (SELECT * FROM o WHERE n0 > 1 AND n1 > 1) "
         "SELECT n0, round(s0 / (100.0 * n0), 6) AS mean0, "
         "round((q0 / 1e4 - n0 * (s0 / (100.0 * n0)) * (s0 / (100.0 * n0))) "
         "/ (n0 - 1), 6) AS var0, "
@@ -1466,6 +1496,6 @@ ORACLES = {
         "round((s1 / (100.0 * n1) - s0 / (100.0 * n0)) / sqrt( "
         "((q0 / 1e4 - n0 * (s0 / (100.0 * n0)) * (s0 / (100.0 * n0))) / (n0 - 1)) / n0 "
         "+ ((q1 / 1e4 - n1 * (s1 / (100.0 * n1)) * (s1 / (100.0 * n1))) / (n1 - 1)) / n1"
-        "), 6) AS z_score FROM o"
+        "), 6) AS z_score FROM g"
     ),
 }

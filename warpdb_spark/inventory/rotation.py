@@ -217,6 +217,56 @@ DRIVER_GREEN: dict[str, int] = {
     "tpch_q19_disjunctive_revenue": 5,
     "tpch_q20_promotion_suppliers": 5,
     "tpch_q21_single_return_supplier": 5,
+    "tpch_q22_dormant_customers": 6,
+    "text_token_stats": 6,
+    "text_lang_id": 6,
+    "text_quality_score": 6,
+    "text_md5_fingerprint": 6,
+    "text_winnow_fingerprint": 6,
+    "text_tfidf_top_terms": 6,
+    "multimodal_blob_meta": 6,
+    "multimodal_features": 6,
+    "multimodal_frame_sample": 6,
+    "agg_statistical": 6,
+    "agg_percentiles": 6,
+    "search_hard_negatives": 6,
+    "text_script_shares": 6,
+    "corpus_ngram_novelty": 6,
+    "shard_assign_bytes": 6,
+    "embedding_dim_profile": 6,
+    "events_seasonality_hourly": 6,
+    "dedup_minhash_estimate_calibration": 6,
+    "text_zipf_alpha": 6,
+    "text_readability_fk": 6,
+    "agg_weighted_median": 6,
+    "agg_weighted_median_approx": 6,
+    "stream_incremental_dedup": 6,
+    "multimodal_dhash_neardup": 6,
+    "text_hapax_ratio": 6,
+    "text_source_vocab_jaccard": 6,
+    "events_interarrival_profile": 6,
+    "events_value_winsorize": 6,
+    "graph_degree_distribution": 6,
+    "table_partition_skew_report": 6,
+    "similarity_knn_indegree": 6,
+    "similarity_pair_margin": 6,
+    "embedding_cosine_histogram": 6,
+    "reshape_train_val_split": 6,
+    "dedup_loss_by_source": 6,
+    "stream_dedup_rate_by_batch": 6,
+    "agg_gini_by_segment": 6,
+    "sample_reservoir_per_key": 6,
+    "reshape_user_sequences": 6,
+    "stats_chi2_independence": 6,
+    "events_hill_tail_index": 6,
+    "agg_group_entropy": 6,
+    "table_freshness_report": 6,
+    "text_code_detect": 6,
+    "dedup_prefix_cluster": 6,
+    "text_vocab_coverage_curve": 6,
+    "window_distribution_functions": 6,
+    "graph_neighbor_jaccard": 6,
+    "events_ab_welch_ztest": 6,
 }
 
 # Never-driver-checked entries, highest risk first: dialect executors
@@ -227,64 +277,14 @@ DRIVER_GREEN: dict[str, int] = {
 PENDING_ORDER: list[str] = [
     # round-5 additions — brand new surfaces, checked first
     # round-4 additions
-    "tpch_q22_dormant_customers",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_md5_fingerprint",
-    "text_winnow_fingerprint",
-    "text_tfidf_top_terms",
-    "multimodal_blob_meta",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "agg_statistical",
-    "agg_percentiles",
     # round-5 late additions — placed BEHIND the already-rehearsed
     # 50-entry r5 window (slots 1-50 are frozen once rehearsed; these
     # rotate with the ≤12 leftovers in r6)
-    "search_hard_negatives",
-    "text_script_shares",
-    "corpus_ngram_novelty",
-    "shard_assign_bytes",
-    "embedding_dim_profile",
-    "events_seasonality_hourly",
-    "dedup_minhash_estimate_calibration",
-    "text_zipf_alpha",
-    "text_readability_fk",
-    "agg_weighted_median",
     # round-6 additions — placed BEHIND the 22 never-driver-checked
     # names (which fit the 50-slot window with room to spare)
-    "agg_weighted_median_approx",
-    "stream_incremental_dedup",
-    "multimodal_dhash_neardup",
-    "text_hapax_ratio",
-    "text_source_vocab_jaccard",
-    "events_interarrival_profile",
-    "events_value_winsorize",
-    "graph_degree_distribution",
-    "table_partition_skew_report",
-    "similarity_knn_indegree",
-    "similarity_pair_margin",
-    "embedding_cosine_histogram",
-    "reshape_train_val_split",
-    "dedup_loss_by_source",
-    "stream_dedup_rate_by_batch",
     # round-6 curation_ext batch — fills the window to exactly 50
     # pending (37 + 13); ordered behind everything above so the r5
     # backlog is still verified first
-    "agg_gini_by_segment",
-    "sample_reservoir_per_key",
-    "reshape_user_sequences",
-    "stats_chi2_independence",
-    "events_hill_tail_index",
-    "agg_group_entropy",
-    "table_freshness_report",
-    "text_code_detect",
-    "dedup_prefix_cluster",
-    "text_vocab_coverage_curve",
-    "window_distribution_functions",
-    "graph_neighbor_jaccard",
-    "events_ab_welch_ztest",
     # round-6 late additions — behind the rehearsed 50-entry r6 window;
     # these front the r7 window
     "agg_gini_binned",
