@@ -159,3 +159,69 @@ def test_submodule_import_failure_is_loud(monkeypatch):
     monkeypatch.setitem(sys.modules, "warpdb_spark.inventory.pipeline_ops", None)
     with pytest.raises(ImportError):
         inventory.load_all()
+
+
+def test_headline_has_no_window_sort_on_low_cardinality_key(spark, sf_dir):
+    """Ban the skewed-window scale-killer from the FROZEN bench suite:
+    a window (per-group sort) partitioned by a bounded-domain key puts
+    ~1/|domain| of the corpus in ONE task at 100 TB. Exact
+    order-statistic entries over such keys (agg_gini_by_segment,
+    window_distribution_functions, agg_weighted_median) are kept as
+    sf-bounded diagnostics with binned/approx scale siblings — they
+    must never join the headline set. Low-cardinality is measured from
+    the data (DuckDB distinct counts per column, ≤ 10 at any sf —
+    categorical domains don't grow with scale), and window partition
+    keys are read from the optimized plan's windowspecdefinition()
+    nodes, so the test catches a future headline addition, not just
+    today's list."""
+    import re
+
+    import duckdb
+
+    from bench import HEADLINE
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    con = duckdb.connect()
+    low_card: set[str] = set()
+    for t in tables:
+        rel = con.sql(f"SELECT * FROM '{sf_dir}/{t}.parquet' LIMIT 0")
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ).startswith(("BLOB", "STRUCT", "LIST", "FLOAT[]")):
+                continue
+            n = con.sql(
+                f'SELECT count(DISTINCT "{col}") FROM \'{sf_dir}/{t}.parquet\''
+            ).fetchone()[0]
+            if n <= 10:
+                low_card.add(col)
+    assert "o_orderpriority" in low_card and "l_orderkey" not in low_card
+
+    q, _ = inventory.load_all()
+    offenders = {}
+    try:
+        for name in HEADLINE:
+            if name not in q:
+                continue
+            plan = (
+                q[name](spark, sf_dir)
+                ._jdf.queryExecution().optimizedPlan().toString()
+            )
+            for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+                # args before the first "col ASC/DESC ..." token are the
+                # partition spec; strip the #exprId[type] suffix
+                part_cols = []
+                for arg in spec.split(", "):
+                    if " ASC" in arg or " DESC" in arg or "specifiedwindowframe" in arg:
+                        break
+                    part_cols.append(arg.split("#")[0])
+                bad = [c for c in part_cols if c in low_card]
+                if bad:
+                    offenders.setdefault(name, []).extend(bad)
+    finally:
+        spark.catalog.clearCache()
+    assert not offenders, (
+        "headline queries window-partitioned on a bounded-domain key "
+        f"(one task holds ~1/|domain| of the corpus at 100 TB): {offenders}"
+    )

@@ -64,10 +64,13 @@ def agg_gini_by_segment(spark, sf_dir):
     cents (a 20M-row replay crashed the long sum under ANSI mode) —
     so the rank-moment accumulates in DECIMAL(38,0): still exact and
     aggregation-order-proof, with headroom to ~1e38 (≈1e12 rows/group).
-    The per-group rank is a per-group sort — the same shuffle class as
-    any exact order statistic; ``agg_gini_binned`` is the sort-free
-    100 TB path (fixed-width Lorenz buckets, same aggregation shape as
-    ``events_value_histogram``)."""
+    The per-group rank is a per-group sort on a 5-value key — one task
+    holds ~20% of the corpus at scale, so this entry is the
+    **sf-bounded exact diagnostic**; the **100 TB default** is
+    ``agg_gini_binned`` (sort-free fixed-width Lorenz buckets, same
+    aggregation shape as ``events_value_histogram``), |err| ≤ 1e-6 at
+    the 20M-row replay. The headline-bench contract test pins that no
+    frozen bench query ever carries this window shape."""
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
@@ -533,7 +536,12 @@ def window_distribution_functions(spark, sf_dir):
     produce identical (n-1)-denominator ranks. Output keeps every
     37th order: the window computes over FULL partitions (filter
     applied above the window, checked by the predicate placement),
-    the report stays bounded."""
+    the report stays bounded.
+
+    **sf-bounded exact diagnostic** — the window is a per-group sort
+    on a 5-value key (one task ≈ 20% of the corpus at scale); the
+    **100 TB default** is ``window_distribution_binned`` (sort-free
+    bucketed ECDF, 6-8× faster at 20M rows)."""
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")

@@ -245,11 +245,14 @@ def corpus_stats_by_stratum(spark, sf_dir):
 # --- dedup -------------------------------------------------------------------
 
 def dedup_exact(spark, sf_dir):
-    """Exact dedup on a composite key, survivor = min doc_id."""
-    docs = _t(spark, sf_dir, "documents")
-    return D.exact_dedup(docs, ["lang", "source"], "doc_id").select(
-        "doc_id", "lang", "source"
-    )
+    """Exact dedup on a composite key, survivor = min doc_id.
+
+    Columns are pruned BEFORE the dedup: ``exact_dedup`` aggregates a
+    whole-row struct (min_by), which Catalyst cannot prune through —
+    selecting first keeps ``text`` out of the scan and the aggregation
+    buffer (ReadSchema: 3 of 5 columns, plan-pinned)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return D.exact_dedup(docs, ["lang", "source"], "doc_id")
 
 
 def dedup_exact_text(spark, sf_dir):

