@@ -493,6 +493,16 @@ class TestPlanShapes:
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoop" not in p
 
+    def test_bloom_partitioned_probes_never_broadcast(self, spark, sf_dir):
+        # the post-broadcast regime: every probe AND the exactness
+        # join must be shuffle hash joins — the strategy that survives
+        # a bitmap/dim too big for any single machine. Zero broadcast
+        # anywhere on the path.
+        p = self._plan(cx.join_bloom_prefilter_partitioned(spark, sf_dir))
+        assert p.count("ShuffledHashJoin") >= cx._BLOOM_K + 1
+        assert "BroadcastExchange" not in p
+        assert "CartesianProduct" not in p
+
     def test_bootstrap_has_partial_aggregation(self, spark, sf_dir):
         # the exploded replica pass must map-side combine: a
         # partial_sum before the exchange keeps the shuffle at O(B)

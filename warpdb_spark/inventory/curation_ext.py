@@ -930,6 +930,72 @@ def _bloom_u32(col, salt: int):
     ).cast("long")
 
 
+def _bloom_xxhash_u32(col, salt: int):
+    """Production-grade position hash: JVM xxhash64 folded to u32 —
+    whole-stage-codegen'd, ~40× cheaper than the md5-hex path. NOT
+    DuckDB-replayable (no xxhash64 there), so the oracle-checked
+    entries use ``_bloom_u32``; replays use this to price the real
+    thing (tools/replay_bloom_partitioned.py)."""
+    return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(1 << 32))
+
+
+def _bloom_words(dim, key: str, m: int, hash_fn=_bloom_u32):
+    """(widx, word) bitmap rows for ``dim[key]``: k salted u32
+    positions per key (md5-hex by default — engine-portable), OR-folded
+    into 30-bit words (positive, so the /2^b bit test is exact double
+    arithmetic on both engines)."""
+    pos = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(hash_fn(F.col(key), i), F.lit(m))
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.floor(F.col("pos") / _BLOOM_WORD).alias("widx"),
+            F.pow(F.lit(2.0), F.pmod(F.col("pos"), F.lit(_BLOOM_WORD)))
+            .cast("long")
+            .alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def _bloom_probe(fact, words, key: str, m: int, broadcast: bool = True,
+                 hash_fn=_bloom_u32):
+    """Prefilter ``fact`` rows whose ``key`` sets all k bloom bits.
+
+    ``broadcast=True`` ships the bitmap to every task (the ≤⌈m/30⌉-row
+    regime); ``broadcast=False`` is the post-broadcast strategy — each
+    probe is a SHUFFLE hash join, i.e. the fact side repartitions on
+    word_idx and the bitmap partitions once, so nothing need fit on
+    one machine. Identical results either way; only the exchange
+    strategy differs."""
+    for i in range(_BLOOM_K):
+        p = F.pmod(hash_fn(F.col(key), i), F.lit(m))
+        fact = fact.withColumn(f"w{i}", F.floor(p / _BLOOM_WORD)).withColumn(
+            f"b{i}", F.pmod(p, F.lit(_BLOOM_WORD))
+        )
+        wi = words.select(F.col("widx").alias(f"w{i}"), F.col("word").alias(f"word{i}"))
+        wi = F.broadcast(wi) if broadcast else wi.hint("shuffle_hash")
+        fact = fact.join(wi, f"w{i}", "left").filter(
+            F.pmod(
+                F.floor(
+                    F.coalesce(F.col(f"word{i}"), F.lit(0))
+                    / F.pow(F.lit(2.0), F.col(f"b{i}"))
+                ),
+                F.lit(2),
+            )
+            == 1
+        )
+    return fact
+
+
 def join_bloom_prefilter(spark, sf_dir):
     """Bloom-filter semi-join reduction — the runtime-filter pattern
     Spark's AQE applies under `spark.sql.optimizer.runtime.bloomFilter`
@@ -960,44 +1026,15 @@ def join_bloom_prefilter(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     dim = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
-    pos = dim.select(
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(_bloom_u32(F.col("o_orderkey"), i), F.lit(_BLOOM_BITS))
-                    for i in range(_BLOOM_K)
-                ]
-            )
-        ).alias("pos")
-    )
-    words = (
-        pos.select(
-            F.floor(F.col("pos") / _BLOOM_WORD).alias("widx"),
-            F.pow(F.lit(2.0), F.pmod(F.col("pos"), F.lit(_BLOOM_WORD)))
-            .cast("long")
-            .alias("bit"),
-        )
-        .groupBy("widx")
-        .agg(F.bit_or("bit").alias("word"))
-    )
+    words = _bloom_words(dim, "o_orderkey", _BLOOM_BITS)
     fact = li.select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
-    for i in range(_BLOOM_K):
-        p = F.pmod(_bloom_u32(F.col("l_orderkey"), i), F.lit(_BLOOM_BITS))
-        fact = fact.withColumn(f"w{i}", F.floor(p / _BLOOM_WORD)).withColumn(
-            f"b{i}", F.pmod(p, F.lit(_BLOOM_WORD))
-        )
-        wi = words.select(F.col("widx").alias(f"w{i}"), F.col("word").alias(f"word{i}"))
-        fact = fact.join(F.broadcast(wi), f"w{i}", "left").filter(
-            F.pmod(
-                F.floor(
-                    F.coalesce(F.col(f"word{i}"), F.lit(0))
-                    / F.pow(F.lit(2.0), F.col(f"b{i}"))
-                ),
-                F.lit(2),
-            )
-            == 1
-        )
+    fact = _bloom_probe(fact, words, "l_orderkey", _BLOOM_BITS, broadcast=True)
     joined = fact.join(dim, fact.l_orderkey == dim.o_orderkey, "left")
+    return _bloom_report(joined)
+
+
+def _bloom_report(joined):
+    """Shared report tail: bloom-pass/match counts + exact revenue."""
     return joined.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_bloom_pass"),
         F.sum(F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)).alias(
@@ -1022,6 +1059,43 @@ def join_bloom_prefilter(spark, sf_dir):
             2,
         ).alias("revenue"),
     )
+
+
+def join_bloom_prefilter_partitioned(spark, sf_dir):
+    """The bloom semi-join's POST-BROADCAST regime — the scale-safe
+    variant ``join_bloom_prefilter``'s docstring promises. Same bitmap
+    (identical md5 positions, 30-bit words — the oracle replays it
+    bit-for-bit with the same SQL as the broadcast entry), but every
+    probe is a SHUFFLE hash join: the fact side REPARTITIONS on
+    word_idx and the (widx, word) table hash-partitions across the
+    cluster instead of shipping whole to every task. This is the
+    strategy that survives when the build side outgrows the broadcast
+    budget — at ~1e9 build keys a 16-bits/key bitmap is ~533M word
+    rows (~8 GB), far past any driver/executor broadcast ceiling, yet
+    each of its hash partitions is a few MB. The final exactness join
+    against dim is also shuffle-hashed (a 1e9-key dim doesn't
+    broadcast either). Probe shuffles move the REDUCED fact: probe 1
+    carries the skinny (key, payload, w0..w2, b0..b2) projection;
+    probes 2-3 carry only survivors, so volumes shrink with the
+    bloom's selectivity (~dim-match rate + FPR). Plan pinned by test:
+    3 ShuffledHashJoin probes, zero BroadcastExchange on the bloom
+    path; replayed at 4M build keys / 64M-bit bitmap in
+    tools/replay_bloom_partitioned.py.
+
+    Reference tie-in: the principled version of the reference's
+    multi-GPU range partitioning (src/multi_gpu_utils.cpp:23-60) —
+    distribute the filter structure instead of assuming it fits on
+    one device."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    words = _bloom_words(dim, "o_orderkey", _BLOOM_BITS)
+    fact = li.select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    fact = _bloom_probe(fact, words, "l_orderkey", _BLOOM_BITS, broadcast=False)
+    joined = fact.join(
+        dim.hint("shuffle_hash"), fact.l_orderkey == dim.o_orderkey, "left"
+    )
+    return _bloom_report(joined)
 
 
 # --- stats: deterministic Poisson bootstrap CI --------------------------------
@@ -1142,6 +1216,7 @@ QUERIES = {
     "stats_ks_two_sample": stats_ks_two_sample,
     "events_psi_value_drift": events_psi_value_drift,
     "join_bloom_prefilter": join_bloom_prefilter,
+    "join_bloom_prefilter_partitioned": join_bloom_prefilter_partitioned,
     "stats_bootstrap_poisson_ci": stats_bootstrap_poisson_ci,
 }
 
@@ -1507,3 +1582,8 @@ ORACLES = {
         "), 6) AS z_score FROM g"
     ),
 }
+
+# the partitioned sibling computes the IDENTICAL result — same bitmap,
+# same probes, same exactness join; only the Spark exchange strategy
+# (shuffle-hash vs broadcast) differs, which SQL does not express
+ORACLES["join_bloom_prefilter_partitioned"] = ORACLES["join_bloom_prefilter"]

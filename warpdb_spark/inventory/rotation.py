@@ -294,6 +294,10 @@ PENDING_ORDER: list[str] = [
     "events_psi_value_drift",
     "join_bloom_prefilter",
     "stats_bootstrap_poisson_ci",
+    # round-7 additions — added BEFORE the r7 window rehearsal (the
+    # r6 rule: nothing enters the inventory after rehearsal), placed
+    # behind the r6 backlog so those seven verify first
+    "join_bloom_prefilter_partitioned",
 ]
 
 
