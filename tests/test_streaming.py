@@ -635,3 +635,98 @@ class TestSketchRollup:
         whole = spark.read.option("header", True).schema(SCHEMA).csv(src)
         exact = whole.select("key").distinct().count()
         assert abs(est - exact) <= max(1, 0.05 * exact)
+
+
+class TestStreamPsiDrift:
+    """Live foreachBatch PSI monitor (streaming/drift.py) pinned to the
+    batch-replay entry (analytics_ext.stream_psi_drift_by_batch): same
+    buckets, same micro-snap, same structural-zero rule."""
+
+    @staticmethod
+    def _value(i: int, shift: int) -> float:
+        # bucket = floor(value/25): base pattern covers buckets 0-3,
+        # shift=2 moves it to 2-5
+        return 25.0 * (i % 4 + shift) + 10.0
+
+    @staticmethod
+    def _skewed(i: int) -> float:
+        # same-support reshape: 80% bucket 0 / 20% bucket 1 vs the
+        # uniform base — mass moves WITHIN shared buckets, so psi
+        # itself fires (≈0.645); buckets 2-3 empty on the batch side
+        # land in n_buckets_zero
+        return 35.0 if i % 5 == 0 else 10.0
+
+    def test_monitor_matches_batch_entry(self, spark, tmp_path):
+        import os
+        import time
+        import unittest.mock as mock
+
+        import warpdb_spark.inventory.analytics_ext as ax
+        from warpdb_spark.streaming.drift import (
+            attach_psi_monitor,
+            value_bucket_counts,
+        )
+
+        d = tmp_path / "ev"
+        d.mkdir()
+        # batch 0 (ids 0-249) is the BASELINE; batches 1 (shifted
+        # distribution) and 2 (identical to baseline -> psi == 0)
+        # arrive as separate files
+        rows0 = [(i, self._value(i, 0)) for i in range(0, 250)]
+        rows1 = [(i, self._skewed(i)) for i in range(250, 500)]
+        rows2 = [(i, self._value(i, 0)) for i in range(500, 750)]
+        for name, rows in [("b1.csv", rows1), ("b2.csv", rows2)]:
+            (d / name).write_text(
+                "event_id,value\n"
+                + "\n".join(f"{i},{v}" for i, v in rows)
+            )
+        now = time.time()
+        os.utime(d / "b1.csv", (now - 10, now - 10))
+        os.utime(d / "b2.csv", (now, now))
+
+        schema = "event_id LONG, value DOUBLE"
+        base_df = spark.createDataFrame(rows0, schema)
+        stream = (
+            spark.readStream.option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .schema(schema)
+            .csv(str(d))
+        )
+        out_dir = str(tmp_path / "psi_out")
+        q = attach_psi_monitor(
+            stream,
+            value_bucket_counts(base_df),
+            out_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        q.stop()
+        live = {
+            r.batch_id: r for r in spark.read.parquet(out_dir).collect()
+        }
+        assert set(live) == {0, 1}
+
+        # batch entry over the SAME rows (entry batch b <-> live file b-1)
+        all_rows = [
+            (i, "purchase", v) for i, v in rows0 + rows1 + rows2
+        ]
+        ev = spark.createDataFrame(
+            all_rows, "event_id LONG, event_type STRING, value DOUBLE"
+        )
+        with mock.patch.object(ax, "_t", lambda s, sd, n: ev):
+            want = {
+                r.batch_id: r
+                for r in ax.stream_psi_drift_by_batch(spark, "x").collect()
+            }
+        assert set(want) == {1, 2}
+        for live_id, entry_id in [(0, 1), (1, 2)]:
+            lv, wt = live[live_id], want[entry_id]
+            assert lv.psi == wt.psi
+            assert lv.n_cur == wt.n_batch and lv.n_base == wt.n_base
+            assert lv.n_buckets_used == wt.n_buckets_used
+            assert lv.n_buckets_zero == wt.n_buckets_zero
+        # the reshaped batch drifts hard (within shared buckets) and
+        # also empties two baseline buckets; the identical batch is
+        # clean on both signals
+        assert want[1].psi > 0.25 and want[1].n_buckets_zero == 2
+        assert want[2].psi == 0.0 and want[2].n_buckets_zero == 0

@@ -681,9 +681,100 @@ def stream_dedup_rate_by_batch(spark, sf_dir):
     )
 
 
+_PSI_BATCH = 250  # events per ingest micro-batch in the replay
+
+
+def stream_psi_drift_by_batch(spark, sf_dir):
+    """PSI drift per ingest micro-batch vs the FIRST batch — the
+    streaming twin of ``events_psi_value_drift``, marrying the drift
+    triangle with §2.9: a feature pipeline scores every arriving batch
+    of purchase values against its standing baseline and alerts on the
+    credit-scoring thresholds (0.1 / 0.25). Batches replay arrival
+    order as event_id // 250 (the ``stream_dedup_rate_by_batch``
+    convention); batch 0 is the baseline, batches ≥ 1 are scored.
+
+    The entry runs the batch-identical plan: ONE map-side-combined
+    groupBy collapses the corpus to (batch × $25-bucket) integer
+    counts; the baseline bucket table and the batch totals are
+    value-domain / batch-count bounded, so every join below the
+    count collapse is a broadcast. PSI terms are micro-snapped
+    integers before the sum and either-side-empty buckets are counted
+    in n_buckets_zero, not epsilon-fudged (the
+    ``events_psi_value_drift`` discipline). The LIVE stream is
+    streaming/drift.py::attach_psi_monitor (foreachBatch + idempotent
+    per-batch parquet), pytest-pinned to emit the identical PSI rows
+    across real micro-batches (tests/test_streaming.py)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    rows = ev.select(
+        F.floor(F.col("event_id") / _PSI_BATCH).alias("batch_id"),
+        F.floor(cents / 2500).alias("bucket"),
+    )
+    counts = rows.groupBy("batch_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    base = counts.filter(F.col("batch_id") == 0).select(
+        "bucket", F.col("n").alias("n_b")
+    )
+    cur = counts.filter(F.col("batch_id") >= 1)
+    tot_c = cur.groupBy("batch_id").agg(F.sum("n").alias("tc"))
+    tot_b = base.agg(F.sum("n_b").alias("tb"))
+    # grid PER BATCH: the buckets that batch or the baseline touches —
+    # NOT the global union across batches (a batch must not inherit
+    # structural zeros introduced by some other batch's values; the
+    # live monitor in streaming/drift.py scores one batch at a time
+    # and the replay must agree — pinned in tests/test_streaming.py)
+    grid = (
+        tot_c.select("batch_id")
+        .crossJoin(F.broadcast(base.select("bucket")))
+        .unionByName(cur.select("batch_id", "bucket"))
+        .distinct()
+    )
+    j = (
+        grid.join(cur.select("batch_id", "bucket", F.col("n").alias("n_c")),
+                  ["batch_id", "bucket"], "left")
+        .join(F.broadcast(base), "bucket", "left")
+        .join(F.broadcast(tot_c), "batch_id")
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "batch_id",
+            F.coalesce(F.col("n_c"), F.lit(0)).alias("n_c"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+            "tc",
+            "tb",
+        )
+    )
+    usable = (F.col("n_c") > 0) & (F.col("n_b") > 0)
+    pc = F.col("n_c").cast("double") / F.col("tc")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    term = (pc - pb) * F.log(pc / pb)
+    return j.groupBy("batch_id").agg(
+        F.max("tc").alias("n_batch"),
+        F.max("tb").alias("n_base"),
+        F.sum(F.when(usable, 1).otherwise(0)).cast("bigint").alias(
+            "n_buckets_used"
+        ),
+        F.sum(F.when(usable, 0).otherwise(1)).cast("bigint").alias(
+            "n_buckets_zero"
+        ),
+        F.round(
+            F.sum(
+                F.when(usable, F.round(term * 1e6, 0).cast("long")).otherwise(0)
+            )
+            / 1e6,
+            6,
+        ).alias("psi"),
+    )
+
+
 QUERIES = {
     "scd2_event_intervals": scd2_event_intervals,
     "stream_incremental_dedup": stream_incremental_dedup,
+    "stream_psi_drift_by_batch": stream_psi_drift_by_batch,
     "table_partition_skew_report": table_partition_skew_report,
     "stream_dedup_rate_by_batch": stream_dedup_rate_by_batch,
     "table_diff_cdc": table_diff_cdc,
@@ -781,6 +872,39 @@ SELECT query_id, neighbor_id, dist2, rank FROM (
 
 
 ORACLES = {
+    # micro-snapped PSI per arrival batch vs batch 0, the
+    # events_psi_value_drift grid discipline on the batch axis
+    "stream_psi_drift_by_batch": (
+        "WITH rows_ AS (SELECT CAST(event_id // 250 AS BIGINT) AS batch_id, "
+        "CAST(floor(CAST(round(value * 100, 0) AS BIGINT) / 2500.0) AS BIGINT) "
+        "AS bucket FROM events WHERE event_type = 'purchase' "
+        "AND value IS NOT NULL AND event_id IS NOT NULL), "
+        "c AS (SELECT batch_id, bucket, count(*) AS n FROM rows_ GROUP BY 1, 2), "
+        "base AS (SELECT bucket, n AS n_b FROM c WHERE batch_id = 0), "
+        "cur AS (SELECT * FROM c WHERE batch_id >= 1), "
+        "tc AS (SELECT batch_id, CAST(sum(n) AS BIGINT) AS tc FROM cur GROUP BY 1), "
+        "tb AS (SELECT CAST(sum(n_b) AS BIGINT) AS tb FROM base), "
+        "grid AS (SELECT DISTINCT batch_id, bucket FROM ("
+        "SELECT tc.batch_id, base.bucket FROM tc CROSS JOIN base "
+        "UNION ALL SELECT batch_id, bucket FROM cur) u), "
+        "j AS (SELECT grid.batch_id, coalesce(cur.n, 0) AS n_c, "
+        "coalesce(base.n_b, 0) AS n_b, tc.tc, tb.tb FROM grid "
+        "LEFT JOIN cur ON cur.batch_id = grid.batch_id "
+        "AND cur.bucket = grid.bucket "
+        "LEFT JOIN base ON base.bucket = grid.bucket "
+        "JOIN tc ON tc.batch_id = grid.batch_id CROSS JOIN tb) "
+        "SELECT batch_id, CAST(max(tc) AS BIGINT) AS n_batch, "
+        "CAST(max(tb) AS BIGINT) AS n_base, "
+        "CAST(sum(CASE WHEN n_c > 0 AND n_b > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_buckets_used, "
+        "CAST(sum(CASE WHEN n_c > 0 AND n_b > 0 THEN 0 ELSE 1 END) AS BIGINT) "
+        "AS n_buckets_zero, "
+        "round(CAST(sum(CASE WHEN n_c > 0 AND n_b > 0 THEN "
+        "CAST(round((CAST(n_c AS DOUBLE) / tc - CAST(n_b AS DOUBLE) / tb) "
+        "* ln((CAST(n_c AS DOUBLE) / tc) / (CAST(n_b AS DOUBLE) / tb)) * 1e6, 0) "
+        "AS BIGINT) ELSE 0 END) AS DOUBLE) / 1e6, 6) AS psi "
+        "FROM j GROUP BY batch_id"
+    ),
     # same band-key CTEs as stream_incremental_dedup, rolled up per
     # arrival batch of 100 docs
     "stream_dedup_rate_by_batch": (

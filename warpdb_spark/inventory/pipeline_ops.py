@@ -1258,6 +1258,77 @@ def multimodal_audio_neardup(spark, sf_dir):
     )
 
 
+def dedup_cross_modal_verdict(spark, sf_dir):
+    """Cross-modal near-dup FUSION — the per-document verdict a
+    curation owner actually acts on, joining the three modality legs
+    that are each independently driver-checked: text (MinHash-LSH
+    verified 3-gram Jaccard ≥ 0.8, ``dedup_minhash_lsh``), image
+    (dHash hamming ≤ 6, ``multimodal_dhash_neardup``), and audio
+    (energy-envelope delta hash hamming ≤ 2,
+    ``multimodal_audio_neardup``). A pair flagged by ≥ 2 modalities is
+    CORROBORATED (the false-positive rates multiply — independent
+    fingerprint spaces agreeing is the precision lever); a
+    single-modality flag stays a weak signal. The per-doc rollup
+    counts flagged pairs per modality and verdicts the doc.
+
+    Scale shape: the legs' candidate generation is already bucketed
+    and capped (linear in corpus size); fusion adds ONE union +
+    groupBy on (id_a, id_b) — pair-count-bounded, not corpus-bounded —
+    and one explode+groupBy on doc_id. No new all-pairs surface. The
+    oracle replays all three legs AND the fusion in one DuckDB query
+    (the legs' oracles nest as subqueries), so the verdict is
+    hash-checked end to end."""
+    t = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("m", F.lit("text"))
+    )
+    i = (
+        multimodal_dhash_neardup(spark, sf_dir)
+        .filter(F.col("is_near"))
+        .select("id_a", "id_b")
+        .withColumn("m", F.lit("image"))
+    )
+    a = (
+        multimodal_audio_neardup(spark, sf_dir)
+        .filter(F.col("is_near"))
+        .select("id_a", "id_b")
+        .withColumn("m", F.lit("audio"))
+    )
+    per_pair = (
+        t.unionByName(i)
+        .unionByName(a)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("m") == "text", 1).otherwise(0)).alias("is_text"),
+            F.max(F.when(F.col("m") == "image", 1).otherwise(0)).alias("is_image"),
+            F.max(F.when(F.col("m") == "audio", 1).otherwise(0)).alias("is_audio"),
+            F.countDistinct("m").alias("n_modalities"),
+        )
+    )
+    e = per_pair.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id"),
+        "is_text",
+        "is_image",
+        "is_audio",
+        "n_modalities",
+    )
+    return e.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("is_text").cast("bigint").alias("n_text"),
+        F.sum("is_image").cast("bigint").alias("n_image"),
+        F.sum("is_audio").cast("bigint").alias("n_audio"),
+        F.sum(F.when(F.col("n_modalities") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corroborated"),
+    ).withColumn(
+        "verdict",
+        F.when(F.col("n_corroborated") > 0, "corroborated").otherwise(
+            "single-modality"
+        ),
+    )
+
+
 def multimodal_video_frames(spark, sf_dir):
     """REAL video-shaped decode: each doc gets an 8-frame 'video' —
     a concatenation of 16x12 P6 PPM frames (fixed 589-byte stride —
@@ -2127,6 +2198,7 @@ QUERIES = {
     "multimodal_dhash_neardup": multimodal_dhash_neardup,
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_audio_neardup": multimodal_audio_neardup,
+    "dedup_cross_modal_verdict": dedup_cross_modal_verdict,
     "multimodal_video_frames": multimodal_video_frames,
     "agg_statistical": agg_statistical,
     "agg_percentiles": agg_percentiles,
@@ -3224,4 +3296,38 @@ ORACLES["similarity_ann_lsh"] = (
     "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ("
     "SELECT *, row_number() OVER (PARTITION BY query_id "
     "ORDER BY cosine DESC, neighbor_id) AS rank FROM cand) WHERE rank <= 5"
+)
+
+# cross-modal fusion: the three leg oracles nest verbatim as
+# subqueries, so the verdict replays every leg end to end — any leg
+# drifting from its own oracle also reddens the fusion
+ORACLES["dedup_cross_modal_verdict"] = (
+    "WITH t AS (SELECT id_a, id_b, 'text' AS m FROM ("
+    + ORACLES["dedup_minhash_lsh"]
+    + ") tx), "
+    "i AS (SELECT id_a, id_b, 'image' AS m FROM ("
+    + ORACLES["multimodal_dhash_neardup"]
+    + ") ix WHERE is_near), "
+    "a AS (SELECT id_a, id_b, 'audio' AS m FROM ("
+    + ORACLES["multimodal_audio_neardup"]
+    + ") ax WHERE is_near), "
+    "p AS (SELECT * FROM t UNION ALL SELECT * FROM i "
+    "UNION ALL SELECT * FROM a), "
+    "pp AS (SELECT id_a, id_b, "
+    "max(CASE WHEN m = 'text' THEN 1 ELSE 0 END) AS is_text, "
+    "max(CASE WHEN m = 'image' THEN 1 ELSE 0 END) AS is_image, "
+    "max(CASE WHEN m = 'audio' THEN 1 ELSE 0 END) AS is_audio, "
+    "count(DISTINCT m) AS n_modalities "
+    "FROM p GROUP BY id_a, id_b), "
+    "e AS (SELECT unnest([id_a, id_b]) AS doc_id, is_text, is_image, "
+    "is_audio, n_modalities FROM pp) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(sum(is_text) AS BIGINT) AS n_text, "
+    "CAST(sum(is_image) AS BIGINT) AS n_image, "
+    "CAST(sum(is_audio) AS BIGINT) AS n_audio, "
+    "CAST(sum(CASE WHEN n_modalities >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_corroborated, "
+    "CASE WHEN sum(CASE WHEN n_modalities >= 2 THEN 1 ELSE 0 END) > 0 "
+    "THEN 'corroborated' ELSE 'single-modality' END AS verdict "
+    "FROM e GROUP BY doc_id"
 )

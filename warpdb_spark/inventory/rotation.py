@@ -298,6 +298,8 @@ PENDING_ORDER: list[str] = [
     # r6 rule: nothing enters the inventory after rehearsal), placed
     # behind the r6 backlog so those seven verify first
     "join_bloom_prefilter_partitioned",
+    "dedup_cross_modal_verdict",
+    "stream_psi_drift_by_batch",
 ]
 
 

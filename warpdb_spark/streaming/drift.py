@@ -1,0 +1,111 @@
+"""Streaming distribution-drift monitoring: PSI per micro-batch against
+a standing baseline — the §2.9 streaming pillar married to the drift
+triangle (``inventory/curation_ext.py``: Welch z / KS / PSI). A feature
+or ingest pipeline wires ``attach_psi_monitor`` onto its stream and
+alerts on the classic credit-scoring thresholds (PSI < 0.1 stable,
+0.1-0.25 drifting, > 0.25 broken).
+
+Exactness discipline (shared with ``events_psi_value_drift``): bucket
+counts are exact integers, shares are ratios of those integers, each
+bucket's PSI term is micro-snapped (×1e6, rounded to long) BEFORE the
+sum so the fold is order-proof, and buckets empty on either side are
+EXCLUDED and counted rather than epsilon-fudged (an epsilon turns a
+structural zero into an unbounded log term).
+
+Scale shape: one map-side-combined groupBy per batch collapses the
+batch to bucket rows (bounded by the VALUE DOMAIN, ~20 at $25 width);
+the baseline is a bounded bucket table that broadcasts; the monitor
+output is one row per batch forever.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+BUCKET_CENTS = 2500  # $25 buckets — ≤ ~20 over the test value domain
+
+
+def value_bucket_counts(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Exact integer (bucket, n) counts of the non-null values."""
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.floor(cents / BUCKET_CENTS).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi_between(cur: DataFrame, base: DataFrame) -> DataFrame:
+    """One-row PSI report between two (bucket, n) count frames. Both
+    frames are value-domain-bounded, so the join and the total-count
+    denominators ride broadcasts — no full-frame shuffle."""
+    c = cur.select("bucket", F.col("n").alias("n_c"))
+    b = base.select("bucket", F.col("n").alias("n_b"))
+    j = (
+        c.join(b, "bucket", "full")
+        .select(
+            F.coalesce(F.col("n_c"), F.lit(0)).alias("n_c"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_c").alias("tc"), F.sum("n_b").alias("tb")
+    )
+    g = j.crossJoin(F.broadcast(tot))
+    usable = (F.col("n_c") > 0) & (F.col("n_b") > 0)
+    pc = F.col("n_c").cast("double") / F.col("tc")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    term = (pc - pb) * F.log(pc / pb)
+    return g.agg(
+        F.max("tc").alias("n_cur"),
+        F.max("tb").alias("n_base"),
+        F.sum(F.when(usable, 1).otherwise(0)).alias("n_buckets_used"),
+        F.sum(F.when(usable, 0).otherwise(1)).alias("n_buckets_zero"),
+        F.round(
+            F.sum(
+                F.when(usable, F.round(term * 1e6, 0).cast("long")).otherwise(0)
+            )
+            / 1e6,
+            6,
+        ).alias("psi"),
+    )
+
+
+def attach_psi_monitor(
+    stream_df: DataFrame,
+    base_counts: DataFrame,
+    out_dir: str,
+    value_col: str = "value",
+    checkpoint_dir: str | None = None,
+):
+    """Wire the PSI check into foreachBatch: each micro-batch's value
+    distribution is scored against the standing baseline and ONE row
+    (batch_id + psi report) lands in ``out_dir`` as a parquet
+    partition keyed by batch_id — idempotent under foreachBatch's
+    at-least-once replay (a replayed batch overwrites its own
+    directory, the exactly-once discipline of
+    streaming/windows.py::exactly_once_sink). Returns the started
+    StreamingQuery."""
+    spark = stream_df.sparkSession
+    # pin the (tiny, bounded) baseline once; a live deployment would
+    # refresh it on a schedule
+    base_rows = base_counts.collect()
+    schema = base_counts.schema
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        base = spark.createDataFrame(base_rows, schema)
+        report = psi_between(value_bucket_counts(batch_df, value_col), base)
+        # the partition DIRECTORY carries batch_id (reading the parent
+        # surfaces it as a partition column; a column in the file too
+        # would clash at read time)
+        report.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
