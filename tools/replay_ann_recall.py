@@ -1,0 +1,76 @@
+"""ANN recall gates at production scale: 1M x 64-dim vectors.
+
+The driver-checked entries (`similarity_ann_recall`,
+`similarity_ivf_recall`) gate index settings at oracle scale. This
+replay runs the SAME gate logic at 1M x 64 — the scale where the index
+choice actually matters — and prints the go/no-go table: recall@5 of
+IVF (num_lists=256, nprobe in {8, 32}) against the exact brute-force
+top-5 for 20 queries, with full-materialization timing for each leg
+(the replay_scale_honest rule).
+
+Usage: PYTHONPATH=/root/repo python tools/replay_ann_recall.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from warpdb_spark.session import get_spark
+import warpdb_spark.operators.similarity as S
+from tools import replay_corpus as rc
+
+OUT = "/tmp/replay_ann_corpus"
+
+
+def main() -> int:
+    spark = get_spark("replay-ann-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    os.makedirs(OUT, exist_ok=True)
+    if not os.path.isdir(f"{OUT}/embeddings.parquet"):
+        rc.build_embeddings(spark, OUT)
+    emb = spark.read.parquet(f"{OUT}/embeddings.parquet")
+    n = emb.count()
+    print(f"corpus: {n} x 64 vectors ({time.time()-t0:.1f}s)")
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    t0 = time.time()
+    exact = (
+        S.cosine_topk_np(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    exact.count()
+    t_exact = time.time() - t0
+    print(f"exact brute-force top-5 (20 queries x {n}): {t_exact:.1f}s")
+
+    for nprobe in (8, 32, 96):
+        t0 = time.time()
+        ap = S.ivf_topk(
+            emb, queries, k=5, num_lists=256, nprobe=nprobe
+        ).select("query_id", "neighbor_id")
+        hits = (
+            exact.join(F.broadcast(ap), ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = {r["query_id"]: r["n"] for r in hits.collect()}
+        dt = time.time() - t0
+        recalls = [rows.get(q, 0) / 5.0 for q in range(20)]
+        mean_r = sum(recalls) / len(recalls)
+        n_go = sum(1 for r in recalls if r >= 0.8)
+        print(
+            f"IVF lists=256 nprobe={nprobe}: {dt:.1f}s, "
+            f"mean recall@5 {mean_r:.2f}, go (>=0.8) {n_go}/20, "
+            f"scanned ~{nprobe / 256:.1%} of corpus per query"
+        )
+    exact.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

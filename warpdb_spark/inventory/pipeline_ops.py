@@ -810,6 +810,53 @@ def similarity_ann_recall(spark, sf_dir):
     return legs[0].unionAll(legs[1])
 
 
+def similarity_ivf_recall(spark, sf_dir):
+    """IVF recall@5 GO/NO-GO gate — the quality check an IVF
+    deployment runs before trusting an nprobe setting, completing the
+    ANN-calibration family (``similarity_ann_recall`` gates the LSH
+    index the same way; ``dedup_minhash_estimate_calibration`` is the
+    analogous table for MinHash). Runs the IVF top-5 at nprobe=2
+    (cheap, scans 1/8 of the lists) and nprobe=4, scores each leg
+    against the exact BLAS top-5, and verdicts per query with the
+    production threshold recall@5 ≥ 0.8 — read the go column, pick
+    the cheapest passing nprobe.
+
+    Scale: each IVF leg probes only its nprobe lists (corpus shuffles
+    ONCE on list id, shared across legs by plan reuse); the exact leg
+    is one broadcast-query scan — at 1M×64 the same plan measures
+    recall in tools/replay_ann_recall.py. Centroid sampling,
+    assignment (6dp cosine, lowest-list tie-break), probing, and the
+    hit arithmetic are all md5-deterministic, so DuckDB replays both
+    legs bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk_np(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "neighbor_id")
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    legs = []
+    for nprobe in (2, 4):
+        ap = S.ivf_topk(
+            emb, queries, k=5, num_lists=16, nprobe=nprobe
+        ).select("query_id", "neighbor_id")
+        hits = (
+            exact.join(F.broadcast(ap), ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        n = F.coalesce(F.col("n"), F.lit(0))
+        legs.append(
+            qids.join(hits, "query_id", "left").select(
+                "query_id",
+                F.lit(nprobe).alias("nprobe"),
+                n.cast("int").alias("n_hits"),
+                F.round(n / 5.0, 2).alias("recall_at_5"),
+                (n >= 4).alias("go"),
+            )
+        )
+    return legs[0].unionAll(legs[1])
+
+
 def embedding_label_agreement(spark, sf_dir):
     """Label-noise screen via neighborhood agreement (confident-learning
     lite): for each labeled vector, take its exact top-5 cosine
@@ -2191,6 +2238,7 @@ QUERIES = {
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_recall": similarity_ann_recall,
     "similarity_ivf": similarity_ivf,
+    "similarity_ivf_recall": similarity_ivf_recall,
     "multimodal_blob_meta": multimodal_blob_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -3297,6 +3345,61 @@ ORACLES["similarity_ann_lsh"] = (
     "SELECT *, row_number() OVER (PARTITION BY query_id "
     "ORDER BY cosine DESC, neighbor_id) AS rank FROM cand) WHERE rank <= 5"
 )
+
+# IVF recall gate: same centroid/assignment/probe CTEs as
+# similarity_ivf, one leg per nprobe, hits counted against the exact
+# brute-force top-5
+def _ivf_recall_leg_sql(nprobe: int) -> str:
+    return (
+        f"top{nprobe} AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT c.*, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM ("
+        "SELECT q.query_id, a.vec_id AS neighbor_id, "
+        "max(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(q.qv AS DOUBLE[])), 6)) AS cosine "
+        "FROM (SELECT vec_id AS query_id, embedding AS qv, list_id "
+        f"FROM scored WHERE rn <= {nprobe} AND vec_id < 20) q "
+        "JOIN asg a USING (list_id) WHERE a.vec_id <> q.query_id "
+        "GROUP BY 1, 2) c) r WHERE rank <= 5), "
+        f"h{nprobe} AS (SELECT ex.query_id, count(*) AS n FROM ex "
+        f"JOIN top{nprobe} t ON t.query_id = ex.query_id "
+        "AND t.neighbor_id = ex.neighbor_id GROUP BY 1)"
+    )
+
+
+ORACLES["similarity_ivf_recall"] = (
+    "WITH init AS (SELECT row_number() OVER ("
+    "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id) - 1 "
+    "AS list_id, embedding AS ce FROM embeddings "
+    "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id LIMIT 16), "
+    "scored AS (SELECT e.vec_id, e.embedding, i.list_id, "
+    "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+    "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+    "CAST(i.ce AS DOUBLE[])), 6) DESC, i.list_id) AS rn "
+    "FROM embeddings e CROSS JOIN init i), "
+    "asg AS (SELECT vec_id, embedding, list_id FROM scored WHERE rn = 1), "
+    "ex AS (SELECT query_id, neighbor_id FROM ("
+    "SELECT s.*, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, neighbor_id) AS rank FROM ("
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+    "CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
+    "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 20) q "
+    "WHERE c.vec_id != q.vec_id) s) r WHERE rank <= 5), "
+    + _ivf_recall_leg_sql(2) + ", " + _ivf_recall_leg_sql(4) + ", "
+    "qids AS (SELECT DISTINCT vec_id AS query_id FROM embeddings "
+    "WHERE vec_id < 20) "
+    "SELECT qids.query_id AS query_id, CAST(p.nprobe AS INT) AS nprobe, "
+    "CAST(coalesce(CASE p.nprobe WHEN 2 THEN h2.n ELSE h4.n END, 0) AS INT) "
+    "AS n_hits, "
+    "round(coalesce(CASE p.nprobe WHEN 2 THEN h2.n ELSE h4.n END, 0) / 5.0, 2) "
+    "AS recall_at_5, "
+    "coalesce(CASE p.nprobe WHEN 2 THEN h2.n ELSE h4.n END, 0) >= 4 AS go "
+    "FROM qids CROSS JOIN (VALUES (2), (4)) AS p(nprobe) "
+    "LEFT JOIN h2 ON h2.query_id = qids.query_id "
+    "LEFT JOIN h4 ON h4.query_id = qids.query_id"
+)
+
 
 # cross-modal fusion: the three leg oracles nest verbatim as
 # subqueries, so the verdict replays every leg end to end — any leg

@@ -300,6 +300,7 @@ PENDING_ORDER: list[str] = [
     "join_bloom_prefilter_partitioned",
     "dedup_cross_modal_verdict",
     "stream_psi_drift_by_batch",
+    "similarity_ivf_recall",
 ]
 
 
