@@ -527,3 +527,28 @@ class TestBinnedEcdf:
             assert r["pct_incl"] >= e["cume_dist"] - 1e-9
             assert abs(r["pct_incl"] - e["cume_dist"]) < 0.05
             assert abs(r["pct_below"] - e["pct_rank"]) < 0.05
+
+
+class TestDecontamBloom:
+    def test_planted_contamination_caught_exactly(self, spark, inject):
+        # doc 17 and 34 are EVAL (id % 17 == 0); corpus doc 1 copies an
+        # eval phrase (true contamination), doc 2 is clean. The exact
+        # join must strip every bloom false positive, so the verdict is
+        # exact regardless of FPR.
+        rows = [
+            (17, "the quick brown fox jumps over the lazy dog"),
+            (34, "pack my box with five dozen liquor jugs"),
+            (1, "intro text then the quick brown fox jumps here"),
+            (2, "completely unrelated words nothing shared at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        inject(df)
+        got = {r["doc_id"]: r for r in
+               cx.decontam_bloom_prefilter(spark, "x").collect()}
+        assert set(got) == {1, 2}
+        # doc 1 shares the 3 trigrams of "the quick brown fox jumps"
+        assert got[1]["contaminated"] and got[1]["n_true_hits"] == 3
+        assert not got[2]["contaminated"] and got[2]["n_true_hits"] == 0
+        for r in got.values():
+            assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_true_hits"]
+            assert 0 <= r["n_bloom_pass"] <= r["n_grams"]

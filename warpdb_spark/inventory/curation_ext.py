@@ -1098,6 +1098,68 @@ def join_bloom_prefilter_partitioned(spark, sf_dir):
     return _bloom_report(joined)
 
 
+_DECONTAM_BLOOM_BITS = 1 << 20  # ~0.14 bits-load at sf0.01 eval grams
+
+
+def decontam_bloom_prefilter(spark, sf_dir):
+    """Benchmark decontamination THROUGH the bloom prefilter — the
+    100 TB shape of ``decontam_eval_overlap``: that entry broadcasts
+    the eval 3-gram set as strings, which works for one benchmark but
+    not for the union of every known benchmark (tens of millions of
+    grams ≈ GBs as a broadcast string set; as a bloom bitmap, 2
+    bits-per-key·8 stays MBs at any FPR you pick). Eval membership is
+    the deterministic doc_id % 17 = 0 split; eval grams fold into a
+    1 Mbit bitmap (``_bloom_words`` — same 30-bit words and md5
+    positions as ``join_bloom_prefilter``, so the oracle replays the
+    bitmap), every corpus (doc, gram) pair probes it, and the ≤FPR
+    bloom survivors take the EXACT broadcast join that would have been
+    the full corpus's cost. Output per corpus doc: distinct grams,
+    bloom passes, true eval hits, false positives, and the
+    contamination verdict — n_false_pos is the measured FPR the
+    deployment reads before sizing m for the real benchmark union.
+    Docs with fewer than 3 tokens have no grams and no row (both
+    engines derive the report from the gram pairs)."""
+    from warpdb_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    grams3 = F.array_distinct(
+        T.word_ngrams_from_tokens(T.alnum_tokens(F.col("text")), 3)
+    )
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(F.explode(grams3).alias("gram"))
+        .distinct()
+    )
+    words = _bloom_words(eval_grams, "gram", _DECONTAM_BLOOM_BITS)
+    pairs = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", F.explode(grams3).alias("gram")
+    )
+    tot = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    passed = _bloom_probe(
+        pairs, words, "gram", _DECONTAM_BLOOM_BITS, broadcast=True
+    )
+    hit = passed.join(
+        F.broadcast(eval_grams.withColumn("true_hit", F.lit(1))), "gram", "left"
+    )
+    per_doc = hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("true_hit").isNotNull(), 1).otherwise(0)).alias(
+            "n_true_hits"
+        ),
+    )
+    return tot.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_bloom_pass", F.lit(0)).alias("n_bloom_pass"),
+        F.coalesce("n_true_hits", F.lit(0)).alias("n_true_hits"),
+        (
+            F.coalesce("n_bloom_pass", F.lit(0))
+            - F.coalesce("n_true_hits", F.lit(0))
+        ).alias("n_false_pos"),
+        (F.coalesce("n_true_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 # --- stats: deterministic Poisson bootstrap CI --------------------------------
 
 # Poisson(1) CDF cut points on the u32 hash domain: floor(CDF(k)·2^32)
@@ -1218,6 +1280,7 @@ QUERIES = {
     "join_bloom_prefilter": join_bloom_prefilter,
     "join_bloom_prefilter_partitioned": join_bloom_prefilter_partitioned,
     "stats_bootstrap_poisson_ci": stats_bootstrap_poisson_ci,
+    "decontam_bloom_prefilter": decontam_bloom_prefilter,
 }
 
 _toks = DD_ALNUM_TOKS.format(col="text")
@@ -1587,3 +1650,52 @@ ORACLES = {
 # same probes, same exactness join; only the Spark exchange strategy
 # (shuffle-hash vs broadcast) differs, which SQL does not express
 ORACLES["join_bloom_prefilter_partitioned"] = ORACLES["join_bloom_prefilter"]
+
+# full bloom-path replay on gram strings: eval grams -> bitmap ->
+# corpus probes -> exact hit check, the join_bloom_prefilter SQL
+# pattern with the shared alnum-trigram derivation
+_DB = _DECONTAM_BLOOM_BITS
+ORACLES["decontam_bloom_prefilter"] = (
+    "WITH tk AS (SELECT doc_id, "
+    + DD_ALNUM_TOKS.format(col="text")
+    + " AS t FROM documents), "
+    "g AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+    "AS gs FROM tk WHERE len(t) >= 3), "
+    "ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 17 = 0), "
+    "words AS (SELECT CAST(floor(pos / 30) AS BIGINT) AS widx, "
+    "bit_or(CAST(power(2, pos % 30) AS BIGINT)) AS word FROM "
+    "(SELECT (('0x' || substr(md5(gram || ':' || i), 1, 8))::UBIGINT "
+    f"% {_DB}) AS pos FROM ev "
+    "CROSS JOIN (SELECT unnest(range(0, 3)) AS i)) p GROUP BY 1), "
+    "pairs AS (SELECT doc_id, unnest(gs) AS gram FROM g "
+    "WHERE doc_id % 17 <> 0), "
+    "f AS (SELECT doc_id, gram, "
+    f"(('0x' || substr(md5(gram || ':0'), 1, 8))::UBIGINT % {_DB}) AS p0, "
+    f"(('0x' || substr(md5(gram || ':1'), 1, 8))::UBIGINT % {_DB}) AS p1, "
+    f"(('0x' || substr(md5(gram || ':2'), 1, 8))::UBIGINT % {_DB}) AS p2 "
+    "FROM pairs), "
+    "pass AS (SELECT f.doc_id, f.gram FROM f "
+    "LEFT JOIN words w0 ON w0.widx = CAST(floor(f.p0 / 30) AS BIGINT) "
+    "LEFT JOIN words w1 ON w1.widx = CAST(floor(f.p1 / 30) AS BIGINT) "
+    "LEFT JOIN words w2 ON w2.widx = CAST(floor(f.p2 / 30) AS BIGINT) "
+    "WHERE CAST(floor(coalesce(w0.word, 0) / power(2, f.p0 % 30)) "
+    "AS BIGINT) % 2 = 1 "
+    "AND CAST(floor(coalesce(w1.word, 0) / power(2, f.p1 % 30)) "
+    "AS BIGINT) % 2 = 1 "
+    "AND CAST(floor(coalesce(w2.word, 0) / power(2, f.p2 % 30)) "
+    "AS BIGINT) % 2 = 1), "
+    "hits AS (SELECT pass.doc_id, CAST(count(*) AS BIGINT) AS n_bloom_pass, "
+    "CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_true_hits FROM pass LEFT JOIN ev ON ev.gram = pass.gram "
+    "GROUP BY pass.doc_id), "
+    "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams "
+    "FROM pairs GROUP BY doc_id) "
+    "SELECT tot.doc_id AS doc_id, n_grams, "
+    "CAST(coalesce(n_bloom_pass, 0) AS BIGINT) AS n_bloom_pass, "
+    "CAST(coalesce(n_true_hits, 0) AS BIGINT) AS n_true_hits, "
+    "CAST(coalesce(n_bloom_pass, 0) - coalesce(n_true_hits, 0) AS BIGINT) "
+    "AS n_false_pos, "
+    "coalesce(n_true_hits, 0) > 0 AS contaminated "
+    "FROM tot LEFT JOIN hits ON hits.doc_id = tot.doc_id"
+)

@@ -301,6 +301,7 @@ PENDING_ORDER: list[str] = [
     "dedup_cross_modal_verdict",
     "stream_psi_drift_by_batch",
     "similarity_ivf_recall",
+    "decontam_bloom_prefilter",
 ]
 
 
