@@ -121,7 +121,7 @@ def main() -> None:
     }
     for name in names:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
-    single_pass = round(sum(per_pass[0].values()), 3)
+    pass_totals = [round(sum(pt.values()), 3) for pt in per_pass]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     record = {
@@ -131,8 +131,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "method": "min_of_3_interleaved",
-        "single_pass": single_pass,
-        "pass_totals": [round(sum(pt.values()), 3) for pt in per_pass],
+        # single_pass IS pass_totals[0], derived once here so the two
+        # can never disagree
+        "single_pass": pass_totals[0],
+        "pass_totals": pass_totals,
         "calib_sec": calibs,
     }
     print(json.dumps(record))

@@ -339,6 +339,24 @@ class TestNeighborJaccard:
 
 
 class TestWelchZtest:
+    def test_zero_variance_arms_yield_no_row(self, spark, inject):
+        # both arms constant -> z = x/0: Spark NULL vs DuckDB NaN, the
+        # engine-divergence class the guard exists for (r7 review).
+        # Guarded on exact integer moments (n*sum(x^2) == sum(x)^2),
+        # so the row is dropped identically on both engines.
+        rows = [(i, TS0, i, "purchase", 50.0) for i in range(10)]
+        inject(_events(spark, rows))
+        assert cx.events_ab_welch_ztest(spark, "x").count() == 0
+
+    def test_one_constant_arm_keeps_row(self, spark, inject):
+        # variance in ONE arm is enough for a finite z
+        rows = [(i, TS0, i, "purchase", 50.0 if i % 2 == 0 else float(40 + i))
+                for i in range(10)]
+        inject(_events(spark, rows))
+        out = cx.events_ab_welch_ztest(spark, "x").collect()
+        assert len(out) == 1 and out[0]["var0"] == 0.0
+        assert out[0]["z_score"] is not None
+
     def test_identical_arms_give_zero(self, spark, inject):
         rows = []
         for uid in range(10):  # same values in both arms

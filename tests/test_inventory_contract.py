@@ -210,13 +210,22 @@ def test_headline_has_no_window_sort_on_low_cardinality_key(spark, sf_dir):
             )
             for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
                 # args before the first "col ASC/DESC ..." token are the
-                # partition spec; strip the #exprId[type] suffix
+                # partition spec; strip the #exprId[type] suffix.
+                # FAIL CLOSED on anything unparseable: a partition key
+                # that is a nested EXPRESSION (contains "(") truncates
+                # the regex capture — treat it as an offender rather
+                # than silently passing the guard (r7 review: a
+                # low-cardinality key wrapped in pmod() would otherwise
+                # evade the ban this test exists to enforce)
                 part_cols = []
                 for arg in spec.split(", "):
                     if " ASC" in arg or " DESC" in arg or "specifiedwindowframe" in arg:
                         break
                     part_cols.append(arg.split("#")[0])
                 bad = [c for c in part_cols if c in low_card]
+                bad += [
+                    f"unparseable-expression:{c}" for c in part_cols if "(" in c
+                ]
                 if bad:
                     offenders.setdefault(name, []).extend(bad)
     finally:

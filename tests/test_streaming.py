@@ -698,6 +698,7 @@ class TestStreamPsiDrift:
             value_bucket_counts(base_df),
             out_dir,
             checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
         )
         q.awaitTermination(120)
         q.stop()

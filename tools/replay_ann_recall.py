@@ -4,7 +4,7 @@ The driver-checked entries (`similarity_ann_recall`,
 `similarity_ivf_recall`) gate index settings at oracle scale. This
 replay runs the SAME gate logic at 1M x 64 — the scale where the index
 choice actually matters — and prints the go/no-go table: recall@5 of
-IVF (num_lists=256, nprobe in {8, 32}) against the exact brute-force
+IVF (num_lists=256, nprobe in {8, 32, 96}) against the exact brute-force
 top-5 for 20 queries, with full-materialization timing for each leg
 (the replay_scale_honest rule).
 

@@ -748,10 +748,12 @@ def stream_psi_drift_by_batch(spark, sf_dir):
             "tb",
         )
     )
-    usable = (F.col("n_c") > 0) & (F.col("n_b") > 0)
-    pc = F.col("n_c").cast("double") / F.col("tc")
-    pb = F.col("n_b").cast("double") / F.col("tb")
-    term = (pc - pb) * F.log(pc / pb)
+    from warpdb_spark.streaming.drift import psi_snapped_term, psi_usable
+
+    usable = psi_usable(F.col("n_c"), F.col("n_b"))
+    term = psi_snapped_term(
+        F.col("n_c"), F.col("n_b"), F.col("tc"), F.col("tb")
+    )
     return j.groupBy("batch_id").agg(
         F.max("tc").alias("n_batch"),
         F.max("tb").alias("n_base"),
@@ -761,13 +763,9 @@ def stream_psi_drift_by_batch(spark, sf_dir):
         F.sum(F.when(usable, 0).otherwise(1)).cast("bigint").alias(
             "n_buckets_zero"
         ),
-        F.round(
-            F.sum(
-                F.when(usable, F.round(term * 1e6, 0).cast("long")).otherwise(0)
-            )
-            / 1e6,
-            6,
-        ).alias("psi"),
+        F.round(F.sum(F.when(usable, term).otherwise(0)) / 1e6, 6).alias(
+            "psi"
+        ),
     )
 
 

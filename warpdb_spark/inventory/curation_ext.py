@@ -728,8 +728,21 @@ def events_ab_welch_ztest(spark, sf_dir):
     # variance divides by n-1 and z by sqrt(v0/n0 + v1/n1); below two
     # observations per arm Spark's non-ANSI x/0 yields NULL while
     # DuckDB doubles yield inf/NaN — guard on BOTH engines so the
-    # entry degrades to zero rows, not an engine divergence
-    one = one.filter((F.col("n0") > 1) & (F.col("n1") > 1))
+    # entry degrades to zero rows, not an engine divergence. The
+    # zero-variance case (both arms constant → z = x/0) is the same
+    # divergence class (r7 review), guarded on the EXACT integer
+    # moments — n·Σx² = (Σx)² iff the arm is constant; a double-side
+    # v0+v1 > 0 test could itself diverge in the last ulp at the
+    # boundary. DECIMAL(38,0) products: s² ≤ ~2.5e31 at 1e9 rows.
+    s0d = F.col("s0").cast("decimal(38,0)")
+    s1d = F.col("s1").cast("decimal(38,0)")
+    varsum = (
+        F.col("n0") * F.col("q0")
+        - s0d * s0d
+        + F.col("n1") * F.col("q1")
+        - s1d * s1d
+    )
+    one = one.filter((F.col("n0") > 1) & (F.col("n1") > 1) & (varsum > 0))
     m0 = F.col("s0") / (100.0 * F.col("n0"))
     m1 = F.col("s1") / (100.0 * F.col("n1"))
     v0 = (F.col("q0") / 1e4 - F.col("n0") * m0 * m0) / (F.col("n0") - 1)
@@ -885,12 +898,15 @@ def events_psi_value_drift(spark, sf_dir):
         .join(per_type, "event_type")
         .crossJoin(F.broadcast(n_total))
     )
+    # the snap/zero discipline is single-sourced in streaming/drift.py
+    # (psi_usable/psi_snapped_term) — the three PSI surfaces must not
+    # hand-keep divergent copies (r7 review finding)
+    from warpdb_spark.streaming.drift import psi_snapped_term, psi_usable
+
     n_rest_b = F.col("n_b") - F.col("n_tb")
     n_rest = F.col("n_all") - F.col("n_t")
-    pa = F.col("n_tb").cast("double") / F.col("n_t")
-    pb = n_rest_b.cast("double") / n_rest
-    contrib = (pa - pb) * F.log(pa / pb)
-    usable = (F.col("n_tb") > 0) & (n_rest_b > 0)
+    usable = psi_usable(F.col("n_tb"), n_rest_b)
+    contrib = psi_snapped_term(F.col("n_tb"), n_rest_b, F.col("n_t"), n_rest)
     return (
         j.groupBy("event_type")
         .agg(
@@ -899,13 +915,7 @@ def events_psi_value_drift(spark, sf_dir):
             F.sum(F.when(usable, 1).otherwise(0)).alias("n_buckets_used"),
             F.sum(F.when(~usable, 1).otherwise(0)).alias("n_buckets_zero"),
             F.round(
-                F.sum(
-                    F.when(
-                        usable, F.round(contrib * 1e6, 0).cast("long")
-                    ).otherwise(0)
-                )
-                / 1e6,
-                6,
+                F.sum(F.when(usable, contrib).otherwise(0)) / 1e6, 6
             ).alias("psi"),
         )
     )
@@ -1632,7 +1642,9 @@ ORACLES = {
         "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
         "CAST(sum(CASE WHEN arm = 1 THEN si END) AS BIGINT) AS s1, "
         "CAST(sum(CASE WHEN arm = 1 THEN si * si END) AS HUGEINT) AS q1 FROM b), "
-        "g AS (SELECT * FROM o WHERE n0 > 1 AND n1 > 1) "
+        "g AS (SELECT * FROM o WHERE n0 > 1 AND n1 > 1 "
+        "AND CAST(n0 AS HUGEINT) * q0 - CAST(s0 AS HUGEINT) * s0 "
+        "+ CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 > 0) "
         "SELECT n0, round(s0 / (100.0 * n0), 6) AS mean0, "
         "round((q0 / 1e4 - n0 * (s0 / (100.0 * n0)) * (s0 / (100.0 * n0))) "
         "/ (n0 - 1), 6) AS var0, "

@@ -51,7 +51,10 @@ def exact_dedup(
     hot group. ``min_by`` partial-aggregates map-side, so each task
     ships one candidate row per key and skewed keys cost nothing.
     ``id_col`` must be unique for determinism (ties in ``min_by`` are
-    otherwise unspecified)."""
+    otherwise unspecified), and NULL ids are never selected as the
+    survivor — ``min``/``min_by`` skip NULL ordering values (the
+    pre-r7 window implementation sorted NULLs first; that placement
+    was an artifact of Spark's ASC default, not a contract)."""
     keys = [
         T.normalized_text(F.col(c)) if normalize and isinstance(c, str) else F.col(c) if isinstance(c, str) else c
         for c in key_cols

@@ -38,6 +38,25 @@ def value_bucket_counts(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def psi_usable(n_c, n_b):
+    """The structural-zero rule: a bucket contributes to PSI only when
+    BOTH sides are non-empty; zeros are counted, never epsilon-fudged.
+    Single source for the three PSI surfaces (events_psi_value_drift,
+    stream_psi_drift_by_batch, psi_between)."""
+    return (n_c > 0) & (n_b > 0)
+
+
+def psi_snapped_term(n_c, n_b, tc, tb):
+    """One bucket's PSI contribution as an exact micro-unit integer:
+    (p_c − p_b)·ln(p_c/p_b) snapped to ×1e6 longs BEFORE the sum so the
+    fold is aggregation-order-proof (all terms ≥ 0, so HALF_UP and
+    round-half-away agree across engines). Callers sum these and
+    divide by 1e6 once."""
+    pc = n_c.cast("double") / tc
+    pb = n_b.cast("double") / tb
+    return F.round((pc - pb) * F.log(pc / pb) * 1e6, 0).cast("long")
+
+
 def psi_between(cur: DataFrame, base: DataFrame) -> DataFrame:
     """One-row PSI report between two (bucket, n) count frames. Both
     frames are value-domain-bounded, so the join and the total-count
@@ -55,22 +74,18 @@ def psi_between(cur: DataFrame, base: DataFrame) -> DataFrame:
         F.sum("n_c").alias("tc"), F.sum("n_b").alias("tb")
     )
     g = j.crossJoin(F.broadcast(tot))
-    usable = (F.col("n_c") > 0) & (F.col("n_b") > 0)
-    pc = F.col("n_c").cast("double") / F.col("tc")
-    pb = F.col("n_b").cast("double") / F.col("tb")
-    term = (pc - pb) * F.log(pc / pb)
+    usable = psi_usable(F.col("n_c"), F.col("n_b"))
+    term = psi_snapped_term(
+        F.col("n_c"), F.col("n_b"), F.col("tc"), F.col("tb")
+    )
     return g.agg(
         F.max("tc").alias("n_cur"),
         F.max("tb").alias("n_base"),
         F.sum(F.when(usable, 1).otherwise(0)).alias("n_buckets_used"),
         F.sum(F.when(usable, 0).otherwise(1)).alias("n_buckets_zero"),
-        F.round(
-            F.sum(
-                F.when(usable, F.round(term * 1e6, 0).cast("long")).otherwise(0)
-            )
-            / 1e6,
-            6,
-        ).alias("psi"),
+        F.round(F.sum(F.when(usable, term).otherwise(0)) / 1e6, 6).alias(
+            "psi"
+        ),
     )
 
 
@@ -80,6 +95,7 @@ def attach_psi_monitor(
     out_dir: str,
     value_col: str = "value",
     checkpoint_dir: str | None = None,
+    available_now: bool = False,
 ):
     """Wire the PSI check into foreachBatch: each micro-batch's value
     distribution is scored against the standing baseline and ONE row
@@ -108,4 +124,8 @@ def attach_psi_monitor(
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        # drain what exists and TERMINATE — the batch-backfill/test
+        # mode; without it the monitor runs until stopped
+        writer = writer.trigger(availableNow=True)
     return writer.start()
