@@ -631,10 +631,24 @@ def graph_neighbor_jaccard(spark, sf_dir):
     the identical cap, so the entry stays hash-checkable even on a
     dataset whose max degree exceeds the cap. Integer counts exact;
     the only float is the final ratio."""
+    from pyspark import StorageLevel
+
     edges = _user_edges(spark, sf_dir)
-    directed = edges.unionAll(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).select(F.col("a").alias("z"), F.col("b").alias("nbr"))
+    # persist + eager count: the directed edge list feeds FIVE branches
+    # (full degrees, both wedge sides, capped endpoint degrees via the
+    # anti-join) and deriving it means re-running the events lead()
+    # window each time — at the 20M replay that re-derivation was 2.5×
+    # the whole entry (r7 measurement: 68s cold vs 27s cached). The
+    # eager count matters for the same reason as the LSH signature
+    # cache: the branches fan out of ONE job, and a cold cache would
+    # fill concurrently (the edge window would still run multiple
+    # times). MEMORY_AND_DISK: 2 longs/row, spills instead of dying.
+    directed = (
+        edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .select(F.col("a").alias("z"), F.col("b").alias("nbr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    directed.count()
     full_deg = directed.groupBy("nbr").agg(F.count(F.lit(1)).alias("deg"))
     # center-degree cap: production knob, non-binding on the test
     # graph (the graph_adamic_adar discipline). On DENSE graphs it is

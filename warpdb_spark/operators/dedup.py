@@ -3,10 +3,13 @@
 
 Scale design, per operator:
 
-- **exact**: one shuffle on the dedup key (hash partition), window
-  row_number to pick the survivor — no driver state, skew handled by
-  AQE. Keys are md5 of normalized text, so wide text values never ride
-  the shuffle twice.
+- **exact**: one aggregation on the dedup key — min(id) HashAggregate
+  when the frame is (keys, id), else min_by over the whole row; both
+  partial-aggregate map-side, so a skewed/low-cardinality key costs
+  one candidate row per key per task, never a per-group sort (a
+  row_number window here was the r7 contract-test finding). Keys are
+  md5 of normalized text, so wide text values never ride the shuffle
+  twice.
 - **MinHash signatures**: computed entirely with higher-order functions
   (shingle → per-seed xxhash64 → array_min), i.e. a codegen'd map stage;
   NO explode and NO shuffle to build signatures.
