@@ -570,3 +570,29 @@ class TestDecontamBloom:
         for r in got.values():
             assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_true_hits"]
             assert 0 <= r["n_bloom_pass"] <= r["n_grams"]
+
+
+class TestJoinKeySkewAdvisor:
+    def test_hand_computed_salt_factors(self, spark, inject):
+        # keys: 1 -> 8 rows, 2 -> 3 rows, 3 -> 1 row; total 12, 3 keys,
+        # mean 4. salt = ceil(n * n_keys / total): 8*3/12=2.0 -> 2,
+        # 3*3/12=0.75 -> 1, 1*3/12=0.25 -> 1.
+        rows = [(k, i) for k, reps in [(1, 8), (2, 3), (3, 1)]
+                for i in range(reps)]
+        df = spark.createDataFrame(rows, "l_suppkey long, pad long")
+        inject(df)
+        got = {r["suppkey"]: r for r in
+               cx.join_key_skew_advisor(spark, "x").collect()}
+        assert [got[k]["rank"] for k in (1, 2, 3)] == [1, 2, 3]
+        assert got[1]["salt_factor"] == 2
+        assert got[2]["salt_factor"] == 1 and got[3]["salt_factor"] == 1
+        assert got[1]["ratio_to_mean"] == 2.0
+        assert got[1]["share"] == round(8 / 12, 6)
+
+    def test_rank_tie_breaks_on_key(self, spark, inject):
+        rows = [(k, 0) for k in (5, 4)] + [(6, 0)]
+        df = spark.createDataFrame(rows, "l_suppkey long, pad long")
+        inject(df)
+        out = cx.join_key_skew_advisor(spark, "x").collect()
+        assert [r["suppkey"] for r in sorted(out, key=lambda r: r["rank"])] \
+            == [4, 5, 6]

@@ -1122,6 +1122,51 @@ def join_bloom_prefilter_partitioned(spark, sf_dir):
     return _bloom_report(joined)
 
 
+def join_key_skew_advisor(spark, sf_dir):
+    """Join-key heavy-hitter report with a computed SALT FACTOR — the
+    pre-flight diagnostic that feeds ``join_salted_skew``: before
+    shuffling a fact table on a key, read the top-10 heaviest keys,
+    their share of the table, and ceil(count/mean) — the number of
+    salt buckets that levels each hot key back to the average
+    partition load. AQE's skew-join split handles moderate skew at
+    runtime; the advisor is for the planning decision (pre-salt the
+    write, bucket the table, or change the key) that AQE cannot make.
+
+    One map-side-combined groupBy collapses the fact table to
+    |keys| rows; the stats ride a one-row broadcast and the top-10
+    rank is a window over the BOUNDED per-key frame (the
+    text_zipf_alpha discipline), never the raw rows. salt_factor is
+    exact integer arithmetic — ceil(n·n_keys/total) in DECIMAL(38,0)
+    (n·n_keys crosses int64 around 1e13 rows × 1e7 keys) — so both
+    engines emit the identical integer."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    w = Window.orderBy(F.desc("n_rows"), F.asc("l_suppkey"))
+    prod = F.col("n_rows").cast("decimal(38,0)") * F.col("n_keys")
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
+            F.round(prod / F.col("total"), 6)
+            .cast("double")
+            .alias("ratio_to_mean"),
+            F.floor(
+                (prod + F.col("total") - 1) / F.col("total")
+            )
+            .cast("long")
+            .alias("salt_factor"),
+            F.col("rk").cast("int").alias("rank"),
+        )
+    )
+
+
 _DECONTAM_BLOOM_BITS = 1 << 20  # ~0.14 bits-load at sf0.01 eval grams
 
 
@@ -1305,6 +1350,7 @@ QUERIES = {
     "join_bloom_prefilter_partitioned": join_bloom_prefilter_partitioned,
     "stats_bootstrap_poisson_ci": stats_bootstrap_poisson_ci,
     "decontam_bloom_prefilter": decontam_bloom_prefilter,
+    "join_key_skew_advisor": join_key_skew_advisor,
 }
 
 _toks = DD_ALNUM_TOKS.format(col="text")
@@ -1676,6 +1722,27 @@ ORACLES = {
 # same probes, same exactness join; only the Spark exchange strategy
 # (shuffle-hash vs broadcast) differs, which SQL does not express
 ORACLES["join_bloom_prefilter_partitioned"] = ORACLES["join_bloom_prefilter"]
+
+# heavy-hitter rank over the bounded per-key frame; exact-integer
+# ceil for the salt factor (HUGEINT product mirrors decimal(38,0))
+ORACLES["join_key_skew_advisor"] = (
+    "WITH per AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows "
+    "FROM lineitem GROUP BY l_suppkey), "
+    "tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, "
+    "CAST(count(*) AS BIGINT) AS n_keys FROM per), "
+    "r AS (SELECT per.*, tot.total, tot.n_keys, "
+    "row_number() OVER (ORDER BY n_rows DESC, l_suppkey) AS rk "
+    "FROM per CROSS JOIN tot) "
+    "SELECT l_suppkey AS suppkey, n_rows, "
+    "round(n_rows * 1.0 / total, 6) AS share, "
+    "round(CAST(CAST(n_rows AS HUGEINT) * n_keys AS DOUBLE) / total, 6) "
+    "AS ratio_to_mean, "
+    "CAST((CAST(n_rows AS HUGEINT) * n_keys + total - 1) // total "
+    "AS BIGINT) AS salt_factor, "
+    "CAST(rk AS INT) AS rank "
+    "FROM r WHERE rk <= 10"
+)
+
 
 # full bloom-path replay on gram strings: eval grams -> bitmap ->
 # corpus probes -> exact hit check, the join_bloom_prefilter SQL

@@ -302,6 +302,7 @@ PENDING_ORDER: list[str] = [
     "stream_psi_drift_by_batch",
     "similarity_ivf_recall",
     "decontam_bloom_prefilter",
+    "join_key_skew_advisor",
 ]
 
 
