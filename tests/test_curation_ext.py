@@ -596,3 +596,14 @@ class TestJoinKeySkewAdvisor:
         out = cx.join_key_skew_advisor(spark, "x").collect()
         assert [r["suppkey"] for r in sorted(out, key=lambda r: r["rank"])] \
             == [4, 5, 6]
+
+
+class TestBloomPartitionedEquality:
+    def test_same_result_as_broadcast_sibling(self, spark, sf_dir):
+        # the partitioned entry changes ONLY the exchange strategy;
+        # rows must be identical to the broadcast entry
+        a = sorted(map(tuple, cx.join_bloom_prefilter(spark, sf_dir).collect()))
+        b = sorted(
+            map(tuple, cx.join_bloom_prefilter_partitioned(spark, sf_dir).collect())
+        )
+        assert a == b and len(a) > 0

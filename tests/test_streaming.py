@@ -3,6 +3,8 @@ execution — the principled version of the reference's chunked CSV loop
 (src/csv_loader.cpp:186-223, src/warpdb.cpp:544-590) — plus the
 batch/stream-identical window helpers."""
 
+import math
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -731,3 +733,30 @@ class TestStreamPsiDrift:
         # clean on both signals
         assert want[1].psi > 0.25 and want[1].n_buckets_zero == 2
         assert want[2].psi == 0.0 and want[2].n_buckets_zero == 0
+
+
+class TestPsiBetween:
+    def test_hand_computed_psi(self, spark):
+        from warpdb_spark.streaming.drift import psi_between
+
+        # cur: bucket0=8, bucket1=2 (tc=10); base: 5/5 (tb=10)
+        # term0 = (0.8-0.5)*ln(1.6) = 0.3*0.470004 = 0.141001
+        # term1 = (0.2-0.5)*ln(0.4) = 0.274887 -> psi = 0.415888
+        cur = spark.createDataFrame([(0, 8), (1, 2)], "bucket long, n long")
+        base = spark.createDataFrame([(0, 5), (1, 5)], "bucket long, n long")
+        r = psi_between(cur, base).collect()[0]
+        assert r["n_cur"] == 10 and r["n_base"] == 10
+        assert r["n_buckets_used"] == 2 and r["n_buckets_zero"] == 0
+        assert r["psi"] == 0.415888
+
+    def test_structural_zero_excluded_and_counted(self, spark):
+        from warpdb_spark.streaming.drift import psi_between
+
+        cur = spark.createDataFrame([(0, 10)], "bucket long, n long")
+        base = spark.createDataFrame([(0, 10), (1, 5)], "bucket long, n long")
+        r = psi_between(cur, base).collect()[0]
+        assert r["n_buckets_zero"] == 1 and r["n_buckets_used"] == 1
+        # shared bucket: pc=1.0 vs pb=10/15 -> (1-2/3)*ln(1.5)
+        assert r["psi"] == round(
+            round((1 - 10 / 15) * math.log(1.5) * 1e6) / 1e6, 6
+        )
