@@ -355,3 +355,37 @@ class TestCusumEntry:
             out = {r.event_id: r for r in P.events_cusum_changepoints(spark, "x").collect()}
         assert not any(out[i].is_alarm for i in range(30))     # stable regime
         assert all(out[i].is_alarm for i in range(80, 100))    # post-shift
+
+
+class TestStreamKsDrift:
+    def test_identical_and_shifted_batches(self, spark, monkeypatch):
+        # batch 0 (baseline) and batch 2 share the distribution
+        # {10, 35, 60, 85} uniformly -> ks_d == 0; batch 1 shifts all
+        # mass +50 -> ECDFs disjoint in the middle, D = 0.5 at the
+        # point where base has seen 2/4 values and batch 1 none... the
+        # max gap is where base ECDF=1 and cur ECDF=0.5: at cents 6000
+        # base has 3/4=0.75, cur(60,85,110,135 shifted)=..., easiest
+        # exact pin: identical batch MUST read 0 and shifted MUST be
+        # far from 0 with the argmax at a value both engines agree on.
+        rows = []
+        for i in range(0, 250):
+            rows.append((i, "purchase", 25.0 * (i % 4) + 10.0))
+        for i in range(250, 500):
+            rows.append((i, "purchase", 25.0 * (i % 4) + 60.0))
+        for i in range(500, 750):
+            rows.append((i, "purchase", 25.0 * (i % 4) + 10.0))
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+        monkeypatch.setattr(X, "_t", lambda s, sd, n: ev)
+        got = {r["batch_id"]: r for r in
+               X.stream_ks_drift_by_batch(spark, "x").collect()}
+        assert set(got) == {1, 2}
+        assert got[2]["ks_d"] == 0.0
+        # batch 1 values are {60,85,110,135}; base {10,35,60,85}.
+        # Residue counts split 63/63/62/62 over 250 ids: base cum at
+        # cents 3500 is 63+63=126 while batch 1 has seen nothing ->
+        # D = 126/250 = 0.504, the exact maximum.
+        assert got[1]["ks_d"] == 0.504
+        assert got[1]["ks_at_value"] == 35.0
+        assert got[1]["n_batch"] == 250 and got[1]["n_base"] == 250

@@ -769,10 +769,114 @@ def stream_psi_drift_by_batch(spark, sf_dir):
     )
 
 
+def stream_ks_drift_by_batch(spark, sf_dir):
+    """Two-sample KS distance per ingest micro-batch vs the FIRST
+    batch — the SHAPE leg of the streaming drift monitor
+    (``stream_psi_drift_by_batch`` is the binned-share leg; a mixture
+    change inside shared $25 buckets moves KS while PSI sleeps, and
+    vice versa for mass moving between buckets). Same arrival replay
+    (event_id // 250, batch 0 = baseline) and the
+    ``stats_ks_two_sample`` exactness discipline: integer cents, the
+    ECDF compare on integer cross-products |cum_b·n₀ − cum₀·n_b| in
+    DECIMAL(38,0)/HUGEINT, argmax pinned (diff DESC, cents ASC).
+
+    Scale shape: one map-side-combined groupBy collapses the corpus
+    to (batch × distinct-cent) rows; every window below runs over
+    frames bounded by the VALUE DOMAIN per batch (the cumulative walk
+    partitions on batch_id, and each partition holds at most
+    |cent domain| rows no matter the corpus size)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    rows = ev.select(
+        F.floor(F.col("event_id") / _PSI_BATCH).alias("batch_id"),
+        cents.alias("cents"),
+    )
+    counts = rows.groupBy("batch_id", "cents").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    base = counts.filter(F.col("batch_id") == 0).select(
+        "cents", F.col("n").alias("n_b")
+    )
+    cur = counts.filter(F.col("batch_id") >= 1)
+    tot_c = cur.groupBy("batch_id").agg(F.sum("n").alias("tc"))
+    tot_b = base.agg(F.sum("n_b").alias("tb"))
+    # evaluation grid: for each batch, every cent value either side
+    # steps at (the union support — an ECDF gap can peak at a point
+    # only one side has)
+    grid = (
+        tot_c.select("batch_id")
+        .crossJoin(F.broadcast(base.select("cents")))
+        .unionByName(cur.select("batch_id", "cents"))
+        .distinct()
+    )
+    j = (
+        grid.join(
+            cur.select("batch_id", "cents", F.col("n").alias("n_c")),
+            ["batch_id", "cents"],
+            "left",
+        )
+        .join(F.broadcast(base), "cents", "left")
+        .select(
+            "batch_id",
+            "cents",
+            F.coalesce("n_c", F.lit(0)).alias("n_c"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("batch_id")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = j.select(
+        "batch_id",
+        "cents",
+        F.sum("n_c").over(wcum).alias("cum_c"),
+        F.sum("n_b").over(wcum).alias("cum_b"),
+    ).join(F.broadcast(tot_c), "batch_id").crossJoin(F.broadcast(tot_b))
+    dnum = F.abs(
+        F.col("cum_c").cast("decimal(38,0)") * F.col("tb")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("tc")
+    )
+    r = c.filter(F.col("tb") > 0).select(
+        "batch_id", "cents", "tc", "tb", dnum.alias("dnum")
+    )
+    pick = Window.partitionBy("batch_id").orderBy(
+        F.desc("dnum"), F.asc("cents")
+    )
+    top = r.withColumn("rn", F.row_number().over(pick)).filter(
+        F.col("rn") == 1
+    )
+    ks = F.col("dnum").cast("double") / (
+        F.col("tc").cast("double") * F.col("tb")
+    )
+    return top.select(
+        "batch_id",
+        F.col("tc").alias("n_batch"),
+        F.col("tb").alias("n_base"),
+        F.round(ks, 6).alias("ks_d"),
+        F.round(F.col("cents") / 100.0, 2).alias("ks_at_value"),
+        F.round(
+            F.sqrt(
+                F.col("tc").cast("double")
+                * F.col("tb")
+                / (F.col("tc") + F.col("tb"))
+            )
+            * ks,
+            6,
+        ).alias("ks_stat"),
+    )
+
+
 QUERIES = {
     "scd2_event_intervals": scd2_event_intervals,
     "stream_incremental_dedup": stream_incremental_dedup,
     "stream_psi_drift_by_batch": stream_psi_drift_by_batch,
+    "stream_ks_drift_by_batch": stream_ks_drift_by_batch,
     "table_partition_skew_report": table_partition_skew_report,
     "stream_dedup_rate_by_batch": stream_dedup_rate_by_batch,
     "table_diff_cdc": table_diff_cdc,
@@ -902,6 +1006,45 @@ ORACLES = {
         "* ln((CAST(n_c AS DOUBLE) / tc) / (CAST(n_b AS DOUBLE) / tb)) * 1e6, 0) "
         "AS BIGINT) ELSE 0 END) AS DOUBLE) / 1e6, 6) AS psi "
         "FROM j GROUP BY batch_id"
+    ),
+    # per-batch ECDF compare on the union support; integer
+    # cross-products in HUGEINT, argmax pinned per batch
+    "stream_ks_drift_by_batch": (
+        "WITH rows_ AS (SELECT CAST(event_id // 250 AS BIGINT) AS batch_id, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events "
+        "WHERE event_type = 'purchase' AND value IS NOT NULL "
+        "AND event_id IS NOT NULL), "
+        "c AS (SELECT batch_id, cents, CAST(count(*) AS BIGINT) AS n "
+        "FROM rows_ GROUP BY 1, 2), "
+        "base AS (SELECT cents, n AS n_b FROM c WHERE batch_id = 0), "
+        "cur AS (SELECT * FROM c WHERE batch_id >= 1), "
+        "tc AS (SELECT batch_id, CAST(sum(n) AS BIGINT) AS tc FROM cur "
+        "GROUP BY 1), "
+        "tb AS (SELECT CAST(coalesce(sum(n_b), 0) AS BIGINT) AS tb FROM base), "
+        "grid AS (SELECT DISTINCT batch_id, cents FROM ("
+        "SELECT tc.batch_id, base.cents FROM tc CROSS JOIN base "
+        "UNION ALL SELECT batch_id, cents FROM cur) u), "
+        "j AS (SELECT grid.batch_id, grid.cents, coalesce(cur.n, 0) AS n_c, "
+        "coalesce(base.n_b, 0) AS n_b FROM grid "
+        "LEFT JOIN cur ON cur.batch_id = grid.batch_id "
+        "AND cur.cents = grid.cents "
+        "LEFT JOIN base ON base.cents = grid.cents), "
+        "cum AS (SELECT batch_id, cents, "
+        "sum(n_c) OVER (PARTITION BY batch_id ORDER BY cents) AS cum_c, "
+        "sum(n_b) OVER (PARTITION BY batch_id ORDER BY cents) AS cum_b "
+        "FROM j), "
+        "r AS (SELECT cum.batch_id, cents, tc.tc, tb.tb, "
+        "abs(CAST(cum_c AS HUGEINT) * tb.tb - CAST(cum_b AS HUGEINT) * tc.tc) "
+        "AS dnum FROM cum JOIN tc ON tc.batch_id = cum.batch_id "
+        "CROSS JOIN tb WHERE tb.tb > 0), "
+        "p AS (SELECT *, row_number() OVER (PARTITION BY batch_id "
+        "ORDER BY dnum DESC, cents) AS rn FROM r) "
+        "SELECT batch_id, tc AS n_batch, tb AS n_base, "
+        "round(CAST(dnum AS DOUBLE) / (CAST(tc AS DOUBLE) * tb), 6) AS ks_d, "
+        "round(cents / 100.0, 2) AS ks_at_value, "
+        "round(sqrt(CAST(tc AS DOUBLE) * tb / (tc + tb)) "
+        "* (CAST(dnum AS DOUBLE) / (CAST(tc AS DOUBLE) * tb)), 6) AS ks_stat "
+        "FROM p WHERE rn = 1"
     ),
     # same band-key CTEs as stream_incremental_dedup, rolled up per
     # arrival batch of 100 docs

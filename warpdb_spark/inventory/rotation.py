@@ -303,6 +303,7 @@ PENDING_ORDER: list[str] = [
     "similarity_ivf_recall",
     "decontam_bloom_prefilter",
     "join_key_skew_advisor",
+    "stream_ks_drift_by_batch",
 ]
 
 
