@@ -521,6 +521,23 @@ class TestPlanShapes:
         assert "BroadcastExchange" not in p
         assert "CartesianProduct" not in p
 
+    def test_decontam_probes_broadcast_and_no_cartesian(self, spark, sf_dir):
+        # every bitmap probe and the exactness join must broadcast the
+        # bounded side; the corpus gram pairs must never cross-product
+        p = self._plan(cx.decontam_bloom_prefilter(spark, sf_dir))
+        assert p.count("BroadcastHashJoin") >= cx._BLOOM_K + 1
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoop" not in p
+
+    def test_skew_advisor_aggregates_before_window(self, spark, sf_dir):
+        # the rank window must consume the BOUNDED per-key aggregate,
+        # never raw fact rows: exactly one aggregate pair below the
+        # window and partial aggregation present (map-side combine)
+        p = self._plan(cx.join_key_skew_advisor(spark, sf_dir))
+        assert "partial_count" in p
+        w = p.index("Window")
+        assert "HashAggregate" in p[w:], "window must sit above the per-key agg"
+
     def test_bootstrap_has_partial_aggregation(self, spark, sf_dir):
         # the exploded replica pass must map-side combine: a
         # partial_sum before the exchange keeps the shuffle at O(B)
