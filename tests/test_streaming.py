@@ -760,3 +760,60 @@ class TestPsiBetween:
         assert r["psi"] == round(
             round((1 - 10 / 15) * math.log(1.5) * 1e6) / 1e6, 6
         )
+
+
+class TestPsiBetweenFuzz:
+    """Engine-parity fuzz: psi_between's micro-snapped fold vs an
+    independent DuckDB computation of the same discipline on random
+    count tables — the property the fixed-data oracle sweep can't
+    cover (arbitrary support overlap, empty sides, heavy skew)."""
+
+    def test_random_count_tables_match_duckdb(self, spark):
+        import duckdb
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from warpdb_spark.streaming.drift import psi_between
+
+        counts = st.lists(
+            st.tuples(st.integers(0, 12), st.integers(1, 50)),
+            min_size=1,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        )
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(cur=counts, base=counts)
+        def check(cur, base):
+            c = spark.createDataFrame(cur, "bucket long, n long")
+            b = spark.createDataFrame(base, "bucket long, n long")
+            got = psi_between(c, b).collect()[0]
+            want = duckdb.sql(
+                "WITH c AS (SELECT * FROM (VALUES "
+                + ", ".join(f"({k}, {n})" for k, n in cur)
+                + ") v(bucket, n_c)), "
+                "b AS (SELECT * FROM (VALUES "
+                + ", ".join(f"({k}, {n})" for k, n in base)
+                + ") v(bucket, n_b)), "
+                "j AS (SELECT coalesce(c.n_c, 0) AS n_c, "
+                "coalesce(b.n_b, 0) AS n_b FROM c FULL JOIN b USING (bucket)), "
+                "t AS (SELECT sum(n_c) AS tc, sum(n_b) AS tb FROM j) "
+                "SELECT CAST(sum(CASE WHEN n_c > 0 AND n_b > 0 THEN 1 "
+                "ELSE 0 END) AS BIGINT) AS used, "
+                "CAST(sum(CASE WHEN n_c > 0 AND n_b > 0 THEN 0 ELSE 1 END) "
+                "AS BIGINT) AS zero, "
+                "round(CAST(sum(CASE WHEN n_c > 0 AND n_b > 0 THEN "
+                "CAST(round((CAST(n_c AS DOUBLE) / tc - "
+                "CAST(n_b AS DOUBLE) / tb) * ln((CAST(n_c AS DOUBLE) / tc) / "
+                "(CAST(n_b AS DOUBLE) / tb)) * 1e6, 0) AS BIGINT) "
+                "ELSE 0 END) AS DOUBLE) / 1e6, 6) AS psi "
+                "FROM j CROSS JOIN t"
+            ).fetchone()
+            assert (got["n_buckets_used"], got["n_buckets_zero"]) == want[:2]
+            assert got["psi"] == want[2]
+
+        check()
