@@ -389,3 +389,59 @@ class TestStreamKsDrift:
         assert got[1]["ks_d"] == 0.504
         assert got[1]["ks_at_value"] == 35.0
         assert got[1]["n_batch"] == 250 and got[1]["n_base"] == 250
+
+
+class TestStreamKsFuzz:
+    """Engine-parity fuzz for the streaming KS entry: random purchase
+    batches vs the entry's own DuckDB oracle — varies support overlap,
+    ties, and batch sizes beyond what the fixed test data exercises."""
+
+    def test_random_batches_match_oracle(self, spark, monkeypatch):
+        import duckdb
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from warpdb_spark.inventory.analytics_ext import ORACLES
+
+        values = st.lists(
+            st.integers(1, 12), min_size=1, max_size=40
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(base=values, b1=values)
+        def check(base, b1):
+            rows = [
+                (i, "purchase", 25.0 * v + 10.0)
+                for i, v in enumerate(base)
+            ] + [
+                (250 + i, "purchase", 25.0 * v + 10.0)
+                for i, v in enumerate(b1)
+            ]
+            ev = spark.createDataFrame(
+                rows, "event_id long, event_type string, value double"
+            )
+            import warpdb_spark.inventory.analytics_ext as ax
+
+            monkeypatch.setattr(ax, "_t", lambda s, sd, n: ev)
+            got = sorted(
+                map(tuple, ax.stream_ks_drift_by_batch(spark, "x").collect())
+            )
+            con = duckdb.connect()
+            con.register("events_src", ev.toPandas())
+            want = sorted(
+                map(
+                    tuple,
+                    con.sql(
+                        ORACLES["stream_ks_drift_by_batch"].replace(
+                            "FROM events", "FROM events_src"
+                        )
+                    ).fetchall(),
+                )
+            )
+            assert got == want
+
+        check()
