@@ -445,3 +445,57 @@ class TestStreamKsFuzz:
             assert got == want
 
         check()
+
+
+class TestStreamPsiFuzz:
+    """Entry-level parity fuzz for stream_psi_drift_by_batch: random
+    batches through Spark and the entry's own oracle SQL on identical
+    rows — exercises the per-batch grid (batch ∪ baseline support)
+    on supports the fixed data never produces."""
+
+    def test_random_batches_match_oracle(self, spark, monkeypatch):
+        import duckdb
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from warpdb_spark.inventory.analytics_ext import ORACLES
+
+        values = st.lists(st.integers(0, 6), min_size=1, max_size=40)
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(base=values, b1=values)
+        def check(base, b1):
+            rows = [
+                (i, "purchase", 25.0 * v + 5.0) for i, v in enumerate(base)
+            ] + [
+                (250 + i, "purchase", 25.0 * v + 5.0)
+                for i, v in enumerate(b1)
+            ]
+            ev = spark.createDataFrame(
+                rows, "event_id long, event_type string, value double"
+            )
+            import warpdb_spark.inventory.analytics_ext as ax
+
+            monkeypatch.setattr(ax, "_t", lambda s, sd, n: ev)
+            got = sorted(
+                map(tuple, ax.stream_psi_drift_by_batch(spark, "x").collect())
+            )
+            con = duckdb.connect()
+            con.register("events_src", ev.toPandas())
+            want = sorted(
+                map(
+                    tuple,
+                    con.sql(
+                        ORACLES["stream_psi_drift_by_batch"].replace(
+                            "FROM events", "FROM events_src"
+                        )
+                    ).fetchall(),
+                )
+            )
+            assert got == want
+
+        check()

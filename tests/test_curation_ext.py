@@ -624,3 +624,57 @@ class TestBloomPartitionedEquality:
             map(tuple, cx.join_bloom_prefilter_partitioned(spark, sf_dir).collect())
         )
         assert a == b and len(a) > 0
+
+
+class TestDecontamBloomFuzz:
+    """Tokenizer/trigram/bloom edge parity: random short documents —
+    punctuation-only, fewer than 3 tokens, repeated grams, mixed
+    case — through the Spark entry and its DuckDB oracle on the same
+    rows. Catches normalizer or bitmap drift that the fixed corpus
+    (long clean synthetic docs) would never touch."""
+
+    def test_random_docs_match_oracle(self, spark, inject):
+        import duckdb
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from warpdb_spark.inventory.curation_ext import ORACLES
+
+        word = st.text(
+            alphabet="ab1.!Z ", min_size=0, max_size=6
+        )
+        doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.too_slow,
+                HealthCheck.function_scoped_fixture,
+            ],
+        )
+        @given(texts=st.lists(doc, min_size=2, max_size=10))
+        def check(texts):
+            rows = [(i, t) for i, t in enumerate(texts)]
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            inject(df)
+            import warpdb_spark.inventory.curation_ext as cx_
+
+            got = sorted(
+                map(tuple, cx_.decontam_bloom_prefilter(spark, "x").collect())
+            )
+            con = duckdb.connect()
+            con.register("docs_src", df.toPandas())
+            want = sorted(
+                map(
+                    tuple,
+                    con.sql(
+                        ORACLES["decontam_bloom_prefilter"].replace(
+                            "FROM documents", "FROM docs_src"
+                        )
+                    ).fetchall(),
+                )
+            )
+            assert got == want
+
+        check()
