@@ -117,6 +117,31 @@ class TestDedup:
         ids = sorted(r.doc_id for r in out.collect())
         assert ids == [1, 3, 4, 5]  # doc 2 deduped into doc 1
 
+    def test_exact_dedup_null_ids_agree_across_paths(self, spark):
+        """A group whose every id is NULL disappears in BOTH agg paths
+        (plain min(id) and generic min_by) — r7 advice: without the
+        up-front NULL-id filter the min_by path emitted an all-NULL
+        row while the plain path kept keys with a NULL id."""
+        df = spark.createDataFrame(
+            [
+                Row(k="a", doc_id=2),
+                Row(k="a", doc_id=1),
+                Row(k="b", doc_id=None),  # all-NULL group: must vanish
+                Row(k="c", doc_id=None),  # NULL loses to a real id
+                Row(k="c", doc_id=7),
+            ]
+        )
+        # plain path: frame is exactly (keys, id)
+        plain = {(r.k, r.doc_id) for r in D.exact_dedup(df, ["k"], "doc_id").collect()}
+        assert plain == {("a", 1), ("c", 7)}
+        # generic min_by path: extra payload column forces the struct agg
+        wide = df.withColumn("payload", F.length("k"))
+        generic = {
+            (r.k, r.doc_id)
+            for r in D.exact_dedup(wide, ["k"], "doc_id").collect()
+        }
+        assert generic == plain
+
     def test_minhash_finds_near_dups(self, docs):
         pairs = D.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
         verified = D.ngram_jaccard(docs, pairs, "doc_id", "text")

@@ -611,6 +611,10 @@ def window_distribution_binned(spark, sf_dir):
 # wedge-center degree cap; 1M = non-binding at oracle scale (DuckDB
 # replays the full sum), dropped to O(100) on dense production graphs
 _JACCARD_CENTER_CAP = 1_000_000
+# Bounded (size-1) slot for graph_neighbor_jaccard's persisted edge
+# list: the newest call evicts + unpersists the previous corpus's
+# cache so long-lived multi-sf_dir sessions don't accumulate entries.
+_JACCARD_EDGE_CACHE: list = []
 
 
 def graph_neighbor_jaccard(spark, sf_dir):
@@ -630,7 +634,15 @@ def graph_neighbor_jaccard(spark, sf_dir):
     counts would bias the ratio low — r6 advice). The oracle replays
     the identical cap, so the entry stays hash-checkable even on a
     dataset whose max degree exceeds the cap. Integer counts exact;
-    the only float is the final ratio."""
+    the only float is the final ratio.
+
+    Cache retention: the persisted edge list is held in a bounded
+    module-level slot (size 1) — invoking this entry again (same or
+    different ``sf_dir``) unpersists the previous corpus's edge list
+    first, so a long-lived session sweeping many sf_dirs carries at
+    most ONE cached edge list, not one per corpus (r7 advice).
+    Unpersisting is correctness-neutral for any still-lazy frame from
+    an earlier call: Spark recomputes the lineage on demand."""
     from pyspark import StorageLevel
 
     edges = _user_edges(spark, sf_dir)
@@ -643,11 +655,21 @@ def graph_neighbor_jaccard(spark, sf_dir):
     # cache: the branches fan out of ONE job, and a cold cache would
     # fill concurrently (the edge window would still run multiple
     # times). MEMORY_AND_DISK: 2 longs/row, spills instead of dying.
+    # Evict BEFORE persisting the new frame: a repeat call on the same
+    # sf_dir produces an identical plan, so persist() after eviction
+    # re-registers the cache cleanly (persist-then-unpersist would drop
+    # the very cache the new frame resolves to).
+    while _JACCARD_EDGE_CACHE:
+        try:
+            _JACCARD_EDGE_CACHE.pop().unpersist()
+        except Exception:  # noqa: BLE001 — a dead SparkContext is fine
+            pass
     directed = (
         edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .select(F.col("a").alias("z"), F.col("b").alias("nbr"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _JACCARD_EDGE_CACHE.append(directed)
     directed.count()
     full_deg = directed.groupBy("nbr").agg(F.count(F.lit(1)).alias("deg"))
     # center-degree cap: production knob, non-binding on the test

@@ -267,6 +267,20 @@ DRIVER_GREEN: dict[str, int] = {
     "window_distribution_functions": 6,
     "graph_neighbor_jaccard": 6,
     "events_ab_welch_ztest": 6,
+    "agg_gini_binned": 7,
+    "window_distribution_binned": 7,
+    "multimodal_audio_neardup": 7,
+    "stats_ks_two_sample": 7,
+    "events_psi_value_drift": 7,
+    "join_bloom_prefilter": 7,
+    "stats_bootstrap_poisson_ci": 7,
+    "join_bloom_prefilter_partitioned": 7,
+    "dedup_cross_modal_verdict": 7,
+    "stream_psi_drift_by_batch": 7,
+    "similarity_ivf_recall": 7,
+    "decontam_bloom_prefilter": 7,
+    "join_key_skew_advisor": 7,
+    "stream_ks_drift_by_batch": 7,
 }
 
 # Never-driver-checked entries, highest risk first: dialect executors
@@ -287,23 +301,9 @@ PENDING_ORDER: list[str] = [
     # backlog is still verified first
     # round-6 late additions — behind the rehearsed 50-entry r6 window;
     # these front the r7 window
-    "agg_gini_binned",
-    "window_distribution_binned",
-    "multimodal_audio_neardup",
-    "stats_ks_two_sample",
-    "events_psi_value_drift",
-    "join_bloom_prefilter",
-    "stats_bootstrap_poisson_ci",
     # round-7 additions — added BEFORE the r7 window rehearsal (the
     # r6 rule: nothing enters the inventory after rehearsal), placed
     # behind the r6 backlog so those seven verify first
-    "join_bloom_prefilter_partitioned",
-    "dedup_cross_modal_verdict",
-    "stream_psi_drift_by_batch",
-    "similarity_ivf_recall",
-    "decontam_bloom_prefilter",
-    "join_key_skew_advisor",
-    "stream_ks_drift_by_batch",
 ]
 
 

@@ -57,7 +57,15 @@ def exact_dedup(
     otherwise unspecified), and NULL ids are never selected as the
     survivor — ``min``/``min_by`` skip NULL ordering values (the
     pre-r7 window implementation sorted NULLs first; that placement
-    was an artifact of Spark's ASC default, not a contract)."""
+    was an artifact of Spark's ASC default, not a contract). Rows with
+    a NULL id are dropped up front: without the filter the two agg
+    paths diverge on a group whose EVERY id is NULL (plain ``min``
+    keeps the keys with a NULL id; ``min_by`` returns a NULL struct,
+    collapsing keys and values alike to an all-NULL row). With it,
+    such a group uniformly disappears — no row can "survive" under an
+    ordering value that doesn't order. The IsNotNull predicate pushes
+    into the scan, so the non-degenerate case pays nothing."""
+    df = df.where(F.col(id_col).isNotNull())
     keys = [
         T.normalized_text(F.col(c)) if normalize and isinstance(c, str) else F.col(c) if isinstance(c, str) else c
         for c in key_cols
