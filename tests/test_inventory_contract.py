@@ -234,3 +234,29 @@ def test_headline_has_no_window_sort_on_low_cardinality_key(spark, sf_dir):
         "headline queries window-partitioned on a bounded-domain key "
         f"(one task holds ~1/|domain| of the corpus at 100 TB): {offenders}"
     )
+
+
+def test_inventory_window_audit_matches_reviewed_exceptions(spark, sf_dir):
+    """Inventory-WIDE extension of the headline window lint (r7 verdict
+    item 5): sweep every entry's optimized plan with
+    tools/audit_window_plans.py and pin the findings to the reviewed
+    exception lists. A new bounded-key window sort anywhere in the 262
+    entries — or an existing safe entry whose plan silently degrades to
+    the raw tier — fails here until it is reviewed and either fixed or
+    added to KNOWN_RAW with a reason. Equality (not subset) both ways:
+    an entry that gets FIXED must also be pruned from the list, so the
+    pins never go stale."""
+    from tools.audit_window_plans import KNOWN_AGG_INPUT, KNOWN_RAW, audit
+
+    findings, errors = audit(spark, sf_dir)
+    assert not errors, f"entries failed to construct during audit: {errors}"
+    raw = {n: set(c) for n, c in findings["raw"].items()}
+    agg = {n: set(c) for n, c in findings["agg_input"].items()}
+    assert raw == KNOWN_RAW, (
+        "raw-tier bounded-key window sorts diverge from the reviewed "
+        f"list — new offender or stale pin. findings={raw}"
+    )
+    assert agg == KNOWN_AGG_INPUT, (
+        "agg-input bounded-key windows diverge from the reviewed list. "
+        f"findings={agg}"
+    )
