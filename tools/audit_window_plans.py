@@ -90,14 +90,6 @@ KNOWN_RAW: dict[str, set[str]] = {
     "events_equidepth_quantiles": {"event_type"},
     "events_interarrival_profile": {"event_type"},
     "events_value_winsorize": {"event_type"},
-    # All five share _user_edges: lead(user_id) over (event_type, ts)
-    # on raw events — r8 rewrite target (time-bucketed lead with
-    # boundary join).
-    "graph_adamic_adar": {"event_type"},
-    "graph_degree_distribution": {"event_type"},
-    "graph_neighbor_jaccard": {"event_type"},
-    "graph_pagerank_users": {"event_type"},
-    "graph_triangle_count": {"event_type"},
 }
 
 # Reviewed ``agg_input`` entries: window over an Aggregate whose
@@ -110,6 +102,15 @@ KNOWN_AGG_INPUT: dict[str, set[str]] = {
     # The two-pass prefix-sum pattern itself: offsets window runs over
     # Aggregate[(lang, salt_bucket)] — 16 rows per lang.
     "sample_token_budget": {"lang"},
+    # All five share _user_edges, rewritten r8 to the two-pass chunked
+    # lead (operators/sequence.py): the only event_type-partitioned
+    # window left is the boundary stitch over one aggregated row per
+    # (type, hour chunk) — span-bounded, map-side combined.
+    "graph_adamic_adar": {"event_type"},
+    "graph_degree_distribution": {"event_type"},
+    "graph_neighbor_jaccard": {"event_type"},
+    "graph_pagerank_users": {"event_type"},
+    "graph_triangle_count": {"event_type"},
 }
 
 LOW_CARD_MAX = 10
@@ -146,6 +147,56 @@ def _node_depth(line: str) -> int:
     return len(line) - len(line.lstrip(" :+-"))
 
 
+# Nodes that merely arrange rows for their parent (no row-count or
+# grouping change): skip them when classifying a Window's input. They
+# appear when a persisted frame embeds its PHYSICAL plan inside
+# InMemoryRelation — there a Window's child is mechanically
+# Sort <- Exchange <- <real input>.
+_PASS_THROUGH = (
+    "Sort ", "Sort[", "Exchange", "ShuffleQueryStage", "AQEShuffleRead",
+    "InputAdapter", "WholeStageCodegen", "ColumnarToRow", "ReusedExchange",
+    "Project", "Filter", "InMemoryRelation", "InMemoryTableScan",
+)
+
+
+def _strip_codegen(body: str) -> str:
+    """Drop the ``*(3) `` whole-stage-codegen prefix physical nodes carry."""
+    if body.startswith("*(") and ") " in body:
+        return body.split(") ", 1)[1]
+    return body
+
+
+def _meaningful_child(lines: list[str], i: int) -> str:
+    """The first non-pass-through descendant of the node at line i,
+    following the first-child chain (a plan's first child prints on
+    the next line, one depth deeper). Project/Filter are pass-through
+    for THIS audit: they don't change row counts enough to matter for
+    the sort-input question (a selective Filter CAN bound the input —
+    window_rank_family — but that stays a human review call in
+    KNOWN_RAW, not an automatic pass)."""
+    depth = _node_depth(lines[i])
+    for nxt in lines[i + 1 :]:
+        if not nxt.strip():
+            continue
+        d = _node_depth(nxt)
+        if d <= depth:
+            return ""
+        body = _strip_codegen(nxt.lstrip(" :+-"))
+        # Filter is pass-through only while hunting the input; an
+        # Aggregate/WindowGroupLimit behind filters still classifies.
+        if body.startswith(_PASS_THROUGH) and not body.startswith(
+            ("InMemoryRelation", "InMemoryTableScan")
+        ):
+            depth = d
+            continue
+        if body.startswith(("InMemoryRelation", "InMemoryTableScan")):
+            # the cached plan follows inside; keep walking into it
+            depth = d
+            continue
+        return body
+    return ""
+
+
 def parse_windows(plan: str) -> list[dict]:
     """Window nodes from an optimized-plan string, each with its
     partition columns and the node type of its IMMEDIATE child (the
@@ -163,17 +214,12 @@ def parse_windows(plan: str) -> list[dict]:
         part_cols: list[str] = []
         if len(parts) == 3 and parts[1].strip():
             part_cols = [a.split("#")[0] for a in parts[1].split(", ")]
-        depth = _node_depth(line)
-        child = ""
-        for nxt in lines[i + 1 :]:
-            if not nxt.strip():
-                continue
-            if _node_depth(nxt) > depth:
-                child = nxt.lstrip(" :+-")
-            break
+        child = _meaningful_child(lines, i)
         if child.startswith("WindowGroupLimit"):
             tier = "groups_limited"
-        elif child.startswith(("Aggregate", "HashAggregate")):
+        elif child.startswith(
+            ("Aggregate", "HashAggregate", "SortAggregate", "ObjectHashAggregate")
+        ):
             tier = "agg_input"
         else:
             tier = "raw"

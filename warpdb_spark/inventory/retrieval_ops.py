@@ -611,8 +611,10 @@ def embedding_contrastive_pairs(spark, sf_dir):
 def graph_pagerank_users(spark, sf_dir):
     """PageRank over the user-interaction digraph (d=0.85, FIXED 5
     iterations): an edge links each event's user to the next user in
-    time within the same event_type (lead over one window — linear
-    construction, no pair explosion), self-loops dropped, edges
+    time within the same event_type (linear construction, no pair
+    explosion — two-pass chunked lead per the r8 plan audit; see
+    ``scale_ops._user_edges`` for why the single-window spelling is a
+    corpus-scale sort on a 5-value key), self-loops dropped, edges
     deduplicated.
 
     The fixed iteration count + per-iteration round-9 make the whole
@@ -624,15 +626,13 @@ def graph_pagerank_users(spark, sf_dir):
     is pytest-covered (rank mass, dangling behavior, convergence).
     """
     from warpdb_spark.operators import graph as G
+    from warpdb_spark.operators.sequence import grouped_lead_pairs, hour_chunk
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    nx = ev.select(
-        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    nx = grouped_lead_pairs(
+        ev, "event_type", ["ts", "event_id"], "user_id", hour_chunk("ts")
     )
-    edges = nx.filter(
-        F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
-    ).distinct()
+    edges = nx.filter(F.col("dst") != F.col("src")).select("src", "dst").distinct()
     pr = G.pagerank(edges, damping=0.85, n_iter=5, round_dp=9)
     return pr.select(
         F.col("id").alias("user_id"),

@@ -38,17 +38,29 @@ from warpdb_spark.functions.text import alnum_tokens as _alnum_tokens  # noqa: E
 
 def _user_edges(spark, sf_dir):
     """Undirected canonical user-interaction edges — consecutive users
-    within an event_type (one lead window, linear construction), self-
-    loops dropped, deduplicated, a < b. Shared by the graph entries
-    here and text-identical to ``retrieval_ops.graph_pagerank_users``'s
-    directed variant and every graph oracle's edge CTE."""
+    within an event_type (linear construction), self-loops dropped,
+    deduplicated, a < b. Shared by the graph entries here and
+    semantics-identical to ``retrieval_ops.graph_pagerank_users``'s
+    directed variant and every graph oracle's edge CTE (the oracles
+    spell it as one lead() window — same pair set, DuckDB's scale is
+    not Spark's).
+
+    Derivation is the two-pass chunked lead
+    (operators/sequence.grouped_lead_pairs, hour chunks): the r8 plan
+    audit flagged the previous single ``lead() OVER (PARTITION BY
+    event_type ORDER BY ts)`` as a corpus-scale sort on a 5-value key
+    — at 100 TB one task would hold ~20% of all events. Chunked, the
+    heavy window is partitioned by (event_type, hour) — cardinality
+    grows with the data — and the boundary stitch runs over one
+    aggregated row per (type, hour)."""
+    from warpdb_spark.operators.sequence import grouped_lead_pairs, hour_chunk
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    nx = ev.select(
-        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    nx = grouped_lead_pairs(
+        ev, "event_type", ["ts", "event_id"], "user_id", hour_chunk("ts")
     )
     return (
-        nx.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        nx.filter(F.col("dst") != F.col("src"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )

@@ -1,0 +1,107 @@
+"""Scale-safe sequential scans over grouped, ordered data.
+
+The naive Spark spelling of "next/previous row within a group" —
+``F.lead(x).over(Window.partitionBy(group).orderBy(order))`` — is a
+per-group SORT: every row of a group lands in ONE task. When the group
+key is a bounded categorical domain (event_type: 5 values at every
+scale factor), one task holds ~1/|domain| of the corpus at 100 TB.
+The r8 inventory-wide plan audit (tools/audit_window_plans.py) found
+this exact shape under five graph entries and several events
+time-series entries.
+
+This module re-expresses those scans with the two-pass chunk
+decomposition (the pattern ``sample_token_budget`` pioneered for
+prefix sums): CHUNK the group's order domain (e.g. hour buckets of a
+timestamp), do the sequential work inside (group, chunk) partitions —
+cardinality |domain| x n_chunks grows WITH the data, so the shuffle
+has real parallelism — then stitch chunk boundaries with a second,
+tiny pass over ONE AGGREGATED ROW PER (group, chunk). The
+boundary-pass window is partitioned by the bare group key, but its
+input is the per-chunk aggregate (span-bounded, map-side combined),
+not corpus rows — the safe ``agg_input`` tier in the audit's terms.
+
+Reference tie-in: the reference engine has no window executor at all
+(include/expression.hpp:112-121 parses OVER and leaves execution
+unimplemented); these operators are part of the executing superset,
+designed for the multi-executor layout the reference's multi-GPU range
+partitioning (src/multi_gpu_utils.cpp:23-60) only sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def grouped_lead_pairs(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    chunk_expr: Column,
+) -> DataFrame:
+    """(group, src, dst) pairs where ``dst`` is ``value_col`` of the
+    NEXT row in ``order_cols`` order within ``group_col`` — equivalent
+    to ``lead(value) OVER (PARTITION BY group ORDER BY order)`` pairs
+    with the final NULL-dst row of each group dropped.
+
+    ``chunk_expr`` must be a deterministic, order-monotone function of
+    the leading order column(s) (rows that compare earlier get a <=
+    chunk id; e.g. an hour bucket of the timestamp the order starts
+    with). Two passes:
+
+    1. interior: lead within (group, chunk) — the only corpus-scale
+       window, partitioned by a key whose cardinality grows with the
+       data span.
+    2. boundary: one aggregated row per (group, chunk) carrying the
+       chunk's first/last value under the full order (min_by/max_by on
+       the order-struct — partial-aggregates map-side); a lead over
+       (group ORDER BY chunk) on that small frame links each chunk's
+       last row to the NEXT NON-EMPTY chunk's first row.
+
+    Union(interior-without-chunk-tails, boundaries) is exactly the
+    global consecutive-pair set: a group's global order is the
+    concatenation of its chunk-local orders.
+    """
+    # The group column keeps its real name so plan audits see the true
+    # partition key (an alias would launder a bounded-domain key past
+    # name-based lints); internal columns are __-prefixed. The window
+    # orders by the PLAIN columns — packing them into a struct order
+    # key costs 2.6x in the sort (20M-row replay: 12.7s vs 4.9s;
+    # struct comparators don't codegen as tightly as column
+    # lexicographic sort). The struct appears only inside
+    # min_by/max_by, where an ordering VALUE must be a single
+    # expression.
+    b = df.select(
+        F.col(group_col),
+        chunk_expr.alias("__chunk"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).alias("__v"),
+    )
+    w_in = Window.partitionBy(group_col, "__chunk").orderBy(*order_cols)
+    interior = b.select(
+        group_col,
+        F.col("__v").alias("src"),
+        F.lead("__v").over(w_in).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    ordkey = F.struct(*[F.col(c) for c in order_cols])
+    bounds = b.groupBy(group_col, "__chunk").agg(
+        F.min_by("__v", ordkey).alias("__first"),
+        F.max_by("__v", ordkey).alias("__last"),
+    )
+    w_b = Window.partitionBy(group_col).orderBy("__chunk")
+    boundary = bounds.select(
+        group_col,
+        F.col("__last").alias("src"),
+        F.lead("__first").over(w_b).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    return interior.unionByName(boundary)
+
+
+def hour_chunk(ts_col: str | Column) -> Column:
+    """Hour bucket of a timestamp — the default chunk for event-time
+    sequences (order-monotone in ts). At 100 TB the chunk width is the
+    parallelism knob: width x per-group event rate = rows per task."""
+    col = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return (F.unix_timestamp(col) / 3600).cast("long")
