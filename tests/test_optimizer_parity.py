@@ -323,24 +323,40 @@ class TestRuntimeBloomFilter:
 
 
 class TestCusumPlanShape:
-    def test_one_fact_shuffle_shared_sort(self, spark):
-        """CUSUM = cumsum + running-min over the SAME window spec: the
-        plan must shuffle the fact once on event_type, sort once, and
-        stack both Window nodes on that sort (a second Sort or Exchange
-        between them means the frames diverged)."""
+    def test_chunked_prefix_no_bare_type_corpus_sort(self, spark):
+        """CUSUM after the r8 chunked-prefix rewrite: every corpus-scale
+        window (the ones ordered by ts) must be partitioned by
+        (event_type, __chunk) — a bare event_type partition would put
+        ~20% of the corpus in one task. The killer signature is a Sort
+        whose key list goes straight from event_type to ts with no
+        chunk column between; the plan must contain none. The
+        prefix-offset windows (ordered by __chunk) run over the
+        per-chunk aggregate: their Sort keys are exactly
+        [event_type, __chunk]."""
+        import re
+
         from warpdb_spark.inventory.pipeline_ops import events_cusum_changepoints
 
         plan = _plan(events_cusum_changepoints(spark, "/root/testdata/sf0.001"))
-        lines = [l for l in plan.splitlines()]
-        n_sort = sum("Sort [event_type" in l for l in lines)
-        n_win = sum(l.strip(" +-:*").startswith("Window [") for l in lines)
-        fact_exchanges = sum(
-            "Exchange hashpartitioning(event_type" in l and "Broadcast" not in l
+        lines = plan.splitlines()
+        bare_type_ts_sorts = [
+            l
             for l in lines
-        )
-        # exactly 2: the fact side's ONE shuffle + the stats aggregate's
-        # own tiny exchange (== is deliberate — a <= bound could hide a
-        # second fact shuffle appearing while the stats one disappears)
-        assert n_win == 2, plan[:1500]
-        assert n_sort == 1, plan[:1500]
-        assert fact_exchanges == 2, plan[:1500]
+            if re.search(r"Sort \[event_type#\d+ ASC NULLS FIRST, ts#", l)
+        ]
+        assert not bare_type_ts_sorts, bare_type_ts_sorts
+        # corpus windows (ts-ordered): all carry __chunk in the
+        # partition spec — Sloc + mloc stacked on one sort, plus the
+        # summary branch's pruned Sloc recompute
+        ts_windows = [
+            l for l in lines if "windowspecdefinition" in l and " ts#" in l
+        ]
+        assert ts_windows and all("__chunk" in l for l in ts_windows), ts_windows
+        # offset windows: over the per-chunk aggregate, ordered by
+        # __chunk (O and P, stacked)
+        off_windows = [
+            l
+            for l in lines
+            if "windowspecdefinition" in l and "__chunk" in l and " ts#" not in l
+        ]
+        assert len(off_windows) == 2, off_windows

@@ -83,13 +83,6 @@ KNOWN_RAW: dict[str, set[str]] = {
     # candidate if spans ever outgrow a task.
     "events_resample_locf": {"event_type"},
     "events_resample_interpolate": {"event_type"},
-    # Genuine corpus-scale per-type sequential/order-statistic scans —
-    # r8 rewrite targets via the two-pass (group, chunk) prefix pattern
-    # sample_token_budget already demonstrates.
-    "events_cusum_changepoints": {"event_type"},
-    "events_equidepth_quantiles": {"event_type"},
-    "events_interarrival_profile": {"event_type"},
-    "events_value_winsorize": {"event_type"},
 }
 
 # Reviewed ``agg_input`` entries: window over an Aggregate whose
@@ -111,6 +104,16 @@ KNOWN_AGG_INPUT: dict[str, set[str]] = {
     "graph_neighbor_jaccard": {"event_type"},
     "graph_pagerank_users": {"event_type"},
     "graph_triangle_count": {"event_type"},
+    # r8 rewrites of the events per-type sequential/order-statistic
+    # scans: chunked prefix decomposition (cusum) and
+    # grouped_global_rank (equidepth ntile, winsorize cutpoints,
+    # interarrival gap quantiles) — the only event_type-partitioned
+    # windows left are prefix-offset chains over one aggregated row
+    # per chunk / value bucket.
+    "events_cusum_changepoints": {"event_type"},
+    "events_equidepth_quantiles": {"event_type"},
+    "events_interarrival_profile": {"event_type"},
+    "events_value_winsorize": {"event_type"},
 }
 
 LOW_CARD_MAX = 10
@@ -156,6 +159,10 @@ _PASS_THROUGH = (
     "Sort ", "Sort[", "Exchange", "ShuffleQueryStage", "AQEShuffleRead",
     "InputAdapter", "WholeStageCodegen", "ColumnarToRow", "ReusedExchange",
     "Project", "Filter", "InMemoryRelation", "InMemoryTableScan",
+    # a stacked Window preserves row count — the sort-input question is
+    # about what ultimately feeds the stack (e.g. prefix-offset chains
+    # compute O then P over the same per-chunk aggregate)
+    "Window [",
 )
 
 

@@ -335,17 +335,42 @@ def table_diff_cdc(spark, sf_dir):
 
 
 def events_equidepth_quantiles(spark, sf_dir):
-    """Per-event-type equi-depth quartile profile: ntile(4) over value
-    → per-(type, quartile) count/min/max. Exact quantile assignment
-    needs a per-key sort (each type sorts in parallel); at 100 TB the
-    production variant computes approx_percentile cutpoints (tiny
-    mergeable sketch) and assigns buckets map-side with zero sort —
-    this exact form is kept because the oracle replays it
-    bit-for-bit. Tie-break on event_id pins the boundary rows."""
+    """Per-event-type equi-depth quartile profile: exact ntile(4) over
+    value → per-(type, quartile) count/min/max. The oracle replays
+    DuckDB's ntile(4) bit-for-bit; the Spark side reproduces the SAME
+    assignment WITHOUT a corpus-scale per-type sort (r8 plan audit —
+    the previous ``ntile(4) OVER (PARTITION BY event_type ORDER BY
+    value)`` sorted the whole corpus in |types| tasks):
+    operators/sequence.grouped_global_rank gives each row its exact
+    group-wide position (row_number within floor(value) chunks +
+    prefix-count offsets; (value, event_id) is a TOTAL order, so the
+    position is deterministic), and ntile's bucket function of
+    (rank, n) is applied closed-form in integer arithmetic — the first
+    n mod 4 buckets take ceil(n/4) rows, the rest floor(n/4). The
+    approx sibling `events_equidepth_approx` remains the sketch-based
+    alternative when even exact ranks aren't needed."""
+    from warpdb_spark.operators.sequence import grouped_global_rank
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = grouped_global_rank(
+        ev.select("event_type", "event_id", "value"),
+        "event_type",
+        ["value", "event_id"],
+        F.floor("value").cast("long"),
+        rank_col="rn",
+        n_col="n",
+    )
+    # ntile(b): q = n div b, rem = n mod b; bucket i <= rem has q+1
+    # rows. rank <= rem*(q+1) -> ceil(rank/(q+1)); else rem +
+    # ceil((rank - rem*(q+1))/q). Integer DIV throughout — float
+    # division would wobble at 2^53.
+    quartile = F.expr(
+        "CASE WHEN rn <= (n % 4) * (n DIV 4 + 1) "
+        "THEN (rn + (n DIV 4)) DIV (n DIV 4 + 1) "
+        "ELSE (n % 4) + (rn - (n % 4) * (n DIV 4 + 1) + (n DIV 4) - 1) DIV (n DIV 4) END"
+    ).cast("int")
     return (
-        ev.withColumn("quartile", F.ntile(4).over(w))
+        r.withColumn("quartile", quartile)
         .groupBy("event_type", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -468,33 +468,76 @@ def events_cusum_changepoints(spark, sf_dir):
     micro-units would overflow a single event_type around 1.8e10 rows
     at σ=1e3, so the accumulator is DECIMAL(38,0): still exact in any
     evaluation order in both engines, with ~1e38-unit range (≥1e28
-    rows per type before re-baselining is needed)."""
+    rows per type before re-baselining is needed).
+
+    Scale shape (r8 plan audit — the previous spelling ran both
+    windows over ``PARTITION BY event_type``, sorting the corpus in
+    |types| tasks): the prefix decomposes over hour CHUNKS. Within
+    (type, chunk): local prefix sum Sloc and local running min mloc
+    (two stacked windows, ONE sort). Per chunk (one aggregated row):
+    total T and whole-chunk min cmin = min(Sloc); exclusive prefix
+    offsets O = Σ earlier T and P = min over earlier chunks of
+    (O' + cmin') come from two stacked windows over that tiny frame.
+    Then S_i = O + Sloc_i and min_{j≤i} S_j = least(P, O + mloc_i) —
+    all identities on exact decimals, so the hash is unchanged. Cost
+    note: the chunk-summary branch re-derives the local prefix (its
+    own scan + (type, chunk) shuffle + sorted pass, pruned to Sloc
+    only) — two fully-parallel passes over the corpus, vs one pass
+    pinned to |types| tasks before."""
+    from warpdb_spark.operators.sequence import hour_chunk
+
+    DEC = "decimal(38,0)"
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     stats = ev.groupBy("event_type").agg(
         F.round(F.avg("value"), 6).alias("mu"),
         F.round(F.stddev_pop("value"), 6).alias("sigma"),
     )
-    d = ev.join(F.broadcast(stats), "event_type").withColumn(
-        "__d",
-        F.round((F.col("value") - F.col("mu") - F.col("sigma") / 2) * 1e6, 0).cast(
-            "decimal(38,0)"
-        ),
+    d = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "__d",
+            F.round((F.col("value") - F.col("mu") - F.col("sigma") / 2) * 1e6, 0).cast(
+                DEC
+            ),
+        )
+        .withColumn("__chunk", hour_chunk("ts"))
     )
-    w = (
-        Window.partitionBy("event_type")
+    w_loc = (
+        Window.partitionBy("event_type", "__chunk")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = d.withColumn("__S", F.sum("__d").over(w)).withColumn(
-        "__Smin", F.least(F.min("__S").over(w), F.lit(0).cast("decimal(38,0)"))
+    d = d.withColumn("__Sloc", F.sum("__d").over(w_loc)).withColumn(
+        "__mloc", F.min("__Sloc").over(w_loc)
     )
-    cusum_int = F.col("__S") - F.col("__Smin")
-    return d.select(
+    summ = d.groupBy("event_type", "__chunk").agg(
+        F.sum("__d").alias("__T"), F.min("__Sloc").alias("__cmin")
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        summ.withColumn(
+            "__O", F.coalesce(F.sum("__T").over(w_prev), F.lit(0).cast(DEC))
+        )
+        .withColumn("__G", F.col("__O") + F.col("__cmin"))
+        .withColumn("__P", F.min("__G").over(w_prev))  # NULL on first chunk
+        .select("event_type", "__chunk", "__O", "__P")
+    )
+    j = d.join(F.broadcast(offs), ["event_type", "__chunk"])
+    S = F.col("__O") + F.col("__Sloc")
+    # least() skips NULLs in both branches' engines: first chunk has no
+    # earlier-chunk min, so M degrades to the local running min.
+    Smin = F.least(F.col("__P"), F.col("__O") + F.col("__mloc"), F.lit(0).cast(DEC))
+    cusum_int = S - Smin
+    return j.select(
         "event_id",
         "event_type",
         F.round(cusum_int / 1e6, 6).alias("cusum"),
         (
-            cusum_int > F.round(4 * F.col("sigma") * 1e6, 0).cast("decimal(38,0)")
+            cusum_int > F.round(4 * F.col("sigma") * 1e6, 0).cast(DEC)
         ).alias("is_alarm"),
     )
 

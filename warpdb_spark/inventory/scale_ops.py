@@ -1769,30 +1769,34 @@ def events_interarrival_profile(spark, sf_dir):
     separates "the producer slowed down" from "the producer died"
     (a dead feed's max gap explodes while its median stays flat).
 
-    Gaps come from one lag window over (ts, event_id) — integer epoch
-    seconds, so every statistic is exact. Percentiles are SELECTED by
-    explicit rank (value at row_number ceil(q·n) in gap order with
-    event_id tie-break) rather than an engine quantile builtin —
-    Spark's percentile and DuckDB's quantile_cont interpolate with
-    different position formulas, selected-rank values are identical by
-    construction. Two window passes over the same event_type
-    partitioning (one exchange, reused); the rank selection is the
-    same bounded pattern as the weighted median."""
+    Gaps are differences of consecutive epoch-second values — integer,
+    so every statistic is exact. Percentiles are SELECTED by explicit
+    rank (value at rank ceil(q·n) in gap order) rather than an engine
+    quantile builtin — Spark's percentile and DuckDB's quantile_cont
+    interpolate with different position formulas, selected-rank values
+    are identical by construction.
+
+    Both sequential steps use the r8 chunked primitives
+    (operators/sequence.py; the previous spelling was two
+    corpus-scale windows on the 5-value event_type key): consecutive
+    (prev, next) second pairs via grouped_lead_pairs over hour chunks,
+    then gap ranks via grouped_global_rank with the gap VALUE itself
+    as the chunk — a rank-via-value-histogram, exact because rank ties
+    share a gap value and the selection only reads values at ranks."""
+    from warpdb_spark.operators.sequence import grouped_global_rank, grouped_lead_pairs
+
     ev = _t(spark, sf_dir, "events")
     esec = F.col("ts").cast("long")
-    wo = Window.partitionBy("event_type").orderBy(esec, "event_id")
-    g = ev.select(
+    pairs = grouped_lead_pairs(
+        ev.withColumn("__esec", esec),
         "event_type",
-        "event_id",
-        (esec - F.lag(esec).over(wo)).alias("gap"),
-    ).filter(F.col("gap").isNotNull())
-    wr = Window.partitionBy("event_type").orderBy("gap", "event_id")
-    wc = Window.partitionBy("event_type")
-    r = g.select(
-        "event_type",
-        "gap",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+        ["__esec", "event_id"],
+        "__esec",
+        (F.col("__esec") / 3600).cast("long"),
+    )
+    g = pairs.select("event_type", (F.col("dst") - F.col("src")).alias("gap"))
+    r = grouped_global_rank(
+        g, "event_type", ["gap"], F.col("gap"), rank_col="rn", n_col="n"
     )
     return r.groupBy("event_type").agg(
         F.max("n").alias("n_gaps"),
@@ -1819,19 +1823,32 @@ def events_value_winsorize(spark, sf_dir):
     (|types| rows). The clamp itself is pure selection
     (least/greatest — no arithmetic), then means snap to integer
     micro-units before summing so evaluation order can't flip the
-    hash. Two passes over one event_type partitioning."""
+    hash.
+
+    Ranks come from operators/sequence.grouped_global_rank (r8 plan
+    audit: the previous ``row_number() OVER (PARTITION BY event_type
+    ORDER BY value)`` sorted the whole corpus in |types| tasks):
+    row_number within (type, floor(value)) value-chunks plus
+    prefix-count offsets over one aggregated row per chunk. Rank ties
+    inside a chunk share a value, so rank-SELECTED cutpoints are
+    unchanged. NULL values chunk to +inf, matching the NULLS LAST
+    order (the agg_weighted_median rule — Spark's bare ASC is NULLS
+    FIRST)."""
+    from warpdb_spark.operators.sequence import grouped_global_rank
+
     ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    # NULLS LAST to match the oracle's ORDER BY default (the
-    # agg_weighted_median rule — Spark's bare ASC is NULLS FIRST)
-    wr = Window.partitionBy("event_type").orderBy(
-        F.asc_nulls_last("value"), "event_id"
+    vchunk = (
+        F.when(F.col("value").isNull(), F.lit(1 << 62))
+        .otherwise(F.floor("value"))
+        .cast("long")
     )
-    wc = Window.partitionBy("event_type")
-    r = ev.select(
+    r = grouped_global_rank(
+        ev,
         "event_type",
-        "value",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+        [F.asc_nulls_last("value"), "event_id"],
+        vchunk,
+        rank_col="rn",
+        n_col="n",
     )
     cuts = r.groupBy("event_type").agg(
         F.min(F.when(F.col("rn") >= F.ceil(F.col("n") * 0.05), F.col("value"))).alias(

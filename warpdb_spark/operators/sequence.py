@@ -105,3 +105,62 @@ def hour_chunk(ts_col: str | Column) -> Column:
     parallelism knob: width x per-group event rate = rows per task."""
     col = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     return (F.unix_timestamp(col) / 3600).cast("long")
+
+
+def grouped_global_rank(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    chunk_expr: Column,
+    rank_col: str = "__rank",
+    n_col: str = "__n",
+) -> DataFrame:
+    """Append each row's group-wide 1-based ``row_number`` under
+    ``order_cols`` plus the group size — WITHOUT the corpus-scale
+    per-group sort of ``row_number() OVER (PARTITION BY group ORDER BY
+    order)``. This is the primitive behind exact rank-selected
+    quantiles (winsorize cutpoints, interarrival p50/p90) and exact
+    ntile assignment on bounded group keys.
+
+    Two independent passes over the input (neither consumes the
+    other's window output, so nothing recomputes):
+
+    1. local: ``row_number`` within (group, chunk) — parallel in the
+       chunk count.
+    2. offsets: plain counts per (group, chunk) — map-side combined —
+       then a prefix sum over ONE ROW PER CHUNK (window partitioned by
+       the group key over an Aggregate: the safe ``agg_input`` tier).
+
+    global rank = local row_number + count of rows in earlier chunks.
+
+    ``chunk_expr`` must be order-monotone in the LEADING order column
+    and map equal leading values to the same chunk (a floor/bucket of
+    the value satisfies both); ranks among order-ties are then
+    assigned arbitrarily WITHIN a chunk, which is exact for
+    value-at-rank selection (equal values are interchangeable) — pass
+    a full unique order and a finer chunk if tie order itself matters.
+
+    The offsets frame has (groups x chunks) rows; the join back is on
+    (group, chunk), which AQE resolves to a broadcast join at any
+    realistic chunk count."""
+    b = df.withColumn("__chunk", chunk_expr)
+    w_loc = Window.partitionBy(group_col, "__chunk").orderBy(*order_cols)
+    local = b.withColumn("__rn", F.row_number().over(w_loc))
+    counts = b.groupBy(group_col, "__chunk").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col)
+    offs = counts.select(
+        group_col,
+        "__chunk",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).alias(n_col),
+    )
+    return (
+        local.join(offs, [group_col, "__chunk"])
+        .withColumn(rank_col, F.col("__rn") + F.col("__off"))
+        .drop("__rn", "__off", "__chunk")
+    )
