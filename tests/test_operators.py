@@ -422,3 +422,23 @@ class TestWAVCodec:
             assert r["n_samples"] == 100 and r["sample_rate"] == 8000
             assert abs(r["rms"] - (i + 1) * 100) < 1e-9
             assert r["zero_crossings"] == 99
+
+
+class TestBloomSizing:
+    def test_m_for_fpr_matches_analytic_fpr(self):
+        """bloom_m_for_fpr inverts FPR(m) = (1-e^{-kn/m})^k at k=3;
+        plugging the returned m back in must land on the target (up to
+        word-granularity rounding, which only lowers FPR), and more
+        keys / tighter targets must need more bits."""
+        import math
+
+        from warpdb_spark.inventory.curation_ext import _BLOOM_K, bloom_m_for_fpr
+
+        for n, p in [(10_000_000, 0.01), (1_000_000, 0.05), (500, 0.001)]:
+            m = bloom_m_for_fpr(n, p)
+            fpr = (1 - math.exp(-_BLOOM_K * n / m)) ** _BLOOM_K
+            assert fpr <= p + 1e-12, (n, p, m, fpr)
+            assert fpr > p * 0.98 or m <= 60, "grossly oversized"
+        assert bloom_m_for_fpr(2_000_000, 0.01) > bloom_m_for_fpr(1_000_000, 0.01)
+        assert bloom_m_for_fpr(1_000_000, 0.001) > bloom_m_for_fpr(1_000_000, 0.01)
+        assert bloom_m_for_fpr(1_000_000, 0.01) % 30 == 0

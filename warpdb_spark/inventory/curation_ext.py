@@ -1192,6 +1192,21 @@ def join_key_skew_advisor(spark, sf_dir):
 _DECONTAM_BLOOM_BITS = 1 << 20  # ~0.14 bits-load at sf0.01 eval grams
 
 
+def bloom_m_for_fpr(n_keys: int, target_fpr: float, k: int = _BLOOM_K) -> int:
+    """Bitmap size m (bits) for a bloom with FIXED k hash functions to
+    hit ``target_fpr`` on ``n_keys`` keys: FPR(m) = (1 − e^{−k·n/m})^k,
+    solved for m as m = k·n / −ln(1 − p^{1/k}). (The textbook
+    m = −n·ln p / ln²2 assumes the OPTIMAL k = (m/n)·ln 2; our probe
+    count is pinned at k=3 — each probe is a join — so the fixed-k
+    form is the one that actually lands on spec.) Rounded up to a
+    whole 30-bit word. Examples at k=3: p=0.01 → ~12.4 bits/key,
+    p=0.05 → ~7.0 bits/key."""
+    import math
+
+    m = k * n_keys / -math.log(1.0 - target_fpr ** (1.0 / k))
+    return int(math.ceil(m / _BLOOM_WORD)) * _BLOOM_WORD
+
+
 def decontam_bloom_prefilter(spark, sf_dir):
     """Benchmark decontamination THROUGH the bloom prefilter — the
     100 TB shape of ``decontam_eval_overlap``: that entry broadcasts
@@ -1209,7 +1224,19 @@ def decontam_bloom_prefilter(spark, sf_dir):
     contamination verdict — n_false_pos is the measured FPR the
     deployment reads before sizing m for the real benchmark union.
     Docs with fewer than 3 tokens have no grams and no row (both
-    engines derive the report from the gram pairs)."""
+    engines derive the report from the gram pairs).
+
+    Sizing m for production: ``bloom_m_for_fpr(n_grams, p)`` — with
+    our FIXED k=3 probes, FPR(m) = (1 − e^{−3n/m})³, so
+    m = 3n / −ln(1 − p^{1/3}) ≈ 12.4 bits/gram at p=1% (the textbook
+    −n·ln p/ln²2 assumes optimal k and undersizes a fixed-k filter).
+    The 1 Mbit constant here is pinned so the oracle replays the same
+    bitmap at sf0.01; tools/replay_decontam_bloom.py validates the
+    rule at a 10M-gram synthetic benchmark union — measured FPR on
+    spec, both probe regimes (broadcast bitmap, and the partitioned
+    shuffle probe for when even the bitmap outgrows broadcast — the
+    out-of-core discipline of the reference's chunked CSV loader,
+    src/csv_loader.cpp:186-223, applied to decontamination)."""
     from warpdb_spark.functions import text as T
 
     docs = _t(spark, sf_dir, "documents")
