@@ -499,3 +499,26 @@ class TestStreamPsiFuzz:
             assert got == want
 
         check()
+
+
+class TestPqPersistedIndex:
+    def test_query_path_scans_only_index_tables(self, spark, sf_dir):
+        """The deployment claim of similarity_pq_persisted_index: after
+        the one-time build, a query batch's plan reads the persisted
+        codes parquet and NOT the raw embeddings (query vectors are
+        fetched eagerly during construction with a pushed-down filter,
+        so they never appear in the returned plan). Also: serving from
+        the persisted index must rank identically to the inline-build
+        ADC entry."""
+        from warpdb_spark.inventory.analytics_ext import (
+            similarity_pq_adc,
+            similarity_pq_persisted_index,
+        )
+
+        df = similarity_pq_persisted_index(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "codes.parquet" in plan, plan[:2000]
+        assert "embeddings.parquet" not in plan, plan[:2000]
+        got = sorted(map(tuple, df.collect()))
+        want = sorted(map(tuple, similarity_pq_adc(spark, sf_dir).collect()))
+        assert got == want

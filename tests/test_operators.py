@@ -442,3 +442,40 @@ class TestBloomSizing:
         assert bloom_m_for_fpr(2_000_000, 0.01) > bloom_m_for_fpr(1_000_000, 0.01)
         assert bloom_m_for_fpr(1_000_000, 0.001) > bloom_m_for_fpr(1_000_000, 0.01)
         assert bloom_m_for_fpr(1_000_000, 0.01) % 30 == 0
+
+
+class TestCrossModalPlanted:
+    def test_planted_clones_are_corroborated(self, spark, sf_dir):
+        """dedup_cross_modal_planted's whole reason to exist: every
+        planted clone (identical text, same blob base pattern) must be
+        flagged by >= 2 modalities and verdict 'corroborated' — the
+        path the base corpus never exercises (its fusion entry finds
+        only single-modality pairs)."""
+        from pyspark.sql import functions as F
+
+        from warpdb_spark.inventory.pipeline_ops import (
+            _PLANT_MOD,
+            _PLANT_OFFSET,
+            dedup_cross_modal_planted,
+        )
+
+        out = dedup_cross_modal_planted(spark, sf_dir).persist()
+        planted = out.filter(F.col("is_planted")).collect()
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") % _PLANT_MOD == 0
+        ).count()
+        assert len(planted) == n_docs > 0
+        for r in planted:
+            assert r.verdict == "corroborated", r
+            assert r.n_corroborated >= 1 and r.n_text >= 1
+            assert r.doc_id >= _PLANT_OFFSET
+        # the originals of the planted pairs corroborate too
+        origs = {r.doc_id - _PLANT_OFFSET for r in planted}
+        got = {
+            r.doc_id
+            for r in out.filter(
+                (~F.col("is_planted")) & (F.col("verdict") == "corroborated")
+            ).collect()
+        }
+        assert origs <= got
+        out.unpersist()

@@ -817,3 +817,82 @@ class TestPsiBetweenFuzz:
             assert got["psi"] == want[2]
 
         check()
+
+
+class TestStreamUnifiedDrift:
+    """Live unified monitor (streaming/drift.py::attach_drift_monitor —
+    ONE foreachBatch writing PSI + KS together) pinned to the joined
+    batch-replay entry (stream_unified_drift_by_batch)."""
+
+    def test_unified_monitor_matches_joined_entry(self, spark, tmp_path):
+        import os
+        import time
+        import unittest.mock as mock
+
+        import warpdb_spark.inventory.analytics_ext as ax
+        from warpdb_spark.streaming.drift import (
+            attach_drift_monitor,
+            value_bucket_counts,
+            value_cent_counts,
+        )
+
+        mk = TestStreamPsiDrift
+        d = tmp_path / "ev"
+        d.mkdir()
+        rows0 = [(i, mk._value(i, 0)) for i in range(0, 250)]
+        rows1 = [(i, mk._skewed(i)) for i in range(250, 500)]
+        rows2 = [(i, mk._value(i, 0)) for i in range(500, 750)]
+        for name, rows in [("b1.csv", rows1), ("b2.csv", rows2)]:
+            (d / name).write_text(
+                "event_id,value\n" + "\n".join(f"{i},{v}" for i, v in rows)
+            )
+        now = time.time()
+        os.utime(d / "b1.csv", (now - 10, now - 10))
+        os.utime(d / "b2.csv", (now, now))
+
+        schema = "event_id LONG, value DOUBLE"
+        base_df = spark.createDataFrame(rows0, schema)
+        stream = (
+            spark.readStream.option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .schema(schema)
+            .csv(str(d))
+        )
+        out_dir = str(tmp_path / "drift_out")
+        q = attach_drift_monitor(
+            stream,
+            value_bucket_counts(base_df),
+            value_cent_counts(base_df),
+            out_dir,
+            checkpoint_dir=str(tmp_path / "ckpt_u"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+        live = {r.batch_id: r for r in spark.read.parquet(out_dir).collect()}
+        assert set(live) == {0, 1}
+
+        all_rows = [(i, "purchase", v) for i, v in rows0 + rows1 + rows2]
+        ev = spark.createDataFrame(
+            all_rows, "event_id LONG, event_type STRING, value DOUBLE"
+        )
+        with mock.patch.object(ax, "_t", lambda s, sd, n: ev):
+            want = {
+                r.batch_id: r
+                for r in ax.stream_unified_drift_by_batch(spark, "x").collect()
+            }
+        assert set(want) == {1, 2}
+        for live_id, entry_id in [(0, 1), (1, 2)]:
+            lv, wt = live[live_id], want[entry_id]
+            assert lv.psi == wt.psi
+            assert lv.n_cur == wt.n_batch and lv.n_base == wt.n_base
+            assert lv.n_buckets_used == wt.n_buckets_used
+            assert lv.n_buckets_zero == wt.n_buckets_zero
+            assert lv.ks_d == wt.ks_d
+            assert lv.ks_at_value == wt.ks_at_value
+            assert lv.ks_stat == wt.ks_stat
+        # the reshaped batch: mass moves between buckets AND reshapes
+        # the ECDF — both legs fire; the identical batch is clean on
+        # both
+        assert want[1].psi > 0.25 and want[1].ks_d > 0.1
+        assert want[2].psi == 0.0 and want[2].ks_d == 0.0

@@ -263,11 +263,13 @@ def dedup_exact_text(spark, sf_dir):
     )
 
 
-def dedup_minhash_lsh(spark, sf_dir):
+def dedup_minhash_lsh(spark, sf_dir, docs=None):
     """Near-dup pairs (3-gram Jaccard ≥ 0.8) found via MinHash-LSH
     banding + exact verification; the oracle recomputes ground truth
-    with an all-pairs Jaccard (feasible at sf0.01)."""
-    docs = _t(spark, sf_dir, "documents")
+    with an all-pairs Jaccard (feasible at sf0.01). ``docs``
+    overrides the corpus (the planted cross-modal entry injects a
+    cloned frame)."""
+    docs = docs if docs is not None else _t(spark, sf_dir, "documents")
     return D.lsh_verified_pairs(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16)
 
 
@@ -1124,7 +1126,7 @@ def multimodal_ppm_decode(spark, sf_dir):
     )
 
 
-def multimodal_dhash_neardup(spark, sf_dir):
+def multimodal_dhash_neardup(spark, sf_dir, docs=None):
     """Perceptual-hash (dHash) near-duplicate detection for the image
     modality — image dedup joining the text-dedup family: each doc
     gets a deterministic 9x8 grayscale P6 PPM (pixel i of doc d is
@@ -1157,7 +1159,7 @@ def multimodal_dhash_neardup(spark, sf_dir):
 
     from warpdb_spark.operators.dedup import capped_key_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (docs if docs is not None else _t(spark, sf_dir, "documents")).select("doc_id")
     encode, decode = M.ppm_encode, M.ppm_decode  # closures — pickle by value
 
     def gen(batches):
@@ -1260,7 +1262,7 @@ def multimodal_wav_decode(spark, sf_dir):
     )
 
 
-def multimodal_audio_neardup(spark, sf_dir):
+def multimodal_audio_neardup(spark, sf_dir, docs=None):
     """Audio near-duplicate detection — completing the dedup×modality
     matrix (text MinHash/SimHash, image dHash, now audio): each doc
     gets a deterministic 480-sample mono PCM16 WAV from one of 25
@@ -1293,7 +1295,7 @@ def multimodal_audio_neardup(spark, sf_dir):
 
     from warpdb_spark.operators.dedup import capped_key_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (docs if docs is not None else _t(spark, sf_dir, "documents")).select("doc_id")
     n = 480
     encode, decode = M.wav_encode, M.wav_decode  # closures — pickle by value
 
@@ -1385,6 +1387,15 @@ def dedup_cross_modal_verdict(spark, sf_dir):
         .select("id_a", "id_b")
         .withColumn("m", F.lit("audio"))
     )
+    return fuse_modalities(t, i, a)
+
+
+def fuse_modalities(t, i, a):
+    """The fusion layer of ``dedup_cross_modal_verdict``, shared with
+    the planted variant and the scale replay: union the three (id_a,
+    id_b, m) pair legs, corroborate per pair (>= 2 distinct
+    modalities), roll up per document. One pair-bounded union+groupBy
+    and one doc rollup — no corpus-scale surface of its own."""
     per_pair = (
         t.unionByName(i)
         .unionByName(a)
@@ -1416,6 +1427,53 @@ def dedup_cross_modal_verdict(spark, sf_dir):
         F.when(F.col("n_corroborated") > 0, "corroborated").otherwise(
             "single-modality"
         ),
+    )
+
+
+_PLANT_MOD = 37
+_PLANT_OFFSET = 10_000_000  # ≡ 0 (mod 25): clones keep their blob base pattern
+
+
+def dedup_cross_modal_planted(spark, sf_dir):
+    """Cross-modal fusion on a corpus WITH planted multi-modal
+    duplicates — the positive-control twin of
+    ``dedup_cross_modal_verdict`` (whose honest r7 replay produced
+    zero verdict rows because the base corpus plants none): every doc
+    with doc_id % 37 == 0 gains a clone at doc_id + 10,000,000 with
+    IDENTICAL text. The offset is ≡ 0 (mod 25), so the clone's
+    synthetic image/audio blobs keep the original's base pattern and
+    differ only in the per-doc noise — by construction the planted
+    pairs should be flagged by text (Jaccard 1.0), image (dHash
+    hamming ≤ 6) and audio (envelope hamming ≤ 2) alike, exercising
+    the >= 2-modality corroboration path the base corpus never
+    reaches. Legs and fusion are the SAME code as the verdict entry
+    (docs-injection parameter); the oracle shadows the ``documents``
+    table with the planted CTE and replays everything. Output: the
+    verdict rollup plus is_planted."""
+    docs = _t(spark, sf_dir, "documents")
+    clones = docs.filter(F.col("doc_id") % _PLANT_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + _PLANT_OFFSET
+    )
+    planted = docs.unionByName(clones)
+    t = (
+        dedup_minhash_lsh(spark, sf_dir, docs=planted)
+        .select("id_a", "id_b")
+        .withColumn("m", F.lit("text"))
+    )
+    i = (
+        multimodal_dhash_neardup(spark, sf_dir, docs=planted)
+        .filter(F.col("is_near"))
+        .select("id_a", "id_b")
+        .withColumn("m", F.lit("image"))
+    )
+    a = (
+        multimodal_audio_neardup(spark, sf_dir, docs=planted)
+        .filter(F.col("is_near"))
+        .select("id_a", "id_b")
+        .withColumn("m", F.lit("audio"))
+    )
+    return fuse_modalities(t, i, a).withColumn(
+        "is_planted", F.col("doc_id") >= _PLANT_OFFSET
     )
 
 
@@ -2290,6 +2348,7 @@ QUERIES = {
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_audio_neardup": multimodal_audio_neardup,
     "dedup_cross_modal_verdict": dedup_cross_modal_verdict,
+    "dedup_cross_modal_planted": dedup_cross_modal_planted,
     "multimodal_video_frames": multimodal_video_frames,
     "agg_statistical": agg_statistical,
     "agg_percentiles": agg_percentiles,
@@ -3476,4 +3535,27 @@ ORACLES["dedup_cross_modal_verdict"] = (
     "CASE WHEN sum(CASE WHEN n_modalities >= 2 THEN 1 ELSE 0 END) > 0 "
     "THEN 'corroborated' ELSE 'single-modality' END AS verdict "
     "FROM e GROUP BY doc_id"
+)
+
+# planted positive control: same fusion oracle, but every leg reads a
+# corpus with clones planted at doc_id + 10,000,000 (text identical,
+# blob base pattern preserved because the offset is ≡ 0 mod 25). The
+# CTE is named documents_planted and substituted into the copied leg
+# oracles on a word boundary — no table shadowing, so it works under
+# any view/registration scheme the harness uses.
+import re as _re
+
+ORACLES["dedup_cross_modal_planted"] = (
+    "WITH documents_planted AS (SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 10000000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 37 = 0), "
+    + _re.sub(
+        r"\bdocuments\b",
+        "documents_planted",
+        ORACLES["dedup_cross_modal_verdict"],
+    )[len("WITH ") :].replace(
+        "AS verdict ",
+        "AS verdict, doc_id >= 10000000 AS is_planted ",
+        1,
+    ).replace("GROUP BY doc_id", "GROUP BY doc_id", 1)
 )

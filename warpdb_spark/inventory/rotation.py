@@ -304,6 +304,12 @@ PENDING_ORDER: list[str] = [
     # round-7 additions — added BEFORE the r7 window rehearsal (the
     # r6 rule: nothing enters the inventory after rehearsal), placed
     # behind the r6 backlog so those seven verify first
+    # round-8 additions — the r7 window closed the contract (262/262
+    # green), so these front the r8 window; oldest-green re-checks
+    # fill the remaining slots
+    "similarity_pq_persisted_index",
+    "dedup_cross_modal_planted",
+    "stream_unified_drift_by_batch",
 ]
 
 

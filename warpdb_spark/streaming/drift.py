@@ -129,3 +129,113 @@ def attach_psi_monitor(
         # mode; without it the monitor runs until stopped
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def value_cent_counts(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Exact integer (cents, n) counts — the KS leg's support (KS
+    compares ECDFs at every observed value, not at bucket edges)."""
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(cents.alias("cents"))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def ks_between(cur: DataFrame, base: DataFrame) -> DataFrame:
+    """One-row two-sample KS report between two (cents, n) count
+    frames — the single-batch twin of
+    ``analytics_ext.stream_ks_drift_by_batch``: ECDF compare on the
+    union support, integer cross-products |cum_c·tb − cum_b·tc| in
+    DECIMAL(38,0), argmax pinned (diff DESC, cents ASC). The global
+    cumulative window runs over a frame bounded by the VALUE DOMAIN
+    (distinct cents), never corpus rows — same boundedness argument as
+    the entry's per-batch partition."""
+    from pyspark.sql.window import Window
+
+    c = cur.select("cents", F.col("n").alias("n_c"))
+    b = base.select("cents", F.col("n").alias("n_b"))
+    j = c.join(b, "cents", "full").select(
+        "cents",
+        F.coalesce("n_c", F.lit(0)).alias("n_c"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = j.agg(F.sum("n_c").alias("tc"), F.sum("n_b").alias("tb"))
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    g = (
+        j.select(
+            "cents",
+            F.sum("n_c").over(wcum).alias("cum_c"),
+            F.sum("n_b").over(wcum).alias("cum_b"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("tb") > 0)
+    )
+    dnum = F.abs(
+        F.col("cum_c").cast("decimal(38,0)") * F.col("tb")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("tc")
+    )
+    pick = Window.orderBy(F.desc("dnum"), F.asc("cents"))
+    top = (
+        g.select("cents", "tc", "tb", dnum.alias("dnum"))
+        .withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+    )
+    ks = F.col("dnum").cast("double") / (
+        F.col("tc").cast("double") * F.col("tb")
+    )
+    return top.select(
+        F.round(ks, 6).alias("ks_d"),
+        F.round(F.col("cents") / 100.0, 2).alias("ks_at_value"),
+        F.round(
+            F.sqrt(
+                F.col("tc").cast("double") * F.col("tb") / (F.col("tc") + F.col("tb"))
+            )
+            * ks,
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+def attach_drift_monitor(
+    stream_df: DataFrame,
+    base_bucket_counts: DataFrame,
+    base_cent_counts: DataFrame,
+    out_dir: str,
+    value_col: str = "value",
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """The UNIFIED drift monitor: one foreachBatch scoring each
+    micro-batch on BOTH drift legs — PSI (binned shares; fires when
+    mass moves between $25 buckets) and KS (ECDF shape; fires when
+    mass moves WITHIN shared buckets, where PSI sleeps) — and writing
+    ONE row per batch (psi report columns + ks_d/ks_at_value/ks_stat)
+    to ``out_dir``, idempotent under at-least-once replay exactly like
+    ``attach_psi_monitor``. Batch-replay twin:
+    ``analytics_ext.stream_psi_drift_by_batch`` joined to
+    ``stream_ks_drift_by_batch`` on batch_id
+    (``stream_unified_drift_by_batch``); pinned equal in
+    tests/test_streaming.py."""
+    spark = stream_df.sparkSession
+    base_b_rows = base_bucket_counts.collect()
+    base_b_schema = base_bucket_counts.schema
+    base_c_rows = base_cent_counts.collect()
+    base_c_schema = base_cent_counts.schema
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        base_b = spark.createDataFrame(base_b_rows, base_b_schema)
+        base_c = spark.createDataFrame(base_c_rows, base_c_schema)
+        psi = psi_between(value_bucket_counts(batch_df, value_col), base_b)
+        ks = ks_between(value_cent_counts(batch_df, value_col), base_c)
+        psi.crossJoin(ks).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
