@@ -66,12 +66,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # sweep found 15; anything new fails the contract test until reviewed
 # here.
 KNOWN_RAW: dict[str, set[str]] = {
-    # The three documented sf-bounded exact diagnostics (r6/r7
-    # verdicts): each has a driver-green binned/approx sibling
-    # designated the 100 TB default.
-    "agg_gini_by_segment": {"o_orderpriority"},      # sibling: agg_gini_binned
-    "agg_weighted_median": {"event_type"},           # sibling: agg_weighted_median_approx
-    "window_distribution_functions": {"o_orderpriority"},  # sibling: window_distribution_binned
     # Input is pre-filtered to a constant slice (l_orderkey < 100, ~25
     # orders at any sf) — a rank-family SEMANTICS demo over a bounded
     # frame, not a corpus sort; the classifier can't see through the
@@ -104,16 +98,19 @@ KNOWN_AGG_INPUT: dict[str, set[str]] = {
     "graph_neighbor_jaccard": {"event_type"},
     "graph_pagerank_users": {"event_type"},
     "graph_triangle_count": {"event_type"},
-    # r8 rewrites of the events per-type sequential/order-statistic
-    # scans: chunked prefix decomposition (cusum) and
-    # grouped_global_rank (equidepth ntile, winsorize cutpoints,
-    # interarrival gap quantiles) — the only event_type-partitioned
-    # windows left are prefix-offset chains over one aggregated row
-    # per chunk / value bucket.
+    # r8 rewrites of the per-group sequential/order-statistic scans:
+    # chunked prefix decomposition (cusum, weighted median) and
+    # grouped_global_rank (equidepth + distribution-function ntile,
+    # winsorize cutpoints, interarrival gap quantiles, gini rank
+    # moment) — the only bounded-key windows left are prefix-offset
+    # chains over one aggregated row per chunk / value bucket.
     "events_cusum_changepoints": {"event_type"},
     "events_equidepth_quantiles": {"event_type"},
     "events_interarrival_profile": {"event_type"},
     "events_value_winsorize": {"event_type"},
+    "agg_gini_by_segment": {"o_orderpriority"},
+    "agg_weighted_median": {"event_type"},
+    "window_distribution_functions": {"o_orderpriority"},
 }
 
 LOW_CARD_MAX = 10

@@ -131,6 +131,81 @@ def naive_interarrival(spark, sf_dir):
     )
 
 
+def naive_gini(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from warpdb_spark.inventory.scale_ops import _t
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    r = o.select("o_orderpriority", "o_orderkey", cents.alias("cents")).withColumn(
+        "i", F.row_number().over(w)
+    )
+    g = r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("six"),
+    )
+    gini = (
+        2.0 * F.col("six").cast("double")
+        / (F.col("n_orders").cast("double") * F.col("sx").cast("double"))
+        - (F.col("n_orders") + 1) / F.col("n_orders")
+    )
+    return g.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("sx") / 100.0, 2).alias("total_value"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def naive_weighted_median(spark, sf_dir):
+    from warpdb_spark.inventory.scale_ops import _t
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value", (F.col("user_id") % 5 + 1).alias("wt")
+    )
+    wseq = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc_nulls_last("value"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    d = ev.withColumn("cumw", F.sum("wt").over(wseq)).withColumn(
+        "totw", F.sum("wt").over(wall)
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("totw").alias("total_weight"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("value"))).alias(
+            "weighted_median"
+        ),
+    )
+
+
+def naive_distribution(spark, sf_dir):
+    from warpdb_spark.inventory.scale_ops import _t
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    r = (
+        o.select("o_orderpriority", "o_orderkey", cents.alias("cents"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .withColumn("decile", F.ntile(10).over(w))
+    )
+    return r.filter(F.col("o_orderkey") % 37 == 0).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("cents") / 100.0, 2).alias("order_value"),
+        F.round("pr", 6).alias("pct_rank"),
+        F.round("cd", 6).alias("cume_dist"),
+        "decile",
+    )
+
+
 def chunked_winsorize_cuts(spark, sf_dir):
     """Just the rank-selection pass of the rewritten winsorize (the
     clamp/report stage is identical in both variants)."""
@@ -155,8 +230,15 @@ def chunked_winsorize_cuts(spark, sf_dir):
 
 def main():
     from warpdb_spark.inventory.analytics_ext import events_equidepth_quantiles
+    from warpdb_spark.inventory.curation_ext import (
+        agg_gini_by_segment,
+        window_distribution_functions,
+    )
     from warpdb_spark.inventory.pipeline_ops import events_cusum_changepoints
-    from warpdb_spark.inventory.scale_ops import events_interarrival_profile
+    from warpdb_spark.inventory.scale_ops import (
+        agg_weighted_median,
+        events_interarrival_profile,
+    )
 
     spark = get_spark("replay-events-chunked")
     spark.sparkContext.setLogLevel("ERROR")
@@ -165,12 +247,20 @@ def main():
         t0 = time.time()
         rc.build_events(spark, OUT)
         print(f"corpus build: {time.time()-t0:.1f}s")
+    if not os.path.exists(f"{OUT}/orders.parquet/_SUCCESS"):
+        t0 = time.time()
+        rc.build_orders(spark, OUT)
+        print(f"orders build: {time.time()-t0:.1f}s")
 
     pairs = [
         ("cusum", naive_cusum, events_cusum_changepoints),
         ("equidepth_ntile", naive_equidepth, events_equidepth_quantiles),
         ("winsorize_cuts", naive_winsorize_cuts, chunked_winsorize_cuts),
         ("interarrival", naive_interarrival, events_interarrival_profile),
+        # r8 second wave: the three formerly-documented diagnostics
+        ("gini_by_segment", naive_gini, agg_gini_by_segment),
+        ("weighted_median", naive_weighted_median, agg_weighted_median),
+        ("distribution_fns", naive_distribution, window_distribution_functions),
     ]
     # min-of-2 interleaved (bench.py discipline)
     best = {}

@@ -64,18 +64,26 @@ def agg_gini_by_segment(spark, sf_dir):
     cents (a 20M-row replay crashed the long sum under ANSI mode) —
     so the rank-moment accumulates in DECIMAL(38,0): still exact and
     aggregation-order-proof, with headroom to ~1e38 (≈1e12 rows/group).
-    The per-group rank is a per-group sort on a 5-value key — one task
-    holds ~20% of the corpus at scale, so this entry is the
-    **sf-bounded exact diagnostic**; the **100 TB default** is
-    ``agg_gini_binned`` (sort-free fixed-width Lorenz buckets, same
-    aggregation shape as ``events_value_histogram``), |err| ≤ 1e-6 at
-    the 20M-row replay. The headline-bench contract test pins that no
-    frozen bench query ever carries this window shape."""
+    Scale shape (r8 — formerly the sf-bounded diagnostic whose 100 TB
+    answer was only ``agg_gini_binned``): the rank now comes from
+    operators/sequence.grouped_global_rank ($250 cent chunks, unique
+    (cents, o_orderkey) order → deterministic), so the EXACT Gini no
+    longer needs a per-group sort on the 5-value key — the heavy
+    window runs per (priority, chunk) and the offsets over one
+    aggregated row per chunk. ``agg_gini_binned`` remains the cheaper
+    approximate path (one pass, no rank join) when |err| ≤ 1e-6
+    suffices."""
+    from warpdb_spark.operators.sequence import grouped_global_rank
+
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
-    r = o.select("o_orderpriority", "o_orderkey", cents.alias("cents")).withColumn(
-        "i", F.row_number().over(w)
+    r = grouped_global_rank(
+        o.select("o_orderpriority", "o_orderkey", cents.alias("cents")),
+        "o_orderpriority",
+        ["cents", "o_orderkey"],
+        (F.col("cents") / _GINI_BUCKET_CENTS).cast("long"),
+        rank_col="i",
+        n_col="__ntot",
     )
     g = r.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -538,18 +546,43 @@ def window_distribution_functions(spark, sf_dir):
     applied above the window, checked by the predicate placement),
     the report stays bounded.
 
-    **sf-bounded exact diagnostic** — the window is a per-group sort
-    on a 5-value key (one task ≈ 20% of the corpus at scale); the
-    **100 TB default** is ``window_distribution_binned`` (sort-free
-    bucketed ECDF, 6-8× faster at 20M rows)."""
+    Scale shape (r8 — formerly the sf-bounded diagnostic): the unique
+    (cents, o_orderkey) order means every distribution function is a
+    CLOSED FORM of (rank, n) — percent_rank = (rank−1)/(n−1),
+    cume_dist = rank/n (no peers under a unique order), ntile(10) via
+    the integer-DIV bucket formula ``events_equidepth_quantiles``
+    uses — so one grouped_global_rank ($250 cent chunks) replaces the
+    per-group sort on the 5-value key. ``window_distribution_binned``
+    remains the cheaper approximate path (its probe-side filter pushes
+    below the join, which any exact rank structurally cannot allow)."""
+    from warpdb_spark.operators.sequence import grouped_global_rank
+
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = grouped_global_rank(
+        o.select("o_orderpriority", "o_orderkey", cents.alias("cents")),
+        "o_orderpriority",
+        ["cents", "o_orderkey"],
+        (F.col("cents") / _GINI_BUCKET_CENTS).cast("long"),
+        rank_col="rnk",
+        n_col="n",
+    )
     r = (
-        o.select("o_orderpriority", "o_orderkey", cents.alias("cents"))
-        .withColumn("pr", F.percent_rank().over(w))
-        .withColumn("cd", F.cume_dist().over(w))
-        .withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn(
+            "pr",
+            (F.col("rnk") - 1).cast("double")
+            / F.greatest(F.col("n") - 1, F.lit(1)).cast("double"),
+        )
+        .withColumn("cd", F.col("rnk").cast("double") / F.col("n").cast("double"))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CASE WHEN rnk <= (n % 10) * (n DIV 10 + 1) "
+                "THEN (rnk + (n DIV 10)) DIV (n DIV 10 + 1) "
+                "ELSE (n % 10) + (rnk - (n % 10) * (n DIV 10 + 1) + (n DIV 10) - 1) "
+                "DIV (n DIV 10) END"
+            ).cast("int"),
+        )
     )
     return r.filter(F.col("o_orderkey") % 37 == 0).select(
         "o_orderpriority",

@@ -1538,28 +1538,38 @@ def agg_weighted_median(spark, sf_dir):
     ordered by event_id so both engines walk the identical prefix, and
     the median is a SELECTED raw value (no arithmetic) — exact hash.
 
-    **sf-bounded exact diagnostic** — the cumulative-weight walk is a
-    per-group sort on the bounded event_type key (honest replay 48.8s
-    at 20M rows, one task per hot group at scale); the **100 TB
-    default** is ``agg_weighted_median_approx`` (weight-expanded
-    percentile_approx sketch, no per-group sort)."""
+    Scale shape (r8 — formerly the sf-bounded diagnostic): the
+    cumulative-weight walk now runs through
+    operators/sequence.grouped_prefix_sum — a local running sum per
+    (event_type, floor(value)) chunk plus exclusive prefix offsets
+    over one aggregated row per chunk — so the EXACT weighted median
+    no longer sorts a whole type in one task.
+    ``agg_weighted_median_approx`` (weight-expanded percentile_approx
+    sketch) remains the one-scan approximate path. NULL values chunk
+    to +inf, matching the asc_nulls_last order (Spark's bare ASC is
+    NULLS FIRST while DuckDB's is NULLS LAST — spelled so both
+    engines walk the identical prefix; fuzz-pinned)."""
+    from warpdb_spark.operators.sequence import grouped_prefix_sum
+
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
         "value",
         (F.col("user_id") % 5 + 1).alias("wt"),
     )
-    wseq = (
-        # asc_nulls_last: Spark's bare ASC default is NULLS FIRST while
-        # DuckDB's is NULLS LAST — spell it so both engines walk the
-        # identical prefix if value ever carries NULLs (fuzz-pinned)
-        Window.partitionBy("event_type")
-        .orderBy(F.asc_nulls_last("value"), "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vchunk = (
+        F.when(F.col("value").isNull(), F.lit(1 << 62))
+        .otherwise(F.floor("value"))
+        .cast("long")
     )
-    wall = Window.partitionBy("event_type")
-    d = ev.withColumn("cumw", F.sum("wt").over(wseq)).withColumn(
-        "totw", F.sum("wt").over(wall)
+    d = grouped_prefix_sum(
+        ev,
+        "event_type",
+        [F.asc_nulls_last("value"), "event_id"],
+        vchunk,
+        "wt",
+        prefix_col="cumw",
+        total_col="totw",
     )
     return d.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

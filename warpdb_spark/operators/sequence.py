@@ -164,3 +164,49 @@ def grouped_global_rank(
         .withColumn(rank_col, F.col("__rn") + F.col("__off"))
         .drop("__rn", "__off", "__chunk")
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    chunk_expr: Column,
+    sum_col: str,
+    prefix_col: str = "__cum",
+    total_col: str = "__tot",
+) -> DataFrame:
+    """Append each row's group-wide INCLUSIVE running sum of
+    ``sum_col`` under ``order_cols`` plus the group total — the
+    weighted generalization of ``grouped_global_rank`` (a rank is the
+    prefix sum of weight 1). Same two independent passes: a local
+    running sum within (group, chunk), and per-chunk PLAIN totals
+    (map-side combined — unlike a running min, a chunk total needs no
+    window output, so nothing recomputes) whose exclusive prefix over
+    one row per chunk gives the offset. Exactness: the caller picks an
+    integer/decimal ``sum_col`` when cross-engine hash equality
+    matters (float prefix sums are association-sensitive)."""
+    b = df.withColumn("__chunk", chunk_expr)
+    w_loc = (
+        Window.partitionBy(group_col, "__chunk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("__loc", F.sum(sum_col).over(w_loc))
+    totals = b.groupBy(group_col, "__chunk").agg(F.sum(sum_col).alias("__t"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col)
+    offs = totals.select(
+        group_col,
+        "__chunk",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__t").over(w_all).alias(total_col),
+    )
+    return (
+        local.join(offs, [group_col, "__chunk"])
+        .withColumn(prefix_col, F.col("__loc") + F.col("__off"))
+        .drop("__loc", "__off", "__chunk")
+    )
