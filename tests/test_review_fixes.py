@@ -467,13 +467,23 @@ class TestUpdateRotationParse:
         import json
         import re
         import tools.update_rotation as ur
-        from warpdb_spark.inventory import rotation
 
-        # work on a copy of the real file
+        # work on a copy of the real file, with four SYNTHETIC pending
+        # names planted (the live PENDING_ORDER can legitimately hold
+        # fewer than 4 — e.g. r8 starts a round with 3 new entries —
+        # and this test is about the tool's file-rewrite mechanics,
+        # not the live bookkeeping)
+        moved = [f"zz_synthetic_pending_{i}" for i in range(4)]
+        planted = "".join(f'    "{n}",\n' for n in moved)
         copy = tmp_path / "rotation.py"
-        copy.write_text(ur.ROTATION.read_text())
+        copy.write_text(
+            ur.ROTATION.read_text().replace(
+                "PENDING_ORDER: list[str] = [\n",
+                "PENDING_ORDER: list[str] = [\n" + planted,
+                1,
+            )
+        )
         monkeypatch.setattr(ur, "ROTATION", copy)
-        moved = rotation.PENDING_ORDER[:4]
         art = tmp_path / "c.json"
         art.write_text(json.dumps({
             moved[0]: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},

@@ -85,3 +85,75 @@ def test_chunked_lead_tie_order_uses_full_order_key(spark):
         ).collect()
     }
     assert got == {(11, 22), (22, 33)}
+
+
+def test_grouped_global_rank_equals_naive_row_number(events):
+    from warpdb_spark.operators.sequence import grouped_global_rank
+
+    w = Window.partitionBy("event_type").orderBy("user_id", "event_id")
+    want = sorted(
+        map(
+            tuple,
+            events.select(
+                "event_type",
+                "event_id",
+                F.row_number().over(w).alias("rnk"),
+                F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            grouped_global_rank(
+                events,
+                "event_type",
+                ["user_id", "event_id"],
+                F.col("user_id"),  # identity chunk on the leading order col
+                rank_col="rnk",
+                n_col="n",
+            )
+            .select("event_type", "event_id", "rnk", "n")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_grouped_prefix_sum_equals_naive_running_sum(events):
+    from warpdb_spark.operators.sequence import grouped_prefix_sum
+
+    ev = events.withColumn("wt", (F.col("user_id") % 3 + 1))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        map(
+            tuple,
+            ev.select(
+                "event_type",
+                "event_id",
+                F.sum("wt").over(w).alias("cum"),
+                F.sum("wt").over(Window.partitionBy("event_type")).alias("tot"),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            grouped_prefix_sum(
+                ev,
+                "event_type",
+                ["ts", "event_id"],
+                hour_chunk("ts"),
+                "wt",
+                prefix_col="cum",
+                total_col="tot",
+            )
+            .select("event_type", "event_id", "cum", "tot")
+            .collect(),
+        )
+    )
+    assert got == want

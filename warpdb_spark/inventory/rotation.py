@@ -314,11 +314,15 @@ PENDING_ORDER: list[str] = [
 
 
 def build_driver_priority(inventory_names: list[str]) -> list[str]:
-    """Full emission order: all pending entries (risk-ranked), then all
-    green entries in inventory order. Raises if the bookkeeping has
-    drifted: duplicate names, names missing from the inventory, or an
-    entry listed as both pending and green (a green entry hogging a
-    window slot)."""
+    """Full emission order: all pending entries (risk-ranked), then
+    green entries OLDEST-GREEN-FIRST (by the round their green row
+    landed, inventory order within a round) — with the contract closed
+    (262/262 in r7), the window's re-check slots now guard against
+    REGRESSION, and the entry whose last green row is oldest is the
+    one most exposed to drift. Raises if the bookkeeping has drifted:
+    duplicate names, names missing from the inventory, or an entry
+    listed as both pending and green (a green entry hogging a window
+    slot)."""
     inv = set(inventory_names)
     if len(set(PENDING_ORDER)) != len(PENDING_ORDER):
         dupes = [n for i, n in enumerate(PENDING_ORDER) if n in PENDING_ORDER[:i]]
@@ -335,5 +339,9 @@ def build_driver_priority(inventory_names: list[str]) -> list[str]:
         raise RuntimeError(
             f"entries missing from rotation bookkeeping (add to PENDING_ORDER): {unlisted}"
         )
-    greens = [n for n in inventory_names if n in DRIVER_GREEN]
+    pos = {n: i for i, n in enumerate(inventory_names)}
+    greens = sorted(
+        (n for n in inventory_names if n in DRIVER_GREEN),
+        key=lambda n: (DRIVER_GREEN[n], pos[n]),
+    )
     return list(PENDING_ORDER) + greens
