@@ -479,3 +479,14 @@ class TestCrossModalPlanted:
         }
         assert origs <= got
         out.unpersist()
+
+    def test_m_for_fpr_rejects_degenerate_inputs(self):
+        import pytest as _pt
+
+        from warpdb_spark.inventory.curation_ext import bloom_m_for_fpr
+
+        for bad_p in (0.0, 1.0, -0.1, 1.5):
+            with _pt.raises(ValueError):
+                bloom_m_for_fpr(1000, bad_p)
+        with _pt.raises(ValueError):
+            bloom_m_for_fpr(0, 0.01)

@@ -157,3 +157,39 @@ def test_grouped_prefix_sum_equals_naive_running_sum(events):
         )
     )
     assert got == want
+
+
+def test_null_chunk_rows_are_kept_not_dropped(spark):
+    """r8 review finding: the stitch join must be NULL-SAFE — a NULL
+    chunk (floor() of a NULL value) is a legal chunk that sorts first
+    (Spark's plain-asc NULLS FIRST), not a row silently dropped by a
+    null-rejecting equi-join while n still counts it."""
+    from warpdb_spark.operators.sequence import (
+        grouped_global_rank,
+        grouped_prefix_sum,
+    )
+
+    rows = [
+        Row(g="a", id=1, v=None),
+        Row(g="a", id=2, v=5.0),
+        Row(g="a", id=3, v=105.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        r.id: (r.rnk, r.n)
+        for r in grouped_global_rank(
+            df, "g", ["v", "id"], F.floor("v").cast("long"),
+            rank_col="rnk", n_col="n",
+        ).collect()
+    }
+    # NULL sorts first under plain asc; all three rows present, n = 3
+    assert got == {1: (1, 3), 2: (2, 3), 3: (3, 3)}
+    ps = {
+        r.id: (r.cum, r.tot)
+        for r in grouped_prefix_sum(
+            df.withColumn("w", F.lit(1)),
+            "g", ["v", "id"], F.floor("v").cast("long"), "w",
+            prefix_col="cum", total_col="tot",
+        ).collect()
+    }
+    assert ps == {1: (1, 3), 2: (2, 3), 3: (3, 3)}

@@ -188,13 +188,9 @@ def _meaningful_child(lines: list[str], i: int) -> str:
         body = _strip_codegen(nxt.lstrip(" :+-"))
         # Filter is pass-through only while hunting the input; an
         # Aggregate/WindowGroupLimit behind filters still classifies.
-        if body.startswith(_PASS_THROUGH) and not body.startswith(
-            ("InMemoryRelation", "InMemoryTableScan")
-        ):
-            depth = d
-            continue
-        if body.startswith(("InMemoryRelation", "InMemoryTableScan")):
-            # the cached plan follows inside; keep walking into it
+        # (InMemoryRelation/InMemoryTableScan are in _PASS_THROUGH too:
+        # the cached plan prints inside them, so we walk straight in.)
+        if body.startswith(_PASS_THROUGH):
             depth = d
             continue
         return body

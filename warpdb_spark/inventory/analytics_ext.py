@@ -570,9 +570,11 @@ def similarity_pq_persisted_index(spark, sf_dir):
 
     m_subs, n_codes = 16, 32
     emb = _t(spark, sf_dir, "embeddings")
-    idx = os.path.join(
-        _PQ_INDEX_ROOT, hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
-    )
+    # key the index by corpus path AND build parameters + a format
+    # version: a parameter/implementation change must MISS the cache,
+    # not silently read codes built under different constants
+    key = f"{sf_dir.rstrip('/')}|m{m_subs}|c{n_codes}|s42|iters0|v1"
+    idx = os.path.join(_PQ_INDEX_ROOT, hashlib.md5(key.encode()).hexdigest()[:12])
     codes_path = os.path.join(idx, "codes.parquet")
     cb_path = os.path.join(idx, "codebooks.parquet")
     if not (

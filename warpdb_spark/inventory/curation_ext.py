@@ -83,7 +83,7 @@ def agg_gini_by_segment(spark, sf_dir):
         ["cents", "o_orderkey"],
         (F.col("cents") / _GINI_BUCKET_CENTS).cast("long"),
         rank_col="i",
-        n_col="__ntot",
+        n_col=None,  # group size is re-counted in the final agg anyway
     )
     g = r.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -1236,6 +1236,13 @@ def bloom_m_for_fpr(n_keys: int, target_fpr: float, k: int = _BLOOM_K) -> int:
     p=0.05 → ~7.0 bits/key."""
     import math
 
+    if not (0.0 < target_fpr < 1.0):
+        raise ValueError(
+            f"target_fpr must be in (0, 1), got {target_fpr} — a bloom "
+            "filter cannot promise FPR 0, and FPR >= 1 needs no filter"
+        )
+    if n_keys < 1:
+        raise ValueError(f"n_keys must be >= 1, got {n_keys}")
     m = k * n_keys / -math.log(1.0 - target_fpr ** (1.0 / k))
     return int(math.ceil(m / _BLOOM_WORD)) * _BLOOM_WORD
 

@@ -3557,5 +3557,7 @@ ORACLES["dedup_cross_modal_planted"] = (
         "AS verdict ",
         "AS verdict, doc_id >= 10000000 AS is_planted ",
         1,
-    ).replace("GROUP BY doc_id", "GROUP BY doc_id", 1)
+    )
+    # no GROUP BY edit needed: is_planted is an expression of the
+    # grouped key doc_id, which DuckDB accepts in the SELECT list
 )

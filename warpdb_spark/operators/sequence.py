@@ -142,27 +142,56 @@ def grouped_global_rank(
 
     The offsets frame has (groups x chunks) rows; the join back is on
     (group, chunk), which AQE resolves to a broadcast join at any
-    realistic chunk count."""
+    realistic chunk count. The join is NULL-SAFE on both keys: a NULL
+    chunk (e.g. floor() of a NULL value) is a legal chunk that sorts
+    first in the offsets walk — matching Spark's default NULLS FIRST
+    for a plain-asc leading order column — rather than a row silently
+    dropped by a null-rejecting equi-join; callers ordering
+    asc_nulls_last must map NULL to a +inf chunk themselves (the
+    winsorize/weighted-median pattern). Pass ``n_col=None`` to skip
+    the group-total column (and its window) when the caller doesn't
+    need it."""
+    return _chunked_scan(
+        df, group_col, order_cols, chunk_expr,
+        loc_fn=lambda b, w_loc: F.row_number().over(w_loc),
+        agg_fn=lambda: F.count(F.lit(1)),
+        out_col=rank_col, tot_col=n_col, running=False,
+    )
+
+
+def _chunked_scan(df, group_col, order_cols, chunk_expr, loc_fn, agg_fn,
+                  out_col, tot_col, running):
+    """Shared two-pass engine for grouped_global_rank /
+    grouped_prefix_sum: local window value per (group, chunk) +
+    exclusive per-chunk-aggregate prefix offsets, stitched with a
+    null-safe join so no chunk value — NULL included — can drop rows."""
     b = df.withColumn("__chunk", chunk_expr)
     w_loc = Window.partitionBy(group_col, "__chunk").orderBy(*order_cols)
-    local = b.withColumn("__rn", F.row_number().over(w_loc))
-    counts = b.groupBy(group_col, "__chunk").agg(F.count(F.lit(1)).alias("__cnt"))
+    if running:
+        w_loc = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = b.withColumn("__loc", loc_fn(b, w_loc))
+    totals = b.groupBy(group_col, "__chunk").agg(agg_fn().alias("__t"))
     w_off = (
         Window.partitionBy(group_col)
         .orderBy("__chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_all = Window.partitionBy(group_col)
-    offs = counts.select(
-        group_col,
-        "__chunk",
-        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
-        F.sum("__cnt").over(w_all).alias(n_col),
-    )
+    off_cols = [
+        F.col(group_col).alias("__g2"),
+        F.col("__chunk").alias("__c2"),
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+    ]
+    if tot_col is not None:
+        off_cols.append(F.sum("__t").over(Window.partitionBy(group_col)).alias(tot_col))
+    offs = totals.select(*off_cols)
     return (
-        local.join(offs, [group_col, "__chunk"])
-        .withColumn(rank_col, F.col("__rn") + F.col("__off"))
-        .drop("__rn", "__off", "__chunk")
+        local.join(
+            offs,
+            F.col(group_col).eqNullSafe(F.col("__g2"))
+            & F.col("__chunk").eqNullSafe(F.col("__c2")),
+        )
+        .withColumn(out_col, F.col("__loc") + F.col("__off"))
+        .drop("__loc", "__off", "__chunk", "__g2", "__c2")
     )
 
 
@@ -184,29 +213,11 @@ def grouped_prefix_sum(
     window output, so nothing recomputes) whose exclusive prefix over
     one row per chunk gives the offset. Exactness: the caller picks an
     integer/decimal ``sum_col`` when cross-engine hash equality
-    matters (float prefix sums are association-sensitive)."""
-    b = df.withColumn("__chunk", chunk_expr)
-    w_loc = (
-        Window.partitionBy(group_col, "__chunk")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = b.withColumn("__loc", F.sum(sum_col).over(w_loc))
-    totals = b.groupBy(group_col, "__chunk").agg(F.sum(sum_col).alias("__t"))
-    w_off = (
-        Window.partitionBy(group_col)
-        .orderBy("__chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy(group_col)
-    offs = totals.select(
-        group_col,
-        "__chunk",
-        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
-        F.sum("__t").over(w_all).alias(total_col),
-    )
-    return (
-        local.join(offs, [group_col, "__chunk"])
-        .withColumn(prefix_col, F.col("__loc") + F.col("__off"))
-        .drop("__loc", "__off", "__chunk")
+    matters (float prefix sums are association-sensitive). NULL-chunk
+    and ``total_col=None`` semantics are grouped_global_rank's."""
+    return _chunked_scan(
+        df, group_col, order_cols, chunk_expr,
+        loc_fn=lambda b, w_loc: F.sum(sum_col).over(w_loc),
+        agg_fn=lambda: F.sum(sum_col),
+        out_col=prefix_col, tot_col=total_col, running=True,
     )
