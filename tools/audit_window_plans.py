@@ -4,7 +4,7 @@ bounded-domain key.
 The headline contract test (tests/test_inventory_contract.py::
 test_headline_has_no_window_sort_on_low_cardinality_key) fail-closes
 the FROZEN 15-query bench suite against this scale-killer; this tool
-sweeps the OPTIMIZED plan of every inventory entry (262 at round 8) so
+sweeps the OPTIMIZED plan of every inventory entry (265 at round 8) so
 the next one cannot be added silently anywhere in the inventory — the
 companion contract test pins the audit's findings to the known
 exceptions list below.
