@@ -260,3 +260,18 @@ def test_inventory_window_audit_matches_reviewed_exceptions(spark, sf_dir):
         "agg-input bounded-key windows diverge from the reviewed list. "
         f"findings={agg}"
     )
+
+
+def test_green_recheck_order_is_oldest_round_first():
+    """With the driver-green contract closed (262/262 in r7), window
+    re-check slots guard against regression: the green tail of the
+    emission order must be non-decreasing in the round each entry's
+    green row landed, so the entries longest without a driver check
+    re-verify soonest."""
+    q, _ = inventory.load_all()
+    names = list(q)
+    greens = [n for n in names if n in rotation.DRIVER_GREEN]
+    tail = [n for n in inventory.DRIVER_PRIORITY if n in rotation.DRIVER_GREEN]
+    assert sorted(tail) == sorted(greens)
+    rounds = [rotation.DRIVER_GREEN[n] for n in tail]
+    assert rounds == sorted(rounds), "green re-checks not oldest-first"
