@@ -262,16 +262,76 @@ def test_inventory_window_audit_matches_reviewed_exceptions(spark, sf_dir):
     )
 
 
-def test_green_recheck_order_is_oldest_round_first():
+def test_green_recheck_order_is_changed_then_oldest_round_first():
     """With the driver-green contract closed (262/262 in r7), window
-    re-check slots guard against regression: the green tail of the
-    emission order must be non-decreasing in the round each entry's
-    green row landed, so the entries longest without a driver check
-    re-verify soonest."""
-    q, _ = inventory.load_all()
+    re-check slots guard against regression AND stale evidence: the
+    green tail of the emission order must front every entry whose
+    source fingerprint drifted since its last green row (r8 verdict
+    defect #3 — a rewrite must not ship on old driver evidence), and
+    within each tier be non-decreasing in the round of the entry's
+    most recent green row, so the entries longest without a driver
+    check re-verify soonest."""
+    from warpdb_spark.inventory.fingerprint import changed_since_green
+    from warpdb_spark.inventory.fingerprints import GREEN_FINGERPRINTS
+
+    q, o = inventory.load_all()
     names = list(q)
     greens = [n for n in names if n in rotation.DRIVER_GREEN]
     tail = [n for n in inventory.DRIVER_PRIORITY if n in rotation.DRIVER_GREEN]
     assert sorted(tail) == sorted(greens)
-    rounds = [rotation.DRIVER_GREEN[n] for n in tail]
-    assert rounds == sorted(rounds), "green re-checks not oldest-first"
+    changed = changed_since_green(q, o, GREEN_FINGERPRINTS)
+    keys = [(n not in changed, rotation.DRIVER_GREEN[n]) for n in tail]
+    assert keys == sorted(keys), (
+        "green re-checks not (changed-tier, oldest-last-green)-first"
+    )
+
+
+def test_fingerprints_are_deterministic_and_sensitive():
+    """entry_fingerprint must be stable across calls for an unchanged
+    tree (a flapping fingerprint would thrash the re-check queue) and
+    must react to BOTH sides of the driver's comparison: the Spark
+    callable's transitive source and the oracle SQL."""
+    from warpdb_spark.inventory.fingerprint import (
+        current_fingerprints,
+        entry_fingerprint,
+    )
+
+    q, o = inventory.load_all()
+    fps = current_fingerprints(q, o)
+    assert fps == current_fingerprints(q, o)
+    assert all(
+        isinstance(v, str) and len(v) == 16 for v in fps.values()
+    )
+    # collisions would hide a rewrite behind another entry's record
+    assert len(set(fps.values())) == len(fps)
+    name = "flagship_filter_project"
+    assert entry_fingerprint(q[name], o[name]) != entry_fingerprint(
+        q[name], o[name] + " -- edited"
+    )
+
+
+def test_every_fingerprint_record_is_green():
+    """GREEN_FINGERPRINTS records last-green source states; a record
+    for a pending entry would let it skip the changed tier on its
+    first promotion round."""
+    from warpdb_spark.inventory.fingerprints import GREEN_FINGERPRINTS
+
+    not_green = set(GREEN_FINGERPRINTS) - set(rotation.DRIVER_GREEN)
+    assert not not_green, f"fingerprints recorded for non-green entries: {not_green}"
+
+
+def test_changed_tier_orders_ahead_of_unchanged(monkeypatch):
+    """Synthetic pin of the tier rule: mark one recent-green entry
+    changed and it must outrank every unchanged green, while pending
+    entries still outrank it."""
+    q, _ = inventory.load_all()
+    names = list(q)
+    greens_by_round = sorted(
+        rotation.DRIVER_GREEN, key=lambda n: rotation.DRIVER_GREEN[n]
+    )
+    newest = greens_by_round[-1]
+    order = rotation.build_driver_priority(names, changed={newest})
+    tail = [n for n in order if n in rotation.DRIVER_GREEN]
+    assert tail[0] == newest
+    order_unchanged = rotation.build_driver_priority(names, changed=set())
+    assert order_unchanged.index(newest) > order.index(newest)

@@ -27,20 +27,22 @@ from warpdb_spark.inventory.rotation import (  # noqa: F401 (re-exported)
     build_driver_priority,
 )
 
-# Full emission order for the driver window: pending-first, validated
-# against the loaded inventory inside load_all(). Kept as a module
-# attribute so tests can monkeypatch it.
+# Full emission order for the driver window: pending-first, then
+# changed-since-green, then unchanged greens; validated against the
+# loaded inventory inside load_all(). Kept as a module attribute so
+# tests can monkeypatch it.
 DRIVER_PRIORITY: list[str] = []
 
 
-def _refresh_driver_priority(names: list[str]) -> list[str]:
+def _refresh_driver_priority(names: list[str],
+                             changed: set[str]) -> list[str]:
     """(Re)build DRIVER_PRIORITY from the rotation bookkeeping. Called
     by load_all() with the merged inventory; respects a monkeypatched
     non-empty DRIVER_PRIORITY (the contract tests inject bad names to
     assert loud failure)."""
     global DRIVER_PRIORITY
     if not DRIVER_PRIORITY:
-        DRIVER_PRIORITY = build_driver_priority(names)
+        DRIVER_PRIORITY = build_driver_priority(names, changed)
     return DRIVER_PRIORITY
 
 
@@ -62,7 +64,11 @@ def load_all():
         merged_q.update(m.QUERIES)
         merged_o.update(m.ORACLES)
 
-    priority = _refresh_driver_priority(list(merged_q))
+    from warpdb_spark.inventory.fingerprint import changed_since_green
+    from warpdb_spark.inventory.fingerprints import GREEN_FINGERPRINTS
+
+    changed = changed_since_green(merged_q, merged_o, GREEN_FINGERPRINTS)
+    priority = _refresh_driver_priority(list(merged_q), changed)
     missing = [n for n in priority if n not in merged_q]
     if missing:
         raise RuntimeError(f"DRIVER_PRIORITY names not in inventory: {missing}")

@@ -1,0 +1,180 @@
+"""Source fingerprints for driver-rotation change detection.
+
+The r8 verdict's defect #3: ``build_driver_priority`` ordered green
+re-checks by green AGE only, so an entry rewritten in round N could go
+driver-unverified for many rounds while untouched old entries were
+re-checked. The fix is a "changed-since-last-green" tier: at promotion
+time (tools/update_rotation.py) every entry verified green by the
+driver records a fingerprint of the source code it executed —
+``entry_fingerprint`` below — and ``load_all()`` floats any entry whose
+CURRENT fingerprint differs to the front of the green re-check queue.
+
+The fingerprint is a sha256 over the sorted (module.qualname, source)
+pairs of the entry callable plus every warpdb_spark-defined function or
+class transitively reachable from it through global-name references
+(including attributes pulled off warpdb_spark modules and closure
+cells), concatenated with the entry's oracle SQL. It is deterministic
+for a given working tree: it depends only on source text resolved via
+``inspect.getsource``, never on runtime state, ids, or dict order.
+
+Over-approximation is deliberate and safe: the name-resolution walk may
+pull in a helper the entry never calls at runtime (module-attribute
+references are matched by co_names cross-product), and editing a widely
+shared helper floats every dependent entry. Both merely schedule extra
+driver re-checks — the failure mode of UNDER-approximation (a rewrite
+shipping on stale driver evidence) is the one this module exists to
+prevent.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import inspect
+import types
+
+_PKG = "warpdb_spark"
+
+# (module, qualname) -> source text; cleared never — source is fixed
+# for the process lifetime (a live-edited module would need a restart
+# to take effect anyway, since the code objects are already loaded).
+_SOURCE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _unwrap(obj):
+    """Peel decorators (functools.wraps chains) and partials down to
+    the underlying function/class."""
+    seen = 0
+    while seen < 32:
+        seen += 1
+        if isinstance(obj, functools.partial):
+            obj = obj.func
+            continue
+        wrapped = getattr(obj, "__wrapped__", None)
+        if wrapped is not None and wrapped is not obj:
+            obj = wrapped
+            continue
+        if inspect.ismethod(obj):
+            obj = obj.__func__
+            continue
+        break
+    return obj
+
+
+def _code_names(code: types.CodeType) -> set[str]:
+    """All global/attribute names referenced by a code object and its
+    nested code objects (comprehensions, inner defs)."""
+    names: set[str] = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        for const in c.co_consts:
+            if isinstance(const, types.CodeType):
+                stack.append(const)
+    return names
+
+
+def _referenced(fn) -> list:
+    """Objects a function's code can reach: resolved global names,
+    attributes of referenced warpdb_spark modules matching any co_name
+    (a cross-product over-approximation — see module docstring), and
+    closure-cell contents."""
+    out: list = []
+    names = _code_names(fn.__code__)
+    g = fn.__globals__
+    for name in sorted(names):
+        obj = g.get(name)
+        if obj is None:
+            continue
+        if isinstance(obj, types.ModuleType):
+            if obj.__name__.split(".")[0] == _PKG:
+                for attr in sorted(names):
+                    sub = getattr(obj, attr, None)
+                    if sub is not None and not isinstance(sub, types.ModuleType):
+                        out.append(sub)
+        else:
+            out.append(obj)
+    if fn.__closure__:
+        for cell in fn.__closure__:
+            try:
+                out.append(cell.cell_contents)
+            except ValueError:  # empty cell
+                pass
+    return out
+
+
+def _collect(entry) -> list[tuple[tuple[str, str], str]]:
+    seen: set[tuple[str, str]] = set()
+    parts: list[tuple[tuple[str, str], str]] = []
+    stack = [entry]
+    while stack:
+        obj = _unwrap(stack.pop())
+        if not (inspect.isfunction(obj) or inspect.isclass(obj)):
+            continue
+        mod = getattr(obj, "__module__", "") or ""
+        if mod.split(".")[0] != _PKG:
+            continue
+        key = (mod, getattr(obj, "__qualname__", obj.__name__))
+        if key in seen:
+            continue
+        seen.add(key)
+        src = _SOURCE_CACHE.get(key)
+        if src is None:
+            try:
+                src = inspect.getsource(obj)
+            except (OSError, TypeError):
+                # builtins / dynamically exec'd code: hash the repr of
+                # the code object's stable fields instead of skipping,
+                # so a swap still changes the fingerprint
+                code = getattr(obj, "__code__", None)
+                src = repr((code.co_names, code.co_consts)) if code else ""
+            _SOURCE_CACHE[key] = src
+        parts.append((key, src))
+        if inspect.isfunction(obj):
+            stack.extend(_referenced(obj))
+        else:  # class: walk its methods' references (their source text
+            # is already inside the class source)
+            for v in vars(obj).values():
+                v = _unwrap(v)
+                if isinstance(v, (staticmethod, classmethod)):
+                    v = v.__func__
+                if inspect.isfunction(v):
+                    stack.extend(_referenced(v))
+    return sorted(parts)
+
+
+def entry_fingerprint(entry, oracle: str | None = None) -> str:
+    """16-hex-char fingerprint of an inventory entry: its transitive
+    warpdb_spark source closure plus its oracle SQL (an oracle edit
+    must also trigger a driver re-check — the driver hashes Spark vs
+    DuckDB, so either side changing invalidates the old green row)."""
+    h = hashlib.sha256()
+    for (mod, qn), src in _collect(entry):
+        h.update(f"{mod}.{qn}\n".encode())
+        h.update(src.encode())
+        h.update(b"\x00")
+    h.update((oracle or "").encode())
+    return h.hexdigest()[:16]
+
+
+def current_fingerprints(queries: dict, oracles: dict) -> dict[str, str]:
+    """Fingerprint every inventory entry. Raises on any failure —
+    fingerprinting is pure introspection over loaded modules; an error
+    here means the walk itself is broken, and silently marking entries
+    changed (or unchanged) would corrupt the rotation either way."""
+    return {
+        name: entry_fingerprint(fn, oracles.get(name))
+        for name, fn in queries.items()
+    }
+
+
+def changed_since_green(queries: dict, oracles: dict,
+                        recorded: dict[str, str]) -> set[str]:
+    """Names whose current fingerprint differs from the one recorded at
+    their last driver-green promotion. A green entry with NO recorded
+    fingerprint counts as changed (the conservative default — this is
+    exactly the r8 state of the 13 entries rewritten after their last
+    driver check)."""
+    current = current_fingerprints(queries, oracles)
+    return {n for n, fp in current.items() if recorded.get(n) != fp}

@@ -2,14 +2,27 @@
 
 ``DRIVER_GREEN`` maps each inventory entry that has EVER received a
 green row in a driver correctness window (CORRECTNESS_r{N}.json) to
-the round of its first green row. ``PENDING_ORDER`` risk-ranks the
-entries still awaiting their first driver check; the rotation rule is
-mechanical: every pending entry is emitted before every green entry,
-so the driver's ~50-entry window always verifies never-checked names
-first. After each round, move that round's freshly green names from
-``PENDING_ORDER`` into ``DRIVER_GREEN`` (tools/update_rotation.py
-prints the edit). Invariants are enforced by build_driver_priority()
-and pinned in tests/test_inventory_contract.py.
+the round of its MOST RECENT green row (last-green, as of r9 —
+first-green before that, which made the rotation re-check the same
+oldest names every round instead of rotating). ``PENDING_ORDER``
+risk-ranks the entries still awaiting their first driver check; the
+rotation rule is mechanical, three tiers:
+
+1. every pending entry (never driver-checked) first;
+2. then green entries whose SOURCE FINGERPRINT has drifted since their
+   last green row (``fingerprints.GREEN_FINGERPRINTS`` vs
+   ``fingerprint.entry_fingerprint`` — the r8 verdict's defect: a
+   rewrite must not ship on stale driver evidence), oldest-green
+   first within the tier;
+3. then unchanged green entries, oldest-green first (regression
+   guard: the entry longest without a driver check re-verifies
+   soonest).
+
+After each round, ``tools/update_rotation.py CORRECTNESS_r{N}.json N
+--write`` moves freshly green names out of ``PENDING_ORDER``, bumps
+the last-green round of every green window row (re-checks included),
+and re-records their fingerprints. Invariants are enforced by
+build_driver_priority() and pinned in tests/test_inventory_contract.py.
 
 Round-1/2 attributions were recovered from those rounds' verdict
 texts (the JSON artifacts were overwritten); round-3 names come from
@@ -27,12 +40,12 @@ DRIVER_GREEN: dict[str, int] = {
     "stream_tumbling_hourly": 3,
     "stream_sliding_2h": 3,
     "stream_session_windows": 3,
-    "window_lag_lead": 1,
-    "window_frame_moving_avg": 1,
+    "window_lag_lead": 8,
+    "window_frame_moving_avg": 8,
     "events_funnel_conversion": 3,
     "events_cohort_retention": 3,
     "tpch_q12_priority_lines": 3,
-    "agg_grouping_sets": 2,
+    "agg_grouping_sets": 8,
     "window_value_functions": 3,
     "pack_sequences_chunked": 2,
     "sample_stratified": 2,
@@ -69,50 +82,50 @@ DRIVER_GREEN: dict[str, int] = {
     "events_zscore_outliers": 3,
     "text_top_bigrams": 3,
     "sample_token_budget": 3,
-    "flagship_filter_project": 1,
-    "dialect_expression_projection": 1,
-    "dialect_cte_scalar_in": 2,
-    "window_running_sum": 1,
-    "window_rank_family": 1,
-    "udaf_group_median": 1,
-    "dedup_minhash_lsh": 2,
-    "dialect_predicates": 1,
-    "expr_case_when": 1,
-    "expr_string_functions": 1,
-    "expr_date_functions": 1,
-    "dialect_groupby_having": 1,
-    "agg_global": 1,
-    "agg_distinct": 1,
-    "agg_count_distinct": 1,
-    "agg_rollup": 1,
-    "agg_cube": 1,
-    "sort_topk": 1,
-    "dialect_offset_limit": 1,
-    "dialect_exists_theta": 2,
-    "dialect_derived_table_q18": 2,
-    "join_inner_rowlevel": 1,
-    "join_broadcast_dims": 1,
-    "join_semi": 1,
-    "join_anti": 1,
-    "join_left_outer": 1,
-    "join_full_outer": 1,
-    "join_cross_product": 1,
-    "join_theta": 1,
-    "window_rank_topn": 1,
-    "expr_math_functions": 2,
-    "setop_union": 1,
-    "setop_intersect": 1,
-    "window_range_frame": 1,
-    "dedup_exact": 2,
-    "dedup_exact_text": 2,
-    "dedup_minhash_survivors": 2,
-    "sample_hash_bucket": 2,
-    "dedup_cluster_components": 2,
-    "dedup_ngram_jaccard": 2,
-    "dedup_simhash_candidates": 2,
-    "dedup_embedding_cosine": 2,
-    "dedup_embedding_lsh": 2,
-    "similarity_topk_bruteforce": 2,
+    "flagship_filter_project": 8,
+    "dialect_expression_projection": 8,
+    "dialect_cte_scalar_in": 8,
+    "window_running_sum": 8,
+    "window_rank_family": 8,
+    "udaf_group_median": 8,
+    "dedup_minhash_lsh": 8,
+    "dialect_predicates": 8,
+    "expr_case_when": 8,
+    "expr_string_functions": 8,
+    "expr_date_functions": 8,
+    "dialect_groupby_having": 8,
+    "agg_global": 8,
+    "agg_distinct": 8,
+    "agg_count_distinct": 8,
+    "agg_rollup": 8,
+    "agg_cube": 8,
+    "sort_topk": 8,
+    "dialect_offset_limit": 8,
+    "dialect_exists_theta": 8,
+    "dialect_derived_table_q18": 8,
+    "join_inner_rowlevel": 8,
+    "join_broadcast_dims": 8,
+    "join_semi": 8,
+    "join_anti": 8,
+    "join_left_outer": 8,
+    "join_full_outer": 8,
+    "join_cross_product": 8,
+    "join_theta": 8,
+    "window_rank_topn": 8,
+    "expr_math_functions": 8,
+    "setop_union": 8,
+    "setop_intersect": 8,
+    "window_range_frame": 8,
+    "dedup_exact": 8,
+    "dedup_exact_text": 8,
+    "dedup_minhash_survivors": 8,
+    "sample_hash_bucket": 8,
+    "dedup_cluster_components": 8,
+    "dedup_ngram_jaccard": 8,
+    "dedup_simhash_candidates": 8,
+    "dedup_embedding_cosine": 8,
+    "dedup_embedding_lsh": 8,
+    "similarity_topk_bruteforce": 8,
     "expr_array_functions": 2,
     "expr_regexp_extract": 2,
     "reshape_explode_tokens": 2,
@@ -281,6 +294,9 @@ DRIVER_GREEN: dict[str, int] = {
     "decontam_bloom_prefilter": 7,
     "join_key_skew_advisor": 7,
     "stream_ks_drift_by_batch": 7,
+    "similarity_pq_persisted_index": 8,
+    "dedup_cross_modal_planted": 8,
+    "stream_unified_drift_by_batch": 8,
 }
 
 # Never-driver-checked entries, highest risk first: dialect executors
@@ -307,22 +323,24 @@ PENDING_ORDER: list[str] = [
     # round-8 additions — the r7 window closed the contract (262/262
     # green), so these front the r8 window; oldest-green re-checks
     # fill the remaining slots
-    "similarity_pq_persisted_index",
-    "dedup_cross_modal_planted",
-    "stream_unified_drift_by_batch",
 ]
 
 
-def build_driver_priority(inventory_names: list[str]) -> list[str]:
+def build_driver_priority(
+    inventory_names: list[str],
+    changed: frozenset[str] | set[str] = frozenset(),
+) -> list[str]:
     """Full emission order: all pending entries (risk-ranked), then
-    green entries OLDEST-GREEN-FIRST (by the round their green row
-    landed, inventory order within a round) — with the contract closed
-    (262/262 in r7), the window's re-check slots now guard against
-    REGRESSION, and the entry whose last green row is oldest is the
-    one most exposed to drift. Raises if the bookkeeping has drifted:
-    duplicate names, names missing from the inventory, or an entry
-    listed as both pending and green (a green entry hogging a window
-    slot)."""
+    green entries in ``changed`` (source fingerprint drifted since
+    their last green row — their driver evidence is stale), then the
+    unchanged greens; both green tiers OLDEST-LAST-GREEN-FIRST (by the
+    round their most recent green row landed, inventory order within a
+    round). With the contract closed (262/262 in r7), the window's
+    re-check slots guard against REGRESSION — and a rewritten entry is
+    strictly more exposed than an old unchanged one, hence the tier.
+    Raises if the bookkeeping has drifted: duplicate names, names
+    missing from the inventory, or an entry listed as both pending and
+    green (a green entry hogging a window slot)."""
     inv = set(inventory_names)
     if len(set(PENDING_ORDER)) != len(PENDING_ORDER):
         dupes = [n for i, n in enumerate(PENDING_ORDER) if n in PENDING_ORDER[:i]]
@@ -342,6 +360,6 @@ def build_driver_priority(inventory_names: list[str]) -> list[str]:
     pos = {n: i for i, n in enumerate(inventory_names)}
     greens = sorted(
         (n for n in inventory_names if n in DRIVER_GREEN),
-        key=lambda n: (DRIVER_GREEN[n], pos[n]),
+        key=lambda n: (n not in changed, DRIVER_GREEN[n], pos[n]),
     )
     return list(PENDING_ORDER) + greens
