@@ -246,12 +246,18 @@ def test_inventory_window_audit_matches_reviewed_exceptions(spark, sf_dir):
     added to KNOWN_RAW with a reason. Equality (not subset) both ways:
     an entry that gets FIXED must also be pruned from the list, so the
     pins never go stale."""
-    from tools.audit_window_plans import KNOWN_AGG_INPUT, KNOWN_RAW, audit
+    from tools.audit_window_plans import (
+        KNOWN_AGG_INPUT,
+        KNOWN_FLATMAP,
+        KNOWN_RAW,
+        audit,
+    )
 
     findings, errors = audit(spark, sf_dir)
     assert not errors, f"entries failed to construct during audit: {errors}"
     raw = {n: set(c) for n, c in findings["raw"].items()}
     agg = {n: set(c) for n, c in findings["agg_input"].items()}
+    flatmap = {n: set(c) for n, c in findings["flatmap"].items()}
     assert raw == KNOWN_RAW, (
         "raw-tier bounded-key window sorts diverge from the reviewed "
         f"list — new offender or stale pin. findings={raw}"
@@ -259,6 +265,11 @@ def test_inventory_window_audit_matches_reviewed_exceptions(spark, sf_dir):
     assert agg == KNOWN_AGG_INPUT, (
         "agg-input bounded-key windows diverge from the reviewed list. "
         f"findings={agg}"
+    )
+    assert flatmap == KNOWN_FLATMAP, (
+        "bounded-key applyInPandas/MapGroups executors diverge from the "
+        f"reviewed list (one worker holds 1/|domain| of the input at "
+        f"scale). findings={flatmap}"
     )
 
 

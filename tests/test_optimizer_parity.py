@@ -181,11 +181,34 @@ class TestCurationPlans:
         plan = _plan(text_repetition_stats(spark, sf_dir))
         assert "Exchange" not in plan
 
-    def test_chunked_packing_single_shuffle(self, spark, sf_dir):
+    def test_chunked_packing_corpus_shuffle_has_chunk_parallelism(self, spark, sf_dir):
+        """r9 respell: corpus rows must shuffle on (grp, __chunk) —
+        parallelism grows with the corpus despite the 8-value group key
+        — and every exchange keyed by bare grp may carry only per-chunk
+        AGGREGATE rows (offsets), which return via broadcast. The audit
+        classifier double-checks the tiers: no raw-tier bounded window."""
+        import re
+
+        from tools.audit_window_plans import (
+            low_cardinality_columns,
+            window_partition_findings,
+        )
         from warpdb_spark.inventory.pipeline_ops import pack_sequences_chunked
 
-        plan = _plan(pack_sequences_chunked(spark, sf_dir))
-        assert plan.count("Exchange hashpartitioning") == 1
+        df = pack_sequences_chunked(spark, sf_dir)
+        plan = _plan(df)
+        hits = list(re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan))
+        bare = [m for m in hits if "__chunk" not in m.group(1)]
+        assert len(bare) == 1 and bare[0].group(1).startswith("grp#"), [
+            m.group(1) for m in hits
+        ]
+        # the bare-grp exchange feeds the offsets window from the
+        # per-chunk HashAggregate, never from corpus rows
+        below = plan[bare[0].start() : bare[0].start() + 800]
+        assert "HashAggregate" in below, below
+        assert "BroadcastExchange" in plan
+        f = window_partition_findings(df, low_cardinality_columns(sf_dir))
+        assert not f["raw"] and f["agg_input"] == ["grp=8"], f
 
     def test_decontam_broadcasts_eval_side(self, spark, sf_dir):
         from warpdb_spark.inventory.pipeline_ops import decontam_eval_overlap

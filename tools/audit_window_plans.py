@@ -34,20 +34,41 @@ plan tree), because the sort cost is the input's size, not the key's:
   bounded-domain keys — the genuine scale-killer tier (one task holds
   ~1/|domain| of the corpus). Must be either fixed or documented as
   an sf-bounded exact diagnostic with a scale-safe sibling.
-- ``opaque``: a partition key the regex cannot resolve to a plain
-  column (a nested expression — contains "("). The headline lint
-  fails closed on these; inventory-wide, many are LEGITIMATE
-  (pmod()-salted windows, band-hash buckets: expressions that
-  manufacture cardinality). Reported so a NEW opaque-key window is a
-  visible, reviewed change.
+- ``opaque``: a partition key that is neither a plain column nor an
+  expression whose cardinality the estimator can bound (most are
+  LEGITIMATE: md5-prefix salts, band-hash buckets, time chunks —
+  expressions that manufacture cardinality that grows with the data).
+  Reported so a NEW opaque-key window is a visible, reviewed change.
 
-A ``bounded`` finding = a window whose partition keys are ALL
-low-cardinality plain columns; its tier then decides severity.
-KNOWN_RAW is the reviewed exception list for the ``raw`` tier;
-KNOWN_AGG_INPUT pins the reviewed ``agg_input`` entries.
+Round-9 extensions (the two shapes the r8 verdict found the audit
+structurally blind to):
+
+- **Derived bounded keys**: a partition key that is an ALIAS over an
+  expression (``(doc_id % 8) AS grp``) used to classify as a plain
+  unknown column and pass silently. The audit now resolves each
+  aliased key to its defining expression in the same plan and
+  estimates its cardinality: a literal modulus (``x % K`` / ``pmod(x,
+  K)``) caps the domain at K regardless of the input's cardinality,
+  so K <= LOW_CARD_MAX classifies the key as bounded (reported as
+  ``name=K``). A NON-literal modulus (e.g. ``doc_id % greatest(8,
+  ceil(count/2048))``) is cardinality that grows with the corpus —
+  not bounded.
+- ``flatmap`` tier: ``FlatMapGroupsInPandas`` / ``MapGroups`` nodes
+  (applyInPandas / UDAF executors) whose grouping keys are ALL
+  bounded. Worse than a bounded-key window at scale: the whole group
+  is materialized as ONE pandas frame in ONE Python worker — there is
+  no sort/spill path at all. KNOWN_FLATMAP pins the reviewed list.
+
+A ``bounded`` finding = a window/flatmap whose partition keys are ALL
+either low-cardinality plain columns or literal-modulus derived keys;
+its tier then decides severity. KNOWN_RAW is the reviewed exception
+list for the ``raw`` tier; KNOWN_AGG_INPUT pins the reviewed
+``agg_input`` entries; KNOWN_FLATMAP the reviewed per-group Python
+executors.
 
 Usage: python tools/audit_window_plans.py [sf_dir]
-Exits 1 if any ``raw``-tier bounded-key window falls outside KNOWN_RAW.
+Exits 1 if any ``raw``-tier bounded-key window or bounded-key flatmap
+falls outside its reviewed list.
 """
 
 from __future__ import annotations
@@ -111,6 +132,24 @@ KNOWN_AGG_INPUT: dict[str, set[str]] = {
     "agg_gini_by_segment": {"o_orderpriority"},
     "agg_weighted_median": {"event_type"},
     "window_distribution_functions": {"o_orderpriority"},
+    # r9 respell of the r8 derived-key finding (was raw: a corpus-scale
+    # cumsum windowed on grp = doc_id % 8): the offset window now sees
+    # one aggregated row per 4096-doc chunk; the corpus-scale window
+    # partitions by (grp, chunk).
+    "pack_sequences_chunked": {"grp=8"},
+}
+
+# Reviewed ``flatmap`` entries: applyInPandas/MapGroups executors whose
+# grouping keys are bounded — one Python worker holds 1/|domain| of the
+# input frame. Each pin names why it is tolerated and the scale default.
+KNOWN_FLATMAP: dict[str, set[str]] = {
+    # The SURVEY §2.8 UDAF-parity demo (reference custom.cu analog):
+    # applyInPandas IS the point of the entry. 3 groups = one third of
+    # lineitem per worker at scale — the named scale default for an
+    # exact grouped median is the grouped_global_rank value-chunk
+    # spelling (operators/sequence.py, as used by agg_weighted_median),
+    # or approx_percentile when 1e-4 error is acceptable.
+    "udaf_group_median": {"l_returnflag"},
 }
 
 LOW_CARD_MAX = 10
@@ -197,6 +236,95 @@ def _meaningful_child(lines: list[str], i: int) -> str:
     return ""
 
 
+def _alias_def(plan: str, token: str) -> str | None:
+    """The defining expression of an aliased column in a plan string:
+    the balanced expression immediately preceding `` AS name#id`` (the
+    first definition found — exprIds are unique per plan, so one
+    definition exists at most). Returns None for non-aliased (source)
+    columns."""
+    marker = f" AS {token}"
+    at = plan.find(marker)
+    if at < 0:
+        return None
+    # Backscan: balanced-paren expression if it ends with ")", else a
+    # single token (identifier/function call without trailing paren is
+    # always parenthesized in toString, so the simple cases suffice).
+    i = at - 1
+    if plan[i] == ")":
+        depth = 0
+        while i >= 0:
+            if plan[i] == ")":
+                depth += 1
+            elif plan[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        # include a leading function name (cast(...), pmod(...))
+        j = i - 1
+        while j >= 0 and (plan[j].isalnum() or plan[j] == "_"):
+            j -= 1
+        return plan[j + 1 : at]
+    while i >= 0 and plan[i] not in "[,( ":
+        i -= 1
+    return plan[i + 1 : at]
+
+
+_MOD_RE = re.compile(r"%\s*(\d+)\)")
+_PMOD_RE = re.compile(r"pmod\([^(),]*,\s*(\d+)\)")
+
+
+def _est_cardinality(expr: str) -> int | None:
+    """Upper bound on an expression's distinct-value count, when one is
+    statically derivable: a LITERAL modulus caps the domain at its
+    value no matter what feeds it. Multiple moduli -> the smallest
+    (conservative: flags more). A modulus that is itself an expression
+    (scalar subquery, greatest(...)) yields no bound — that is exactly
+    the corpus-scaled group-count pattern. None = unknown."""
+    mods = [int(m) for m in _MOD_RE.findall(expr)]
+    mods += [int(m) for m in _PMOD_RE.findall(expr)]
+    return min(mods) if mods else None
+
+
+def _classify_key(token: str, plan: str, low_card: set[str]) -> tuple[str, str]:
+    """(kind, label) for one partition/grouping key token.
+
+    kind: ``bounded`` (low-card source column, or derived with literal
+    modulus <= LOW_CARD_MAX), ``unbounded`` (plain column not low-card,
+    or derived whose estimated bound exceeds the threshold), or
+    ``opaque`` (expression with no derivable bound).
+    """
+    if "(" in token:  # inline (non-aliased) expression key
+        card = _est_cardinality(token)
+        if card is not None:
+            return ("bounded" if card <= LOW_CARD_MAX else "unbounded", f"expr={card}")
+        return ("opaque", token.split("#")[0][:40])
+    name = token.split("#")[0]
+    if name in low_card:
+        return ("bounded", name)
+    definition = _alias_def(plan, token)
+    if definition is None:
+        return ("unbounded", name)  # plain source column, high-card
+    card = _est_cardinality(definition)
+    if card is not None:
+        kind = "bounded" if card <= LOW_CARD_MAX else "unbounded"
+        return (kind, f"{name}={card}")
+    return ("opaque", name)
+
+
+def parse_flatmaps(plan: str) -> list[list[str]]:
+    """Grouping-key token lists of every FlatMapGroupsInPandas /
+    MapGroups node (the applyInPandas / Dataset.groupByKey executors:
+    each group becomes ONE in-memory frame in ONE worker)."""
+    out: list[list[str]] = []
+    for line in plan.splitlines():
+        body = line.lstrip(" :+-")
+        if body.startswith(("FlatMapGroupsInPandas [", "MapGroups [")):
+            keys = body.split("[", 1)[1].split("]", 1)[0]
+            out.append([k for k in keys.split(", ") if k])
+    return out
+
+
 def parse_windows(plan: str) -> list[dict]:
     """Window nodes from an optimized-plan string, each with its
     partition columns and the node type of its IMMEDIATE child (the
@@ -213,7 +341,8 @@ def parse_windows(plan: str) -> list[dict]:
         parts = body.rstrip("]").rsplit("], [", 2)
         part_cols: list[str] = []
         if len(parts) == 3 and parts[1].strip():
-            part_cols = [a.split("#")[0] for a in parts[1].split(", ")]
+            # full name#exprId tokens — _classify_key resolves aliases
+            part_cols = parts[1].split(", ")
         child = _meaningful_child(lines, i)
         if child.startswith("WindowGroupLimit"):
             tier = "groups_limited"
@@ -229,25 +358,43 @@ def parse_windows(plan: str) -> list[dict]:
 
 def window_partition_findings(df, low_card: set[str]):
     """Per-tier findings for one DataFrame's optimized plan. A window
-    counts as ``bounded`` only when it HAS a partition spec and every
-    partition column is a known low-cardinality plain column (a single
-    high-cardinality or manufactured key gives the shuffle real
-    parallelism). Opaque expression keys are reported separately.
-    Global windows (empty partition) are a different audit — the
-    optimizer resolves the safe ones to TakeOrderedAndProject and the
-    headline plan pins cover those."""
+    or flatmap counts as ``bounded`` only when it HAS a partition spec
+    and EVERY key classifies bounded — low-cardinality plain column OR
+    literal-modulus derived key (a single high-cardinality or
+    manufactured key gives the shuffle real parallelism). Keys with no
+    derivable bound are reported in ``opaque`` (unless a sibling key
+    already unbounds the node). Global windows (empty partition) are a
+    different audit — the optimizer resolves the safe ones to
+    TakeOrderedAndProject and the headline plan pins cover those."""
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    findings: dict[str, list[str]] = {"raw": [], "agg_input": [], "groups_limited": [], "opaque": []}
+    findings: dict[str, list[str]] = {
+        "raw": [], "agg_input": [], "groups_limited": [], "opaque": [], "flatmap": [],
+    }
+
+    def classify(cols: list[str]) -> tuple[str | None, list[str]]:
+        kinds = [_classify_key(c, plan, low_card) for c in cols]
+        if any(kind == "unbounded" for kind, _ in kinds):
+            return None, []
+        if all(kind == "bounded" for kind, _ in kinds):
+            return "bounded", [label for _, label in kinds]
+        return "opaque", [label for kind, label in kinds if kind == "opaque"]
+
     for w in parse_windows(plan):
-        cols = w["partition"]
-        if not cols:
+        if not w["partition"]:
             continue
-        opaque = [c for c in cols if "(" in c]
-        if opaque:
-            findings["opaque"].extend(opaque)
+        verdict, labels = classify(w["partition"])
+        if verdict == "bounded":
+            findings[w["tier"]].extend(labels)
+        elif verdict == "opaque":
+            findings["opaque"].extend(labels)
+    for keys in parse_flatmaps(plan):
+        if not keys:
             continue
-        if all(c in low_card for c in cols):
-            findings[w["tier"]].extend(cols)
+        verdict, labels = classify(keys)
+        if verdict == "bounded":
+            findings["flatmap"].extend(labels)
+        elif verdict == "opaque":
+            findings["opaque"].extend(labels)
     return findings
 
 
@@ -262,7 +409,7 @@ def audit(spark, sf_dir: str):
 
     q, _ = inventory.load_all()
     low_card = low_cardinality_columns(sf_dir)
-    tiers = ("raw", "agg_input", "groups_limited", "opaque")
+    tiers = ("raw", "agg_input", "groups_limited", "opaque", "flatmap")
     findings: dict[str, dict[str, list[str]]] = {t: {} for t in tiers}
     errors: dict[str, str] = {}
     try:
@@ -288,7 +435,7 @@ def main() -> int:
     findings, errors = audit(spark, sf_dir)
 
     print(f"# audited inventory at {sf_dir}")
-    for tier in ("raw", "agg_input", "groups_limited", "opaque"):
+    for tier in ("raw", "agg_input", "groups_limited", "opaque", "flatmap"):
         hits = findings[tier]
         print(f"# {tier}: {len(hits)} entries")
         for name, cols in sorted(hits.items()):
@@ -296,6 +443,7 @@ def main() -> int:
                 "reviewed"
                 if (tier == "raw" and name in KNOWN_RAW)
                 or (tier == "agg_input" and name in KNOWN_AGG_INPUT)
+                or (tier == "flatmap" and name in KNOWN_FLATMAP)
                 or tier in ("groups_limited", "opaque")
                 else "NEW"
             )
@@ -305,19 +453,25 @@ def main() -> int:
         for name, err in sorted(errors.items()):
             print(f"  [error] {name}: {err}")
 
-    new_raw = {
-        n: cols
-        for n, cols in findings["raw"].items()
-        if n not in KNOWN_RAW or not set(cols) <= KNOWN_RAW[n]
-    }
-    if new_raw:
-        print(f"FAIL: raw-tier bounded-key window sorts outside KNOWN_RAW: {new_raw}")
-        return 1
-    fixed = sorted(set(KNOWN_RAW) - set(findings["raw"]))
-    if fixed:
-        print(f"NOTE: KNOWN_RAW entries no longer raw (fixed? prune the list): {fixed}")
-    print("OK: no undocumented raw-tier bounded-key window sorts in the inventory")
-    return 0
+    rc = 0
+    for tier, reviewed in (("raw", KNOWN_RAW), ("flatmap", KNOWN_FLATMAP)):
+        new = {
+            n: cols
+            for n, cols in findings[tier].items()
+            if n not in reviewed or not set(cols) <= reviewed[n]
+        }
+        if new:
+            print(f"FAIL: {tier}-tier bounded-key findings outside the reviewed list: {new}")
+            rc = 1
+        fixed = sorted(set(reviewed) - set(findings[tier]))
+        if fixed:
+            print(f"NOTE: reviewed {tier} entries no longer found (fixed? prune): {fixed}")
+    if rc == 0:
+        print(
+            "OK: no undocumented bounded-key window sorts or per-group "
+            "Python executors in the inventory"
+        )
+    return rc
 
 
 if __name__ == "__main__":

@@ -546,8 +546,18 @@ def agg_approx_percentile(spark, sf_dir):
 
 def udaf_group_median(spark, sf_dir):
     """Custom UDAF via applyInPandas: per-group numpy median — the
-    grouped-map pattern for aggregations Spark lacks natively. Arrow
-    batches per group; shuffle = one hash partition on the key."""
+    grouped-map pattern for aggregations Spark lacks natively (the
+    SURVEY §2.8 parity demo for the reference's custom.cu UDF seam).
+    Arrow batches per group; shuffle = one hash partition on the key.
+
+    DELIBERATELY bounded-key (l_returnflag: 3 groups) and pinned in
+    the audit's KNOWN_FLATMAP: one Python worker holds a third of
+    lineitem, which does NOT survive 100x. The named scale defaults
+    for an exact grouped median are the chunked-rank value selection
+    (operators/sequence.py grouped_global_rank, as agg_weighted_median
+    does) or percentile_approx when ~1e-4 relative error is fine —
+    this entry exists to exercise the applyInPandas UDAF surface
+    itself."""
     import pandas as pd
 
     def median(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1681,8 +1681,11 @@ def pii_scrub(spark, sf_dir):
 
 
 def _packing_input(spark, sf_dir):
-    """(doc_id, grp, n_tokens): packer groups = doc_id % 8 — at scale
-    the group key is what bounds shuffle fan-in and per-task state."""
+    """(doc_id, grp, n_tokens): packer groups = doc_id % 8. A BOUNDED
+    group domain — consumers must not sort or materialize whole groups
+    (pack_sequences_chunked routes its cumsum through the chunked
+    two-pass prefix sum for exactly this reason; a whole-group consumer
+    needs _packing_input_scaled)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -1691,11 +1694,37 @@ def _packing_input(spark, sf_dir):
     )
 
 
+def _packing_input_scaled(spark, sf_dir):
+    """(doc_id, grp, n_tokens) with the packer-group COUNT scaled to
+    the corpus: grp = doc_id % N, N = greatest(8, ceil(n_docs/2048)) —
+    ~2048 docs per group at any scale, so a per-group sequential
+    consumer (pack_greedy's applyInPandas) holds a bounded pandas frame
+    and parallelism grows with the data. N = 8 at every test sf (≤16384
+    docs), so results match the fixed-8 spelling there; the corpus
+    count rides a 1-row broadcast, not a driver collect."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.agg(
+        F.greatest(F.lit(8).cast("long"), F.ceil(F.count(F.lit(1)) / 2048.0)).alias("__n_grp")
+    )
+    return docs.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        (F.col("doc_id") % F.col("__n_grp")).alias("grp"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
 def pack_sequences_chunked(spark, sf_dir):
     """GPT-style concat-then-chunk sequence packing: docs laid out
-    back-to-back per packer group, cut into 512-token blocks. Window
-    cumsum within groups — no global single-partition window."""
-    out = C.pack_chunks(_packing_input(spark, sf_dir), "doc_id", "grp", "n_tokens", block_size=512)
+    back-to-back per packer group, cut into 512-token blocks. The
+    running offset is the chunked two-pass prefix sum (chunk = 4096-doc
+    id range): the corpus-scale window partitions by (grp, chunk) —
+    ~512 rows per task at any scale despite the 8-value group key —
+    and the per-group offset window sees one aggregated row per chunk.
+    Bit-identical to the plain window cumsum (integer sums)."""
+    out = C.pack_chunks(
+        _packing_input(spark, sf_dir), "doc_id", "grp", "n_tokens",
+        block_size=512, chunk_expr=F.floor(F.col("doc_id") / 4096).cast("long"),
+    )
     return out.select(
         "doc_id", "grp", "n_tokens", "start_tok", "first_block", "last_block", "n_blocks"
     )
@@ -1704,8 +1733,13 @@ def pack_sequences_chunked(spark, sf_dir):
 def pack_sequences_greedy(spark, sf_dir):
     """First-fit-sequential bin packing (docs never split) per packer
     group via Arrow-batched applyInPandas — the custom-stateful-operator
-    tier. Oracle replays the same sequential fold as a recursive CTE."""
-    return C.pack_greedy(_packing_input(spark, sf_dir), "doc_id", "grp", "n_tokens", budget=1024)
+    tier. The group domain scales with the corpus (~2048 docs/group via
+    _packing_input_scaled), so no worker ever holds more than one
+    bounded frame. Oracle replays the same sequential fold as a
+    recursive CTE with the same corpus-derived group count."""
+    return C.pack_greedy(
+        _packing_input_scaled(spark, sf_dir), "doc_id", "grp", "n_tokens", budget=1024
+    )
 
 
 def pack_batches_bucketed(spark, sf_dir):
@@ -2503,6 +2537,13 @@ _PACK_INPUT_SQL = (
     f"SELECT doc_id, doc_id % 8 AS grp, len({_toks}) AS n_tokens FROM documents"
 )
 
+# corpus-scaled group count: N = greatest(8, ceil(n_docs/2048)) — the
+# same 1-row aggregate the Spark side broadcasts (== 8 at test sfs)
+_PACK_INPUT_SCALED_SQL = (
+    f"SELECT doc_id, doc_id % (SELECT CAST(GREATEST(8, CEIL(COUNT(*) / 2048.0)) AS BIGINT) "
+    f"FROM documents) AS grp, len({_toks}) AS n_tokens FROM documents"
+)
+
 _JACCARD_PAIRS_SQL = f"""
 WITH sh AS (
   SELECT doc_id, {_DD_SHINGLES} AS shingles
@@ -3062,7 +3103,7 @@ ORACLES = {
     ),
     # recursive CTE replays pack_greedy's sequential first-fit fold
     "pack_sequences_greedy": (
-        f"WITH RECURSIVE d AS ({_PACK_INPUT_SQL}), "
+        f"WITH RECURSIVE d AS ({_PACK_INPUT_SCALED_SQL}), "
         "dd AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn FROM d), "
         "p(grp, rn, doc_id, n_tokens, bin, acc) AS ("
         "SELECT grp, rn, doc_id, n_tokens, 0, n_tokens FROM dd WHERE rn = 1 "

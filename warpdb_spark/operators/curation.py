@@ -15,17 +15,25 @@ Scale notes, per operator:
 
 - **Chunked packing** (`pack_chunks`): GPT-style concat-then-chunk —
   documents are laid out back-to-back within a packer group and split
-  into fixed ``block_size`` token blocks. One shuffle on the group key;
-  the running offset is a window cumsum *within* each group, so no
-  global single-partition window exists at any scale — groups bound
-  both the shuffle fan-in and the window state.
+  into fixed ``block_size`` token blocks. With ``chunk_expr`` the
+  running offset is the two-pass chunked prefix sum
+  (operators/sequence.py): the corpus-scale window partitions by
+  (group, id-range chunk) — parallelism ∝ corpus even when the group
+  domain is bounded — and the per-group offset window sees one
+  aggregated row per chunk. Without it, a window cumsum per group:
+  each group's rows sort in ONE task, safe only if the group domain
+  scales with the data.
 
 - **Greedy packing** (`pack_greedy`): first-fit-sequential bin packing
   (documents never split; a bin closes when the next doc would
   overflow). Inherently sequential *within* a group, so it runs as an
   Arrow-batched ``applyInPandas`` per group — the documented custom-
   stateful-operator tier. Groups are independent ⇒ embarrassingly
-  parallel across executors; one shuffle total.
+  parallel across executors; one shuffle total. THE GROUP DOMAIN MUST
+  SCALE WITH THE CORPUS (each group is one pandas frame in one Python
+  worker): callers size the key as ``id % N`` with N ∝ corpus size —
+  a fixed N caps parallelism and per-worker memory forever (the r8
+  audit's flatmap-tier finding).
 
 - **Stratified sampling** (`stratified_sample`): deterministic top-N
   per stratum ordered by an md5 content address — stable across runs,
@@ -82,19 +90,41 @@ def pack_chunks(
     grp_col: str,
     tok_col: str,
     block_size: int,
+    chunk_expr: Column | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: within each packer group
     (ordered by ``id_col``) documents are laid out back-to-back and cut
     into ``block_size``-token blocks. Adds ``start_tok`` (running
     offset), ``first_block``/``last_block`` (blocks the doc spans), and
-    ``n_blocks``. Zero-token docs occupy their start block."""
-    w = (
-        Window.partitionBy(grp_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum(tok_col).over(w), F.lit(0)).cast("long")
-    out = df.withColumn("start_tok", start)
+    ``n_blocks``. Zero-token docs occupy their start block.
+
+    ``chunk_expr`` (an order-monotone bucket of ``id_col``, e.g.
+    ``floor(id / 4096)``) routes the running offset through
+    ``grouped_prefix_sum``'s two-pass chunk decomposition: the local
+    cumsum partitions by (group, chunk) — parallelism grows with the
+    corpus even when the GROUP domain is bounded (the r8 audit's
+    ``grp = doc_id % 8`` finding) — and only one aggregated row per
+    chunk feeds the per-group offset window. Bit-identical to the
+    plain spelling (integer sums reassociate exactly). ``None`` keeps
+    the single per-group window — only safe when the group domain
+    itself scales with the data."""
+    if chunk_expr is None:
+        w = (
+            Window.partitionBy(grp_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        start = F.coalesce(F.sum(tok_col).over(w), F.lit(0)).cast("long")
+        out = df.withColumn("start_tok", start)
+    else:
+        from warpdb_spark.operators.sequence import grouped_prefix_sum
+
+        out = grouped_prefix_sum(
+            df, grp_col, [id_col], chunk_expr, tok_col,
+            prefix_col="__cum_incl", total_col=None,
+        ).withColumn(
+            "start_tok", (F.col("__cum_incl") - F.col(tok_col)).cast("long")
+        ).drop("__cum_incl")
     first = F.floor(F.col("start_tok") / block_size).cast("int")
     last = F.floor(
         (F.col("start_tok") + F.greatest(F.col(tok_col) - 1, F.lit(0))) / block_size
