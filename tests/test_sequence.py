@@ -193,3 +193,117 @@ def test_null_chunk_rows_are_kept_not_dropped(spark):
         ).collect()
     }
     assert ps == {1: (1, 3), 2: (2, 3), 3: (3, 3)}
+
+
+def test_reserved_name_collision_raises(events):
+    from warpdb_spark.operators.sequence import (
+        grouped_global_rank,
+        grouped_prefix_sum,
+    )
+
+    bad = events.withColumn("__chunk", F.lit(1))
+    with pytest.raises(ValueError, match="__chunk"):
+        grouped_lead_pairs(bad, "event_type", ["ts", "event_id"], "user_id",
+                           hour_chunk("ts"))
+    with pytest.raises(ValueError, match="__chunk"):
+        grouped_global_rank(bad, "event_type", ["ts", "event_id"],
+                            hour_chunk("ts"))
+    # output-name collisions are refused too (silent overwrite before)
+    with pytest.raises(ValueError, match="user_id"):
+        grouped_prefix_sum(events, "event_type", ["ts", "event_id"],
+                           hour_chunk("ts"), "user_id", prefix_col="user_id")
+
+
+def test_lead_pairs_drop_null_valued_successors(spark):
+    """Documented contract (r8 advice): a pair whose NEXT row has a
+    NULL value never appears as dst — same as the naive lead +
+    dst-not-null filter."""
+    rows = [
+        Row(g="a", ts=1, v=10),
+        Row(g="a", ts=2, v=None),
+        Row(g="a", ts=3, v=30),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts int, v int")
+    got = grouped_lead_pairs(
+        df, "g", ["ts"], "v", (F.col("ts") / 2).cast("long")
+    ).collect()
+    naive = _naive_pairs(df, "g", ["ts"], "v").collect()
+    assert sorted(
+        ((r.src is None, r.src), r.dst) for r in got
+    ) == sorted(((r.src is None, r.src), r.dst) for r in naive)
+    # the (10 -> NULL) pair is dropped by BOTH spellings
+    assert None not in {r.dst for r in got}
+    # the NULL-valued row DOES appear as src of the next pair
+    assert (None, 30) in {(r.src, r.dst) for r in got}
+
+
+def test_chunk_skew_stats_flags_hot_chunk(spark):
+    from warpdb_spark.operators.sequence import chunk_skew_stats
+
+    rows = [Row(g="hot", ts=100, i=i) for i in range(50)]  # one chunk
+    rows += [Row(g="cold", ts=i * 7200, i=i) for i in range(50)]  # spread
+    df = spark.createDataFrame(rows, "g string, ts long, i long")
+    stats = {
+        r["group"]: r
+        for r in chunk_skew_stats(
+            df, "g", (F.col("ts") / 3600).cast("long"), advisory_rows=10
+        ).collect()
+    }
+    assert stats["hot"]["hot_chunk_advisory"] is True
+    assert stats["hot"]["max_chunk_rows"] == 50
+    assert stats["hot"]["hot_share"] == 1.0
+    assert stats["cold"]["hot_chunk_advisory"] is False
+    assert stats["cold"]["n_chunks"] == 50
+
+
+def test_refine_hot_chunks_splits_only_hot_and_stays_exact(spark):
+    """Auto-split: the burst group's identical-ts run splits by the
+    tiebreaker; quiet (group, chunk) pairs keep one chunk; prefix sums
+    are identical to the naive single-window spelling."""
+    from warpdb_spark.operators.sequence import (
+        grouped_prefix_sum,
+        refine_hot_chunks,
+    )
+
+    rows = [Row(g="b", ts=100, i=i, w=i % 7) for i in range(200)]  # burst
+    rows += [Row(g="q", ts=i * 3600, i=i, w=i % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, ts long, i long, w long")
+    hour = (F.col("ts") / 3600).cast("long")
+    refined = refine_hot_chunks(
+        df, "g", hour, F.col("ts"), "i", advisory_rows=50, width=16
+    )
+    out = grouped_prefix_sum(
+        refined, "g", ["ts", "i"], F.col("__rchunk"), "w",
+        prefix_col="cum", total_col=None, max_chunk_rows_col="mx",
+    )
+    # burst split into ceil(200/16) sub-chunks of <= 16 rows
+    mx = {r["g"]: r["mx"] for r in out.select("g", "mx").distinct().collect()}
+    assert mx["b"] <= 16 and mx["q"] == 1
+    w_naive = (
+        Window.partitionBy("g")
+        .orderBy("ts", "i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = df.withColumn("cum", F.sum("w").over(w_naive))
+    got = {(r.g, r.i): r.cum for r in out.collect()}
+    want = {(r.g, r.i): r.cum for r in naive.collect()}
+    assert got == want
+
+
+def test_max_chunk_rows_col_rides_offsets(events):
+    from warpdb_spark.operators.sequence import grouped_global_rank
+
+    out = grouped_global_rank(
+        events, "event_type", ["ts", "event_id"], hour_chunk("ts"),
+        max_chunk_rows_col="mx",
+    )
+    per_chunk = (
+        events.groupBy("event_type", hour_chunk("ts").alias("c"))
+        .count()
+        .groupBy("event_type")
+        .agg(F.max("count").alias("mx"))
+    )
+    want = {r["event_type"]: r["mx"] for r in per_chunk.collect()}
+    got = {r["event_type"]: r["mx"]
+           for r in out.select("event_type", "mx").distinct().collect()}
+    assert got == want

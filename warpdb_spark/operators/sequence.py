@@ -44,7 +44,12 @@ def grouped_lead_pairs(
     """(group, src, dst) pairs where ``dst`` is ``value_col`` of the
     NEXT row in ``order_cols`` order within ``group_col`` — equivalent
     to ``lead(value) OVER (PARTITION BY group ORDER BY order)`` pairs
-    with the final NULL-dst row of each group dropped.
+    with every NULL-dst pair dropped: the final row of each group AND
+    any pair whose successor row has a NULL ``value_col`` (the
+    interior filter cannot tell "no next row" from "next row's value
+    is NULL"). Callers needing NULL values to survive as dst should
+    pass a row marker (e.g. a non-null struct of the value) instead of
+    the raw value.
 
     ``chunk_expr`` must be a deterministic, order-monotone function of
     the leading order column(s) (rows that compare earlier get a <=
@@ -64,6 +69,7 @@ def grouped_lead_pairs(
     global consecutive-pair set: a group's global order is the
     concatenation of its chunk-local orders.
     """
+    _assert_no_reserved(df, ("__chunk", "src", "dst", "__v"))
     # The group column keeps its real name so plan audits see the true
     # partition key (an alias would launder a bounded-domain key past
     # name-based lints); internal columns are __-prefixed. The window
@@ -99,12 +105,116 @@ def grouped_lead_pairs(
     return interior.unionByName(boundary)
 
 
+def _assert_no_reserved(df: DataFrame, names: tuple[str, ...]) -> None:
+    """Fail fast if the input already carries one of the internal
+    column names a primitive is about to inject — silent corruption
+    otherwise (schema-only check, no job)."""
+    clash = [c for c in df.columns if c in names]
+    if clash:
+        raise ValueError(
+            f"input columns collide with reserved internal names {clash}; "
+            "rename them before calling the sequence primitives"
+        )
+
+
 def hour_chunk(ts_col: str | Column) -> Column:
     """Hour bucket of a timestamp — the default chunk for event-time
     sequences (order-monotone in ts). At 100 TB the chunk width is the
-    parallelism knob: width x per-group event rate = rows per task."""
+    parallelism knob: width x per-group event rate = rows per task.
+
+    Hot chunks: a burst that lands most of one group in one hour
+    re-creates the hot-task problem INSIDE the primitive that exists
+    to prevent it. ``chunk_skew_stats`` measures it (one
+    map-side-combined aggregate); the fix is a finer chunk (minutes:
+    ``/ 60``) — and when the burst is a run of IDENTICAL leading
+    order values, no function of that value alone can split it: the
+    chunk must then extend to the tiebreaker column, which is legal
+    whenever the chunk stays monotone under the FULL lexicographic
+    order (e.g. ``hour * 2^20 + floor(id / W)`` only where ts is
+    constant — see tools/replay_chunk_skew.py for a worked burst)."""
     col = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     return (F.unix_timestamp(col) / 3600).cast("long")
+
+
+def chunk_skew_stats(
+    df: DataFrame,
+    group_col: str,
+    chunk_expr: Column,
+    advisory_rows: int = 5_000_000,
+) -> DataFrame:
+    """Per-group chunk-skew diagnostic for a planned chunked scan:
+    (group, n_chunks, total_rows, max_chunk_rows, hot_share,
+    hot_chunk_advisory). One map-side-combined aggregate over (group,
+    chunk) then a tiny per-group rollup — run it once per new (data,
+    chunk) pairing, not inline per query. ``hot_chunk_advisory`` fires
+    when any single (group, chunk) exceeds ``advisory_rows`` rows
+    (default sized to a comfortable single-task sort at ~100 bytes/row
+    ≈ 500 MB): the chunk width is too coarse for this data's burst
+    structure — narrow it or extend it to the tiebreaker."""
+    per = df.groupBy(
+        F.col(group_col).alias("group"), chunk_expr.alias("chunk")
+    ).agg(F.count(F.lit(1)).alias("rows"))
+    return per.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("rows").alias("total_rows"),
+        F.max("rows").alias("max_chunk_rows"),
+        F.round(F.max("rows") / F.sum("rows"), 6).alias("hot_share"),
+        (F.max("rows") > advisory_rows).alias("hot_chunk_advisory"),
+    )
+
+
+def refine_hot_chunks(
+    df: DataFrame,
+    group_col: str,
+    base_chunk: Column,
+    fine_chunk: Column,
+    tiebreak_col: str,
+    advisory_rows: int = 5_000_000,
+    width: int = 65_536,
+) -> DataFrame:
+    """Auto-split hot chunks: returns ``df`` plus a ``__rchunk`` struct
+    column usable as the primitives' ``chunk_expr``. One aggregate pass
+    counts rows per (group, base chunk); pairs above ``advisory_rows``
+    get their chunk EXTENDED by (fine_chunk, floor(tiebreak / width))
+    — a burst of identical leading values splits into ~rows/width
+    sub-chunks — while quiet pairs keep (base, 0, 0), so the offsets
+    frame stays ~n_base_chunks instead of exploding to the fine
+    resolution everywhere (a global fine chunk costs a corpus-sized
+    offsets frame; measured 3x slower at 20M rows in
+    tools/replay_chunk_skew.py).
+
+    Legality (the chunk must partition the full (order, tiebreak)
+    lexicographic order): ``base_chunk`` monotone in the leading order
+    column, ``fine_chunk`` monotone within equal base values (e.g.
+    hour -> unix seconds), ``tiebreak_col`` the unique final order
+    column. Two same-group rows with equal base chunk are both hot or
+    both cold (the flag is per (group, base)), so the struct compares
+    consistently; the hot set rides a broadcast join (it is at most
+    |flagged pairs| rows — if THAT outgrows broadcast, the data has
+    more hot chunks than tasks and the advisory threshold is wrong).
+
+    The split is within-partition only — callers' window ORDER stays
+    (order_cols); results are bit-identical to any other legal chunk
+    (integer stitches reassociate exactly)."""
+    _assert_no_reserved(df, ("__rchunk", "__bc", "__hot"))
+    b = df.withColumn("__bc", base_chunk)
+    hot = (
+        b.groupBy(group_col, "__bc")
+        .agg(F.count(F.lit(1)).alias("__rows"))
+        .filter(F.col("__rows") > advisory_rows)
+        .select(group_col, "__bc", F.lit(True).alias("__hot"))
+    )
+    out = b.join(F.broadcast(hot), [group_col, "__bc"], "left")
+    zero = F.lit(0).cast("long")
+    is_hot = F.col("__hot").isNotNull()
+    return out.withColumn(
+        "__rchunk",
+        F.struct(
+            F.col("__bc").alias("b"),
+            F.when(is_hot, fine_chunk.cast("long")).otherwise(zero).alias("f"),
+            F.when(is_hot, F.floor(F.col(tiebreak_col) / width)).otherwise(zero).alias("t"),
+        ),
+    ).drop("__bc", "__hot")
 
 
 def grouped_global_rank(
@@ -114,6 +224,7 @@ def grouped_global_rank(
     chunk_expr: Column,
     rank_col: str = "__rank",
     n_col: str = "__n",
+    max_chunk_rows_col: str | None = None,
 ) -> DataFrame:
     """Append each row's group-wide 1-based ``row_number`` under
     ``order_cols`` plus the group size — WITHOUT the corpus-scale
@@ -156,21 +267,32 @@ def grouped_global_rank(
         loc_fn=lambda b, w_loc: F.row_number().over(w_loc),
         agg_fn=lambda: F.count(F.lit(1)),
         out_col=rank_col, tot_col=n_col, running=False,
+        max_rows_col=max_chunk_rows_col,
     )
 
 
 def _chunked_scan(df, group_col, order_cols, chunk_expr, loc_fn, agg_fn,
-                  out_col, tot_col, running):
+                  out_col, tot_col, running, max_rows_col=None):
     """Shared two-pass engine for grouped_global_rank /
     grouped_prefix_sum: local window value per (group, chunk) +
     exclusive per-chunk-aggregate prefix offsets, stitched with a
-    null-safe join so no chunk value — NULL included — can drop rows."""
+    null-safe join so no chunk value — NULL included — can drop rows.
+    ``max_rows_col`` (optional) appends the group's max rows-per-chunk
+    — the hot-chunk skew signal — riding the aggregate the offsets
+    pass already computes (no extra job)."""
+    _assert_no_reserved(
+        df, ("__chunk", "__loc", "__off", "__g2", "__c2", "__t", "__rows",
+             *(c for c in (out_col, tot_col, max_rows_col) if c)),
+    )
     b = df.withColumn("__chunk", chunk_expr)
     w_loc = Window.partitionBy(group_col, "__chunk").orderBy(*order_cols)
     if running:
         w_loc = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = b.withColumn("__loc", loc_fn(b, w_loc))
-    totals = b.groupBy(group_col, "__chunk").agg(agg_fn().alias("__t"))
+    aggs = [agg_fn().alias("__t")]
+    if max_rows_col is not None:
+        aggs.append(F.count(F.lit(1)).alias("__rows"))
+    totals = b.groupBy(group_col, "__chunk").agg(*aggs)
     w_off = (
         Window.partitionBy(group_col)
         .orderBy("__chunk")
@@ -183,6 +305,10 @@ def _chunked_scan(df, group_col, order_cols, chunk_expr, loc_fn, agg_fn,
     ]
     if tot_col is not None:
         off_cols.append(F.sum("__t").over(Window.partitionBy(group_col)).alias(tot_col))
+    if max_rows_col is not None:
+        off_cols.append(
+            F.max("__rows").over(Window.partitionBy(group_col)).alias(max_rows_col)
+        )
     offs = totals.select(*off_cols)
     return (
         local.join(
@@ -203,6 +329,7 @@ def grouped_prefix_sum(
     sum_col: str,
     prefix_col: str = "__cum",
     total_col: str = "__tot",
+    max_chunk_rows_col: str | None = None,
 ) -> DataFrame:
     """Append each row's group-wide INCLUSIVE running sum of
     ``sum_col`` under ``order_cols`` plus the group total — the
@@ -214,10 +341,13 @@ def grouped_prefix_sum(
     one row per chunk gives the offset. Exactness: the caller picks an
     integer/decimal ``sum_col`` when cross-engine hash equality
     matters (float prefix sums are association-sensitive). NULL-chunk
-    and ``total_col=None`` semantics are grouped_global_rank's."""
+    and ``total_col=None`` semantics are grouped_global_rank's;
+    ``max_chunk_rows_col`` exposes the group's hot-chunk row count
+    (see chunk_skew_stats) at no extra job."""
     return _chunked_scan(
         df, group_col, order_cols, chunk_expr,
         loc_fn=lambda b, w_loc: F.sum(sum_col).over(w_loc),
         agg_fn=lambda: F.sum(sum_col),
         out_col=prefix_col, tot_col=total_col, running=True,
+        max_rows_col=max_chunk_rows_col,
     )
