@@ -307,3 +307,27 @@ def test_max_chunk_rows_col_rides_offsets(events):
     got = {r["event_type"]: r["mx"]
            for r in out.select("event_type", "mx").distinct().collect()}
     assert got == want
+
+
+def test_nulls_last_value_chunk_survives_huge_doubles(spark):
+    """r8 advice: the old 1<<62 integer sentinel ordered a double >=
+    2^62 AFTER NULLs, corrupting the asc_nulls_last prefix walk. The
+    struct(is_null, floor) chunk has no reachable sentinel."""
+    from warpdb_spark.inventory.scale_ops import _nulls_last_value_chunk
+    from warpdb_spark.operators.sequence import grouped_prefix_sum
+
+    rows = [
+        Row(g="a", i=1, value=1.0, w=1),
+        Row(g="a", i=2, value=float(5e18), w=2),  # > 2^62 ~ 4.6e18
+        Row(g="a", i=3, value=None, w=4),
+        Row(g="a", i=4, value=9.0e18, w=8),
+    ]
+    df = spark.createDataFrame(rows, "g string, i int, value double, w int")
+    out = grouped_prefix_sum(
+        df, "g", [F.asc_nulls_last("value"), "i"],
+        _nulls_last_value_chunk("value"), "w",
+        prefix_col="cum", total_col=None,
+    )
+    got = {r.i: r.cum for r in out.collect()}
+    # asc_nulls_last order: 1.0 (w1), 5e18 (w2), 9e18 (w8), NULL (w4)
+    assert got == {1: 1, 2: 3, 4: 11, 3: 15}

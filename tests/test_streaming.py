@@ -896,3 +896,20 @@ class TestStreamUnifiedDrift:
         # both
         assert want[1].psi > 0.25 and want[1].ks_d > 0.1
         assert want[2].psi == 0.0 and want[2].ks_d == 0.0
+
+
+def test_ks_between_empty_current_batch_emits_no_row(spark):
+    """r8 advice: an empty current micro-batch used to emit one row
+    with NULL ks_d/ks_stat (0/(0*tb)) — ambiguous for alerting. No
+    rows is the explicit empty-batch signal, same as no-baseline."""
+    from pyspark.sql import functions as F
+
+    from warpdb_spark.streaming.drift import ks_between
+
+    base = spark.createDataFrame(
+        [(100, 5), (200, 7)], "cents long, n long"
+    )
+    empty = base.filter(F.lit(False))
+    assert ks_between(empty, base).count() == 0
+    assert ks_between(base, empty).count() == 0
+    assert ks_between(base, base).count() == 1

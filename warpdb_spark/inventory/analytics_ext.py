@@ -581,10 +581,20 @@ def similarity_pq_persisted_index(spark, sf_dir):
         os.path.exists(os.path.join(codes_path, "_SUCCESS"))
         and os.path.exists(os.path.join(cb_path, "_SUCCESS"))
     ):
+        # Build into a per-process temp dir and PUBLISH with one atomic
+        # rename (r8 advice): two concurrent cold-cache sessions used to
+        # race mode('overwrite') on the shared final path, and overwrite
+        # deletes files a concurrent reader's _SUCCESS check already
+        # passed. rename() onto an existing non-empty dir fails — the
+        # loser discards its build and reads the winner's.
+        import shutil
+        import uuid
+
+        tmp = f"{idx}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         cb = S.pq_train(
             emb, m_subs=m_subs, n_codes=n_codes, train_iters=0, seed=42
         )
-        S.pq_encode(emb, cb).write.mode("overwrite").parquet(codes_path)
+        S.pq_encode(emb, cb).write.parquet(os.path.join(tmp, "codes.parquet"))
         cb_rows = [
             (s, c, [float(x) for x in cb[s, c]])
             for s in range(m_subs)
@@ -592,7 +602,11 @@ def similarity_pq_persisted_index(spark, sf_dir):
         ]
         spark.createDataFrame(
             cb_rows, "sub int, code int, centroid array<double>"
-        ).write.mode("overwrite").parquet(cb_path)
+        ).write.parquet(os.path.join(tmp, "codebooks.parquet"))
+        try:
+            os.rename(tmp, idx)
+        except OSError:  # a concurrent builder published first
+            shutil.rmtree(tmp, ignore_errors=True)
 
     # query path: index tables only (+ the bounded query-vector fetch)
     codes = spark.read.parquet(codes_path)

@@ -36,6 +36,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from warpdb_spark.functions.text import alnum_tokens as _alnum_tokens  # noqa: E402
 
 
+def _nulls_last_value_chunk(col: str = "value"):
+    """Order-chunk for an asc_nulls_last value order with NO reachable
+    sentinel: struct(is_null, floor(value)). The previous integer
+    sentinel (1 << 62) corrupted the walk for any double >= 2^62 —
+    floor() of such a value lands AT or past the sentinel, ordering
+    real rows after NULLs (r8 advice). A boolean first field makes
+    NULL strictly greater than every non-null chunk for every
+    representable value; the chunked-scan primitives accept struct
+    chunks (partition + tiny-offsets ordering only)."""
+    c = F.col(col)
+    return F.struct(
+        c.isNull().alias("n"),
+        F.coalesce(F.floor(c), F.lit(0)).cast("long").alias("v"),
+    )
+
+
 def _user_edges(spark, sf_dir):
     """Undirected canonical user-interaction edges — consecutive users
     within an event_type (linear construction), self-loops dropped,
@@ -1557,11 +1573,7 @@ def agg_weighted_median(spark, sf_dir):
         "value",
         (F.col("user_id") % 5 + 1).alias("wt"),
     )
-    vchunk = (
-        F.when(F.col("value").isNull(), F.lit(1 << 62))
-        .otherwise(F.floor("value"))
-        .cast("long")
-    )
+    vchunk = _nulls_last_value_chunk("value")
     d = grouped_prefix_sum(
         ev,
         "event_type",
@@ -1847,11 +1859,7 @@ def events_value_winsorize(spark, sf_dir):
     from warpdb_spark.operators.sequence import grouped_global_rank
 
     ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    vchunk = (
-        F.when(F.col("value").isNull(), F.lit(1 << 62))
-        .otherwise(F.floor("value"))
-        .cast("long")
-    )
+    vchunk = _nulls_last_value_chunk("value")
     r = grouped_global_rank(
         ev,
         "event_type",

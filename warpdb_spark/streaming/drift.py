@@ -170,7 +170,12 @@ def ks_between(cur: DataFrame, base: DataFrame) -> DataFrame:
             F.sum("n_b").over(wcum).alias("cum_b"),
         )
         .crossJoin(F.broadcast(tot))
-        .filter(F.col("tb") > 0)
+        # tc > 0 too (r8 advice): an EMPTY current micro-batch made
+        # ks = 0/(0*tb) emit a row with NULL ks_d/ks_stat, which
+        # downstream alerting could misread as a score; no row at all
+        # is the unambiguous "nothing to compare" signal, matching the
+        # no-baseline case.
+        .filter((F.col("tb") > 0) & (F.col("tc") > 0))
     )
     dnum = F.abs(
         F.col("cum_c").cast("decimal(38,0)") * F.col("tb")
