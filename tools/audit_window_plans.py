@@ -137,6 +137,10 @@ KNOWN_AGG_INPUT: dict[str, set[str]] = {
     # one aggregated row per 4096-doc chunk; the corpus-scale window
     # partitions by (grp, chunk).
     "pack_sequences_chunked": {"grp=8"},
+    # r9 addition, chunked by construction: rank + episode prefix sum
+    # both via the two-pass primitives; the bare-type windows are the
+    # offset stitches over one aggregated row per hour chunk.
+    "events_sessionize_by_type": {"event_type"},
 }
 
 # Reviewed ``flatmap`` entries: applyInPandas/MapGroups executors whose

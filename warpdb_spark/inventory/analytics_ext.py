@@ -620,6 +620,91 @@ def similarity_pq_persisted_index(spark, sf_dir):
     )
 
 
+_PQ_REFRESH_CUTOFF = 400  # base slice; >= n_codes at every test sf
+
+
+def similarity_pq_index_refresh(spark, sf_dir):
+    """Incremental REFRESH of the persisted PQ index — the update story
+    `similarity_pq_persisted_index` leaves untold: the corpus gains new
+    rows (vec_id >= {cutoff}); only THOSE are encoded, with the FROZEN
+    base codebook (standard PQ practice — new rows ride the existing
+    codebook; retraining is a rebuild, not a refresh), and appended as
+    a separate delta parquet. The base code files are never rewritten
+    (pinned in tests: deleting the delta and re-calling rebuilds ONLY
+    the delta, base file list byte-identical; the delta encode's
+    embeddings scan pushes vec_id >= cutoff down to parquet). Queries
+    run over the UNION of base + delta codes. Because codebook init is
+    deterministic in the BASE slice (md5-lowest vectors of
+    vec_id < cutoff, train_iters=0), the DuckDB oracle replays
+    train-on-base + encode-all + ADC end-to-end; at 100 TB the refresh
+    cost is one scan of the NEW rows — O(delta), not O(corpus)."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from warpdb_spark.operators import similarity as S
+
+    m_subs, n_codes, cutoff = 16, 32, _PQ_REFRESH_CUTOFF
+    emb = _t(spark, sf_dir, "embeddings")
+    key = f"{sf_dir.rstrip('/')}|refresh|m{m_subs}|c{n_codes}|s42|iters0|cut{cutoff}|v1"
+    idx = os.path.join(_PQ_INDEX_ROOT, hashlib.md5(key.encode()).hexdigest()[:12])
+    base_path = os.path.join(idx, "base_codes.parquet")
+    delta_path = os.path.join(idx, "delta_codes.parquet")
+    cb_path = os.path.join(idx, "codebooks.parquet")
+
+    def _done(p):
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    if not (_done(base_path) and _done(cb_path)):
+        # initial build: codebook from the base slice, base codes, both
+        # published atomically (the persisted-index discipline)
+        import shutil
+        import uuid
+
+        tmp = f"{idx}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        base_emb = emb.filter(F.col("vec_id") < cutoff)
+        cb = S.pq_train(base_emb, m_subs=m_subs, n_codes=n_codes,
+                        train_iters=0, seed=42)
+        S.pq_encode(base_emb, cb).write.parquet(
+            os.path.join(tmp, "base_codes.parquet"))
+        spark.createDataFrame(
+            [(s_, c, [float(x) for x in cb[s_, c]])
+             for s_ in range(m_subs) for c in range(n_codes)],
+            "sub int, code int, centroid array<double>",
+        ).write.parquet(os.path.join(tmp, "codebooks.parquet"))
+        try:
+            os.rename(tmp, idx)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    cb_read = spark.read.parquet(cb_path).orderBy("sub", "code").collect()
+    cb = np.array(
+        [[cb_read[s_ * n_codes + c]["centroid"] for c in range(n_codes)]
+         for s_ in range(m_subs)]
+    )
+    if not _done(delta_path):
+        # THE REFRESH: encode only the new rows with the frozen
+        # codebook; one atomic publish of the delta, base untouched
+        import shutil
+        import uuid
+
+        tmpd = f"{delta_path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        S.pq_encode(emb.filter(F.col("vec_id") >= cutoff), cb).write.parquet(tmpd)
+        try:
+            os.rename(tmpd, delta_path)
+        except OSError:
+            shutil.rmtree(tmpd, ignore_errors=True)
+
+    codes = spark.read.parquet(base_path).unionByName(
+        spark.read.parquet(delta_path)
+    )
+    qs = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk(
+        codes, qs, k=5, m_subs=m_subs, n_codes=n_codes, codes=codes, codebooks=cb
+    )
+
+
 def similarity_pq_rerank(spark, sf_dir):
     """PQ shortlist + exact re-rank (the IVFADC+R deployment shape):
     the ADC code scan produces a 4k-deep candidate shortlist, then
@@ -1013,6 +1098,7 @@ QUERIES = {
     "similarity_pq_adc": similarity_pq_adc,
     "similarity_pq_rerank": similarity_pq_rerank,
     "similarity_pq_persisted_index": similarity_pq_persisted_index,
+    "similarity_pq_index_refresh": similarity_pq_index_refresh,
     "dialect_rollup_grouping": dialect_rollup_grouping,
     "dialect_grouping_sets": dialect_grouping_sets,
     "merge_upsert_orders": merge_upsert_orders,
@@ -1028,11 +1114,14 @@ QUERIES = {
 # Shared CTE prefix replaying PQ training-free codebooks (md5 init),
 # per-subspace round-6 argmin codes, and the query lookup tables —
 # consumed by both PQ search oracles.
-_PQ_CTES = """
+# {init_where}: predicate on the codebook-INIT corpus slice — "" for
+# the full-corpus builds; the refresh entry trains on the base slice
+# only (encode/ADC always cover the full corpus).
+_PQ_CTES_T = """
 WITH init AS (
     SELECT row_number() OVER (ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS code,
            CAST(embedding AS DOUBLE[]) AS cv
-    FROM embeddings
+    FROM embeddings{init_where}
     ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id
     LIMIT 32
 ), subs AS (
@@ -1067,6 +1156,8 @@ WITH init AS (
     GROUP BY 1, 2
 )
 """
+
+_PQ_CTES = _PQ_CTES_T.format(init_where="")
 
 _PQ_ADC_SQL = _PQ_CTES + """
 SELECT query_id, neighbor_id, dist2, rank FROM (
@@ -1263,6 +1354,18 @@ ORACLES = {
     # reproduce the exact same codes, so the same build+lookup replay IS
     # the oracle
     "similarity_pq_persisted_index": _PQ_ADC_SQL,
+    # same ADC pipeline with the codebook INIT restricted to the base
+    # slice (what the frozen-codebook refresh actually computes); the
+    # oracle proves base-train + delta-encode + union == one pipeline
+    "similarity_pq_index_refresh": _PQ_CTES_T.format(
+        init_where=f" WHERE vec_id < {_PQ_REFRESH_CUTOFF}"
+    ) + """
+SELECT query_id, neighbor_id, dist2, rank FROM (
+    SELECT query_id, neighbor_id, dist2,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS INTEGER) AS rank
+    FROM adc
+) WHERE rank <= 5
+""",
     "embedding_pq_codes": """
         WITH init AS (
             SELECT vec_id AS code_id, CAST(embedding AS DOUBLE[]) AS cv

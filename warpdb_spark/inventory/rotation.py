@@ -323,6 +323,10 @@ PENDING_ORDER: list[str] = [
     # round-8 additions — the r7 window closed the contract (262/262
     # green), so these front the r8 window; oldest-green re-checks
     # fill the remaining slots
+    # round-9 additions — pending always precedes the changed-since-
+    # green tier (the 13 r8 rewrites), which precedes oldest-green
+    "similarity_pq_index_refresh",
+    "events_sessionize_by_type",
 ]
 
 

@@ -1929,7 +1929,68 @@ def graph_degree_distribution(spark, sf_dir):
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+def events_sessionize_by_type(spark, sf_dir):
+    """Stream-level sessionization on a BOUNDED key — activity episodes
+    of each event TYPE's whole stream (outage/burst episode detection:
+    a type goes quiet for > 30 min, a new episode starts). This is the
+    shape ``events_sessionize`` cannot reach scale-safely: user_id
+    cardinality grows with the corpus, event_type (5 values) never
+    does, so the classic lag + cumsum spelling would sort ~1/5 of the
+    corpus in one task. Both sequential passes run through the chunked
+    primitives (operators/sequence.py):
+
+    1. gap detection: grouped_global_rank gives each event its
+       type-wide position (window per (type, hour chunk) + offsets over
+       one aggregated row per chunk); the previous event arrives by a
+       rank self-join on (type, rn-1) — shuffle key cardinality = row
+       count, real parallelism at any scale.
+    2. episode numbering: grouped_prefix_sum of the new-episode flag
+       under the same order.
+
+    The only bare-event_type windows in the plan are the two offset
+    stitches over per-chunk aggregates (audit tier: agg_input).
+    Completing include/expression.hpp:112-121 (the reference parses
+    OVER and never executes it) with the 100 TB-safe spelling."""
+    from warpdb_spark.operators.sequence import (
+        grouped_global_rank,
+        grouped_prefix_sum,
+        hour_chunk,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts")
+    r = grouped_global_rank(
+        ev, "event_type", ["ts", "event_id"], hour_chunk("ts"),
+        rank_col="rn", n_col=None,
+    )
+    prev = r.select(
+        "event_type", (F.col("rn") + 1).alias("rn"), F.col("ts").alias("prev_ts")
+    )
+    sec = F.col("ts").cast("long")
+    psec = F.col("prev_ts").cast("long")
+    j = (
+        r.join(prev, ["event_type", "rn"], "left")
+        .withColumn(
+            "new_s",
+            F.when(psec.isNull() | ((sec - psec) > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .select("event_type", "event_id", "ts", "new_s")
+    )
+    s = grouped_prefix_sum(
+        j, "event_type", ["ts", "event_id"], hour_chunk("ts"), "new_s",
+        prefix_col="session_seq", total_col=None,
+    )
+    return s.groupBy(
+        "event_type", F.col("session_seq").cast("int").alias("session_seq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max(sec) - F.min(sec)).cast("bigint").alias("duration_secs"),
+    )
+
+
 QUERIES = {
+    "events_sessionize_by_type": events_sessionize_by_type,
     "graph_triangle_count": graph_triangle_count,
     "text_source_vocab_jaccard": text_source_vocab_jaccard,
     "events_interarrival_profile": events_interarrival_profile,
@@ -1959,6 +2020,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_sessionize_by_type": (
+        "WITH o AS (SELECT event_type, ts, event_id, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)), "
+        "s AS (SELECT event_type, ts, CAST(sum(new_s) OVER ("
+        "PARTITION BY event_type ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT) "
+        "AS session_seq FROM o) "
+        "SELECT event_type, session_seq, count(*) AS n_events, "
+        "min(ts) AS session_start, max(ts) AS session_end, "
+        "CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_secs "
+        "FROM s GROUP BY 1, 2"
+    ),
     # selected-rank cutpoints + micro-snapped means; clamp is pure
     # selection (least/greatest) so both engines pick identical values
     "events_value_winsorize": (
