@@ -279,8 +279,11 @@ class TestBudgetFill:
     def test_row_windows_never_partition_on_key_alone(self, spark):
         """The data-volume window must run per (key, bucket) — a window
         partitioned on the bare key is the single-task-per-key sort the
-        operator exists to avoid (the offset window over the subtotal
-        table is key-only by design but touches ~16 rows per key)."""
+        operator exists to avoid (the offset window over the per-bucket
+        aggregate is key-only by design but touches 16**prefix_len rows
+        per key). budget_fill now rides grouped_prefix_sum: its local
+        running-sum window (__loc) must carry the __chunk bucket in the
+        partition spec."""
         df = spark.createDataFrame(
             [Row(doc_id=i, lang="en", n=1) for i in range(50)]
         )
@@ -289,9 +292,9 @@ class TestBudgetFill:
         import re
 
         windows = re.findall(r"Window \[.*?\]", plan)
-        cum_windows = [w for w in windows if "__cum_local" in w]
+        cum_windows = [w for w in windows if "AS __loc" in w]
         assert cum_windows, plan
-        assert all("__b" in w for w in cum_windows), plan
+        assert all("__chunk" in w for w in cum_windows), plan
 
     def test_budget_boundary_overshoot_by_one(self, spark):
         # weights 10 each, budget 25: cum 10,20,30 → kept 10,20,30 (the

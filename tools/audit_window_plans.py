@@ -107,8 +107,9 @@ KNOWN_AGG_INPUT: dict[str, set[str]] = {
     # Window over Aggregate[(key, bucket)]: |domain| x n_buckets rows.
     "agg_gini_binned": {"o_orderpriority"},
     "window_distribution_binned": {"o_orderpriority"},
-    # The two-pass prefix-sum pattern itself: offsets window runs over
-    # Aggregate[(lang, salt_bucket)] — 16 rows per lang.
+    # The two-pass prefix-sum pattern itself (budget_fill, now routed
+    # through grouped_prefix_sum): offsets window runs over
+    # Aggregate[(lang, md5-prefix bucket)] — 256 rows per lang.
     "sample_token_budget": {"lang"},
     # All five share _user_edges, rewritten r8 to the two-pass chunked
     # lead (operators/sequence.py): the only event_type-partitioned

@@ -312,49 +312,35 @@ def budget_fill(
     weight_col: str,
     id_col: str,
     budget: int,
-    prefix_len: int = 1,
+    prefix_len: int = 2,
 ) -> DataFrame:
     """Per-key greedy budget fill WITHOUT a per-key global sort.
 
     Semantics are exactly ``sum(w) OVER (PARTITION BY key ORDER BY
     md5(id), id)`` followed by ``cum - w < budget`` (a row is kept iff
-    the budget was not exhausted before it arrived) — but computed in a
-    shape that survives few-keys/many-rows data, where a plain window
-    funnels each key through ONE task's sort:
+    the budget was not exhausted before it arrived) — computed through
+    ``grouped_prefix_sum`` (operators/sequence.py; this operator was
+    its hand-rolled r2 ancestor) with chunk = the first ``prefix_len``
+    hex digits of the md5 sort key: an order-monotone PREFIX of the
+    leading order column, so md5-prefix buckets tile the global per-key
+    md5 order. The corpus-scale window runs per (key, bucket) —
+    16**prefix_len parallel buckets per key (256 at the default; THE
+    PARALLELISM KNOB: a fixed width is a scale ceiling exactly like the
+    r8 packer finding, so size it to the data — 3-4 hex digits at
+    100 TB — or diagnose with sequence.chunk_skew_stats; results are
+    invariant to the width) — and the offset window sees one aggregated
+    row per bucket. Adds ``cum`` (the per-key running total including
+    the row itself)."""
+    from warpdb_spark.operators.sequence import grouped_prefix_sum
 
-    1. rows are range-bucketed by the first ``prefix_len`` hex digits
-       of their md5 sort key — md5-prefix order tiles the global
-       per-key md5 order, so buckets are contiguous runs of it;
-    2. the cumulative sum runs per (key, bucket): 16**prefix_len
-       parallel local windows per key instead of one;
-    3. per-(key, bucket) subtotals — a key-count × 16**prefix_len row
-       table, never row data — get a running-offset window and are
-       broadcast-joined back; global cum = local cum + bucket offset.
-
-    The only data-volume shuffle is the (key, bucket) window exchange;
-    the offset window touches only the tiny subtotal table. Adds
-    ``cum`` (the per-key running total including the row itself).
-    """
     sk = F.md5(F.col(id_col).cast("string"))
-    d = df.withColumn("__sk", sk).withColumn(
-        "__b", F.substring(F.col("__sk"), 1, prefix_len)
+    d = df.withColumn("__sk", sk)
+    out = grouped_prefix_sum(
+        d, key_col, ["__sk", id_col],
+        F.substring(F.col("__sk"), 1, prefix_len), weight_col,
+        prefix_col="cum", total_col=None,
     )
-    w_local = Window.partitionBy(key_col, "__b").orderBy("__sk", id_col)
-    d = d.withColumn("__cum_local", F.sum(weight_col).over(w_local))
-    sub = d.groupBy(key_col, "__b").agg(F.sum(weight_col).alias("__subtotal"))
-    w_off = (
-        Window.partitionBy(key_col)
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    off = sub.withColumn(
-        "__offset", F.coalesce(F.sum("__subtotal").over(w_off), F.lit(0))
-    ).drop("__subtotal")
-    d = d.join(F.broadcast(off), [key_col, "__b"])
-    d = d.withColumn("cum", F.col("__cum_local") + F.col("__offset"))
-    return d.filter(F.col("cum") - F.col(weight_col) < budget).drop(
-        "__sk", "__b", "__cum_local", "__offset"
-    )
+    return out.filter(F.col("cum") - F.col(weight_col) < budget).drop("__sk")
 
 
 def remove_boilerplate_spans(
