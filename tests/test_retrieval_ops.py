@@ -436,3 +436,17 @@ class TestHardNegatives:
         # emitted strongest-lexical first (total order on the int rank)
         ranks = [r.bm25_rank for r in rows]
         assert ranks == sorted(ranks)
+
+
+def test_semdedup_prune_guards_oversized_clusters(spark, sf_dir):
+    """r9: a cluster past max_cluster_rows raises with the sizing rule
+    instead of an opaque worker OOM (the Gram matrix is rows^2
+    doubles)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from warpdb_spark.operators.semdedup import semdedup_prune
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(PythonException, match="max_cluster_rows=10"):
+        semdedup_prune(emb, k=8, max_cluster_rows=10).count()

@@ -32,10 +32,20 @@ def semdedup_prune(
     tau: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_rows: int = 100_000,
 ) -> DataFrame:
     """(id, cluster, is_dropped) for every vector. Deterministic:
     md5-ordered centroid init, round-6 argmin assignment (ties to the
-    lowest centroid id), lowest-id keeper within a cluster."""
+    lowest centroid id), lowest-id keeper within a cluster.
+
+    ``max_cluster_rows`` is the memory guard for the quadratic step: a
+    cluster past the bound would build a Gram matrix over
+    max_cluster_rows² doubles (80 GB at 100k — already far past a
+    sane worker) — the worker RAISES with the cluster id and the k
+    sizing rule instead of dying in an opaque OOM. Hitting it means k
+    is undersized for the corpus (keep k ≈ n/1000) or one cluster is
+    degenerate (near-duplicate flood: pre-shard it with exact/MinHash
+    dedup first)."""
     import numpy as np
     import pandas as pd
 
@@ -44,6 +54,13 @@ def semdedup_prune(
     vecs = emb.select(id_col, vec_col).join(assigned, id_col)
 
     def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"semdedup cluster {int(pdf['cluster'].iloc[0])} has "
+                f"{len(pdf)} rows > max_cluster_rows={max_cluster_rows}: "
+                "the Gram matrix would not fit a worker. Scale k with the "
+                "corpus (k ~ n/1000) or pre-dedup the degenerate cluster."
+            )
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         m = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
