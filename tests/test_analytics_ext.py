@@ -578,3 +578,29 @@ class TestPqIndexRefresh:
         assert lo >= _PQ_REFRESH_CUTOFF
         base = spark.read.parquet(os.path.join(idx, "base_codes.parquet"))
         assert base.agg({"vec_id": "max"}).first()[0] < _PQ_REFRESH_CUTOFF
+
+
+def test_persisted_index_self_heals_partial_dir(spark, sf_dir):
+    """r9 review finding: a rename failure used to be read as 'a
+    concurrent winner exists', so a PARTIAL index dir (crash between
+    table writes, hand-deleted table) wedged the cache forever — the
+    fresh build was discarded and every later call failed on the
+    missing table. _publish_atomic removes a partial destination and
+    retries."""
+    import hashlib
+    import os
+    import shutil
+
+    from warpdb_spark.inventory.analytics_ext import (
+        _PQ_INDEX_ROOT,
+        similarity_pq_persisted_index,
+    )
+
+    first = sorted(map(tuple, similarity_pq_persisted_index(spark, sf_dir).collect()))
+    key = f"{sf_dir.rstrip('/')}|m16|c32|s42|iters0|v1"
+    idx = os.path.join(_PQ_INDEX_ROOT, hashlib.md5(key.encode()).hexdigest()[:12])
+    shutil.rmtree(os.path.join(idx, "codebooks.parquet"))
+    again = sorted(map(tuple, similarity_pq_persisted_index(spark, sf_dir).collect()))
+    assert again == first
+    assert os.path.exists(os.path.join(idx, "codebooks.parquet", "_SUCCESS"))
+    assert not [d for d in os.listdir(_PQ_INDEX_ROOT) if ".tmp-" in d]

@@ -321,6 +321,8 @@ def test_nulls_last_value_chunk_survives_huge_doubles(spark):
         Row(g="a", i=2, value=float(5e18), w=2),  # > 2^62 ~ 4.6e18
         Row(g="a", i=3, value=None, w=4),
         Row(g="a", i=4, value=9.0e18, w=8),
+        Row(g="a", i=5, value=float("nan"), w=16),  # sorts after +inf
+        Row(g="a", i=6, value=float("inf"), w=32),
     ]
     df = spark.createDataFrame(rows, "g string, i int, value double, w int")
     out = grouped_prefix_sum(
@@ -329,5 +331,46 @@ def test_nulls_last_value_chunk_survives_huge_doubles(spark):
         prefix_col="cum", total_col=None,
     )
     got = {r.i: r.cum for r in out.collect()}
-    # asc_nulls_last order: 1.0 (w1), 5e18 (w2), 9e18 (w8), NULL (w4)
-    assert got == {1: 1, 2: 3, 4: 11, 3: 15}
+    # asc_nulls_last order: 1.0(w1), 5e18(w2), 9e18(w8), inf(w32),
+    # NaN(w16), NULL(w4) — NaN after inf, NULL last
+    assert got == {1: 1, 2: 3, 4: 11, 6: 43, 5: 59, 3: 63}
+
+
+def test_refine_hot_chunks_subsecond_ts_needs_exact_fine_value(spark):
+    """r9 review: fine_chunk must separate every distinct leading-order
+    value. With sub-second timestamps, the exact value (cast double)
+    is the legal fine chunk; results must match the naive window."""
+    from warpdb_spark.operators.sequence import (
+        grouped_prefix_sum,
+        refine_hot_chunks,
+    )
+
+    # burst inside one hour with DISTINCT sub-second ts whose id order
+    # opposes ts order — the truncation trap
+    rows = [
+        Row(g="b", us=1_700_000_000_000_000 + (199 - i) * 1000, i=i, w=1 + i % 3)
+        for i in range(200)
+    ]
+    df = (
+        spark.createDataFrame(rows, "g string, us long, i long, w long")
+        .withColumn("ts", F.timestamp_micros("us"))
+        .drop("us")
+    )
+    hour = (F.unix_timestamp("ts") / 3600).cast("long")
+    refined = refine_hot_chunks(
+        df, "g", hour, F.col("ts").cast("double"), "i",
+        advisory_rows=50, width=16,
+    )
+    out = grouped_prefix_sum(
+        refined, "g", ["ts", "i"], F.col("__rchunk"), "w",
+        prefix_col="cum", total_col=None,
+    )
+    w_naive = (
+        Window.partitionBy("g")
+        .orderBy("ts", "i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = df.withColumn("cum", F.sum("w").over(w_naive))
+    got = {(r.g, r.i): r.cum for r in out.collect()}
+    want = {(r.g, r.i): r.cum for r in naive.collect()}
+    assert got == want

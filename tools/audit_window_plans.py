@@ -247,10 +247,14 @@ def _alias_def(plan: str, token: str) -> str | None:
     first definition found — exprIds are unique per plan, so one
     definition exists at most). Returns None for non-aliased (source)
     columns."""
-    marker = f" AS {token}"
-    at = plan.find(marker)
-    if at < 0:
+    # exprId boundary: ``AS grp#12`` must not match ``AS grp#123``
+    # (r9 review: prefix collisions attributed another column's
+    # definition and could misclassify a bounded key as opaque)
+    m = re.search(rf" AS {re.escape(token)}(?![0-9])", plan)
+    if m is None:
         return None
+    at = m.start()
+    marker = m.group(0)
     # Backscan: balanced-paren expression if it ends with ")", else a
     # single token (identifier/function call without trailing paren is
     # always parenthesized in toString, so the simple cases suffice).
@@ -299,10 +303,18 @@ def _classify_key(token: str, plan: str, low_card: set[str]) -> tuple[str, str]:
     or derived whose estimated bound exceeds the threshold), or
     ``opaque`` (expression with no derivable bound).
     """
+    # A literal modulus above the bounded threshold is still a FIXED
+    # domain — never "real parallelism" at 100 TB (pmod(x, 32) is one
+    # task per 1/32 of the corpus forever). Such keys stay VISIBLE in
+    # the opaque tier rather than vanishing as unbounded (r9 review:
+    # the first cut silently dropped them, regressing the pre-r9
+    # everything-unresolvable-is-visible guarantee).
     if "(" in token:  # inline (non-aliased) expression key
         card = _est_cardinality(token)
+        if card is not None and card <= LOW_CARD_MAX:
+            return ("bounded", f"expr={card}")
         if card is not None:
-            return ("bounded" if card <= LOW_CARD_MAX else "unbounded", f"expr={card}")
+            return ("opaque", f"expr={card}")
         return ("opaque", token.split("#")[0][:40])
     name = token.split("#")[0]
     if name in low_card:
@@ -312,8 +324,9 @@ def _classify_key(token: str, plan: str, low_card: set[str]) -> tuple[str, str]:
         return ("unbounded", name)  # plain source column, high-card
     card = _est_cardinality(definition)
     if card is not None:
-        kind = "bounded" if card <= LOW_CARD_MAX else "unbounded"
-        return (kind, f"{name}={card}")
+        if card <= LOW_CARD_MAX:
+            return ("bounded", f"{name}={card}")
+        return ("opaque", f"{name}={card}")
     return ("opaque", name)
 
 

@@ -118,6 +118,9 @@ def main() -> int:
     # quiet hours keep one chunk each, so the offsets frame stays small
     from warpdb_spark.operators.sequence import refine_hot_chunks
 
+    # fine = unix seconds is legal HERE because corpus ts is generated
+    # at second resolution (from_unixtime); sub-second orders must pass
+    # the exact value instead — see refine_hot_chunks' legality note
     refined = refine_hot_chunks(
         base, "grp", hour_chunk("ts"), F.unix_timestamp("ts"),
         "event_id", advisory_rows=1_000_000,

@@ -34,15 +34,16 @@ from warpdb_spark.inventory.rotation import (  # noqa: F401 (re-exported)
 DRIVER_PRIORITY: list[str] = []
 
 
-def _refresh_driver_priority(names: list[str],
-                             changed: set[str]) -> list[str]:
+def _refresh_driver_priority(names: list[str], changed_thunk) -> list[str]:
     """(Re)build DRIVER_PRIORITY from the rotation bookkeeping. Called
     by load_all() with the merged inventory; respects a monkeypatched
     non-empty DRIVER_PRIORITY (the contract tests inject bad names to
-    assert loud failure)."""
+    assert loud failure). ``changed_thunk`` is only invoked on the
+    first build — the fingerprint walk over all entries is pure waste
+    on later load_all() calls whose result is discarded (r9 review)."""
     global DRIVER_PRIORITY
     if not DRIVER_PRIORITY:
-        DRIVER_PRIORITY = build_driver_priority(names, changed)
+        DRIVER_PRIORITY = build_driver_priority(names, changed_thunk())
     return DRIVER_PRIORITY
 
 
@@ -67,8 +68,10 @@ def load_all():
     from warpdb_spark.inventory.fingerprint import changed_since_green
     from warpdb_spark.inventory.fingerprints import GREEN_FINGERPRINTS
 
-    changed = changed_since_green(merged_q, merged_o, GREEN_FINGERPRINTS)
-    priority = _refresh_driver_priority(list(merged_q), changed)
+    priority = _refresh_driver_priority(
+        list(merged_q),
+        lambda: changed_since_green(merged_q, merged_o, GREEN_FINGERPRINTS),
+    )
     missing = [n for n in priority if n not in merged_q]
     if missing:
         raise RuntimeError(f"DRIVER_PRIORITY names not in inventory: {missing}")

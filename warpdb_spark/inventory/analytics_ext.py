@@ -542,6 +542,38 @@ def similarity_pq_adc(spark, sf_dir):
 _PQ_INDEX_ROOT = "/tmp/warpdb_spark_pq_index"
 
 
+def _publish_atomic(tmp: str, dst: str, markers: list[str]) -> None:
+    """Publish a built index dir with one atomic rename, SELF-HEALING a
+    partial destination (r9 review finding: treating every rename
+    failure as "a concurrent winner exists" wedged the cache forever
+    when dst was left partial — e.g. a crash between table writes or a
+    hand-deleted table — because the fresh build was discarded and the
+    reader then failed on the missing table, on every call).
+
+    markers are dst-relative _SUCCESS paths that define completeness.
+    rename onto an existing dir fails; if dst is COMPLETE the
+    concurrent winner's (bit-identical, deterministic build) copy
+    stands and tmp is discarded; if dst is PARTIAL it is removed and
+    the rename retried once. The worst interleaving (two healers, one
+    deletes the other's just-published dir) still converges to a
+    complete identical dir because builds are deterministic."""
+    import os
+    import shutil
+
+    def complete() -> bool:
+        return all(os.path.exists(os.path.join(dst, m)) for m in markers)
+
+    for _ in range(2):
+        try:
+            os.rename(tmp, dst)
+            return
+        except OSError:
+            if complete():
+                break
+            shutil.rmtree(dst, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def similarity_pq_persisted_index(spark, sf_dir):
     """PQ-ADC search served from a PERSISTED index — the amortization
     story behind `similarity_pq_adc`: index build (deterministic
@@ -585,9 +617,8 @@ def similarity_pq_persisted_index(spark, sf_dir):
         # rename (r8 advice): two concurrent cold-cache sessions used to
         # race mode('overwrite') on the shared final path, and overwrite
         # deletes files a concurrent reader's _SUCCESS check already
-        # passed. rename() onto an existing non-empty dir fails — the
-        # loser discards its build and reads the winner's.
-        import shutil
+        # passed. _publish_atomic renames once, self-healing a partial
+        # destination; a complete destination means a concurrent winner.
         import uuid
 
         tmp = f"{idx}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -603,10 +634,8 @@ def similarity_pq_persisted_index(spark, sf_dir):
         spark.createDataFrame(
             cb_rows, "sub int, code int, centroid array<double>"
         ).write.parquet(os.path.join(tmp, "codebooks.parquet"))
-        try:
-            os.rename(tmp, idx)
-        except OSError:  # a concurrent builder published first
-            shutil.rmtree(tmp, ignore_errors=True)
+        _publish_atomic(tmp, idx, ["codes.parquet/_SUCCESS",
+                                   "codebooks.parquet/_SUCCESS"])
 
     # query path: index tables only (+ the bounded query-vector fetch)
     codes = spark.read.parquet(codes_path)
@@ -659,7 +688,6 @@ def similarity_pq_index_refresh(spark, sf_dir):
     if not (_done(base_path) and _done(cb_path)):
         # initial build: codebook from the base slice, base codes, both
         # published atomically (the persisted-index discipline)
-        import shutil
         import uuid
 
         tmp = f"{idx}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -673,10 +701,8 @@ def similarity_pq_index_refresh(spark, sf_dir):
              for s_ in range(m_subs) for c in range(n_codes)],
             "sub int, code int, centroid array<double>",
         ).write.parquet(os.path.join(tmp, "codebooks.parquet"))
-        try:
-            os.rename(tmp, idx)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        _publish_atomic(tmp, idx, ["base_codes.parquet/_SUCCESS",
+                                   "codebooks.parquet/_SUCCESS"])
 
     cb_read = spark.read.parquet(cb_path).orderBy("sub", "code").collect()
     cb = np.array(
@@ -686,15 +712,11 @@ def similarity_pq_index_refresh(spark, sf_dir):
     if not _done(delta_path):
         # THE REFRESH: encode only the new rows with the frozen
         # codebook; one atomic publish of the delta, base untouched
-        import shutil
         import uuid
 
         tmpd = f"{delta_path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         S.pq_encode(emb.filter(F.col("vec_id") >= cutoff), cb).write.parquet(tmpd)
-        try:
-            os.rename(tmpd, delta_path)
-        except OSError:
-            shutil.rmtree(tmpd, ignore_errors=True)
+        _publish_atomic(tmpd, delta_path, ["_SUCCESS"])
 
     codes = spark.read.parquet(base_path).unionByName(
         spark.read.parquet(delta_path)

@@ -13,9 +13,13 @@ The fingerprint is a sha256 over the sorted (module.qualname, source)
 pairs of the entry callable plus every warpdb_spark-defined function or
 class transitively reachable from it through global-name references
 (including attributes pulled off warpdb_spark modules and closure
-cells), concatenated with the entry's oracle SQL. It is deterministic
-for a given working tree: it depends only on source text resolved via
-``inspect.getsource``, never on runtime state, ids, or dict order.
+cells), PLUS every reachable plain-data module constant as a
+(module, const:name, stable-repr) part — regex tables, thresholds,
+pattern lists carry behavior exactly like code (r9 review finding) —
+concatenated with the entry's oracle SQL. It is deterministic for a
+given working tree: it depends only on source text resolved via
+``inspect.getsource`` and insertion-/sort-stable value reprs, never on
+runtime state, ids, or hash-randomized iteration order.
 
 Over-approximation is deliberate and safe: the name-resolution walk may
 pull in a helper the entry never calls at runtime (module-attribute
@@ -31,6 +35,7 @@ from __future__ import annotations
 import functools
 import hashlib
 import inspect
+import re
 import types
 
 _PKG = "warpdb_spark"
@@ -75,14 +80,65 @@ def _code_names(code: types.CodeType) -> set[str]:
     return names
 
 
-def _referenced(fn) -> list:
-    """Objects a function's code can reach: resolved global names,
-    attributes of referenced warpdb_spark modules matching any co_name
-    (a cross-product over-approximation — see module docstring), and
-    closure-cell contents."""
+_DATA_TYPES = (str, bytes, int, float, bool, complex, type(None))
+
+
+def _stable_repr(value, depth: int = 0) -> str | None:
+    """Deterministic repr for plain-data module constants, or None if
+    the value is not plain data. Sets/frozensets sort by element repr
+    (their iteration order is hash-randomized across processes); dicts
+    keep insertion order (source order — stable for a fixed tree)."""
+    if depth > 6:
+        return "<deep>"
+    if isinstance(value, _DATA_TYPES):
+        return repr(value)
+    if isinstance(value, re.Pattern):
+        return f"re:{value.pattern!r}:{value.flags}"
+    if isinstance(value, (list, tuple)):
+        inner = [_stable_repr(v, depth + 1) for v in value]
+        if any(i is None for i in inner):
+            return None
+        return f"[{','.join(inner)}]"
+    if isinstance(value, (set, frozenset)):
+        inner = [_stable_repr(v, depth + 1) for v in value]
+        if any(i is None for i in inner):
+            return None
+        return f"{{{','.join(sorted(inner))}}}"
+    if isinstance(value, dict):
+        parts = []
+        for k, v in value.items():
+            rk, rv = _stable_repr(k, depth + 1), _stable_repr(v, depth + 1)
+            if rk is None or rv is None:
+                return None
+            parts.append(f"{rk}:{rv}")
+        return f"{{{','.join(parts)}}}"
+    return None
+
+
+def _referenced(fn) -> tuple[list, list]:
+    """What a function's code can reach: (callables, constants).
+
+    Callables: resolved global names, attributes of referenced
+    warpdb_spark modules matching any co_name (a cross-product
+    over-approximation — see module docstring), and closure-cell
+    contents. Constants: plain-data globals (PII_PATTERNS, BM25 K1/B,
+    threshold tables) as (module, name, stable_repr) triples — a
+    behavior-bearing constant edit must float the entry exactly like a
+    function edit (r9 review finding: the function-only walk was blind
+    to them)."""
     out: list = []
+    consts: list = []
     names = _code_names(fn.__code__)
     g = fn.__globals__
+    fmod = getattr(fn, "__module__", "") or ""
+
+    def visit(owner_mod: str, name: str, obj) -> None:
+        r = _stable_repr(obj) if not callable(obj) else None
+        if r is not None:
+            consts.append((owner_mod, name, r))
+        else:
+            out.append(obj)
+
     for name in sorted(names):
         obj = g.get(name)
         if obj is None:
@@ -92,21 +148,33 @@ def _referenced(fn) -> list:
                 for attr in sorted(names):
                     sub = getattr(obj, attr, None)
                     if sub is not None and not isinstance(sub, types.ModuleType):
-                        out.append(sub)
+                        visit(obj.__name__, attr, sub)
         else:
-            out.append(obj)
+            visit(fmod, name, obj)
     if fn.__closure__:
         for cell in fn.__closure__:
             try:
                 out.append(cell.cell_contents)
             except ValueError:  # empty cell
                 pass
-    return out
+    return out, consts
 
 
 def _collect(entry) -> list[tuple[tuple[str, str], str]]:
     seen: set[tuple[str, str]] = set()
     parts: list[tuple[tuple[str, str], str]] = []
+
+    def add_refs(fn) -> None:
+        callables, consts = _referenced(fn)
+        stack.extend(callables)
+        for mod, name, r in consts:
+            if mod.split(".")[0] != _PKG:
+                continue
+            ckey = (mod, f"const:{name}")
+            if ckey not in seen:
+                seen.add(ckey)
+                parts.append((ckey, r))
+
     stack = [entry]
     while stack:
         obj = _unwrap(stack.pop())
@@ -132,7 +200,7 @@ def _collect(entry) -> list[tuple[tuple[str, str], str]]:
             _SOURCE_CACHE[key] = src
         parts.append((key, src))
         if inspect.isfunction(obj):
-            stack.extend(_referenced(obj))
+            add_refs(obj)
         else:  # class: walk its methods' references (their source text
             # is already inside the class source)
             for v in vars(obj).values():
@@ -140,7 +208,7 @@ def _collect(entry) -> list[tuple[tuple[str, str], str]]:
                 if isinstance(v, (staticmethod, classmethod)):
                     v = v.__func__
                 if inspect.isfunction(v):
-                    stack.extend(_referenced(v))
+                    add_refs(v)
     return sorted(parts)
 
 

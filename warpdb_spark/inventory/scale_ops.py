@@ -38,16 +38,21 @@ from warpdb_spark.functions.text import alnum_tokens as _alnum_tokens  # noqa: E
 
 def _nulls_last_value_chunk(col: str = "value"):
     """Order-chunk for an asc_nulls_last value order with NO reachable
-    sentinel: struct(is_null, floor(value)). The previous integer
-    sentinel (1 << 62) corrupted the walk for any double >= 2^62 —
-    floor() of such a value lands AT or past the sentinel, ordering
-    real rows after NULLs (r8 advice). A boolean first field makes
-    NULL strictly greater than every non-null chunk for every
-    representable value; the chunked-scan primitives accept struct
-    chunks (partition + tiny-offsets ordering only)."""
+    sentinel: struct(is_null, is_nan, floor(value)). The previous
+    integer sentinel (1 << 62) corrupted the walk for any double >=
+    2^62 — floor() of such a value lands AT or past the sentinel,
+    ordering real rows after NULLs (r8 advice). The boolean fields
+    make NULL strictly greater than everything and NaN greater than
+    every finite/infinite value but less than NULL — exactly Spark's
+    (and DuckDB's) asc_nulls_last double order, for every
+    representable value including NaN (r9 review: floor(NaN) chunked
+    it near 0, ordering it before positive values while the window
+    order puts it last among non-nulls). The chunked-scan primitives
+    accept struct chunks (partition + tiny-offsets ordering only)."""
     c = F.col(col)
     return F.struct(
         c.isNull().alias("n"),
+        F.coalesce(F.isnan(c), F.lit(False)).alias("nan"),
         F.coalesce(F.floor(c), F.lit(0)).cast("long").alias("v"),
     )
 

@@ -185,11 +185,20 @@ def refine_hot_chunks(
 
     Legality (the chunk must partition the full (order, tiebreak)
     lexicographic order): ``base_chunk`` monotone in the leading order
-    column, ``fine_chunk`` monotone within equal base values (e.g.
-    hour -> unix seconds), ``tiebreak_col`` the unique final order
-    column. Two same-group rows with equal base chunk are both hot or
-    both cold (the flag is per (group, base)), so the struct compares
-    consistently; the hot set rides a broadcast join (it is at most
+    column; ``fine_chunk`` monotone within equal base values AND fine
+    enough that rows sharing (base, fine) are ordered by
+    ``tiebreak_col`` ALONE — i.e. fine_chunk must separate every
+    distinct leading-order value, not merely refine the base (r9
+    review: a TRUNCATION like unix seconds over sub-second timestamps
+    satisfies "monotone within base" yet leaves two distinct ts in one
+    fine chunk, where the id-bucket field can order them against the
+    real (ts, id) order and silently corrupt the stitch — for
+    timestamp orders pass the exact value, e.g.
+    ``F.col("ts").cast("double")`` or microsecond epoch); and
+    ``tiebreak_col`` the unique final order column. Two same-group
+    rows with equal base chunk are both hot or both cold (the flag is
+    per (group, base)), so the struct compares consistently; the hot
+    set rides a broadcast join (it is at most
     |flagged pairs| rows — if THAT outgrows broadcast, the data has
     more hot chunks than tasks and the advisory threshold is wrong).
 
@@ -207,11 +216,16 @@ def refine_hot_chunks(
     out = b.join(F.broadcast(hot), [group_col, "__bc"], "left")
     zero = F.lit(0).cast("long")
     is_hot = F.col("__hot").isNotNull()
+    # the fine field keeps ITS OWN type — casting to long here would
+    # re-introduce the truncation trap the legality note warns about
+    # (an exact double timestamp silently floored back to seconds; r9
+    # review + regression test). Cold rows take NULL, which compares
+    # equal across the whole cold chunk in the struct ordering.
     return out.withColumn(
         "__rchunk",
         F.struct(
             F.col("__bc").alias("b"),
-            F.when(is_hot, fine_chunk.cast("long")).otherwise(zero).alias("f"),
+            F.when(is_hot, fine_chunk).alias("f"),
             F.when(is_hot, F.floor(F.col(tiebreak_col) / width)).otherwise(zero).alias("t"),
         ),
     ).drop("__bc", "__hot")
