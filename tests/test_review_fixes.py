@@ -496,6 +496,14 @@ class TestUpdateRotationParse:
             moved[3]: {"rows_match": True, "schema_match": True,
                         "hash_match": "skipped", "err": None},
         }))
+        # the tool now validates fingerprints BEFORE any write (r9
+        # review fix); the synthetic names aren't real inventory
+        # entries, so stub that step — this test is about the
+        # rotation-file rewrite mechanics — and point the generated
+        # fingerprints file at a scratch copy
+        monkeypatch.setattr(ur, "merged_fingerprints", lambda names: ({}, 0))
+        fp_copy = tmp_path / "fingerprints.py"
+        monkeypatch.setattr(ur, "FINGERPRINTS", fp_copy)
         monkeypatch.setattr("sys.argv", ["update_rotation.py", str(art), "4", "--write"])
         assert ur.main() == 0
         out = copy.read_text()
@@ -575,3 +583,40 @@ class TestRound5AdviceFixes:
             list(cls().eval("a b c", 2.7))
         # integral-valued floats still accepted (2.0 == 2)
         assert list(cls().eval("a b c", 2.0)) == [(0, "a b"), (1, "b c")]
+
+
+class TestRound9RotationWriteOrdering:
+    def test_unknown_green_name_leaves_both_files_untouched(
+        self, tmp_path, monkeypatch
+    ):
+        """r9 review fix: a green window row that is not in the
+        inventory must abort BEFORE rotation.py or fingerprints.py is
+        written — the old ordering rewrote rotation.py first, leaving
+        the two generated files skewed."""
+        import json
+
+        import pytest as _pytest
+
+        import tools.update_rotation as ur
+
+        copy = tmp_path / "rotation.py"
+        copy.write_text(ur.ROTATION.read_text())
+        fp_copy = tmp_path / "fingerprints.py"
+        fp_copy.write_text("SENTINEL")
+        monkeypatch.setattr(ur, "ROTATION", copy)
+        monkeypatch.setattr(ur, "FINGERPRINTS", fp_copy)
+        before = copy.read_text()
+        art = tmp_path / "c.json"
+        art.write_text(json.dumps({
+            "no_such_inventory_entry": {
+                "rows_match": True, "schema_match": True,
+                "hash_match": True, "err": None,
+            },
+        }))
+        monkeypatch.setattr(
+            "sys.argv", ["update_rotation.py", str(art), "9", "--write"]
+        )
+        with _pytest.raises(SystemExit, match="not in inventory"):
+            ur.main()
+        assert copy.read_text() == before
+        assert fp_copy.read_text() == "SENTINEL"
