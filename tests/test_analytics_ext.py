@@ -604,3 +604,19 @@ def test_persisted_index_self_heals_partial_dir(spark, sf_dir):
     assert again == first
     assert os.path.exists(os.path.join(idx, "codebooks.parquet", "_SUCCESS"))
     assert not [d for d in os.listdir(_PQ_INDEX_ROOT) if ".tmp-" in d]
+
+
+def test_refresh_delta_encode_pushes_cutoff_to_scan(spark, sf_dir):
+    """The O(new rows) refresh claim holds only if the delta encode's
+    embeddings scan pushes vec_id >= cutoff down to parquet."""
+    from warpdb_spark.inventory.analytics_ext import _PQ_REFRESH_CUTOFF, _t
+    from warpdb_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = S.pq_train(
+        emb.filter(F.col("vec_id") < _PQ_REFRESH_CUTOFF),
+        m_subs=16, n_codes=32, train_iters=0, seed=42,
+    )
+    delta = S.pq_encode(emb.filter(F.col("vec_id") >= _PQ_REFRESH_CUTOFF), cb)
+    plan = _plan(delta)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(vec_id," in plan, plan[:1500]

@@ -2315,6 +2315,73 @@ def sample_token_budget(spark, sf_dir):
     )
 
 
+def sample_dsir_importance(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    in the raw pool by how target-like its HASHED N-GRAM profile is —
+    per-bucket Laplace-smoothed log ratio of target vs raw bucket
+    probabilities, summed over the doc's grams — and keep the top 50.
+    Features: word unigrams + bigrams of the normalized text, hashed
+    into 1024 buckets with the engine-portable md5-u32
+    (sample_weighted idiom, bit-for-bit replayable in DuckDB). The
+    target distribution is the src1/src2 slice (the "curated
+    reference corpus" stand-in); the raw distribution is the whole
+    pool (standard DSIR: target ⊂ raw).
+
+    Scale shape: one gram explode (corpus-token volume, scanned twice
+    — once for the bucket counts, once for scoring; at 100 TB you'd
+    persist the 1024-bucket projection, which is the cheaper side);
+    the bucket-count aggregate map-side-combines to EXACTLY 1024 rows
+    per side computed in ONE pass (count + filtered count); the weight
+    table is 1024 rows forever and broadcasts; per-doc scoring is one
+    doc_id aggregate; top-50 is TakeOrderedAndProject. No pairwise
+    anything, no model inference — the published method's hashed-ngram
+    approximation is exactly what makes it a one-pass-per-side SQL
+    plan."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        T.tokens(T.normalized_text(F.col("text"))).alias("__tk"),
+    )
+    g = d.select(
+        "doc_id", "source",
+        F.explode(
+            F.concat(F.col("__tk"), T.word_ngrams_from_tokens(F.col("__tk"), 2))
+        ).alias("gram"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long") % 1024
+    )
+    is_target = F.col("source").isin("src1", "src2")
+    gb = g.select("doc_id", is_target.alias("__t"), bucket.alias("bucket"))
+    counts = gb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("__t"), F.lit(1))).alias("ct"),
+    )
+    tot = counts.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + F.lit(1024.0)))
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + F.lit(1024.0)))
+        ).alias("w"),
+    )
+    scored = (
+        gb.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("w"), 6).alias("dsir_score"),
+        )
+    )
+    top = scored.orderBy(F.desc("dsir_score"), "doc_id").limit(50)
+    return top.join(docs.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id", "lang", "source", "n_grams", "dsir_score"
+    )
+
+
 def dedup_incremental_new_docs(spark, sf_dir):
     """Incremental-ingest dedup: a "new batch" (doc_id % 5 = 0) is
     admitted only if its normalized-content md5 does not already exist
@@ -2406,6 +2473,7 @@ QUERIES = {
     "text_vocab_oov": text_vocab_oov,
     "text_top_bigrams": text_top_bigrams,
     "sample_token_budget": sample_token_budget,
+    "sample_dsir_importance": sample_dsir_importance,
     "dedup_incremental_new_docs": dedup_incremental_new_docs,
     "text_gopher_rules": text_gopher_rules,
     "text_unigram_logprob": text_unigram_logprob,
@@ -3254,6 +3322,30 @@ ORACLES = {
         "ELSE [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] END) "
         "AS bigram FROM t) "
         "SELECT bigram, count(*) AS tf FROM b GROUP BY 1 ORDER BY tf DESC, bigram LIMIT 25"
+    ),
+    # DSIR: same md5-u32 bucket hash, same Laplace-smoothed per-bucket
+    # log ratio, same (rounded score, doc_id) top-50 order
+    "sample_dsir_importance": (
+        f"WITH d AS (SELECT doc_id, source, string_split({_norm}, ' ') AS toks "
+        "FROM documents), "
+        "g AS (SELECT doc_id, source, gram FROM ("
+        "SELECT doc_id, source, unnest(toks) AS gram FROM d "
+        "UNION ALL "
+        "SELECT doc_id, source, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) "
+        "ELSE [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)] END) "
+        "AS gram FROM d) WHERE gram <> ''), "
+        "b AS (SELECT doc_id, source IN ('src1', 'src2') AS is_t, "
+        "CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % 1024 AS BIGINT) AS bucket FROM g), "
+        "counts AS (SELECT bucket, count(*) AS cr, "
+        "count(*) FILTER (is_t) AS ct FROM b GROUP BY 1), "
+        "tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts), "
+        "w AS (SELECT bucket, ln((ct + 1) / (tt + 1024.0)) - ln((cr + 1) / (tr + 1024.0)) AS w "
+        "FROM counts CROSS JOIN tot), "
+        "s AS (SELECT doc_id, count(*) AS n_grams, round(sum(w), 6) AS dsir_score "
+        "FROM b JOIN w USING (bucket) GROUP BY 1), "
+        "top AS (SELECT * FROM s ORDER BY dsir_score DESC, doc_id LIMIT 50) "
+        "SELECT top.doc_id, d2.lang, d2.source, n_grams, dsir_score "
+        "FROM top JOIN documents d2 ON d2.doc_id = top.doc_id"
     ),
     "sample_token_budget": (
         r"WITH d AS (SELECT doc_id, lang, len(string_split_regex(trim(text), '\s+')) "

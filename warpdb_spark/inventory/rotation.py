@@ -327,6 +327,7 @@ PENDING_ORDER: list[str] = [
     # green tier (the 13 r8 rewrites), which precedes oldest-green
     "similarity_pq_index_refresh",
     "events_sessionize_by_type",
+    "sample_dsir_importance",
 ]
 
 
