@@ -374,3 +374,51 @@ def test_refine_hot_chunks_subsecond_ts_needs_exact_fine_value(spark):
     got = {(r.g, r.i): r.cum for r in out.collect()}
     want = {(r.g, r.i): r.cum for r in naive.collect()}
     assert got == want
+
+
+def test_grouped_lag_equals_naive_lag(events):
+    from warpdb_spark.operators.sequence import grouped_lag
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    want = sorted(
+        map(
+            tuple,
+            events.select(
+                "event_type", "event_id",
+                F.lag("user_id").over(w).alias("prev"),
+            ).collect(),
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+    got = sorted(
+        map(
+            tuple,
+            grouped_lag(
+                events, "event_type", ["ts", "event_id"], "user_id",
+                hour_chunk("ts"), out_col="prev",
+            ).select("event_type", "event_id", "prev").collect(),
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert got == want
+
+
+def test_grouped_lag_sparse_and_single_row_chunks(spark):
+    from warpdb_spark.operators.sequence import grouped_lag
+
+    rows = [
+        Row(event_id=1, ts=10, event_type="x", user_id=1),
+        Row(event_id=2, ts=20, event_type="x", user_id=2),
+        Row(event_id=3, ts=7 * 3600 + 5, event_type="x", user_id=3),  # lone chunk
+        Row(event_id=4, ts=50, event_type="y", user_id=9),  # lone row
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.timestamp_seconds("ts"))
+    got = {
+        (r.event_type, r.event_id): r.prev
+        for r in grouped_lag(
+            df, "event_type", ["ts", "event_id"], "user_id",
+            hour_chunk("ts"), out_col="prev",
+        ).collect()
+    }
+    # chunk-first rows reach back across the 7-chunk gap; group firsts NULL
+    assert got == {("x", 1): None, ("x", 2): 1, ("x", 3): 2, ("y", 4): None}

@@ -1944,11 +1944,13 @@ def events_sessionize_by_type(spark, sf_dir):
     corpus in one task. Both sequential passes run through the chunked
     primitives (operators/sequence.py):
 
-    1. gap detection: grouped_global_rank gives each event its
-       type-wide position (window per (type, hour chunk) + offsets over
-       one aggregated row per chunk); the previous event arrives by a
-       rank self-join on (type, rn-1) — shuffle key cardinality = row
-       count, real parallelism at any scale.
+    1. gap detection: grouped_lag attaches each event's previous
+       timestamp — lag within (type, hour chunk) + each chunk's first
+       row taking the previous chunk's last ts from one aggregated row
+       per chunk. (A first spelling used grouped_global_rank + a
+       (type, rank) row-volume self-join; replay_sessionize.py
+       measured it 2x the naive cost at 20M — the lag primitive
+       removes the join and a full rank pass.)
     2. episode numbering: grouped_prefix_sum of the new-episode flag
        under the same order.
 
@@ -1957,23 +1959,19 @@ def events_sessionize_by_type(spark, sf_dir):
     Completing include/expression.hpp:112-121 (the reference parses
     OVER and never executes it) with the 100 TB-safe spelling."""
     from warpdb_spark.operators.sequence import (
-        grouped_global_rank,
+        grouped_lag,
         grouped_prefix_sum,
         hour_chunk,
     )
 
     ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts")
-    r = grouped_global_rank(
-        ev, "event_type", ["ts", "event_id"], hour_chunk("ts"),
-        rank_col="rn", n_col=None,
-    )
-    prev = r.select(
-        "event_type", (F.col("rn") + 1).alias("rn"), F.col("ts").alias("prev_ts")
-    )
     sec = F.col("ts").cast("long")
     psec = F.col("prev_ts").cast("long")
     j = (
-        r.join(prev, ["event_type", "rn"], "left")
+        grouped_lag(
+            ev, "event_type", ["ts", "event_id"], "ts", hour_chunk("ts"),
+            out_col="prev_ts",
+        )
         .withColumn(
             "new_s",
             F.when(psec.isNull() | ((sec - psec) > 1800), F.lit(1)).otherwise(F.lit(0)),

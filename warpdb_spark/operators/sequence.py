@@ -163,6 +163,62 @@ def chunk_skew_stats(
     )
 
 
+def grouped_lag(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    chunk_expr: Column,
+    out_col: str = "__prev",
+) -> DataFrame:
+    """Append ``lag(value) OVER (PARTITION BY group ORDER BY order)``
+    — each row's PREVIOUS row's value — without the per-group corpus
+    sort, and without the row-volume rank self-join the first
+    sessionize spelling paid (measured 2x the naive cost at 20M rows;
+    this spelling replaces it). Two passes:
+
+    1. local: lag within (group, chunk) — fills every row except each
+       chunk's first.
+    2. boundary: one aggregated row per (group, chunk) carrying the
+       chunk's last value under the full order (max_by, map-side
+       combined); a lag over (group ORDER BY chunk) on that small
+       frame gives each chunk the PREVIOUS NON-EMPTY chunk's last
+       value, broadcast-joined back and taken where the local lag is
+       NULL.
+
+    NULL caveat (same contract as grouped_lead_pairs): a NULL
+    ``value_col`` is indistinguishable from "no previous row" — both
+    surface as NULL ``out_col``. Pass a non-null marker (struct) if
+    the distinction matters. ``chunk_expr`` rules are
+    grouped_global_rank's (order-monotone, equal leading values share
+    a chunk; NULL chunks legal via the null-safe stitch join)."""
+    _assert_no_reserved(
+        df, ("__chunk", "__g2", "__c2", "__pl", "__last", out_col)
+    )
+    b = df.withColumn("__chunk", chunk_expr)
+    w_loc = Window.partitionBy(group_col, "__chunk").orderBy(*order_cols)
+    local = b.withColumn(out_col, F.lag(value_col).over(w_loc))
+    ordkey = F.struct(*[F.col(c) for c in order_cols])
+    bounds = b.groupBy(group_col, "__chunk").agg(
+        F.max_by(value_col, ordkey).alias("__last")
+    )
+    w_b = Window.partitionBy(group_col).orderBy("__chunk")
+    prevlast = bounds.select(
+        F.col(group_col).alias("__g2"),
+        F.col("__chunk").alias("__c2"),
+        F.lag("__last").over(w_b).alias("__pl"),
+    )
+    return (
+        local.join(
+            prevlast,
+            F.col(group_col).eqNullSafe(F.col("__g2"))
+            & F.col("__chunk").eqNullSafe(F.col("__c2")),
+        )
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.col("__pl")))
+        .drop("__chunk", "__g2", "__c2", "__pl")
+    )
+
+
 def refine_hot_chunks(
     df: DataFrame,
     group_col: str,
