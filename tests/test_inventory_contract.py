@@ -346,3 +346,30 @@ def test_changed_tier_orders_ahead_of_unchanged(monkeypatch):
     assert tail[0] == newest
     order_unchanged = rotation.build_driver_priority(names, changed=set())
     assert order_unchanged.index(newest) > order.index(newest)
+
+
+def test_fingerprints_immune_to_construction_side_effects(spark, sf_dir):
+    """r9 isolated-run finding: private mutable module globals
+    (plans.builder._SQ_SEQ subquery counter,
+    curation_ext._JACCARD_EDGE_CACHE persist registry) leaked runtime
+    state into const-aware fingerprints — constructing any dialect
+    entry changed 41 entries' fingerprints mid-process, flapping the
+    changed-since-green tier. Constructing entries must leave every
+    fingerprint untouched."""
+    from warpdb_spark.inventory import fingerprint as FP
+
+    q, o = inventory.load_all()
+    probes = [
+        "dialect_tpch_q1",       # bumps the _SQ_SEQ counter
+        "graph_neighbor_jaccard",  # fills _JACCARD_EDGE_CACHE
+        "window_qualify",
+    ]
+    before = {n: FP.entry_fingerprint(q[n], o.get(n)) for n in probes}
+    try:
+        for n in probes:
+            q[n](spark, sf_dir)
+    finally:
+        spark.catalog.clearCache()
+    FP._SOURCE_CACHE.clear()
+    after = {n: FP.entry_fingerprint(q[n], o.get(n)) for n in probes}
+    assert after == before

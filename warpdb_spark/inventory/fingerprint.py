@@ -83,6 +83,34 @@ def _code_names(code: types.CodeType) -> set[str]:
 _DATA_TYPES = (str, bytes, int, float, bool, complex, type(None))
 
 
+def _is_immutable_data(value, depth: int = 0) -> bool:
+    """Scalars, re.Pattern, and tuples/frozensets thereof — values that
+    CANNOT change after module import."""
+    if depth > 6:
+        return False
+    if isinstance(value, (_DATA_TYPES, re.Pattern)):
+        return True
+    if isinstance(value, (tuple, frozenset)):
+        return all(_is_immutable_data(v, depth + 1) for v in value)
+    return False
+
+
+def _is_static_const(name: str, value) -> bool:
+    """Should a reachable module global be hashed as a constant?
+    Immutable pure data: always. MUTABLE containers (list/dict/set):
+    only public UPPERCASE module constants (PII_PATTERNS-class tables)
+    — private mutable globals are runtime state by convention, and
+    hashing them made fingerprints drift within a process (r9 isolated
+    test run: plans.builder._SQ_SEQ is a subquery-alias counter,
+    curation_ext._JACCARD_EDGE_CACHE a persist registry; constructing
+    any dialect entry changed 41 entries' fingerprints). A private
+    mutable table that IS behavior-bearing would be missed — accepted
+    under-approximation, named here so a reviewer can weigh it."""
+    if _is_immutable_data(value):
+        return True
+    return name.isupper() and not name.startswith("_")
+
+
 def _stable_repr(value, depth: int = 0) -> str | None:
     """Deterministic repr for plain-data module constants, or None if
     the value is not plain data. Sets/frozensets sort by element repr
@@ -133,7 +161,11 @@ def _referenced(fn) -> tuple[list, list]:
     fmod = getattr(fn, "__module__", "") or ""
 
     def visit(owner_mod: str, name: str, obj) -> None:
-        r = _stable_repr(obj) if not callable(obj) else None
+        r = (
+            _stable_repr(obj)
+            if not callable(obj) and _is_static_const(name, obj)
+            else None
+        )
         if r is not None:
             consts.append((owner_mod, name, r))
         else:
