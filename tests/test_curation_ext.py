@@ -426,6 +426,54 @@ class TestKsTwoSample:
         assert 0.0 <= r["ks_d"] <= 1.0
 
 
+class TestMannWhitneyU:
+    def test_identical_arms_center_u(self, spark, inject):
+        # same value multiset as click and purchase → R_A is exactly
+        # half the total rank mass → U = n0*n1/2, z = 0
+        rows = []
+        for k in range(6):
+            rows.append((2 * k, TS0, k, "click", 10.0 + k))
+            rows.append((2 * k + 1, TS0, k, "purchase", 10.0 + k))
+        inject(_events(spark, rows))
+        r = cx.stats_mannwhitney_u(spark, "x").collect()[0]
+        assert r["n0"] == r["n1"] == 6
+        assert r["u_stat"] == 18.0  # 6*6/2
+        assert r["z_score"] == 0.0
+
+    def test_separated_arms_give_extreme_u(self, spark, inject):
+        # every click value below every purchase value → U_A = 0
+        rows = [(u, TS0, u, "click", 1.0) for u in range(5)]
+        rows += [(10 + u, TS0, u, "purchase", 100.0 + u) for u in range(5)]
+        inject(_events(spark, rows))
+        r = cx.stats_mannwhitney_u(spark, "x").collect()[0]
+        assert r["u_stat"] == 0.0
+        assert r["z_score"] < 0
+
+    def test_hand_computed_midranks_with_tie(self, spark, inject):
+        # clicks {1,2}, purchases {2,3}: midrank(2) = 2.5, R_A = 3.5,
+        # U = 0.5; tie term t³-t = 6 → var = (4/12)(5 - 6/12) = 1.5,
+        # z = -1.5/√1.5 — pins the .5-midrank and tie-correction paths
+        rows = [(1, TS0, 0, "click", 1.0), (2, TS0, 1, "click", 2.0),
+                (3, TS0, 2, "purchase", 2.0), (4, TS0, 3, "purchase", 3.0)]
+        inject(_events(spark, rows))
+        r = cx.stats_mannwhitney_u(spark, "x").collect()[0]
+        assert r["u_stat"] == 0.5
+        assert r["z_score"] == round(-1.5 / math.sqrt(1.5), 6)
+
+    def test_degenerate_all_tied_z_null(self, spark, inject):
+        # a single shared value → var = 0 → z_score NULL, U still valid
+        rows = [(1, TS0, 0, "click", 5.0), (2, TS0, 1, "purchase", 5.0)]
+        inject(_events(spark, rows))
+        r = cx.stats_mannwhitney_u(spark, "x").collect()[0]
+        assert r["u_stat"] == 0.5  # midrank 1.5 → R_A 1.5 → U 0.5
+        assert r["z_score"] is None
+
+    def test_real_data_bounds(self, spark, sf_dir):
+        r = cx.stats_mannwhitney_u(spark, sf_dir).collect()[0]
+        assert 0.0 <= r["u_stat"] <= r["n0"] * r["n1"]
+        assert abs(r["z_score"]) < 6  # same synthetic value generator
+
+
 class TestPsiValueDrift:
     def test_identical_distributions_give_zero(self, spark, inject):
         rows = []

@@ -914,6 +914,81 @@ def stats_ks_two_sample(spark, sf_dir):
     )
 
 
+def stats_mannwhitney_u(spark, sf_dir):
+    """Mann–Whitney U rank-sum test (tie-corrected normal
+    approximation) comparing click vs purchase event values — the
+    NONPARAMETRIC companion to events_ab_welch_ztest (means) and
+    stats_ks_two_sample (shape): U asks "does one arm stochastically
+    dominate the other" without assuming any distribution, the test a
+    pipeline reaches for when value is heavy-tailed enough that means
+    are meaningless.
+
+    No global sort: the rank sum needs each value's MIDRANK
+    (cum_less + (t+1)/2 for a value tied t times), and midranks are a
+    function of per-distinct-value counts alone — so the stream
+    collapses to one map-side-combined groupBy on integer cents
+    (≤~49k rows, bounded by the VALUE DOMAIN, not the corpus; the
+    stats_ks_two_sample discipline) and the cumulative window runs
+    over that bounded frame. 2·R_A = Σ ca·(2·cum_less + t + 1) stays
+    in DECIMAL(38,0) (it crosses int64 near ~3e9 rows/arm; DuckDB
+    HUGEINT), as does the tie term Σ(t³−t) (t³ crosses int64 at
+    t≈2e6); only the final z division is float. At 100 TB the plan is
+    one scan + one ≤49k-row window — the same shape it is here."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    arm = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    d = (
+        ev.select(arm.alias("arm"), cents.alias("cents"))
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "ca",
+        (F.col("ca") + F.col("cb")).alias("cc"),
+        (F.sum(F.col("ca") + F.col("cb")).over(w) - (F.col("ca") + F.col("cb"))).alias("cum_less"),
+    )
+    dec = "decimal(38,0)"
+    s = c.agg(
+        F.sum("ca").cast("long").alias("n0"),
+        F.sum(F.col("cc") - F.col("ca")).cast("long").alias("n1"),
+        F.sum(
+            F.col("ca").cast(dec) * (2 * F.col("cum_less") + F.col("cc") + 1)
+        ).alias("r2"),
+        F.sum(
+            F.col("cc").cast(dec) * F.col("cc") * F.col("cc") - F.col("cc")
+        ).alias("tie_t"),
+    )
+    f = s.select(
+        "n0",
+        "n1",
+        (F.col("n0") + F.col("n1")).alias("nn"),
+        (F.col("r2") - F.col("n0").cast(dec) * (F.col("n0") + 1)).alias("u2"),
+        "tie_t",
+    )
+    n0d = F.col("n0").cast("double")
+    nnd = F.col("nn").cast("double")
+    # var of U under H0 with tie correction; z from 2U to keep the
+    # .5-midrank contributions integral until this final expression
+    var = (n0d * F.col("n1") / 12.0) * (
+        (F.col("nn") + 1)
+        - F.col("tie_t").cast("double") / (nnd * (F.col("nn") - 1))
+    )
+    z = (F.col("u2").cast("double") - n0d * F.col("n1")) / (2.0 * F.sqrt(var))
+    return f.filter((F.col("n0") > 0) & (F.col("n1") > 0)).select(
+        "n0",
+        "n1",
+        F.round(F.col("u2").cast("double") / 2.0, 2).alias("u_stat"),
+        F.when(var > 0, F.round(z, 6)).alias("z_score"),
+    )
+
+
 _PSI_BUCKET_CENTS = 2500  # $25 buckets — ≤~20 over the value domain
 
 
@@ -1434,6 +1509,7 @@ QUERIES = {
     "graph_neighbor_jaccard": graph_neighbor_jaccard,
     "events_ab_welch_ztest": events_ab_welch_ztest,
     "stats_ks_two_sample": stats_ks_two_sample,
+    "stats_mannwhitney_u": stats_mannwhitney_u,
     "events_psi_value_drift": events_psi_value_drift,
     "join_bloom_prefilter": join_bloom_prefilter,
     "join_bloom_prefilter_partitioned": join_bloom_prefilter_partitioned,
@@ -1538,6 +1614,35 @@ ORACLES = {
         "round(sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1)) "
         "* (CAST(dnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1)), 6) AS ks_stat "
         "FROM p WHERE rn = 1"
+    ),
+    # same cents collapse, HUGEINT 2-rank-sum + tie term, identical
+    # float association in the final z
+    "stats_mannwhitney_u": (
+        "WITH b AS (SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS arm, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents "
+        "FROM events WHERE event_type IN ('click', 'purchase') "
+        "AND value IS NOT NULL), "
+        "d AS (SELECT cents, "
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb "
+        "FROM b GROUP BY cents), "
+        "c AS (SELECT ca, ca + cb AS cc, "
+        "sum(ca + cb) OVER (ORDER BY cents) - (ca + cb) AS cum_less FROM d), "
+        "s AS (SELECT CAST(sum(ca) AS BIGINT) AS n0, "
+        "CAST(sum(cc - ca) AS BIGINT) AS n1, "
+        "sum(CAST(ca AS HUGEINT) * (2 * cum_less + cc + 1)) AS r2, "
+        "sum(CAST(cc AS HUGEINT) * cc * cc - cc) AS tie_t FROM c), "
+        "f AS (SELECT n0, n1, n0 + n1 AS nn, "
+        "r2 - CAST(n0 AS HUGEINT) * (n0 + 1) AS u2, tie_t FROM s) "
+        "SELECT n0, n1, "
+        "round(CAST(u2 AS DOUBLE) / 2.0, 2) AS u_stat, "
+        "CASE WHEN (CAST(n0 AS DOUBLE) * n1 / 12.0) * ((nn + 1) - "
+        "CAST(tie_t AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1))) > 0 "
+        "THEN round((CAST(u2 AS DOUBLE) - CAST(n0 AS DOUBLE) * n1) / "
+        "(2.0 * sqrt((CAST(n0 AS DOUBLE) * n1 / 12.0) * ((nn + 1) - "
+        "CAST(tie_t AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1))))), 6) "
+        "ELSE NULL END AS z_score "
+        "FROM f WHERE n0 > 0 AND n1 > 0"
     ),
     # micro-snapped PSI terms over the (type x bucket) grid
     "events_psi_value_drift": (

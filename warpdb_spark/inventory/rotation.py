@@ -328,6 +328,8 @@ PENDING_ORDER: list[str] = [
     "similarity_pq_index_refresh",
     "events_sessionize_by_type",
     "sample_dsir_importance",
+    # round-9 second-session additions
+    "stats_mannwhitney_u",
 ]
 
 
