@@ -428,6 +428,82 @@ class TestSubwordSegment:
         assert got.agg(FF.sum("n_subwords")).collect()[0][0] == expected_total
 
 
+class TestBpeLearnMerges:
+    @staticmethod
+    def _py_bpe(wf, steps):
+        syms = {w: list(w) for w in wf}
+        merges = []
+        for step in range(1, steps + 1):
+            from collections import Counter
+
+            pc = Counter()
+            for w, f in wf.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                break
+            (a, b), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+            )
+            merges.append((step, a, b, a + b, cnt))
+            for w, s in syms.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges
+
+    def test_overlap_merges_left_to_right(self, spark, monkeypatch):
+        # 'aaa' COUNTS the (a,a) pair twice (overlapping adjacency,
+        # as in the reference BPE counter: 2 per word x 3 words = 6)
+        # but MERGES left-to-right non-overlapping → after merge 1
+        # 'aaa' = [aa, a]; step 2 must then pick (aa, a) — a merged
+        # symbol on the LEFT — with count 3
+        docs = spark.createDataFrame(
+            [(1, "aaa aaa aaa b c")], "doc_id long, text string"
+        )
+        monkeypatch.setattr(scale_ops, "_t", lambda s, d, n: docs)
+        rows = scale_ops.text_bpe_learn_merges(spark, "x").collect()
+        assert (rows[0]["left_sym"], rows[0]["right_sym"], rows[0]["pair_count"]) == ("a", "a", 6)
+        assert (rows[1]["left_sym"], rows[1]["right_sym"], rows[1]["pair_count"]) == ("aa", "a", 3)
+
+    def test_frequency_weighting_and_tiebreak(self, spark, monkeypatch):
+        # 'xy' appears 3 times (weight), 'pq'/'pr' once each; first
+        # merge is (x,y) by count; later steps hit count ties which
+        # must break by ASCENDING pair string
+        docs = spark.createDataFrame(
+            [(1, "xy xy"), (2, "xy pq pr")], "doc_id long, text string"
+        )
+        monkeypatch.setattr(scale_ops, "_t", lambda s, d, n: docs)
+        rows = scale_ops.text_bpe_learn_merges(spark, "x").collect()
+        assert (rows[0]["merged"], rows[0]["pair_count"]) == ("xy", 3)
+        # remaining pairs (p,q) and (p,r) both count 1 → 'p q' < 'p r'
+        assert rows[1]["merged"] == "pq" and rows[2]["merged"] == "pr"
+        # merge exhaustion: only 3 pairs existed → exactly 3 rows
+        assert len(rows) == 3
+
+    def test_matches_pure_python_on_real_corpus(self, spark, sf_dir):
+        import re
+        from collections import Counter
+
+        docs = scale_ops._t(spark, sf_dir, "documents").select("text").collect()
+        wf = Counter()
+        for r in docs:
+            wf.update(t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t)
+        expected = self._py_bpe(wf, scale_ops._BPE_STEPS)
+        got = [
+            (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+            for r in scale_ops.text_bpe_learn_merges(spark, sf_dir).collect()
+        ]
+        assert got == expected
+
+
 class TestCountMinSketch:
     def test_never_undercounts_and_bounded(self, spark, sf_dir):
         rows = scale_ops.sketch_countmin_words(spark, sf_dir).collect()

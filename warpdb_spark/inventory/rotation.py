@@ -330,6 +330,7 @@ PENDING_ORDER: list[str] = [
     "sample_dsir_importance",
     # round-9 second-session additions
     "stats_mannwhitney_u",
+    "text_bpe_learn_merges",
 ]
 
 

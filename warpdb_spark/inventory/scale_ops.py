@@ -933,6 +933,116 @@ _SW_ORACLE = (
 )
 
 
+_BPE_STEPS = 6  # merges learned; the loop cost is STEPS passes over the vocab
+
+
+def text_bpe_learn_merges(spark, sf_dir):
+    """Learn the first 6 BPE merges over the corpus (Sennrich et al.
+    2016, the algorithm behind GPT-2/LLaMA tokenizers) — the LEARNING
+    half that text_subword_segment's frequency-vocab encoding skips:
+    start from characters, repeatedly count adjacent symbol pairs
+    weighted by word frequency, merge the most frequent pair
+    everywhere (ties broken by pair string), and emit the merge table
+    (step, left, right, merged, count) — the tokenizer artifact a
+    training pipeline ships.
+
+    Distributed shape (the standard one — BPE is inherently
+    sequential in the MERGE dimension, embarrassingly parallel in the
+    DATA dimension): the corpus collapses once to the persisted
+    (word, count) vocabulary — the only corpus-scale pass; each of
+    the 6 iterations is then one explode + map-side-combined pair
+    count over the VOCAB table with a single-row TakeOrdered collect
+    (the argmax pair — bounded driver data by construction), and the
+    merge applies as a regexp_replace('\\bA B\\b' → 'AB'), identical
+    left-to-right non-overlap semantics in Java regex and RE2. At
+    100 TB the vocab is ~1e8 rows: 6 scans of a hash-aggregated frame
+    you'd persist anyway, no shuffle wider than the pair counts. The
+    DuckDB oracle replays all 6 iterations as unrolled CTEs with
+    scalar-subquery merge application — hash-identical merge tables.
+
+    Reference seam: the reference engine has no tokenizer facilities
+    (include/warpdb.hpp:18 — arithmetic mini-language only); this is
+    SURVEY §2's pipeline-superset mandate."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_alnum_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # symbol string: chars joined by single spaces ('data' → 'd a t a');
+    # \b-delimited pair patterns are safe because symbols stay [a-z0-9]+
+    w = words.select(
+        "wc", F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("s")
+    ).persist()
+    merges: list[tuple] = []
+    for step in range(1, _BPE_STEPS + 1):
+        top = (
+            w.select("wc", F.split(F.col("s"), " ").alias("L"))
+            .select(
+                "wc",
+                F.explode(
+                    F.when(
+                        F.size("L") >= 2,
+                        F.expr(
+                            "transform(sequence(1, size(L)-1),"
+                            " i -> L[i-1] || ' ' || L[i])"
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # degenerate corpus: every word is one symbol
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        a, b = pair.split(" ")
+        merges.append((step, a, b, a + b, cnt))
+        w = w.select(
+            "wc",
+            F.regexp_replace("s", r"\b" + pair + r"\b", a + b).alias("s"),
+        )
+    w.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("step")
+
+
+def _bpe_oracle() -> str:
+    toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    q = (
+        "WITH words AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM "
+        f"(SELECT unnest({toks}) AS word FROM documents) GROUP BY word), "
+        "w0 AS (SELECT wc, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s "
+        "FROM words)"
+    )
+    sel = []
+    for i in range(1, _BPE_STEPS + 1):
+        q += (
+            f", p{i} AS (SELECT pair, sum(wc) AS cnt FROM (SELECT wc, "
+            "unnest(CASE WHEN len(L) < 2 THEN CAST([] AS VARCHAR[]) "
+            "ELSE [L[i] || ' ' || L[i+1] for i in generate_series(1, len(L)-1)] END) "
+            f"AS pair FROM (SELECT wc, string_split(s, ' ') AS L FROM w{i-1})) "
+            f"GROUP BY pair), "
+            f"m{i} AS (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1), "
+            f"w{i} AS (SELECT wc, regexp_replace(s, '\\b' || (SELECT pair FROM m{i}) "
+            f"|| '\\b', (SELECT replace(pair, ' ', '') FROM m{i}), 'g') AS s "
+            f"FROM w{i-1})"
+        )
+        sel.append(
+            f"SELECT {i} AS step, split_part(pair, ' ', 1) AS left_sym, "
+            "split_part(pair, ' ', 2) AS right_sym, "
+            "replace(pair, ' ', '') AS merged, "
+            f"CAST(cnt AS BIGINT) AS pair_count FROM m{i}"
+        )
+    return q + " " + " UNION ALL ".join(sel) + " ORDER BY step"
+
+
 # --- time series: per-group OLS trend ----------------------------------------
 
 _OLS_EPOCH0 = 1704067200  # 2024-01-01 UTC — recenters x so Σx² stays in BIGINT
@@ -2008,6 +2118,7 @@ QUERIES = {
     "text_quality_classifier": text_quality_classifier,
     "sketch_countmin_words": sketch_countmin_words,
     "text_subword_segment": text_subword_segment,
+    "text_bpe_learn_merges": text_bpe_learn_merges,
     "events_trend_ols": events_trend_ols,
     "events_markov_transitions": events_markov_transitions,
     "text_perplexity_bigram": text_perplexity_bigram,
@@ -2156,6 +2267,7 @@ ORACLES = {
     "text_quality_classifier": _QC_ORACLE,
     "sketch_countmin_words": _cms_oracle(),
     "text_subword_segment": _SW_ORACLE,
+    "text_bpe_learn_merges": _bpe_oracle(),
     "events_trend_ols": _OLS_ORACLE,
     "events_markov_transitions": _MARKOV_ORACLE,
     "text_perplexity_bigram": _BIGRAM_ORACLE,
