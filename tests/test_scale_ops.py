@@ -428,6 +428,40 @@ class TestSubwordSegment:
         assert got.agg(FF.sum("n_subwords")).collect()[0][0] == expected_total
 
 
+class TestLabelPropagation:
+    def test_barbell_hand_computed(self, spark, monkeypatch):
+        # two triangles {1,2,3} {4,5,6} bridged 3-4; events build the
+        # chains 1-2-3-1 and 4-5-6-4 plus the bridge inside one type
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for typ, walk in (("a", [1, 2, 3, 1]), ("b", [4, 5, 6, 4]), ("c", [3, 4])):
+            for k, u in enumerate(walk):
+                rows.append((eid, t0 + datetime.timedelta(seconds=k), u, typ, 1.0))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        monkeypatch.setattr(scale_ops, "_t", lambda s, d, n: ev)
+        got = {r["node"]: r["label"] for r in scale_ops.graph_label_propagation(spark, "x").collect()}
+        # round 1 (identity labels, all counts 1 → min neighbor):
+        #   1→2, 2→1, 3→1, 4→3, 5→4, 6→4
+        # round 2 (mode of neighbor labels, ties → smallest):
+        #   1: {1,1}→1; 2: {2,1}→1; 3: {2,1,3}→1; 4: {1,4,4}→4;
+        #   5: {3,4}→3; 6: {3,4}→3
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+
+    def test_sizes_match_assignment(self, spark, sf_dir):
+        rows = scale_ops.graph_label_propagation(spark, sf_dir).collect()
+        from collections import Counter
+
+        sizes = Counter(r["label"] for r in rows)
+        for r in rows:
+            assert r["n_members"] == sizes[r["label"]]
+
+
 class TestBpeLearnMerges:
     @staticmethod
     def _py_bpe(wf, steps):

@@ -331,6 +331,7 @@ PENDING_ORDER: list[str] = [
     # round-9 second-session additions
     "stats_mannwhitney_u",
     "text_bpe_learn_merges",
+    "graph_label_propagation",
 ]
 
 

@@ -2044,6 +2044,53 @@ def graph_degree_distribution(spark, sf_dir):
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+_LPA_ROUNDS = 2  # fixed so the DuckDB oracle can unroll the rounds
+
+
+def graph_label_propagation(spark, sf_dir):
+    """Label-propagation community detection (Raghavan et al. 2007)
+    over the user-interaction graph — 2 synchronized rounds from
+    identity labels: each node adopts the MOST FREQUENT label among
+    its neighbors (neighbors only, not self), ties to the SMALLEST
+    label; output is the node-level assignment plus each community's
+    size. Distinct from dedup_cluster_components' min-label
+    connected components: the mode update finds dense sub-communities
+    INSIDE one component, which is what you want when near-dup
+    clusters or user cohorts live in a single giant component.
+
+    Scale shape, per round: one labels⋈edges hash join on the node
+    key + one (node, label) count + one min_by argmax per node — all
+    partitioned by keys whose cardinality grows with the graph; no
+    bounded-key window, no driver-side state. The round count is the
+    only sequential dimension (as in every LPA/Pregel formulation);
+    each extra round repeats the same three-shuffle plan. The argmax
+    is min_by over struct(-count, label) — deterministic on ties, the
+    same (cnt DESC, label ASC) row_number pick the oracle spells."""
+    E = _user_edges(spark, sf_dir)
+    directed = (
+        E.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(E.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    labels = directed.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        cand = directed.join(labels, directed.v == labels.node).select("u", "label")
+        counts = cand.groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = counts.groupBy("u").agg(
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("label")
+        ).select(F.col("u").alias("node"), "label")
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        labels.join(sizes, "label")
+        .select("node", "label", "n_members")
+        .orderBy("node")
+    )
+
+
 def events_sessionize_by_type(spark, sf_dir):
     """Stream-level sessionization on a BOUNDED key — activity episodes
     of each event TYPE's whole stream (outage/burst episode detection:
@@ -2119,6 +2166,7 @@ QUERIES = {
     "sketch_countmin_words": sketch_countmin_words,
     "text_subword_segment": text_subword_segment,
     "text_bpe_learn_merges": text_bpe_learn_merges,
+    "graph_label_propagation": graph_label_propagation,
     "events_trend_ols": events_trend_ols,
     "events_markov_transitions": events_markov_transitions,
     "text_perplexity_bigram": text_perplexity_bigram,
@@ -2268,6 +2316,29 @@ ORACLES = {
     "sketch_countmin_words": _cms_oracle(),
     "text_subword_segment": _SW_ORACLE,
     "text_bpe_learn_merges": _bpe_oracle(),
+    # two unrolled LPA rounds; argmax = row_number (cnt DESC, label)
+    "graph_label_propagation": (
+        "WITH nx AS (SELECT user_id AS src, lead(user_id) OVER "
+        "(PARTITION BY event_type ORDER BY ts, event_id) AS dst FROM events), "
+        "E AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM nx WHERE dst IS NOT NULL AND dst <> src), "
+        "D AS (SELECT a AS u, b AS v FROM E UNION ALL SELECT b, a FROM E), "
+        "l0 AS (SELECT DISTINCT u AS node FROM D), "
+        "c1 AS (SELECT D.u, l.node AS label, count(*) AS cnt FROM D "
+        "JOIN l0 l ON D.v = l.node GROUP BY 1, 2), "
+        "l1 AS (SELECT u AS node, label FROM (SELECT u, label, "
+        "row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label) AS rn "
+        "FROM c1) WHERE rn = 1), "
+        "c2 AS (SELECT D.u, l1.label, count(*) AS cnt FROM D "
+        "JOIN l1 ON D.v = l1.node GROUP BY 1, 2), "
+        "l2 AS (SELECT u AS node, label FROM (SELECT u, label, "
+        "row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label) AS rn "
+        "FROM c2) WHERE rn = 1), "
+        "sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members "
+        "FROM l2 GROUP BY label) "
+        "SELECT node, l2.label, n_members FROM l2 JOIN sz ON l2.label = sz.label "
+        "ORDER BY node"
+    ),
     "events_trend_ols": _OLS_ORACLE,
     "events_markov_transitions": _MARKOV_ORACLE,
     "text_perplexity_bigram": _BIGRAM_ORACLE,
