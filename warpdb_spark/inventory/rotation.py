@@ -332,6 +332,7 @@ PENDING_ORDER: list[str] = [
     "stats_mannwhitney_u",
     "text_bpe_learn_merges",
     "graph_label_propagation",
+    "table_zorder_layout",
 ]
 
 
