@@ -666,3 +666,37 @@ class TestZorderLayout:
         # leading-column pruning on a 2-D box
         assert z["rows_scanned"] < lin["rows_scanned"]
         assert z["scan_efficiency"] > lin["scan_efficiency"]
+
+
+class TestOhlcBars:
+    def test_hand_bar(self, spark, monkeypatch):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1, 9, 0, 0)
+        # one hour, one type: open=first by (ts,event_id), close=last;
+        # the 9:00:05 tie resolves by event_id (2 before 3)
+        rows = [
+            (1, t0 + datetime.timedelta(seconds=1), 1, "trade", 10.0),
+            (2, t0 + datetime.timedelta(seconds=5), 1, "trade", 30.0),
+            (3, t0 + datetime.timedelta(seconds=5), 1, "trade", 5.0),
+            (0, t0, 1, "trade", 20.0),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        import warpdb_spark.inventory.analytics_ext as ax
+
+        monkeypatch.setattr(ax, "_t", lambda s, sd, n: ev)
+        r = X.events_ohlc_bars(spark, "x").collect()
+        assert len(r) == 1
+        bar = r[0]
+        assert bar["open_v"] == 20.0 and bar["close_v"] == 5.0
+        assert bar["high_v"] == 30.0 and bar["low_v"] == 5.0
+        assert bar["n_events"] == 4 and bar["volume"] == 65.0
+
+    def test_bar_invariants_on_real_data(self, spark, sf_dir):
+        for r in X.events_ohlc_bars(spark, sf_dir).collect():
+            assert r["low_v"] <= r["open_v"] <= r["high_v"]
+            assert r["low_v"] <= r["close_v"] <= r["high_v"]
+            assert r["n_events"] >= 1

@@ -258,6 +258,38 @@ def events_rollup_cascade(spark, sf_dir):
     return day.orderBy("d")
 
 
+def events_ohlc_bars(spark, sf_dir):
+    """OHLC candlestick downsampling — hourly open/high/low/close +
+    volume bars per event type, the standard tick→bar compaction of
+    any time-series store (and the rollup_cascade companion: that
+    entry proves partial states COMPOSE, this one adds the
+    order-statistic pair they can't express as plain min/max).
+
+    ONE map-side-combined groupBy: open/close are min_by/max_by over
+    the unique (ts, event_id) order struct — order-statistic
+    aggregates with composable partial states (each partition keeps
+    its candidate row; merge compares keys), so the 100 TB plan is
+    the same single shuffle as a count. The oracle spells the same
+    open/close as first_value windows only because DuckDB's
+    arg_min/arg_max take scalar keys, not structs."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bar_ts")
+        )
+        .agg(
+            F.min_by("value", key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", key).alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .orderBy("event_type", "bar_ts")
+    )
+
+
 # --- slowly-changing dimensions / CDC ----------------------------------------
 
 def scd2_event_intervals(spark, sf_dir):
@@ -1255,6 +1287,7 @@ QUERIES = {
     "stream_unified_drift_by_batch": stream_unified_drift_by_batch,
     "table_partition_skew_report": table_partition_skew_report,
     "table_zorder_layout": table_zorder_layout,
+    "events_ohlc_bars": events_ohlc_bars,
     "stream_dedup_rate_by_batch": stream_dedup_rate_by_batch,
     "table_diff_cdc": table_diff_cdc,
     "events_equidepth_quantiles": events_equidepth_quantiles,
@@ -1466,6 +1499,22 @@ ORACLES = {
     ),
     # identical Morton interleave, file stats, and box pruning math
     "table_zorder_layout": _zorder_oracle(),
+    # open/close via first_value over (ts, event_id) asc/desc — the
+    # window spelling of min_by/max_by on the struct key
+    "events_ohlc_bars": (
+        "WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bar_ts, "
+        "value, ts, event_id FROM events WHERE value IS NOT NULL), "
+        "w AS (SELECT event_type, bar_ts, value, "
+        "first_value(value) OVER (PARTITION BY event_type, bar_ts "
+        "ORDER BY ts, event_id) AS open_v, "
+        "first_value(value) OVER (PARTITION BY event_type, bar_ts "
+        "ORDER BY ts DESC, event_id DESC) AS close_v FROM b) "
+        "SELECT event_type, bar_ts, min(open_v) AS open_v, "
+        "max(value) AS high_v, min(value) AS low_v, "
+        "min(close_v) AS close_v, CAST(count(*) AS BIGINT) AS n_events, "
+        "round(sum(value), 4) AS volume "
+        "FROM w GROUP BY event_type, bar_ts ORDER BY event_type, bar_ts"
+    ),
     # band keys replayed bit-for-bit (md5-min shingle hash per seed);
     # novelty = first arrival of every band key
     "stream_incremental_dedup": (

@@ -333,6 +333,7 @@ PENDING_ORDER: list[str] = [
     "text_bpe_learn_merges",
     "graph_label_propagation",
     "table_zorder_layout",
+    "events_ohlc_bars",
 ]
 
 
