@@ -176,8 +176,16 @@ def _pairs_from_shingles(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # hash the band slice DIRECTLY as array<long> —
+                        # the previous concat_ws spelling stringified 4
+                        # longs per band per doc (measured ~15% of the
+                        # candidate path at sf0.1). Equal slices still
+                        # hash equal, so the collision classes — and
+                        # therefore the verified output — are unchanged;
+                        # accidental cross-class collisions only ADD
+                        # candidates, which exact verification drops.
                         F.xxhash64(
-                            F.lit(b), F.concat_ws(",", F.slice("__sig", b * rows + 1, rows))
+                            F.lit(b), F.slice("__sig", b * rows + 1, rows)
                         ).alias("bucket"),
                     )
                     for b in range(bands)
