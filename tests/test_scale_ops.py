@@ -462,6 +462,43 @@ class TestLabelPropagation:
             assert r["n_members"] == sizes[r["label"]]
 
 
+class TestKneserNeyBigram:
+    def test_hand_computed_backoff_paths(self, spark, monkeypatch):
+        import math
+
+        # train (doc_id 1, 2): "a b a b", "a c" →
+        #   c2: (a,b)=2 (b,a)=1 (a,c)=1; cw1: a=3 (n1+=2), b=1 (n1+=1)
+        #   cont types: a=1 b=1 c=1; T=3, V=3 → pc(seen)=2/6, pc(new)=1/6
+        # eval (doc_id 10): "a b c a z a" exercises all four paths:
+        #   (a,b) seen; (b,c) unseen bigram; (c,a)/(z,a) unseen w1;
+        #   (a,z) unseen w2
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a c"), (10, "a b c a z a")],
+            "doc_id long, text string",
+        )
+        monkeypatch.setattr(scale_ops, "_t", lambda s, d, n: docs)
+        r = scale_ops.text_kneser_ney_bigram(spark, "x").collect()
+        assert len(r) == 1 and r[0]["doc_id"] == 10
+        assert r[0]["n_bigrams"] == 5 and r[0]["n_unseen"] == 4
+        ps = [
+            1.25 / 3 + (0.75 * 2 / 3) * (2 / 6),  # (a,b)
+            0.25,                                  # (b,c): 0 + 0.75*pc(c)
+            2 / 6,                                 # (c,a): unseen w1
+            (0.75 * 2 / 3) * (1 / 6),              # (a,z): unseen w2
+            2 / 6,                                 # (z,a): unseen w1
+        ]
+        assert r[0]["avg_logprob_kn"] == round(
+            sum(math.log(p) for p in ps) / 5, 6
+        )
+
+    def test_probabilities_finite_on_real_data(self, spark, sf_dir):
+        rows = scale_ops.text_kneser_ney_bigram(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["avg_logprob_kn"] < 0  # probabilities < 1
+            assert 0 <= r["n_unseen"] <= r["n_bigrams"]
+
+
 class TestBpeLearnMerges:
     @staticmethod
     def _py_bpe(wf, steps):

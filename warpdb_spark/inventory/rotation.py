@@ -334,6 +334,7 @@ PENDING_ORDER: list[str] = [
     "graph_label_propagation",
     "table_zorder_layout",
     "events_ohlc_bars",
+    "text_kneser_ney_bigram",
 ]
 
 

@@ -1223,6 +1223,113 @@ _BIGRAM_ORACLE = (
 )
 
 
+_KN_D = 0.75  # the standard absolute discount
+
+
+def text_kneser_ney_bigram(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram scoring of a held-out slice —
+    the LM-quality filter one smoothing class above
+    ``text_perplexity_bigram``'s MLE (which cannot score an UNSEEN
+    bigram at all): train on doc_id % 10 != 0, score the % 10 == 0
+    slice with P(w2|w1) = max(C(w1,w2) − D, 0)/C(w1·) +
+    D·N1+(w1·)/C(w1·) · P_cont(w2), where the continuation
+    probability P_cont counts bigram TYPES, not tokens — KN's one
+    idea (Kneser & Ney 1995; Chen & Goodman 1999 eq. 18). P_cont
+    carries a +1/(T+V) floor so a w2 never seen in training still
+    scores finitely (documented deviation from the textbook, which
+    leaves P undefined there); an unseen w1 backs off to P_cont
+    alone.
+
+    Scale shape: identical to the MLE entry — ONE explode feeds the
+    bigram-type table (≤ vocab², broadcast-or-AQE territory) and
+    everything else derives from IT, not the corpus: C(w1·) and
+    N1+(w1·) fold into one groupBy over the type table, P_cont is a
+    second, the totals row broadcasts. Scoring joins are
+    broadcast-left; the per-doc aggregate is the only corpus-sized
+    shuffle. n_unseen (integer) pins the backoff path in the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _alnum_tokens(F.col("text"))
+    pairs = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, CAST(i AS INT)) AS w1, "
+        "element_at(toks, CAST(i + 1 AS INT)) AS w2)) "
+        "ELSE array() END"
+    )
+    big = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    trn = big.filter(F.col("doc_id") % 10 != 0).select("w1", "w2")
+    ev = big.filter(F.col("doc_id") % 10 == 0)
+    c2 = trn.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    w1s = c2.groupBy("w1").agg(
+        F.sum("c2").alias("cw1"), F.count(F.lit(1)).alias("n1w1")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("cw2"))
+    tot = c2.agg(
+        F.count(F.lit(1)).alias("tt"), F.countDistinct("w2").alias("vv")
+    )
+    sc = (
+        ev.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(w1s), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    pc = (F.coalesce(F.col("cw2"), F.lit(0)) + 1.0) / (F.col("tt") + F.col("vv"))
+    d = F.lit(_KN_D)
+    pr = F.when(F.col("cw1").isNull(), pc).otherwise(
+        F.greatest(F.coalesce(F.col("c2"), F.lit(0)) - d, F.lit(0.0)) / F.col("cw1")
+        + (d * F.col("n1w1") / F.col("cw1")) * pc
+    )
+    return (
+        sc.select(
+            "doc_id",
+            pr.alias("pr"),
+            F.when(F.col("c2").isNull(), 1).otherwise(0).alias("unseen"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("unseen").alias("n_unseen"),
+            F.round(F.avg(F.log("pr")), 6).alias("avg_logprob_kn"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_KN_ORACLE = (
+    "WITH t AS (SELECT doc_id, list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+    "FROM documents), "
+    "big AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1, "
+    "toks[CAST(i + 1 AS INT)] AS w2 "
+    "FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)), "
+    "trn AS (SELECT w1, w2 FROM big WHERE doc_id % 10 <> 0), "
+    "ev AS (SELECT doc_id, w1, w2 FROM big WHERE doc_id % 10 = 0), "
+    "c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM trn GROUP BY 1, 2), "
+    "w1s AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cw1, "
+    "CAST(count(*) AS BIGINT) AS n1w1 FROM c2 GROUP BY w1), "
+    "cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cw2 FROM c2 GROUP BY w2), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS tt, "
+    "CAST(count(DISTINCT w2) AS BIGINT) AS vv FROM c2), "
+    "sc AS (SELECT ev.doc_id, "
+    "(COALESCE(cont.cw2, 0) + 1.0) / (tot.tt + tot.vv) AS pc, "
+    "c2.c2 AS c2v, w1s.cw1, w1s.n1w1 "
+    "FROM ev LEFT JOIN c2 ON ev.w1 = c2.w1 AND ev.w2 = c2.w2 "
+    "LEFT JOIN w1s ON ev.w1 = w1s.w1 "
+    "LEFT JOIN cont ON ev.w2 = cont.w2 CROSS JOIN tot), "
+    f"p AS (SELECT doc_id, CASE WHEN cw1 IS NULL THEN pc "
+    f"ELSE greatest(COALESCE(c2v, 0) - {_KN_D}, 0.0) / cw1 "
+    f"+ ({_KN_D} * n1w1 / cw1) * pc END AS pr, "
+    "CASE WHEN c2v IS NULL THEN 1 ELSE 0 END AS unseen FROM sc) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "CAST(sum(unseen) AS BIGINT) AS n_unseen, "
+    "round(avg(ln(pr)), 6) AS avg_logprob_kn "
+    "FROM p GROUP BY doc_id ORDER BY doc_id"
+)
+
+
 # --- sketches: count-min heavy hitters ---------------------------------------
 
 _CMS_DEPTH = 4
@@ -2167,6 +2274,7 @@ QUERIES = {
     "text_subword_segment": text_subword_segment,
     "text_bpe_learn_merges": text_bpe_learn_merges,
     "graph_label_propagation": graph_label_propagation,
+    "text_kneser_ney_bigram": text_kneser_ney_bigram,
     "events_trend_ols": events_trend_ols,
     "events_markov_transitions": events_markov_transitions,
     "text_perplexity_bigram": text_perplexity_bigram,
@@ -2342,6 +2450,7 @@ ORACLES = {
     "events_trend_ols": _OLS_ORACLE,
     "events_markov_transitions": _MARKOV_ORACLE,
     "text_perplexity_bigram": _BIGRAM_ORACLE,
+    "text_kneser_ney_bigram": _KN_ORACLE,
     "reshape_global_ordinal": (
         "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS ordinal, n_chars "
         "FROM documents"
