@@ -474,6 +474,53 @@ class TestMannWhitneyU:
         assert abs(r["z_score"]) < 6  # same synthetic value generator
 
 
+class TestBhFdr:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    def test_planted_outlier_is_the_significant_prefix(self, spark, inject):
+        # a MILD planted shift (+80 on sd≈38 noise, 1 of 20 sources):
+        # each source is tested against the REST, so an extreme
+        # outlier would contaminate every rest-mean and flag all
+        # sources (leave-one-out is not leave-outlier-out)
+        rows, did = [], 0
+        for s in range(20):
+            base = 380 if s == 0 else 300
+            for i in range(10):
+                rows.append((did, "t", "en", f"s{s:02d}", base + (i * 37) % 130))
+                did += 1
+        inject(self._docs(spark, rows))
+        got = cx.stats_bh_fdr(spark, "x").collect()
+        sig = [r["source"] for r in got if r["significant"]]
+        assert sig == ["s00"]  # the planted source, and only it
+        assert got[0]["source"] == "s00" and got[0]["bh_rank"] == 1
+        # BH selection is always a prefix of the p-ranked list
+        flags = [r["significant"] for r in got]
+        assert flags == sorted(flags, reverse=True)
+
+    def test_erfc_polynomial_accuracy(self, spark):
+        import math
+
+        zs = [0.0, 0.5, 1.0, 1.645, 1.96, 2.5758, 4.0]
+        df = spark.createDataFrame([(z,) for z in zs], "z double")
+        got = df.select(
+            "z", cx._normal_two_sided_p(F.col("z")).alias("p")
+        ).collect()
+        for r in got:
+            exact = math.erfc(abs(r["z"]) / math.sqrt(2))
+            assert abs(r["p"] - exact) < 1.5e-7  # A&S 7.1.26 bound
+
+    def test_uniform_corpus_is_a_null_reading(self, spark, sf_dir):
+        got = cx.stats_bh_fdr(spark, sf_dir).collect()
+        assert len(got) == 20
+        # selection, if any, is a rank prefix; ranks are 1..m
+        flags = [r["significant"] for r in got]
+        assert flags == sorted(flags, reverse=True)
+        assert [r["bh_rank"] for r in got] == list(range(1, 21))
+
+
 class TestPsiValueDrift:
     def test_identical_distributions_give_zero(self, spark, inject):
         rows = []

@@ -989,6 +989,113 @@ def stats_mannwhitney_u(spark, sf_dir):
     )
 
 
+_BH_ALPHA = 0.05
+_INV_SQRT2 = 0.7071067811865476
+
+
+def _normal_two_sided_p(z):
+    """2·(1−Φ(|z|)) = erfc(|z|/√2) via Abramowitz & Stegun 7.1.26
+    (max abs error 1.5e-7 — far inside the 6-dp rounding). The SAME
+    literal coefficients and association run on both engines; exp()
+    may differ by 1 ulp between libms, which flips a 6-dp rounding
+    only on a measure-zero boundary."""
+    x = F.abs(z) * F.lit(_INV_SQRT2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        (
+            (
+                (F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+                + F.lit(1.421413741)
+            )
+            * t
+            - F.lit(0.284496736)
+        )
+        * t
+        + F.lit(0.254829592)
+    ) * t
+    return poly * F.exp(-(x * x))
+
+
+def stats_bh_fdr(spark, sf_dir):
+    """Benjamini–Hochberg FDR control over a FAMILY of tests — the
+    step the single-test entries (Welch, KS, U) stop short of: run a
+    per-source Welch z-test of mean document length vs the rest of
+    the corpus (20 sources → 20 p-values) and select the significant
+    set at FDR α = 0.05 by the step-up rule (largest k with p₍ₖ₎ ≤
+    k·α/m; reject ranks 1..k). This is the multiple-testing guard a
+    drift dashboard needs the moment it watches more than one segment
+    — at α = .05 a 20-segment scorecard fires a false alarm every run
+    without it.
+
+    Exactness: per-source moments are the events_ab_welch_ztest
+    discipline (integer n_chars sums; squared sums in DECIMAL(38,0) /
+    HUGEINT); the rest-of-corpus moments derive from one broadcast
+    totals row by subtraction, so the corpus is scanned ONCE. p-values
+    come from the A&S erfc polynomial (same literals both engines).
+    The BH walk (row_number, running max) runs over the
+    |sources|-row aggregate — bounded by the SEGMENT domain, the
+    stats_ks_two_sample window discipline."""
+    docs = _t(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars").cast(dec) * F.col("n_chars")).alias("q"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts"), F.sum("q").alias("tq")
+    )
+    m = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "s",
+        "q",
+        (F.col("tn") - F.col("n")).alias("nr"),
+        (F.col("ts") - F.col("s")).alias("sr"),
+        (F.col("tq") - F.col("q")).alias("qr"),
+    ).filter((F.col("n") >= 2) & (F.col("nr") >= 2))
+    mean_s = F.col("s").cast("double") / F.col("n")
+    var_s = (
+        F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    mean_r = F.col("sr").cast("double") / F.col("nr")
+    var_r = (
+        F.col("qr").cast("double")
+        - F.col("sr").cast("double") * F.col("sr") / F.col("nr")
+    ) / (F.col("nr") - 1)
+    zc = m.select(
+        "source", "n", mean_s.alias("mean_s"), var_s.alias("var_s"),
+        mean_r.alias("mean_r"), var_r.alias("var_r"), "nr",
+    )
+    se2 = F.col("var_s") / F.col("n") + F.col("var_r") / F.col("nr")
+    zz = zc.filter(se2 > 0).select(
+        "source", "n", "mean_s",
+        ((F.col("mean_s") - F.col("mean_r")) / F.sqrt(se2)).alias("z"),
+    )
+    pp = zz.select("source", "n", "mean_s", "z", _normal_two_sided_p(F.col("z")).alias("p"))
+    w_rank = Window.orderBy("p", "source")
+    wall = Window.orderBy("p", "source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bh = pp.select(
+        "source", "n", "mean_s", "z", "p",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("mm"),
+    )
+    kmax = F.max(
+        F.when(F.col("p") <= F.col("rn") * _BH_ALPHA / F.col("mm"), F.col("rn"))
+    ).over(wall)
+    return bh.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round("mean_s", 6).alias("mean_chars"),
+        F.round("z", 6).alias("z_score"),
+        F.round("p", 6).alias("p_value"),
+        F.col("rn").cast("long").alias("bh_rank"),
+        (F.col("rn") <= F.coalesce(kmax, F.lit(0))).alias("significant"),
+    ).orderBy("bh_rank")
+
+
 _PSI_BUCKET_CENTS = 2500  # $25 buckets — ≤~20 over the value domain
 
 
@@ -1510,6 +1617,7 @@ QUERIES = {
     "events_ab_welch_ztest": events_ab_welch_ztest,
     "stats_ks_two_sample": stats_ks_two_sample,
     "stats_mannwhitney_u": stats_mannwhitney_u,
+    "stats_bh_fdr": stats_bh_fdr,
     "events_psi_value_drift": events_psi_value_drift,
     "join_bloom_prefilter": join_bloom_prefilter,
     "join_bloom_prefilter_partitioned": join_bloom_prefilter_partitioned,
@@ -1614,6 +1722,40 @@ ORACLES = {
         "round(sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1)) "
         "* (CAST(dnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1)), 6) AS ks_stat "
         "FROM p WHERE rn = 1"
+    ),
+    # same integer/HUGEINT moments, same A&S erfc literals, same BH
+    # step-up walk over the |sources|-row frame
+    "stats_bh_fdr": (
+        "WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(n_chars) AS BIGINT) AS s, "
+        "sum(CAST(n_chars AS HUGEINT) * n_chars) AS q "
+        "FROM documents GROUP BY source), "
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, "
+        "CAST(sum(s) AS BIGINT) AS ts, sum(q) AS tq FROM per), "
+        "m AS (SELECT source, n, s, q, tn - n AS nr, ts - s AS sr, "
+        "tq - q AS qr FROM per, tot WHERE n >= 2 AND tn - n >= 2), "
+        "zc AS (SELECT source, n, CAST(s AS DOUBLE) / n AS mean_s, "
+        "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var_s, "
+        "CAST(sr AS DOUBLE) / nr AS mean_r, "
+        "(CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / nr) / (nr - 1) AS var_r, "
+        "nr FROM m), "
+        "zz AS (SELECT source, n, mean_s, "
+        "(mean_s - mean_r) / sqrt(var_s / n + var_r / nr) AS z FROM zc "
+        "WHERE var_s / n + var_r / nr > 0), "
+        "pp AS (SELECT source, n, mean_s, z, "
+        "((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t "
+        "- 0.284496736) * t + 0.254829592) * t * exp(-(x * x)) AS p FROM "
+        "(SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM "
+        f"(SELECT *, abs(z) * {_INV_SQRT2!r} AS x FROM zz))), "
+        "bh AS (SELECT source, n, mean_s, z, p, "
+        "row_number() OVER (ORDER BY p, source) AS rn, "
+        "count(*) OVER () AS mm FROM pp), "
+        "k AS (SELECT *, max(CASE WHEN p <= rn * "
+        f"{_BH_ALPHA!r} / mm THEN rn END) OVER () AS kmax FROM bh) "
+        "SELECT source, n AS n_docs, round(mean_s, 6) AS mean_chars, "
+        "round(z, 6) AS z_score, round(p, 6) AS p_value, "
+        "CAST(rn AS BIGINT) AS bh_rank, "
+        "rn <= COALESCE(kmax, 0) AS significant FROM k ORDER BY bh_rank"
     ),
     # same cents collapse, HUGEINT 2-rank-sum + tie term, identical
     # float association in the final z

@@ -335,6 +335,7 @@ PENDING_ORDER: list[str] = [
     "table_zorder_layout",
     "events_ohlc_bars",
     "text_kneser_ney_bigram",
+    "stats_bh_fdr",
 ]
 
 
