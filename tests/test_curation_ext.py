@@ -721,6 +721,119 @@ class TestBloomPartitionedEquality:
         assert a == b and len(a) > 0
 
 
+class TestMannWhitneyFuzz:
+    """Entry-vs-oracle parity on random tiny samples — the edge
+    classes the fixed corpus can't reach: an empty arm (entry must
+    emit 0 rows on both engines), everything tied (z NULL), heavy
+    tie mass, single observations."""
+
+    def test_random_arms_match_oracle(self, spark, inject):
+        import datetime
+
+        import duckdb
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from warpdb_spark.inventory.curation_ext import ORACLES
+
+        t0 = datetime.datetime(2024, 1, 1)
+        sample = st.lists(
+            st.tuples(st.booleans(), st.integers(0, 8)), min_size=0, max_size=14
+        )
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.too_slow,
+                HealthCheck.function_scoped_fixture,
+            ],
+        )
+        @given(obs=sample)
+        def check(obs):
+            rows = [
+                (i, t0, i, "purchase" if arm else "click", v / 1.0)
+                for i, (arm, v) in enumerate(obs)
+            ]
+            df = spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            )
+            inject(df)
+            got = sorted(map(tuple, cx.stats_mannwhitney_u(spark, "x").collect()))
+            con = duckdb.connect()
+            con.register("ev_src", df.toPandas())
+            want = sorted(
+                map(
+                    tuple,
+                    con.sql(
+                        ORACLES["stats_mannwhitney_u"].replace(
+                            "FROM events", "FROM ev_src"
+                        )
+                    ).fetchall(),
+                )
+            )
+            assert got == want
+
+        check()
+
+
+class TestBhFdrFuzz:
+    """Entry-vs-oracle parity on random segment tables: degenerate
+    sources (n < 2 must drop), zero-variance families (se² = 0 must
+    drop), p ties resolving by source on both engines, and the BH
+    prefix selection agreeing bit-for-bit."""
+
+    def test_random_segments_match_oracle(self, spark, inject):
+        import duckdb
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from warpdb_spark.inventory.curation_ext import ORACLES
+
+        seg = st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 40)),
+            min_size=1,
+            max_size=25,
+        )
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.too_slow,
+                HealthCheck.function_scoped_fixture,
+            ],
+        )
+        @given(docs=seg)
+        def check(docs):
+            rows = [
+                (i, "t", "en", f"s{s}", c) for i, (s, c) in enumerate(docs)
+            ]
+            df = spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+            inject(df)
+            got = sorted(map(tuple, cx.stats_bh_fdr(spark, "x").collect()))
+            con = duckdb.connect()
+            con.register("docs_src", df.toPandas())
+            want = sorted(
+                map(
+                    tuple,
+                    con.sql(
+                        ORACLES["stats_bh_fdr"].replace(
+                            "FROM documents", "FROM docs_src"
+                        )
+                    ).fetchall(),
+                )
+            )
+            assert got == want
+
+        check()
+
+
 class TestDecontamBloomFuzz:
     """Tokenizer/trigram/bloom edge parity: random short documents —
     punctuation-only, fewer than 3 tokens, repeated grams, mixed
