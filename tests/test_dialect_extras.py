@@ -184,3 +184,72 @@ class TestArrayJoinLiterals:
             db.query_sql(
                 "SELECT array_join(array_agg(v), g) AS s FROM t GROUP BY g"
             )
+
+
+class TestPivot:
+    @pytest.fixture()
+    def pdb(self, spark):
+        rows = [
+            Row(k="a", st="O", v=10.0), Row(k="a", st="F", v=2.0),
+            Row(k="b", st="O", v=1.0), Row(k="b", st="O", v=4.0),
+        ]
+        return WarpDB(df=spark.createDataFrame(rows), table_name="t", spark=spark)
+
+    def test_basic_pivot_with_aliases_and_null_cell(self, pdb):
+        got = {
+            r["k"]: (r["o_tot"], r["f_tot"])
+            for r in pdb.query_sql(
+                "SELECT k, o_tot, f_tot FROM t "
+                "PIVOT (SUM(v) FOR st IN ('O' AS o_tot, 'F' AS f_tot)) "
+                "ORDER BY k"
+            ).collect()
+        }
+        # b has no 'F' rows → NULL cell, the SQL PIVOT contract
+        assert got == {"a": (10.0, 2.0), "b": (5.0, None)}
+
+    def test_unaliased_values_name_columns_by_value(self, pdb):
+        cols = pdb.query_sql(
+            "SELECT * FROM t PIVOT (COUNT(*) FOR st IN ('O', 'F'))"
+        ).columns
+        assert cols == ["k", "v", "O", "F"]  # v not consumed → a key
+
+    def test_implicit_keys_exclude_agg_inputs(self, pdb):
+        # v is consumed by the aggregate → keys are exactly [k]
+        rows = pdb.query_sql(
+            "SELECT * FROM t PIVOT (SUM(v) FOR st IN ('O')) ORDER BY k"
+        ).collect()
+        assert [r["k"] for r in rows] == ["a", "b"]
+        assert len(rows[0].asDict()) == 2  # k + one pivot column
+
+    def test_pivot_over_derived_table_without_alias(self, pdb):
+        rows = pdb.query_sql(
+            "SELECT k, o FROM (SELECT k, st, v * 2 AS w FROM t) "
+            "PIVOT (SUM(w) FOR st IN ('O' AS o)) ORDER BY k"
+        ).collect()
+        assert [(r["k"], r["o"]) for r in rows] == [("a", 20.0), ("b", 10.0)]
+
+    def test_where_and_order_apply_after_pivot(self, pdb):
+        rows = pdb.query_sql(
+            "SELECT k FROM t PIVOT (SUM(v) FOR st IN ('O' AS o)) "
+            "WHERE o > 6 ORDER BY k"
+        ).collect()
+        assert [r["k"] for r in rows] == ["a"]
+
+    def test_bare_alias_named_pivot_still_works(self, pdb):
+        # PIVOT is not a keyword: AS pivot aliases; pivot( pivots
+        rows = pdb.query_sql("SELECT pivot.k FROM t AS pivot LIMIT 1").collect()
+        assert rows[0]["k"] in ("a", "b")
+
+    def test_errors_are_typed(self, pdb):
+        with pytest.raises(ValidationError, match="Unknown column: nope in PIVOT"):
+            pdb.query_sql("SELECT * FROM t PIVOT (SUM(v) FOR nope IN ('O'))")
+        with pytest.raises(ValidationError, match="aggregate expression"):
+            pdb.query_sql("SELECT * FROM t PIVOT (v FOR st IN ('O'))")
+        with pytest.raises(ValidationError, match="literal"):
+            pdb.query_sql("SELECT * FROM t PIVOT (SUM(v) FOR st IN (k))")
+        with pytest.raises(ParseError, match="Expected FOR"):
+            pdb.query_sql("SELECT * FROM t PIVOT (SUM(v) WHAT st IN ('O'))")
+        with pytest.raises(ValidationError, match="no implicit grouping"):
+            pdb.query_sql(
+                "SELECT * FROM (SELECT st, v FROM t) PIVOT (SUM(v) FOR st IN ('O'))"
+            )

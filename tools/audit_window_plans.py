@@ -142,6 +142,11 @@ KNOWN_AGG_INPUT: dict[str, set[str]] = {
     # both via the two-pass primitives; the bare-type windows are the
     # offset stitches over one aggregated row per hour chunk.
     "events_sessionize_by_type": {"event_type"},
+    # r9 addition: LPA shares _user_edges, so it inherits the same
+    # boundary-stitch window over one aggregated row per (type, hour)
+    # as the five graph entries above; the propagation rounds
+    # themselves are join+groupBy only (no windows).
+    "graph_label_propagation": {"event_type"},
 }
 
 # Reviewed ``flatmap`` entries: applyInPandas/MapGroups executors whose

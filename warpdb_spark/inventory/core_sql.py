@@ -1172,6 +1172,26 @@ def dialect_distinct_on(spark, sf_dir):
     )
 
 
+def dialect_pivot(spark, sf_dir):
+    """``FROM ... PIVOT (agg FOR col IN (...))`` through the dialect
+    front-end (Spark SQL/DuckDB/Snowflake spelling; superset — the
+    reference parses bare table names only, src/expression.cpp:363).
+    Executes as ONE groupBy().pivot(values).agg() pass: the IN list is
+    mandatory exactly so Spark skips the extra distinct-discovery job
+    — the same single shuffle as the CASE-aggregation the oracle
+    spells. Aliased IN values rename the output columns; the implicit
+    grouping keys are the FROM frame's remaining columns."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT prio, round(o_tot, 2) AS open_total, "
+        "round(f_tot, 2) AS filled_total, round(p_tot, 2) AS pending_total "
+        "FROM (SELECT o_orderpriority AS prio, o_orderstatus AS st, "
+        "o_totalprice AS price FROM orders) "
+        "PIVOT (SUM(price) FOR st IN ('O' AS o_tot, 'F' AS f_tot, 'P' AS p_tot)) "
+        "ORDER BY prio"
+    )
+
+
 def histogram_value_buckets(spark, sf_dir):
     """Fixed-width histogram of order totals (floor bucketing)."""
     return (
@@ -1536,6 +1556,7 @@ QUERIES = {
     "reshape_unpivot": reshape_unpivot,
     "dialect_setops": dialect_setops,
     "dialect_distinct_on": dialect_distinct_on,
+    "dialect_pivot": dialect_pivot,
     "window_ignore_nulls": window_ignore_nulls,
     "dialect_ansi_fetch_bool": dialect_ansi_fetch_bool,
     "dialect_broadcast_hint": dialect_broadcast_hint,
@@ -2057,6 +2078,18 @@ ORACLES = {
         "FROM events"
     ),
     # DuckDB executes the identical DISTINCT ON text natively
+    # the CASE-aggregation spelling of the same pivot (engine-portable;
+    # DuckDB's native PIVOT syntax differs)
+    "dialect_pivot": (
+        "SELECT o_orderpriority AS prio, "
+        "round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) "
+        "AS open_total, "
+        "round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) "
+        "AS filled_total, "
+        "round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) "
+        "AS pending_total "
+        "FROM orders GROUP BY o_orderpriority ORDER BY prio"
+    ),
     "dialect_distinct_on": (
         "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate, "
         "o_totalprice FROM orders WHERE o_totalprice > 50000 "

@@ -336,6 +336,7 @@ PENDING_ORDER: list[str] = [
     "events_ohlc_bars",
     "text_kneser_ney_bigram",
     "stats_bh_fdr",
+    "dialect_pivot",
 ]
 
 

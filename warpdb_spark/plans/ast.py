@@ -584,6 +584,22 @@ class QueryAST:
     # item left-to-right
     order_by_all: bool = False
     order_by_all_asc: bool = True
+    # FROM t PIVOT (agg FOR col IN (v [AS name], ...)) (superset;
+    # Spark SQL/DuckDB/Snowflake spelling): applied to the FROM frame
+    # before joins; implicit keys = remaining columns
+    pivot: "PivotClause | None" = None
+
+
+@dataclass
+class PivotClause:
+    """``PIVOT (agg_expr FOR pivot_col IN (value [AS alias], ...))``.
+    ``values`` holds (Literal node, alias|None) pairs; the output
+    column for a value is its alias, else the literal's string form
+    (the Spark SQL naming rule for a single un-aliased aggregate)."""
+
+    agg: Node
+    pivot_col: str
+    values: list  # list[tuple[Node, str | None]]
 
 
 @dataclass

@@ -61,6 +61,48 @@ def _check_grouped(node: A.Node, env_texts: set[str], clause: str) -> None:
     rec(node)
 
 
+def _apply_pivot(base: DataFrame, pv: "A.PivotClause", registry) -> DataFrame:
+    """``FROM t PIVOT (agg FOR col IN (...))`` → groupBy(implicit
+    keys).pivot(col, values).agg(agg) — Spark SQL semantics: the
+    implicit grouping keys are every column not consumed by the
+    aggregate or the pivot column, and passing the value list
+    explicitly keeps the plan ONE pass (Spark's pivot without values
+    runs an extra distinct job to discover them — the 100 TB reason
+    the IN list is mandatory here, as it is in Spark SQL)."""
+    if pv.pivot_col not in base.columns:
+        raise ValidationError(f"Unknown column: {pv.pivot_col} in PIVOT clause")
+    validate(pv.agg, {"": set(base.columns)}, "PIVOT")
+    if not _collect_aggs(pv.agg):
+        raise ValidationError("PIVOT requires an aggregate expression before FOR")
+    agg_refs = {
+        n.name.split(".")[-1] for n in pv.agg.walk() if isinstance(n, A.Var)
+    }
+    keys = [c for c in base.columns if c != pv.pivot_col and c not in agg_refs]
+    if not keys:
+        raise ValidationError(
+            "PIVOT leaves no implicit grouping columns in the FROM frame"
+        )
+    vals: list = []
+    renames: list[tuple[str, str | None]] = []
+    for node, alias in pv.values:
+        if isinstance(node, A.Num):
+            v = node.value
+        elif isinstance(node, A.Str):
+            v = node.value
+        else:
+            raise ValidationError(
+                "PIVOT IN list must contain literal values"
+            )
+        vals.append(v)
+        renames.append((str(v), alias))
+    agg_col = Compiler(registry).compile(pv.agg)
+    out = base.groupBy(*[F.col(k) for k in keys]).pivot(pv.pivot_col, vals).agg(agg_col)
+    for cur, alias in renames:
+        if alias:
+            out = out.withColumnRenamed(cur, alias)
+    return out
+
+
 def _unique_name(base: str, used: set[str]) -> str:
     name, i = base, 1
     while name in used:
@@ -608,6 +650,8 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         base = build_dataframe(tables, q.from_subquery, registry)
     else:
         base = _resolve_table(tables, q.from_table)
+    if q.pivot is not None:
+        base = _apply_pivot(base, q.pivot, registry)
     from_name = q.from_alias or q.from_table  # alias shadows the name
     scope: dict[str, set[str]] = {from_name: set(base.columns)}
     # declaration-ordered twin of `scope` for SELECT * expansion

@@ -560,6 +560,14 @@ class _Parser:
             q.select_items.append(self.parse_select_item())
         self.expect_kw("FROM")
         q.from_subquery, q.from_table, q.from_alias = self.parse_table_ref("FROM")
+        if (
+            self.peek().kind == IDENT
+            and self.peek().value.upper() == "PIVOT"
+            and self.peek(1).kind == OP
+            and self.peek(1).value == "("
+        ):
+            self.next()
+            q.pivot = self.parse_pivot_clause()
 
         while True:
             how = None
@@ -762,6 +770,17 @@ class _Parser:
             sub = self.parse_query_node()
             self.expect_op(")")
             self.accept_kw("AS")
+            nxt = self.peek()
+            if (
+                nxt.kind == IDENT
+                and nxt.value.upper() == "PIVOT"
+                and self.peek(1).kind == OP
+                and self.peek(1).value == "("
+            ):
+                # FROM (SELECT ...) PIVOT (...): the pivot output is
+                # the frame, so the usually-mandatory derived-table
+                # alias is optional (Spark SQL/DuckDB agree)
+                return sub, "_pivot_src", None
             return sub, self.expect_ident(f"alias for derived table in {clause}"), None
         name = self.expect_ident(f"table name after {clause}")
         if self.peek().kind == OP and self.peek().value == "(":
@@ -785,11 +804,46 @@ class _Parser:
         alias = None
         if self.accept_kw("AS"):
             alias = self.expect_ident(f"alias after AS in {clause}")
-        elif self.peek().kind == IDENT:
+        elif self.peek().kind == IDENT and not (
+            self.peek().value.upper() == "PIVOT"
+            and self.peek(1).kind == OP
+            and self.peek(1).value == "("
+        ):
             # bare alias: FROM edges e — unambiguous, every clause that
             # can follow a table ref starts with a keyword or operator
+            # (PIVOT is deliberately NOT a keyword — a column named
+            # pivot stays legal — so the one ambiguous spelling,
+            # ``FROM t PIVOT (``, is carved out of the bare-alias rule;
+            # ``FROM t AS pivot`` still aliases)
             alias = self.next().value
         return None, name, alias
+
+    def parse_pivot_clause(self) -> "A.PivotClause":
+        """``PIVOT (agg FOR col IN (value [AS alias], ...))`` — caller
+        has already consumed the PIVOT identifier."""
+        self.expect_op("(")
+        agg = self.parse_expr()
+        nxt = self.peek()
+        if not (nxt.kind == IDENT and nxt.value.upper() == "FOR"):
+            raise ParseError(
+                f"Expected FOR after PIVOT aggregate at {nxt.line}:{nxt.column}"
+            )
+        self.next()
+        col = self.expect_ident("pivot column after FOR")
+        self.expect_kw("IN")
+        self.expect_op("(")
+        values: list[tuple[A.Node, str | None]] = []
+        while True:
+            v = self.parse_expr()
+            alias = None
+            if self.accept_kw("AS"):
+                alias = self.expect_ident("alias in PIVOT IN list")
+            values.append((v, alias))
+            if not self.accept_op(","):
+                break
+        self.expect_op(")")
+        self.expect_op(")")
+        return A.PivotClause(agg, col, values)
 
     def parse_select_item(self) -> tuple[A.Node, str | None]:
         # SELECT * / SELECT t.* (superset) — no alias allowed
