@@ -253,3 +253,56 @@ class TestPivot:
             pdb.query_sql(
                 "SELECT * FROM (SELECT st, v FROM t) PIVOT (SUM(v) FOR st IN ('O'))"
             )
+
+
+class TestUnpivot:
+    @pytest.fixture()
+    def udb(self, spark):
+        rows = [Row(k=1, a=10.0, b=None, c=3.0), Row(k=2, a=None, b=5.0, c=None)]
+        return WarpDB(df=spark.createDataFrame(rows), table_name="t", spark=spark)
+
+    def test_excludes_nulls_by_default_and_relabels(self, udb):
+        rows = udb.query_sql(
+            "SELECT k, m, v FROM t UNPIVOT (v FOR m IN (a, b AS bee, c)) "
+            "ORDER BY k, m"
+        ).collect()
+        assert [(r["k"], r["m"], r["v"]) for r in rows] == [
+            (1, "a", 10.0), (1, "c", 3.0), (2, "bee", 5.0)
+        ]
+
+    def test_include_nulls(self, udb):
+        rows = udb.query_sql(
+            "SELECT k, m, v FROM t UNPIVOT INCLUDE NULLS (v FOR m IN (a, b)) "
+            "ORDER BY k, m"
+        ).collect()
+        assert len(rows) == 4
+        assert sum(1 for r in rows if r["v"] is None) == 2
+
+    def test_remaining_columns_are_ids(self, udb):
+        cols = udb.query_sql(
+            "SELECT * FROM t UNPIVOT (v FOR m IN (b))"
+        ).columns
+        assert cols == ["k", "a", "c", "m", "v"]
+
+    def test_errors_are_typed(self, udb):
+        with pytest.raises(ValidationError, match="Unknown column: zz in UNPIVOT"):
+            udb.query_sql("SELECT * FROM t UNPIVOT (v FOR m IN (zz))")
+        with pytest.raises(ValidationError, match="Duplicate column"):
+            udb.query_sql("SELECT * FROM t UNPIVOT (v FOR m IN (a, a))")
+        with pytest.raises(ValidationError, match="collides"):
+            udb.query_sql("SELECT * FROM t UNPIVOT (k FOR m IN (a))")
+        with pytest.raises(ParseError, match="Expected NULLS"):
+            udb.query_sql("SELECT * FROM t UNPIVOT EXCLUDE NADA (v FOR m IN (a))")
+
+    def test_incompatible_types_are_validation_error(self, spark):
+        db = WarpDB(
+            df=spark.createDataFrame([Row(k=1, a=1.0, s="x")]),
+            table_name="t",
+            spark=spark,
+        )
+        with pytest.raises(ValidationError, match="no common type"):
+            db.query_sql("SELECT * FROM t UNPIVOT (v FOR m IN (a, s))")
+
+    def test_unpivot_as_bare_alias_still_works(self, udb):
+        rows = udb.query_sql("SELECT unpivot.k FROM t AS unpivot LIMIT 1").collect()
+        assert rows[0]["k"] in (1, 2)

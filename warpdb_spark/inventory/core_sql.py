@@ -1192,6 +1192,26 @@ def dialect_pivot(spark, sf_dir):
     )
 
 
+def dialect_unpivot(spark, sf_dir):
+    """``FROM ... UNPIVOT (val FOR name IN (...))`` through the
+    dialect — the SQL spelling of ``reshape_unpivot``'s melt, plus the
+    two semantics the DataFrame API can't say: NULL measures are
+    EXCLUDED by default (the ANSI rule; ``INCLUDE NULLS`` opts out)
+    and ``AS label`` renames a measure in the name column. Zero
+    shuffle: row-local expansion inside the scan, 4x map-side output."""
+    db = _db(spark, sf_dir, "lineitem")
+    return db.query_sql(
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, measure, "
+        "round(value, 2) AS value "
+        "FROM (SELECT l_orderkey, l_linenumber, l_quantity, "
+        "l_extendedprice, l_discount AS disc, l_tax FROM lineitem "
+        "WHERE l_orderkey <= 160) "
+        "UNPIVOT (value FOR measure IN (l_quantity AS qty, "
+        "l_extendedprice AS price, disc, l_tax AS tax)) "
+        "ORDER BY ok, ln, measure"
+    )
+
+
 def histogram_value_buckets(spark, sf_dir):
     """Fixed-width histogram of order totals (floor bucketing)."""
     return (
@@ -1557,6 +1577,7 @@ QUERIES = {
     "dialect_setops": dialect_setops,
     "dialect_distinct_on": dialect_distinct_on,
     "dialect_pivot": dialect_pivot,
+    "dialect_unpivot": dialect_unpivot,
     "window_ignore_nulls": window_ignore_nulls,
     "dialect_ansi_fetch_bool": dialect_ansi_fetch_bool,
     "dialect_broadcast_hint": dialect_broadcast_hint,
@@ -2089,6 +2110,18 @@ ORACLES = {
         "round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) "
         "AS pending_total "
         "FROM orders GROUP BY o_orderpriority ORDER BY prio"
+    ),
+    # UNION ALL melt (portable; non-null measures only, labeled names)
+    "dialect_unpivot": (
+        "WITH b AS (SELECT l_orderkey AS ok, l_linenumber AS ln, "
+        "l_quantity, l_extendedprice, l_discount, l_tax "
+        "FROM lineitem WHERE l_orderkey <= 160) "
+        "SELECT ok, ln, measure, round(value, 2) AS value FROM ("
+        "SELECT ok, ln, 'qty' AS measure, l_quantity AS value FROM b "
+        "UNION ALL SELECT ok, ln, 'price', l_extendedprice FROM b "
+        "UNION ALL SELECT ok, ln, 'disc', l_discount FROM b "
+        "UNION ALL SELECT ok, ln, 'tax', l_tax FROM b) "
+        "WHERE value IS NOT NULL ORDER BY ok, ln, measure"
     ),
     "dialect_distinct_on": (
         "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate, "

@@ -337,6 +337,7 @@ PENDING_ORDER: list[str] = [
     "text_kneser_ney_bigram",
     "stats_bh_fdr",
     "dialect_pivot",
+    "dialect_unpivot",
 ]
 
 

@@ -588,6 +588,22 @@ class QueryAST:
     # Spark SQL/DuckDB/Snowflake spelling): applied to the FROM frame
     # before joins; implicit keys = remaining columns
     pivot: "PivotClause | None" = None
+    # FROM t UNPIVOT (val FOR name IN (c1, c2, ...)) (superset)
+    unpivot: "UnpivotClause | None" = None
+
+
+@dataclass
+class UnpivotClause:
+    """``UNPIVOT [INCLUDE NULLS | EXCLUDE NULLS] (value_col FOR
+    name_col IN (col [AS label], ...))`` — melt the listed columns
+    into (name, value) rows; ids = the remaining columns. NULL values
+    are EXCLUDED by default (the ANSI/Spark SQL rule — DataFrame
+    .unpivot keeps them, so the builder filters)."""
+
+    value_col: str
+    name_col: str
+    cols: list  # list[tuple[str, str | None]] — (column, label|None)
+    include_nulls: bool = False
 
 
 @dataclass

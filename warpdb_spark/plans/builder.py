@@ -103,6 +103,43 @@ def _apply_pivot(base: DataFrame, pv: "A.PivotClause", registry) -> DataFrame:
     return out
 
 
+def _apply_unpivot(base: DataFrame, up: "A.UnpivotClause") -> DataFrame:
+    """``FROM t UNPIVOT (val FOR name IN (...))`` → DataFrame.unpivot
+    (a NARROW row-local expansion — zero shuffle; the 100 TB cost is
+    the scan). NULL values are excluded by default (ANSI/Spark SQL
+    UNPIVOT semantics — DataFrame.unpivot keeps them, hence the
+    filter); ``INCLUDE NULLS`` keeps them. ``AS label`` renames the
+    name-column VALUE for that source column."""
+    names = [c for c, _ in up.cols]
+    for c in names:
+        if c not in base.columns:
+            raise ValidationError(f"Unknown column: {c} in UNPIVOT clause")
+    if len(set(names)) != len(names):
+        raise ValidationError("Duplicate column in UNPIVOT IN list")
+    ids = [c for c in base.columns if c not in set(names)]
+    used = set(base.columns)
+    if up.name_col in used or up.value_col in used:
+        clash = up.name_col if up.name_col in used else up.value_col
+        raise ValidationError(
+            f"UNPIVOT output column {clash} collides with an input column"
+        )
+    try:
+        out = base.unpivot(ids, names, up.name_col, up.value_col)
+    except Exception as e:  # Spark raises eagerly on incompatible types
+        raise ValidationError(
+            f"UNPIVOT value columns have no common type: {e}"
+        ) from None
+    relabel = {c: lab for c, lab in up.cols if lab is not None}
+    if relabel:
+        expr = F.col(up.name_col)
+        for c, lab in relabel.items():
+            expr = F.when(F.col(up.name_col) == c, F.lit(lab)).otherwise(expr)
+        out = out.withColumn(up.name_col, expr)
+    if not up.include_nulls:
+        out = out.filter(F.col(up.value_col).isNotNull())
+    return out
+
+
 def _unique_name(base: str, used: set[str]) -> str:
     name, i = base, 1
     while name in used:
@@ -652,6 +689,8 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
         base = _resolve_table(tables, q.from_table)
     if q.pivot is not None:
         base = _apply_pivot(base, q.pivot, registry)
+    if q.unpivot is not None:
+        base = _apply_unpivot(base, q.unpivot)
     from_name = q.from_alias or q.from_table  # alias shadows the name
     scope: dict[str, set[str]] = {from_name: set(base.columns)}
     # declaration-ordered twin of `scope` for SELECT * expansion

@@ -568,6 +568,9 @@ class _Parser:
         ):
             self.next()
             q.pivot = self.parse_pivot_clause()
+        elif self.peek().kind == IDENT and self.peek().value.upper() == "UNPIVOT":
+            self.next()
+            q.unpivot = self.parse_unpivot_clause()
 
         while True:
             how = None
@@ -771,14 +774,13 @@ class _Parser:
             self.expect_op(")")
             self.accept_kw("AS")
             nxt = self.peek()
-            if (
-                nxt.kind == IDENT
-                and nxt.value.upper() == "PIVOT"
-                and self.peek(1).kind == OP
-                and self.peek(1).value == "("
+            if nxt.kind == IDENT and nxt.value.upper() in ("PIVOT", "UNPIVOT") and (
+                (self.peek(1).kind == OP and self.peek(1).value == "(")
+                or (nxt.value.upper() == "UNPIVOT" and self.peek(1).kind == IDENT
+                    and self.peek(1).value.upper() in ("INCLUDE", "EXCLUDE"))
             ):
-                # FROM (SELECT ...) PIVOT (...): the pivot output is
-                # the frame, so the usually-mandatory derived-table
+                # FROM (SELECT ...) [UN]PIVOT (...): the pivot output
+                # is the frame, so the usually-mandatory derived-table
                 # alias is optional (Spark SQL/DuckDB agree)
                 return sub, "_pivot_src", None
             return sub, self.expect_ident(f"alias for derived table in {clause}"), None
@@ -805,9 +807,15 @@ class _Parser:
         if self.accept_kw("AS"):
             alias = self.expect_ident(f"alias after AS in {clause}")
         elif self.peek().kind == IDENT and not (
-            self.peek().value.upper() == "PIVOT"
-            and self.peek(1).kind == OP
-            and self.peek(1).value == "("
+            self.peek().value.upper() in ("PIVOT", "UNPIVOT")
+            and (
+                (self.peek(1).kind == OP and self.peek(1).value == "(")
+                or (
+                    self.peek().value.upper() == "UNPIVOT"
+                    and self.peek(1).kind == IDENT
+                    and self.peek(1).value.upper() in ("INCLUDE", "EXCLUDE")
+                )
+            )
         ):
             # bare alias: FROM edges e — unambiguous, every clause that
             # can follow a table ref starts with a keyword or operator
@@ -844,6 +852,54 @@ class _Parser:
         self.expect_op(")")
         self.expect_op(")")
         return A.PivotClause(agg, col, values)
+
+    def parse_unpivot_clause(self) -> "A.UnpivotClause":
+        """``UNPIVOT [INCLUDE NULLS | EXCLUDE NULLS] (value_col FOR
+        name_col IN (col [AS label], ...))`` — caller has consumed the
+        UNPIVOT identifier."""
+        include_nulls = False
+        nxt = self.peek()
+        if nxt.kind == IDENT and nxt.value.upper() in ("INCLUDE", "EXCLUDE"):
+            include_nulls = self.next().value.upper() == "INCLUDE"
+            marker = self.peek()
+            if not (marker.kind == IDENT and marker.value.upper() == "NULLS"):
+                raise ParseError(
+                    f"Expected NULLS after {nxt.value.upper()} in UNPIVOT "
+                    f"at {marker.line}:{marker.column}"
+                )
+            self.next()
+        self.expect_op("(")
+        value_col = self.expect_ident("value column in UNPIVOT")
+        nxt = self.peek()
+        if not (nxt.kind == IDENT and nxt.value.upper() == "FOR"):
+            raise ParseError(
+                f"Expected FOR after UNPIVOT value column at {nxt.line}:{nxt.column}"
+            )
+        self.next()
+        name_col = self.expect_ident("name column after FOR")
+        self.expect_kw("IN")
+        self.expect_op("(")
+        cols: list[tuple[str, str | None]] = []
+        while True:
+            c = self.expect_ident("column in UNPIVOT IN list")
+            alias = None
+            if self.accept_kw("AS"):
+                alias = self.next()
+                if alias.kind == STRING:
+                    alias = alias.value
+                elif alias.kind == IDENT:
+                    alias = alias.value
+                else:
+                    raise ParseError(
+                        "Expected label after AS in UNPIVOT IN list at "
+                        f"{alias.line}:{alias.column}"
+                    )
+            cols.append((c, alias))
+            if not self.accept_op(","):
+                break
+        self.expect_op(")")
+        self.expect_op(")")
+        return A.UnpivotClause(value_col, name_col, cols, include_nulls)
 
     def parse_select_item(self) -> tuple[A.Node, str | None]:
         # SELECT * / SELECT t.* (superset) — no alias allowed
