@@ -306,3 +306,39 @@ class TestUnpivot:
     def test_unpivot_as_bare_alias_still_works(self, udb):
         rows = udb.query_sql("SELECT unpivot.k FROM t AS unpivot LIMIT 1").collect()
         assert rows[0]["k"] in (1, 2)
+
+
+class TestValuesTable:
+    def test_values_with_named_columns(self, tdb):
+        rows = tdb.query_sql(
+            "SELECT a, b FROM (VALUES (1, 'x'), (2, 'y')) AS v(a, b) ORDER BY a"
+        ).collect()
+        assert [(r["a"], r["b"]) for r in rows] == [(1, "x"), (2, "y")]
+
+    def test_default_column_names_and_type_widening(self, tdb):
+        rows = tdb.query_sql(
+            "SELECT col1 FROM (VALUES (1), (2.5)) v ORDER BY col1"
+        ).collect()
+        assert [r["col1"] for r in rows] == [1.0, 2.5]  # int widened
+
+    def test_join_against_base_table(self, tdb):
+        rows = tdb.query_sql(
+            "SELECT t.a, names.nm FROM t "
+            "JOIN (VALUES (1, 'one'), (3, 'three')) AS names(id, nm) "
+            "ON t.a = names.id ORDER BY t.a"
+        ).collect()
+        assert [(r["a"], r["nm"]) for r in rows] == [(1, "one"), (3, "three")]
+
+    def test_single_partition_plan(self, tdb):
+        df = tdb.query_sql("SELECT a FROM (VALUES (1), (2)) v(a)")
+        assert df.rdd.getNumPartitions() <= 2  # one per literal row
+
+    def test_errors_are_typed(self, tdb):
+        with pytest.raises(ValidationError, match="differ in arity"):
+            tdb.query_sql("SELECT * FROM (VALUES (1, 2), (3)) v")
+        with pytest.raises(ValidationError, match="Unknown column: a in VALUES"):
+            tdb.query_sql("SELECT * FROM (VALUES (a)) v")
+        with pytest.raises(ValidationError, match="names 2 columns"):
+            tdb.query_sql("SELECT * FROM (VALUES (1)) v(x, y)")
+        with pytest.raises(ValidationError, match="Duplicate column name"):
+            tdb.query_sql("SELECT * FROM (VALUES (1, 2)) v(x, x)")

@@ -1212,6 +1212,23 @@ def dialect_unpivot(spark, sf_dir):
     )
 
 
+def dialect_values_table(spark, sf_dir):
+    """``FROM (VALUES ...) AS v(cols)`` through the dialect — the
+    inline literal table every lookup/enrichment query wants without
+    creating a temp view (superset; the reference has no literal
+    tables). The 3-row VALUES side is a LocalRelation → broadcast
+    join; DuckDB runs the IDENTICAL text natively."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT s.label AS status_label, count(*) AS n_orders, "
+        "round(sum(o_totalprice), 2) AS total "
+        "FROM orders JOIN (VALUES ('O', 'open'), ('F', 'filled'), "
+        "('P', 'pending')) AS s(code, label) "
+        "ON orders.o_orderstatus = s.code "
+        "GROUP BY s.label ORDER BY status_label"
+    )
+
+
 def histogram_value_buckets(spark, sf_dir):
     """Fixed-width histogram of order totals (floor bucketing)."""
     return (
@@ -1578,6 +1595,7 @@ QUERIES = {
     "dialect_distinct_on": dialect_distinct_on,
     "dialect_pivot": dialect_pivot,
     "dialect_unpivot": dialect_unpivot,
+    "dialect_values_table": dialect_values_table,
     "window_ignore_nulls": window_ignore_nulls,
     "dialect_ansi_fetch_bool": dialect_ansi_fetch_bool,
     "dialect_broadcast_hint": dialect_broadcast_hint,
@@ -2110,6 +2128,15 @@ ORACLES = {
         "round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) "
         "AS pending_total "
         "FROM orders GROUP BY o_orderpriority ORDER BY prio"
+    ),
+    # DuckDB runs the identical VALUES text natively
+    "dialect_values_table": (
+        "SELECT s.label AS status_label, count(*) AS n_orders, "
+        "round(sum(o_totalprice), 2) AS total "
+        "FROM orders JOIN (VALUES ('O', 'open'), ('F', 'filled'), "
+        "('P', 'pending')) AS s(code, label) "
+        "ON orders.o_orderstatus = s.code "
+        "GROUP BY s.label ORDER BY status_label"
     ),
     # UNION ALL melt (portable; non-null measures only, labeled names)
     "dialect_unpivot": (

@@ -338,6 +338,7 @@ PENDING_ORDER: list[str] = [
     "stats_bh_fdr",
     "dialect_pivot",
     "dialect_unpivot",
+    "dialect_values_table",
 ]
 
 

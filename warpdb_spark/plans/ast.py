@@ -593,6 +593,17 @@ class QueryAST:
 
 
 @dataclass
+class ValuesTable:
+    """``FROM (VALUES (e, ...), ...) [AS] v[(c1, ...)]`` — an inline
+    literal table (superset). Rows are constant expressions (a column
+    reference is a ValidationError); unnamed columns default to
+    col1..colN (the ANSI/DuckDB rule)."""
+
+    rows: list  # list[list[Node]]
+    col_names: "list[str] | None" = None
+
+
+@dataclass
 class UnpivotClause:
     """``UNPIVOT [INCLUDE NULLS | EXCLUDE NULLS] (value_col FOR
     name_col IN (col [AS label], ...))`` — melt the listed columns

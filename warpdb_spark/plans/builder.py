@@ -230,7 +230,52 @@ def _build_recursive_cte(
     )
 
 
+def _build_values(vt: "A.ValuesTable", registry) -> DataFrame:
+    """Inline literal table → N one-row projections unioned (set-op
+    type coercion widens int→double etc. across rows, exactly as a
+    UNION ALL of SELECTs would). VALUES tables are small by nature —
+    the plan is a LocalRelation after constant folding."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    ncols = len(vt.rows[0])
+    names = vt.col_names or [f"col{i + 1}" for i in range(ncols)]
+    if len(names) != ncols:
+        raise ValidationError(
+            f"VALUES alias names {len(names)} columns, rows have {ncols}"
+        )
+    if len(set(names)) != len(names):
+        raise ValidationError("Duplicate column name in VALUES alias")
+    comp = Compiler(registry)
+    frames = []
+    for r in vt.rows:
+        if len(r) != ncols:
+            raise ValidationError(
+                f"VALUES rows differ in arity: {len(r)} vs {ncols}"
+            )
+        for cell in r:
+            validate(cell, {"": set()}, "VALUES")
+        frames.append(
+            # numPartitions=1: a literal row must not fan out into
+            # default-parallelism empty splits (32 tasks per row)
+            spark.range(0, 1, 1, 1).select(
+                *[comp.compile(c).alias(n) for c, n in zip(r, names)]
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        try:
+            out = out.unionByName(f)
+        except Exception as e:
+            raise ValidationError(
+                f"VALUES rows have incompatible column types: {e}"
+            ) from None
+    return out
+
+
 def build_dataframe(tables: dict[str, DataFrame], q, registry=None) -> DataFrame:
+    if isinstance(q, A.ValuesTable):
+        return _build_values(q, registry)
     if isinstance(q, A.WithQuery):
         tables = dict(tables)  # CTEs shadow base tables, scoped to this query
         for name, sub in q.ctes:

@@ -770,6 +770,35 @@ class _Parser:
         tok = self.peek()
         if tok.kind == OP and tok.value == "(":
             self.next()
+            if self.peek().kind == IDENT and self.peek().value.upper() == "VALUES":
+                # (VALUES (e, ...), ...) [AS] v[(c1, ...)] — inline
+                # literal table (superset; VALUES is not a keyword, so
+                # a table named values stays legal — in table position
+                # it is never followed by '(' without this meaning)
+                self.next()
+                rows: list[list[A.Node]] = []
+                while True:
+                    self.expect_op("(")
+                    row = [self.parse_expr()]
+                    while self.accept_op(","):
+                        row.append(self.parse_expr())
+                    self.expect_op(")")
+                    rows.append(row)
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                self.accept_kw("AS")
+                alias = self.expect_ident(f"alias for VALUES table in {clause}")
+                col_names = None
+                if self.peek().kind == OP and self.peek().value == "(":
+                    self.next()
+                    col_names = [self.expect_ident("column name in VALUES alias")]
+                    while self.accept_op(","):
+                        col_names.append(
+                            self.expect_ident("column name in VALUES alias")
+                        )
+                    self.expect_op(")")
+                return A.ValuesTable(rows, col_names), alias, None
             sub = self.parse_query_node()
             self.expect_op(")")
             self.accept_kw("AS")
