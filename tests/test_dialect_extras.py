@@ -342,3 +342,28 @@ class TestValuesTable:
             tdb.query_sql("SELECT * FROM (VALUES (1)) v(x, y)")
         with pytest.raises(ValidationError, match="Duplicate column name"):
             tdb.query_sql("SELECT * FROM (VALUES (1, 2)) v(x, x)")
+
+
+class TestPivotUnpivotCollisions:
+    """r9 session-2 review: output-name collisions previously surfaced
+    as untyped AMBIGUOUS_REFERENCE AnalysisExceptions downstream."""
+
+    def test_pivot_alias_colliding_with_key_is_typed(self, spark):
+        db = WarpDB(
+            df=spark.createDataFrame([Row(k=1, st="O", v=1.0)]),
+            table_name="t",
+            spark=spark,
+        )
+        with pytest.raises(ValidationError, match="collides"):
+            db.query_sql("SELECT * FROM t PIVOT (SUM(v) FOR st IN ('O' AS k))")
+        with pytest.raises(ValidationError, match="Duplicate value"):
+            db.query_sql("SELECT * FROM t PIVOT (SUM(v) FOR st IN ('O', 'O'))")
+
+    def test_unpivot_name_equals_value_is_typed(self, spark):
+        db = WarpDB(
+            df=spark.createDataFrame([Row(k=1, a=1.0)]),
+            table_name="t",
+            spark=spark,
+        )
+        with pytest.raises(ValidationError, match="must differ"):
+            db.query_sql("SELECT * FROM t UNPIVOT (m FOR m IN (a))")

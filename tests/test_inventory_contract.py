@@ -373,3 +373,50 @@ def test_fingerprints_immune_to_construction_side_effects(spark, sf_dir):
     FP._SOURCE_CACHE.clear()
     after = {n: FP.entry_fingerprint(q[n], o.get(n)) for n in probes}
     assert after == before
+
+
+def test_private_upper_behavior_tables_are_hashed():
+    """r9 session-2 review finding: the first runtime-state fix
+    excluded ALL private mutable globals, silently un-hashing the
+    _UPPER behavior tables this codebase uses (_CMS_PROBES, stopword
+    sets, _FUNC_ALIASES) — an edit to one changed entry OUTPUTS
+    without floating the entry to the changed-since-green tier. The
+    gate now hashes UPPERCASE-named mutable data (public or private)
+    and excludes only the explicit RUNTIME_STATE registry."""
+    from warpdb_spark.inventory import fingerprint as FP
+
+    # registered runtime state: never hashed
+    assert not FP._is_static_const(
+        "warpdb_spark.plans.builder", "_SQ_SEQ", [0]
+    )
+    assert not FP._is_static_const(
+        "warpdb_spark.inventory.curation_ext", "_JACCARD_EDGE_CACHE", []
+    )
+    # private UPPER mutable table: hashed (the review's defect class)
+    assert FP._is_static_const("warpdb_spark.x", "_CMS_PROBES", ["the"])
+    assert FP._is_static_const("warpdb_spark.x", "_STOP", {"the"})
+    # lowercase mutable global: runtime state by convention
+    assert not FP._is_static_const("warpdb_spark.x", "_cache", {})
+    # immutable pure data: always
+    assert FP._is_static_const("warpdb_spark.x", "_k", 3)
+
+
+def test_behavior_table_edit_floats_the_entry():
+    """End-to-end: mutating a referenced _UPPER table must change the
+    entry's fingerprint (this is what makes the rotation re-check an
+    entry whose constants were edited)."""
+    from warpdb_spark.inventory import fingerprint as FP
+    from warpdb_spark.inventory import scale_ops
+
+    q, o = inventory.load_all()
+    name = "sketch_countmin_words"
+    before = FP.entry_fingerprint(q[name], o.get(name))
+    saved = scale_ops._CMS_PROBES
+    scale_ops._CMS_PROBES = list(saved) + ["__probe__"]
+    try:
+        FP._SOURCE_CACHE.clear()
+        after = FP.entry_fingerprint(q[name], o.get(name))
+    finally:
+        scale_ops._CMS_PROBES = saved
+        FP._SOURCE_CACHE.clear()
+    assert after != before

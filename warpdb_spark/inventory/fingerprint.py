@@ -95,20 +95,38 @@ def _is_immutable_data(value, depth: int = 0) -> bool:
     return False
 
 
-def _is_static_const(name: str, value) -> bool:
+# Mutable module globals that are RUNTIME STATE — mutated in place
+# during query construction/execution — and must NEVER hash into a
+# fingerprint (they drift within a process: the r9 isolated-test
+# finding). Everything ELSE that is UPPERCASE-named plain data hashes,
+# INCLUDING private _UPPER tables: the first fix excluded all private
+# mutables, which silently un-hashed the behavior-bearing constant
+# tables this codebase names _UPPER (_CMS_PROBES, _FUNC_ALIASES,
+# _WINDOW_ONLY_FUNCS, stopword sets) — an edit to any of them changed
+# entry OUTPUTS without floating the entry into the
+# changed-since-green tier (r9 session-2 review finding). A new
+# runtime-state global added without registering here flaps the
+# contract test's construction-stability assertion — loud, not
+# silent.
+RUNTIME_STATE: frozenset = frozenset(
+    {
+        ("warpdb_spark.plans.builder", "_SQ_SEQ"),
+        ("warpdb_spark.inventory.curation_ext", "_JACCARD_EDGE_CACHE"),
+    }
+)
+
+
+def _is_static_const(module: str, name: str, value) -> bool:
     """Should a reachable module global be hashed as a constant?
-    Immutable pure data: always. MUTABLE containers (list/dict/set):
-    only public UPPERCASE module constants (PII_PATTERNS-class tables)
-    — private mutable globals are runtime state by convention, and
-    hashing them made fingerprints drift within a process (r9 isolated
-    test run: plans.builder._SQ_SEQ is a subquery-alias counter,
-    curation_ext._JACCARD_EDGE_CACHE a persist registry; constructing
-    any dialect entry changed 41 entries' fingerprints). A private
-    mutable table that IS behavior-bearing would be missed — accepted
-    under-approximation, named here so a reviewer can weigh it."""
+    Registered runtime state: never. Immutable pure data: always.
+    Mutable containers (list/dict/set): when UPPERCASE-named — the
+    constant-table convention, public or private; lowercase mutable
+    globals are runtime state by convention."""
+    if (module, name) in RUNTIME_STATE:
+        return False
     if _is_immutable_data(value):
         return True
-    return name.isupper() and not name.startswith("_")
+    return name.lstrip("_").isupper()
 
 
 def _stable_repr(value, depth: int = 0) -> str | None:
@@ -163,7 +181,7 @@ def _referenced(fn) -> tuple[list, list]:
     def visit(owner_mod: str, name: str, obj) -> None:
         r = (
             _stable_repr(obj)
-            if not callable(obj) and _is_static_const(name, obj)
+            if not callable(obj) and _is_static_const(owner_mod, name, obj)
             else None
         )
         if r is not None:

@@ -971,9 +971,13 @@ def text_bpe_learn_merges(spark, sf_dir):
     )
     # symbol string: chars joined by single spaces ('data' → 'd a t a');
     # \b-delimited pair patterns are safe because symbols stay [a-z0-9]+
-    w = words.select(
+    # `vocab` keeps the PERSISTED leaf: `w` is rebound per merge, and
+    # unpersisting the rebound derived plan would be a silent no-op
+    # (CacheManager matches on sameResult with the cached plan)
+    vocab = words.select(
         "wc", F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("s")
     ).persist()
+    w = vocab
     merges: list[tuple] = []
     for step in range(1, _BPE_STEPS + 1):
         top = (
@@ -1005,7 +1009,7 @@ def text_bpe_learn_merges(spark, sf_dir):
             "wc",
             F.regexp_replace("s", r"\b" + pair + r"\b", a + b).alias("s"),
         )
-    w.unpersist()
+    vocab.unpersist()
     return spark.createDataFrame(
         merges,
         "step int, left_sym string, right_sym string, "

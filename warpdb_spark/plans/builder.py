@@ -84,6 +84,7 @@ def _apply_pivot(base: DataFrame, pv: "A.PivotClause", registry) -> DataFrame:
         )
     vals: list = []
     renames: list[tuple[str, str | None]] = []
+    out_names: set[str] = set(keys)
     for node, alias in pv.values:
         if isinstance(node, A.Num):
             v = node.value
@@ -93,7 +94,18 @@ def _apply_pivot(base: DataFrame, pv: "A.PivotClause", registry) -> DataFrame:
             raise ValidationError(
                 "PIVOT IN list must contain literal values"
             )
+        if v in vals:
+            raise ValidationError(f"Duplicate value {v!r} in PIVOT IN list")
         vals.append(v)
+        out = alias if alias is not None else str(v)
+        # a value column colliding with a key (or another value) would
+        # yield a duplicate-named frame that fails later with an
+        # untyped AMBIGUOUS_REFERENCE — fail typed, here
+        if out in out_names:
+            raise ValidationError(
+                f"PIVOT output column {out} collides with another output column"
+            )
+        out_names.add(out)
         renames.append((str(v), alias))
     agg_col = Compiler(registry).compile(pv.agg)
     out = base.groupBy(*[F.col(k) for k in keys]).pivot(pv.pivot_col, vals).agg(agg_col)
@@ -117,6 +129,11 @@ def _apply_unpivot(base: DataFrame, up: "A.UnpivotClause") -> DataFrame:
     if len(set(names)) != len(names):
         raise ValidationError("Duplicate column in UNPIVOT IN list")
     ids = [c for c in base.columns if c not in set(names)]
+    if up.name_col == up.value_col:
+        raise ValidationError(
+            "UNPIVOT name and value columns must differ "
+            f"(both are {up.name_col})"
+        )
     used = set(base.columns)
     if up.name_col in used or up.value_col in used:
         clash = up.name_col if up.name_col in used else up.value_col
@@ -230,14 +247,27 @@ def _build_recursive_cte(
     )
 
 
-def _build_values(vt: "A.ValuesTable", registry) -> DataFrame:
+def _build_values(
+    vt: "A.ValuesTable", registry, tables: dict[str, DataFrame]
+) -> DataFrame:
     """Inline literal table → N one-row projections unioned (set-op
     type coercion widens int→double etc. across rows, exactly as a
     UNION ALL of SELECTs would). VALUES tables are small by nature —
-    the plan is a LocalRelation after constant folding."""
-    from pyspark.sql import SparkSession
+    the plan is a LocalRelation after constant folding. The session
+    comes from an attached table when one exists — getActiveSession
+    is thread-local and returns None off the creating thread."""
+    spark = None
+    for df in tables.values():
+        spark = df.sparkSession
+        break
+    if spark is None:
+        from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValidationError(
+            "VALUES table needs an active SparkSession or an attached table"
+        )
     ncols = len(vt.rows[0])
     names = vt.col_names or [f"col{i + 1}" for i in range(ncols)]
     if len(names) != ncols:
@@ -275,7 +305,7 @@ def _build_values(vt: "A.ValuesTable", registry) -> DataFrame:
 
 def build_dataframe(tables: dict[str, DataFrame], q, registry=None) -> DataFrame:
     if isinstance(q, A.ValuesTable):
-        return _build_values(q, registry)
+        return _build_values(q, registry, tables)
     if isinstance(q, A.WithQuery):
         tables = dict(tables)  # CTEs shadow base tables, scoped to this query
         for name, sub in q.ctes:
