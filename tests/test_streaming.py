@@ -82,6 +82,39 @@ class TestRealStreaming:
         assert rows[(1, "b")] == (1, 4.0)
         assert rows[(2, "b")] == (1, 5.0)
 
+    def test_ohlc_order_statistics_stream_to_memory(self, spark, csv_stream_dir):
+        """min_by/max_by in a watermarked streaming window — the live
+        twin of the stream_ohlc_hourly entry: order-statistic
+        aggregates have composable partial states, so OHLC runs as a
+        plain windowed agg with no custom state."""
+        stream = read_csv_stream(spark, csv_stream_dir, SCHEMA)
+        k = F.struct(F.col("ts"))
+        agg = tumbling_window_agg(
+            stream,
+            "ts",
+            "1 hour",
+            keys=["key"],
+            aggs=[
+                F.min_by("value", k).alias("open_v"),
+                F.max("value").alias("high_v"),
+                F.min("value").alias("low_v"),
+                F.max_by("value", k).alias("close_v"),
+            ],
+            watermark="2 hours",
+        )
+        q = run_to_memory_sink(agg, "ohlc_test", timeout_sec=120)
+        try:
+            rows = {
+                (r.window_start.hour, r.key): (r.open_v, r.high_v, r.low_v, r.close_v)
+                for r in spark.sql("SELECT * FROM ohlc_test").collect()
+            }
+        finally:
+            q.stop()
+        assert rows[(0, "a")] == (1.0, 2.0, 1.0, 2.0)  # open≠close
+        assert rows[(1, "a")] == (3.0, 3.0, 3.0, 3.0)
+        assert rows[(1, "b")] == (4.0, 4.0, 4.0, 4.0)
+        assert rows[(2, "b")] == (5.0, 5.0, 5.0, 5.0)
+
     def test_foreach_batch_parquet_sink(self, spark, csv_stream_dir, tmp_path):
         """foreachBatch: stream → per-batch transformation → parquet."""
         out_dir = str(tmp_path / "out")

@@ -2235,6 +2235,34 @@ def stream_interval_join_attribution(spark, sf_dir):
 
 # --- event-time windows (streaming-identical batch semantics) --------------------
 
+def stream_ohlc_hourly(spark, sf_dir):
+    """OHLC bars as a STREAMING tumbling-window aggregate — the live
+    deployment of events_ohlc_bars: min_by/max_by are order-statistic
+    aggregates with COMPOSABLE partial states (each state keeps its
+    candidate (value, key); merge compares keys), so they run in a
+    watermarked streaming window exactly like sum/count — no
+    foreachBatch, no custom state. The live readStream twin is pinned
+    in tests/test_streaming.py (same aggs through a real CSV stream);
+    this entry runs the identical event-time semantics in batch, the
+    family's oracle idiom."""
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return tumbling_window_agg(
+        events,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.min_by("value", key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", key).alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        ],
+    )
+
+
 def stream_tumbling_hourly(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return tumbling_window_agg(
@@ -2489,6 +2517,7 @@ QUERIES = {
     "range_join_value_bands": range_join_value_bands,
     "stream_interval_join_attribution": stream_interval_join_attribution,
     "stream_tumbling_hourly": stream_tumbling_hourly,
+    "stream_ohlc_hourly": stream_ohlc_hourly,
     "stream_sliding_2h": stream_sliding_2h,
     "stream_session_windows": stream_session_windows,
 }
@@ -3487,6 +3516,23 @@ ORACLES = {
         "JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p "
         "ON c.user_id = p.user_id AND p.ts >= c.ts "
         "AND p.ts <= c.ts + INTERVAL '1 hour'"
+    ),
+    # OHLC in the window spelling: open/close via first_value over
+    # (ts, event_id) asc/desc inside each (type, hour-bucket) frame
+    "stream_ohlc_hourly": (
+        "WITH b AS (SELECT event_type, "
+        "time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+        "value, ts, event_id FROM events WHERE value IS NOT NULL), "
+        "w AS (SELECT event_type, window_start, value, "
+        "first_value(value) OVER (PARTITION BY event_type, window_start "
+        "ORDER BY ts, event_id) AS open_v, "
+        "first_value(value) OVER (PARTITION BY event_type, window_start "
+        "ORDER BY ts DESC, event_id DESC) AS close_v FROM b) "
+        "SELECT window_start, window_start + INTERVAL '1 hour' AS window_end, "
+        "event_type, min(open_v) AS open_v, max(value) AS high_v, "
+        "min(value) AS low_v, min(close_v) AS close_v, "
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS volume "
+        "FROM w GROUP BY window_start, event_type"
     ),
     "stream_tumbling_hourly": (
         "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "

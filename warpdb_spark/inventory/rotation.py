@@ -339,6 +339,7 @@ PENDING_ORDER: list[str] = [
     "dialect_pivot",
     "dialect_unpivot",
     "dialect_values_table",
+    "stream_ohlc_hourly",
 ]
 
 
