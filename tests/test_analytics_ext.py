@@ -700,3 +700,58 @@ class TestOhlcBars:
             assert r["low_v"] <= r["open_v"] <= r["high_v"]
             assert r["low_v"] <= r["close_v"] <= r["high_v"]
             assert r["n_events"] >= 1
+
+
+class TestIvfPq:
+    def test_reranked_distances_are_exact_and_self_excluded(self, spark, sf_dir):
+        import numpy as np
+
+        rows = X.similarity_ivfpq(spark, sf_dir).collect()
+        emb = {
+            r["vec_id"]: np.array(list(r["embedding"]), dtype=np.float64)
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        }
+        per_q = {}
+        for r in rows:
+            assert r["neighbor_id"] != r["query_id"]
+            exact = round(float(((emb[r["query_id"]] - emb[r["neighbor_id"]]) ** 2).sum()), 6)
+            assert r["dist2"] == exact  # rerank stage IS full precision
+            per_q.setdefault(r["query_id"], []).append((r["rank"], r["dist2"]))
+        assert len(per_q) == 10
+        for q, rs in per_q.items():
+            rs.sort()
+            assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+            assert [x[1] for x in rs] == sorted(x[1] for x in rs)
+
+    def test_recall_against_exact_l2(self, spark, sf_dir):
+        """IVFPQ@nprobe=4/16 with rerank must recover a reasonable
+        share of the exact L2 top-5 — the go/no-go reading an IVFPQ
+        deployment takes before trusting the index (the pruning can
+        only lose neighbors whose lists were not probed)."""
+        import numpy as np
+
+        from warpdb_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in X.similarity_ivfpq(spark, sf_dir).collect()
+        }
+        rows = emb.collect()
+        M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+        ids = np.array([r["vec_id"] for r in rows])
+        exact = set()
+        for qpos in np.flatnonzero(ids < 10):
+            d = ((M - M[qpos]) ** 2).sum(axis=1)
+            d[qpos] = np.inf
+            order = np.lexsort((ids, np.round(d, 6)))[:5]
+            exact |= {(int(ids[qpos]), int(ids[i])) for i in order}
+        recall = len(got & exact) / len(exact)
+        # the synthetic embeddings are near-uniform, so the coarse
+        # quantizer carries little cluster signal: the unstructured
+        # baseline is nprobe/num_lists = 0.25 (a probed list holds a
+        # true neighbor by chance alone). Deterministic pipeline →
+        # deterministic reading; assert it BEATS the random-pruning
+        # baseline rather than a clustered-data fantasy. On clustered
+        # data (real embeddings) recall rises with cluster purity.
+        assert recall > 0.25

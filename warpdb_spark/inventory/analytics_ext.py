@@ -571,6 +571,85 @@ def similarity_pq_adc(spark, sf_dir):
     )
 
 
+def similarity_ivfpq(spark, sf_dir):
+    """IVFADC+R — the full production ANN stack in one query (Jégou
+    et al. 2011; FAISS IndexIVFPQ): IVF coarse quantizer prunes to
+    nprobe=4 of 16 lists, the PQ code scan ranks only those lists by
+    asymmetric distance, and the top rerank_factor×k candidates
+    re-rank at full precision. `similarity_ivf` proves the pruning,
+    `similarity_pq_adc`/`_rerank` the compression — this entry proves
+    they COMPOSE: one corpus pass emits (id, list, codes) from
+    broadcast centroids+codebooks, scoring cogroups codes by list
+    with the probe set, re-rank is a broadcast semi-join. Everything
+    deterministic (shared md5 sample ordering: the 16 coarse
+    centroids are the FIRST 16 of the PQ init's 32 rows, so ONE
+    ordered scan seeds both quantizers in the oracle), replayed by
+    DuckDB end-to-end."""
+    from warpdb_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return S.ivfpq_topk(
+        emb, qs, k=5, num_lists=16, nprobe=4, m_subs=16, n_codes=32,
+        train_iters=0, rerank_factor=4, seed=42,
+    )
+
+
+# one md5-ordered scan seeds BOTH quantizers: rows 0-15 are the IVF
+# centroids, rows 0-31 the PQ init codebook (same seed, same ordering)
+_IVFPQ_SQL = (
+    "WITH ord AS (SELECT row_number() OVER ("
+    "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id) - 1 "
+    "AS pos, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
+    "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id LIMIT 32), "
+    "civf AS (SELECT pos AS list_id, cv AS ce FROM ord WHERE pos < 16), "
+    "lscored AS (SELECT e.vec_id, i.list_id, "
+    "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+    "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), i.ce), 6) DESC, "
+    "i.list_id) AS rn FROM embeddings e CROSS JOIN civf i), "
+    "asg AS (SELECT vec_id, list_id FROM lscored WHERE rn = 1), "
+    "qpr AS (SELECT vec_id AS query_id, list_id FROM lscored "
+    "WHERE rn <= 4 AND vec_id < 10), "
+    "cand AS (SELECT q.query_id, a.vec_id AS neighbor_id "
+    "FROM qpr q JOIN asg a USING (list_id) WHERE a.vec_id <> q.query_id), "
+    "subs AS (SELECT unnest(generate_series(0, 15)) AS sub), "
+    "codebook AS (SELECT s.sub, i.pos AS code, "
+    "i.cv[(s.sub * 4 + 1):(s.sub * 4 + 4)] AS cvs FROM ord i CROSS JOIN subs s), "
+    "ev AS (SELECT e.vec_id, s.sub, "
+    "CAST(e.embedding AS DOUBLE[])[(s.sub * 4 + 1):(s.sub * 4 + 4)] AS evs "
+    "FROM embeddings e CROSS JOIN subs s), "
+    "codes AS (SELECT vec_id, sub, code FROM ("
+    "SELECT ev.vec_id, ev.sub, c.code, row_number() OVER ("
+    "PARTITION BY ev.vec_id, ev.sub ORDER BY "
+    "round(list_sum([(ev.evs[j] - c.cvs[j]) * (ev.evs[j] - c.cvs[j]) "
+    "for j in generate_series(1, 4)]), 6), c.code) AS rn "
+    "FROM ev JOIN codebook c ON ev.sub = c.sub) WHERE rn = 1), "
+    "qlut AS (SELECT q.vec_id AS query_id, c.sub, c.code, "
+    "list_sum([(q.evs[j] - c.cvs[j]) * (q.evs[j] - c.cvs[j]) "
+    "for j in generate_series(1, 4)]) AS l "
+    "FROM ev q JOIN codebook c ON q.sub = c.sub WHERE q.vec_id < 10), "
+    "adc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, "
+    "round(sum(l.l), 6) AS dist2 "
+    "FROM codes cd JOIN qlut l ON cd.sub = l.sub AND cd.code = l.code "
+    "JOIN cand ON cand.query_id = l.query_id AND cand.neighbor_id = cd.vec_id "
+    "GROUP BY 1, 2), "
+    "shortlist AS (SELECT query_id, neighbor_id FROM ("
+    "SELECT query_id, neighbor_id, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rn FROM adc) "
+    "WHERE rn <= 20), "
+    "exact AS (SELECT s.query_id, s.neighbor_id, "
+    "round(list_sum([(CAST(c.embedding AS DOUBLE[])[j] - CAST(q.embedding AS DOUBLE[])[j]) * "
+    "(CAST(c.embedding AS DOUBLE[])[j] - CAST(q.embedding AS DOUBLE[])[j]) "
+    "for j in generate_series(1, len(c.embedding))]), 6) AS dist2 "
+    "FROM shortlist s JOIN embeddings c ON c.vec_id = s.neighbor_id "
+    "JOIN embeddings q ON q.vec_id = s.query_id) "
+    "SELECT query_id, neighbor_id, dist2, rank FROM ("
+    "SELECT query_id, neighbor_id, dist2, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY dist2, neighbor_id) AS INTEGER) AS rank "
+    "FROM exact) WHERE rank <= 5"
+)
+
+
 _PQ_INDEX_ROOT = "/tmp/warpdb_spark_pq_index"
 
 
@@ -1295,6 +1374,7 @@ QUERIES = {
     "embedding_pq_codes": embedding_pq_codes,
     "stream_static_enrich": stream_static_enrich,
     "similarity_pq_adc": similarity_pq_adc,
+    "similarity_ivfpq": similarity_ivfpq,
     "similarity_pq_rerank": similarity_pq_rerank,
     "similarity_pq_persisted_index": similarity_pq_persisted_index,
     "similarity_pq_index_refresh": similarity_pq_index_refresh,
@@ -1566,6 +1646,7 @@ ORACLES = {
         ORDER BY c.c_nationkey
     """,
     "similarity_pq_adc": _PQ_ADC_SQL,
+    "similarity_ivfpq": _IVFPQ_SQL,
     "similarity_pq_rerank": _PQ_RERANK_SQL,
     # identical construction to the ADC entry - the persisted index must
     # reproduce the exact same codes, so the same build+lookup replay IS

@@ -340,6 +340,7 @@ PENDING_ORDER: list[str] = [
     "dialect_unpivot",
     "dialect_values_table",
     "stream_ohlc_hourly",
+    "similarity_ivfpq",
 ]
 
 

@@ -697,28 +697,19 @@ def pq_topk(
     )
 
 
-def pq_topk_rerank(
+def _exact_rerank(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    rerank_factor: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    **pq_kwargs,
+    shortlist: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """PQ-ADC shortlist + exact re-rank (the production PQ deployment,
-    e.g. IVFADC+R): the code scan produces a ``rerank_factor × k``
-    candidate shortlist per query, then ONLY those candidates are
-    re-scored against their full-precision vectors and re-ranked.
-
-    100 TB shape: scan-side cost is the compressed code scan; the
-    re-rank touches queries × (rerank_factor·k) vectors fetched by a
-    broadcast semi-join on the candidate ids — the full-precision
-    corpus is never scored wholesale. Recall approaches exact search
-    as rerank_factor grows while the expensive scan stays on codes."""
-    shortlist = pq_topk(
-        corpus, queries, k=k * rerank_factor, id_col=id_col, vec_col=vec_col, **pq_kwargs
-    ).select("query_id", "neighbor_id")
+    """Exact squared-L2 re-rank of a bounded (query_id, neighbor_id)
+    shortlist: candidates fetched by a broadcast semi-join on their
+    ids (the full-precision corpus is never scored wholesale), scored
+    with a codegen'd zip_with fold, re-ranked (dist2 asc, neighbor_id
+    asc). Shared by pq_topk_rerank and ivfpq_topk."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     cand = c.join(F.broadcast(shortlist), "neighbor_id").join(
@@ -746,3 +737,198 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist2", "rank")
     )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **pq_kwargs,
+) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank (the production PQ deployment,
+    e.g. IVFADC+R): the code scan produces a ``rerank_factor × k``
+    candidate shortlist per query, then ONLY those candidates are
+    re-scored against their full-precision vectors and re-ranked.
+
+    100 TB shape: scan-side cost is the compressed code scan; the
+    re-rank touches queries × (rerank_factor·k) vectors fetched by a
+    broadcast semi-join on the candidate ids — the full-precision
+    corpus is never scored wholesale. Recall approaches exact search
+    as rerank_factor grows while the expensive scan stays on codes."""
+    shortlist = pq_topk(
+        corpus, queries, k=k * rerank_factor, id_col=id_col, vec_col=vec_col, **pq_kwargs
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(corpus, queries, shortlist, k, id_col, vec_col)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_lists: int = 16,
+    nprobe: int = 4,
+    m_subs: int = 16,
+    n_codes: int = 32,
+    train_iters: int = 0,
+    rerank_factor: int = 4,
+    seed: int = 42,
+    max_queries: int = MAX_COLLECTED_QUERIES,
+) -> DataFrame:
+    """IVFADC+R — the production ANN index (Jégou et al. 2011, the
+    FAISS IndexIVFPQ default): an IVF coarse quantizer prunes the
+    corpus to ``nprobe`` of ``num_lists`` inverted lists, a PQ code
+    scan ranks ONLY those lists by asymmetric distance, and the top
+    ``rerank_factor × k`` candidates re-rank against their
+    full-precision vectors. Combines ``ivf_topk``'s pruning with
+    ``pq_topk``'s compression: the scan-side cost is nprobe/num_lists
+    of the CODES table (compressed AND pruned).
+
+    100 TB shape: ONE corpus pass emits (id, list, codes) from the
+    broadcast centroids + codebooks (no join between assignment and
+    encoding); scoring cogroups codes by list with the probe set, so
+    a list never leaves its partition; the re-rank touches
+    queries × (rerank_factor·k) vectors via broadcast semi-join.
+    num_lists grows ~√N in production — 16 here is the test-scale
+    setting, and every stage is deterministic (md5 sampling, 6dp
+    rounding, lowest-id ties) so DuckDB replays coarse assignment,
+    encoding, ADC, and re-rank end-to-end."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as ST
+
+    # coarse centroids: md5-ordered deterministic sample (the ivf_topk
+    # recipe — same seed prefix, so the oracle's row_number replay of
+    # the SAME ordering yields identical lists)
+    cmat = np.array(
+        [
+            list(row[0])
+            for row in corpus.select(vec_col)
+            .orderBy(
+                F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(id_col).cast("string"))),
+                F.col(id_col),
+            )
+            .limit(num_lists)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cnorm = cmat / np.clip(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300, None)
+    codebooks = pq_train(corpus, id_col, vec_col, m_subs, n_codes, train_iters, seed)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((cnorm, codebooks))
+    id_type = corpus.schema[id_col].dataType
+
+    def index_pass(batches):
+        cn, cb = bc.value
+        for batch in batches:
+            pdf = batch.to_pandas()
+            if len(pdf) == 0:
+                continue
+            vm = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            vn = vm / np.clip(np.linalg.norm(vm, axis=1, keepdims=True), 1e-300, None)
+            sims = np.round(vn @ cn.T, 6)
+            lists = np.argsort(-sims, axis=1, kind="stable")[:, 0].astype(np.int32)
+            codes = _pq_assign(vm, cb)
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {
+                        "neighbor_id": pdf["__id"].to_numpy(),
+                        "__list": lists,
+                        "codes": list(codes),
+                    }
+                )
+            )
+
+    indexed = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInArrow(
+        index_pass,
+        ST.StructType(
+            [
+                ST.StructField("neighbor_id", id_type),
+                ST.StructField("__list", ST.IntegerType()),
+                ST.StructField("codes", ST.ArrayType(ST.IntegerType())),
+            ]
+        ),
+    )
+
+    qrows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivfpq_topk collects the query set to the driver; got more "
+            f"than max_queries={max_queries} rows."
+        )
+    qids = [r["qid"] for r in qrows]
+    qm = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+    qn = qm / np.clip(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300, None)
+    qsims = np.round(qn @ cnorm.T, 6)
+    probes = np.argsort(-qsims, axis=1, kind="stable")[:, : min(nprobe, num_lists)]
+    m, nc, dsub = codebooks.shape
+    lut = np.stack(
+        [
+            ((qm[:, s * dsub:(s + 1) * dsub][:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+            for s in range(m)
+        ],
+        axis=1,
+    )  # (Q, m, nc)
+    bq = spark.sparkContext.broadcast((qids, lut))
+    probe_rows = [
+        (qi, int(l)) for qi, row in zip(range(len(qids)), probes) for l in row
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "__qidx int, __list int")
+    kk = k * rerank_factor
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField("query_id", id_type),
+            ST.StructField("neighbor_id", id_type),
+            ST.StructField("dist2", ST.DoubleType()),
+        ]
+    )
+
+    def score(cdf: "pd.DataFrame", qdf: "pd.DataFrame") -> "pd.DataFrame":
+        bqids, blut = bq.value
+        out = {"query_id": [], "neighbor_id": [], "dist2": []}
+        if len(cdf) and len(qdf):
+            ids = cdf["neighbor_id"].to_numpy()
+            C = np.stack(cdf["codes"].to_numpy())  # (B, m)
+            B = len(ids)
+            for qi in qdf["__qidx"].to_numpy():
+                D = np.zeros(B, dtype=np.float64)
+                for s in range(C.shape[1]):
+                    D += blut[qi, s, C[:, s]]
+                D = np.round(D, 6)
+                qid = bqids[qi]
+                keep = ids != qid
+                idx = np.flatnonzero(keep)
+                # local top under the exact final order: (dist2 asc,
+                # neighbor_id asc) — lexsort keys are last-is-primary
+                order = idx[np.lexsort((ids[idx], D[idx]))][: kk + 1]
+                out["query_id"].extend([qid] * len(order))
+                out["neighbor_id"].extend(ids[order])
+                out["dist2"].extend(D[order])
+        return pd.DataFrame(out)
+
+    scored = (
+        indexed.groupBy("__list")
+        .cogroup(probe_df.groupBy("__list"))
+        .applyInPandas(score, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(corpus, queries, shortlist, k, id_col, vec_col)
