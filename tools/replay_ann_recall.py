@@ -105,14 +105,20 @@ def main() -> int:
     exact_l2.count()
     t_l2 = time.time() - t0
     print(f"exact L2 top-5 (20 queries x {n}, HOF fold): {t_l2:.1f}s")
-    # (nprobe, n_codes, rerank_factor): the entry's oracle-scale
-    # params (32 codes — too coarse at 1M, the honest reading below)
-    # vs the production FAISS-default 8-bit codebooks + deeper rerank
-    for nprobe, n_codes, rf in ((8, 32, 4), (32, 32, 4), (32, 256, 10)):
+    # (nprobe, n_codes, train_iters, rerank_factor): the entry's
+    # oracle-scale params (32 codes, init-only — too coarse at 1M,
+    # the honest reading below) vs the production FAISS-default 8-bit
+    # codebooks + deeper rerank, with and without Lloyd refinement
+    for nprobe, n_codes, it, rf in (
+        (8, 32, 0, 4),
+        (32, 32, 0, 4),
+        (32, 256, 0, 10),
+        (32, 256, 2, 10),
+    ):
         t0 = time.time()
         ap = S.ivfpq_topk(
             emb, queries, k=5, num_lists=256, nprobe=nprobe,
-            m_subs=16, n_codes=n_codes, train_iters=0, rerank_factor=rf,
+            m_subs=16, n_codes=n_codes, train_iters=it, rerank_factor=rf,
         ).select("query_id", "neighbor_id")
         hits = (
             exact_l2.join(F.broadcast(ap), ["query_id", "neighbor_id"], "left_semi")
@@ -125,9 +131,9 @@ def main() -> int:
         mean_r = sum(recalls) / len(recalls)
         n_go = sum(1 for r in recalls if r >= 0.8)
         print(
-            f"IVFPQ lists=256 nprobe={nprobe} m=16 codes={n_codes} rf={rf}: "
-            f"{dt:.1f}s, mean recall@5 {mean_r:.2f}, go (>=0.8) {n_go}/20, "
-            f"code scan ~{nprobe / 256:.1%} of a "
+            f"IVFPQ lists=256 nprobe={nprobe} m=16 codes={n_codes} "
+            f"iters={it} rf={rf}: {dt:.1f}s, mean recall@5 {mean_r:.2f}, "
+            f"go (>=0.8) {n_go}/20, code scan ~{nprobe / 256:.1%} of a "
             f"{'16x' if n_codes == 32 else '13x'}-compressed corpus"
         )
     exact_l2.unpersist()
