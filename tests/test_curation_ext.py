@@ -834,6 +834,72 @@ class TestBhFdrFuzz:
         check()
 
 
+class TestPoissonRateTest:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+
+    def test_hand_computed_equal_exposure(self, spark, inject):
+        import datetime
+        import math
+
+        t0 = datetime.datetime(2024, 1, 1)
+        h = datetime.timedelta
+        # boundary non-error events pin [mn, mx] to exactly 4h → the
+        # midpoint splits exposure 50/50, p0 = 0.5 exactly
+        rows = [
+            (0, t0, 0, "view", 1.0),
+            (1, t0 + h(hours=4), 0, "view", 1.0),
+            (2, t0 + h(minutes=30), 1, "error", 1.0),
+            (3, t0 + h(minutes=60), 1, "error", 1.0),
+            (4, t0 + h(minutes=90), 1, "error", 1.0),
+            (5, t0 + h(hours=3), 1, "error", 1.0),
+        ]
+        inject(self._ev(spark, rows))
+        r = cx.stats_poisson_rate_test(spark, "x").collect()
+        assert len(r) == 1
+        row = r[0]
+        assert (row["n_before"], row["n_after"]) == (3, 1)
+        assert row["rate_ratio"] == 3.0
+        # z = (c1 - C*0.5)/sqrt(C*0.25) = (3-2)/1 = 1
+        assert row["z_score"] == 1.0
+        assert abs(row["p_value"] - math.erfc(1 / math.sqrt(2))) < 1e-6
+
+    def test_no_errors_yields_no_row(self, spark, inject):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [(0, t0, 0, "view", 1.0),
+                (1, t0 + datetime.timedelta(hours=2), 0, "view", 1.0)]
+        inject(self._ev(spark, rows))
+        assert cx.stats_poisson_rate_test(spark, "x").collect() == []
+
+    def test_direction_and_null_ratio(self, spark, inject):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        h = datetime.timedelta
+        rows = [
+            (0, t0, 0, "view", 1.0),
+            (1, t0 + h(hours=4), 0, "view", 1.0),
+            (2, t0 + h(hours=3), 1, "error", 1.0),
+            (3, t0 + h(minutes=200), 1, "error", 1.0),
+        ]
+        inject(self._ev(spark, rows))
+        row = cx.stats_poisson_rate_test(spark, "x").collect()[0]
+        assert row["n_before"] == 0 and row["n_after"] == 2
+        assert row["z_score"] < 0  # rate rose in the second half
+        assert row["rate_ratio"] == 0.0
+
+    def test_aa_on_real_data(self, spark, sf_dir):
+        row = cx.stats_poisson_rate_test(spark, sf_dir).collect()[0]
+        # uniform synthetic arrivals: halves should be rate-similar
+        assert abs(row["z_score"]) < 4
+        assert 0 < row["p_value"] <= 1
+
+
 class TestDecontamBloomFuzz:
     """Tokenizer/trigram/bloom edge parity: random short documents —
     punctuation-only, fewer than 3 tokens, repeated grams, mixed

@@ -1096,6 +1096,58 @@ def stats_bh_fdr(spark, sf_dir):
     ).orderBy("bh_rank")
 
 
+def stats_poisson_rate_test(spark, sf_dir):
+    """Two-sample Poisson rate test on the error-event stream — did
+    the error RATE change between the first and second half of the
+    observation window? The ops-alerting staple the value-based tests
+    (Welch/KS/U) don't cover: counts against exposure time. Uses the
+    conditional binomial form (Przyborowski & Wilenski 1940; Lehmann
+    TSH §4.5): under H0 equal rates, c₁ | (c₁+c₂) ~ Binomial(C, p₀)
+    with p₀ = t₁/(t₁+t₂), so z = (c₁ − C·p₀)/√(C·p₀(1−p₀)) and the
+    two-sided p reuses the A&S erfc polynomial — no rate variance
+    estimate needed.
+
+    Exactness: the split point is the integer-microsecond midpoint of
+    the FULL event stream's [min, max] (deterministic, independent of
+    the tested type); exposures and counts are exact integers; p₀, z,
+    p are the only float steps and run the identical expression tree
+    on both engines. One aggregate over the corpus computes split
+    bounds; one conditional aggregate computes both counts — two
+    scans total, both map-side-combined to single rows."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).select(
+        "mn", "mx", F.expr("(mn + mx) div 2").alias("mid")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.unix_micros("ts").alias("us")
+    )
+    counts = err.crossJoin(F.broadcast(bounds)).agg(
+        F.sum(F.when(F.col("us") < F.col("mid"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("us") >= F.col("mid"), 1).otherwise(0)).alias("c2"),
+        F.max("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.max("mid").alias("mid"),
+    )
+    t1 = (F.col("mid") - F.col("mn")).cast("double")
+    t2 = (F.col("mx") - F.col("mid")).cast("double")
+    cc = (F.col("c1") + F.col("c2")).cast("double")
+    p0 = t1 / (t1 + t2)
+    z = (F.col("c1") - cc * p0) / F.sqrt(cc * p0 * (1.0 - p0))
+    rate_ratio = (F.col("c1") / t1) / (F.col("c2") / t2)
+    return counts.filter(
+        (F.col("c1") + F.col("c2") > 0) & (F.col("mid") > F.col("mn")) & (F.col("mx") > F.col("mid"))
+    ).select(
+        F.col("c1").cast("long").alias("n_before"),
+        F.col("c2").cast("long").alias("n_after"),
+        F.when(F.col("c2") > 0, F.round(rate_ratio, 6)).alias("rate_ratio"),
+        F.round(z, 6).alias("z_score"),
+        F.round(_normal_two_sided_p(z), 6).alias("p_value"),
+    )
+
+
 _PSI_BUCKET_CENTS = 2500  # $25 buckets — ≤~20 over the value domain
 
 
@@ -1618,6 +1670,7 @@ QUERIES = {
     "stats_ks_two_sample": stats_ks_two_sample,
     "stats_mannwhitney_u": stats_mannwhitney_u,
     "stats_bh_fdr": stats_bh_fdr,
+    "stats_poisson_rate_test": stats_poisson_rate_test,
     "events_psi_value_drift": events_psi_value_drift,
     "join_bloom_prefilter": join_bloom_prefilter,
     "join_bloom_prefilter_partitioned": join_bloom_prefilter_partitioned,
@@ -1722,6 +1775,35 @@ ORACLES = {
         "round(sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1)) "
         "* (CAST(dnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1)), 6) AS ks_stat "
         "FROM p WHERE rn = 1"
+    ),
+    # same integer micro split, same conditional-binomial z, same
+    # erfc literals and float association
+    "stats_poisson_rate_test": (
+        "WITH b AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS mn, "
+        "CAST(max(epoch_us(ts)) AS BIGINT) AS mx, "
+        "CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT) AS mid "
+        "FROM events), "
+        "c AS (SELECT CAST(sum(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS c1, "
+        "CAST(sum(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END) AS BIGINT) AS c2, "
+        "max(mn) AS mn, max(mx) AS mx, max(mid) AS mid "
+        "FROM events, b WHERE event_type = 'error'), "
+        "f AS (SELECT c1, c2, "
+        "CAST(mid - mn AS DOUBLE) AS t1, CAST(mx - mid AS DOUBLE) AS t2, "
+        "CAST(c1 + c2 AS DOUBLE) AS cc, mn, mx, mid FROM c), "
+        "g AS (SELECT c1, c2, t1, t2, cc, "
+        "t1 / (t1 + t2) AS p0 FROM f "
+        "WHERE c1 + c2 > 0 AND mid > mn AND mx > mid), "
+        "h AS (SELECT c1, c2, t1, t2, cc, p0, "
+        "(c1 - cc * p0) / sqrt(cc * p0 * (1.0 - p0)) AS z FROM g), "
+        "i AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM "
+        f"(SELECT *, abs(z) * {_INV_SQRT2!r} AS x FROM h)) "
+        "SELECT c1 AS n_before, c2 AS n_after, "
+        "CASE WHEN c2 > 0 THEN round((c1 / t1) / (c2 / t2), 6) END AS rate_ratio, "
+        "round(z, 6) AS z_score, "
+        "round(((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t "
+        "- 0.284496736) * t + 0.254829592) * t * exp(-(x * x)), 6) AS p_value "
+        "FROM i"
     ),
     # same integer/HUGEINT moments, same A&S erfc literals, same BH
     # step-up walk over the |sources|-row frame

@@ -341,6 +341,7 @@ PENDING_ORDER: list[str] = [
     "dialect_values_table",
     "stream_ohlc_hourly",
     "similarity_ivfpq",
+    "stats_poisson_rate_test",
 ]
 
 
