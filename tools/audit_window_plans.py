@@ -67,8 +67,8 @@ list for the ``raw`` tier; KNOWN_AGG_INPUT pins the reviewed
 executors.
 
 Usage: python tools/audit_window_plans.py [sf_dir]
-Exits 1 if any ``raw``-tier bounded-key window or bounded-key flatmap
-falls outside its reviewed list.
+Exits 1 if any ``raw``-tier bounded-key window, bounded-key flatmap,
+or ``opaque``-key window falls outside its reviewed list.
 """
 
 from __future__ import annotations
@@ -147,6 +147,24 @@ KNOWN_AGG_INPUT: dict[str, set[str]] = {
     # as the five graph entries above; the propagation rounds
     # themselves are join+groupBy only (no windows).
     "graph_label_propagation": {"event_type"},
+}
+
+# Reviewed ``opaque`` entries: windows whose partition key the
+# classifier can neither bound nor prove unbounded (derived columns
+# with no literal-modulus definition in the plan). Gated like raw /
+# flatmap: a NEW opaque key fails the audit until a human reviews it
+# here — previously this tier auto-passed, which is exactly how a
+# bounded-parallelism `pid`-class key could slip through (r9 verdict).
+KNOWN_OPAQUE: dict[str, set[str]] = {
+    # The two-phase zipWithIndex consumers (_partition_prefix_offsets):
+    # Window.partitionBy("pid"), pid = spark_partition_id() over a
+    # repartitionByRange whose partition count is CORPUS-PROPORTIONAL
+    # (max(8, input scan partitions) — one range partition per
+    # ~maxPartitionBytes). Cardinality grows with the data, so each
+    # pid-task sorts a roughly fixed-size slice; the offsets frame the
+    # windows ultimately stitch against is one row per partition.
+    "reshape_global_ordinal": {"pid"},
+    "shard_assign_bytes": {"pid"},
 }
 
 # Reviewed ``flatmap`` entries: applyInPandas/MapGroups executors whose
@@ -467,7 +485,8 @@ def main() -> int:
                 if (tier == "raw" and name in KNOWN_RAW)
                 or (tier == "agg_input" and name in KNOWN_AGG_INPUT)
                 or (tier == "flatmap" and name in KNOWN_FLATMAP)
-                or tier in ("groups_limited", "opaque")
+                or (tier == "opaque" and name in KNOWN_OPAQUE)
+                or tier == "groups_limited"
                 else "NEW"
             )
             print(f"  [{known}] {name}: {cols}")
@@ -477,7 +496,11 @@ def main() -> int:
             print(f"  [error] {name}: {err}")
 
     rc = 0
-    for tier, reviewed in (("raw", KNOWN_RAW), ("flatmap", KNOWN_FLATMAP)):
+    for tier, reviewed in (
+        ("raw", KNOWN_RAW),
+        ("flatmap", KNOWN_FLATMAP),
+        ("opaque", KNOWN_OPAQUE),
+    ):
         new = {
             n: cols
             for n, cols in findings[tier].items()

@@ -1006,8 +1006,13 @@ def table_zorder_layout(spark, sf_dir):
     Reference seam: the reference has no storage layout control
     (src/csv_loader.cpp loads row-order as-is); this is the SURVEY §2
     warehouse-maintenance superset."""
+    # >= 0 alongside the null filter: the bucketize `div` truncates
+    # toward zero in Spark but the oracle's `//` floors, and the
+    # shift-based Morton code needs a non-negative domain — pin the
+    # domain in BOTH engines instead of relying on the data (r9
+    # advice). Non-binding on the test tables (ids/values >= 0).
     ev = _t(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        (F.col("user_id") >= 0) & (F.col("value") >= 0)
     )
     base = ev.select(
         "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
@@ -1089,7 +1094,7 @@ def _zorder_oracle() -> str:
     )
     return (
         "WITH base AS (SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) "
-        "AS cents FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL), "
+        "AS cents FROM events WHERE user_id >= 0 AND value >= 0), "
         "mx AS (SELECT max(user_id) + 1 AS mu, max(cents) + 1 AS mc FROM base), "
         f"xy AS (SELECT (user_id * {n}) // mu AS x, (cents * {n}) // mc AS y "
         "FROM base, mx), "

@@ -47,7 +47,7 @@ DRIVER_GREEN: dict[str, int] = {
     "tpch_q12_priority_lines": 3,
     "agg_grouping_sets": 8,
     "window_value_functions": 3,
-    "pack_sequences_chunked": 2,
+    "pack_sequences_chunked": 9,
     "sample_stratified": 2,
     "decontam_eval_overlap": 2,
     "text_repetition_stats": 3,
@@ -65,12 +65,12 @@ DRIVER_GREEN: dict[str, int] = {
     "tpch_q8_market_share": 3,
     "similarity_ann_lsh": 3,
     "similarity_ivf": 3,
-    "window_qualify": 3,
+    "window_qualify": 9,
     "asof_join_next_purchase": 3,
     "agg_approx_percentile": 3,
-    "dialect_event_time": 3,
-    "dialect_tpch_q1": 3,
-    "dialect_tpch_q6": 3,
+    "dialect_event_time": 9,
+    "dialect_tpch_q1": 9,
+    "dialect_tpch_q6": 9,
     "corpus_stats_by_stratum": 3,
     "dedup_span_boilerplate": 3,
     "events_sessionize": 3,
@@ -130,59 +130,59 @@ DRIVER_GREEN: dict[str, int] = {
     "expr_regexp_extract": 2,
     "reshape_explode_tokens": 2,
     "pii_scrub": 2,
-    "pack_sequences_greedy": 2,
-    "dialect_udtf_ngrams": 4,
+    "pack_sequences_greedy": 9,
+    "dialect_udtf_ngrams": 9,
     "text_lang_confidence": 4,
     "similarity_ann_recall": 4,
     "search_rerank_cross_features": 4,
     "sample_mixture_alpha": 4,
     "search_eval_ndcg": 4,
-    "events_cusum_changepoints": 4,
+    "events_cusum_changepoints": 9,
     "pack_batches_bucketed": 4,
     "text_keywords_rake": 4,
     "embedding_label_agreement": 4,
     "text_char_entropy": 4,
-    "dialect_star_modifiers": 4,
-    "dialect_try_cast": 4,
-    "dialect_with_ties": 4,
-    "dialect_ilike": 4,
-    "dialect_setops": 4,
+    "dialect_star_modifiers": 9,
+    "dialect_try_cast": 9,
+    "dialect_with_ties": 9,
+    "dialect_ilike": 9,
+    "dialect_setops": 9,
     "setop_intersect_all": 4,
-    "dialect_tpch_q3": 4,
-    "dialect_tpch_q12": 4,
+    "dialect_tpch_q3": 9,
+    "dialect_tpch_q12": 9,
     "dialect_rollup_grouping": 4,
     "dialect_grouping_sets": 4,
-    "dialect_range_interval_frame": 4,
-    "dialect_recursive_cte": 4,
-    "dialect_self_join": 4,
-    "dialect_agg_filter": 4,
-    "dialect_string_agg": 4,
-    "dialect_unnest": 4,
-    "dialect_distinct_on": 4,
-    "dialect_ansi_fetch_bool": 4,
-    "dialect_broadcast_hint": 4,
-    "dialect_select_star": 4,
-    "dialect_group_by_all": 4,
-    "dialect_json_arrow": 4,
-    "window_ignore_nulls": 4,
+    "dialect_range_interval_frame": 9,
+    "dialect_recursive_cte": 9,
+    "dialect_self_join": 9,
+    "dialect_agg_filter": 9,
+    "dialect_string_agg": 9,
+    "dialect_unnest": 9,
+    "dialect_distinct_on": 9,
+    "dialect_ansi_fetch_bool": 9,
+    "dialect_broadcast_hint": 9,
+    "dialect_select_star": 9,
+    "dialect_group_by_all": 9,
+    "dialect_json_arrow": 9,
+    "window_ignore_nulls": 9,
     "embedding_pq_codes": 4,
     "similarity_pq_adc": 4,
     "similarity_pq_rerank": 4,
-    "graph_pagerank_users": 4,
+    "graph_pagerank_users": 9,
     "dedup_semantic_semdedup": 4,
     "text_bm25_search": 4,
     "search_hybrid_rrf": 4,
     "agg_hll_union_days": 4,
     "sketch_countmin_words": 4,
     "text_subword_segment": 4,
-    "graph_triangle_count": 4,
-    "graph_adamic_adar": 4,
+    "graph_triangle_count": 9,
+    "graph_adamic_adar": 9,
     "similarity_mmr_rerank": 4,
     "dedup_incremental_new_docs": 4,
     "dedup_containment_ngram": 4,
-    "dialect_udtf_sentences": 5,
+    "dialect_udtf_sentences": 9,
     "dedup_max_shared_run": 5,
-    "dialect_array_agg": 5,
+    "dialect_array_agg": 9,
     "multimodal_ppm_decode": 5,
     "multimodal_wav_decode": 5,
     "multimodal_video_frames": 5,
@@ -196,7 +196,7 @@ DRIVER_GREEN: dict[str, int] = {
     "table_diff_cdc": 5,
     "stream_static_enrich": 5,
     "events_anomaly_mad": 5,
-    "events_equidepth_quantiles": 5,
+    "events_equidepth_quantiles": 9,
     "events_equidepth_approx": 5,
     "profile_table_columns": 5,
     "table_fingerprint": 5,
@@ -297,6 +297,22 @@ DRIVER_GREEN: dict[str, int] = {
     "similarity_pq_persisted_index": 8,
     "dedup_cross_modal_planted": 8,
     "stream_unified_drift_by_batch": 8,
+    "similarity_pq_index_refresh": 9,
+    "events_sessionize_by_type": 9,
+    "sample_dsir_importance": 9,
+    "stats_mannwhitney_u": 9,
+    "text_bpe_learn_merges": 9,
+    "graph_label_propagation": 9,
+    "table_zorder_layout": 9,
+    "events_ohlc_bars": 9,
+    "text_kneser_ney_bigram": 9,
+    "stats_bh_fdr": 9,
+    "dialect_pivot": 9,
+    "dialect_unpivot": 9,
+    "dialect_values_table": 9,
+    "stream_ohlc_hourly": 9,
+    "similarity_ivfpq": 9,
+    "stats_poisson_rate_test": 9,
 }
 
 # Never-driver-checked entries, highest risk first: dialect executors
@@ -325,23 +341,7 @@ PENDING_ORDER: list[str] = [
     # fill the remaining slots
     # round-9 additions — pending always precedes the changed-since-
     # green tier (the 13 r8 rewrites), which precedes oldest-green
-    "similarity_pq_index_refresh",
-    "events_sessionize_by_type",
-    "sample_dsir_importance",
     # round-9 second-session additions
-    "stats_mannwhitney_u",
-    "text_bpe_learn_merges",
-    "graph_label_propagation",
-    "table_zorder_layout",
-    "events_ohlc_bars",
-    "text_kneser_ney_bigram",
-    "stats_bh_fdr",
-    "dialect_pivot",
-    "dialect_unpivot",
-    "dialect_values_table",
-    "stream_ohlc_hourly",
-    "similarity_ivfpq",
-    "stats_poisson_rate_test",
 ]
 
 

@@ -1515,30 +1515,53 @@ def range_join_session_overlap(spark, sf_dir):
 # --- reshape: scale-safe global row numbering --------------------------------
 
 
+# Bounded (size-1) slot for the prefix-offset scaffold's persisted
+# range-partitioned frame: the newest call evicts + unpersists the
+# previous one so long-lived sessions sweeping entries/sf_dirs carry
+# at most one cached copy (same discipline as _JACCARD_EDGE_CACHE).
+_prefix_parts_cache: list = []
+
+
 def _partition_prefix_offsets(df: DataFrame, measure):
     """Shared two-phase prefix-sum scaffolding (reshape_global_ordinal /
-    shard_assign_bytes): range-repartition on doc_id, aggregate
-    ``measure`` per partition (a ≤-numPartitions-row collect — bounded
-    by partition count, never data), prefix-sum on the driver. Returns
-    (partitioned_df_with_pid, offsets_map_column). Range partitions are
-    ascending in partition id, so within-partition state + offset is
-    globally consistent regardless of sampled boundaries."""
-    parts = df.repartitionByRange(8, "doc_id").withColumn(
+    shard_assign_bytes) — the DataFrame zipWithIndex: range-repartition
+    on doc_id into a CORPUS-PROPORTIONAL partition count, aggregate
+    ``measure`` per partition, prefix-sum the per-partition totals into
+    offsets, and return (partitioned_df_with_pid, offsets_frame) for a
+    broadcast join on pid. The partition count rides the input's scan
+    partitioning — max(8, scan partitions), i.e. one range partition
+    per ~maxPartitionBytes of input — so per-task row counts stay
+    roughly fixed at ANY corpus size (the multi_gpu_utils.cpp:23-60
+    range-split idea with a device count that grows with the data, not
+    a literal 8). Results are invariant to the count: the offsets make
+    within-partition state globally consistent wherever the sampled
+    boundaries land.
+
+    The offsets frame is ≤ numPartitions rows; its prefix-sum window
+    is unpartitioned but runs over that per-partition AGGREGATE (one
+    row per range partition — bounded by partition count, never data)
+    and joins back as a broadcast. No driver collect, no create_map
+    literal whose expression tree would grow with the partition count.
+    Range partitions are ascending in partition id, so within-partition
+    state + offset is globally consistent regardless of boundaries."""
+    n_parts = max(8, df.rdd.getNumPartitions())
+    while _prefix_parts_cache:
+        try:
+            _prefix_parts_cache.pop().unpersist()
+        except Exception:  # noqa: BLE001 — a dead SparkContext is fine
+            pass
+    parts = df.repartitionByRange(n_parts, "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )
     parts = parts.persist()
-    per_part = sorted(
-        (r["pid"], r["m"])
-        for r in parts.groupBy("pid").agg(measure.alias("m")).collect()
+    _prefix_parts_cache.append(parts)
+    w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("pid")
+        .agg(measure.alias("m"))
+        .select("pid", F.coalesce(F.sum("m").over(w), F.lit(0)).alias("__off"))
     )
-    offsets, acc = {}, 0
-    for pid, m in per_part:
-        offsets[pid] = acc
-        acc += m
-    omap = F.create_map(
-        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
-    )
-    return parts, omap
+    return parts, F.broadcast(offsets)
 
 
 def reshape_global_ordinal(spark, sf_dir):
@@ -1552,16 +1575,18 @@ def reshape_global_ordinal(spark, sf_dir):
     A single global window (`row_number() OVER (ORDER BY doc_id)`, the
     oracle's formulation) funnels every row through ONE task at scale;
     this shape keeps numbering parallel — the DataFrame equivalent of
-    zipWithIndex. Range partitions are ascending in partition id, so
-    within-partition rank + offset is globally consistent regardless of
-    where the sampled boundaries land.
+    zipWithIndex. The partition count scales with the corpus (see
+    _partition_prefix_offsets), so each pid-task numbers a roughly
+    fixed-size slice at any sf. Range partitions are ascending in
+    partition id, so within-partition rank + offset is globally
+    consistent regardless of where the sampled boundaries land.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    parts, omap = _partition_prefix_offsets(docs, F.count(F.lit(1)))
+    parts, offsets = _partition_prefix_offsets(docs, F.count(F.lit(1)))
     w = Window.partitionBy("pid").orderBy("doc_id")
-    return parts.select(
+    return parts.join(offsets, "pid").select(
         "doc_id",
-        (F.row_number().over(w) + omap[F.col("pid")]).alias("ordinal"),
+        (F.row_number().over(w) + F.col("__off")).alias("ordinal"),
         "n_chars",
     )
 
@@ -1932,23 +1957,25 @@ def shard_assign_bytes(spark, sf_dir):
     dependence).
 
     Same two-phase shape as reshape_global_ordinal: range-repartition
-    on doc_id, per-partition n_chars SUMS (≤numPartitions rows) prefix-
-    summed into offsets on the driver, then a within-partition running
-    sum + offset — no single-task global window. All-integer state, so
-    any evaluation order yields the identical prefix sums and the
-    oracle's one-window formulation replays it exactly.
+    on doc_id into a corpus-proportional partition count, per-partition
+    n_chars SUMS (one row per range partition) prefix-summed into
+    offsets and broadcast-joined back, then a within-partition running
+    sum + offset — no single-task global window, no driver collect.
+    All-integer state, so any evaluation order yields the identical
+    prefix sums and the oracle's one-window formulation replays it
+    exactly.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    parts, omap = _partition_prefix_offsets(docs, F.sum("n_chars"))
+    parts, offsets = _partition_prefix_offsets(docs, F.sum("n_chars"))
     w = (
         Window.partitionBy("pid")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     byte_start = (
-        F.coalesce(F.sum("n_chars").over(w), F.lit(0)) + omap[F.col("pid")]
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)) + F.col("__off")
     )
-    return parts.select(
+    return parts.join(offsets, "pid").select(
         "doc_id",
         "n_chars",
         byte_start.alias("byte_start"),
@@ -2157,6 +2184,12 @@ def graph_degree_distribution(spark, sf_dir):
 
 _LPA_ROUNDS = 2  # fixed so the DuckDB oracle can unroll the rounds
 
+# Bounded (size-1) slot for LPA's persisted directed edge list — the
+# newest call evicts + unpersists the previous corpus's cache, so a
+# long-lived session sweeping entries/sf_dirs holds at most one
+# (the _JACCARD_EDGE_CACHE discipline; r9 advice).
+_lpa_edge_cache: list = []
+
 
 def graph_label_propagation(spark, sf_dir):
     """Label-propagation community detection (Raghavan et al. 2007)
@@ -2178,11 +2211,17 @@ def graph_label_propagation(spark, sf_dir):
     is min_by over struct(-count, label) — deterministic on ties, the
     same (cnt DESC, label ASC) row_number pick the oracle spells."""
     E = _user_edges(spark, sf_dir)
+    while _lpa_edge_cache:
+        try:
+            _lpa_edge_cache.pop().unpersist()
+        except Exception:  # noqa: BLE001 — a dead SparkContext is fine
+            pass
     directed = (
         E.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(E.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .persist()
     )
+    _lpa_edge_cache.append(directed)
     labels = directed.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

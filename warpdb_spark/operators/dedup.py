@@ -180,10 +180,13 @@ def _pairs_from_shingles(
                         # the previous concat_ws spelling stringified 4
                         # longs per band per doc (measured ~15% of the
                         # candidate path at sf0.1). Equal slices still
-                        # hash equal, so the collision classes — and
-                        # therefore the verified output — are unchanged;
-                        # accidental cross-class collisions only ADD
-                        # candidates, which exact verification drops.
+                        # hash equal, so collision-free the output is
+                        # unchanged. An accidental cross-class collision
+                        # (~2^-64/pair) usually only ADDS candidates that
+                        # exact verification drops — but it can also
+                        # merge two buckets past max_bucket_size and
+                        # drop TRUE pairs with them, so the unchanged-
+                        # output claim is probabilistic, not strict.
                         F.xxhash64(
                             F.lit(b), F.slice("__sig", b * rows + 1, rows)
                         ).alias("bucket"),
