@@ -249,6 +249,8 @@ def test_inventory_window_audit_matches_reviewed_exceptions(spark, sf_dir):
     from tools.audit_window_plans import (
         KNOWN_AGG_INPUT,
         KNOWN_FLATMAP,
+        KNOWN_OPAQUE,
+        KNOWN_OPAQUE_KEYS,
         KNOWN_RAW,
         audit,
     )
@@ -271,6 +273,39 @@ def test_inventory_window_audit_matches_reviewed_exceptions(spark, sf_dir):
         f"reviewed list (one worker holds 1/|domain| of the input at "
         f"scale). findings={flatmap}"
     )
+    # opaque tier (gated r10): after stripping the class-reviewed
+    # __chunk key, findings must equal the per-entry pins exactly —
+    # a NEW unbounded/underived window key needs a review note, and a
+    # fixed one must be pruned.
+    opaque = {
+        n: set(c) - KNOWN_OPAQUE_KEYS for n, c in findings["opaque"].items()
+    }
+    opaque = {n: c for n, c in opaque.items() if c}
+    assert opaque == KNOWN_OPAQUE, (
+        "opaque-key windows diverge from the reviewed list — new "
+        f"unclassifiable partition key or stale pin. findings={opaque}"
+    )
+
+
+def test_chunk_column_name_minted_only_in_reviewed_files():
+    """The audit's KNOWN_OPAQUE_KEYS allowance passes any window keyed
+    on ``__chunk`` because that name is the chunked two-pass
+    primitives' corpus-proportional chunk column. That allowance is
+    only sound while the name stays confined to the reviewed files —
+    a new module naming some bounded column __chunk would silently
+    ride it. Pin the file set."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "warpdb_spark"
+    minters = sorted(
+        str(p.relative_to(pkg))
+        for p in pkg.rglob("*.py")
+        if "__chunk" in p.read_text()
+    )
+    assert minters == [
+        "inventory/pipeline_ops.py",
+        "operators/sequence.py",
+    ], minters
 
 
 def test_green_recheck_order_is_changed_then_oldest_round_first():

@@ -590,6 +590,47 @@ class TestIncrementalDedup:
         assert got == {"10"}
 
 
+class TestPQDeltaEncodeStream:
+    """Streaming PQ index refresh (streaming/pq_refresh.py): encoding
+    micro-batches of new vectors with a FROZEN codebook must produce
+    byte-identical codes to one batch encode of the same delta —
+    assignment is row-local, so batch boundaries cannot change any
+    code — and batches must land in per-batch partitions."""
+
+    def test_streamed_delta_codes_equal_batch(self, spark, sf_dir, tmp_path):
+        from warpdb_spark.operators import similarity as S
+        from warpdb_spark.streaming.pq_refresh import BATCH_COL, run_pq_delta_encode
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cutoff = 400
+        cb = S.pq_train(
+            emb.filter(F.col("vec_id") < cutoff),
+            m_subs=16, n_codes=32, train_iters=0, seed=42,
+        )
+        delta = emb.filter(F.col("vec_id") >= cutoff)
+        src = str(tmp_path / "arrivals")
+        delta.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = str(tmp_path / "delta_codes")
+        q = run_pq_delta_encode(stream, cb, out, checkpoint=str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        q.stop()
+
+        got = spark.read.parquet(out)
+        # maxFilesPerTrigger=1 over 3 files -> >= 2 real micro-batches
+        assert got.select(BATCH_COL).distinct().count() >= 2
+        streamed = {(r["vec_id"], tuple(r["codes"])) for r in got.collect()}
+        batch = {
+            (r["vec_id"], tuple(r["codes"]))
+            for r in S.pq_encode(delta, cb).collect()
+        }
+        assert streamed == batch and len(streamed) == delta.count()
+
+
 class TestSketchRollup:
     """Streaming HLL sketch store (streaming/sketches.py): per-day
     sketches merged across micro-batches must equal sketching the whole

@@ -142,6 +142,11 @@ KNOWN_AGG_INPUT: dict[str, set[str]] = {
     # both via the two-pass primitives; the bare-type windows are the
     # offset stitches over one aggregated row per hour chunk.
     "events_sessionize_by_type": {"event_type"},
+    # r10 scale twin of the pinned UDAF demo: the only bare-flag window
+    # is grouped_global_rank's offsets stitch over one aggregated row
+    # per ~1000-unit price chunk; the corpus-scale rank partitions by
+    # (l_returnflag, __chunk).
+    "udaf_group_median_chunked": {"l_returnflag"},
     # r9 addition: LPA shares _user_edges, so it inherits the same
     # boundary-stitch window over one aggregated row per (type, hour)
     # as the five graph entries above; the propagation rounds
@@ -155,6 +160,17 @@ KNOWN_AGG_INPUT: dict[str, set[str]] = {
 # flatmap: a NEW opaque key fails the audit until a human reviews it
 # here — previously this tier auto-passed, which is exactly how a
 # bounded-parallelism `pid`-class key could slip through (r9 verdict).
+# Opaque KEY NAMES reviewed as a CLASS: ``__chunk`` is the chunked
+# two-pass decomposition's chunk column (operators/sequence.py
+# primitives, plus pipeline_ops' inline cusum spelling of the same
+# pattern) — chunk count is corpus-proportional BY CONSTRUCTION
+# (value/time buckets of the order column). A (group, __chunk) window
+# is the scale-SAFE spelling this audit exists to push entries toward,
+# so it is allowed wherever it appears. A non-primitive column merely
+# NAMED __chunk would ride this allowance — the contract test pins
+# which source files may mint the name.
+KNOWN_OPAQUE_KEYS: set[str] = {"__chunk"}
+
 KNOWN_OPAQUE: dict[str, set[str]] = {
     # The two-phase zipWithIndex consumers (_partition_prefix_offsets):
     # Window.partitionBy("pid"), pid = spark_partition_id() over a
@@ -165,6 +181,30 @@ KNOWN_OPAQUE: dict[str, set[str]] = {
     # windows ultimately stitch against is one row per partition.
     "reshape_global_ordinal": {"pid"},
     "shard_assign_bytes": {"pid"},
+    # First-arrival pick per content fingerprint: fp is md5(text) —
+    # cardinality grows with the corpus; rows per fp = that text's
+    # duplicate count (the quantity dedup is removing).
+    "dedup_incremental_new_docs": {"fp"},
+    # Per-query MMR rerank: query_id domain = the query SET (a bounded
+    # input, not the corpus); rows per query = the top-N candidate
+    # pool the entry caps before reranking.
+    "similarity_mmr_rerank": {"query_id"},
+    # Ingest-monitoring curves: batch_id = doc_id // batch_size —
+    # grows with the corpus; rows per batch = the fixed batch size.
+    "stream_ks_drift_by_batch": {"batch_id"},
+    "stream_unified_drift_by_batch": {"batch_id"},
+    # bucket = n_tokens/64 (length buckets): domain grows with max doc
+    # LENGTH, not corpus. The corpus-scale rank runs within (bucket,
+    # __chunk = exact length) via grouped_global_rank (r10 respell);
+    # the remaining bare-bucket window is the offsets stitch over ONE
+    # aggregated row per distinct length — the agg_input shape, filed
+    # here only because the classifier can't bound the derived key.
+    "pack_batches_bucketed": {"bucket"},
+    # grp = doc_id % N with N corpus-scaled (max(8, ceil(n_docs/2048)),
+    # _packing_input_scaled): ~2048 docs per group at any scale. The
+    # classifier correctly refuses to bound a non-literal modulus;
+    # that non-literal N is exactly what makes it scale.
+    "pack_sequences_greedy": {"grp"},
 }
 
 # Reviewed ``flatmap`` entries: applyInPandas/MapGroups executors whose
@@ -173,10 +213,10 @@ KNOWN_OPAQUE: dict[str, set[str]] = {
 KNOWN_FLATMAP: dict[str, set[str]] = {
     # The SURVEY §2.8 UDAF-parity demo (reference custom.cu analog):
     # applyInPandas IS the point of the entry. 3 groups = one third of
-    # lineitem per worker at scale — the named scale default for an
-    # exact grouped median is the grouped_global_rank value-chunk
-    # spelling (operators/sequence.py, as used by agg_weighted_median),
-    # or approx_percentile when 1e-4 error is acceptable.
+    # lineitem per worker at scale — its scale-safe twin is
+    # udaf_group_median_chunked (grouped_global_rank value-chunk rank
+    # selection, identical output + oracle, no Python executor); keep
+    # the demo pinned ONLY for the applyInPandas surface itself.
     "udaf_group_median": {"l_returnflag"},
 }
 
@@ -485,7 +525,11 @@ def main() -> int:
                 if (tier == "raw" and name in KNOWN_RAW)
                 or (tier == "agg_input" and name in KNOWN_AGG_INPUT)
                 or (tier == "flatmap" and name in KNOWN_FLATMAP)
-                or (tier == "opaque" and name in KNOWN_OPAQUE)
+                or (
+                    tier == "opaque"
+                    and set(cols)
+                    <= KNOWN_OPAQUE.get(name, set()) | KNOWN_OPAQUE_KEYS
+                )
                 or tier == "groups_limited"
                 else "NEW"
             )
@@ -501,13 +545,15 @@ def main() -> int:
         ("flatmap", KNOWN_FLATMAP),
         ("opaque", KNOWN_OPAQUE),
     ):
-        new = {
-            n: cols
-            for n, cols in findings[tier].items()
-            if n not in reviewed or not set(cols) <= reviewed[n]
-        }
+        new = {}
+        for n, cols in findings[tier].items():
+            cols_set = set(cols)
+            if tier == "opaque":
+                cols_set -= KNOWN_OPAQUE_KEYS
+            if cols_set and (n not in reviewed or not cols_set <= reviewed[n]):
+                new[n] = sorted(cols_set)
         if new:
-            print(f"FAIL: {tier}-tier bounded-key findings outside the reviewed list: {new}")
+            print(f"FAIL: {tier}-tier findings outside the reviewed list: {new}")
             rc = 1
         fixed = sorted(set(reviewed) - set(findings[tier]))
         if fixed:

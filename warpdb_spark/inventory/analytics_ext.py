@@ -838,6 +838,56 @@ def similarity_pq_index_refresh(spark, sf_dir):
     )
 
 
+def stream_pq_delta_encode(spark, sf_dir):
+    """STREAMING twin of ``similarity_pq_index_refresh``'s delta leg —
+    the live micro-batch deployment
+    (streaming/pq_refresh.py::run_pq_delta_encode wires the identical
+    encode into foreachBatch with exactly-once per-batch partitions;
+    pytest pins a real readStream run producing byte-identical codes).
+    This entry replays the event-order semantics in batch, the
+    streaming family's oracle idiom: new vectors (vec_id >= cutoff)
+    arrive in micro-batches of 50 arrival-ordered rows; each batch is
+    encoded with the FROZEN base codebook and summarized as
+    (n_vecs, integer code checksum, id range).
+
+    What the oracle proves: PQ encoding is ROW-LOCAL under a frozen
+    codebook, so batch boundaries cannot change any code — the
+    summaries computed batch-by-batch equal DuckDB's one-pass
+    replay of train-on-base + encode-delta grouped by the same batch
+    key. Integer counts/sums only — exact hash. Scale: one
+    zero-shuffle Arrow map pass over the DELTA plus a |batches|-row
+    aggregate; the corpus is never rescanned (the scan prunes
+    vec_id >= cutoff into parquet, plan-pinned for the refresh
+    family)."""
+    from warpdb_spark.operators import similarity as S
+
+    m_subs, n_codes, cutoff, batch_rows = 16, 32, _PQ_REFRESH_CUTOFF, 50
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = S.pq_train(
+        emb.filter(F.col("vec_id") < cutoff),
+        m_subs=m_subs, n_codes=n_codes, train_iters=0, seed=42,
+    )
+    codes = S.pq_encode(emb.filter(F.col("vec_id") >= cutoff), cb)
+    return (
+        codes.select(
+            F.floor((F.col("vec_id") - cutoff) / batch_rows)
+            .cast("long")
+            .alias("batch_id"),
+            "vec_id",
+            F.aggregate(
+                "codes", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("__cs"),
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("__cs").alias("code_sum"),
+            F.min("vec_id").alias("first_vec"),
+            F.max("vec_id").alias("last_vec"),
+        )
+    )
+
+
 def similarity_pq_rerank(spark, sf_dir):
     """PQ shortlist + exact re-rank (the IVFADC+R deployment shape):
     the ADC code scan produces a 4k-deep candidate shortlist, then
@@ -1383,6 +1433,7 @@ QUERIES = {
     "similarity_pq_rerank": similarity_pq_rerank,
     "similarity_pq_persisted_index": similarity_pq_persisted_index,
     "similarity_pq_index_refresh": similarity_pq_index_refresh,
+    "stream_pq_delta_encode": stream_pq_delta_encode,
     "dialect_rollup_grouping": dialect_rollup_grouping,
     "dialect_grouping_sets": dialect_grouping_sets,
     "merge_upsert_orders": merge_upsert_orders,
@@ -1668,6 +1719,20 @@ SELECT query_id, neighbor_id, dist2, rank FROM (
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS INTEGER) AS rank
     FROM adc
 ) WHERE rank <= 5
+""",
+    # the same base-slice-trained codebook + codes CTEs, restricted to
+    # the delta and grouped by the arrival micro-batch: code assignment
+    # is row-local, so the per-batch checksums must match Spark's
+    # batch-by-batch frozen-codebook encode exactly
+    "stream_pq_delta_encode": _PQ_CTES_T.format(
+        init_where=f" WHERE vec_id < {_PQ_REFRESH_CUTOFF}"
+    ) + f"""
+SELECT CAST((vec_id - {_PQ_REFRESH_CUTOFF}) // 50 AS BIGINT) AS batch_id,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       min(vec_id) AS first_vec, max(vec_id) AS last_vec
+FROM codes WHERE vec_id >= {_PQ_REFRESH_CUTOFF}
+GROUP BY 1
 """,
     "embedding_pq_codes": """
         WITH init AS (

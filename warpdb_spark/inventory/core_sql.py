@@ -552,12 +552,12 @@ def udaf_group_median(spark, sf_dir):
 
     DELIBERATELY bounded-key (l_returnflag: 3 groups) and pinned in
     the audit's KNOWN_FLATMAP: one Python worker holds a third of
-    lineitem, which does NOT survive 100x. The named scale defaults
-    for an exact grouped median are the chunked-rank value selection
-    (operators/sequence.py grouped_global_rank, as agg_weighted_median
-    does) or percentile_approx when ~1e-4 relative error is fine —
-    this entry exists to exercise the applyInPandas UDAF surface
-    itself."""
+    lineitem, which does NOT survive 100x. The scale default is
+    implemented as ``udaf_group_median_chunked`` (same groups, same
+    output, same oracle — grouped_global_rank value-chunk rank
+    selection, no Python executor); percentile_approx is the
+    sketch path when ~1e-4 relative error is fine. This entry exists
+    to exercise the applyInPandas UDAF surface itself."""
     import pandas as pd
 
     def median(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -573,6 +573,46 @@ def udaf_group_median(spark, sf_dir):
         .select("l_returnflag", "l_extendedprice")
         .groupBy("l_returnflag")
         .applyInPandas(median, "flag string, median_price double")
+    )
+
+
+def udaf_group_median_chunked(spark, sf_dir):
+    """The scale-safe twin ``udaf_group_median``'s docstring promises:
+    the SAME exact per-group median (same groups, same output schema,
+    same oracle SQL) spelled on operators/sequence.grouped_global_rank
+    value-chunks instead of applyInPandas — no Python executor, no
+    single worker holding a third of lineitem.
+
+    Median as rank selection: with n rows per group and a global asc
+    rank over l_extendedprice, the median is the mean of the values at
+    ranks floor((n+1)/2) and floor(n/2)+1 (equal ranks when n is odd —
+    one row; adjacent middle pair when even — two rows averaged,
+    exactly numpy's / DuckDB's interpolation). grouped_global_rank
+    assigns the rank in two passes: row_number within (group,
+    floor(price/1000) value-chunk) — parallel in the chunk count —
+    plus prefix offsets over one aggregated row per chunk; rank ties
+    among equal values are arbitrary within a chunk, which is exact
+    for value-at-rank selection. The final filter keeps ≤2 rows per
+    group before a 3-row aggregate. l_extendedprice is non-null
+    (TPC-H), so a plain asc order and a plain floor chunk agree
+    between engines."""
+    from warpdb_spark.operators.sequence import grouped_global_rank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    d = grouped_global_rank(
+        li,
+        "l_returnflag",
+        [F.asc("l_extendedprice")],
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("long"),
+        rank_col="rk",
+        n_col="n",
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor(F.col("n") / 2) + 1
+    return (
+        d.filter((F.col("rk") == lo) | (F.col("rk") == hi))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.round(F.avg("l_extendedprice"), 4).alias("median_price"))
     )
 
 
@@ -1556,6 +1596,7 @@ QUERIES = {
     "expr_math_functions": expr_math_functions,
     "agg_approx_count_distinct": agg_approx_count_distinct,
     "udaf_group_median": udaf_group_median,
+    "udaf_group_median_chunked": udaf_group_median_chunked,
     "setop_union": setop_union,
     "setop_intersect": setop_intersect,
     "setop_except": setop_except,
@@ -1806,6 +1847,12 @@ ORACLES = {
         "TRUE AS approx_within_3rsd FROM lineitem"
     ),
     "udaf_group_median": (
+        "SELECT l_returnflag AS flag, round(median(l_extendedprice), 4) AS median_price "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    # identical oracle text by design: the chunked twin must reproduce
+    # the applyInPandas demo bit-for-bit
+    "udaf_group_median_chunked": (
         "SELECT l_returnflag AS flag, round(median(l_extendedprice), 4) AS median_price "
         "FROM lineitem GROUP BY l_returnflag"
     ),

@@ -1083,9 +1083,10 @@ def multimodal_ppm_decode(spark, sf_dir):
     grammar), then per-channel means stream out via mapInPandas. Pixel
     sums are integers (exact in f64), so DuckDB replays the identical
     means from the formula alone — the oracle checks the codec
-    round-trips the arithmetic bit-for-bit. PIL-class formats remain
-    behind the documented real_decode_stub; PPM proves the decoder
-    plumbing with an actual decoder."""
+    round-trips the arithmetic bit-for-bit. PIL-class formats decode
+    via the feature-checked pil_decode path (real when Pillow is
+    installed); PPM proves the decoder plumbing with an actual decoder
+    in any environment."""
     import pandas as _pd
     from pyspark.sql.types import (
         BinaryType as _Bin,
@@ -1137,9 +1138,9 @@ def multimodal_dhash_neardup(spark, sf_dir, docs=None):
     (operators/multimodal.py::ppm_encode/ppm_decode); the 64-bit
     dHash (row-wise adjacent-pixel comparisons over the DECODED
     frame) streams out of mapInPandas as a 64-char bit string. A real
-    photo would be resized to 9x8 grayscale first — that resize sits
-    behind the documented real_decode_stub seam; the synthetic frame
-    is already 9x8, so the hash/band/pair plumbing is fully real.
+    photo would be decoded via the feature-checked pil_decode path and
+    resized (resize_nearest) to 9x8 grayscale first; the synthetic
+    frame is already 9x8, so the hash/band/pair plumbing is fully real.
 
     Candidates ride the round-6 shared capped generator
     (operators/dedup.py::capped_key_pairs) with 4 hamming-LSH bands
@@ -1753,19 +1754,34 @@ def pack_batches_bucketed(spark, sf_dir):
     fraction low — random batching pads every batch to its longest
     straggler.
 
-    Scale: one shuffle on the bucket key, per-bucket sorted windows run
-    in parallel (no global sort — the same shape as sessionization),
-    and the per-batch aggregate is map-side combinable. All integers
-    except the final rounded division, so DuckDB replays every row."""
+    Scale (r10 respell): the per-bucket rank runs through
+    operators/sequence.grouped_global_rank chunked on the EXACT token
+    count — row_number within (bucket, n_tokens) ordered by doc_id
+    plus prefix offsets over one aggregated row per distinct length,
+    which equals row_number() OVER (PARTITION BY bucket ORDER BY
+    n_tokens, doc_id) deterministically (equal leading values share a
+    chunk; within-chunk order is the full doc_id tiebreak). The
+    previous plain per-bucket window sorted corpus/|buckets| rows in
+    one task with |buckets| bounded by max doc LENGTH, not corpus —
+    the fixed-parallelism class. Residual skew note: all docs of one
+    exact length land in one task; chunking on (n_tokens, doc_id
+    range) would split that at the cost of a struct chunk. The
+    per-batch aggregate is map-side combinable. All integers except
+    the final rounded division, so DuckDB replays every row."""
+    from warpdb_spark.operators.sequence import grouped_global_rank
+
     docs = _t(spark, sf_dir, "documents")
     d = (
         docs.filter(F.trim(F.col("text")) != "")
         .select("doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens"))
         .withColumn("bucket", (F.col("n_tokens") / 64).cast("long"))
     )
-    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
-    batched = d.withColumn(
-        "batch_no", ((F.row_number().over(w) - 1) / 16).cast("long")
+    ranked = grouped_global_rank(
+        d, "bucket", ["n_tokens", "doc_id"], F.col("n_tokens"),
+        rank_col="__rn", n_col=None,
+    )
+    batched = ranked.withColumn(
+        "batch_no", ((F.col("__rn") - 1) / 16).cast("long")
     )
     return (
         batched.groupBy("bucket", "batch_no")

@@ -331,6 +331,10 @@ PENDING_ORDER: list[str] = [
     # round-6 curation_ext batch — fills the window to exactly 50
     # pending (37 + 13); ordered behind everything above so the r5
     # backlog is still verified first
+    # round-10 additions — the queue was empty after the r9 promotion;
+    # these front the r10 window, ahead of the changed-tier re-checks
+    "stream_pq_delta_encode",
+    "udaf_group_median_chunked",
     # round-6 late additions — behind the rehearsed 50-entry r6 window;
     # these front the r7 window
     # round-7 additions — added BEFORE the r7 window rehearsal (the

@@ -3,9 +3,13 @@
 Images/audio/video are opaque ``binary`` payloads plus a typed metadata
 struct. The Spark-side machinery — schema, partition-parallel Arrow
 batches via mapInPandas, UDF signatures, batch shapes — is real and
-tested; the actual media decoding is stubbed (image/audio libraries are
-not in this container) behind ``decoder=`` hooks: pass a real decoder
-(e.g. PIL-based) in production, the deterministic fake otherwise.
+tested. Decoding: PPM images and PCM16 WAV audio decode for REAL with
+pure-numpy/stdlib codecs in any environment; PIL-class formats
+(png/jpeg/webp) decode for real through the feature-checked
+``pil_decode`` path when Pillow is installed and raise with install
+guidance when not. ``decoder=`` hooks let callers swap any of these
+for their own (or for ``fake_feature_decoder``, the deterministic
+byte-histogram stand-in used by shape tests).
 """
 
 from __future__ import annotations
@@ -62,14 +66,26 @@ def attach_blob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
-def real_decode_stub(payload: bytes, fmt: str):
-    """Placeholder for a real media decoder. Wire PIL/librosa/pyav here
-    in production."""
-    raise NotImplementedError(
-        f"media decoding for format {fmt!r} requires an image/audio library "
-        "not present in this environment; pass decoder=fake_feature_decoder "
-        "or a real decoder callable"
-    )
+def pil_decode(payload: bytes, fmt: str) -> np.ndarray:
+    """Optional real-codec path for PIL-class image formats (png/jpeg/
+    webp/...): decodes to an (h, w, 3) uint8 RGB array — the same
+    output contract as ``ppm_decode`` — when Pillow is installed
+    (feature-checked import; Pillow is not in this container, so this
+    path is exercised only where it is). Raises RuntimeError, never a
+    silent fake, when the library is absent: a caller who wants a
+    deterministic stand-in passes ``decoder=fake_feature_decoder``
+    explicitly."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — feature-checked import
+    except ImportError as e:
+        raise RuntimeError(
+            f"decoding format {fmt!r} requires Pillow (pip install pillow); "
+            "PPM/WAV decode without it, or pass a custom decoder callable"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 def fake_feature_decoder(payload: bytes, fmt: str) -> np.ndarray:
@@ -213,11 +229,12 @@ ppm_encode, ppm_decode = _make_ppm_codec()
 
 
 def decode_media(payload: bytes, fmt: str) -> "np.ndarray":
-    """Format dispatch: PPM decodes for real; everything else routes to
-    the documented stub (wire PIL/librosa/pyav there in production)."""
+    """Format dispatch: PPM decodes for real with the pure-numpy codec;
+    PIL-class formats decode for real via ``pil_decode`` when Pillow is
+    installed (RuntimeError with install guidance when not)."""
     if fmt == "ppm":
         return ppm_decode(payload)
-    return real_decode_stub(payload, fmt)
+    return pil_decode(payload, fmt)
 
 
 def resize_nearest(arr: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
