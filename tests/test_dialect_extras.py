@@ -308,6 +308,79 @@ class TestUnpivot:
         assert rows[0]["k"] in (1, 2)
 
 
+class TestUnpivotMultiMeasure:
+    """Multi-measure UNPIVOT (r10): ((v1, v2) FOR name IN ((c1, c2)
+    AS label, ...)) — each IN tuple emits one row with BOTH measures;
+    EXCLUDE NULLS drops a row only when ALL its measures are NULL."""
+
+    @pytest.fixture()
+    def mdb(self, spark):
+        rows = [
+            Row(k=1, p1=10.0, q1=1.0, p2=None, q2=4.0),
+            Row(k=2, p1=None, q1=None, p2=7.0, q2=8.0),
+        ]
+        return WarpDB(df=spark.createDataFrame(rows), table_name="t", spark=spark)
+
+    def test_tuples_labels_and_all_null_exclusion(self, mdb):
+        rows = mdb.query_sql(
+            "SELECT k, m, p, q FROM t "
+            "UNPIVOT ((p, q) FOR m IN ((p1, q1) AS first, (p2, q2) AS second)) "
+            "ORDER BY k, m"
+        ).collect()
+        # k=1 second tuple has p2 NULL but q2=4.0 -> kept (partial null);
+        # k=2 first tuple is all-NULL -> dropped
+        assert [(r["k"], r["m"], r["p"], r["q"]) for r in rows] == [
+            (1, "first", 10.0, 1.0),
+            (1, "second", None, 4.0),
+            (2, "second", 7.0, 8.0),
+        ]
+
+    def test_include_nulls_and_default_label(self, mdb):
+        rows = mdb.query_sql(
+            "SELECT k, m, p, q FROM t "
+            "UNPIVOT INCLUDE NULLS ((p, q) FOR m IN ((p1, q1), (p2, q2))) "
+            "ORDER BY k, m"
+        ).collect()
+        assert len(rows) == 4  # the all-NULL tuple row survives
+        assert {r["m"] for r in rows} == {"p1_q1", "p2_q2"}  # "_"-joined
+
+    def test_position_wise_type_coercion(self, spark):
+        db = WarpDB(
+            df=spark.createDataFrame([Row(k=1, a=1.5, b=2, c=3.5, d=4)]),
+            table_name="t",
+            spark=spark,
+        )
+        rows = db.query_sql(
+            "SELECT m, x, y FROM t "
+            "UNPIVOT ((x, y) FOR m IN ((a, b) AS ab, (c, d) AS cd)) "
+            "ORDER BY m"
+        ).collect()
+        assert [(r["x"], r["y"]) for r in rows] == [(1.5, 2), (3.5, 4)]
+
+    def test_errors_are_typed(self, mdb, spark):
+        with pytest.raises(ValidationError, match="1 column"):
+            mdb.query_sql(
+                "SELECT * FROM t UNPIVOT ((p, q) FOR m IN ((p1) AS only))"
+            )
+        with pytest.raises(ValidationError, match="single column"):
+            mdb.query_sql("SELECT * FROM t UNPIVOT (v FOR m IN ((p1, q1)))")
+        with pytest.raises(ValidationError, match="Duplicate value column"):
+            mdb.query_sql("SELECT * FROM t UNPIVOT ((p, p) FOR m IN ((p1, q1)))")
+        with pytest.raises(ValidationError, match="Unknown column: zz"):
+            mdb.query_sql("SELECT * FROM t UNPIVOT ((p, q) FOR m IN ((zz, q1)))")
+        with pytest.raises(ValidationError, match="collides"):
+            mdb.query_sql("SELECT * FROM t UNPIVOT ((k, q) FOR m IN ((p1, q1)))")
+        db = WarpDB(
+            df=spark.createDataFrame([Row(k=1, a=1.0, s="x", b=2.0, t="y")]),
+            table_name="u",
+            spark=spark,
+        )
+        with pytest.raises(ValidationError, match="no common type"):
+            db.query_sql(
+                "SELECT * FROM u UNPIVOT ((x, y) FOR m IN ((a, b), (s, t)))"
+            )
+
+
 class TestValuesTable:
     def test_values_with_named_columns(self, tdb):
         rows = tdb.query_sql(

@@ -8,7 +8,16 @@ IVF (num_lists=256, nprobe in {8, 32, 96}) against the exact brute-force
 top-5 for 20 queries, with full-materialization timing for each leg
 (the replay_scale_honest rule).
 
-Usage: PYTHONPATH=/root/repo python tools/replay_ann_recall.py
+Two corpora (r10): ``uniform`` — isotropic hash vectors, the
+ADVERSARIAL case for any partition-based index (the r9 honest-negative
+readings: IVF ceiling 0.66, Lloyd +0.01); ``clustered`` — 64
+hash-Gaussian clusters, the PRODUCTION regime real encoders emit,
+where IVF pruning and Lloyd refinement are supposed to pay. Running
+both gives the go/no-go table its two columns: thresholds are judged
+against the clustered (production) column, with the uniform column as
+the worst-case floor.
+
+Usage: PYTHONPATH=/root/repo python tools/replay_ann_recall.py [uniform|clustered|both]
 """
 
 import os
@@ -24,16 +33,32 @@ import warpdb_spark.operators.similarity as S
 from tools import replay_corpus as rc
 
 OUT = "/tmp/replay_ann_corpus"
+OUT_CLUSTERED = "/tmp/replay_ann_corpus_clustered"
 
 
 def main() -> int:
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
     spark = get_spark("replay-ann-recall")
     spark.sparkContext.setLogLevel("ERROR")
+    rcode = 0
+    for corpus in ("uniform", "clustered"):
+        if which not in (corpus, "both"):
+            continue
+        print(f"=== corpus: {corpus} ===")
+        rcode |= run_suite(spark, corpus)
+    return rcode
+
+
+def run_suite(spark, corpus: str) -> int:
+    out = OUT if corpus == "uniform" else OUT_CLUSTERED
     t0 = time.time()
-    os.makedirs(OUT, exist_ok=True)
-    if not os.path.isdir(f"{OUT}/embeddings.parquet"):
-        rc.build_embeddings(spark, OUT)
-    emb = spark.read.parquet(f"{OUT}/embeddings.parquet")
+    os.makedirs(out, exist_ok=True)
+    if not os.path.isdir(f"{out}/embeddings.parquet"):
+        if corpus == "uniform":
+            rc.build_embeddings(spark, out)
+        else:
+            rc.build_embeddings_clustered(spark, out)
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
     n = emb.count()
     print(f"corpus: {n} x 64 vectors ({time.time()-t0:.1f}s)")
 
@@ -109,16 +134,24 @@ def main() -> int:
     # oracle-scale params (32 codes, init-only — too coarse at 1M,
     # the honest reading below) vs the production FAISS-default 8-bit
     # codebooks + deeper rerank, with and without Lloyd refinement
-    for nprobe, n_codes, it, rf in (
-        (8, 32, 0, 4),
-        (32, 32, 0, 4),
-        (32, 256, 0, 10),
-        (32, 256, 2, 10),
+    for nprobe, n_codes, it, rf, res in (
+        (8, 32, 0, 4, False),
+        (32, 32, 0, 4, False),
+        (32, 256, 0, 10, False),
+        (32, 256, 2, 10, False),
+        # TRUE IVFADC (r10): residual encoding — the FAISS default.
+        # On clustered corpora raw-vector PQ collapses (codes are
+        # cluster ids, not neighbors); residuals quantize the
+        # within-cluster offsets the ranking depends on.
+        (8, 32, 0, 4, True),
+        (32, 256, 0, 10, True),
+        (32, 256, 2, 10, True),
     ):
         t0 = time.time()
         ap = S.ivfpq_topk(
             emb, queries, k=5, num_lists=256, nprobe=nprobe,
             m_subs=16, n_codes=n_codes, train_iters=it, rerank_factor=rf,
+            residual=res,
         ).select("query_id", "neighbor_id")
         hits = (
             exact_l2.join(F.broadcast(ap), ["query_id", "neighbor_id"], "left_semi")
@@ -132,7 +165,8 @@ def main() -> int:
         n_go = sum(1 for r in recalls if r >= 0.8)
         print(
             f"IVFPQ lists=256 nprobe={nprobe} m=16 codes={n_codes} "
-            f"iters={it} rf={rf}: {dt:.1f}s, mean recall@5 {mean_r:.2f}, "
+            f"iters={it} rf={rf} residual={res}: {dt:.1f}s, "
+            f"mean recall@5 {mean_r:.2f}, "
             f"go (>=0.8) {n_go}/20, code scan ~{nprobe / 256:.1%} of a "
             f"{'16x' if n_codes == 32 else '13x'}-compressed corpus"
         )

@@ -132,3 +132,30 @@ def build_embeddings(spark, out_dir: str, n_vecs: int = 1_000_000, dim: int = 64
         F.pmod(F.col("id"), F.lit(8)).cast("int").alias("label"),
     )
     emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def build_embeddings_clustered(spark, out_dir: str, n_vecs: int = 1_000_000,
+                               dim: int = 64, n_clusters: int = 64,
+                               noise: float = 0.12):
+    """n_vecs float[dim] vectors drawn around n_clusters deterministic
+    centers — the PRODUCTION embedding regime (real encoders emit
+    clustered manifolds, not isotropic noise), the positive control the
+    uniform corpus's honest-negative IVF/Lloyd readings beg for.
+    center[c][i] in [-1, 1] from a hash of (c, i); each vector = its
+    cluster's center + hash-noise in [-noise, +noise] per coordinate.
+    All JVM-side expressions, fully deterministic (no rand())."""
+    cluster = F.pmod(F.xxhash64(F.col("id") * 17), F.lit(n_clusters))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            (F.pmod(F.xxhash64(cluster * 131 + i), F.lit(2001)) - 1000) / 1000.0
+            + ((F.pmod(F.xxhash64(F.col("id") * 31 + i), F.lit(2001)) - 1000)
+               / 1000.0) * noise
+        ).cast("float"),
+    )
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        vec.alias("embedding"),
+        cluster.cast("int").alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")

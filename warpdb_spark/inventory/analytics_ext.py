@@ -595,6 +595,32 @@ def similarity_ivfpq(spark, sf_dir):
     )
 
 
+def similarity_ivfpq_residual(spark, sf_dir):
+    """TRUE IVFADC (Jégou et al. §III; the FAISS IndexIVFPQ default):
+    same composition as ``similarity_ivfpq`` but PQ encodes each
+    vector's RESIDUAL against its assigned coarse centroid, codebooks
+    are trained on residuals, and each query builds one LUT per PROBED
+    list from q − centroid[list]. The variant that matters on
+    clustered (production) embeddings: raw-vector PQ gives every
+    member of a tight cluster a near-identical code — measured
+    recall@5 0.00 at 1M×64-cluster scale (tools/replay_ann_recall.py,
+    r10) — while residual codes quantize the within-cluster offsets
+    the ranking actually depends on. Extra cost: one residual map
+    pass at train time, an nprobe-wide LUT broadcast at query time;
+    the corpus-side plan is unchanged (one indexing pass, cogrouped
+    code scan, broadcast re-rank). DuckDB replays assignment →
+    residual → codebook → codes → per-list LUT ADC → re-rank
+    end-to-end."""
+    from warpdb_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return S.ivfpq_topk(
+        emb, qs, k=5, num_lists=16, nprobe=4, m_subs=16, n_codes=32,
+        train_iters=0, rerank_factor=4, seed=42, residual=True,
+    )
+
+
 # one md5-ordered scan seeds BOTH quantizers: rows 0-15 are the IVF
 # centroids, rows 0-31 the PQ init codebook (same seed, same ordering)
 _IVFPQ_SQL = (
@@ -631,6 +657,72 @@ _IVFPQ_SQL = (
     "adc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, "
     "round(sum(l.l), 6) AS dist2 "
     "FROM codes cd JOIN qlut l ON cd.sub = l.sub AND cd.code = l.code "
+    "JOIN cand ON cand.query_id = l.query_id AND cand.neighbor_id = cd.vec_id "
+    "GROUP BY 1, 2), "
+    "shortlist AS (SELECT query_id, neighbor_id FROM ("
+    "SELECT query_id, neighbor_id, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rn FROM adc) "
+    "WHERE rn <= 20), "
+    "exact AS (SELECT s.query_id, s.neighbor_id, "
+    "round(list_sum([(CAST(c.embedding AS DOUBLE[])[j] - CAST(q.embedding AS DOUBLE[])[j]) * "
+    "(CAST(c.embedding AS DOUBLE[])[j] - CAST(q.embedding AS DOUBLE[])[j]) "
+    "for j in generate_series(1, len(c.embedding))]), 6) AS dist2 "
+    "FROM shortlist s JOIN embeddings c ON c.vec_id = s.neighbor_id "
+    "JOIN embeddings q ON q.vec_id = s.query_id) "
+    "SELECT query_id, neighbor_id, dist2, rank FROM ("
+    "SELECT query_id, neighbor_id, dist2, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY dist2, neighbor_id) AS INTEGER) AS rank "
+    "FROM exact) WHERE rank <= 5"
+)
+
+# TRUE-IVFADC replay: as _IVFPQ_SQL but everything PQ-side runs in
+# RESIDUAL space — rev/qrev subtract the assigned (resp. probed)
+# coarse centroid before slicing subvectors, the codebook is the
+# residuals of the same 32 md5-init rows, and the ADC join pins each
+# candidate's LUT to its OWN list (l.list_id = asg.list_id).
+_IVFPQ_RES_SQL = (
+    "WITH ord AS (SELECT row_number() OVER ("
+    "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id) - 1 "
+    "AS pos, vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
+    "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id LIMIT 32), "
+    "civf AS (SELECT pos AS list_id, cv AS ce FROM ord WHERE pos < 16), "
+    "lscored AS (SELECT e.vec_id, i.list_id, "
+    "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+    "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), i.ce), 6) DESC, "
+    "i.list_id) AS rn FROM embeddings e CROSS JOIN civf i), "
+    "asg AS (SELECT vec_id, list_id FROM lscored WHERE rn = 1), "
+    "qpr AS (SELECT vec_id AS query_id, list_id FROM lscored "
+    "WHERE rn <= 4 AND vec_id < 10), "
+    "cand AS (SELECT q.query_id, a.vec_id AS neighbor_id "
+    "FROM qpr q JOIN asg a USING (list_id) WHERE a.vec_id <> q.query_id), "
+    "subs AS (SELECT unnest(generate_series(0, 15)) AS sub), "
+    "rev AS (SELECT e.vec_id, s.sub, "
+    "[CAST(e.embedding AS DOUBLE[])[s.sub * 4 + j] - c.ce[s.sub * 4 + j] "
+    "for j in generate_series(1, 4)] AS evs "
+    "FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id "
+    "JOIN civf c ON c.list_id = a.list_id CROSS JOIN subs s), "
+    "codebook AS (SELECT r.sub, i.pos AS code, r.evs AS cvs "
+    "FROM ord i JOIN rev r ON r.vec_id = i.vec_id), "
+    "codes AS (SELECT vec_id, sub, code FROM ("
+    "SELECT ev.vec_id, ev.sub, c.code, row_number() OVER ("
+    "PARTITION BY ev.vec_id, ev.sub ORDER BY "
+    "round(list_sum([(ev.evs[j] - c.cvs[j]) * (ev.evs[j] - c.cvs[j]) "
+    "for j in generate_series(1, 4)]), 6), c.code) AS rn "
+    "FROM rev ev JOIN codebook c ON ev.sub = c.sub) WHERE rn = 1), "
+    "qrev AS (SELECT q.query_id, q.list_id, s.sub, "
+    "[CAST(e.embedding AS DOUBLE[])[s.sub * 4 + j] - c.ce[s.sub * 4 + j] "
+    "for j in generate_series(1, 4)] AS qvs "
+    "FROM qpr q JOIN embeddings e ON e.vec_id = q.query_id "
+    "JOIN civf c ON c.list_id = q.list_id CROSS JOIN subs s), "
+    "qlut AS (SELECT qr.query_id, qr.list_id, c2.sub, c2.code, "
+    "list_sum([(qr.qvs[j] - c2.cvs[j]) * (qr.qvs[j] - c2.cvs[j]) "
+    "for j in generate_series(1, 4)]) AS l "
+    "FROM qrev qr JOIN codebook c2 ON qr.sub = c2.sub), "
+    "adc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, "
+    "round(sum(l.l), 6) AS dist2 "
+    "FROM codes cd JOIN asg a ON a.vec_id = cd.vec_id "
+    "JOIN qlut l ON cd.sub = l.sub AND cd.code = l.code "
+    "AND l.list_id = a.list_id "
     "JOIN cand ON cand.query_id = l.query_id AND cand.neighbor_id = cd.vec_id "
     "GROUP BY 1, 2), "
     "shortlist AS (SELECT query_id, neighbor_id FROM ("
@@ -1430,6 +1522,7 @@ QUERIES = {
     "stream_static_enrich": stream_static_enrich,
     "similarity_pq_adc": similarity_pq_adc,
     "similarity_ivfpq": similarity_ivfpq,
+    "similarity_ivfpq_residual": similarity_ivfpq_residual,
     "similarity_pq_rerank": similarity_pq_rerank,
     "similarity_pq_persisted_index": similarity_pq_persisted_index,
     "similarity_pq_index_refresh": similarity_pq_index_refresh,
@@ -1703,6 +1796,7 @@ ORACLES = {
     """,
     "similarity_pq_adc": _PQ_ADC_SQL,
     "similarity_ivfpq": _IVFPQ_SQL,
+    "similarity_ivfpq_residual": _IVFPQ_RES_SQL,
     "similarity_pq_rerank": _PQ_RERANK_SQL,
     # identical construction to the ADC entry - the persisted index must
     # reproduce the exact same codes, so the same build+lookup replay IS

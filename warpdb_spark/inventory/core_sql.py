@@ -881,6 +881,50 @@ def dialect_select_star(spark, sf_dir):
     )
 
 
+def dialect_explain(spark, sf_dir):
+    """§2.10 ``explain`` API pinned to the GOLDEN plan shape (the
+    working version of the reference's optimizer demo output,
+    src/main.cu:298-299 / src/optimizer.cpp:21-61, which only prints a
+    stubbed constant-condition analysis). The entry runs
+    ``WarpDB.explain(mode='formatted')`` on a representative dialect
+    query — fact table (customer) filtered + joined to a SCALE-FREE
+    dim (nation, 25 rows at every SF) + grouped — and emits one row of
+    plan FACTS, each a property this engine promises at 100 TB:
+
+    - filter_pushed: the WHERE predicate reaches the parquet scan
+      (PushedFilters carries GreaterThan(c_acctbal, 0.0));
+    - scan_pruned: ReadSchema reads exactly the two customer columns
+      the query needs, nothing else;
+    - join_broadcast: the nation side plans as BroadcastHashJoin (a
+      constant-size dim must never shuffle the fact table);
+    - agg_partial: partial_sum before the exchange (map-side combine:
+      the shuffle carries |nations| rows, not |customers|);
+    - one_shuffle: exactly one hashpartitioning exchange in the whole
+      plan (the final-agg shuffle — anything more is waste).
+
+    The oracle returns the same five constants TRUE: the comparison
+    pins that the PLAN facts hold, the approx-entry boolean idiom."""
+    db = _db(spark, sf_dir, "customer", "nation")
+    txt = db.explain(
+        "SELECT n_name, COUNT(*) AS n_cust, round(SUM(c_acctbal), 2) AS s "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE c_acctbal > 0 GROUP BY n_name",
+        mode="formatted",
+    )
+    flat = txt.replace(" ", "")
+    return spark.createDataFrame(
+        [(
+            "GreaterThan(c_acctbal,0.0)" in flat,
+            "ReadSchema:struct<c_nationkey:int,c_acctbal:double>" in flat,
+            "BroadcastHashJoin" in txt,
+            "partial_sum" in txt,
+            flat.count("hashpartitioning(") == 1,
+        )],
+        "filter_pushed boolean, scan_pruned boolean, join_broadcast boolean, "
+        "agg_partial boolean, one_shuffle boolean",
+    )
+
+
 def dialect_group_by_all(spark, sf_dir):
     """``GROUP BY ALL`` (superset; DuckDB): keys = every non-aggregate
     select item in select order, resolved by the builder — plus
@@ -1249,6 +1293,53 @@ def dialect_unpivot(spark, sf_dir):
         "UNPIVOT (value FOR measure IN (l_quantity AS qty, "
         "l_extendedprice AS price, disc, l_tax AS tax)) "
         "ORDER BY ok, ln, measure"
+    )
+
+
+def dialect_qualify_pivot(spark, sf_dir):
+    """Clause COMPOSITION: QUALIFY filtering a PIVOT result — the
+    reshaped frame's columns (o_tot) feed a window predicate in the
+    same statement, proving the front-end threads PIVOT output
+    through validation → QUALIFY → ORDER BY like any plain frame
+    (each r9 clause was verified alone; this pins the seam between
+    them). Executes as one groupBy().pivot().agg() shuffle + a top-2
+    pick over the |priorities|-row pivoted frame (the window sees
+    aggregated rows only — audit tier groups_limited at worst).
+    Oracle spells the pivot as CASE-aggregation and runs the same
+    QUALIFY natively."""
+    db = _db(spark, sf_dir, "orders")
+    return db.query_sql(
+        "SELECT prio, round(o_tot, 2) AS open_total, "
+        "round(f_tot, 2) AS filled_total "
+        "FROM (SELECT o_orderpriority AS prio, o_orderstatus AS st, "
+        "o_totalprice AS price FROM orders) "
+        "PIVOT (SUM(price) FOR st IN ('O' AS o_tot, 'F' AS f_tot)) "
+        "QUALIFY row_number() OVER (ORDER BY o_tot DESC, prio) <= 2 "
+        "ORDER BY prio"
+    )
+
+
+def dialect_unpivot_multi(spark, sf_dir):
+    """MULTI-MEASURE UNPIVOT through the dialect — ``((amount, rate)
+    FOR kind IN ((price, disc) AS ..., (qty, tax) AS ...))``: each IN
+    tuple yields one output row carrying BOTH measures (the Spark
+    SQL/ANSI form ``dialect_unpivot``'s single-measure melt can't
+    say). Executes as explode(array(struct...)) — still a row-local
+    narrow expansion, zero shuffle, 2x map-side output; per-position
+    type coercion follows the least-common-type rule (qty bigint →
+    double beside price). The oracle spells the semantic definition
+    directly: one UNION ALL branch per tuple."""
+    db = _db(spark, sf_dir, "lineitem")
+    return db.query_sql(
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, kind, "
+        "round(amount, 2) AS amount, round(rate, 3) AS rate "
+        "FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, "
+        "l_quantity, l_tax, l_discount FROM lineitem "
+        "WHERE l_orderkey <= 160) "
+        "UNPIVOT ((amount, rate) FOR kind IN "
+        "((l_extendedprice, l_discount) AS price_disc, "
+        "(l_quantity, l_tax) AS qty_tax)) "
+        "ORDER BY ok, ln, kind"
     )
 
 
@@ -1641,6 +1732,9 @@ QUERIES = {
     "dialect_ansi_fetch_bool": dialect_ansi_fetch_bool,
     "dialect_broadcast_hint": dialect_broadcast_hint,
     "dialect_select_star": dialect_select_star,
+    "dialect_explain": dialect_explain,
+    "dialect_qualify_pivot": dialect_qualify_pivot,
+    "dialect_unpivot_multi": dialect_unpivot_multi,
     "dialect_group_by_all": dialect_group_by_all,
     "dialect_json_arrow": dialect_json_arrow,
     "dialect_udtf_ngrams": dialect_udtf_ngrams,
@@ -2136,6 +2230,37 @@ ORACLES = {
         "SELECT o_orderstatus AS st, o_orderpriority AS pri, "
         "CAST(count(*) AS BIGINT) AS n, round(avg(o_totalprice), 2) AS avg_total "
         "FROM orders GROUP BY ALL ORDER BY ALL"
+    ),
+    # plan-shape facts: the oracle pins that every promised plan
+    # property holds (the approx-entry boolean idiom)
+    "dialect_explain": (
+        "SELECT TRUE AS filter_pushed, TRUE AS scan_pruned, "
+        "TRUE AS join_broadcast, TRUE AS agg_partial, TRUE AS one_shuffle"
+    ),
+    # semantic definition: one UNION ALL branch per IN tuple; a row
+    # survives EXCLUDE NULLS iff any measure is non-null (all lineitem
+    # measures are non-null, so no branch filter is needed here)
+    "dialect_unpivot_multi": (
+        "SELECT ok, ln, kind, round(amount, 2) AS amount, "
+        "round(rate, 3) AS rate FROM ("
+        "SELECT l_orderkey AS ok, l_linenumber AS ln, "
+        "'price_disc' AS kind, l_extendedprice AS amount, "
+        "l_discount AS rate FROM lineitem WHERE l_orderkey <= 160 "
+        "UNION ALL "
+        "SELECT l_orderkey, l_linenumber, 'qty_tax', "
+        "CAST(l_quantity AS DOUBLE), l_tax "
+        "FROM lineitem WHERE l_orderkey <= 160) "
+        "ORDER BY ok, ln, kind"
+    ),
+    "dialect_qualify_pivot": (
+        "SELECT prio, round(o_tot, 2) AS open_total, "
+        "round(f_tot, 2) AS filled_total FROM ("
+        "SELECT o_orderpriority AS prio, "
+        "sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS o_tot, "
+        "sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS f_tot "
+        "FROM orders GROUP BY 1) "
+        "QUALIFY row_number() OVER (ORDER BY o_tot DESC, prio) <= 2 "
+        "ORDER BY prio"
     ),
     # DuckDB reads the hint as a comment -> identical text
     "dialect_broadcast_hint": (

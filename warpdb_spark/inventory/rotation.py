@@ -333,6 +333,10 @@ PENDING_ORDER: list[str] = [
     # backlog is still verified first
     # round-10 additions — the queue was empty after the r9 promotion;
     # these front the r10 window, ahead of the changed-tier re-checks
+    "dialect_explain",
+    "dialect_qualify_pivot",
+    "dialect_unpivot_multi",
+    "similarity_ivfpq_residual",
     "stream_pq_delta_encode",
     "udaf_group_median_chunked",
     # round-6 late additions — behind the rehearsed 50-entry r6 window;

@@ -609,11 +609,17 @@ class UnpivotClause:
     name_col IN (col [AS label], ...))`` — melt the listed columns
     into (name, value) rows; ids = the remaining columns. NULL values
     are EXCLUDED by default (the ANSI/Spark SQL rule — DataFrame
-    .unpivot keeps them, so the builder filters)."""
+    .unpivot keeps them, so the builder filters).
 
-    value_col: str
+    MULTI-MEASURE form (Spark SQL / ANSI): ``UNPIVOT ((v1, v2) FOR
+    name_col IN ((c1, c2) [AS label], ...))`` — value_col is then a
+    list[str] and each IN item's column a same-arity list[str]; a row
+    is excluded only when ALL its measures are NULL."""
+
+    value_col: "str | list[str]"
     name_col: str
-    cols: list  # list[tuple[str, str | None]] — (column, label|None)
+    # list[tuple[str | list[str], str | None]] — (column(s), label|None)
+    cols: list
     include_nulls: bool = False
 
 

@@ -121,7 +121,16 @@ def _apply_unpivot(base: DataFrame, up: "A.UnpivotClause") -> DataFrame:
     the scan). NULL values are excluded by default (ANSI/Spark SQL
     UNPIVOT semantics — DataFrame.unpivot keeps them, hence the
     filter); ``INCLUDE NULLS`` keeps them. ``AS label`` renames the
-    name-column VALUE for that source column."""
+    name-column VALUE for that source column. The multi-measure form
+    routes to _apply_unpivot_multi (explode of a struct array — the
+    same row-local shape)."""
+    if isinstance(up.value_col, list):
+        return _apply_unpivot_multi(base, up)
+    if any(isinstance(c, list) for c, _ in up.cols):
+        raise ValidationError(
+            "UNPIVOT IN list has a column tuple but the value side is a "
+            "single column — use ((v1, ...) FOR ...) for multi-measure"
+        )
     names = [c for c, _ in up.cols]
     for c in names:
         if c not in base.columns:
@@ -154,6 +163,87 @@ def _apply_unpivot(base: DataFrame, up: "A.UnpivotClause") -> DataFrame:
         out = out.withColumn(up.name_col, expr)
     if not up.include_nulls:
         out = out.filter(F.col(up.value_col).isNotNull())
+    return out
+
+
+def _apply_unpivot_multi(base: DataFrame, up: "A.UnpivotClause") -> DataFrame:
+    """Multi-measure UNPIVOT: ``((v1, v2) FOR name IN ((c1, c2) AS
+    label, ...))`` — each IN tuple becomes one output row carrying
+    len(value_cols) measures. Spelled as explode(array(struct(label,
+    c1, c2), ...)): still a row-local narrow expansion, zero shuffle;
+    Spark coerces the struct fields per measure position to their
+    least common type (the ANSI rule), and an impossible coercion
+    surfaces as a ValidationError. Default label for an unaliased
+    tuple is the column names joined by ``_`` (the Spark SQL rule).
+    A row is excluded only when ALL its measures are NULL (ANSI);
+    ``INCLUDE NULLS`` keeps every row."""
+    value_cols = list(up.value_col)
+    if len(set(value_cols)) != len(value_cols):
+        raise ValidationError("Duplicate value column name in UNPIVOT")
+    groups: list[tuple[list[str], str | None]] = []
+    for c, lab in up.cols:
+        cs = c if isinstance(c, list) else [c]
+        if len(cs) != len(value_cols):
+            raise ValidationError(
+                f"UNPIVOT IN tuple ({', '.join(cs)}) has {len(cs)} "
+                f"column(s) but {len(value_cols)} value columns were "
+                "declared"
+            )
+        groups.append((cs, lab))
+    flat = [c for cs, _ in groups for c in cs]
+    for c in flat:
+        if c not in base.columns:
+            raise ValidationError(f"Unknown column: {c} in UNPIVOT clause")
+    if len(set(flat)) != len(flat):
+        raise ValidationError("Duplicate column in UNPIVOT IN list")
+    ids = [c for c in base.columns if c not in set(flat)]
+    out_cols = [up.name_col, *value_cols]
+    if len(set(out_cols)) != len(out_cols):
+        raise ValidationError(
+            "UNPIVOT name and value columns must differ "
+            f"(clashing name: {up.name_col})"
+        )
+    used = set(base.columns)
+    for c in out_cols:
+        if c in used:
+            raise ValidationError(
+                f"UNPIVOT output column {c} collides with an input column"
+            )
+    # Per-position type check, enforced HERE because array() would
+    # silently coerce e.g. double+string to string — Spark SQL's own
+    # UNPIVOT rejects that (UNPIVOT_VALUE_DATA_TYPE_MISMATCH): a
+    # position's columns must share a type or all be numeric.
+    from pyspark.sql.types import NumericType
+
+    dtypes = {f.name: f.dataType for f in base.schema.fields}
+    for j, v in enumerate(value_cols):
+        ts = {dtypes[cs[j]] for cs, _ in groups}
+        if len(ts) > 1 and not all(isinstance(t, NumericType) for t in ts):
+            raise ValidationError(
+                f"UNPIVOT value columns have no common type at position "
+                f"{j + 1} ({v}): "
+                + ", ".join(sorted(t.simpleString() for t in ts))
+            )
+    structs = [
+        F.struct(
+            F.lit(lab if lab is not None else "_".join(cs)).alias(up.name_col),
+            *[F.col(c).alias(v) for c, v in zip(cs, value_cols)],
+        )
+        for cs, lab in groups
+    ]
+    try:
+        out = base.select(
+            *ids, F.explode(F.array(*structs)).alias("__unpivot")
+        ).select(*ids, *[F.col(f"__unpivot.{c}").alias(c) for c in out_cols])
+    except Exception as e:  # Spark raises eagerly on incompatible types
+        raise ValidationError(
+            f"UNPIVOT value columns have no common type: {e}"
+        ) from None
+    if not up.include_nulls:
+        keep = F.lit(False)
+        for v in value_cols:
+            keep = keep | F.col(v).isNotNull()
+        out = out.filter(keep)
     return out
 
 

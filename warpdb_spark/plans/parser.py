@@ -885,7 +885,10 @@ class _Parser:
     def parse_unpivot_clause(self) -> "A.UnpivotClause":
         """``UNPIVOT [INCLUDE NULLS | EXCLUDE NULLS] (value_col FOR
         name_col IN (col [AS label], ...))`` — caller has consumed the
-        UNPIVOT identifier."""
+        UNPIVOT identifier. Multi-measure form (Spark SQL/ANSI):
+        ``((v1, v2) FOR name IN ((c1, c2) [AS label], ...))`` — a
+        parenthesized ident tuple in value or IN position; arity is
+        validated by the builder where it can name both sides."""
         include_nulls = False
         nxt = self.peek()
         if nxt.kind == IDENT and nxt.value.upper() in ("INCLUDE", "EXCLUDE"):
@@ -898,7 +901,17 @@ class _Parser:
                 )
             self.next()
         self.expect_op("(")
-        value_col = self.expect_ident("value column in UNPIVOT")
+        # multi-measure form: (v1, v2, ...) FOR name IN ((c1, c2), ...)
+        value_col: "str | list[str]"
+        if self.peek().kind == OP and self.peek().value == "(":
+            self.next()
+            vlist = [self.expect_ident("value column in UNPIVOT")]
+            while self.accept_op(","):
+                vlist.append(self.expect_ident("value column in UNPIVOT"))
+            self.expect_op(")")
+            value_col = vlist
+        else:
+            value_col = self.expect_ident("value column in UNPIVOT")
         nxt = self.peek()
         if not (nxt.kind == IDENT and nxt.value.upper() == "FOR"):
             raise ParseError(
@@ -908,9 +921,18 @@ class _Parser:
         name_col = self.expect_ident("name column after FOR")
         self.expect_kw("IN")
         self.expect_op("(")
-        cols: list[tuple[str, str | None]] = []
+        cols: list[tuple["str | list[str]", str | None]] = []
         while True:
-            c = self.expect_ident("column in UNPIVOT IN list")
+            c: "str | list[str]"
+            if self.peek().kind == OP and self.peek().value == "(":
+                self.next()
+                clist = [self.expect_ident("column in UNPIVOT IN list")]
+                while self.accept_op(","):
+                    clist.append(self.expect_ident("column in UNPIVOT IN list"))
+                self.expect_op(")")
+                c = clist
+            else:
+                c = self.expect_ident("column in UNPIVOT IN list")
             alias = None
             if self.accept_kw("AS"):
                 alias = self.next()
