@@ -678,13 +678,16 @@ _IVFPQ_SQL = (
 # TRUE-IVFADC replay: as _IVFPQ_SQL but everything PQ-side runs in
 # RESIDUAL space — rev/qrev subtract the assigned (resp. probed)
 # coarse centroid before slicing subvectors, the codebook is the
-# residuals of the same 32 md5-init rows, and the ADC join pins each
-# candidate's LUT to its OWN list (l.list_id = asg.list_id).
+# residuals of ordering rows 16..47 (OFFSET past the 16 coarse
+# centroids: a centroid's own residual is the zero vector, and an
+# un-offset init collapses the codebook — the r10 replay finding),
+# and the ADC join pins each candidate's LUT to its OWN list
+# (l.list_id = asg.list_id).
 _IVFPQ_RES_SQL = (
     "WITH ord AS (SELECT row_number() OVER ("
     "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id) - 1 "
     "AS pos, vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
-    "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id LIMIT 32), "
+    "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id LIMIT 48), "
     "civf AS (SELECT pos AS list_id, cv AS ce FROM ord WHERE pos < 16), "
     "lscored AS (SELECT e.vec_id, i.list_id, "
     "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
@@ -701,8 +704,8 @@ _IVFPQ_RES_SQL = (
     "for j in generate_series(1, 4)] AS evs "
     "FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id "
     "JOIN civf c ON c.list_id = a.list_id CROSS JOIN subs s), "
-    "codebook AS (SELECT r.sub, i.pos AS code, r.evs AS cvs "
-    "FROM ord i JOIN rev r ON r.vec_id = i.vec_id), "
+    "codebook AS (SELECT r.sub, i.pos - 16 AS code, r.evs AS cvs "
+    "FROM ord i JOIN rev r ON r.vec_id = i.vec_id WHERE i.pos >= 16), "
     "codes AS (SELECT vec_id, sub, code FROM ("
     "SELECT ev.vec_id, ev.sub, c.code, row_number() OVER ("
     "PARTITION BY ev.vec_id, ev.sub ORDER BY "

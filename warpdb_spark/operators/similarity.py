@@ -421,20 +421,29 @@ def ivf_topk(
 # --- product quantization (ADC) ---------------------------------------------
 
 def _pq_init(corpus: DataFrame, id_col: str, vec_col: str, m_subs: int,
-             n_codes: int, seed: int) -> np.ndarray:
+             n_codes: int, seed: int, init_offset: int = 0) -> np.ndarray:
     """Deterministic codebook init: the ``n_codes`` corpus vectors with
     lowest md5(seed_id) (engine-portable, same pattern as ivf_topk /
     clustering.init_centroids), sliced into ``m_subs`` contiguous
-    subspaces. Returns (m_subs, n_codes, dsub) float64."""
+    subspaces. Returns (m_subs, n_codes, dsub) float64.
+
+    ``init_offset`` skips the first rows of the ordering — required
+    when the SAME seed ordering already sampled coarse IVF centroids
+    and the corpus being inited is the RESIDUAL frame: rows
+    [0, num_lists) are the centroids themselves, whose residuals are
+    exactly zero, so an un-offset init seeds an all-zero codebook
+    (every vector → code 0, ADC ranks by tiebreak — the 1M replay's
+    recall-0.00 finding, r10). Offsetting past the coarse sample keeps
+    one shared ordering seeding both quantizers, disjointly."""
     rows = (
         corpus.select(vec_col)
         .orderBy(
             F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(id_col).cast("string"))),
             F.col(id_col),
         )
-        .limit(n_codes)
+        .limit(init_offset + n_codes)
         .collect()
-    )
+    )[init_offset:]
     seeds = np.array([list(r[0]) for r in rows], dtype=np.float64)
     dim = seeds.shape[1]
     if dim % m_subs:
@@ -467,9 +476,12 @@ def pq_train(
     n_codes: int = 16,
     train_iters: int = 2,
     seed: int = 42,
+    init_offset: int = 0,
 ) -> np.ndarray:
     """Train product-quantization codebooks: deterministic md5 init +
     ``train_iters`` distributed Lloyd refinements per subspace.
+    ``init_offset`` shifts the md5 init window (see _pq_init — the
+    residual-IVFADC de-collision).
 
     Each refinement is ONE corpus scan: an Arrow-batched pass emits
     per-batch partial (sub, code, dim, sum, count) rows — m×n_codes×dsub
@@ -482,7 +494,7 @@ def pq_train(
     import pyarrow as pa
     from pyspark.sql import types as ST
 
-    cb = _pq_init(corpus, id_col, vec_col, m_subs, n_codes, seed)
+    cb = _pq_init(corpus, id_col, vec_col, m_subs, n_codes, seed, init_offset)
     spark = corpus.sparkSession
     src = corpus.select(F.col(vec_col).alias("__v"))
     for _ in range(train_iters):
@@ -866,8 +878,12 @@ def ivfpq_topk(
                 ST.StructField("__v", ST.ArrayType(ST.DoubleType())),
             ]),
         )
+        # init_offset=num_lists: rows [0, num_lists) of the shared md5
+        # ordering ARE the coarse centroids — their residuals are zero
+        # vectors, and seeding from them collapses the codebook to 32
+        # copies of zero (measured recall 0.00 at 1M before this fix).
         codebooks = pq_train(resid_df, "__id", "__v", m_subs, n_codes,
-                             train_iters, seed)
+                             train_iters, seed, init_offset=num_lists)
     else:
         codebooks = pq_train(corpus, id_col, vec_col, m_subs, n_codes,
                              train_iters, seed)
