@@ -362,9 +362,17 @@ class TestPPMCodec:
         with _pytest.raises(ValueError, match="maxval"):
             a = np.zeros((1, 1, 3), np.uint8)
             M.ppm_decode(b"P6\n1 1\n65535\n" + a.tobytes())
-        # non-PPM formats stay stubbed
-        with _pytest.raises(NotImplementedError):
-            M.decode_media(b"\x89PNG", "png")
+        # non-PPM formats route to the feature-checked PIL path: a real
+        # decode attempt with Pillow installed (invalid bytes -> its
+        # error), a loud RuntimeError with install guidance without
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            with _pytest.raises(RuntimeError, match="Pillow"):
+                M.decode_media(b"\x89PNG", "png")
+        else:
+            with _pytest.raises(Exception):
+                M.decode_media(b"\x89PNG", "png")  # truncated payload
 
     def test_resize_nearest(self):
         import numpy as np

@@ -38,6 +38,9 @@ OUT_CLUSTERED = "/tmp/replay_ann_corpus_clustered"
 
 def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which not in ("uniform", "clustered", "both"):
+        print(f"unknown corpus {which!r}: expected uniform|clustered|both")
+        return 2
     spark = get_spark("replay-ann-recall")
     spark.sparkContext.setLogLevel("ERROR")
     rcode = 0

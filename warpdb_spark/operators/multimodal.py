@@ -191,8 +191,8 @@ def _make_ppm_codec():
         """Decode a binary P6 PPM to an (h, w, 3) uint8 array. A REAL
         decoder (header grammar incl. comments, maxval check,
         payload-size validation) — PPM needs no imaging library, so
-        this one format decodes for real where PIL-class formats stay
-        behind ``real_decode_stub``."""
+        this format decodes for real in any environment; PIL-class
+        formats route through the feature-checked ``pil_decode``."""
         if not payload.startswith(b"P6"):
             raise ValueError("not a binary PPM (P6) payload")
         # header = magic, width, height, maxval as whitespace-separated

@@ -444,6 +444,12 @@ def _pq_init(corpus: DataFrame, id_col: str, vec_col: str, m_subs: int,
         .limit(init_offset + n_codes)
         .collect()
     )[init_offset:]
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"PQ init needs {init_offset + n_codes} corpus rows "
+            f"({init_offset} skipped + {n_codes} codebook seeds); "
+            f"got {init_offset + len(rows)}"
+        )
     seeds = np.array([list(r[0]) for r in rows], dtype=np.float64)
     dim = seeds.shape[1]
     if dim % m_subs:
@@ -869,6 +875,8 @@ def ivfpq_topk(
                     pd.DataFrame({"__id": pdf["__id"], "__v": list(rm)})
                 )
 
+        from pyspark import StorageLevel
+
         resid_df = corpus.select(
             F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
         ).mapInArrow(
@@ -877,13 +885,19 @@ def ivfpq_topk(
                 ST.StructField("__id", id_type),
                 ST.StructField("__v", ST.ArrayType(ST.DoubleType())),
             ]),
-        )
-        # init_offset=num_lists: rows [0, num_lists) of the shared md5
-        # ordering ARE the coarse centroids — their residuals are zero
-        # vectors, and seeding from them collapses the codebook to 32
-        # copies of zero (measured recall 0.00 at 1M before this fix).
-        codebooks = pq_train(resid_df, "__id", "__v", m_subs, n_codes,
-                             train_iters, seed, init_offset=num_lists)
+        # persist across _pq_init's collect + each Lloyd scan — without
+        # it the full-corpus assignment matmul reruns per consumer
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # init_offset=num_lists: rows [0, num_lists) of the shared
+            # md5 ordering ARE the coarse centroids — their residuals
+            # are zero vectors, and seeding from them collapses the
+            # codebook to 32 copies of zero (measured recall 0.00 at
+            # 1M before this fix).
+            codebooks = pq_train(resid_df, "__id", "__v", m_subs, n_codes,
+                                 train_iters, seed, init_offset=num_lists)
+        finally:
+            resid_df.unpersist()
     else:
         codebooks = pq_train(corpus, id_col, vec_col, m_subs, n_codes,
                              train_iters, seed)
@@ -931,32 +945,35 @@ def ivfpq_topk(
             f"ivfpq_topk collects the query set to the driver; got more "
             f"than max_queries={max_queries} rows."
         )
+    if not qrows:
+        raise ValueError("ivfpq_topk requires at least one query row")
     qids = [r["qid"] for r in qrows]
     qm = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
     qn = qm / np.clip(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300, None)
     qsims = np.round(qn @ cnorm.T, 6)
     probes = np.argsort(-qsims, axis=1, kind="stable")[:, : min(nprobe, num_lists)]
     m, nc, dsub = codebooks.shape
-    # one LUT per PROBE (query, list) — for residual ADC the lookup
-    # base is q − centroid[list], so each probed list gets its own
-    # table; without residuals the per-probe slices are just copies of
-    # the per-query LUT (same values, one code path). (P, m, nc):
     probe_rows = [
         (qi, int(l)) for qi, row in zip(range(len(qids)), probes) for l in row
     ]
-    qsub = (
-        np.stack([qm[qi] - (cmat[l] if residual else 0.0) for qi, l in probe_rows])
-        if probe_rows
-        else np.zeros((0, qm.shape[1] if qm.ndim == 2 else 0))
-    )
+    # LUT granularity follows the encoding space: residual ADC looks
+    # up from q − centroid[list], so each PROBE (query, list) needs
+    # its own table — (P, m, nc); raw ADC looks up from q alone, so
+    # one table per QUERY suffices — (Q, m, nc), nprobe× smaller
+    # broadcast (a per-probe table here would just duplicate rows).
+    # score() indexes with __pidx or __qidx accordingly.
+    if residual:
+        qsub = np.stack([qm[qi] - cmat[l] for qi, l in probe_rows])
+    else:
+        qsub = qm
     lut = np.stack(
         [
             ((qsub[:, s * dsub:(s + 1) * dsub][:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
             for s in range(m)
         ],
         axis=1,
-    )  # (P, m, nc)
-    bq = spark.sparkContext.broadcast((qids, lut))
+    )  # (P, m, nc) residual / (Q, m, nc) raw
+    bq = spark.sparkContext.broadcast((qids, lut, residual))
     probe_df = spark.createDataFrame(
         [(qi, pi, l) for pi, (qi, l) in enumerate(probe_rows)],
         "__qidx int, __pidx int, __list int",
@@ -972,7 +989,7 @@ def ivfpq_topk(
     )
 
     def score(cdf: "pd.DataFrame", qdf: "pd.DataFrame") -> "pd.DataFrame":
-        bqids, blut = bq.value
+        bqids, blut, bres = bq.value
         out = {"query_id": [], "neighbor_id": [], "dist2": []}
         if len(cdf) and len(qdf):
             ids = cdf["neighbor_id"].to_numpy()
@@ -981,9 +998,10 @@ def ivfpq_topk(
             for qi, pi in zip(
                 qdf["__qidx"].to_numpy(), qdf["__pidx"].to_numpy()
             ):
+                li = pi if bres else qi
                 D = np.zeros(B, dtype=np.float64)
                 for s in range(C.shape[1]):
-                    D += blut[pi, s, C[:, s]]
+                    D += blut[li, s, C[:, s]]
                 D = np.round(D, 6)
                 qid = bqids[qi]
                 keep = ids != qid
