@@ -783,3 +783,59 @@ class TestIvfPq:
         assert len(per_q) == 10
         for ranks in per_q.values():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    def test_residual_beats_raw_pq_on_clustered_corpus(self, spark):
+        """The reason residual IVFADC exists (pinned small: the 1M
+        two-corpus evidence lives in tools/replay_ann_recall.py): on a
+        CLUSTERED corpus every true neighbor is within-cluster, raw
+        PQ gives cluster members near-identical codes (ADC can't rank
+        inside the cluster), residual codes quantize the
+        within-cluster offsets. 2000x64, 16 hash-Gaussian clusters,
+        fully deterministic: measured recall raw 0.325 vs residual
+        0.675 — assert the separation, not the exact values."""
+        import hashlib
+
+        import numpy as np
+
+        from warpdb_spark.operators import similarity as S
+
+        n, dim, K = 2000, 64, 16
+
+        def h(x):
+            return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+
+        centers = np.array(
+            [[((h((c, i)) % 2001) - 1000) / 1000.0 for i in range(dim)]
+             for c in range(K)]
+        )
+        cl = np.array([h((j,)) % K for j in range(n)])
+        noise = np.array(
+            [[((h((j, i, "n")) % 2001) - 1000) / 1000.0 * 0.1
+              for i in range(dim)] for j in range(n)]
+        )
+        M = centers[cl] + noise
+        emb = spark.createDataFrame(
+            [(int(i), [float(x) for x in M[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        ).cache()
+        emb.count()
+        qs = emb.filter(F.col("vec_id") < 8)
+        exact = set()
+        for q in range(8):
+            d = ((M - M[q]) ** 2).sum(axis=1)
+            d[q] = np.inf
+            exact |= {(q, int(i)) for i in np.argsort(d)[:5]}
+        recall = {}
+        for res in (False, True):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in S.ivfpq_topk(
+                    emb, qs, k=5, num_lists=32, nprobe=4, m_subs=16,
+                    n_codes=32, train_iters=0, rerank_factor=4, seed=42,
+                    residual=res,
+                ).collect()
+            }
+            recall[res] = len(got & exact) / len(exact)
+        emb.unpersist()
+        assert recall[True] >= recall[False] + 0.2, recall
+        assert recall[True] >= 0.5, recall
