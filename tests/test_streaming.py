@@ -630,6 +630,34 @@ class TestPQDeltaEncodeStream:
         }
         assert streamed == batch and len(streamed) == delta.count()
 
+    def test_replayed_batch_is_idempotent(self, spark, sf_dir, tmp_path):
+        """foreachBatch is at-least-once: re-running a batch id must
+        atomically replace its own partition, not duplicate it, and
+        leave other batches' partitions untouched."""
+        from warpdb_spark.operators import similarity as S
+        from warpdb_spark.streaming.pq_refresh import encode_batch
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cb = S.pq_train(
+            emb.filter(F.col("vec_id") < 400),
+            m_subs=16, n_codes=32, train_iters=0, seed=42,
+        )
+        out = str(tmp_path / "delta")
+        b0 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 420))
+        b1 = emb.filter((F.col("vec_id") >= 420) & (F.col("vec_id") < 430))
+        encode_batch(b0, 0, cb, out)
+        encode_batch(b1, 1, cb, out)
+        first = sorted(
+            (r["vec_id"], tuple(r["codes"]))
+            for r in spark.read.parquet(out).collect()
+        )
+        encode_batch(b0, 0, cb, out)  # replay batch 0
+        again = sorted(
+            (r["vec_id"], tuple(r["codes"]))
+            for r in spark.read.parquet(out).collect()
+        )
+        assert first == again and len(first) == 30
+
 
 class TestSketchRollup:
     """Streaming HLL sketch store (streaming/sketches.py): per-day

@@ -28,6 +28,36 @@ from pyspark.sql import DataFrame, functions as F
 BATCH_COL = "__batch_id"
 
 
+def encode_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    codebooks,
+    delta_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of the delta encode: frozen-codebook pq_encode,
+    landed in ``delta_path/__batch_id=N`` via dynamic partition
+    overwrite — a REPLAYED batch id (foreachBatch is at-least-once)
+    atomically replaces its own partition and touches nothing else,
+    so the delta table holds each batch's codes exactly once."""
+    from warpdb_spark.operators.similarity import pq_encode
+
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            pq_encode(batch_df, codebooks, id_col=id_col, vec_col=vec_col)
+            .withColumn(BATCH_COL, F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy(BATCH_COL)
+            .parquet(delta_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def run_pq_delta_encode(
     stream_df: DataFrame,
     codebooks,
@@ -38,25 +68,12 @@ def run_pq_delta_encode(
 ):
     """Wire the frozen-codebook delta encode into foreachBatch:
     each micro-batch's codes land in ``delta_path/__batch_id=N``
-    (exactly-once via dynamic partition overwrite). Returns the
-    StreamingQuery (availableNow trigger — drains the source then
-    stops, the bounded-replay idiom the tests pin)."""
-    from warpdb_spark.operators.similarity import pq_encode
+    (exactly-once via dynamic partition overwrite — see encode_batch).
+    Returns the StreamingQuery (availableNow trigger — drains the
+    source then stops, the bounded-replay idiom the tests pin)."""
 
     def handle(batch_df: DataFrame, batch_id: int):
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                pq_encode(batch_df, codebooks, id_col=id_col, vec_col=vec_col)
-                .withColumn(BATCH_COL, F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy(BATCH_COL)
-                .parquet(delta_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        encode_batch(batch_df, batch_id, codebooks, delta_path, id_col, vec_col)
 
     return (
         stream_df.writeStream.foreachBatch(handle)
