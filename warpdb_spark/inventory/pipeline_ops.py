@@ -693,6 +693,47 @@ def similarity_topk_bruteforce(spark, sf_dir):
     return S.cosine_topk_np(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
 
 
+def similarity_dim_truncation(spark, sf_dir):
+    """Dimension-truncation retrieval agreement — the Matryoshka
+    (Kusupati et al. 2022) deployment question: how much of the
+    full-dimension top-k survives if retrieval runs on only the first
+    16 of 64 dims (4× cheaper scan, 4× smaller index)? Per query:
+    |top5(cos, 64d) ∩ top5(cos, 16d)| and the overlap fraction — the
+    go/no-go reading before switching the ANN tier to truncated
+    vectors (MRL-trained encoders hold overlap high; PCA-ordered or
+    untrained dims collapse it).
+
+    Both rankings ride the Arrow-batched BLAS path
+    (cosine_topk_np: per-batch local top-k, rank shuffle carries
+    O(partitions × queries × k)); the truncated leg scans a 16-dim
+    slice (at 100 TB: a column of 4× fewer bytes, or a separate
+    prefix-dim index table). Deterministic: round-6 cosine with
+    neighbor-id tiebreak on both legs, overlap is an integer."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    full = S.cosine_topk_np(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
+    t_emb = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    t_q = t_emb.filter(F.col("vec_id") < 10)
+    trunc = S.cosine_topk_np(t_emb, t_q, k=5, id_col="vec_id", vec_col="embedding")
+    common = (
+        full.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(common, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("overlap5"),
+            F.round(F.coalesce(F.col("n_common"), F.lit(0)) / 5.0, 2).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
 def similarity_knn_indegree(spark, sf_dir):
     """kNN-graph in-degree profile — the hub detector run before
     trusting any embedding-neighborhood operation (a "hub" vector that
@@ -2478,6 +2519,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "similarity_dim_truncation": similarity_dim_truncation,
     "similarity_knn_indegree": similarity_knn_indegree,
     "similarity_pair_margin": similarity_pair_margin,
     "embedding_cosine_histogram": embedding_cosine_histogram,
@@ -3058,6 +3100,29 @@ ORACLES = {
         "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
         "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
+    ),
+    "similarity_dim_truncation": (
+        "WITH fs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])), 6) AS cosine "
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q "
+        "WHERE c.vec_id != q.vec_id), "
+        "ts AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[])[1:16], "
+        "CAST(q.embedding AS DOUBLE[])[1:16]), 6) AS cosine "
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q "
+        "WHERE c.vec_id != q.vec_id), "
+        "fr AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM fs), "
+        "tr AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM ts), "
+        "common AS (SELECT f.query_id, count(*) AS n FROM fr f "
+        "JOIN tr t USING (query_id, neighbor_id) "
+        "WHERE f.rank <= 5 AND t.rank <= 5 GROUP BY 1) "
+        "SELECT q.vec_id AS query_id, CAST(coalesce(n, 0) AS BIGINT) AS overlap5, "
+        "round(coalesce(n, 0) / 5.0, 2) AS overlap_frac "
+        "FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q "
+        "LEFT JOIN common ON q.vec_id = common.query_id"
     ),
     "multimodal_blob_meta": (
         "SELECT doc_id, 'utf8-text' AS format, "

@@ -336,6 +336,7 @@ PENDING_ORDER: list[str] = [
     "dialect_explain",
     "dialect_qualify_pivot",
     "dialect_unpivot_multi",
+    "similarity_dim_truncation",
     "similarity_ivfpq_residual",
     "stream_pq_delta_encode",
     "udaf_group_median_chunked",
