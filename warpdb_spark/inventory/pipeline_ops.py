@@ -2092,6 +2092,111 @@ def text_vocab_oov(spark, sf_dir):
     )
 
 
+def reshape_fim_split(spark, sf_dir):
+    """Fill-in-the-middle transform (Bavarian et al. 2022): at FIM
+    rate 0.5 (doc_id parity — deterministic, not rand()), split each
+    selected doc at 40% / 70% of its character length and re-emit in
+    PSM order ``<PRE>prefix<SUF>suffix<MID>middle``; unselected docs
+    pass through. Per doc: mode, the three segment lengths, and a
+    LOSSLESSNESS proof — md5(prefix||middle||suffix) == md5(text)
+    (the property FIM training depends on: the permutation must be
+    invertible, no byte dropped at the cut points).
+
+    Scale: pure row-local substring arithmetic inside the scan —
+    zero shuffle, one WSCG stage; the transform is exactly what a
+    mapInPandas-free pipeline wants at 100 TB. Cut points are INTEGER
+    arithmetic (n*4 div 10) — a fractional multiplier diverges between
+    engines (Spark's 0.7 literal is a double, 90*0.7 = 62.999…;
+    DuckDB's is exact DECIMAL, = 63.0 — caught by the oracle on the
+    first run)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    p1 = F.expr("int(length(text) * 4 div 10)")
+    p2 = F.expr("int(length(text) * 7 div 10)")
+    prefix = F.substring(F.col("text"), 1, p1)
+    middle = F.expr("substring(text, int(length(text) * 4 div 10) + 1, "
+                    "int(length(text) * 7 div 10) - int(length(text) * 4 div 10))")
+    suffix = F.expr("substring(text, int(length(text) * 7 div 10) + 1, length(text))")
+    is_fim = F.col("doc_id") % 2 == 0
+    return docs.select(
+        "doc_id",
+        F.when(is_fim, F.lit("fim_psm")).otherwise(F.lit("plain")).alias("mode"),
+        F.when(is_fim, p1).otherwise(n.cast("int")).alias("len_prefix"),
+        F.when(is_fim, p2 - p1).otherwise(F.lit(0)).alias("len_middle"),
+        F.when(is_fim, n.cast("int") - p2).otherwise(F.lit(0)).alias("len_suffix"),
+        F.when(
+            is_fim,
+            F.md5(F.concat(prefix, middle, suffix)) == F.md5(F.col("text")),
+        ).otherwise(F.lit(True)).alias("roundtrip_ok"),
+    )
+
+
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction report — the scrub every training corpus runs
+    before release (emails / IPv4s / phone-shaped numbers → typed
+    placeholder tokens), summarized per source: docs touched, hits per
+    class, characters removed. The synthetic corpus carries no PII, so
+    the entry INJECTS deterministic spans first (doc_id-derived email /
+    ip / phone suffixes on disjoint id classes) — both engines replay
+    the injection, so the oracle verifies the DETECTORS and the
+    replacement arithmetic, not a lucky zero.
+
+    Scale: injection, three regexp_extract_all counts, and the chained
+    regexp_replace are all row-local inside the scan (one WSCG stage);
+    the report is one map-side-combined aggregate over |sources| rows.
+    Patterns use character classes only — identical semantics in Java
+    regex (Spark) and RE2 (DuckDB)."""
+    docs = _t(spark, sf_dir, "documents")
+    email = r"[a-z0-9]+@[a-z0-9.]+\.com"
+    ip = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+    phone = r"\+1-555-[0-9]{4}"
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit("."), (F.col("doc_id") % 254 + 1).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 5,
+            F.concat(F.lit(" call +1-555-"),
+                     (F.col("doc_id") % 9000 + 1000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    d = docs.select("source", injected.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email, "[EMAIL]"), ip, "[IP]"
+        ),
+        phone,
+        "[PHONE]",
+    )
+    d = d.select(
+        "source",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(email), F.lit(0))).alias("ne"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(ip), F.lit(0))).alias("ni"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(phone), F.lit(0))).alias("np"),
+        (F.length("t") - F.length(scrubbed)).alias("removed"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("ne") + F.col("ni") + F.col("np") > 0, 1).otherwise(0))
+            .cast("long").alias("docs_with_pii"),
+            F.sum("ne").cast("long").alias("n_emails"),
+            F.sum("ni").cast("long").alias("n_ips"),
+            F.sum("np").cast("long").alias("n_phones"),
+            F.sum("removed").cast("long").alias("chars_removed"),
+        )
+    )
+
+
 def text_gopher_rules(spark, sf_dir):
     """Gopher-style quality screens (Rae et al. 2021 §A1.1, public):
     word-count bounds, mean word length, symbol-to-word ratio,
@@ -2520,6 +2625,8 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_dim_truncation": similarity_dim_truncation,
+    "text_pii_scrub": text_pii_scrub,
+    "reshape_fim_split": reshape_fim_split,
     "similarity_knn_indegree": similarity_knn_indegree,
     "similarity_pair_margin": similarity_pair_margin,
     "embedding_cosine_histogram": embedding_cosine_histogram,
@@ -3100,6 +3207,49 @@ ORACLES = {
         "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
         "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
+    ),
+    # same integer 4/10 and 7/10 cut points (integer div — a
+    # fractional multiplier diverges: Spark 0.7 is a double, DuckDB's
+    # an exact DECIMAL); substr arithmetic and md5 agree on ASCII text
+    "reshape_fim_split": (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'fim_psm' ELSE 'plain' END AS mode, "
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN length(text) * 4 // 10 "
+        "ELSE length(text) END AS INT) AS len_prefix, "
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN length(text) * 7 // 10 "
+        "- length(text) * 4 // 10 ELSE 0 END AS INT) AS len_middle, "
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN length(text) "
+        "- length(text) * 7 // 10 ELSE 0 END AS INT) AS len_suffix, "
+        "CASE WHEN doc_id % 2 = 0 THEN "
+        "md5(substring(text, 1, CAST(length(text) * 4 // 10 AS INT)) || "
+        "substring(text, CAST(length(text) * 4 // 10 AS INT) + 1, "
+        "CAST(length(text) * 7 // 10 - length(text) * 4 // 10 AS INT)) || "
+        "substring(text, CAST(length(text) * 7 // 10 AS INT) + 1, length(text))) "
+        "= md5(text) ELSE TRUE END AS roundtrip_ok "
+        "FROM documents"
+    ),
+    # identical injection + detectors + replacement arithmetic; DuckDB
+    # regexp_replace needs the 'g' flag (Spark's is global by default)
+    "text_pii_scrub": (
+        "WITH d AS (SELECT source, text "
+        "|| CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END "
+        "|| CASE WHEN doc_id % 11 = 3 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END "
+        "|| CASE WHEN doc_id % 13 = 5 THEN ' call +1-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END AS t "
+        "FROM documents), "
+        "m AS (SELECT source, "
+        "len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+\\.com')) AS ne, "
+        "len(regexp_extract_all(t, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS ni, "
+        "len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS np, "
+        "length(t) - length(regexp_replace(regexp_replace(regexp_replace(t, "
+        "'[a-z0-9]+@[a-z0-9.]+\\.com', '[EMAIL]', 'g'), "
+        "'[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '[IP]', 'g'), "
+        "'\\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS removed FROM d) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii, "
+        "CAST(sum(ne) AS BIGINT) AS n_emails, CAST(sum(ni) AS BIGINT) AS n_ips, "
+        "CAST(sum(np) AS BIGINT) AS n_phones, "
+        "CAST(sum(removed) AS BIGINT) AS chars_removed "
+        "FROM m GROUP BY source"
     ),
     "similarity_dim_truncation": (
         "WITH fs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
