@@ -594,6 +594,48 @@ def dedup_cluster_components(spark, sf_dir):
     return cluster_near_duplicates(docs, verified).orderBy("doc_id")
 
 
+def dedup_keeper_by_quality(spark, sf_dir):
+    """Quality-aware cluster canonicalization — the POLICY layer over
+    ``dedup_cluster_components``' transitive clusters: instead of the
+    min-id keeper, each near-dup cluster keeps its LONGEST member
+    (n_chars, ties to lowest doc_id) — the standard "best copy"
+    rule when near-dups differ by truncation or boilerplate (the
+    longest variant usually carries the full content). Output: every
+    clustered doc with its cluster, the chosen keeper, and its keep
+    verdict.
+
+    Scale: clusters come from the same LSH-verified pairs + min-label
+    propagation; the keeper pick is one map-side-combinable
+    max_by(struct(n_chars, -doc_id)) per component (components are
+    dup clusters — tiny relative to the corpus) joined back on the
+    component key. No windows, no Python. Oracle replays the
+    recursive-CTE components + an argmax with the same tiebreak."""
+    from warpdb_spark.operators.graph import cluster_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    verified = D.lsh_verified_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16
+    )
+    clustered = cluster_near_duplicates(docs, verified).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    keepers = clustered.groupBy("component").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+        ).alias("keeper_id")
+    )
+    return (
+        clustered.join(keepers, "component")
+        .select(
+            "doc_id",
+            "component",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     """Blocked dedup, the classic metadata-block + content-verify shape:
     candidate pairs share a (lang, source) block (cheap equi-join — at
@@ -2092,6 +2134,35 @@ def text_vocab_oov(spark, sf_dir):
     )
 
 
+def sample_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing weights (the multilingual /
+    multi-source sampling rule: p_i ∝ n_i^(1/T)): per source, token
+    totals, the T=1 (proportional) and T=2 (sqrt-flattened) sampling
+    weights, and the upsampling factor T=2 grants low-resource
+    sources — THE knob that keeps a 100:1 source imbalance from
+    drowning the tail (mT5/XLM-R recipe). One map-side-combined
+    aggregate to |sources| rows + a broadcast 1-row normalizer; at
+    100 TB this is the same single pass. sqrt is IEEE-identical in
+    both engines; weights round once at 6dp."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("z1"),
+        F.sum(F.sqrt(F.col("n_tokens"))).alias("z2"),
+    )
+    w1 = F.col("n_tokens") / F.col("z1")
+    w2 = F.sqrt(F.col("n_tokens")) / F.col("z2")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(w1, 6).alias("weight_t1"),
+        F.round(w2, 6).alias("weight_t2"),
+        F.round(w2 / w1, 6).alias("upsample_x"),
+    )
+
+
 def reshape_fim_split(spark, sf_dir):
     """Fill-in-the-middle transform (Bavarian et al. 2022): at FIM
     rate 0.5 (doc_id parity — deterministic, not rand()), split each
@@ -2618,6 +2689,7 @@ QUERIES = {
     "events_cusum_changepoints": events_cusum_changepoints,
     "events_anomaly_mad": events_anomaly_mad,
     "dedup_cluster_components": dedup_cluster_components,
+    "dedup_keeper_by_quality": dedup_keeper_by_quality,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "text_edit_distance_pairs": text_edit_distance_pairs,
     "dedup_simhash_candidates": dedup_simhash_candidates,
@@ -2627,6 +2699,7 @@ QUERIES = {
     "similarity_dim_truncation": similarity_dim_truncation,
     "text_pii_scrub": text_pii_scrub,
     "reshape_fim_split": reshape_fim_split,
+    "sample_mixture_temperature": sample_mixture_temperature,
     "similarity_knn_indegree": similarity_knn_indegree,
     "similarity_pair_margin": similarity_pair_margin,
     "embedding_cosine_histogram": embedding_cosine_histogram,
@@ -3104,6 +3177,40 @@ ORACLES = {
     ),
     "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
     "dedup_cluster_components": _CLUSTER_CC_SQL,
+    # same recursive-CTE components; keeper = argmax(n_chars, ties to
+    # LOWEST doc_id) per component — the max_by(struct(n_chars, -id))
+    # spelling on the Spark side
+    "dedup_keeper_by_quality": f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_DD_SHINGLES} AS shingles
+  FROM (SELECT doc_id, {_norm} AS norm, {_DD_TOKS.format(col='norm_src')} AS toks
+        FROM (SELECT doc_id, {_norm} AS norm_src, text FROM documents))
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+cc(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.node = e.src
+),
+lab AS (SELECT node AS doc_id, min(comp) AS component FROM cc GROUP BY node),
+withq AS (SELECT l.doc_id, l.component, d.n_chars
+          FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+keep AS (
+  SELECT component, doc_id AS keeper_id FROM (
+    SELECT component, doc_id, row_number() OVER (
+      PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+    FROM withq) WHERE rn = 1
+)
+SELECT w.doc_id, w.component, k.keeper_id, w.doc_id = k.keeper_id AS keep
+FROM withq w JOIN keep k USING (component) ORDER BY w.doc_id
+""",
     "dedup_minhash_survivors": (
         f"SELECT doc_id FROM documents WHERE doc_id NOT IN "
         f"(SELECT id_b FROM ({_JACCARD_PAIRS_SQL}))"
@@ -3207,6 +3314,16 @@ ORACLES = {
         "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
         "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
+    ),
+    "sample_mixture_temperature": (
+        f"WITH per AS (SELECT source, sum(len({_toks})) AS n_tokens "
+        "FROM documents GROUP BY source), "
+        "tot AS (SELECT sum(n_tokens) AS z1, sum(sqrt(n_tokens)) AS z2 FROM per) "
+        "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "round(n_tokens / z1, 6) AS weight_t1, "
+        "round(sqrt(n_tokens) / z2, 6) AS weight_t2, "
+        "round((sqrt(n_tokens) / z2) / (n_tokens / z1), 6) AS upsample_x "
+        "FROM per, tot"
     ),
     # same integer 4/10 and 7/10 cut points (integer div — a
     # fractional multiplier diverges: Spark 0.7 is a double, DuckDB's

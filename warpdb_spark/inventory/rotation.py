@@ -333,10 +333,12 @@ PENDING_ORDER: list[str] = [
     # backlog is still verified first
     # round-10 additions — the queue was empty after the r9 promotion;
     # these front the r10 window, ahead of the changed-tier re-checks
+    "dedup_keeper_by_quality",
     "dialect_explain",
     "dialect_qualify_pivot",
     "dialect_unpivot_multi",
     "reshape_fim_split",
+    "sample_mixture_temperature",
     "similarity_dim_truncation",
     "similarity_ivfpq_residual",
     "stream_pq_delta_encode",
