@@ -2134,35 +2134,6 @@ def text_vocab_oov(spark, sf_dir):
     )
 
 
-def sample_mixture_temperature(spark, sf_dir):
-    """Temperature-scaled source mixing weights (the multilingual /
-    multi-source sampling rule: p_i ∝ n_i^(1/T)): per source, token
-    totals, the T=1 (proportional) and T=2 (sqrt-flattened) sampling
-    weights, and the upsampling factor T=2 grants low-resource
-    sources — THE knob that keeps a 100:1 source imbalance from
-    drowning the tail (mT5/XLM-R recipe). One map-side-combined
-    aggregate to |sources| rows + a broadcast 1-row normalizer; at
-    100 TB this is the same single pass. sqrt is IEEE-identical in
-    both engines; weights round once at 6dp."""
-    docs = _t(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(
-        F.sum(T.token_count(F.col("text"))).alias("n_tokens")
-    )
-    tot = per.agg(
-        F.sum("n_tokens").alias("z1"),
-        F.sum(F.sqrt(F.col("n_tokens"))).alias("z2"),
-    )
-    w1 = F.col("n_tokens") / F.col("z1")
-    w2 = F.sqrt(F.col("n_tokens")) / F.col("z2")
-    return per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(w1, 6).alias("weight_t1"),
-        F.round(w2, 6).alias("weight_t2"),
-        F.round(w2 / w1, 6).alias("upsample_x"),
-    )
-
-
 def reshape_fim_split(spark, sf_dir):
     """Fill-in-the-middle transform (Bavarian et al. 2022): at FIM
     rate 0.5 (doc_id parity — deterministic, not rand()), split each
@@ -2199,72 +2170,6 @@ def reshape_fim_split(spark, sf_dir):
             is_fim,
             F.md5(F.concat(prefix, middle, suffix)) == F.md5(F.col("text")),
         ).otherwise(F.lit(True)).alias("roundtrip_ok"),
-    )
-
-
-def text_pii_scrub(spark, sf_dir):
-    """PII redaction report — the scrub every training corpus runs
-    before release (emails / IPv4s / phone-shaped numbers → typed
-    placeholder tokens), summarized per source: docs touched, hits per
-    class, characters removed. The synthetic corpus carries no PII, so
-    the entry INJECTS deterministic spans first (doc_id-derived email /
-    ip / phone suffixes on disjoint id classes) — both engines replay
-    the injection, so the oracle verifies the DETECTORS and the
-    replacement arithmetic, not a lucky zero.
-
-    Scale: injection, three regexp_extract_all counts, and the chained
-    regexp_replace are all row-local inside the scan (one WSCG stage);
-    the report is one map-side-combined aggregate over |sources| rows.
-    Patterns use character classes only — identical semantics in Java
-    regex (Spark) and RE2 (DuckDB)."""
-    docs = _t(spark, sf_dir, "documents")
-    email = r"[a-z0-9]+@[a-z0-9.]+\.com"
-    ip = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
-    phone = r"\+1-555-[0-9]{4}"
-    injected = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"),
-                     F.lit("@example.com")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 11 == 3,
-            F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"),
-                     F.lit("."), (F.col("doc_id") % 254 + 1).cast("string")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 13 == 5,
-            F.concat(F.lit(" call +1-555-"),
-                     (F.col("doc_id") % 9000 + 1000).cast("string")),
-        ).otherwise(F.lit("")),
-    )
-    d = docs.select("source", injected.alias("t"))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("t"), email, "[EMAIL]"), ip, "[IP]"
-        ),
-        phone,
-        "[PHONE]",
-    )
-    d = d.select(
-        "source",
-        F.size(F.regexp_extract_all(F.col("t"), F.lit(email), F.lit(0))).alias("ne"),
-        F.size(F.regexp_extract_all(F.col("t"), F.lit(ip), F.lit(0))).alias("ni"),
-        F.size(F.regexp_extract_all(F.col("t"), F.lit(phone), F.lit(0))).alias("np"),
-        (F.length("t") - F.length(scrubbed)).alias("removed"),
-    )
-    return (
-        d.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("ne") + F.col("ni") + F.col("np") > 0, 1).otherwise(0))
-            .cast("long").alias("docs_with_pii"),
-            F.sum("ne").cast("long").alias("n_emails"),
-            F.sum("ni").cast("long").alias("n_ips"),
-            F.sum("np").cast("long").alias("n_phones"),
-            F.sum("removed").cast("long").alias("chars_removed"),
-        )
     )
 
 
@@ -2697,9 +2602,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_dim_truncation": similarity_dim_truncation,
-    "text_pii_scrub": text_pii_scrub,
     "reshape_fim_split": reshape_fim_split,
-    "sample_mixture_temperature": sample_mixture_temperature,
     "similarity_knn_indegree": similarity_knn_indegree,
     "similarity_pair_margin": similarity_pair_margin,
     "embedding_cosine_histogram": embedding_cosine_histogram,
@@ -3315,16 +3218,6 @@ FROM withq w JOIN keep k USING (component) ORDER BY w.doc_id
         "ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
         "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
     ),
-    "sample_mixture_temperature": (
-        f"WITH per AS (SELECT source, sum(len({_toks})) AS n_tokens "
-        "FROM documents GROUP BY source), "
-        "tot AS (SELECT sum(n_tokens) AS z1, sum(sqrt(n_tokens)) AS z2 FROM per) "
-        "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, "
-        "round(n_tokens / z1, 6) AS weight_t1, "
-        "round(sqrt(n_tokens) / z2, 6) AS weight_t2, "
-        "round((sqrt(n_tokens) / z2) / (n_tokens / z1), 6) AS upsample_x "
-        "FROM per, tot"
-    ),
     # same integer 4/10 and 7/10 cut points (integer div — a
     # fractional multiplier diverges: Spark 0.7 is a double, DuckDB's
     # an exact DECIMAL); substr arithmetic and md5 agree on ASCII text
@@ -3344,29 +3237,6 @@ FROM withq w JOIN keep k USING (component) ORDER BY w.doc_id
         "substring(text, CAST(length(text) * 7 // 10 AS INT) + 1, length(text))) "
         "= md5(text) ELSE TRUE END AS roundtrip_ok "
         "FROM documents"
-    ),
-    # identical injection + detectors + replacement arithmetic; DuckDB
-    # regexp_replace needs the 'g' flag (Spark's is global by default)
-    "text_pii_scrub": (
-        "WITH d AS (SELECT source, text "
-        "|| CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END "
-        "|| CASE WHEN doc_id % 11 = 3 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END "
-        "|| CASE WHEN doc_id % 13 = 5 THEN ' call +1-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END AS t "
-        "FROM documents), "
-        "m AS (SELECT source, "
-        "len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+\\.com')) AS ne, "
-        "len(regexp_extract_all(t, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS ni, "
-        "len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS np, "
-        "length(t) - length(regexp_replace(regexp_replace(regexp_replace(t, "
-        "'[a-z0-9]+@[a-z0-9.]+\\.com', '[EMAIL]', 'g'), "
-        "'[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '[IP]', 'g'), "
-        "'\\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS removed FROM d) "
-        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
-        "CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii, "
-        "CAST(sum(ne) AS BIGINT) AS n_emails, CAST(sum(ni) AS BIGINT) AS n_ips, "
-        "CAST(sum(np) AS BIGINT) AS n_phones, "
-        "CAST(sum(removed) AS BIGINT) AS chars_removed "
-        "FROM m GROUP BY source"
     ),
     "similarity_dim_truncation": (
         "WITH fs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "

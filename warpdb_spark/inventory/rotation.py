@@ -338,11 +338,9 @@ PENDING_ORDER: list[str] = [
     "dialect_qualify_pivot",
     "dialect_unpivot_multi",
     "reshape_fim_split",
-    "sample_mixture_temperature",
     "similarity_dim_truncation",
     "similarity_ivfpq_residual",
     "stream_pq_delta_encode",
-    "text_pii_scrub",
     "udaf_group_median_chunked",
     # round-6 late additions — behind the rehearsed 50-entry r6 window;
     # these front the r7 window
