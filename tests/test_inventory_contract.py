@@ -455,3 +455,31 @@ def test_behavior_table_edit_floats_the_entry():
         scale_ops._CMS_PROBES = saved
         FP._SOURCE_CACHE.clear()
     assert after != before
+
+
+def test_with_ties_plan_has_no_window_node(spark, sf_dir):
+    """WITH TIES executes as the two-pass boundary-key plan (r10 verdict
+    item 1): pass 1 TakeOrderedAndProject's the sort keys to the top-n
+    and collects ONE boundary row; pass 2 filters the input by an
+    explicit lexicographic predicate. The old spelling — rank() over an
+    UNPARTITIONED Window — funneled the whole corpus through one task;
+    this pin fails if any spelling of WITH TIES regresses to a Window
+    node (the audit tool skips empty-partition windows by design, so
+    the shape is pinned here)."""
+    from warpdb_spark.api import WarpDB
+
+    db = WarpDB(f"{sf_dir}/orders.parquet", table_name="orders", spark=spark)
+    for sql in (
+        # single key, the inventory entry's shape
+        "SELECT o_custkey, count(*) AS n FROM orders "
+        "GROUP BY o_custkey ORDER BY n DESC LIMIT 10 WITH TIES",
+        # multi-key + explicit nulls placement + expression key
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC NULLS FIRST, o_orderkey % 7 ASC "
+        "FETCH FIRST 5 ROWS WITH TIES",
+    ):
+        df = db.query_sql(sql)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window [" not in plan, (
+            f"WITH TIES regressed to a window plan for {sql!r}:\n{plan}"
+        )

@@ -1063,10 +1063,12 @@ def dialect_ilike(spark, sf_dir):
 def dialect_with_ties(spark, sf_dir):
     """``ORDER BY ... LIMIT n WITH TIES`` / ``FETCH FIRST n ROWS WITH
     TIES`` (superset; ANSI/Postgres spelling): rows tying the boundary
-    on the sort keys are kept. Executes as rank() over the query's
-    ORDER BY ≤ n — one ordered pass, the same cost class as the ORDER
-    BY itself (a plain LIMIT stays TakeOrderedAndProject; the rank is
-    a single ordered pass — a reporting clause, not a corpus operator).
+    on the sort keys are kept. Executes as the two-pass boundary-key
+    plan (r11): TakeOrderedAndProject of the sort keys to the top-n,
+    collect ONE boundary row, then filter the input by an explicit
+    lexicographic predicate — no window, no single-task rank; both
+    passes distribute (contract-pinned:
+    test_with_ties_plan_has_no_window_node).
     Nullable sort keys must spell NULLS FIRST/LAST explicitly (the
     dialect's documented ORDER BY stance — engine defaults differ and
     WITH TIES makes the returned SET depend on them). DuckDB has no

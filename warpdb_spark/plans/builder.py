@@ -16,6 +16,8 @@ OFFSET applied before LIMIT (src/warpdb.cpp:485-495), and executed joins
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 
 from pyspark.sql import functions as F
@@ -422,16 +424,19 @@ def build_dataframe(tables: dict[str, DataFrame], q, registry=None) -> DataFrame
         else:
             raise ValidationError(f"Unknown set operation: {q.op}")
         sort_cols = []
+        key_cols = []
         if q.order_by:
             # tail clauses sort the COMBINED result by its output columns
             for e, _ in q.order_by:
                 validate(e, set(out.columns), "ORDER BY")
             comp = Compiler(registry)
-            sort_cols = [order_col(comp.compile(e), asc) for e, asc in q.order_by]
+            key_cols = [comp.compile(e) for e, _ in q.order_by]
+            sort_cols = [order_col(c, asc) for c, (_, asc) in zip(key_cols, q.order_by)]
         if q.limit_with_ties and q.limit is not None:
             if not q.order_by:
                 raise ValidationError("LIMIT ... WITH TIES requires ORDER BY")
-            out = _apply_with_ties(out, sort_cols, q.limit, q.offset)
+            dirs = [asc for _, asc in q.order_by]
+            out = _apply_with_ties(out, key_cols, dirs, q.limit, q.offset)
             out = out.orderBy(*sort_cols)
         else:
             if sort_cols:
@@ -786,33 +791,85 @@ def _apply_where(df, where: A.Node, tables, scope, registry):
     return df
 
 
-def _apply_with_ties(out: DataFrame, sort_cols, limit: int, offset) -> DataFrame:
+# Direction value (parse_order_item's True/False/method-name) -> the
+# direction that REVERSES it: flip asc<->desc AND the nulls placement,
+# so sorting by the reversed spec and taking 1 row yields the LAST row
+# of the forward order.
+_REVERSED_DIR = {
+    True: False,
+    False: True,
+    "asc_nulls_first": "desc_nulls_last",
+    "asc_nulls_last": "desc_nulls_first",
+    "desc_nulls_first": "asc_nulls_last",
+    "desc_nulls_last": "asc_nulls_first",
+}
+
+
+def _dir_flags(d) -> tuple[bool, bool]:
+    """(ascending, nulls_first) for a parse_order_item direction,
+    matching Spark's defaults (asc -> NULLS FIRST, desc -> NULLS LAST)."""
+    if d is True:
+        return True, True
+    if d is False:
+        return False, False
+    return d.startswith("asc"), d.endswith("first")
+
+
+def _key_eq(col: Column, bval) -> Column:
+    """Null-safe equality against a collected boundary value."""
+    return col.isNull() if bval is None else col.eqNullSafe(F.lit(bval))
+
+
+def _key_before(col: Column, bval, d) -> Column:
+    """``col`` sorts STRICTLY BEFORE the boundary value under direction
+    ``d`` — the same total order Spark's sort uses, including the nulls
+    placement (asc -> NULLS FIRST, desc -> NULLS LAST unless spelled)."""
+    asc, nulls_first = _dir_flags(d)
+    if bval is None:
+        # nulls first: nothing precedes a null boundary;
+        # nulls last: every non-null precedes it.
+        return F.lit(False) if nulls_first else col.isNotNull()
+    cmp = (col < F.lit(bval)) if asc else (col > F.lit(bval))
+    return (col.isNull() | cmp) if nulls_first else (col.isNotNull() & cmp)
+
+
+def _apply_with_ties(out: DataFrame, key_cols, dirs, limit: int, offset) -> DataFrame:
     """ANSI/Postgres ``WITH TIES``: keep every row tying the boundary
-    row on the ORDER BY keys — rank() over the query's sort, filter
-    ≤ n. The unpartitioned rank funnels rows through ONE task (unlike a
-    plain ORDER BY's range-partitioned sort), so this is a top-n
-    reporting clause, not a big-data operator; the production
-    optimization — take the sorted top-n, extract the boundary key
-    tuple, filter the input against it — is noted, not implemented.
+    row on the ORDER BY keys. Two-pass boundary-key plan (no window,
+    no single-task rank): (1) TakeOrderedAndProject the sort-key
+    projection to the top ``limit`` rows and take the LAST of them (the
+    boundary tuple — sort the ≤limit-row frame by the REVERSED spec,
+    limit 1, collect one row); (2) filter the input by ``key <=lex
+    boundary`` spelled as an explicit lexicographic predicate with the
+    exact null placement of pass 1's sort. Both passes distribute: pass
+    1 is the same cost class as the plain LIMIT, pass 2 a plain filter.
+    Fewer input rows than ``limit`` degrades gracefully — the boundary
+    is then the global maximum and the filter keeps everything.
     NULL sort keys follow the engine's ASC/DESC default placement
     (Spark: NULLS FIRST under ASC), which DIFFERS from DuckDB — with
     nullable keys the returned SET can differ, so spell NULLS
     FIRST/LAST explicitly (the dialect's documented ORDER BY stance).
     OFFSET composition is rejected — engines disagree on whether ties
-    count before or after the offset."""
-    from pyspark.sql import Window
-
+    count before or after the offset. (Superset over the reference's
+    plain LIMIT, src/expression.cpp:497-512.)"""
     if offset is not None:
         raise ValidationError("LIMIT ... WITH TIES cannot be combined with OFFSET")
-    w = Window.orderBy(*sort_cols)
-    # unique helper name — a projection that already yields __ties_rk
-    # must not be silently overwritten by withColumn and then dropped
-    rk = _sq_alias("ties_rk")
-    return (
-        out.withColumn(rk, F.rank().over(w))
-        .filter(F.col(rk) <= limit)
-        .drop(rk)
-    )
+    knames = [_sq_alias(f"tk{i}") for i in range(len(key_cols))]
+    keys = out.select(*[k.alias(n) for k, n in zip(key_cols, knames)])
+    fwd = [order_col(F.col(n), d) for n, d in zip(knames, dirs)]
+    rev = [order_col(F.col(n), _REVERSED_DIR[d]) for n, d in zip(knames, dirs)]
+    boundary = keys.orderBy(*fwd).limit(limit).orderBy(*rev).limit(1).collect()
+    if not boundary:  # empty input (or LIMIT 0): nothing ties nothing
+        return out.limit(0)
+    b = boundary[0]
+    eqs = [_key_eq(k, b[n]) for k, n in zip(key_cols, knames)]
+    pred = functools.reduce(lambda a, c: a & c, eqs)  # tuple == boundary
+    for i, (k, d) in enumerate(zip(key_cols, dirs)):
+        clause = _key_before(k, b[knames[i]], d)
+        for eq in eqs[:i]:
+            clause = eq & clause
+        pred = pred | clause
+    return out.filter(pred)
 
 
 def _resolve_table(tables: dict[str, DataFrame], name: str) -> DataFrame:
@@ -1269,7 +1326,10 @@ def _build_select(tables: dict[str, DataFrame], q: A.QueryAST, registry=None) ->
             order_col(F.col(n), asc) for (e, asc), n in zip(q.order_by, sort_names)
         ]
         if q.limit_with_ties and q.limit is not None:
-            out = _apply_with_ties(out, sort_cols, q.limit, q.offset)
+            dirs = [asc for _, asc in q.order_by]
+            out = _apply_with_ties(
+                out, [F.col(n) for n in sort_names], dirs, q.limit, q.offset
+            )
         out = out.orderBy(*sort_cols).drop(*sort_names)
     else:
         out = df.select(*proj)
