@@ -357,6 +357,22 @@ class TestUnpivotMultiMeasure:
         ).collect()
         assert [(r["x"], r["y"]) for r in rows] == [(1.5, 2), (3.5, 4)]
 
+    def test_melted_column_name_is_reusable_for_output(self, mdb):
+        """A melted source column is consumed by the unpivot and absent
+        from the output, so reusing its name for a value/name output
+        column is legal (ANSI / Spark SQL semantics) — only collisions
+        with the SURVIVING id columns are errors (r10 advice)."""
+        rows = mdb.query_sql(
+            "SELECT k, p1, q FROM t "
+            "UNPIVOT ((p1, q) FOR m IN ((p1, q1) AS first, (p2, q2) AS second)) "
+            "ORDER BY k, m"
+        ).collect()
+        assert [(r["k"], r["p1"], r["q"]) for r in rows] == [
+            (1, 10.0, 1.0),
+            (1, None, 4.0),
+            (2, 7.0, 8.0),
+        ]
+
     def test_errors_are_typed(self, mdb, spark):
         with pytest.raises(ValidationError, match="1 column"):
             mdb.query_sql(

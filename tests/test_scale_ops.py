@@ -1252,3 +1252,39 @@ class TestWeightedMedian:
         for r in scale_ops.agg_weighted_median(spark, sf_dir).collect():
             assert r.total_weight >= r.n  # weights are >= 1
             assert r.weighted_median is not None
+
+
+class TestKeyedCacheSlots:
+    """The size-1 persisted-frame slots are KEYED (r10 advice): a
+    same-key call reuses the persisted frame (no silent recompute when
+    the two prefix-offset consumers compose over one sf_dir); eviction
+    happens only when a different key arrives."""
+
+    def test_prefix_cache_reused_across_consumers(self, spark, sf_dir):
+        scale_ops._prefix_parts_cache.clear()
+        scale_ops.reshape_global_ordinal(spark, sf_dir)
+        first = scale_ops._prefix_parts_cache.get("df")
+        assert first is not None and first.storageLevel.useMemory
+        scale_ops.shard_assign_bytes(spark, sf_dir)
+        assert scale_ops._prefix_parts_cache.get("df") is first  # reused
+        assert first.storageLevel.useMemory  # still persisted
+
+    def test_prefix_cache_evicts_on_new_key(self, spark, sf_dir):
+        scale_ops._prefix_parts_cache.clear()
+        scale_ops.reshape_global_ordinal(spark, sf_dir)
+        first = scale_ops._prefix_parts_cache.get("df")
+        other = "/root/testdata/sf0.01"
+        scale_ops.reshape_global_ordinal(spark, other)
+        assert scale_ops._prefix_parts_cache.get("key") == ("documents", other)
+        assert scale_ops._prefix_parts_cache.get("df") is not first
+        assert not first.storageLevel.useMemory  # evicted + unpersisted
+        scale_ops._prefix_parts_cache.clear()
+
+    def test_lpa_cache_keyed_by_sf_dir(self, spark, sf_dir):
+        scale_ops._lpa_edge_cache.clear()
+        scale_ops.graph_label_propagation(spark, sf_dir)
+        first = scale_ops._lpa_edge_cache.get("df")
+        assert scale_ops._lpa_edge_cache.get("key") == sf_dir
+        scale_ops.graph_label_propagation(spark, sf_dir)
+        assert scale_ops._lpa_edge_cache.get("df") is first  # reused
+        scale_ops._lpa_edge_cache.clear()

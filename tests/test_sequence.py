@@ -422,3 +422,89 @@ def test_grouped_lag_sparse_and_single_row_chunks(spark):
     }
     # chunk-first rows reach back across the 7-chunk gap; group firsts NULL
     assert got == {("x", 1): None, ("x", 2): 1, ("x", 3): 2, ("y", 4): None}
+
+
+class TestGroupedCarry:
+    """grouped_carry (two-pass LOCF/NOCB, r11) must match the naive
+    per-group ignorenulls window scan value-for-value, including
+    all-null leading runs, null chunks' carry-in, and struct values."""
+
+    @pytest.fixture(scope="class")
+    def sparse(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = []
+        for g in ["a", "b", "c"]:
+            for i in range(200):
+                rows.append(
+                    Row(
+                        g=g,
+                        pos=i,
+                        # ~70% missing, and group 'c' starts with a long
+                        # null run so the first chunks carry NULL
+                        v=(
+                            None
+                            if rng.random() < 0.7 or (g == "c" and i < 60)
+                            else float(i)
+                        ),
+                    )
+                )
+        return spark.createDataFrame(rows)
+
+    def _naive(self, df, backward=False):
+        w = Window.partitionBy("g").orderBy("pos")
+        if backward:
+            exp = F.first("v", ignorenulls=True).over(
+                w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+        else:
+            exp = F.last("v", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        return {(r["g"], r["pos"]): r["c"] for r in df.select("g", "pos", exp.alias("c")).collect()}
+
+    @pytest.mark.parametrize("backward", [False, True])
+    def test_matches_naive_window(self, sparse, backward):
+        from warpdb_spark.operators.sequence import grouped_carry
+
+        got = grouped_carry(
+            sparse,
+            "g",
+            ["pos"],
+            value="v",
+            chunk_expr=F.floor(F.col("pos") / 16),
+            out_col="c",
+            backward=backward,
+        )
+        got_map = {(r["g"], r["pos"]): r["c"] for r in got.collect()}
+        assert got_map == self._naive(sparse, backward)
+
+    def test_struct_values_carry_order_and_value(self, sparse):
+        """The interpolation pattern: carry struct(pos, v) of observed
+        rows both directions; struct fields must come from the same
+        observation (no cross-row mixing)."""
+        from warpdb_spark.operators.sequence import grouped_carry
+
+        obs = F.when(F.col("v").isNotNull(), F.struct("pos", "v"))
+        chunk = F.floor(F.col("pos") / 16)
+        out = grouped_carry(sparse, "g", ["pos"], value=obs, chunk_expr=chunk, out_col="p")
+        out = grouped_carry(out, "g", ["pos"], value=obs, chunk_expr=chunk, out_col="n", backward=True)
+        for r in out.collect():
+            for s in (r["p"], r["n"]):
+                if s is not None:
+                    assert s["v"] == float(s["pos"])  # fields travel together
+            if r["v"] is not None:  # observed row carries itself both ways
+                assert r["p"]["pos"] == r["pos"] and r["n"]["pos"] == r["pos"]
+
+    def test_reserved_name_collision_raises(self, sparse):
+        from warpdb_spark.operators.sequence import grouped_carry
+
+        with pytest.raises(ValueError, match="reserved"):
+            grouped_carry(
+                sparse.withColumn("__v", F.lit(1)),
+                "g",
+                ["pos"],
+                value="v",
+                chunk_expr=F.floor(F.col("pos") / 16),
+            )

@@ -92,12 +92,6 @@ KNOWN_RAW: dict[str, set[str]] = {
     # frame, not a corpus sort; the classifier can't see through the
     # Filter.
     "window_rank_family": {"l_returnflag"},
-    # Window over the RESAMPLE GRID (one row per (type, bucket), rows =
-    # time-span / resolution), not over raw events — span-bounded, not
-    # corpus-bounded; the LOCF carry across grid rows is the two-pass
-    # candidate if spans ever outgrow a task.
-    "events_resample_locf": {"event_type"},
-    "events_resample_interpolate": {"event_type"},
 }
 
 # Reviewed ``agg_input`` entries: window over an Aggregate whose
@@ -147,6 +141,12 @@ KNOWN_AGG_INPUT: dict[str, set[str]] = {
     # per ~1000-unit price chunk; the corpus-scale rank partitions by
     # (l_returnflag, __chunk).
     "udaf_group_median_chunked": {"l_returnflag"},
+    # r11 grouped_carry rewrite (retired from KNOWN_RAW): the only
+    # bare-type window left is the carry-in stitch over ONE aggregated
+    # row per 512-bucket grid chunk; the grid-scale carry partitions by
+    # (event_type, __chunk).
+    "events_resample_locf": {"event_type"},
+    "events_resample_interpolate": {"event_type"},
     # r9 addition: LPA shares _user_edges, so it inherits the same
     # boundary-stitch window over one aggregated row per (type, hour)
     # as the five graph entries above; the propagation rounds

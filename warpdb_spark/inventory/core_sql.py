@@ -881,6 +881,18 @@ def dialect_select_star(spark, sf_dir):
     )
 
 
+def _read_schema_cols(flat_plan: str) -> list[str]:
+    """``name:type`` column specs of the CUSTOMER scan's ReadSchema in
+    a whitespace-stripped formatted plan (the scan whose pruning the
+    canary checks — identified by carrying c_acctbal)."""
+    out: list[str] = []
+    for seg in flat_plan.split("ReadSchema:struct<")[1:]:
+        cols = seg.split(">", 1)[0].split(",")
+        if any(c.startswith("c_acctbal:") for c in cols):
+            out = cols
+    return out
+
+
 def dialect_explain(spark, sf_dir):
     """§2.10 ``explain`` API pinned to the GOLDEN plan shape (the
     working version of the reference's optimizer demo output,
@@ -903,7 +915,16 @@ def dialect_explain(spark, sf_dir):
       plan (the final-agg shuffle — anything more is waste).
 
     The oracle returns the same five constants TRUE: the comparison
-    pins that the PLAN facts hold, the approx-entry boolean idiom."""
+    pins that the PLAN facts hold, the approx-entry boolean idiom.
+
+    This is a deliberate PLAN CANARY (r10 advice): the booleans pin
+    physical-plan substrings, so a Spark version bump, an AQE /
+    broadcast-threshold config change, or a parquet schema reorder can
+    flip one and fail the oracle even though the engine is fine —
+    that loud failure is the point (it flags a silent plan regression
+    the same way it would flag an environment change; re-review the
+    pins on either). The ReadSchema probe matches each pruned column
+    independently, not the struct's column order."""
     db = _db(spark, sf_dir, "customer", "nation")
     txt = db.explain(
         "SELECT n_name, COUNT(*) AS n_cust, round(SUM(c_acctbal), 2) AS s "
@@ -915,7 +936,13 @@ def dialect_explain(spark, sf_dir):
     return spark.createDataFrame(
         [(
             "GreaterThan(c_acctbal,0.0)" in flat,
-            "ReadSchema:struct<c_nationkey:int,c_acctbal:double>" in flat,
+            # order-independent: exactly the two needed columns, in
+            # whatever order the scan's ReadSchema spells them
+            all(
+                c in _read_schema_cols(flat)
+                for c in ("c_nationkey:int", "c_acctbal:double")
+            )
+            and len(_read_schema_cols(flat)) == 2,
             "BroadcastHashJoin" in txt,
             "partial_sum" in txt,
             flat.count("hashpartitioning(") == 1,
@@ -1596,16 +1623,27 @@ def events_resample_locf(spark, sf_dir):
         .crossJoin(F.broadcast(agg.select("event_type").distinct()))
     )
     filled = grid.join(agg, ["event_type", "bucket"], "left")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # Two-pass LOCF (r11, retiring the audit's KNOWN_RAW pin): carry
+    # within (event_type, 512-bucket chunk) partitions — parallel in
+    # the grid span — with the cross-chunk carry-in stitched from ONE
+    # aggregated row per chunk (agg_input tier). A bare
+    # event_type-partitioned window would put a whole type's grid
+    # timeline in one task once spans outgrow it.
+    from warpdb_spark.operators.sequence import grouped_carry
+
+    carried = grouped_carry(
+        filled,
+        "event_type",
+        ["bucket"],
+        value="bucket_value",
+        chunk_expr=F.floor(F.col("bucket") / 512),
+        out_col="value_locf",
     )
-    return filled.select(
+    return carried.select(
         "event_type",
         F.col("bucket").cast("bigint").alias("bucket"),
         F.coalesce("n_events_raw", F.lit(0)).cast("bigint").alias("n_events"),
-        F.last("bucket_value", ignorenulls=True).over(w).alias("value_locf"),
+        "value_locf",
     )
 
 

@@ -238,23 +238,31 @@ def events_resample_interpolate(spark, sf_dir):
         F.broadcast(agg.select("event_type").distinct())
     )
     filled = grid.join(agg, ["event_type", "bucket"], "left")
-    w = Window.partitionBy("event_type").orderBy("bucket")
-    # carry the last/next OBSERVED (bucket, value) pair to each grid row
+    # carry the last/next OBSERVED (bucket, value) pair to each grid
+    # row — two-pass grouped_carry per direction (r11, retiring the
+    # audit's KNOWN_RAW pin): the carry runs within (event_type,
+    # 512-bucket chunk) partitions with the cross-chunk stitch over one
+    # aggregated row per chunk, so no task ever holds a type's whole
+    # grid timeline.
+    from warpdb_spark.operators.sequence import grouped_carry
+
     obs = F.when(
         F.col("mean_value").isNotNull(), F.struct("bucket", "mean_value")
     )
-    prev = F.last(obs, ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
+    chunk = F.floor(F.col("bucket") / 512)
+    out = grouped_carry(
+        filled, "event_type", ["bucket"], value=obs, chunk_expr=chunk, out_col="p"
     )
-    nxt = F.first(obs, ignorenulls=True).over(
-        w.rowsBetween(0, Window.unboundedFollowing)
+    out = grouped_carry(
+        out, "event_type", ["bucket"], value=obs, chunk_expr=chunk,
+        out_col="n", backward=True,
     )
-    out = filled.select(
+    out = out.select(
         "event_type",
         "bucket",
         F.col("mean_value").isNotNull().alias("observed"),
-        prev.alias("p"),
-        nxt.alias("n"),
+        "p",
+        "n",
     )
     frac = (F.col("bucket") - F.col("p.bucket")) / (
         F.col("n.bucket") - F.col("p.bucket")

@@ -1519,10 +1519,28 @@ def range_join_session_overlap(spark, sf_dir):
 # range-partitioned frame: the newest call evicts + unpersists the
 # previous one so long-lived sessions sweeping entries/sf_dirs carry
 # at most one cached copy (same discipline as _JACCARD_EDGE_CACHE).
-_prefix_parts_cache: list = []
+# KEYED by the input identity (r10 advice): a same-key call REUSES the
+# persisted frame instead of evicting it, so composing the two
+# consumers (reshape_global_ordinal + shard_assign_bytes) over one
+# sf_dir — or collecting one's lazy result after calling the other —
+# reads the cache rather than silently recomputing the full
+# repartitionByRange pass. Eviction happens only on a DIFFERENT key;
+# a lazy DataFrame returned under a previous key must be materialized
+# before a different-key call (recompute is deterministic for the
+# parquet inputs here, but don't rely on it for other sources).
+_prefix_parts_cache: dict = {}
 
 
-def _partition_prefix_offsets(df: DataFrame, measure):
+def _evict_keyed_cache(cache: dict, key) -> None:
+    if cache and cache.get("key") != key:
+        try:
+            cache.pop("df").unpersist()
+        except Exception:  # noqa: BLE001 — a dead SparkContext is fine
+            pass
+        cache.clear()
+
+
+def _partition_prefix_offsets(df: DataFrame, measure, cache_key):
     """Shared two-phase prefix-sum scaffolding (reshape_global_ordinal /
     shard_assign_bytes) — the DataFrame zipWithIndex: range-repartition
     on doc_id into a CORPUS-PROPORTIONAL partition count, aggregate
@@ -1544,17 +1562,16 @@ def _partition_prefix_offsets(df: DataFrame, measure):
     literal whose expression tree would grow with the partition count.
     Range partitions are ascending in partition id, so within-partition
     state + offset is globally consistent regardless of boundaries."""
-    n_parts = max(8, df.rdd.getNumPartitions())
-    while _prefix_parts_cache:
-        try:
-            _prefix_parts_cache.pop().unpersist()
-        except Exception:  # noqa: BLE001 — a dead SparkContext is fine
-            pass
-    parts = df.repartitionByRange(n_parts, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    parts = parts.persist()
-    _prefix_parts_cache.append(parts)
+    _evict_keyed_cache(_prefix_parts_cache, cache_key)
+    if _prefix_parts_cache.get("key") == cache_key:
+        parts = _prefix_parts_cache["df"]
+    else:
+        n_parts = max(8, df.rdd.getNumPartitions())
+        parts = df.repartitionByRange(n_parts, "doc_id").withColumn(
+            "pid", F.spark_partition_id()
+        )
+        parts = parts.persist()
+        _prefix_parts_cache.update(key=cache_key, df=parts)
     w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         parts.groupBy("pid")
@@ -1582,7 +1599,9 @@ def reshape_global_ordinal(spark, sf_dir):
     consistent regardless of where the sampled boundaries land.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    parts, offsets = _partition_prefix_offsets(docs, F.count(F.lit(1)))
+    parts, offsets = _partition_prefix_offsets(
+        docs, F.count(F.lit(1)), cache_key=("documents", sf_dir)
+    )
     w = Window.partitionBy("pid").orderBy("doc_id")
     return parts.join(offsets, "pid").select(
         "doc_id",
@@ -1966,7 +1985,9 @@ def shard_assign_bytes(spark, sf_dir):
     exactly.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    parts, offsets = _partition_prefix_offsets(docs, F.sum("n_chars"))
+    parts, offsets = _partition_prefix_offsets(
+        docs, F.sum("n_chars"), cache_key=("documents", sf_dir)
+    )
     w = (
         Window.partitionBy("pid")
         .orderBy("doc_id")
@@ -2184,11 +2205,13 @@ def graph_degree_distribution(spark, sf_dir):
 
 _LPA_ROUNDS = 2  # fixed so the DuckDB oracle can unroll the rounds
 
-# Bounded (size-1) slot for LPA's persisted directed edge list — the
-# newest call evicts + unpersists the previous corpus's cache, so a
+# Bounded (size-1) slot for LPA's persisted directed edge list — a
 # long-lived session sweeping entries/sf_dirs holds at most one
-# (the _JACCARD_EDGE_CACHE discipline; r9 advice).
-_lpa_edge_cache: list = []
+# (the _JACCARD_EDGE_CACHE discipline; r9 advice). Keyed by sf_dir
+# (r10 advice): a same-corpus call reuses the persisted frame;
+# eviction happens only when a DIFFERENT corpus arrives, so a prior
+# call's lazy result stays cache-backed until the corpus changes.
+_lpa_edge_cache: dict = {}
 
 
 def graph_label_propagation(spark, sf_dir):
@@ -2210,18 +2233,17 @@ def graph_label_propagation(spark, sf_dir):
     each extra round repeats the same three-shuffle plan. The argmax
     is min_by over struct(-count, label) — deterministic on ties, the
     same (cnt DESC, label ASC) row_number pick the oracle spells."""
-    E = _user_edges(spark, sf_dir)
-    while _lpa_edge_cache:
-        try:
-            _lpa_edge_cache.pop().unpersist()
-        except Exception:  # noqa: BLE001 — a dead SparkContext is fine
-            pass
-    directed = (
-        E.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionByName(E.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .persist()
-    )
-    _lpa_edge_cache.append(directed)
+    _evict_keyed_cache(_lpa_edge_cache, sf_dir)
+    if _lpa_edge_cache.get("key") == sf_dir:
+        directed = _lpa_edge_cache["df"]
+    else:
+        E = _user_edges(spark, sf_dir)
+        directed = (
+            E.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(E.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .persist()
+        )
+        _lpa_edge_cache.update(key=sf_dir, df=directed)
     labels = directed.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -391,6 +391,97 @@ def _chunked_scan(df, group_col, order_cols, chunk_expr, loc_fn, agg_fn,
     )
 
 
+def grouped_carry(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    value: Column | str,
+    chunk_expr: Column,
+    out_col: str = "__carry",
+    backward: bool = False,
+) -> DataFrame:
+    """Append the last non-null ``value`` at-or-before each row in
+    ``order_cols`` order within ``group_col`` — LOCF (last observation
+    carried forward), or NOCB (next observation carried backward) with
+    ``backward=True`` — WITHOUT the corpus-scale per-group sort of
+    ``last(value, ignorenulls) OVER (PARTITION BY group ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)``. Same two-pass chunk decomposition as
+    grouped_global_rank (r11, retiring the last two KNOWN_RAW audit
+    exceptions — events_resample_locf/_interpolate):
+
+    1. local: carry within (group, chunk) — parallel in the chunk
+       count, the only pass that touches every row.
+    2. boundary: ONE aggregated row per (group, chunk) holding the
+       chunk's last (first, if backward) observation — picked by
+       ``max_by``/``min_by`` over the leading order column, observed
+       rows only — then the carry-in per chunk via the same
+       ignorenulls scan over prior (following) chunks: the safe
+       ``agg_input`` tier, |groups| x |chunks| rows.
+
+    Row value = COALESCE(local carry, chunk carry-in). ``value`` may
+    be any column/expression (a struct carries (order, value) pairs —
+    the interpolation pattern); NULL marks "no observation".
+    ``chunk_expr`` must be order-monotone in the LEADING order column
+    and map equal leading values to the same chunk; the carry pick
+    among order-TIES within a chunk is arbitrary (pass a unique
+    leading order when tie identity matters — a resample grid key is
+    unique by construction). NULL-chunk join semantics are
+    grouped_global_rank's (null-safe join; NULL chunk sorts first)."""
+    v = F.col(value) if isinstance(value, str) else value
+    _assert_no_reserved(
+        df, ("__chunk", "__loc", "__t", "__g2", "__c2", "__in", "__v", out_col)
+    )
+    b = df.withColumn("__chunk", chunk_expr).withColumn("__v", v)
+    lead_ord = order_cols[0]
+    w_loc = Window.partitionBy(group_col, "__chunk").orderBy(*order_cols)
+    if backward:
+        local = b.withColumn(
+            "__loc",
+            F.first("__v", ignorenulls=True).over(
+                w_loc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            ),
+        )
+        pick = F.min_by("__v", F.when(F.col("__v").isNotNull(), F.col(lead_ord)))
+        w_in = (
+            Window.partitionBy(group_col)
+            .orderBy("__chunk")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry_in = F.first("__t", ignorenulls=True).over(w_in)
+    else:
+        local = b.withColumn(
+            "__loc",
+            F.last("__v", ignorenulls=True).over(
+                w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        pick = F.max_by("__v", F.when(F.col("__v").isNotNull(), F.col(lead_ord)))
+        w_in = (
+            Window.partitionBy(group_col)
+            .orderBy("__chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_in = F.last("__t", ignorenulls=True).over(w_in)
+    offs = (
+        b.groupBy(group_col, "__chunk")
+        .agg(pick.alias("__t"))
+        .select(
+            F.col(group_col).alias("__g2"),
+            F.col("__chunk").alias("__c2"),
+            carry_in.alias("__in"),
+        )
+    )
+    return (
+        local.join(
+            offs,
+            F.col(group_col).eqNullSafe(F.col("__g2"))
+            & F.col("__chunk").eqNullSafe(F.col("__c2")),
+        )
+        .withColumn(out_col, F.coalesce(F.col("__loc"), F.col("__in")))
+        .drop("__loc", "__chunk", "__g2", "__c2", "__in", "__v")
+    )
+
+
 def grouped_prefix_sum(
     df: DataFrame,
     group_col: str,

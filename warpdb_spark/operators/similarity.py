@@ -435,7 +435,7 @@ def _pq_init(corpus: DataFrame, id_col: str, vec_col: str, m_subs: int,
     (every vector → code 0, ADC ranks by tiebreak — the 1M replay's
     recall-0.00 finding, r10). Offsetting past the coarse sample keeps
     one shared ordering seeding both quantizers, disjointly."""
-    rows = (
+    collected = (
         corpus.select(vec_col)
         .orderBy(
             F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(id_col).cast("string"))),
@@ -443,12 +443,15 @@ def _pq_init(corpus: DataFrame, id_col: str, vec_col: str, m_subs: int,
         )
         .limit(init_offset + n_codes)
         .collect()
-    )[init_offset:]
+    )
+    rows = collected[init_offset:]
     if len(rows) < n_codes:
+        # report the PRE-slice count: the corpus may hold fewer than
+        # init_offset rows, and offset+len(rows) would overstate it
         raise ValueError(
             f"PQ init needs {init_offset + n_codes} corpus rows "
             f"({init_offset} skipped + {n_codes} codebook seeds); "
-            f"got {init_offset + len(rows)}"
+            f"got {len(collected)}"
         )
     seeds = np.array([list(r[0]) for r in rows], dtype=np.float64)
     dim = seeds.shape[1]

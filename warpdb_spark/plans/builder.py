@@ -205,9 +205,12 @@ def _apply_unpivot_multi(base: DataFrame, up: "A.UnpivotClause") -> DataFrame:
             "UNPIVOT name and value columns must differ "
             f"(clashing name: {up.name_col})"
         )
-    used = set(base.columns)
+    # Collisions are checked against the SURVIVING id columns only:
+    # the melted source columns are consumed by the unpivot and absent
+    # from the output, so reusing one of their names for a name/value
+    # output column is legal (ANSI / Spark SQL UNPIVOT semantics).
     for c in out_cols:
-        if c in used:
+        if c in ids:
             raise ValidationError(
                 f"UNPIVOT output column {c} collides with an input column"
             )
