@@ -65,12 +65,12 @@ DRIVER_GREEN: dict[str, int] = {
     "tpch_q8_market_share": 3,
     "similarity_ann_lsh": 3,
     "similarity_ivf": 3,
-    "window_qualify": 9,
+    "window_qualify": 10,
     "asof_join_next_purchase": 3,
     "agg_approx_percentile": 3,
-    "dialect_event_time": 9,
-    "dialect_tpch_q1": 9,
-    "dialect_tpch_q6": 9,
+    "dialect_event_time": 10,
+    "dialect_tpch_q1": 10,
+    "dialect_tpch_q6": 10,
     "corpus_stats_by_stratum": 3,
     "dedup_span_boilerplate": 3,
     "events_sessionize": 3,
@@ -82,28 +82,28 @@ DRIVER_GREEN: dict[str, int] = {
     "events_zscore_outliers": 3,
     "text_top_bigrams": 3,
     "sample_token_budget": 3,
-    "flagship_filter_project": 8,
-    "dialect_expression_projection": 8,
-    "dialect_cte_scalar_in": 8,
-    "window_running_sum": 8,
-    "window_rank_family": 8,
-    "udaf_group_median": 8,
-    "dedup_minhash_lsh": 8,
-    "dialect_predicates": 8,
+    "flagship_filter_project": 10,
+    "dialect_expression_projection": 10,
+    "dialect_cte_scalar_in": 10,
+    "window_running_sum": 10,
+    "window_rank_family": 10,
+    "udaf_group_median": 10,
+    "dedup_minhash_lsh": 10,
+    "dialect_predicates": 10,
     "expr_case_when": 8,
     "expr_string_functions": 8,
     "expr_date_functions": 8,
-    "dialect_groupby_having": 8,
+    "dialect_groupby_having": 10,
     "agg_global": 8,
-    "agg_distinct": 8,
+    "agg_distinct": 10,
     "agg_count_distinct": 8,
     "agg_rollup": 8,
     "agg_cube": 8,
     "sort_topk": 8,
-    "dialect_offset_limit": 8,
-    "dialect_exists_theta": 8,
-    "dialect_derived_table_q18": 8,
-    "join_inner_rowlevel": 8,
+    "dialect_offset_limit": 10,
+    "dialect_exists_theta": 10,
+    "dialect_derived_table_q18": 10,
+    "join_inner_rowlevel": 10,
     "join_broadcast_dims": 8,
     "join_semi": 8,
     "join_anti": 8,
@@ -112,15 +112,15 @@ DRIVER_GREEN: dict[str, int] = {
     "join_cross_product": 8,
     "join_theta": 8,
     "window_rank_topn": 8,
-    "expr_math_functions": 8,
+    "expr_math_functions": 10,
     "setop_union": 8,
     "setop_intersect": 8,
     "window_range_frame": 8,
     "dedup_exact": 8,
     "dedup_exact_text": 8,
-    "dedup_minhash_survivors": 8,
+    "dedup_minhash_survivors": 10,
     "sample_hash_bucket": 8,
-    "dedup_cluster_components": 8,
+    "dedup_cluster_components": 10,
     "dedup_ngram_jaccard": 8,
     "dedup_simhash_candidates": 8,
     "dedup_embedding_cosine": 8,
@@ -138,7 +138,7 @@ DRIVER_GREEN: dict[str, int] = {
     "sample_mixture_alpha": 4,
     "search_eval_ndcg": 4,
     "events_cusum_changepoints": 9,
-    "pack_batches_bucketed": 4,
+    "pack_batches_bucketed": 10,
     "text_keywords_rake": 4,
     "embedding_label_agreement": 4,
     "text_char_entropy": 4,
@@ -152,9 +152,9 @@ DRIVER_GREEN: dict[str, int] = {
     "dialect_tpch_q12": 9,
     "dialect_rollup_grouping": 4,
     "dialect_grouping_sets": 4,
-    "dialect_range_interval_frame": 9,
-    "dialect_recursive_cte": 9,
-    "dialect_self_join": 9,
+    "dialect_range_interval_frame": 10,
+    "dialect_recursive_cte": 10,
+    "dialect_self_join": 10,
     "dialect_agg_filter": 9,
     "dialect_string_agg": 9,
     "dialect_unnest": 9,
@@ -183,13 +183,13 @@ DRIVER_GREEN: dict[str, int] = {
     "dialect_udtf_sentences": 9,
     "dedup_max_shared_run": 5,
     "dialect_array_agg": 9,
-    "multimodal_ppm_decode": 5,
+    "multimodal_ppm_decode": 10,
     "multimodal_wav_decode": 5,
-    "multimodal_video_frames": 5,
+    "multimodal_video_frames": 10,
     "embedding_contrastive_pairs": 5,
     "text_quality_classifier": 5,
     "text_perplexity_bigram": 5,
-    "reshape_global_ordinal": 5,
+    "reshape_global_ordinal": 10,
     "window_distinct_count": 5,
     "merge_upsert_orders": 5,
     "scd2_event_intervals": 5,
@@ -245,21 +245,21 @@ DRIVER_GREEN: dict[str, int] = {
     "search_hard_negatives": 6,
     "text_script_shares": 6,
     "corpus_ngram_novelty": 6,
-    "shard_assign_bytes": 6,
+    "shard_assign_bytes": 10,
     "embedding_dim_profile": 6,
     "events_seasonality_hourly": 6,
     "dedup_minhash_estimate_calibration": 6,
     "text_zipf_alpha": 6,
     "text_readability_fk": 6,
-    "agg_weighted_median": 6,
+    "agg_weighted_median": 10,
     "agg_weighted_median_approx": 6,
     "stream_incremental_dedup": 6,
-    "multimodal_dhash_neardup": 6,
+    "multimodal_dhash_neardup": 10,
     "text_hapax_ratio": 6,
     "text_source_vocab_jaccard": 6,
-    "events_interarrival_profile": 6,
-    "events_value_winsorize": 6,
-    "graph_degree_distribution": 6,
+    "events_interarrival_profile": 10,
+    "events_value_winsorize": 10,
+    "graph_degree_distribution": 10,
     "table_partition_skew_report": 6,
     "similarity_knn_indegree": 6,
     "similarity_pair_margin": 6,
@@ -267,7 +267,7 @@ DRIVER_GREEN: dict[str, int] = {
     "reshape_train_val_split": 6,
     "dedup_loss_by_source": 6,
     "stream_dedup_rate_by_batch": 6,
-    "agg_gini_by_segment": 6,
+    "agg_gini_by_segment": 10,
     "sample_reservoir_per_key": 6,
     "reshape_user_sequences": 6,
     "stats_chi2_independence": 6,
@@ -277,8 +277,8 @@ DRIVER_GREEN: dict[str, int] = {
     "text_code_detect": 6,
     "dedup_prefix_cluster": 6,
     "text_vocab_coverage_curve": 6,
-    "window_distribution_functions": 6,
-    "graph_neighbor_jaccard": 6,
+    "window_distribution_functions": 10,
+    "graph_neighbor_jaccard": 10,
     "events_ab_welch_ztest": 6,
     "agg_gini_binned": 7,
     "window_distribution_binned": 7,
@@ -288,14 +288,14 @@ DRIVER_GREEN: dict[str, int] = {
     "join_bloom_prefilter": 7,
     "stats_bootstrap_poisson_ci": 7,
     "join_bloom_prefilter_partitioned": 7,
-    "dedup_cross_modal_verdict": 7,
+    "dedup_cross_modal_verdict": 10,
     "stream_psi_drift_by_batch": 7,
     "similarity_ivf_recall": 7,
-    "decontam_bloom_prefilter": 7,
+    "decontam_bloom_prefilter": 10,
     "join_key_skew_advisor": 7,
     "stream_ks_drift_by_batch": 7,
-    "similarity_pq_persisted_index": 8,
-    "dedup_cross_modal_planted": 8,
+    "similarity_pq_persisted_index": 10,
+    "dedup_cross_modal_planted": 10,
     "stream_unified_drift_by_batch": 8,
     "similarity_pq_index_refresh": 9,
     "events_sessionize_by_type": 9,
@@ -313,6 +313,15 @@ DRIVER_GREEN: dict[str, int] = {
     "stream_ohlc_hourly": 9,
     "similarity_ivfpq": 9,
     "stats_poisson_rate_test": 9,
+    "dedup_keeper_by_quality": 10,
+    "dialect_explain": 10,
+    "dialect_qualify_pivot": 10,
+    "dialect_unpivot_multi": 10,
+    "reshape_fim_split": 10,
+    "similarity_dim_truncation": 10,
+    "similarity_ivfpq_residual": 10,
+    "stream_pq_delta_encode": 10,
+    "udaf_group_median_chunked": 10,
 }
 
 # Never-driver-checked entries, highest risk first: dialect executors
@@ -333,15 +342,6 @@ PENDING_ORDER: list[str] = [
     # backlog is still verified first
     # round-10 additions — the queue was empty after the r9 promotion;
     # these front the r10 window, ahead of the changed-tier re-checks
-    "dedup_keeper_by_quality",
-    "dialect_explain",
-    "dialect_qualify_pivot",
-    "dialect_unpivot_multi",
-    "reshape_fim_split",
-    "similarity_dim_truncation",
-    "similarity_ivfpq_residual",
-    "stream_pq_delta_encode",
-    "udaf_group_median_chunked",
     # round-6 late additions — behind the rehearsed 50-entry r6 window;
     # these front the r7 window
     # round-7 additions — added BEFORE the r7 window rehearsal (the

