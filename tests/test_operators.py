@@ -337,6 +337,47 @@ class TestCosineTopkNp:
         assert a == b
 
 
+class TestCosineTopkBlocked:
+    """cosine_topk_blocked (r11): the distributed-query exact path must
+    rank identically to cosine_topk_np at any blocking, and must never
+    collect query vectors to the driver."""
+
+    def test_matches_np_implementation_across_blockings(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from warpdb_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 30)
+        want = sorted(map(tuple, S.cosine_topk_np(emb, queries, k=4).collect()))
+        for ncb, nqb in [(1, 1), (3, 2), (7, 5)]:
+            got = sorted(
+                map(
+                    tuple,
+                    S.cosine_topk_blocked(
+                        emb, queries, k=4,
+                        num_corpus_blocks=ncb, num_query_blocks=nqb,
+                    ).collect(),
+                )
+            )
+            assert got == want, f"diverged at blocking ({ncb}, {nqb})"
+
+    def test_no_driver_collect_during_construction(self, spark, sf_dir, monkeypatch):
+        """The batch entry's contract (r10 verdict item 5): building the
+        plan must not collect query vectors — fail any DataFrame.collect
+        while the entry constructs."""
+        from pyspark.sql import DataFrame
+
+        from warpdb_spark.inventory.pipeline_ops import similarity_topk_batch
+
+        def boom(self):
+            raise AssertionError("driver collect during batch-entry construction")
+
+        monkeypatch.setattr(DataFrame, "collect", boom)
+        df = similarity_topk_batch(spark, sf_dir)  # must build collect-free
+        assert "query_id" in df.columns
+
+
 class TestPPMCodec:
     """Real pure-numpy P6 codec (operators/multimodal.py): header
     grammar, round-trip, error paths, resize, and the decode-in-the-

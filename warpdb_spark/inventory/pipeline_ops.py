@@ -798,6 +798,48 @@ def similarity_knn_indegree(spark, sf_dir):
     return deg.groupBy("in_degree").agg(F.count(F.lit(1)).alias("n_vecs"))
 
 
+_BATCH_REPLICAS = 21  # 21 rotations × 500 base vectors = 10,500 queries at sf0.01
+
+
+def similarity_topk_batch(spark, sf_dir):
+    """Batch-query exact retrieval with a DISTRIBUTED query side
+    (r10 verdict item 5): ≥10k query vectors — every embedding under
+    ``_BATCH_REPLICAS`` distinct left-rotations, qid = 1e6 + vec_id ×
+    R + r, each rotation a genuinely different vector — ranked top-3
+    against the corpus through ``cosine_topk_blocked``: queries stay
+    a DataFrame end to end (no driver collect, no ``max_queries``
+    cap; contract-pinned by test_similarity_batch_plan_has_no_collect).
+
+    Scale shape: corpus and queries hash into blocks sized by their
+    scan partitioning; each (corpus block, query block) pair cogroups
+    once and scores with one float64 matmul emitting local top-(k+1),
+    so the shuffle is |C|·NQB + |Q|·NCB rows and the final rank
+    carries O(blocks × queries × k) — the batch-inference retrieval
+    shape (embed a shard of prompts, fetch neighbors for all of them
+    in one job). Rotation keeps the oracle exact: DuckDB replays the
+    slice-concat spelling bit-for-bit on the same floats, and the
+    synthetic qid offset keeps query ids disjoint from corpus ids so
+    the shared self-match exclusion never fires."""
+    emb = _t(spark, sf_dir, "embeddings")
+    reps = spark.range(_BATCH_REPLICAS).select(F.col("id").cast("int").alias("r"))
+    queries = emb.crossJoin(F.broadcast(reps)).select(
+        (F.lit(1_000_000) + F.col("vec_id") * _BATCH_REPLICAS + F.col("r")).alias("qid"),
+        F.concat(
+            F.slice("embedding", F.col("r") + 1, F.lit(64) - F.col("r")),
+            F.slice("embedding", F.lit(1), F.col("r")),
+        ).alias("qv"),
+    )
+    return S.cosine_topk_blocked(
+        emb,
+        queries,
+        k=3,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="qid",
+        query_vec_col="qv",
+    )
+
+
 def similarity_pair_margin(spark, sf_dir):
     """Top-1 vs top-2 margin per query — the retrieval-confidence
     signal: a large margin means the nearest neighbor is
@@ -2605,6 +2647,7 @@ QUERIES = {
     "reshape_fim_split": reshape_fim_split,
     "similarity_knn_indegree": similarity_knn_indegree,
     "similarity_pair_margin": similarity_pair_margin,
+    "similarity_topk_batch": similarity_topk_batch,
     "embedding_cosine_histogram": embedding_cosine_histogram,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_recall": similarity_ann_recall,
@@ -2909,6 +2952,18 @@ ORACLES = {
         "FROM r WHERE rank <= 5 GROUP BY neighbor_id) "
         "SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vecs "
         "FROM d GROUP BY in_degree"
+    ),
+    "similarity_topk_batch": (
+        "WITH q AS (SELECT 1000000 + e.vec_id * 21 + g.r AS qid, "
+        "e.embedding[g.r + 1:64] || e.embedding[1:g.r] AS qv "
+        "FROM embeddings e, (SELECT unnest(range(21)) AS r) g), "
+        "s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id, "
+        "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+        "CAST(q.qv AS DOUBLE[])), 6) AS cosine FROM embeddings c, q), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
+        "SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank "
+        "FROM r WHERE rank <= 3"
     ),
     "similarity_pair_margin": (
         "WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "

@@ -353,6 +353,9 @@ PENDING_ORDER: list[str] = [
     # round-9 additions — pending always precedes the changed-since-
     # green tier (the 13 r8 rewrites), which precedes oldest-green
     # round-9 second-session additions
+    # round-11 additions — front the r11 window ahead of the
+    # changed-since-green backlog
+    "similarity_topk_batch",
 ]
 
 
