@@ -101,6 +101,43 @@ class TestFormats:
         # extension dispatch also routes .arrow / .feather here
         assert load_table(spark, path).count() == 2
 
+    def test_arrow_ipc_dir_reads_partition_parallel(self, spark, tmp_path_factory):
+        """Distributed IPC directory scan (r11): a multi-file dir decodes
+        inside executors via binaryFile + mapInArrow — rows from every
+        file, values exact, stream-format files accepted, and the plan
+        scans binaryFile (not a driver createDataFrame)."""
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        from warpdb_spark.sources.readers import read_arrow_dir
+
+        d = tmp_path_factory.mktemp("ipcdir")
+        total = 0
+        for i in range(5):
+            n = 10 + i
+            table = pa.table(
+                {"k": list(range(total, total + n)), "v": [float(i)] * n}
+            )
+            if i == 4:  # one stream-format payload among file-format ones
+                with ipc.new_stream(str(d / f"p{i}.arrow"), table.schema) as w:
+                    w.write_table(table)
+            else:
+                with ipc.new_file(str(d / f"p{i}.arrow"), table.schema) as w:
+                    w.write_table(table)
+            total += n
+        df = read_arrow(spark, str(d))  # dir routes to read_arrow_dir
+        rows = df.collect()
+        assert len(rows) == total
+        assert sorted(r["k"] for r in rows) == list(range(total))
+        assert "BinaryFile" in df._jdf.queryExecution().executedPlan().toString() or \
+            "binaryFile" in df._jdf.queryExecution().toString()
+        # schema drift raises with the offending file named
+        bad = pa.table({"k": [1], "other": ["x"]})
+        with ipc.new_file(str(d / "p9.arrow"), bad.schema) as w:
+            w.write_table(bad)
+        with pytest.raises(Exception, match="schema drift"):
+            read_arrow_dir(spark, str(d)).collect()
+
     def test_partitioned_sink(self, spark, sf_dir, tmp_path_factory):
         p = str(tmp_path_factory.mktemp("fmt") / "part")
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

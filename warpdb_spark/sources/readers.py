@@ -157,17 +157,89 @@ def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
 def read_arrow(spark: SparkSession, path: str) -> DataFrame:
     """Arrow/Feather IPC scan (src/arrow_loader.cpp:110-118).
 
-    Spark has no native IPC-file datasource; the file is opened with
-    pyarrow on the driver and handed to ``createDataFrame`` (Arrow-path,
-    zero row-by-row conversion). IPC files are a single-machine
-    interchange format in the reference too; for 100 TB-scale inputs the
-    parquet reader is the path.
+    A single FILE matches the reference's single-machine interchange
+    scope: opened with pyarrow on the driver and handed to
+    ``createDataFrame`` (Arrow-path, zero row-by-row conversion). A
+    DIRECTORY routes to ``read_arrow_dir`` — the distributed path
+    (r10 verdict item 6) that decodes each file inside the executors.
     """
+    if os.path.isdir(path):
+        return read_arrow_dir(spark, path)
     import pyarrow.ipc as ipc
 
     with ipc.open_file(path) as reader:
         table = reader.read_all()
     return spark.createDataFrame(table)
+
+
+def _open_ipc(buf):
+    """An IPC reader for a bytes payload: random-access FILE format
+    first, STREAM format fallback (both are valid ``.arrow`` spellings)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    try:
+        return ipc.open_file(pa.BufferReader(buf))
+    except pa.ArrowInvalid:
+        return ipc.open_stream(pa.BufferReader(buf))
+
+
+def read_arrow_dir(spark: SparkSession, path: str, pattern: str = "*.arrow") -> DataFrame:
+    """Distributed Arrow/Feather IPC DIRECTORY scan: files land in
+    executors via Spark's ``binaryFile`` source (one row per file,
+    grouped into tasks by ``maxPartitionBytes``) and each file decodes
+    to record batches inside ``mapInArrow`` — partition-parallel, no
+    driver materialization, closing SURVEY §2.1's last single-machine
+    source (reference scope: src/arrow_loader.cpp:110-118).
+
+    The output schema is read once from the lexicographically first
+    file's FOOTER on the driver (metadata-only open, no data read);
+    every file must match it exactly — a drifted file raises with its
+    schema in the error rather than silently coercing. Feather v2 IS
+    IPC-file format, and stream-format payloads are accepted too."""
+    import glob as _glob
+
+    import pyarrow.ipc as ipc
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    import pyarrow as pa
+
+    files = sorted(_glob.glob(os.path.join(path, pattern)))
+    if not files:
+        raise ValueError(f"No IPC files matching {pattern!r} under {path}")
+    try:
+        with ipc.open_file(files[0]) as r0:
+            arrow_schema = r0.schema
+    except pa.ArrowInvalid:  # first file is stream-format: schema is at the head
+        with ipc.open_stream(files[0]) as r0:
+            arrow_schema = r0.schema
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    def decode(batches):
+        for batch in batches:
+            # binaryFile rows: (path, modificationTime, length, content)
+            paths = batch.column("path").to_pylist()
+            contents = batch.column("content")
+            for fpath, buf in zip(paths, contents):
+                reader = _open_ipc(buf.as_py())
+                if reader.schema != arrow_schema:
+                    raise ValueError(
+                        f"IPC schema drift in {fpath}: expected "
+                        f"{arrow_schema}, got {reader.schema}"
+                    )
+                if hasattr(reader, "num_record_batches"):  # file format
+                    for i in range(reader.num_record_batches):
+                        yield reader.get_batch(i)
+                else:  # stream format
+                    for rb in reader:
+                        yield rb
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+    return blobs.mapInArrow(decode, spark_schema)
 
 
 _DISPATCH = {
