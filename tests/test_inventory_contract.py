@@ -483,3 +483,84 @@ def test_with_ties_plan_has_no_window_node(spark, sf_dir):
         assert "Window [" not in plan, (
             f"WITH TIES regressed to a window plan for {sql!r}:\n{plan}"
         )
+
+
+class TestCapabilityOverlap:
+    """Mechanized r10-incident guard (r10 verdict item 9): two late
+    additions duplicated existing capabilities under new names. The
+    overlap index (IDF-weighted distinctive-token similarity over
+    oracle SQL) pins the strong-signal tier to a reviewed twins list
+    and keeps the nearest-neighbor detector calibrated on the actual
+    incident SQL recovered from git history."""
+
+    # the two removed r10 oracles, verbatim (commit 1c73c4f's deletion)
+    _TEMPERATURE_SQL = (
+        r"WITH per AS (SELECT source, sum(len(string_split_regex(trim(text), "
+        r"'\s+'))) AS n_tokens FROM documents GROUP BY source), "
+        "tot AS (SELECT sum(n_tokens) AS z1, sum(sqrt(n_tokens)) AS z2 FROM per) "
+        "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "round(n_tokens / z1, 6) AS weight_t1, "
+        "round(sqrt(n_tokens) / z2, 6) AS weight_t2, "
+        "round((sqrt(n_tokens) / z2) / (n_tokens / z1), 6) AS upsample_x "
+        "FROM per, tot"
+    )
+    _PII_SQL = (
+        "WITH d AS (SELECT source, text "
+        "|| CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END "
+        "|| CASE WHEN doc_id % 11 = 3 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END "
+        "|| CASE WHEN doc_id % 13 = 5 THEN ' call +1-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END AS t "
+        "FROM documents), "
+        r"m AS (SELECT source, len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+\.com')) AS ne, "
+        r"len(regexp_extract_all(t, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS ni, "
+        r"len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS np, "
+        "length(t) - length(regexp_replace(regexp_replace(regexp_replace(t, "
+        r"'[a-z0-9]+@[a-z0-9.]+\.com', '[EMAIL]', 'g'), "
+        r"'[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '[IP]', 'g'), "
+        r"'\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS removed FROM d) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii, "
+        "CAST(sum(ne) AS BIGINT) AS n_emails, CAST(sum(ni) AS BIGINT) AS n_ips, "
+        "CAST(sum(np) AS BIGINT) AS n_phones, "
+        "CAST(sum(removed) AS BIGINT) AS chars_removed "
+        "FROM m GROUP BY source"
+    )
+
+    @pytest.fixture(scope="class")
+    def idx(self):
+        from warpdb_spark.inventory.overlap import OverlapIndex
+
+        _, oracles = inventory.load_all()
+        return OverlapIndex(oracles)
+
+    def test_strong_signal_pairs_equal_reviewed_twins(self, idx):
+        """Equality both ways: a NEW >=TWIN_THRESH pair needs a review
+        note; a pruned/renamed entry must leave the allowlist too."""
+        from warpdb_spark.inventory.overlap import ALLOWED_TWINS
+
+        found = {(a, b) for _, a, b in idx.twin_pairs()}
+        assert found == set(ALLOWED_TWINS), (
+            f"new unreviewed: {sorted(found - set(ALLOWED_TWINS))}; "
+            f"stale pins: {sorted(set(ALLOWED_TWINS) - found)}"
+        )
+
+    def test_r10_incident_pairs_rank_in_top3_nearest(self, idx):
+        """The detector that would have caught the incident: both
+        removed entries rank their true duplicate in the top-3 nearest
+        existing capabilities."""
+        top_t = [n for _, n in idx.nearest(self._TEMPERATURE_SQL, k=3)]
+        assert "sample_mixture_alpha" in top_t, top_t
+        top_p = [n for _, n in idx.nearest(self._PII_SQL, k=3)]
+        assert "pii_scrub" in top_p, top_p
+
+    def test_overlap_tool_passes_on_current_inventory(self):
+        import subprocess
+        import pathlib
+
+        root = pathlib.Path(__file__).resolve().parents[1]
+        res = subprocess.run(
+            [sys.executable, str(root / "tools" / "check_overlap.py"),
+             "similarity_topk_batch"],
+            capture_output=True, text=True, timeout=240,
+        )
+        assert res.returncode == 0, res.stdout + res.stderr
+        assert "nearest existing capabilities" in res.stdout
