@@ -936,3 +936,190 @@ def test_welch_ztest_matches_duckdb_with_nulls(spark, rows):
         for r in con.execute(cx.ORACLES["events_ab_welch_ztest"]).fetchall()
     )
     assert got == want
+
+
+# --- r10 dialect corners: QUALIFY×PIVOT, multi-measure UNPIVOT, and the
+# --- r11 two-pass WITH TIES — randomized cross-checks (r10 verdict item 8)
+
+_UPM_ROWS = [
+    (1, 10.0, 1.0, None, 4.0, 2.5, 0.5),
+    (2, None, None, 7.0, 8.0, None, 1.5),
+    (3, 3.25, 9.0, 3.25, None, 6.0, None),
+    (4, None, None, None, None, None, None),
+    (5, 0.0, -1.0, 12.5, 0.0, -3.0, 7.0),
+]
+
+
+@pytest.fixture(scope="module")
+def updb(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(k=k, a=a, b=b, c=c, d=d, e=e, f=f) for k, a, b, c, d, e, f in _UPM_ROWS]
+    )
+    return WarpDB(df=df, table_name="tm", spark=spark)
+
+
+@pytest.fixture(scope="module")
+def upduck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE tm(k BIGINT, a DOUBLE, b DOUBLE, c DOUBLE, d DOUBLE, "
+        "e DOUBLE, f DOUBLE)"
+    )
+    con.executemany("INSERT INTO tm VALUES (?, ?, ?, ?, ?, ?, ?)", _UPM_ROWS)
+    return con
+
+
+_up_pool = ["a", "b", "c", "d", "e", "f"]
+
+
+@settings(
+    max_examples=70,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    perm=st.permutations(_up_pool),
+    width=st.integers(min_value=2, max_value=3),
+    include_nulls=st.booleans(),
+)
+def test_unpivot_multi_matches_duckdb(updb, upduck, perm, width, include_nulls):
+    """Random multi-measure UNPIVOT — tuple width 2-3, random column
+    grouping, INCLUDE NULLS on/off — must match DuckDB running the
+    IDENTICAL text (all-null-tuple exclusion, per-position values,
+    labels)."""
+    n_tuples = len(_up_pool) // width
+    tuples = [perm[i * width : (i + 1) * width] for i in range(n_tuples)]
+    vals = [f"v{i}" for i in range(width)]
+    inc = "INCLUDE NULLS " if include_nulls else ""
+    in_list = ", ".join(
+        f"({', '.join(tp)}) AS t{j}" for j, tp in enumerate(tuples)
+    )
+    sql = (
+        f"SELECT k, m, {', '.join(vals)} FROM tm "
+        f"UNPIVOT {inc}(({', '.join(vals)}) FOR m IN ({in_list})) "
+        "ORDER BY k, m"
+    )
+    got = [tuple(r) for r in updb.query_sql(sql).collect()]
+    # Engine divergence found by THIS fuzz (r11): DuckDB 1.0's default
+    # exclusion drops a tuple when ANY measure is NULL; Spark SQL (and
+    # this dialect, pinned by dialect_unpivot_multi's docstring) drop
+    # only ALL-NULL tuples (ANSI). Replay DuckDB with INCLUDE NULLS and
+    # apply the ANSI all-null exclusion explicitly.
+    inner = (
+        f"SELECT k, m, {', '.join(vals)} FROM tm "
+        f"UNPIVOT INCLUDE NULLS (({', '.join(vals)}) FOR m IN ({in_list}))"
+    )
+    duck_sql = f"SELECT * FROM ({inner})"
+    if not include_nulls:
+        duck_sql += f" WHERE COALESCE({', '.join(vals)}) IS NOT NULL"
+    duck_sql += " ORDER BY k, m"
+    want = [tuple(r) for r in upduck.execute(duck_sql).fetchall()]
+    assert got == want, sql
+
+
+_qp_aggs = st.sampled_from(["SUM", "MIN", "MAX", "COUNT"])
+_qp_pcol = st.sampled_from(["a_v", "b_v", "c_v"])
+_qp_dir = st.sampled_from(["ASC NULLS FIRST", "ASC NULLS LAST", "DESC NULLS FIRST", "DESC NULLS LAST"])
+
+
+@settings(
+    max_examples=70,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    agg=_qp_aggs,
+    pcol=_qp_pcol,
+    d=_qp_dir,
+    n=st.integers(min_value=1, max_value=3),
+    modk=st.integers(min_value=2, max_value=3),
+)
+def test_qualify_over_pivot_matches_duckdb(qdb, qduck, agg, pcol, d, n, modk):
+    """Random QUALIFY predicates over a PIVOT result (the r10 seam):
+    the pivoted columns must feed the window predicate exactly like a
+    plain frame's. DuckDB replays the pivot as CASE-aggregation (its
+    PIVOT syntax differs) with the same QUALIFY text. NULLS placement
+    spelled explicitly — absent (bucket, grp) combos yield NULL
+    measures and the engines' defaults differ."""
+    ours = (
+        f"SELECT bucket, a_v, b_v, c_v FROM "
+        f"(SELECT id % {modk} AS bucket, grp, price FROM t2) "
+        f"PIVOT ({agg}(price) FOR grp IN ('a' AS a_v, 'b' AS b_v, 'c' AS c_v)) "
+        f"QUALIFY row_number() OVER (ORDER BY {pcol} {d}, bucket) <= {n} "
+        "ORDER BY bucket"
+    )
+    # COUNT parity: Spark's pivot yields NULL for an absent (bucket,
+    # grp) combo (the aggregate never sees the group) while
+    # count(CASE...) over the bucket's rows yields 0 — replay COUNT as
+    # sum(CASE WHEN ... THEN 1 END), which is NULL on absent combos and
+    # the count otherwise (price is never NULL in this fixture).
+    def case_agg(g):
+        if agg == "COUNT":
+            return f"sum(CASE WHEN grp = '{g}' THEN 1 END) AS {g}_v"
+        return f"{agg}(CASE WHEN grp = '{g}' THEN price END) AS {g}_v"
+
+    cases = ", ".join(case_agg(g) for g in "abc")
+    theirs = (
+        f"SELECT bucket, a_v, b_v, c_v FROM "
+        f"(SELECT id % {modk} AS bucket, {cases} FROM t2 GROUP BY 1) "
+        f"QUALIFY row_number() OVER (ORDER BY {pcol} {d}, bucket) <= {n} "
+        "ORDER BY bucket"
+    )
+    got = [tuple(r) for r in qdb.query_sql(ours).collect()]
+    want = [tuple(r) for r in qduck.execute(theirs).fetchall()]
+    norm = lambda rows: [
+        tuple(None if x is None else round(float(x), 9) for x in r) for r in rows
+    ]
+    assert norm(got) == norm(want), (ours, theirs)
+
+
+_WT_ROWS = [
+    (1, 10.5), (2, 20.0), (3, 20.0), (4, None), (5, 30.0),
+    (6, 7.75), (7, 7.75), (8, None), (9, 20.0), (10, 30.0),
+]
+
+
+@pytest.fixture(scope="module")
+def wtdb(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(k=k, v=v) for k, v in _WT_ROWS])
+    return WarpDB(df=df, table_name="t", spark=spark)
+
+
+@pytest.fixture(scope="module")
+def wtduck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", _WT_ROWS)
+    return con
+
+
+@settings(
+    max_examples=70,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    n=st.integers(min_value=1, max_value=10),
+    d1=st.sampled_from(["ASC NULLS FIRST", "ASC NULLS LAST", "DESC NULLS FIRST", "DESC NULLS LAST"]),
+    mod=st.sampled_from(["v", "v % 2", "k % 3"]),
+    d2=st.sampled_from(["ASC", "DESC"]),
+)
+def test_with_ties_two_pass_matches_duckdb_rank_replay(wtdb, wtduck, n, d1, mod, d2):
+    """The r11 two-pass WITH TIES against DuckDB's rank replay — NULL
+    sort keys with explicit placement, duplicate boundary values,
+    multi-key sorts with an expression key, n spanning past the table
+    size. The boundary-filter plan must return the identical SET the
+    single rank() formulation defines."""
+    order = f"{mod} {d1}, k {d2}"
+    got = wtdb.query_sql(
+        f"SELECT k, v FROM t ORDER BY {order} LIMIT {n} WITH TIES"
+    ).collect()
+    want = wtduck.execute(
+        f"WITH r AS (SELECT k, v, rank() OVER (ORDER BY {order}) AS rk FROM t) "
+        f"SELECT k, v FROM r WHERE rk <= {n}"
+    ).fetchall()
+    assert sorted((r.k, r.v) for r in got) == sorted(want), order
