@@ -365,8 +365,9 @@ class TestCosineTopkBlocked:
     def test_no_driver_collect_during_construction(self, spark, sf_dir, monkeypatch):
         """The batch entry's contract (r10 verdict item 5): building the
         plan must not collect query vectors — fail any DataFrame.collect
-        while the entry constructs."""
-        from pyspark.sql import DataFrame
+        while the entry constructs. (Patch the CONCRETE classic class:
+        pyspark 4 defines collect there, not on the abstract base.)"""
+        from pyspark.sql.classic.dataframe import DataFrame
 
         from warpdb_spark.inventory.pipeline_ops import similarity_topk_batch
 
@@ -376,6 +377,60 @@ class TestCosineTopkBlocked:
         monkeypatch.setattr(DataFrame, "collect", boom)
         df = similarity_topk_batch(spark, sf_dir)  # must build collect-free
         assert "query_id" in df.columns
+
+
+class TestIvfpqBatch:
+    """ivfpq_topk_batch (r11): the distributed-query IVFADC must be
+    row-identical to the collected-query ivfpq_topk in both raw and
+    residual mode, and must never collect query vectors."""
+
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_matches_collected_path(self, spark, sf_dir, residual):
+        from pyspark.sql import functions as F
+
+        from warpdb_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < 25)
+        kw = dict(k=5, num_lists=16, nprobe=4, m_subs=16, n_codes=32,
+                  train_iters=0, rerank_factor=4, seed=42, residual=residual)
+        a = sorted(map(tuple, S.ivfpq_topk(emb, qs, **kw).collect()))
+        b = sorted(map(tuple, S.ivfpq_topk_batch(emb, qs, **kw).collect()))
+        assert a == b and len(a) == 125
+
+    def test_query_frame_never_collected(self, spark, sf_dir, monkeypatch):
+        """The index build collects corpus-bounded state (centroids,
+        codebook seeds) — legal; the QUERY frame must never collect.
+        Wrap collect to record which plans it ran."""
+        from pyspark.sql import functions as F
+        # patch the CONCRETE class: pyspark 4 defines collect on the
+        # classic subclass, so patching the abstract base is a no-op
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        from warpdb_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < 25).withColumn(
+            "qmark", F.lit("query-frame-marker")
+        )
+        collected = []
+        orig = DataFrame.collect
+
+        def spy(self):
+            collected.append(self._jdf.queryExecution().analyzed().toString())
+            return orig(self)
+
+        monkeypatch.setattr(DataFrame, "collect", spy)
+        df = S.ivfpq_topk_batch(
+            emb, qs, k=5, num_lists=16, nprobe=4, m_subs=16, n_codes=32,
+            train_iters=0, rerank_factor=4, seed=42, residual=True,
+        )
+        monkeypatch.undo()
+        assert collected, "index build should collect bounded corpus state"
+        assert not any("query-frame-marker" in p for p in collected), (
+            "query frame was collected to the driver"
+        )
+        assert df.count() == 125
 
 
 class TestPPMCodec:

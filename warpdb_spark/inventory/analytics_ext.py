@@ -683,6 +683,30 @@ _IVFPQ_SQL = (
 # un-offset init collapses the codebook — the r10 replay finding),
 # and the ADC join pins each candidate's LUT to its OWN list
 # (l.list_id = asg.list_id).
+def similarity_ivfpq_batch(spark, sf_dir):
+    """IVFADC with a DISTRIBUTED query side (r10 verdict item 5
+    extended to the ANN family): the ENTIRE embeddings table is the
+    query set — the kNN-graph workload ("index once, neighbor every
+    vector") that makes a driver-collected query path impossible at
+    corpus scale. ``ivfpq_topk_batch`` keeps queries a DataFrame end
+    to end: probe assignment is an Arrow-batched map against the
+    broadcast coarse centroids, each probed list's residual LUT is
+    built INSIDE the per-list cogroup from the raw query vector +
+    broadcast codebooks (driver state = centroids + codebooks only,
+    both corpus-bounded), and the exact re-rank joins by AQE's choice
+    instead of forced broadcasts. Output is pinned equal to
+    ``ivfpq_topk`` (tests) and the oracle is the SAME end-to-end
+    DuckDB replay as ``similarity_ivfpq_residual`` with the query
+    filter widened to every vector."""
+    from warpdb_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk_batch(
+        emb, emb, k=5, num_lists=16, nprobe=4, m_subs=16, n_codes=32,
+        train_iters=0, rerank_factor=4, seed=42, residual=True,
+    )
+
+
 _IVFPQ_RES_SQL = (
     "WITH ord AS (SELECT row_number() OVER ("
     "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id) - 1 "
@@ -1526,6 +1550,7 @@ QUERIES = {
     "similarity_pq_adc": similarity_pq_adc,
     "similarity_ivfpq": similarity_ivfpq,
     "similarity_ivfpq_residual": similarity_ivfpq_residual,
+    "similarity_ivfpq_batch": similarity_ivfpq_batch,
     "similarity_pq_rerank": similarity_pq_rerank,
     "similarity_pq_persisted_index": similarity_pq_persisted_index,
     "similarity_pq_index_refresh": similarity_pq_index_refresh,
@@ -1800,6 +1825,8 @@ ORACLES = {
     "similarity_pq_adc": _PQ_ADC_SQL,
     "similarity_ivfpq": _IVFPQ_SQL,
     "similarity_ivfpq_residual": _IVFPQ_RES_SQL,
+    # same end-to-end replay, query filter widened to every vector
+    "similarity_ivfpq_batch": _IVFPQ_RES_SQL.replace(" AND vec_id < 10", ""),
     "similarity_pq_rerank": _PQ_RERANK_SQL,
     # identical construction to the ADC entry - the persisted index must
     # reproduce the exact same codes, so the same build+lookup replay IS

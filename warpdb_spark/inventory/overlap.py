@@ -106,6 +106,12 @@ ALLOWED_TWINS: frozenset[tuple[str, str]] = frozenset(
         ("similarity_ivfpq", "similarity_pq_index_refresh"),
         ("similarity_ivfpq", "similarity_pq_rerank"),
         ("similarity_ivfpq_residual", "similarity_pq_rerank"),
+        # r11 distributed-query twin: same end-to-end IVFADC oracle
+        # (query filter widened), distinct capability (no driver
+        # collect of query vectors — reviewed at entry creation)
+        ("similarity_ivfpq_batch", "similarity_ivfpq_residual"),
+        ("similarity_ivfpq", "similarity_ivfpq_batch"),
+        ("similarity_ivfpq_batch", "similarity_pq_rerank"),
         ("similarity_knn_indegree", "similarity_topk_bruteforce"),
         # retrieval-eval family shares the BM25 + ranking scaffold
         ("search_hard_negatives", "search_hybrid_rrf"),

@@ -356,6 +356,7 @@ PENDING_ORDER: list[str] = [
     # round-11 additions — front the r11 window ahead of the
     # changed-since-green backlog
     "similarity_topk_batch",
+    "similarity_ivfpq_batch",
 ]
 
 
