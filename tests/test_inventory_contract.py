@@ -564,3 +564,20 @@ class TestCapabilityOverlap:
         )
         assert res.returncode == 0, res.stdout + res.stderr
         assert "nearest existing capabilities" in res.stdout
+
+
+def test_fingerprint_sees_function_local_imports():
+    """r11 finding: entries importing operators INSIDE the function
+    body (``from warpdb_spark.operators import similarity as S``) bound
+    a local the globals walk never saw — their operator rewrites never
+    floated them into the changed-since-green tier (the IVFADC refactor
+    shipped invisible to the old metric). Pin that the walk now
+    resolves the dotted IMPORT_NAME from co_names and reaches the
+    operator's source, deterministically (before OR after the lazy
+    submodule import happens)."""
+    from warpdb_spark.inventory import fingerprint as FP
+    from warpdb_spark.inventory.analytics_ext import similarity_ivfpq
+
+    keys = {k for k, _ in FP._collect(similarity_ivfpq)}
+    assert ("warpdb_spark.operators.similarity", "ivfpq_topk") in keys
+    assert ("warpdb_spark.operators.similarity", "_ivfpq_index") in keys

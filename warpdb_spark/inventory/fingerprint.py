@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import importlib
 import inspect
 import re
 import types
@@ -189,16 +190,51 @@ def _referenced(fn) -> tuple[list, list]:
         else:
             out.append(obj)
 
+    def cross_module(mod: types.ModuleType, depth: int = 0) -> None:
+        """Cross a warpdb_spark module's attributes with the co_names
+        (the over-approximation the module docstring describes). One
+        submodule hop covers ``from pkg.sub import mod`` chains."""
+        if mod.__name__.split(".")[0] != _PKG:
+            return
+        for attr in sorted(names):
+            sub = getattr(mod, attr, None)
+            if sub is None and hasattr(mod, "__path__"):
+                # a package's submodule attribute only exists after the
+                # submodule's FIRST import — resolving it lazily made
+                # the fingerprint depend on whether an entry had been
+                # constructed yet (r11 determinism finding). Import
+                # proactively; a co_name that isn't a submodule is a
+                # cheap cached ImportError.
+                try:
+                    sub = importlib.import_module(f"{mod.__name__}.{attr}")
+                except ImportError:
+                    sub = None
+            if sub is None:
+                continue
+            if isinstance(sub, types.ModuleType):
+                if depth < 2:
+                    cross_module(sub, depth + 1)
+            else:
+                visit(mod.__name__, attr, sub)
+
     for name in sorted(names):
         obj = g.get(name)
         if obj is None:
+            # Function-LOCAL imports (``from warpdb_spark.x import y``
+            # inside the body) bind locals the globals walk never sees
+            # — but the dotted module path sits in co_names (the
+            # IMPORT_NAME argument). Resolve it and cross like a
+            # global module (r11 finding: analytics_ext's similarity
+            # entries dodged the changed-since-green tier through
+            # exactly this pattern).
+            if name.startswith(_PKG + "."):
+                try:
+                    cross_module(importlib.import_module(name))
+                except ImportError:
+                    pass
             continue
         if isinstance(obj, types.ModuleType):
-            if obj.__name__.split(".")[0] == _PKG:
-                for attr in sorted(names):
-                    sub = getattr(obj, attr, None)
-                    if sub is not None and not isinstance(sub, types.ModuleType):
-                        visit(obj.__name__, attr, sub)
+            cross_module(obj)
         else:
             visit(fmod, name, obj)
     if fn.__closure__:
