@@ -88,19 +88,31 @@ def _force(df) -> int:
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+# Measurement ARTIFACTS whose modification doesn't change measured
+# code: a prior bench run's history append must not mark the tree
+# dirty, or no two runs of one tree could ever pair for substitution.
+_ARTIFACTS = ("BENCH_HISTORY.jsonl", "BENCH_r", "CORRECTNESS_r",
+              "PROGRESS.jsonl", "VERDICT.md", "ADVICE.md")
+
+
 def _tree_id() -> str:
     """Identity of the measured code: git HEAD hash, suffixed ``-dirty``
-    when the working tree differs (a dirty tree never matches anything,
-    so substitution only ever pairs identical committed code)."""
+    when the working tree differs in anything but measurement artifacts
+    (a dirty tree never matches anything, so substitution only ever
+    pairs identical committed code)."""
     try:
         head = subprocess.run(
             ["git", "-C", _REPO, "rev-parse", "HEAD"],
             capture_output=True, text=True, timeout=10, check=True,
         ).stdout.strip()
-        dirty = subprocess.run(
+        status = subprocess.run(
             ["git", "-C", _REPO, "status", "--porcelain"],
             capture_output=True, text=True, timeout=10, check=True,
-        ).stdout.strip()
+        ).stdout.splitlines()
+        dirty = [
+            line for line in status
+            if line.strip() and not line[3:].lstrip("./").startswith(_ARTIFACTS)
+        ]
         return head + ("-dirty" if dirty else "")
     except Exception:  # noqa: BLE001 — no git, no substitution
         return "unknown"
