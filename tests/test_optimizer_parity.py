@@ -248,11 +248,14 @@ class TestTimeSeriesPlans:
 
         plan = _plan(events_resample_locf(spark, sf_dir))
         # raw events feeds ONE persisted (event_type, bucket) aggregate;
-        # all three consumers (bounds, type dim, fill join) read the
-        # cache — so the executed plan touches events zero times outside
-        # the InMemoryRelation and joins the grid via broadcast, never a
-        # sort-merge join of raw events against the grid
-        assert plan.count("InMemoryTableScan") == 3
+        # every consumer — grid bounds, the type dim, the fill join, and
+        # (r11) grouped_carry's local + carry-in branches — reads the
+        # cache, so the executed plan touches events zero times outside
+        # the InMemoryRelation; the grid fill and the span-bounded
+        # carry-in frame both join via broadcast, never a sort-merge
+        # join of grid-scale frames
+        assert plan.count("InMemoryTableScan") >= 3
+        assert "Scan parquet" not in plan.split("InMemoryRelation")[0]
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
 

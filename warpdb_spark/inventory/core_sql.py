@@ -1638,6 +1638,7 @@ def events_resample_locf(spark, sf_dir):
         value="bucket_value",
         chunk_expr=F.floor(F.col("bucket") / 512),
         out_col="value_locf",
+        broadcast_offsets=True,  # grid chunks are span-bounded
     )
     return carried.select(
         "event_type",

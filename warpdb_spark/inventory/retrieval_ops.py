@@ -251,11 +251,12 @@ def events_resample_interpolate(spark, sf_dir):
     )
     chunk = F.floor(F.col("bucket") / 512)
     out = grouped_carry(
-        filled, "event_type", ["bucket"], value=obs, chunk_expr=chunk, out_col="p"
+        filled, "event_type", ["bucket"], value=obs, chunk_expr=chunk,
+        out_col="p", broadcast_offsets=True,  # grid chunks are span-bounded
     )
     out = grouped_carry(
         out, "event_type", ["bucket"], value=obs, chunk_expr=chunk,
-        out_col="n", backward=True,
+        out_col="n", backward=True, broadcast_offsets=True,
     )
     out = out.select(
         "event_type",

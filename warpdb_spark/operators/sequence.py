@@ -399,6 +399,7 @@ def grouped_carry(
     chunk_expr: Column,
     out_col: str = "__carry",
     backward: bool = False,
+    broadcast_offsets: bool = False,
 ) -> DataFrame:
     """Append the last non-null ``value`` at-or-before each row in
     ``order_cols`` order within ``group_col`` — LOCF (last observation
@@ -426,7 +427,11 @@ def grouped_carry(
     among order-TIES within a chunk is arbitrary (pass a unique
     leading order when tie identity matters — a resample grid key is
     unique by construction). NULL-chunk join semantics are
-    grouped_global_rank's (null-safe join; NULL chunk sorts first)."""
+    grouped_global_rank's (null-safe join; NULL chunk sorts first).
+    ``broadcast_offsets=True`` forces the carry-in frame (one row per
+    (group, chunk)) to broadcast — right when the caller KNOWS the
+    chunk count is span-bounded (resample grids); leave False when
+    chunks scale with the corpus and AQE should decide."""
     v = F.col(value) if isinstance(value, str) else value
     _assert_no_reserved(
         df, ("__chunk", "__loc", "__t", "__g2", "__c2", "__in", "__v", out_col)
@@ -471,6 +476,8 @@ def grouped_carry(
             carry_in.alias("__in"),
         )
     )
+    if broadcast_offsets:
+        offs = F.broadcast(offs)
     return (
         local.join(
             offs,
