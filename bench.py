@@ -88,32 +88,41 @@ def _force(df) -> int:
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-# Measurement ARTIFACTS whose modification doesn't change measured
-# code: a prior bench run's history append must not mark the tree
-# dirty, or no two runs of one tree could ever pair for substitution.
-_ARTIFACTS = ("BENCH_HISTORY.jsonl", "BENCH_r", "CORRECTNESS_r",
-              "PROGRESS.jsonl", "VERDICT.md", "ADVICE.md")
+# The files whose content determines what this harness measures. The
+# tree id hashes exactly these, so artifact/doc commits (bench history,
+# driver correctness files, PLANS/VERDICT notes) between two runs never
+# unpair them — only a change to the engine or the harness does.
+_MEASURED = ("warpdb_spark/", "bench.py", "__spark_entry__.py", "tests/conftest.py")
 
 
 def _tree_id() -> str:
-    """Identity of the measured code: git HEAD hash, suffixed ``-dirty``
-    when the working tree differs in anything but measurement artifacts
-    (a dirty tree never matches anything, so substitution only ever
-    pairs identical committed code)."""
+    """Identity of the MEASURED code: sha256 over the (path, blob/content
+    hash) pairs of warpdb_spark/ + the harness files — committed state
+    from the git index plus a content hash for any dirty measured file
+    (so an uncommitted engine edit still gets its own id and never
+    pairs with the committed tree)."""
+    import hashlib
+
     try:
-        head = subprocess.run(
-            ["git", "-C", _REPO, "rev-parse", "HEAD"],
-            capture_output=True, text=True, timeout=10, check=True,
-        ).stdout.strip()
-        status = subprocess.run(
-            ["git", "-C", _REPO, "status", "--porcelain"],
+        lines = subprocess.run(
+            ["git", "-C", _REPO, "ls-files", "-s", "--", *_MEASURED],
             capture_output=True, text=True, timeout=10, check=True,
         ).stdout.splitlines()
-        dirty = [
-            line for line in status
-            if line.strip() and not line[3:].lstrip("./").startswith(_ARTIFACTS)
-        ]
-        return head + ("-dirty" if dirty else "")
+        dirty = set(
+            subprocess.run(
+                ["git", "-C", _REPO, "status", "--porcelain", "--", *_MEASURED],
+                capture_output=True, text=True, timeout=10, check=True,
+            ).stdout.splitlines()
+        )
+        h = hashlib.sha256()
+        for line in sorted(lines):
+            h.update(line.encode())
+        for line in sorted(dirty):
+            path = os.path.join(_REPO, line[3:].strip().strip('"'))
+            h.update(line.encode())
+            if os.path.isfile(path):
+                h.update(open(path, "rb").read())
+        return h.hexdigest()[:16] + ("-dirty" if dirty else "")
     except Exception:  # noqa: BLE001 — no git, no substitution
         return "unknown"
 
