@@ -69,12 +69,12 @@ DRIVER_GREEN: dict[str, int] = {
     "asof_join_next_purchase": 3,
     "agg_approx_percentile": 3,
     "dialect_event_time": 10,
-    "dialect_tpch_q1": 10,
-    "dialect_tpch_q6": 10,
+    "dialect_tpch_q1": 11,
+    "dialect_tpch_q6": 11,
     "corpus_stats_by_stratum": 3,
     "dedup_span_boilerplate": 3,
     "events_sessionize": 3,
-    "events_resample_locf": 3,
+    "events_resample_locf": 11,
     "agg_mode_median": 3,
     "reshape_unpivot": 3,
     "text_edit_distance_pairs": 3,
@@ -82,28 +82,28 @@ DRIVER_GREEN: dict[str, int] = {
     "events_zscore_outliers": 3,
     "text_top_bigrams": 3,
     "sample_token_budget": 3,
-    "flagship_filter_project": 10,
-    "dialect_expression_projection": 10,
-    "dialect_cte_scalar_in": 10,
-    "window_running_sum": 10,
-    "window_rank_family": 10,
+    "flagship_filter_project": 11,
+    "dialect_expression_projection": 11,
+    "dialect_cte_scalar_in": 11,
+    "window_running_sum": 11,
+    "window_rank_family": 11,
     "udaf_group_median": 10,
     "dedup_minhash_lsh": 10,
-    "dialect_predicates": 10,
+    "dialect_predicates": 11,
     "expr_case_when": 8,
     "expr_string_functions": 8,
     "expr_date_functions": 8,
-    "dialect_groupby_having": 10,
+    "dialect_groupby_having": 11,
     "agg_global": 8,
-    "agg_distinct": 10,
+    "agg_distinct": 11,
     "agg_count_distinct": 8,
     "agg_rollup": 8,
     "agg_cube": 8,
     "sort_topk": 8,
-    "dialect_offset_limit": 10,
-    "dialect_exists_theta": 10,
-    "dialect_derived_table_q18": 10,
-    "join_inner_rowlevel": 10,
+    "dialect_offset_limit": 11,
+    "dialect_exists_theta": 11,
+    "dialect_derived_table_q18": 11,
+    "join_inner_rowlevel": 11,
     "join_broadcast_dims": 8,
     "join_semi": 8,
     "join_anti": 8,
@@ -112,7 +112,7 @@ DRIVER_GREEN: dict[str, int] = {
     "join_cross_product": 8,
     "join_theta": 8,
     "window_rank_topn": 8,
-    "expr_math_functions": 10,
+    "expr_math_functions": 11,
     "setop_union": 8,
     "setop_intersect": 8,
     "window_range_frame": 8,
@@ -131,7 +131,7 @@ DRIVER_GREEN: dict[str, int] = {
     "reshape_explode_tokens": 2,
     "pii_scrub": 2,
     "pack_sequences_greedy": 9,
-    "dialect_udtf_ngrams": 9,
+    "dialect_udtf_ngrams": 11,
     "text_lang_confidence": 4,
     "similarity_ann_recall": 4,
     "search_rerank_cross_features": 4,
@@ -142,32 +142,32 @@ DRIVER_GREEN: dict[str, int] = {
     "text_keywords_rake": 4,
     "embedding_label_agreement": 4,
     "text_char_entropy": 4,
-    "dialect_star_modifiers": 9,
-    "dialect_try_cast": 9,
-    "dialect_with_ties": 9,
-    "dialect_ilike": 9,
-    "dialect_setops": 9,
+    "dialect_star_modifiers": 11,
+    "dialect_try_cast": 11,
+    "dialect_with_ties": 11,
+    "dialect_ilike": 11,
+    "dialect_setops": 11,
     "setop_intersect_all": 4,
-    "dialect_tpch_q3": 9,
-    "dialect_tpch_q12": 9,
-    "dialect_rollup_grouping": 4,
-    "dialect_grouping_sets": 4,
+    "dialect_tpch_q3": 11,
+    "dialect_tpch_q12": 11,
+    "dialect_rollup_grouping": 11,
+    "dialect_grouping_sets": 11,
     "dialect_range_interval_frame": 10,
     "dialect_recursive_cte": 10,
     "dialect_self_join": 10,
-    "dialect_agg_filter": 9,
-    "dialect_string_agg": 9,
-    "dialect_unnest": 9,
-    "dialect_distinct_on": 9,
-    "dialect_ansi_fetch_bool": 9,
-    "dialect_broadcast_hint": 9,
-    "dialect_select_star": 9,
-    "dialect_group_by_all": 9,
-    "dialect_json_arrow": 9,
-    "window_ignore_nulls": 9,
+    "dialect_agg_filter": 11,
+    "dialect_string_agg": 11,
+    "dialect_unnest": 11,
+    "dialect_distinct_on": 11,
+    "dialect_ansi_fetch_bool": 11,
+    "dialect_broadcast_hint": 11,
+    "dialect_select_star": 11,
+    "dialect_group_by_all": 11,
+    "dialect_json_arrow": 11,
+    "window_ignore_nulls": 11,
     "embedding_pq_codes": 4,
-    "similarity_pq_adc": 4,
-    "similarity_pq_rerank": 4,
+    "similarity_pq_adc": 11,
+    "similarity_pq_rerank": 11,
     "graph_pagerank_users": 9,
     "dedup_semantic_semdedup": 4,
     "text_bm25_search": 4,
@@ -180,9 +180,9 @@ DRIVER_GREEN: dict[str, int] = {
     "similarity_mmr_rerank": 4,
     "dedup_incremental_new_docs": 4,
     "dedup_containment_ngram": 4,
-    "dialect_udtf_sentences": 9,
+    "dialect_udtf_sentences": 11,
     "dedup_max_shared_run": 5,
-    "dialect_array_agg": 9,
+    "dialect_array_agg": 11,
     "multimodal_ppm_decode": 10,
     "multimodal_wav_decode": 5,
     "multimodal_video_frames": 10,
@@ -203,7 +203,7 @@ DRIVER_GREEN: dict[str, int] = {
     "stats_correlation_matrix": 5,
     "events_value_histogram": 5,
     "events_rollup_cascade": 5,
-    "events_resample_interpolate": 5,
+    "events_resample_interpolate": 11,
     "events_user_rfm": 5,
     "events_ewma_smooth": 5,
     "events_trend_ols": 5,
@@ -297,21 +297,21 @@ DRIVER_GREEN: dict[str, int] = {
     "similarity_pq_persisted_index": 10,
     "dedup_cross_modal_planted": 10,
     "stream_unified_drift_by_batch": 8,
-    "similarity_pq_index_refresh": 9,
+    "similarity_pq_index_refresh": 11,
     "events_sessionize_by_type": 9,
     "sample_dsir_importance": 9,
     "stats_mannwhitney_u": 9,
     "text_bpe_learn_merges": 9,
-    "graph_label_propagation": 9,
-    "table_zorder_layout": 9,
+    "graph_label_propagation": 11,
+    "table_zorder_layout": 11,
     "events_ohlc_bars": 9,
     "text_kneser_ney_bigram": 9,
     "stats_bh_fdr": 9,
-    "dialect_pivot": 9,
-    "dialect_unpivot": 9,
-    "dialect_values_table": 9,
+    "dialect_pivot": 11,
+    "dialect_unpivot": 11,
+    "dialect_values_table": 11,
     "stream_ohlc_hourly": 9,
-    "similarity_ivfpq": 9,
+    "similarity_ivfpq": 11,
     "stats_poisson_rate_test": 9,
     "dedup_keeper_by_quality": 10,
     "dialect_explain": 10,
@@ -322,6 +322,8 @@ DRIVER_GREEN: dict[str, int] = {
     "similarity_ivfpq_residual": 10,
     "stream_pq_delta_encode": 10,
     "udaf_group_median_chunked": 10,
+    "similarity_topk_batch": 11,
+    "similarity_ivfpq_batch": 11,
 }
 
 # Never-driver-checked entries, highest risk first: dialect executors
@@ -355,8 +357,6 @@ PENDING_ORDER: list[str] = [
     # round-9 second-session additions
     # round-11 additions — front the r11 window ahead of the
     # changed-since-green backlog
-    "similarity_topk_batch",
-    "similarity_ivfpq_batch",
 ]
 
 
