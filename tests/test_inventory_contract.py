@@ -248,6 +248,7 @@ def test_inventory_window_audit_matches_reviewed_exceptions(spark, sf_dir):
     pins never go stale."""
     from tools.audit_window_plans import (
         KNOWN_AGG_INPUT,
+        KNOWN_COGROUP,
         KNOWN_FLATMAP,
         KNOWN_OPAQUE,
         KNOWN_OPAQUE_KEYS,
@@ -285,6 +286,21 @@ def test_inventory_window_audit_matches_reviewed_exceptions(spark, sf_dir):
         "opaque-key windows diverge from the reviewed list — new "
         f"unclassifiable partition key or stale pin. findings={opaque}"
     )
+    # cogroup tier (gated r12 — the r11 verdict's blind spot): the
+    # ENTRY set must match the pins exactly (a retired cogroup must be
+    # pruned); key sets match up to ``__ck``, the _subchunk column
+    # whose presence depends on the corpus scan partition count at the
+    # test sf (pins include it; a 1-partition test corpus won't).
+    cogroup = {n: set(c) for n, c in findings["cogroup"].items()}
+    assert set(cogroup) == set(KNOWN_COGROUP), (
+        "FlatMapCoGroupsInPandas executors diverge from the reviewed "
+        f"entry list. findings={cogroup}"
+    )
+    for n, keys in cogroup.items():
+        assert keys <= KNOWN_COGROUP[n] and keys >= KNOWN_COGROUP[n] - {"__ck"}, (
+            f"cogroup keys for {n} diverge from the reviewed pin: "
+            f"found {keys}, pinned {KNOWN_COGROUP[n]}"
+        )
 
 
 def test_chunk_column_name_minted_only_in_reviewed_files():

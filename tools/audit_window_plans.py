@@ -207,6 +207,39 @@ KNOWN_OPAQUE: dict[str, set[str]] = {
     "pack_sequences_greedy": {"grp"},
 }
 
+# Reviewed ``cogroup`` entries: EVERY FlatMapCoGroupsInPandas executor,
+# by grouping-key name (see parse_cogroups for why this tier reports
+# all nodes, not just bounded-key ones). All current members are the
+# ANN search family (operators/similarity.py); each is scale-safe
+# because its key set's cardinality grows with the corpus:
+# - ``__blk`` (cosine_topk_blocked): block count = corpus scan
+#   partitions × query scan partitions by default — corpus-proportional
+#   by construction.
+# - ``__list`` / ``__bucket`` + ``__ck`` (ivf/ivfpq/lsh): the list or
+#   signature domain is FIXED (num_lists / 2^num_planes), so the r12
+#   _subchunk split adds a ``__ck`` sub-chunk key whose default count
+#   keeps lists × chunks tracking the corpus scan partition count
+#   (_derive_chunks). At test sf the derived chunk count is 1 and no
+#   __ck column appears — each pin includes __ck so the same entry
+#   stays reviewed at any sf (the gate is subset-of-pin).
+KNOWN_COGROUP: dict[str, set[str]] = {
+    # blocked exact search: __blk domain = corpus blocks × query
+    # blocks, both defaulting to the side's scan partition count —
+    # corpus-proportional with no fixed-domain component.
+    "similarity_topk_batch": {"__blk"},
+    # LSH bucket join: signature domain fixed at 2^num_planes;
+    # _subchunk adds __ck (lsh consumers share ann_lsh_topk).
+    "similarity_ann_lsh": {"__bucket", "__ck"},
+    "similarity_ann_recall": {"__bucket", "__ck"},
+    # IVF / IVFADC family: list domain fixed at num_lists; _subchunk
+    # adds __ck so lists × chunks tracks the corpus scan partitions.
+    "similarity_ivf": {"__list", "__ck"},
+    "similarity_ivf_recall": {"__list", "__ck"},
+    "similarity_ivfpq": {"__list", "__ck"},
+    "similarity_ivfpq_batch": {"__list", "__ck"},
+    "similarity_ivfpq_residual": {"__list", "__ck"},
+}
+
 # Reviewed ``flatmap`` entries: applyInPandas/MapGroups executors whose
 # grouping keys are bounded — one Python worker holds 1/|domain| of the
 # input frame. Each pin names why it is tolerated and the scale default.
@@ -406,6 +439,95 @@ def parse_flatmaps(plan: str) -> list[list[str]]:
     return out
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split a projection list on top-level ``, `` (paren/bracket-depth
+    aware — expressions like ``pmod(xxhash64(id#1, 42), 2) AS __ck#9``
+    contain nested commas)."""
+    parts, depth, start = [], 0, 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0 and s[i : i + 2] == ", ":
+            parts.append(s[start:i])
+            start = i + 2
+            i += 1
+        i += 1
+    parts.append(s[start:])
+    return [p for p in parts if p]
+
+
+def _key_name(token: str) -> str:
+    """Plain column name of one grouping-key projection token:
+    ``__list#9`` → ``__list``; ``pmod(...) AS __ck#5`` → ``__ck``."""
+    if " AS " in token:
+        token = token.rsplit(" AS ", 1)[1]
+    return token.split("#")[0].strip()
+
+
+def parse_cogroups(plan: str) -> list[list[str]]:
+    """Grouping-key NAME lists of every FlatMapCoGroupsInPandas node
+    (the applyInPandas cogroup executor: one (left group, right group)
+    pair per Python worker — the r11 verdict's audit blind spot: the
+    node's toString carries only the two grouping-attribute COUNTS,
+    ``FlatMapCoGroupsInPandas nLeft, nRight, func, [output]``; the keys
+    are the LEADING nLeft/nRight columns of its two child Projects).
+
+    Unlike the flatmap tier, findings here are ALL nodes (by key name),
+    not just bounded-key ones: a cogroup key minted by mapInArrow
+    (``__list``) has no in-plan definition, so the alias classifier
+    reads it as an unbounded plain column and would pass the exact
+    fixed-domain case the tier exists to catch. The executor class is
+    rare (the ANN search family), so full review is cheap and
+    fail-closed. A child that is not a Project yields ``<unparsed>`` —
+    visible, never silent."""
+    lines = plan.splitlines()
+    out: list[list[str]] = []
+    for i, line in enumerate(lines):
+        body = line.lstrip(" :+-")
+        if not body.startswith("FlatMapCoGroupsInPandas "):
+            continue
+        head = body.split(" ", 1)[1]
+        try:
+            n_left = int(head.split(",", 1)[0])
+            n_right = int(head.split(",", 2)[1])
+        except (ValueError, IndexError):
+            out.append(["<unparsed>"])
+            continue
+        depth = _node_depth(line)
+        children: list[str] = []
+        child_depth = None
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip():
+                continue
+            d = _node_depth(nxt)
+            if d <= depth:
+                break
+            if child_depth is None:
+                child_depth = d
+            if d == child_depth:
+                children.append(_strip_codegen(nxt.lstrip(" :+-")))
+                if len(children) == 2:
+                    break
+        keys: set[str] = set()
+        for child, n in zip(children, (n_left, n_right)):
+            if not child.startswith("Project [") or not child.endswith("]"):
+                keys.add("<unparsed>")
+                continue
+            toks = _split_top_level(child[len("Project [") : -1])
+            if len(toks) < n:
+                keys.add("<unparsed>")
+                continue
+            keys.update(_key_name(t) for t in toks[:n])
+        if len(children) < 2:
+            keys.add("<unparsed>")
+        out.append(sorted(keys))
+    return out
+
+
 def parse_windows(plan: str) -> list[dict]:
     """Window nodes from an optimized-plan string, each with its
     partition columns and the node type of its IMMEDIATE child (the
@@ -449,7 +571,8 @@ def window_partition_findings(df, low_card: set[str]):
     TakeOrderedAndProject and the headline plan pins cover those."""
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     findings: dict[str, list[str]] = {
-        "raw": [], "agg_input": [], "groups_limited": [], "opaque": [], "flatmap": [],
+        "raw": [], "agg_input": [], "groups_limited": [], "opaque": [],
+        "flatmap": [], "cogroup": [],
     }
 
     def classify(cols: list[str]) -> tuple[str | None, list[str]]:
@@ -476,6 +599,8 @@ def window_partition_findings(df, low_card: set[str]):
             findings["flatmap"].extend(labels)
         elif verdict == "opaque":
             findings["opaque"].extend(labels)
+    for keys in parse_cogroups(plan):
+        findings["cogroup"].extend(keys)
     return findings
 
 
@@ -490,7 +615,7 @@ def audit(spark, sf_dir: str):
 
     q, _ = inventory.load_all()
     low_card = low_cardinality_columns(sf_dir)
-    tiers = ("raw", "agg_input", "groups_limited", "opaque", "flatmap")
+    tiers = ("raw", "agg_input", "groups_limited", "opaque", "flatmap", "cogroup")
     findings: dict[str, dict[str, list[str]]] = {t: {} for t in tiers}
     errors: dict[str, str] = {}
     try:
@@ -516,7 +641,7 @@ def main() -> int:
     findings, errors = audit(spark, sf_dir)
 
     print(f"# audited inventory at {sf_dir}")
-    for tier in ("raw", "agg_input", "groups_limited", "opaque", "flatmap"):
+    for tier in ("raw", "agg_input", "groups_limited", "opaque", "flatmap", "cogroup"):
         hits = findings[tier]
         print(f"# {tier}: {len(hits)} entries")
         for name, cols in sorted(hits.items()):
@@ -525,6 +650,10 @@ def main() -> int:
                 if (tier == "raw" and name in KNOWN_RAW)
                 or (tier == "agg_input" and name in KNOWN_AGG_INPUT)
                 or (tier == "flatmap" and name in KNOWN_FLATMAP)
+                or (
+                    tier == "cogroup"
+                    and set(cols) <= KNOWN_COGROUP.get(name, set())
+                )
                 or (
                     tier == "opaque"
                     and set(cols)
@@ -543,6 +672,7 @@ def main() -> int:
     for tier, reviewed in (
         ("raw", KNOWN_RAW),
         ("flatmap", KNOWN_FLATMAP),
+        ("cogroup", KNOWN_COGROUP),
         ("opaque", KNOWN_OPAQUE),
     ):
         new = {}
