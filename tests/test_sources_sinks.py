@@ -138,6 +138,35 @@ class TestFormats:
         with pytest.raises(Exception, match="schema drift"):
             read_arrow_dir(spark, str(d)).collect()
 
+    def test_arrow_ipc_dir_uri_and_feather(self, spark, tmp_path_factory):
+        """The r11 advice items: the directory listing/schema probe go
+        through pyarrow.fs (so a ``file://`` URI — the portable spelling
+        of a non-driver-local filesystem — works end to end), and the
+        default pattern matches ``.feather`` alongside ``.arrow``."""
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        from warpdb_spark.sources.readers import read_arrow, read_arrow_dir
+
+        d = tmp_path_factory.mktemp("ipcuri")
+        t1 = pa.table({"k": [1, 2], "v": [1.0, 2.0]})
+        t2 = pa.table({"k": [3, 4, 5], "v": [3.0, 4.0, 5.0]})
+        with ipc.new_file(str(d / "a.arrow"), t1.schema) as w:
+            w.write_table(t1)
+        with ipc.new_file(str(d / "b.feather"), t2.schema) as w:
+            w.write_table(t2)
+        # a decoy that must NOT match the IPC pattern
+        (d / "notes.txt").write_text("not ipc")
+
+        rows = read_arrow_dir(spark, f"file://{d}").collect()
+        assert sorted(r["k"] for r in rows) == [1, 2, 3, 4, 5]
+        # plain local path: same result, .feather included
+        rows = read_arrow_dir(spark, str(d)).collect()
+        assert sorted(r["k"] for r in rows) == [1, 2, 3, 4, 5]
+        # single-file and directory routing also accept file:// URIs
+        assert read_arrow(spark, f"file://{d}/a.arrow").count() == 2
+        assert read_arrow(spark, f"file://{d}").count() == 5
+
     def test_partitioned_sink(self, spark, sf_dir, tmp_path_factory):
         p = str(tmp_path_factory.mktemp("fmt") / "part")
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -20,6 +20,7 @@ probe (bounded, scale-safe).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -163,11 +164,13 @@ def read_arrow(spark: SparkSession, path: str) -> DataFrame:
     DIRECTORY routes to ``read_arrow_dir`` — the distributed path
     (r10 verdict item 6) that decodes each file inside the executors.
     """
-    if os.path.isdir(path):
-        return read_arrow_dir(spark, path)
     import pyarrow.ipc as ipc
+    from pyarrow import fs as pafs
 
-    with ipc.open_file(path) as reader:
+    fs, fs_path = _ipc_filesystem(path)
+    if fs.get_file_info(fs_path).type == pafs.FileType.Directory:
+        return read_arrow_dir(spark, path)
+    with fs.open_input_file(fs_path) as f, ipc.open_file(f) as reader:
         table = reader.read_all()
     return spark.createDataFrame(table)
 
@@ -184,7 +187,36 @@ def _open_ipc(buf):
         return ipc.open_stream(pa.BufferReader(buf))
 
 
-def read_arrow_dir(spark: SparkSession, path: str, pattern: str = "*.arrow") -> DataFrame:
+def _expand_braces(pattern: str) -> list[str]:
+    """Expand Hadoop-glob ``{a,b}`` alternation into fnmatch-able
+    patterns (fnmatch has no brace syntax)."""
+    m = re.match(r"(.*)\{([^}]*)\}(.*)", pattern)
+    if m is None:
+        return [pattern]
+    pre, alts, post = m.groups()
+    out: list[str] = []
+    for alt in alts.split(","):
+        out.extend(_expand_braces(pre + alt + post))
+    return out
+
+
+def _ipc_filesystem(path: str):
+    """(pyarrow filesystem, in-filesystem path) for a URI or a plain
+    local path — the same URI space Spark's binaryFile reads, so the
+    driver-side listing/schema probe can't disagree with the executors
+    about what exists (r11 advice: a driver-local glob found nothing on
+    hdfs:// / s3:// even though binaryFile could read it)."""
+    from pyarrow import fs as pafs
+
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except Exception:  # no scheme: a plain local path
+        return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
+def read_arrow_dir(
+    spark: SparkSession, path: str, pattern: str = "*.{arrow,feather}"
+) -> DataFrame:
     """Distributed Arrow/Feather IPC DIRECTORY scan: files land in
     executors via Spark's ``binaryFile`` source (one row per file,
     grouped into tasks by ``maxPartitionBytes``) and each file decodes
@@ -192,27 +224,42 @@ def read_arrow_dir(spark: SparkSession, path: str, pattern: str = "*.arrow") -> 
     driver materialization, closing SURVEY §2.1's last single-machine
     source (reference scope: src/arrow_loader.cpp:110-118).
 
+    ``path`` may be a local directory or any filesystem URI pyarrow.fs
+    resolves (``file://``, ``hdfs://``, ``s3://``); the listing and the
+    schema probe go through that same filesystem, never a driver-local
+    glob. ``pattern`` is Hadoop glob syntax (brace alternation
+    supported); the default matches both ``.arrow`` and ``.feather``
+    (Feather v2 IS IPC-file format), and stream-format payloads are
+    accepted too.
+
     The output schema is read once from the lexicographically first
     file's FOOTER on the driver (metadata-only open, no data read);
     every file must match it exactly — a drifted file raises with its
-    schema in the error rather than silently coercing. Feather v2 IS
-    IPC-file format, and stream-format payloads are accepted too."""
-    import glob as _glob
-
-    import pyarrow.ipc as ipc
-    from pyspark.sql.pandas.types import from_arrow_schema
+    schema in the error rather than silently coercing."""
+    import fnmatch
 
     import pyarrow as pa
+    import pyarrow.ipc as ipc
+    from pyarrow import fs as pafs
+    from pyspark.sql.pandas.types import from_arrow_schema
 
-    files = sorted(_glob.glob(os.path.join(path, pattern)))
+    fs, fs_path = _ipc_filesystem(path)
+    alts = _expand_braces(pattern)
+    infos = fs.get_file_info(pafs.FileSelector(fs_path))
+    files = sorted(
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.File
+        and any(fnmatch.fnmatch(os.path.basename(i.path), p) for p in alts)
+    )
     if not files:
         raise ValueError(f"No IPC files matching {pattern!r} under {path}")
-    try:
-        with ipc.open_file(files[0]) as r0:
-            arrow_schema = r0.schema
-    except pa.ArrowInvalid:  # first file is stream-format: schema is at the head
-        with ipc.open_stream(files[0]) as r0:
-            arrow_schema = r0.schema
+    with fs.open_input_file(files[0]) as f0:
+        try:
+            arrow_schema = ipc.open_file(f0).schema
+        except pa.ArrowInvalid:  # stream-format: schema is at the head
+            f0.seek(0)
+            arrow_schema = ipc.open_stream(f0).schema
     spark_schema = from_arrow_schema(arrow_schema)
 
     def decode(batches):
