@@ -217,6 +217,13 @@ subset = events_entries + [
     "events_psi_value_drift",
     "join_bloom_prefilter",
     "stats_bootstrap_poisson_ci",
+    # r12 (r11 verdict item 5): the heaviest batch-ANN entries — both
+    # cogroup both sides of a corpus-scale query set, the exact shape
+    # most sensitive to plain-session defaults (Arrow batch size,
+    # shuffle partitions)
+    "similarity_topk_batch",
+    "similarity_ivfpq_batch",
+    "similarity_pq_batch",
 ]
 for name in subset:
     n = qs[name](spark, sf).count()

@@ -433,6 +433,121 @@ class TestIvfpqBatch:
         assert df.count() == 125
 
 
+class TestPqBatchAndDelegation:
+    """r12 (r11 verdict item 8): the MAX_COLLECTED_QUERIES raises are
+    retired — each collected-query path delegates to its distributed
+    batch twin past the cap, and the new plain-PQ batch twin is
+    row-identical to pq_topk at any blocking."""
+
+    def test_pq_topk_batch_matches_collected(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from warpdb_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < 9)
+        kw = dict(k=4, m_subs=8, n_codes=8, train_iters=1, seed=42)
+        a = sorted(map(tuple, S.pq_topk(emb, qs, **kw).collect()))
+        b = sorted(map(tuple, S.pq_topk_batch(emb, qs, **kw).collect()))
+        assert a == b and len(a) == 36
+        # explicit block counts (incl. 1) cannot change results
+        c = sorted(map(tuple, S.pq_topk_batch(
+            emb, qs, num_corpus_blocks=3, num_query_blocks=2, **kw
+        ).collect()))
+        d = sorted(map(tuple, S.pq_topk_batch(
+            emb, qs, num_corpus_blocks=1, num_query_blocks=1, **kw
+        ).collect()))
+        assert a == c == d
+
+    def test_cap_trip_delegates_identically(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from warpdb_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < 9)
+        pq_kw = dict(k=4, m_subs=8, n_codes=8, train_iters=1, seed=42)
+        a = sorted(map(tuple, S.pq_topk(emb, qs, **pq_kw).collect()))
+        b = sorted(map(tuple, S.pq_topk(emb, qs, max_queries=3, **pq_kw).collect()))
+        assert a == b
+        ivf_kw = dict(k=3, num_lists=8, nprobe=2, m_subs=8, n_codes=8,
+                      train_iters=0, rerank_factor=4, seed=42)
+        c = sorted(map(tuple, S.ivfpq_topk(emb, qs, **ivf_kw).collect()))
+        d = sorted(map(tuple, S.ivfpq_topk(emb, qs, max_queries=3, **ivf_kw).collect()))
+        assert c == d
+
+
+class TestBatchKnobFuzz:
+    """r12 (r11 verdict item 7): property fuzz of the batch-similarity
+    seams — block counts (incl. 1 and > |rows|) and nprobe/num_lists
+    edge cases can never change results vs the collected/default paths.
+    >=100 cases total across the three tests, on a small deterministic
+    corpus so the suite cost stays bounded."""
+
+    @pytest.fixture(scope="class")
+    def tiny(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [
+            Row(vec_id=i, embedding=[float(x) for x in rng.randn(8)])
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows).repartition(4).cache()
+        df.count()
+        return df
+
+    def test_blocked_cosine_knobs(self, spark, tiny):
+        from warpdb_spark.operators import similarity as S
+
+        qs = tiny.filter(F.col("vec_id") < 6)
+        for k in (1, 3, 10):
+            oracle = sorted(map(tuple, S.cosine_topk_np(tiny, qs, k=k).collect()))
+            for ncb in (1, 2, 3, 7, 64):
+                for nqb in (1, 2, 5, 64):
+                    got = sorted(map(tuple, S.cosine_topk_blocked(
+                        tiny, qs, k=k,
+                        num_corpus_blocks=ncb, num_query_blocks=nqb,
+                    ).collect()))
+                    assert got == oracle, (k, ncb, nqb)  # 60 cases
+
+    def test_pq_batch_knobs(self, spark, tiny):
+        from warpdb_spark.operators import similarity as S
+
+        qs = tiny.filter(F.col("vec_id") < 6)
+        kw = dict(k=3, m_subs=4, n_codes=4, train_iters=1, seed=11)
+        oracle = sorted(map(tuple, S.pq_topk(tiny, qs, **kw).collect()))
+        for ncb in (1, 2, 3, 64):
+            for nqb in (1, 4, 64):
+                got = sorted(map(tuple, S.pq_topk_batch(
+                    tiny, qs, num_corpus_blocks=ncb, num_query_blocks=nqb, **kw
+                ).collect()))
+                assert got == oracle, (ncb, nqb)  # 12 cases
+
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_ivfpq_list_probe_edges(self, spark, tiny, residual):
+        """nprobe == num_lists, nprobe > num_lists (clamped), a single
+        list, and chunk counts 1/3/9 — collected vs batch vs chunked
+        all row-identical."""
+        from warpdb_spark.operators import similarity as S
+
+        qs = tiny.filter(F.col("vec_id") < 6)
+        base = dict(k=3, m_subs=4, n_codes=4, train_iters=0,
+                    rerank_factor=2, seed=11, residual=residual)
+        for num_lists, nprobe in (
+            (1, 1), (1, 4), (2, 5), (3, 3), (4, 4), (5, 2), (8, 8),
+        ):
+            kw = dict(base, num_lists=num_lists, nprobe=nprobe)
+            a = sorted(map(tuple, S.ivfpq_topk(tiny, qs, **kw).collect()))
+            b = sorted(map(tuple, S.ivfpq_topk_batch(tiny, qs, **kw).collect()))
+            assert a == b, (num_lists, nprobe)
+            for nch in (3, 9):
+                c = sorted(map(tuple, S.ivfpq_topk_batch(
+                    tiny, qs, num_chunks=nch, **kw
+                ).collect()))
+                assert a == c, (num_lists, nprobe, nch)  # 2x7x3 = 42 cases
+
+
 class TestPPMCodec:
     """Real pure-numpy P6 codec (operators/multimodal.py): header
     grammar, round-trip, error paths, resize, and the decode-in-the-

@@ -210,14 +210,20 @@ class TestCosineTopkNpContract:
             hof.cosine,
         )
 
-    def test_query_collect_cap_raises(self, spark):
+    def test_query_collect_cap_delegates_to_blocked(self, spark):
+        """r12 (r11 verdict item 8): a query set past max_queries no
+        longer raises — it routes through the fully-distributed blocked
+        path with identical results."""
         from warpdb_spark.operators import similarity as S
 
         df = spark.createDataFrame(
             [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(10)]
         )
-        with pytest.raises(ValueError, match="max_queries"):
-            S.cosine_topk_np(df, df, k=1, max_queries=5)
+        capped = sorted(
+            map(tuple, S.cosine_topk_np(df, df, k=1, max_queries=5).collect())
+        )
+        direct = sorted(map(tuple, S.cosine_topk_np(df, df, k=1).collect()))
+        assert capped == direct and len(capped) == 10
 
     def test_rounded_tie_preselect_keeps_lowest_id(self, spark):
         """Four candidates whose cosines all round to 1.0 at 6dp but
@@ -438,30 +444,46 @@ class TestUpdateRotationParse:
         from warpdb_spark.inventory import rotation
 
         assert names == rotation.PENDING_ORDER
-        assert len(names) > 0
+        # The original bug parsed ZERO names because split() matched the
+        # word in the docstring. The live list can legitimately be empty
+        # (right after a window promotion, e.g. the r12 start), so guard
+        # the parse mechanics with planted names instead of len(live)>0.
+        planted_src = src.replace(
+            "PENDING_ORDER: list[str] = [\n",
+            'PENDING_ORDER: list[str] = [\n    "zz_planted_a",\n    "zz_planted_b",\n',
+            1,
+        )
+        block = planted_src.split("PENDING_ORDER: list[str] = [", 1)[1].split("]", 1)[0]
+        planted = re.findall(r'^    "([a-z0-9_]+)",$', block, re.M)
+        assert planted[:2] == ["zz_planted_a", "zz_planted_b"]
 
-    def test_dry_run_reports_window_entries(self, tmp_path):
+    def test_dry_run_reports_window_entries(self, tmp_path, monkeypatch, capsys):
+        """In-process with two PLANTED pending names (the live
+        PENDING_ORDER can legitimately be empty right after a window
+        promotion) — the dry run must count them newly green."""
         import json
-        import subprocess
-        import sys
-        import os
+        import tools.update_rotation as ur
 
-        from warpdb_spark.inventory import rotation
-
-        # synthetic artifact: first two pending entries green
+        moved = ["zz_synthetic_dry_0", "zz_synthetic_dry_1"]
+        planted = "".join(f'    "{n}",\n' for n in moved)
+        copy = tmp_path / "rotation.py"
+        copy.write_text(
+            ur.ROTATION.read_text().replace(
+                "PENDING_ORDER: list[str] = [\n",
+                "PENDING_ORDER: list[str] = [\n" + planted,
+                1,
+            )
+        )
+        monkeypatch.setattr(ur, "ROTATION", copy)
         art = {
             n: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
-            for n in rotation.PENDING_ORDER[:2]
+            for n in moved
         }
         p = tmp_path / "CORRECTNESS_rX.json"
         p.write_text(json.dumps(art))
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        out = subprocess.run(
-            [sys.executable, os.path.join(repo, "tools", "update_rotation.py"), str(p), "9"],
-            capture_output=True, text=True, cwd=repo,
-        )
-        assert out.returncode == 0, out.stderr
-        assert "newly green pending: 2" in out.stdout
+        monkeypatch.setattr("sys.argv", ["update_rotation.py", str(p), "9"])
+        assert ur.main() == 0
+        assert "newly green pending: 2" in capsys.readouterr().out
 
     def test_write_roundtrip_moves_entries(self, tmp_path, monkeypatch):
         import json

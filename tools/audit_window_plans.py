@@ -227,6 +227,9 @@ KNOWN_COGROUP: dict[str, set[str]] = {
     # blocks, both defaulting to the side's scan partition count —
     # corpus-proportional with no fixed-domain component.
     "similarity_topk_batch": {"__blk"},
+    # r12 plain-PQ batch twin: same corpus-proportional __blk blocking
+    # over the CODES table (pq_topk delegates here past its cap).
+    "similarity_pq_batch": {"__blk"},
     # LSH bucket join: signature domain fixed at 2^num_planes;
     # _subchunk adds __ck (lsh consumers share ann_lsh_topk).
     "similarity_ann_lsh": {"__bucket", "__ck"},

@@ -707,6 +707,28 @@ def similarity_ivfpq_batch(spark, sf_dir):
     )
 
 
+def similarity_pq_batch(spark, sf_dir):
+    """Plain PQ-ADC with a DISTRIBUTED query side (r12, closing the
+    r11 verdict's item 8): the ENTIRE embeddings table is the query
+    set and ``pq_topk_batch`` keeps it a DataFrame end to end — the
+    corpus CODES and the queries hash into corpus-proportional blocks
+    (the ``cosine_topk_blocked`` discipline), each (codes block, query
+    block) pair cogroups exactly once, and the per-query LUT is built
+    INSIDE the cogroup from the broadcast codebooks (driver state =
+    the m×n_codes×dsub codebook only — never query-proportional).
+    ``pq_topk`` now DELEGATES here past its ``max_queries`` driver
+    cap instead of raising; equality with the collected path is
+    test-pinned, and the oracle is ``similarity_pq_adc``'s end-to-end
+    codebook→codes→ADC replay with the query filter widened to every
+    vector."""
+    from warpdb_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_topk_batch(
+        emb, emb, k=5, m_subs=16, n_codes=32, train_iters=0, seed=42
+    )
+
+
 _IVFPQ_RES_SQL = (
     "WITH ord AS (SELECT row_number() OVER ("
     "ORDER BY md5(concat('42_', CAST(vec_id AS VARCHAR))), vec_id) - 1 "
@@ -1551,6 +1573,7 @@ QUERIES = {
     "similarity_ivfpq": similarity_ivfpq,
     "similarity_ivfpq_residual": similarity_ivfpq_residual,
     "similarity_ivfpq_batch": similarity_ivfpq_batch,
+    "similarity_pq_batch": similarity_pq_batch,
     "similarity_pq_rerank": similarity_pq_rerank,
     "similarity_pq_persisted_index": similarity_pq_persisted_index,
     "similarity_pq_index_refresh": similarity_pq_index_refresh,
@@ -1828,6 +1851,8 @@ ORACLES = {
     # same end-to-end replay, query filter widened to every vector
     "similarity_ivfpq_batch": _IVFPQ_RES_SQL.replace(" AND vec_id < 10", ""),
     "similarity_pq_rerank": _PQ_RERANK_SQL,
+    # same ADC replay, qlut filter widened to every vector
+    "similarity_pq_batch": _PQ_ADC_SQL.replace("\n    WHERE q.vec_id < 10", ""),
     # identical construction to the ADC entry - the persisted index must
     # reproduce the exact same codes, so the same build+lookup replay IS
     # the oracle

@@ -112,6 +112,17 @@ ALLOWED_TWINS: frozenset[tuple[str, str]] = frozenset(
         ("similarity_ivfpq_batch", "similarity_ivfpq_residual"),
         ("similarity_ivfpq", "similarity_ivfpq_batch"),
         ("similarity_ivfpq_batch", "similarity_pq_rerank"),
+        # r12 distributed-query twin of the plain-PQ family: same
+        # codebook→codes→ADC oracle (qlut filter widened), distinct
+        # capability (blocked cogroup, LUT built in-group, no driver
+        # collect of query vectors — pq_topk's cap delegates here;
+        # reviewed at entry creation)
+        ("similarity_pq_adc", "similarity_pq_batch"),
+        ("similarity_pq_batch", "similarity_pq_persisted_index"),
+        ("similarity_pq_batch", "similarity_pq_index_refresh"),
+        ("similarity_pq_batch", "similarity_pq_rerank"),
+        ("similarity_pq_batch", "stream_pq_delta_encode"),
+        ("similarity_ivfpq", "similarity_pq_batch"),
         ("similarity_knn_indegree", "similarity_topk_bruteforce"),
         # retrieval-eval family shares the BM25 + ranking scaffold
         ("search_hard_negatives", "search_hybrid_rrf"),

@@ -332,6 +332,8 @@ DRIVER_GREEN: dict[str, int] = {
 # the remainder in module order. New entries are inserted at the front
 # of the block matching their risk class.
 PENDING_ORDER: list[str] = [
+    # round-12 additions
+    "similarity_pq_batch",
     # round-5 additions — brand new surfaces, checked first
     # round-4 additions
     # round-5 late additions — placed BEHIND the already-rehearsed

@@ -145,10 +145,13 @@ def cosine_topk_np(
         .collect()
     )
     if len(qrows) > max_queries:
-        raise ValueError(
-            f"cosine_topk_np collects the query set to the driver; got more "
-            f"than max_queries={max_queries} rows. Use cosine_topk (broadcast "
-            f"HOF path) or raise max_queries explicitly."
+        # query set too big for a driver collect: route through the
+        # fully-distributed blocked path — identical contract, order,
+        # and arithmetic (_blas_score_topk both sides), no cap (the
+        # r11 verdict retired the raise once the batch twin existed).
+        return cosine_topk_blocked(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
         )
     qids = [r["qid"] for r in qrows]
     qm = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
@@ -774,9 +777,13 @@ def pq_topk(
         .collect()
     )
     if len(qrows) > max_queries:
-        raise ValueError(
-            f"pq_topk collects the query set to the driver; got more than "
-            f"max_queries={max_queries} rows."
+        # query set too big for the driver-side LUT build: route
+        # through the blocked twin — same codes, codebooks, ADC math,
+        # and output order, with the LUT built inside each cogroup.
+        return pq_topk_batch(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            m_subs=m_subs, n_codes=n_codes, train_iters=train_iters,
+            seed=seed, codes=codes, codebooks=codebooks,
         )
     qids = [r["qid"] for r in qrows]
     qm = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
@@ -843,6 +850,135 @@ def pq_topk(
     )
     return (
         local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist2", "rank")
+    )
+
+
+def pq_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subs: int = 8,
+    n_codes: int = 16,
+    train_iters: int = 2,
+    seed: int = 42,
+    codes: DataFrame | None = None,
+    codebooks: np.ndarray | None = None,
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+    num_corpus_blocks: int | None = None,
+    num_query_blocks: int | None = None,
+) -> DataFrame:
+    """PQ-ADC top-k with a DISTRIBUTED query side: identical codes,
+    codebooks, ADC arithmetic (round-6 sums of per-subspace LUT
+    entries), tie order, and output schema to ``pq_topk`` — but the
+    query set stays a DataFrame end to end and each per-block cogroup
+    builds its own LUT from the raw query vectors + the broadcast
+    codebooks. ``pq_topk`` delegates here when its driver-side query
+    collect would exceed ``max_queries``.
+
+    Blocking mirrors ``cosine_topk_blocked``: the corpus CODES hash
+    into ``num_corpus_blocks`` and the queries into
+    ``num_query_blocks`` (each defaulting to the side's scan partition
+    count — corpus-proportional), each side replicating across the
+    other's blocks so every (codes block, query block) pair cogroups
+    exactly once; per-group local top-(k+1) under the exact final
+    order, global rank dedups. Broadcast state is the
+    (m × n_codes × dsub) codebook only — never query-proportional."""
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    query_id_col = query_id_col or id_col
+    query_vec_col = query_vec_col or vec_col
+    if codebooks is None:
+        codebooks = pq_train(corpus, id_col, vec_col, m_subs, n_codes, train_iters, seed)
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    ncb = num_corpus_blocks or max(1, corpus.rdd.getNumPartitions())
+    nqb = num_query_blocks or max(1, queries.rdd.getNumPartitions())
+    id_type = corpus.schema[id_col].dataType
+    qid_type = queries.schema[query_id_col].dataType
+    spark = corpus.sparkSession
+    bcb = spark.sparkContext.broadcast(codebooks)
+
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("codes").alias("__codes"),
+        F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))).alias("__qb"),
+    ).select(
+        "neighbor_id",
+        "__codes",
+        (
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(ncb)) * nqb
+            + F.col("__qb")
+        ).alias("__blk"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+        F.explode(F.sequence(F.lit(0), F.lit(ncb - 1))).alias("__cb"),
+    ).select(
+        "query_id",
+        "__qv",
+        (
+            F.col("__cb") * nqb
+            + F.pmod(F.xxhash64(F.col("query_id")), F.lit(nqb))
+        ).alias("__blk"),
+    )
+
+    out_schema = ST.StructType(
+        [
+            ST.StructField("query_id", qid_type),
+            ST.StructField("neighbor_id", id_type),
+            ST.StructField("dist2", ST.DoubleType()),
+        ]
+    )
+
+    def score(cdf: "pd.DataFrame", qdf: "pd.DataFrame") -> "pd.DataFrame":
+        cb = bcb.value
+        m, nc, dsub = cb.shape
+        out = {"query_id": [], "neighbor_id": [], "dist2": []}
+        if len(cdf) and len(qdf):
+            ids = cdf["neighbor_id"].to_numpy()
+            C = np.stack(cdf["__codes"].to_numpy())  # (B, m)
+            qm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in qdf["__qv"]]
+            )
+            # per-query LUT: (Q, m, nc) — the pq_topk driver build,
+            # done per block from the broadcast codebooks instead
+            lut = np.stack(
+                [
+                    ((qm[:, s * dsub:(s + 1) * dsub][:, None, :]
+                      - cb[s][None, :, :]) ** 2).sum(axis=2)
+                    for s in range(m)
+                ],
+                axis=1,
+            )
+            for j, qid in enumerate(qdf["query_id"].to_numpy()):
+                D = np.zeros(len(ids), dtype=np.float64)
+                for s in range(m):
+                    D += lut[j, s, C[:, s]]
+                D = np.round(D, 6)
+                idx = np.flatnonzero(ids != qid)
+                # local top under the exact final order: (dist2 asc,
+                # neighbor_id asc) — lexsort keys are last-is-primary
+                order = idx[np.lexsort((ids[idx], D[idx]))][: k + 1]
+                out["query_id"].extend([qid] * len(order))
+                out["neighbor_id"].extend(ids[order])
+                out["dist2"].extend(D[order])
+        return pd.DataFrame(out)
+
+    scored = (
+        c.groupBy("__blk").cogroup(q.groupBy("__blk")).applyInPandas(score, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist2", "rank")
     )
@@ -1094,10 +1230,6 @@ def ivfpq_topk(
     which is where the neighbors actually differ. Costs one extra
     map pass at train time (the residual frame feeding pq_train) and
     an nprobe-wider LUT broadcast at query time."""
-    cnorm, cmat, codebooks, indexed, id_type = _ivfpq_index(
-        corpus, id_col, vec_col, num_lists, m_subs, n_codes, train_iters,
-        seed, residual,
-    )
     import pandas as pd
     from pyspark.sql import types as ST
 
@@ -1109,10 +1241,20 @@ def ivfpq_topk(
         .collect()
     )
     if len(qrows) > max_queries:
-        raise ValueError(
-            f"ivfpq_topk collects the query set to the driver; got more "
-            f"than max_queries={max_queries} rows."
+        # too many queries for the driver-side LUT build: route through
+        # the distributed-query twin — identical index, math, and
+        # output (equality-pinned by tests), no cap.
+        return ivfpq_topk_batch(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            num_lists=num_lists, nprobe=nprobe, m_subs=m_subs,
+            n_codes=n_codes, train_iters=train_iters,
+            rerank_factor=rerank_factor, seed=seed, residual=residual,
+            num_chunks=num_chunks,
         )
+    cnorm, cmat, codebooks, indexed, id_type = _ivfpq_index(
+        corpus, id_col, vec_col, num_lists, m_subs, n_codes, train_iters,
+        seed, residual,
+    )
     if not qrows:
         raise ValueError("ivfpq_topk requires at least one query row")
     qids = [r["qid"] for r in qrows]
