@@ -1275,7 +1275,8 @@ class TestKeyedCacheSlots:
         first = scale_ops._prefix_parts_cache.get("df")
         other = "/root/testdata/sf0.01"
         scale_ops.reshape_global_ordinal(spark, other)
-        assert scale_ops._prefix_parts_cache.get("key") == ("documents", other)
+        app = spark.sparkContext.applicationId
+        assert scale_ops._prefix_parts_cache.get("key") == (app, ("documents", other))
         assert scale_ops._prefix_parts_cache.get("df") is not first
         assert not first.storageLevel.useMemory  # evicted + unpersisted
         scale_ops._prefix_parts_cache.clear()
@@ -1284,7 +1285,25 @@ class TestKeyedCacheSlots:
         scale_ops._lpa_edge_cache.clear()
         scale_ops.graph_label_propagation(spark, sf_dir)
         first = scale_ops._lpa_edge_cache.get("df")
-        assert scale_ops._lpa_edge_cache.get("key") == sf_dir
+        app = spark.sparkContext.applicationId
+        assert scale_ops._lpa_edge_cache.get("key") == (app, sf_dir)
         scale_ops.graph_label_propagation(spark, sf_dir)
         assert scale_ops._lpa_edge_cache.get("df") is first  # reused
         scale_ops._lpa_edge_cache.clear()
+
+    def test_session_restart_misses_cache(self, spark, sf_dir):
+        """r11 advice: a persisted frame cached under a PREVIOUS
+        SparkContext must not be returned by a same-base-key call in a
+        new session — the app id in the key forces a miss (and the
+        eviction path tolerates the dead frame)."""
+        scale_ops._prefix_parts_cache.clear()
+        scale_ops.reshape_global_ordinal(spark, sf_dir)
+        live_key = scale_ops._prefix_parts_cache.get("key")
+        stale = scale_ops._prefix_parts_cache.get("df")
+        # simulate the restart: same base key, different app id
+        scale_ops._prefix_parts_cache.update(
+            key=("app-from-a-previous-session", live_key[1]), df=stale
+        )
+        scale_ops.reshape_global_ordinal(spark, sf_dir)
+        assert scale_ops._prefix_parts_cache.get("key") == live_key
+        scale_ops._prefix_parts_cache.clear()

@@ -20,7 +20,18 @@ blind-spot entries whose operators were edited this round without the
 old metric noticing, e.g. the PQ/IVFPQ family after the r11 refactor)
 keeps its old record and stays floated for driver re-check.
 
-Usage: python tools/backfill_fingerprints.py <base-newmetric.json> [--write]
+Usage:
+  python tools/backfill_fingerprints.py <base-newmetric.json> [--write]
+  python tools/backfill_fingerprints.py --derive-base <commit> --out <path>
+
+The second form derives the base snapshot REPRODUCIBLY (r11 advice: the
+original run used an ad-hoc uncommitted /tmp artifact): it creates a
+temporary git worktree at <commit>, copies the CURRENT fingerprint
+metric module into it, computes every entry's new-metric fingerprint in
+a subprocess bound to that tree, and writes them (plus a ``__meta__``
+record carrying the base commit) to <path>. The r11 backfill's base is
+committed at tools/data/r10base_newmetric.json, derived from ed65656
+(the r10 closing tree) — re-derive with this flag to audit it.
 """
 
 from __future__ import annotations
@@ -45,10 +56,64 @@ def module_file(mod_name: str) -> str | None:
     return os.path.relpath(f, REPO) if f else None
 
 
+def derive_base(commit: str, out_path: str) -> int:
+    """Compute the new-metric fingerprints of the inventory AS OF
+    ``commit``, reproducibly: temp worktree + current metric module +
+    subprocess. The snapshot carries its provenance in ``__meta__``."""
+    import json
+    import shutil
+    import tempfile
+
+    wt = tempfile.mkdtemp(prefix="fpbase_")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, commit],
+        cwd=REPO, check=True, capture_output=True,
+    )
+    try:
+        # the CURRENT metric, evaluated against the base tree's sources
+        shutil.copy(
+            os.path.join(REPO, "warpdb_spark", "inventory", "fingerprint.py"),
+            os.path.join(wt, "warpdb_spark", "inventory", "fingerprint.py"),
+        )
+        script = (
+            "import json, sys\n"
+            "from warpdb_spark import inventory\n"
+            "from warpdb_spark.inventory import fingerprint as FP\n"
+            "q, o = inventory.load_all()\n"
+            "print(json.dumps({n: FP.entry_fingerprint(f, o.get(n))"
+            " for n, f in q.items()}))\n"
+        )
+        env = dict(os.environ, PYTHONPATH=wt)
+        res = subprocess.run(
+            [sys.executable, "-c", script], cwd=wt, env=env,
+            capture_output=True, text=True, check=True,
+        )
+        fps = json.loads(res.stdout.strip().splitlines()[-1])
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=REPO, capture_output=True,
+        )
+    fps["__meta__"] = {
+        "base_commit": commit,
+        "derived_by": "tools/backfill_fingerprints.py --derive-base",
+    }
+    with open(out_path, "w") as f:
+        json.dump(fps, f, indent=1, sort_keys=True)
+    print(f"{out_path}: {len(fps) - 1} fingerprints at {commit}")
+    return 0
+
+
 def main() -> int:
     import json
 
+    if "--derive-base" in sys.argv:
+        commit = sys.argv[sys.argv.index("--derive-base") + 1]
+        out = sys.argv[sys.argv.index("--out") + 1]
+        return derive_base(commit, out)
+
     base_fps = json.load(open(sys.argv[1]))
+    base_fps.pop("__meta__", None)
     write = "--write" in sys.argv
 
     from warpdb_spark import inventory

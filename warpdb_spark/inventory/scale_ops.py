@@ -1562,6 +1562,11 @@ def _partition_prefix_offsets(df: DataFrame, measure, cache_key):
     literal whose expression tree would grow with the partition count.
     Range partitions are ascending in partition id, so within-partition
     state + offset is globally consistent regardless of boundaries."""
+    # session identity in the key (r11 advice): after a Spark session
+    # restart, a same-key hit would hand back a persisted frame bound
+    # to the STOPPED SparkContext and fail at use time — a new app id
+    # misses (and evicts) instead.
+    cache_key = (df.sparkSession.sparkContext.applicationId, cache_key)
     _evict_keyed_cache(_prefix_parts_cache, cache_key)
     if _prefix_parts_cache.get("key") == cache_key:
         parts = _prefix_parts_cache["df"]
@@ -2233,8 +2238,12 @@ def graph_label_propagation(spark, sf_dir):
     each extra round repeats the same three-shuffle plan. The argmax
     is min_by over struct(-count, label) — deterministic on ties, the
     same (cnt DESC, label ASC) row_number pick the oracle spells."""
-    _evict_keyed_cache(_lpa_edge_cache, sf_dir)
-    if _lpa_edge_cache.get("key") == sf_dir:
+    # session identity in the key (r11 advice): see
+    # _partition_prefix_offsets — a restart must miss, not hand back a
+    # frame persisted on the stopped context.
+    edge_key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_keyed_cache(_lpa_edge_cache, edge_key)
+    if _lpa_edge_cache.get("key") == edge_key:
         directed = _lpa_edge_cache["df"]
     else:
         E = _user_edges(spark, sf_dir)
@@ -2243,7 +2252,7 @@ def graph_label_propagation(spark, sf_dir):
             .unionByName(E.select(F.col("b").alias("u"), F.col("a").alias("v")))
             .persist()
         )
-        _lpa_edge_cache.update(key=sf_dir, df=directed)
+        _lpa_edge_cache.update(key=edge_key, df=directed)
     labels = directed.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
