@@ -134,9 +134,29 @@ def main() -> int:
     ivf_ok = c == d
     print(f"blocked==np on 500-sample: {exact_ok} ({len(a)} rows); "
           f"ivfpq batch==collected: {ivf_ok} ({len(c)} rows)")
+
+    # r12 (r11 verdict item 1): at a list count BELOW the scan
+    # partition count the _subchunk split must ENGAGE (derived chunks
+    # = ceil(partitions / num_lists) > 1), appear in the plan as the
+    # (__list, __ck) cogroup key, and stay row-identical to the
+    # unchunked cogroup — the scale shape where one pandas worker
+    # would otherwise hold 1/num_lists of the corpus forever.
+    kw16 = dict(k=5, num_lists=16, nprobe=4, m_subs=8, n_codes=64,
+                train_iters=1, rerank_factor=4, seed=42, residual=True)
+    derived = S._derive_chunks(corpus, 16)
+    chunked_df = S.ivfpq_topk_batch(corpus, sample, **kw16)
+    plan = chunked_df._jdf.queryExecution().optimizedPlan().toString()
+    plan_ok = "__ck" in plan
+    e = sorted(map(tuple, chunked_df.collect()))
+    f_ = sorted(map(tuple, S.ivfpq_topk_batch(corpus, sample, num_chunks=1, **kw16).collect()))
+    chunk_ok = derived > 1 and plan_ok and e == f_
+    print(f"subchunk engages at 16 lists: derived={derived} (>1), "
+          f"__ck in plan: {plan_ok}, chunked==unchunked: {e == f_} "
+          f"({len(e)} rows)")
+
     print(f"wall: cosine_topk_blocked {t_blocked:.1f}s, "
           f"ivfpq_topk_batch {t_ivfpq:.1f}s at {n_corpus}x{nq}")
-    return 0 if (exact_ok and ivf_ok) else 1
+    return 0 if (exact_ok and ivf_ok and chunk_ok) else 1
 
 
 if __name__ == "__main__":
