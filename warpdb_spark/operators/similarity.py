@@ -101,10 +101,12 @@ def cosine_topk(
     return _rank_topk(scored, k)
 
 
-#: Hard cap on the driver-side query-set collect in ``cosine_topk_np``.
-#: The query set is the small side by contract; past this size the HOF
-#: path (``cosine_topk``) is the right tool, so fail fast instead of
-#: risking a driver OOM.
+#: Cap on the driver-side query-set collect in the collected-query
+#: paths (``cosine_topk_np`` / ``pq_topk`` / ``ivfpq_topk``). Past this
+#: size each path DELEGATES to its fully-distributed batch twin
+#: (``cosine_topk_blocked`` / ``pq_topk_batch`` / ``ivfpq_topk_batch``)
+#: — identical contract and results, no driver state (r12; the raise
+#: was retired per the r11 verdict).
 MAX_COLLECTED_QUERIES = 100_000
 
 
@@ -127,8 +129,9 @@ def cosine_topk_np(
     final rank shuffle carries O(partitions × queries × k) rows instead
     of |corpus| × |queries|. The query set is collected to a broadcast
     matrix — it is the small side by construction (same constraint as
-    the HOF version's broadcast hash join); collects beyond
-    ``max_queries`` rows fail fast rather than OOM the driver.
+    the HOF version's broadcast hash join); query sets beyond
+    ``max_queries`` rows route through ``cosine_topk_blocked`` — same
+    results, both sides distributed, no driver collect.
 
     The per-batch preselection uses the SAME total order as the final
     window rank — (cosine rounded to 6dp DESC, neighbor_id ASC) — so a
