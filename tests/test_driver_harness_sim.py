@@ -224,6 +224,9 @@ subset = events_entries + [
     "similarity_topk_batch",
     "similarity_ivfpq_batch",
     "similarity_pq_batch",
+    # r12 pending addition: the leakage-safe split (LSH + components
+    # + md5 split math on a plain session)
+    "reshape_leakage_safe_split",
 ]
 for name in subset:
     n = qs[name](spark, sf).count()

@@ -1169,6 +1169,38 @@ class TestTrainValSplit:
             assert abs(sum(shares) - 1.0) < 1e-5, src
 
 
+class TestLeakageSafeSplit:
+    def test_planted_near_dups_never_straddle(self, spark):
+        from warpdb_spark.inventory import pipeline_ops as P
+        import unittest.mock as mock
+
+        # md5-uniforms: u(2)=0.78 (train), u(44)=0.9652 (val), u(3)=0.925
+        # (train) — so the naive per-doc split separates the planted dup
+        # pair (2, 44) across train/val.
+        dup = (
+            "the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill nearby"
+        )
+        docs = spark.createDataFrame(
+            [
+                (2, "s1", len(dup), dup),
+                (44, "s2", len(dup), dup),
+                (3, "s1", 30, "entirely different unique content with no overlap at all here today"),
+            ],
+            ["doc_id", "source", "n_chars", "text"],
+        )
+        with mock.patch.object(P, "_t", lambda s, d, n: docs):
+            rows = {r.doc_id: r for r in P.reshape_leakage_safe_split(spark, "x").collect()}
+        assert rows[2].split_key == 2 and rows[44].split_key == 2
+        # cluster key forces BOTH onto the min-id doc's side
+        assert rows[2].split == rows[44].split == "train"
+        # ...and the doc the naive hash would have sent to val is the
+        # leak the entry reports
+        assert rows[44].moved and not rows[2].moved
+        # unclustered doc: own-id key, never moved
+        assert rows[3].split_key == 3 and not rows[3].moved
+
+
 class TestDedupLossBySource:
     def test_planted_loss(self, spark, monkeypatch):
         from warpdb_spark.inventory import pipeline_ops as P

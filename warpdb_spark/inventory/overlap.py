@@ -84,6 +84,14 @@ ALLOWED_TWINS: frozenset[tuple[str, str]] = frozenset(
         ("dedup_cluster_components", "dedup_minhash_lsh"),
         ("dedup_cluster_components", "dedup_minhash_survivors"),
         ("dedup_cluster_components", "dedup_keeper_by_quality"),
+        # r12 leakage-safe split: shares the LSH→Jaccard→components
+        # scaffold (and its recursive-CTE oracle prefix) with the
+        # cluster/keeper entries but implements a DISTINCT policy
+        # layer — split assignment hashed on the cluster key so
+        # near-dups never straddle train/val, plus the moved-doc
+        # leakage report (reviewed at entry creation)
+        ("dedup_cluster_components", "reshape_leakage_safe_split"),
+        ("dedup_keeper_by_quality", "reshape_leakage_safe_split"),
         ("dedup_embedding_cosine", "dedup_embedding_lsh"),
         ("dedup_exact", "sample_hash_bucket"),
         ("dedup_exact", "sample_stratified"),

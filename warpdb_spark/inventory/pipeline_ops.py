@@ -323,6 +323,66 @@ def reshape_train_val_split(spark, sf_dir):
     )
 
 
+def _hash_split_expr(key) -> "F.Column":
+    """95/4/1 split label from a deterministic md5-hex-prefix uniform
+    of ``key`` — the same math ``reshape_train_val_split`` inlines
+    (stable across runs, partitions, and engines; left un-refactored
+    there to keep that entry's fingerprint unchanged)."""
+    u = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+    return F.when(u < 0.95, "train").when(u < 0.99, "val").otherwise("test")
+
+
+def reshape_leakage_safe_split(spark, sf_dir):
+    """Leakage-free train/val/test split: near-duplicate documents
+    must land on the SAME side of a split, or the held-out slice
+    scores training content through its near-dups (the eval-leakage
+    failure documented by the dedup literature — Lee et al. 2022
+    §6, public). Each document's split key is its near-dup CLUSTER
+    label (the transitive component's min doc_id from the SAME
+    LSH→exact-Jaccard→connected-components pipeline as
+    ``dedup_cluster_components``) when clustered, else its own
+    doc_id; the 95/4/1 assignment hashes that key with
+    ``reshape_train_val_split``'s md5-hex-prefix uniform. ``moved``
+    marks docs whose cluster key changed their split vs the naive
+    per-doc hash — each one is a leak the naive split would have
+    shipped (its near-dup sits on the other side).
+
+    Scale: the cluster pipeline is the audited banded-LSH +
+    bounded-round label propagation (never all-pairs); the docs ↔
+    components join shuffles on doc_id (components cover only
+    clustered docs, a corpus-scale frame — no broadcast); the split
+    labels are one codegen'd map stage. Oracle: the recursive-CTE
+    component ground truth + the same CASE/md5 arithmetic."""
+    from warpdb_spark.operators.graph import cluster_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    verified = D.lsh_verified_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16
+    )
+    comp = cluster_near_duplicates(docs, verified)
+    keyed = (
+        docs.select("doc_id", "source")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("component", F.col("doc_id")).alias("split_key"),
+        )
+    )
+    return keyed.select(
+        "doc_id",
+        "source",
+        "split_key",
+        _hash_split_expr(F.col("split_key")).alias("split"),
+        (
+            _hash_split_expr(F.col("split_key"))
+            != _hash_split_expr(F.col("doc_id"))
+        ).alias("moved"),
+    ).orderBy("doc_id")
+
+
 def dedup_loss_by_source(spark, sf_dir):
     """Exact-dedup impact report per source: documents and character
     volume before vs after normalized-content dedup (md5 fingerprint,
@@ -2630,6 +2690,7 @@ QUERIES = {
     "sample_hash_bucket": sample_hash_bucket,
     "sample_weighted": sample_weighted,
     "reshape_train_val_split": reshape_train_val_split,
+    "reshape_leakage_safe_split": reshape_leakage_safe_split,
     "dedup_loss_by_source": dedup_loss_by_source,
     "sample_mixture_alpha": sample_mixture_alpha,
     "events_zscore_outliers": events_zscore_outliers,
@@ -2839,7 +2900,11 @@ WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
       len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
 """
 
-_CLUSTER_CC_SQL = f"""
+# Ground-truth near-dup components as a reusable CTE prefix: all-pairs
+# Jaccard >= 0.8 edges + a recursive min-label closure. Consumers append
+# their own CTEs / final SELECT (the keeper, leakage-safe-split, and
+# cluster entries all replay the SAME clusters).
+_CC_CTES = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, {_DD_SHINGLES} AS shingles
   FROM (SELECT doc_id, {_norm} AS norm, {_DD_TOKS.format(col='norm_src')} AS toks
@@ -2857,8 +2922,35 @@ cc(node, comp) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.node = e.src
-)
+)"""
+
+_CLUSTER_CC_SQL = _CC_CTES + """
 SELECT node AS doc_id, min(comp) AS component FROM cc GROUP BY node ORDER BY doc_id
+"""
+
+
+def _split_case_sql(key: str) -> str:
+    """DuckDB replica of ``_hash_split_expr`` over ``key`` (a bigint
+    SQL expression) — the md5-hex-prefix uniform, 95/4/1."""
+    u = (
+        f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::UBIGINT "
+        "AS DOUBLE) / 4294967296.0"
+    )
+    return (
+        f"CASE WHEN {u} < 0.95 THEN 'train' "
+        f"WHEN {u} < 0.99 THEN 'val' ELSE 'test' END"
+    )
+
+
+_LEAKAGE_SPLIT_SQL = _CC_CTES + f""",
+comp AS (SELECT node AS doc_id, min(comp) AS component FROM cc GROUP BY node),
+keyed AS (SELECT d.doc_id, d.source,
+                 COALESCE(c.component, d.doc_id) AS split_key
+          FROM documents d LEFT JOIN comp c USING (doc_id))
+SELECT doc_id, source, split_key,
+       {_split_case_sql('split_key')} AS split,
+       {_split_case_sql('split_key')} <> {_split_case_sql('doc_id')} AS moved
+FROM keyed ORDER BY doc_id
 """
 
 def _km_assign(cent: str) -> str:
@@ -2925,6 +3017,8 @@ ORACLES = {
         "round(n_docs * 1.0 / src_docs, 6) AS share_of_source "
         "FROM per JOIN tot ON tot.source = per.source"
     ),
+    # recursive-CTE component ground truth + the same md5 CASE math
+    "reshape_leakage_safe_split": _LEAKAGE_SPLIT_SQL,
     # survivor = min doc_id per normalized-content fingerprint
     "dedup_loss_by_source": (
         f"WITH d AS (SELECT doc_id, source, n_chars, md5({_norm}) AS fp "

@@ -334,6 +334,7 @@ DRIVER_GREEN: dict[str, int] = {
 PENDING_ORDER: list[str] = [
     # round-12 additions
     "similarity_pq_batch",
+    "reshape_leakage_safe_split",
     # round-5 additions — brand new surfaces, checked first
     # round-4 additions
     # round-5 late additions — placed BEHIND the already-rehearsed
