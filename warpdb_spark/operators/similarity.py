@@ -290,7 +290,19 @@ def _subchunk(c: DataFrame, q: DataFrame, corpus_id: str, num_chunks: int):
     to the unchunked cogroup while per-worker frames shrink by
     ``num_chunks`` (the r11 verdict's 100 TB finding: a cogroup keyed
     only by ``__list``/``__bucket`` puts 1/num_lists of the corpus into
-    one pandas worker forever)."""
+    one pandas worker forever).
+
+    Cost model: the replication is on the QUERY side only — shuffle
+    volume grows by |Q| × num_chunks query-vector rows while the
+    corpus (the big side) still moves exactly once. With the derived
+    default (chunks ≈ scan partitions / buckets) a corpus large
+    enough to need thousands of chunks replicates the query set
+    thousands of times; at that scale the right lever is a larger
+    fixed domain (more ``num_lists`` / ``num_planes`` — a SEMANTIC
+    knob the caller owns, since it changes which candidates are
+    probed) so the derived chunk count stays modest. The scoring work
+    itself (|list ∩ probes| pairs) is identical either way — chunking
+    only redistributes it."""
     c = c.withColumn(
         "__ck", F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(num_chunks)).cast("int")
     )
