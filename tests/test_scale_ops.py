@@ -1201,6 +1201,57 @@ class TestLeakageSafeSplit:
         assert rows[3].split_key == 3 and not rows[3].moved
 
 
+class TestLeakageSafeSplitFuzz:
+    def test_random_corpora_match_oracle(self, spark):
+        """Randomized replica check: random corpora with planted dup
+        groups and decoy docs — the Spark entry and the DuckDB oracle
+        SQL (_LEAKAGE_SPLIT_SQL on the SAME rows) must agree row for
+        row, including the moved flags."""
+        import random
+
+        import duckdb
+        import pandas as pd
+        import unittest.mock as mock
+
+        from warpdb_spark.inventory import pipeline_ops as P
+        from warpdb_spark.inventory.pipeline_ops import _LEAKAGE_SPLIT_SQL
+
+        words = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon"
+        ).split()
+        for seed in range(6):
+            rng = random.Random(seed)
+            rows = []
+            ids = rng.sample(range(1, 400), 36)
+            i = 0
+            while i < len(ids):
+                gsize = rng.choice([1, 1, 2, 3])
+                gsize = min(gsize, len(ids) - i)
+                base = " ".join(rng.choices(words, k=14))
+                for j in range(gsize):
+                    # group members share the text verbatim (jaccard 1)
+                    rows.append(
+                        (ids[i + j], f"s{rng.randint(0, 2)}", len(base), base)
+                    )
+                i += gsize
+            pdf = pd.DataFrame(
+                rows, columns=["doc_id", "source", "n_chars", "text"]
+            )
+            con = duckdb.connect()
+            con.register("documents", pdf)
+            want = sorted(
+                tuple(r) for r in con.execute(_LEAKAGE_SPLIT_SQL).fetchall()
+            )
+            docs = spark.createDataFrame(pdf)
+            with mock.patch.object(P, "_t", lambda s, d, n: docs):
+                got = sorted(
+                    tuple(r)
+                    for r in P.reshape_leakage_safe_split(spark, "x").collect()
+                )
+            assert got == want, f"seed {seed}"
+
+
 class TestDedupLossBySource:
     def test_planted_loss(self, spark, monkeypatch):
         from warpdb_spark.inventory import pipeline_ops as P
