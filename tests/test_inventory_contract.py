@@ -249,6 +249,7 @@ def test_inventory_window_audit_matches_reviewed_exceptions(spark, sf_dir):
     from tools.audit_window_plans import (
         KNOWN_AGG_INPUT,
         KNOWN_COGROUP,
+        KNOWN_COLLECT,
         KNOWN_FLATMAP,
         KNOWN_OPAQUE,
         KNOWN_OPAQUE_KEYS,
@@ -301,6 +302,17 @@ def test_inventory_window_audit_matches_reviewed_exceptions(spark, sf_dir):
             f"cogroup keys for {n} diverge from the reviewed pin: "
             f"found {keys}, pinned {KNOWN_COGROUP[n]}"
         )
+    # collect tier (gated r12): every Aggregate with a value-buffer
+    # aggregate (collect_list/set, exact percentile/median/mode,
+    # listagg) must match the reviewed pins exactly — buffers never
+    # spill, so each pin documents the group-SIZE bound that makes it
+    # safe, and a fixed/respelled entry must be pruned.
+    collect = {n: set(c) for n, c in findings["collect"].items()}
+    assert collect == KNOWN_COLLECT, (
+        "value-buffer aggregates diverge from the reviewed list — new "
+        f"unreviewed collect/exact-percentile buffer or stale pin. "
+        f"findings={collect}"
+    )
 
 
 def test_chunk_column_name_minted_only_in_reviewed_files():

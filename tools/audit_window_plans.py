@@ -66,9 +66,24 @@ list for the ``raw`` tier; KNOWN_AGG_INPUT pins the reviewed
 ``agg_input`` entries; KNOWN_FLATMAP the reviewed per-group Python
 executors.
 
+Round-12 extensions (the two executor classes the r11 verdict and the
+r12 self-review found the audit blind to):
+
+- ``cogroup`` tier: ``FlatMapCoGroupsInPandas`` nodes (the
+  applyInPandas cogroup executor); keys are read from the child
+  Projects and ALL nodes are reported (a mapInArrow-minted key has no
+  in-plan definition for the alias classifier). KNOWN_COGROUP pins.
+- ``collect`` tier: Aggregate nodes whose output holds a value-buffer
+  aggregate (collect_list/collect_set, exact percentile/median/mode,
+  listagg). Buffers never spill, so group SIZE — not key cardinality
+  — is the question, and only review answers it: ALL such nodes are
+  reported by grouping-key name (``<global>`` for a whole-input
+  buffer) and gated against KNOWN_COLLECT.
+
 Usage: python tools/audit_window_plans.py [sf_dir]
 Exits 1 if any ``raw``-tier bounded-key window, bounded-key flatmap,
-or ``opaque``-key window falls outside its reviewed list.
+cogroup, value-buffer aggregate, or ``opaque``-key window falls
+outside its reviewed list.
 """
 
 from __future__ import annotations
@@ -92,6 +107,60 @@ KNOWN_RAW: dict[str, set[str]] = {
     # frame, not a corpus sort; the classifier can't see through the
     # Filter.
     "window_rank_family": {"l_returnflag"},
+}
+
+# Reviewed ``collect`` entries: Aggregate nodes whose output contains a
+# per-group VALUE-BUFFER aggregate (collect_list/collect_set, exact
+# percentile/median/mode, listagg) — the buffer holds the group's rows
+# and, unlike a window sort, never spills, so group SIZE (not key
+# cardinality) is the safety question and ONLY review can answer it
+# (a corpus-keyed collect with a heavy-tailed key OOMs exactly like a
+# bounded-keyed one). Every node is therefore reported by grouping-key
+# name and pinned here with its size bound (r12 tier — the same
+# blind-spot class the cogroup tier closed for Python executors).
+# Known limitation (shared with every tier): a collect BELOW a
+# persist()/checkpoint boundary hides inside InMemoryRelation — the
+# LSH-bucket collect is pinned via the entries whose plans show it
+# inline; the cluster-components consumers run the identical capped
+# pipeline behind their persist.
+KNOWN_COLLECT: dict[str, set[str]] = {
+    # Banded-LSH pair expansion: one list per (band, bucket), size
+    # capped at max_bucket_size by the anti-join AHEAD of the collect
+    # (operators/dedup.py:215-220) — the cap is the entire point.
+    "dedup_minhash_lsh": {"band", "bucket"},
+    "dedup_minhash_survivors": {"band", "bucket"},
+    "dedup_cross_modal_planted": {"band", "bucket"},
+    "dedup_cross_modal_verdict": {"band", "bucket"},
+    # Per-document token reassembly: group = one doc, buffer = that
+    # doc's kept tokens — bounded by document length.
+    "dedup_span_boilerplate": {"__id"},
+    # Per-(doc, phrase) RAKE phrase rebuild — bounded by phrase length.
+    "text_keywords_rake": {"doc_id", "phrase_id"},
+    # Per-user event strings: the rn <= 20 filter runs BEFORE the
+    # collect, so the buffer is <= 20 structs per user (the docstring
+    # calls out the unbounded-collect OOM it avoids).
+    "reshape_user_sequences": {"user_id"},
+    # Dialect STRING_AGG/ARRAY_AGG semantics demos over DIM tables
+    # (nation / orders priorities); the surface maps to Spark's
+    # collect-based aggregate by design — corpus-scale string_agg has
+    # the same contract in every SQL engine.
+    "dialect_string_agg": {"_groupingexpression", "n_regionkey"},
+    "dialect_array_agg": {"o_orderpriority"},
+    # Exact percentile/median demos over l_returnflag (§2.4 parity
+    # rows): the scale-safe twin is udaf_group_median_chunked
+    # (grouped_global_rank value-chunk rank selection); these stay
+    # pinned for the exact-aggregate SQL surface itself.
+    "agg_percentiles": {"l_returnflag"},
+    "agg_mode_median": {"l_returnflag"},
+    # The approx-sketch entry ALSO computes the exact p50/p90 as the
+    # oracle-comparable accuracy baseline — same demo class as above.
+    "agg_approx_percentile": {"l_returnflag"},
+    # Exact p50 per stratum: bounded group keys with corpus-sized
+    # groups — docstrings name the config swap (approx_percentile,
+    # same plan shape) for extreme per-key cardinalities; kept exact
+    # here so the oracle pins exact interpolation semantics.
+    "corpus_stats_by_stratum": {"lang", "source"},
+    "events_anomaly_mad": {"event_type"},
 }
 
 # Reviewed ``agg_input`` entries: window over an Aggregate whose
@@ -531,6 +600,56 @@ def parse_cogroups(plan: str) -> list[list[str]]:
     return out
 
 
+#: Per-group value-buffer aggregates (never spill; buffer ~ group
+#: size). Negative lookbehind keeps bounded SKETCH aggregates out:
+#: ``approx_percentile(`` / ``percentile_approx(`` don't match.
+_BUFFER_AGG_RE = re.compile(
+    r"(?<![A-Za-z_])(collect_list|collect_set|percentile|median|mode|listagg)\("
+)
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` group contents of a node body (depth-aware —
+    aggregate expressions nest brackets)."""
+    groups: list[str] = []
+    depth, start = 0, 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def parse_collects(plan: str) -> list[list[str]]:
+    """Grouping-key NAME lists of every Aggregate node whose output
+    contains a value-buffer aggregate (_BUFFER_AGG_RE). Logical
+    Aggregate toString is ``Aggregate [groupExprs], [outputExprs]``
+    (one list = global aggregate, reported as ``<global>`` — the
+    whole input in ONE buffer). Like the cogroup tier, ALL nodes are
+    reported by key name rather than cardinality-classified: a
+    collect buffer never spills, so group SIZE — knowable only by
+    review — is the safety question, and a corpus-keyed collect with
+    a heavy-tailed key is as dangerous as a bounded-keyed one."""
+    out: list[list[str]] = []
+    for line in plan.splitlines():
+        body = line.lstrip(" :+-")
+        if not body.startswith("Aggregate "):
+            continue
+        groups = _top_level_groups(body[len("Aggregate "):])
+        if not groups or not _BUFFER_AGG_RE.search(groups[-1]):
+            continue
+        if len(groups) == 1:
+            out.append(["<global>"])
+        else:
+            out.append(sorted(_key_name(t) for t in _split_top_level(groups[0])))
+    return out
+
+
 def parse_windows(plan: str) -> list[dict]:
     """Window nodes from an optimized-plan string, each with its
     partition columns and the node type of its IMMEDIATE child (the
@@ -575,7 +694,7 @@ def window_partition_findings(df, low_card: set[str]):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     findings: dict[str, list[str]] = {
         "raw": [], "agg_input": [], "groups_limited": [], "opaque": [],
-        "flatmap": [], "cogroup": [],
+        "flatmap": [], "cogroup": [], "collect": [],
     }
 
     def classify(cols: list[str]) -> tuple[str | None, list[str]]:
@@ -604,6 +723,8 @@ def window_partition_findings(df, low_card: set[str]):
             findings["opaque"].extend(labels)
     for keys in parse_cogroups(plan):
         findings["cogroup"].extend(keys)
+    for keys in parse_collects(plan):
+        findings["collect"].extend(keys)
     return findings
 
 
@@ -618,7 +739,10 @@ def audit(spark, sf_dir: str):
 
     q, _ = inventory.load_all()
     low_card = low_cardinality_columns(sf_dir)
-    tiers = ("raw", "agg_input", "groups_limited", "opaque", "flatmap", "cogroup")
+    tiers = (
+        "raw", "agg_input", "groups_limited", "opaque", "flatmap",
+        "cogroup", "collect",
+    )
     findings: dict[str, dict[str, list[str]]] = {t: {} for t in tiers}
     errors: dict[str, str] = {}
     try:
@@ -644,7 +768,10 @@ def main() -> int:
     findings, errors = audit(spark, sf_dir)
 
     print(f"# audited inventory at {sf_dir}")
-    for tier in ("raw", "agg_input", "groups_limited", "opaque", "flatmap", "cogroup"):
+    for tier in (
+        "raw", "agg_input", "groups_limited", "opaque", "flatmap",
+        "cogroup", "collect",
+    ):
         hits = findings[tier]
         print(f"# {tier}: {len(hits)} entries")
         for name, cols in sorted(hits.items()):
@@ -656,6 +783,10 @@ def main() -> int:
                 or (
                     tier == "cogroup"
                     and set(cols) <= KNOWN_COGROUP.get(name, set())
+                )
+                or (
+                    tier == "collect"
+                    and set(cols) <= KNOWN_COLLECT.get(name, set())
                 )
                 or (
                     tier == "opaque"
@@ -676,6 +807,7 @@ def main() -> int:
         ("raw", KNOWN_RAW),
         ("flatmap", KNOWN_FLATMAP),
         ("cogroup", KNOWN_COGROUP),
+        ("collect", KNOWN_COLLECT),
         ("opaque", KNOWN_OPAQUE),
     ):
         new = {}
@@ -693,8 +825,9 @@ def main() -> int:
             print(f"NOTE: reviewed {tier} entries no longer found (fixed? prune): {fixed}")
     if rc == 0:
         print(
-            "OK: no undocumented bounded-key window sorts or per-group "
-            "Python executors in the inventory"
+            "OK: no undocumented bounded-key window sorts, per-group "
+            "Python executors, or value-buffer aggregates in the "
+            "inventory"
         )
     return rc
 
