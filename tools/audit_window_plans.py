@@ -156,11 +156,13 @@ KNOWN_COLLECT: dict[str, set[str]] = {
     # oracle-comparable accuracy baseline — same demo class as above.
     "agg_approx_percentile": {"l_returnflag"},
     # Exact p50 per stratum: bounded group keys with corpus-sized
-    # groups — docstrings name the config swap (approx_percentile,
+    # groups — the docstring names the config swap (approx_percentile,
     # same plan shape) for extreme per-key cardinalities; kept exact
     # here so the oracle pins exact interpolation semantics.
+    # (events_anomaly_mad carried the same pin for one commit; its
+    # medians are now grouped_global_rank value-chunk selections —
+    # the tier's first driven fix.)
     "corpus_stats_by_stratum": {"lang", "source"},
-    "events_anomaly_mad": {"event_type"},
 }
 
 # Reviewed ``agg_input`` entries: window over an Aggregate whose
@@ -193,6 +195,11 @@ KNOWN_AGG_INPUT: dict[str, set[str]] = {
     "events_equidepth_quantiles": {"event_type"},
     "events_interarrival_profile": {"event_type"},
     "events_value_winsorize": {"event_type"},
+    # r12 respell (the collect tier's first driven fix): both MAD
+    # medians are grouped_global_rank value-chunk selections; the
+    # event_type window left is the prefix-offset stitch over one
+    # aggregated row per value chunk.
+    "events_anomaly_mad": {"event_type"},
     "agg_gini_by_segment": {"o_orderpriority"},
     "agg_weighted_median": {"event_type"},
     "window_distribution_functions": {"o_orderpriority"},

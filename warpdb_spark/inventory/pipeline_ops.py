@@ -608,25 +608,52 @@ def events_anomaly_mad(spark, sf_dir):
     """Robust per-key anomaly screen: median/MAD instead of mean/stddev,
     so a handful of extreme values cannot inflate the very threshold
     that is supposed to catch them (the classic failure of z-scores on
-    heavy-tailed data). Two grouped exact percentiles — the per-type
-    stat table stays tiny and broadcasts back — then a map-only scan
-    emitting the rounded robust score |v - median| / MAD. At 100 TB
-    this is still two partial-agg shuffles of events and zero Python;
-    for extreme per-key cardinalities swap percentile for
-    approx_percentile (same plan shape). The filter compares the
-    ROUNDED score so a boundary row cannot flip between the engines'
-    different median summation orders."""
+    heavy-tailed data). Both exact medians are rank selections via
+    ``grouped_global_rank`` value-chunks (the udaf_group_median_chunked
+    discipline, r12 — replacing the exact-``percentile`` aggregate
+    whose per-group value buffer the audit's collect tier flagged:
+    buffers never spill, and event_type is a bounded domain, so one
+    buffer held 1/|types| of events forever). Median = mean of the
+    values at ranks floor((n+1)/2) and floor(n/2)+1 — numpy/DuckDB
+    interpolation exactly; ``value`` is non-null in the events
+    contract, matching percentile's null-skipping. The per-type stat
+    table stays tiny and broadcasts back; the score emit is a
+    map-only scan. The filter compares the ROUNDED score so a
+    boundary row cannot flip between the engines' different median
+    summation orders."""
+    from warpdb_spark.operators.sequence import grouped_global_rank
+
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
-    )
-    mad = (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
-            F.min("med").alias("med"),
+
+    def _exact_median(df, col, out):
+        d = grouped_global_rank(
+            df,
+            "event_type",
+            [F.asc(col)],
+            F.floor(F.col(col) / 10.0).cast("long"),
+            rank_col="rk",
+            n_col="n",
         )
+        lo = F.floor((F.col("n") + 1) / 2)
+        hi = F.floor(F.col("n") / 2) + 1
+        return (
+            d.filter((F.col("rk") == lo) | (F.col("rk") == hi))
+            .groupBy("event_type")
+            .agg(F.avg(col).alias(out))
+        )
+
+    med = _exact_median(ev.select("event_type", "value"), "value", "med")
+    mad = (
+        _exact_median(
+            ev.join(F.broadcast(med), "event_type").select(
+                "event_type",
+                F.abs(F.col("value") - F.col("med")).alias("adev"),
+            ),
+            "adev",
+            "mad",
+        )
+        .join(F.broadcast(med), "event_type")
+        .select("event_type", "mad", "med")
     )
     return (
         ev.join(F.broadcast(mad), "event_type")
