@@ -155,14 +155,11 @@ KNOWN_COLLECT: dict[str, set[str]] = {
     # The approx-sketch entry ALSO computes the exact p50/p90 as the
     # oracle-comparable accuracy baseline — same demo class as above.
     "agg_approx_percentile": {"l_returnflag"},
-    # Exact p50 per stratum: bounded group keys with corpus-sized
-    # groups — the docstring names the config swap (approx_percentile,
-    # same plan shape) for extreme per-key cardinalities; kept exact
-    # here so the oracle pins exact interpolation semantics.
-    # (events_anomaly_mad carried the same pin for one commit; its
-    # medians are now grouped_global_rank value-chunk selections —
-    # the tier's first driven fix.)
-    "corpus_stats_by_stratum": {"lang", "source"},
+    # (corpus_stats_by_stratum and events_anomaly_mad carried
+    # corpus-sized-buffer pins for one commit each; both exact medians
+    # are now grouped_global_rank value-chunk rank selections — the
+    # tier's first driven fixes. Remaining pins are all capped
+    # buffers, per-doc groups, or dim-table demos.)
 }
 
 # Reviewed ``agg_input`` entries: window over an Aggregate whose
@@ -276,6 +273,13 @@ KNOWN_OPAQUE: dict[str, set[str]] = {
     # aggregated row per distinct length — the agg_input shape, filed
     # here only because the classifier can't bound the derived key.
     "pack_batches_bucketed": {"bucket"},
+    # __g = concat(lang, source) stratum key for the r12 p50 respell
+    # (grouped_global_rank value chunks): the corpus-scale rank runs
+    # within (__g, __chunk = exact token count); the bare-__g window
+    # is the offsets stitch over ONE aggregated row per (stratum,
+    # distinct token count) — agg_input shape, filed here because the
+    # concat key has no classifier-derivable bound.
+    "corpus_stats_by_stratum": {"__g"},
     # grp = doc_id % N with N corpus-scaled (max(8, ceil(n_docs/2048)),
     # _packing_input_scaled): ~2048 docs per group at any scale. The
     # classifier correctly refuses to bound a non-literal modulus;

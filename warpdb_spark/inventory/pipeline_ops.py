@@ -222,9 +222,19 @@ def dedup_span_boilerplate(spark, sf_dir):
 def corpus_stats_by_stratum(spark, sf_dir):
     """Corpus accounting per (lang, source) stratum — the report every
     training-data run starts and ends with: doc/token/char totals, mean
-    quality, and the exact token-count median. One partial-aggregated
-    shuffle on the (tiny) stratum key; every metric is a JVM built-in.
-    At 100 TB this is the same single pass it is here."""
+    quality, and the exact token-count median. The running aggregates
+    are one partial-aggregated shuffle on the (tiny) stratum key; the
+    exact p50 is a ``grouped_global_rank`` value-chunk rank selection
+    (r12, replacing the exact-``percentile`` aggregate the audit's
+    collect tier flagged: its per-group buffer never spills while the
+    stratum domain is bounded, so one buffer held a stratum's every
+    token count forever). Chunk = the token count itself (order-
+    monotone, ties share a chunk — exact for value-at-rank); median =
+    mean of ranks floor((n+1)/2) and floor(n/2)+1, the same
+    interpolation as percentile/DuckDB median. The two stratum-keyed
+    frames join broadcast — one row per stratum each."""
+    from warpdb_spark.operators.sequence import grouped_global_rank
+
     docs = _t(spark, sf_dir, "documents")
     enriched = docs.select(
         "lang",
@@ -233,12 +243,37 @@ def corpus_stats_by_stratum(spark, sf_dir):
         F.length("text").alias("n_chars"),
         T.quality_score(F.col("text")).alias("quality"),
     )
-    return enriched.groupBy("lang", "source").agg(
+    base = enriched.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.round(F.avg("quality"), 6).alias("mean_quality"),
-        F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+    )
+    ranked = grouped_global_rank(
+        enriched.select("lang", "source", "n_tokens").withColumn(
+            "__g", F.concat_ws("\x1f", "lang", "source")
+        ),
+        "__g",
+        [F.asc("n_tokens")],
+        F.col("n_tokens").cast("long"),
+        rank_col="rk",
+        n_col="n",
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor(F.col("n") / 2) + 1
+    p50 = (
+        ranked.filter((F.col("rk") == lo) | (F.col("rk") == hi))
+        .groupBy("lang", "source")
+        .agg(F.avg("n_tokens").alias("p50_tokens"))
+    )
+    return base.join(F.broadcast(p50), ["lang", "source"]).select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "mean_quality",
+        "p50_tokens",
     )
 
 
