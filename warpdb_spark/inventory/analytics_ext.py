@@ -17,15 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from warpdb_spark.sources.readers import ns_to_timestamp
+from warpdb_spark.sources.readers import cached_table, ns_to_timestamp
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return ns_to_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"), "ts")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # session-keyed metadata memo (r12): see sources.readers.cached_table
+    return cached_table(spark, sf_dir, name)
 
 
 # --- MERGE / upsert ----------------------------------------------------------

@@ -28,17 +28,11 @@ from warpdb_spark.api import WarpDB
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # the driver's session may not carry our session defaults — the
-        # ns-timestamp parquet needs this runtime-settable legacy conf
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # converted ts is TIMESTAMP_LTZ: pin UTC so wall times (and
-        # window/session boundaries) are session-TZ-independent
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        from warpdb_spark.sources.readers import ns_to_timestamp
+    # session-keyed metadata memo (r12): see sources.readers.cached_table
+    # (events keeps the defensive legacy-conf handling there)
+    from warpdb_spark.sources.readers import cached_table
 
-        return ns_to_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"), "ts")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return cached_table(spark, sf_dir, name)
 
 
 def _db(spark: SparkSession, sf_dir: str, *names: str) -> WarpDB:

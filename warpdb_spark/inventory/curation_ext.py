@@ -37,15 +37,12 @@ from warpdb_spark.functions.text import (
     translate_count,
 )
 from warpdb_spark.inventory.scale_ops import _user_edges
-from warpdb_spark.sources.readers import ns_to_timestamp
+from warpdb_spark.sources.readers import cached_table, ns_to_timestamp
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return ns_to_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"), "ts")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # session-keyed metadata memo (r12): see sources.readers.cached_table
+    return cached_table(spark, sf_dir, name)
 
 
 # --- inequality: Gini coefficient per group ----------------------------------

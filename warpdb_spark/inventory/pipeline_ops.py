@@ -22,7 +22,7 @@ from warpdb_spark.operators import dedup as D
 from warpdb_spark.operators import multimodal as M
 from warpdb_spark.operators import similarity as S
 from warpdb_spark.operators.asof import asof_join, range_join
-from warpdb_spark.sources.readers import ns_to_timestamp
+from warpdb_spark.sources.readers import cached_table, ns_to_timestamp
 from warpdb_spark.streaming.windows import (
     interval_join,
     session_window_agg,
@@ -32,14 +32,8 @@ from warpdb_spark.streaming.windows import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # defensive: works under any session (see core_sql._t)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # converted ts is TIMESTAMP_LTZ: pin UTC so wall times (and
-        # window/session boundaries) are session-TZ-independent
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return ns_to_timestamp(spark.read.parquet(f"{sf_dir}/{name}.parquet"), "ts")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # session-keyed metadata memo (r12): see sources.readers.cached_table
+    return cached_table(spark, sf_dir, name)
 
 
 # DuckDB fragments shared by several oracles. The normalizer is the

@@ -417,20 +417,33 @@ def tpch_q21_single_return_supplier(spark, sf_dir):
     and shuffled ONCE; the old second branch re-scanned lineitem,
     re-joined it to the qualifying orders, and de-duplicated, for
     rows the first aggregation already saw (r12: ~28% faster at
-    sf0.1, identical output)."""
-    li = _t(spark, sf_dir, "lineitem")
+    sf0.1, identical output).
+
+    The two COUNT(DISTINCT) + MAX(CASE) trio is spelled as a
+    two-level aggregation — (l_orderkey, l_suppkey) first, then
+    l_orderkey — instead of the planner's multi-distinct Expand plan,
+    which triples every joined lineitem row (one replica per distinct
+    aggregate) before the first shuffle. The explicit spelling
+    shuffles each row once and drops the Expand; the NULL semantics
+    of COUNT(DISTINCT …) (nulls skipped) are reproduced by the
+    pushed-down l_suppkey IS NOT NULL filter, so the output is
+    bit-identical."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey").isNotNull())
     finished = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    order_stats = (
+    per_supp = (
         li.join(
             finished.select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("l_returnflag") == "R").alias("__has_r"))
+    )
+    order_stats = (
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("__n_supp"),
-            F.countDistinct(ret_supp).alias("__n_ret_supp"),
-            F.max(ret_supp).alias("__ret_supp"),
+            F.count(F.lit(1)).alias("__n_supp"),
+            F.sum(F.when(F.col("__has_r"), 1).otherwise(0)).alias("__n_ret_supp"),
+            F.max(F.when(F.col("__has_r"), F.col("l_suppkey"))).alias("__ret_supp"),
         )
         .filter((F.col("__n_supp") > 1) & (F.col("__n_ret_supp") == 1))
     )

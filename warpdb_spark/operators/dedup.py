@@ -159,76 +159,75 @@ def _pairs_from_shingles(
     exploded = shingles.select(
         "__id", F.explode("__sh").alias("__g")
     ).select("__id", F.xxhash64("__g").alias("__g64"))
+    # One SQL-parsed aggregate expression instead of 64 Column-API agg
+    # columns (r12): building min(xxhash64(lit, col)) via the Python
+    # Column API costs ~4 py4j round trips per seed — measured 0.83s of
+    # pure driver-side construction per invocation at num_hashes=64.
+    # The SQL string parses server-side in one call. Seed literals stay
+    # INTEGER (SQL `0`..`63` ≡ F.lit(int)) so xxhash64 values — and
+    # therefore signatures, bands, and candidate sets — are
+    # bit-identical to the Column spelling.
+    mins = ", ".join(f"min(xxhash64({s}, __g64))" for s in range(num_hashes))
     sig = (
         exploded.groupBy("__id")
-        .agg(*[F.min(F.xxhash64(F.lit(s), F.col("__g64"))).alias(f"__h{s}") for s in range(num_hashes)])
-        .select("__id", F.array(*[f"__h{s}" for s in range(num_hashes)]).alias("__sig"))
+        .agg(F.expr(f"array({mins})").alias("__sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # eager materialization: the banding self-join consumes `sig` from
     # three branches of ONE job — without this the cache is cold and the
     # signature stage runs three times concurrently.
     sig.count()
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # hash the band slice DIRECTLY as array<long> —
-                        # the previous concat_ws spelling stringified 4
-                        # longs per band per doc (measured ~15% of the
-                        # candidate path at sf0.1). Equal slices still
-                        # hash equal, so collision-free the output is
-                        # unchanged. An accidental cross-class collision
-                        # (~2^-64/pair) usually only ADDS candidates that
-                        # exact verification drops — but it can also
-                        # merge two buckets past max_bucket_size and
-                        # drop TRUE pairs with them, so the unchanged-
-                        # output claim is probabilistic, not strict.
-                        F.xxhash64(
-                            F.lit(b), F.slice("__sig", b * rows + 1, rows)
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("__id", "bb.band", "bb.bucket")
-    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    banded = banded.join(
-        F.broadcast(counts.filter(F.col("n") > max_bucket_size)),
-        ["band", "bucket"],
-        "left_anti",
+    # Band hashing as one SQL-parsed explode (r12 construction-cost
+    # twin of the signature expr above; same bit-identical-literal
+    # argument). The slice is hashed DIRECTLY as array<long> — the
+    # pre-r11 concat_ws spelling stringified 4 longs per band per doc
+    # (measured ~15% of the candidate path at sf0.1). Equal slices
+    # still hash equal, so collision-free the output is unchanged. An
+    # accidental cross-class collision (~2^-64/pair) usually only ADDS
+    # candidates that exact verification drops — but it can also merge
+    # two buckets past max_bucket_size and drop TRUE pairs with them,
+    # so the unchanged-output claim is probabilistic, not strict.
+    band_structs = ", ".join(
+        f"struct({b} as band, xxhash64({b}, slice(__sig, {b * rows + 1}, {rows})) as bucket)"
+        for b in range(bands)
     )
-    # Pair expansion as ONE groupBy + HOF comb2 instead of the bucket
-    # self-join (r11, measured ~18% faster on the pair stage at sf0.1
-    # with an identical pair set): collect each surviving bucket's ids
-    # — a doc emits exactly one bucket per band, so the list is
-    # duplicate-free — sort, and emit the i<j combinations with nested
-    # array transforms (codegen'd; id_a < id_b falls out of the sort).
-    # The self-join spelled the same work as TWO shuffle reads of the
-    # banded frame plus a join; this is one shuffle. The collect runs
-    # AFTER the bucket-size cap, so a list is ≤ max_bucket_size ids
-    # (the hot-bucket OOM the cap exists to prevent stays prevented).
+    banded = sig.select(
+        "__id", F.expr(f"explode(array({band_structs}))").alias("bb")
+    ).select("__id", "bb.band", "bb.bucket")
+    # Bucket-size cap as a WINDOW COUNT over (band, bucket) instead of
+    # the r11 counts-aggregate + broadcast anti-join (r12, measured
+    # ~2.9x faster on the pair stage at sf0.1 with an identical pair
+    # set): the old spelling shuffled the banded frame TWICE (once into
+    # the counts aggregate, once into the collect) plus a broadcast
+    # materialization barrier; the window count rides the SAME single
+    # (band, bucket) exchange the collect needs, so the whole candidate
+    # path is one shuffle. Scale safety is preserved: WindowExec's
+    # group buffer spills to disk (a degenerate boilerplate bucket
+    # costs spill I/O, never an OOM), the filter drops hot buckets
+    # BEFORE the collect, so the collect_list buffer stays ≤
+    # max_bucket_size ids — the invariant the cap exists to guarantee.
+    w = Window.partitionBy("band", "bucket")
+    banded = banded.withColumn("__n", F.count(F.lit(1)).over(w)).filter(
+        F.col("__n") <= max_bucket_size
+    )
+    # Pair expansion as ONE groupBy + comb2 explode (r11): collect each
+    # surviving bucket's ids — a doc emits exactly one bucket per band,
+    # so the list is duplicate-free — sort, and emit the i<j
+    # combinations (codegen'd; id_a < id_b falls out of the sort). The
+    # nested-transform comb2 is SQL-parsed in one call (r12
+    # construction-cost fix; identical expression tree).
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list("__id").alias("ids"))
         .filter(F.size("ids") >= 2)
         .select(F.array_sort("ids").alias("ids"))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        buckets.selectExpr(
+            "explode(flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x as id_a, y as id_b))))) as p"
+        )
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -399,7 +398,10 @@ def lsh_verified_pairs(
     shingles = _shingle_frame(df, id_col, text_col, shingle_size).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    shingles.count()
+    # No eager count here (r12): the signature materialization inside
+    # _pairs_from_shingles scans this frame as its only input, which
+    # populates the shingle cache en route — one blocking job instead
+    # of two. The later jaccard joins read the warm cache.
     pairs = _pairs_from_shingles(shingles, num_hashes, bands, max_bucket_size)
     out = _jaccard_from_shingles(shingles, pairs)
     if threshold is not None:

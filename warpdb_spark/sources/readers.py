@@ -110,6 +110,57 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).parquet(path)
 
 
+#: (applicationId, path, mtime_ns, size) -> lazy reader DataFrame.
+#: METADATA memo only — see :func:`cached_table`.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cached_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Session-keyed memo of the lazy reader DataFrame for one of the
+    benchmark tables (r12 optimization, guide §1/§6 measurement).
+
+    Every ``spark.read.parquet`` costs ~0.1s on this sandbox: a driver
+    round trip, a fresh InMemoryFileIndex, and a one-task footer-read
+    job for schema inference. A bench pass constructs ~30 table reads,
+    so repeated entry construction pays ~3s of pure metadata work per
+    pass. This memo caches the *unresolved scan plan + schema* — never
+    data, never results: execution always re-reads the parquet file.
+    The key carries the Spark applicationId (a new session misses — the
+    stale-session failure mode the r11 advice flagged for the scale_ops
+    caches) and the file's mtime/size (a rewritten file misses). Paths
+    the local os.stat cannot see (hdfs://, s3://) skip the memo
+    entirely and behave exactly as before.
+
+    ``events`` keeps its historical handling: the ns-timestamp legacy
+    conf is (re)applied per call — conf.set is idempotent and cheap —
+    and the cached frame is the post-``ns_to_timestamp`` projection.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        st = os.stat(path)
+        app_id = spark.sparkContext.applicationId
+        key = (app_id, path, st.st_mtime_ns, st.st_size)
+    except Exception:  # noqa: BLE001 — non-local path / stopped context
+        key = None
+    if key is not None:
+        hit = _TABLE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    df = spark.read.parquet(path)
+    if name == "events":
+        df = ns_to_timestamp(df, "ts")
+    if key is not None:
+        # evict other sessions' entries so a long test run never holds
+        # DataFrames bound to stopped SparkContexts
+        for k in [k for k in _TABLE_CACHE if k[0] != key[0]]:
+            del _TABLE_CACHE[k]
+        _TABLE_CACHE[key] = df
+    return df
+
+
 def ns_to_timestamp(df: DataFrame, *cols: str) -> DataFrame:
     """Normalize event-time columns to session-TZ TIMESTAMP regardless of
     how the parquet stored them. Schema-adaptive on the column's actual
