@@ -145,7 +145,6 @@ def _pairs_from_shingles(
 ) -> DataFrame:
     """Banded-MinHash candidate pairs from a (cached) shingle frame."""
     rows = num_hashes // bands
-    from pyspark import StorageLevel
 
     # Signature build: explode shingles → 64 parallel min-aggregates.
     # The per-shingle hashing then runs inside whole-stage codegen
@@ -168,15 +167,13 @@ def _pairs_from_shingles(
     # therefore signatures, bands, and candidate sets — are
     # bit-identical to the Column spelling.
     mins = ", ".join(f"min(xxhash64({s}, __g64))" for s in range(num_hashes))
-    sig = (
-        exploded.groupBy("__id")
-        .agg(F.expr(f"array({mins})").alias("__sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # eager materialization: the banding self-join consumes `sig` from
-    # three branches of ONE job — without this the cache is cold and the
-    # signature stage runs three times concurrently.
-    sig.count()
+    # No persist and no eager count on the signature frame (r12): since
+    # the window-count bucket cap made the candidate path LINEAR, `sig`
+    # has exactly one consumer (the banding explode below), so the r11
+    # persist+count — a full blocking job plus a cache materialization
+    # of 64 longs/doc — bought nothing. The signature aggregate now
+    # chains straight into the (band, bucket) exchange in one query.
+    sig = exploded.groupBy("__id").agg(F.expr(f"array({mins})").alias("__sig"))
     # Band hashing as one SQL-parsed explode (r12 construction-cost
     # twin of the signature expr above; same bit-identical-literal
     # argument). The slice is hashed DIRECTLY as array<long> — the
@@ -398,10 +395,14 @@ def lsh_verified_pairs(
     shingles = _shingle_frame(df, id_col, text_col, shingle_size).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # No eager count here (r12): the signature materialization inside
-    # _pairs_from_shingles scans this frame as its only input, which
-    # populates the shingle cache en route — one blocking job instead
-    # of two. The later jaccard joins read the warm cache.
+    # One eager map-only materialization (r12): the main query consumes
+    # this cache from THREE branches (signature build + both jaccard
+    # join sides) whose leaf stages have no parents, so in a single job
+    # a cold cache would be computed up to three times concurrently —
+    # at 100 TB that is two extra full scans of the text column. This
+    # count is the only blocking pre-job left on the LSH path (the
+    # signature frame no longer persists — see _pairs_from_shingles).
+    shingles.count()
     pairs = _pairs_from_shingles(shingles, num_hashes, bands, max_bucket_size)
     out = _jaccard_from_shingles(shingles, pairs)
     if threshold is not None:
