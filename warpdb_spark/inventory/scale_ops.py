@@ -54,6 +54,10 @@ def _nulls_last_value_chunk(col: str = "value"):
     )
 
 
+#: (applicationId, sf_dir)-keyed persisted edge list — see _user_edges.
+_user_edges_cache: dict = {}
+
+
 def _user_edges(spark, sf_dir):
     """Undirected canonical user-interaction edges — consecutive users
     within an event_type (linear construction), self-loops dropped,
@@ -70,20 +74,37 @@ def _user_edges(spark, sf_dir):
     — at 100 TB one task would hold ~20% of all events. Chunked, the
     heavy window is partitioned by (event_type, hour) — cardinality
     grows with the data — and the boundary stitch runs over one
-    aggregated row per (type, hour)."""
+    aggregated row per (type, hour).
+
+    Persisted behind a session-keyed cache (r12, guide §5): graph
+    entries reference the edge list from several plan branches (the
+    triangle orientation alone reads it five times), and without a
+    cache Catalyst REPLICATES this whole multi-shuffle derivation per
+    reference — graph_triangle_count's pre-fix plan held 90 copies of
+    the events scan. One eager materialization per (applicationId,
+    sf_dir) truncates every consumer's plan at an InMemoryTableScan;
+    a session restart or a different sf_dir misses and rebuilds."""
     from warpdb_spark.operators.sequence import grouped_lead_pairs, hour_chunk
 
+    edge_key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_keyed_cache(_user_edges_cache, edge_key)
+    if _user_edges_cache.get("key") == edge_key:
+        return _user_edges_cache["df"]
     ev = _t(spark, sf_dir, "events")
     nx = grouped_lead_pairs(
         ev, "event_type", ["ts", "event_id"], "user_id", hour_chunk("ts")
     )
-    return (
+    edges = (
         nx.filter(F.col("dst") != F.col("src"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        .persist()
     )
+    edges.count()
+    _user_edges_cache.update(key=edge_key, df=edges)
+    return edges
 
 
 # --- graph: triangle counting ------------------------------------------------
@@ -637,7 +658,7 @@ def graph_adamic_adar(spark, sf_dir):
     self-join on the center key, one (pair) aggregation, one anti-join
     against the edge list.
     """
-    edges = _user_edges(spark, sf_dir).persist()
+    edges = _user_edges(spark, sf_dir)  # already session-cached
     directed = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).select(F.col("a").alias("z"), F.col("b").alias("nbr"))

@@ -31,6 +31,8 @@ def triangle_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFra
     ``src < dst`` canonical form and no self-loops. Returns
     ``(id, n_triangles)`` for every node in at least one triangle.
     """
+    from pyspark import StorageLevel
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     deg = (
         e.select(F.col("a").alias("id"))
@@ -47,7 +49,16 @@ def triangle_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFra
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager materialization (r12, guide §5): `oriented` feeds THREE plan
+    # branches (both wedge sides + the closing join). Un-persisted,
+    # Catalyst replicated the entire upstream — edge derivation, degree
+    # aggregation, orientation joins — once per reference, compounding
+    # to 90 copies of the input scan in graph_triangle_count's physical
+    # plan. One O(m)-row cache truncates all of it; the three consumer
+    # branches are parentless stages of one job, so without the eager
+    # count a cold cache would still be computed concurrently.
+    oriented.count()
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # wedges out of the lowest-order corner, far endpoints in order
     wedges = o1.join(o2, F.col("o1.u") == F.col("o2.u")).filter(
