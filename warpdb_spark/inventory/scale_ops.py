@@ -86,11 +86,23 @@ def _user_edges(spark, sf_dir):
     a session restart or a different sf_dir misses and rebuilds."""
     from warpdb_spark.operators.sequence import grouped_lead_pairs, hour_chunk
 
-    edge_key = (spark.sparkContext.applicationId, sf_dir)
+    # The key carries the ANALYZED-PLAN semantic hash of the events
+    # frame, not just (session, sf_dir): sf_dir names the data only
+    # when _t actually reads it — tests (and any caller) can inject a
+    # different frame under the same sf_dir, and a (session, sf_dir)
+    # key would then serve a stale persisted edge list built from the
+    # previous frame. semanticHash is one py4j call on an
+    # already-analyzed plan; for the production reader the plan is the
+    # same relation per (session, sf_dir), so the cache still hits.
+    ev = _t(spark, sf_dir, "events")
+    edge_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        ev._jdf.queryExecution().analyzed().semanticHash(),
+    )
     _evict_keyed_cache(_user_edges_cache, edge_key)
     if _user_edges_cache.get("key") == edge_key:
         return _user_edges_cache["df"]
-    ev = _t(spark, sf_dir, "events")
     nx = grouped_lead_pairs(
         ev, "event_type", ["ts", "event_id"], "user_id", hour_chunk("ts")
     )
