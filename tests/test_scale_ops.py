@@ -1390,3 +1390,23 @@ class TestKeyedCacheSlots:
         scale_ops.reshape_global_ordinal(spark, sf_dir)
         assert scale_ops._prefix_parts_cache.get("key") == live_key
         scale_ops._prefix_parts_cache.clear()
+
+    def test_clear_cache_rebuilds_unpersisted_hit(self, spark, sf_dir):
+        """r12: ``spark.catalog.clearCache()`` unpersists the cached
+        frame behind the dict's back; a same-key hit must then REBUILD
+        (and re-persist) instead of serving the unpersisted frame —
+        serving it silently reverts every consumer to the replicated
+        multi-shuffle derivation (and the audit then reads a
+        pathological snapshot of it inside downstream cached plans)."""
+        scale_ops._user_edges_cache.clear()
+        first = scale_ops._user_edges(spark, sf_dir)
+        assert first.storageLevel.useMemory
+        spark.catalog.clearCache()
+        # precondition: cleared behind our back (NB is_cached stays
+        # stale-True here — storageLevel consults the cache manager)
+        assert not first.storageLevel.useMemory
+        second = scale_ops._user_edges(spark, sf_dir)
+        assert second.storageLevel.useMemory  # rebuilt + re-persisted
+        assert scale_ops._user_edges_cache.get("df") is second
+        scale_ops._user_edges_cache.clear()
+        second.unpersist()

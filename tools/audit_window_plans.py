@@ -377,13 +377,19 @@ def _node_depth(line: str) -> int:
 # Sort <- Exchange <- <real input>.
 _PASS_THROUGH = (
     "Sort ", "Sort[", "Exchange", "ShuffleQueryStage", "AQEShuffleRead",
-    "InputAdapter", "WholeStageCodegen", "ColumnarToRow", "ReusedExchange",
+    "InputAdapter", "WholeStageCodegen", "ColumnarToRow",
     "Project", "Filter", "InMemoryRelation", "InMemoryTableScan",
+    # AQE stage wrappers print their subtree inline — walk straight in
+    # (ReusedExchange is NOT here: it is a leaf REFERENCE, resolved by
+    # the plan_id jump in _meaningful_child)
+    "TableCacheQueryStage", "BroadcastQueryStage", "ResultQueryStage",
     # a stacked Window preserves row count — the sort-input question is
     # about what ultimately feeds the stack (e.g. prefix-offset chains
     # compute O then P over the same per-chunk aggregate)
     "Window [",
 )
+
+_PLAN_ID_RE = re.compile(r"\[plan_id=(\d+)\]")
 
 
 def _strip_codegen(body: str) -> str:
@@ -402,19 +408,47 @@ def _meaningful_child(lines: list[str], i: int) -> str:
     window_rank_family — but that stays a human review call in
     KNOWN_RAW, not an automatic pass)."""
     depth = _node_depth(lines[i])
-    for nxt in lines[i + 1 :]:
+    j = i + 1
+    jumped: set[str] = set()
+    while j < len(lines):
+        nxt = lines[j]
         if not nxt.strip():
+            j += 1
             continue
         d = _node_depth(nxt)
         if d <= depth:
             return ""
         body = _strip_codegen(nxt.lstrip(" :+-"))
+        # ReusedExchange is a LEAF that references another Exchange by
+        # plan_id (its subtree prints only at the original site). A
+        # cached AQE physical plan routinely puts one directly under a
+        # Window's Sort — treating it as an ordinary dead-end would
+        # classify the window by a child we simply didn't follow. Jump
+        # to the referenced exchange and keep walking from there.
+        if body.startswith("ReusedExchange"):
+            m = _PLAN_ID_RE.search(body)
+            target = m.group(1) if m else None
+            if target and target not in jumped:
+                jumped.add(target)
+                for k, cand in enumerate(lines):
+                    cb = _strip_codegen(cand.lstrip(" :+-"))
+                    if cb.startswith(("Exchange", "BroadcastExchange")) and (
+                        f"[plan_id={target}]" in cb
+                    ):
+                        depth = _node_depth(cand)
+                        j = k + 1
+                        break
+                else:
+                    return body  # target not printed: report the reference
+                continue
+            return body
         # Filter is pass-through only while hunting the input; an
         # Aggregate/WindowGroupLimit behind filters still classifies.
         # (InMemoryRelation/InMemoryTableScan are in _PASS_THROUGH too:
         # the cached plan prints inside them, so we walk straight in.)
         if body.startswith(_PASS_THROUGH):
             depth = d
+            j += 1
             continue
         return body
     return ""

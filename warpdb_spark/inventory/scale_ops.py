@@ -100,9 +100,9 @@ def _user_edges(spark, sf_dir):
         sf_dir,
         ev._jdf.queryExecution().analyzed().semanticHash(),
     )
-    _evict_keyed_cache(_user_edges_cache, edge_key)
-    if _user_edges_cache.get("key") == edge_key:
-        return _user_edges_cache["df"]
+    hit = _keyed_cache_hit(_user_edges_cache, edge_key)
+    if hit is not None:
+        return hit
     nx = grouped_lead_pairs(
         ev, "event_type", ["ts", "event_id"], "user_id", hour_chunk("ts")
     )
@@ -1570,6 +1570,32 @@ def _evict_keyed_cache(cache: dict, key) -> None:
         cache.clear()
 
 
+def _keyed_cache_hit(cache: dict, key):
+    """Evict on key change, then return the cached frame ONLY if it is
+    still actually persisted. ``spark.catalog.clearCache()`` (tests,
+    co-tenants of the session) unpersists the frame behind the dict's
+    back; serving it un-persisted silently reverts every consumer to
+    the replicated multi-shuffle derivation the cache exists to
+    truncate (results stay correct, the plan goes pathological — and
+    downstream per-call persists then snapshot that pathological tree
+    into their own cached plans). ``storageLevel`` consults the live
+    cache manager (``is_cached`` does NOT — it stays True after
+    clearCache); one py4j call, no job. Returns None on any miss; the
+    caller rebuilds and re-registers."""
+    _evict_keyed_cache(cache, key)
+    if cache.get("key") != key:
+        return None
+    df = cache["df"]
+    try:
+        lvl = df.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            return df
+    except Exception:  # noqa: BLE001 — dead context: rebuild below
+        pass
+    cache.clear()
+    return None
+
+
 def _partition_prefix_offsets(df: DataFrame, measure, cache_key):
     """Shared two-phase prefix-sum scaffolding (reshape_global_ordinal /
     shard_assign_bytes) — the DataFrame zipWithIndex: range-repartition
@@ -1597,9 +1623,9 @@ def _partition_prefix_offsets(df: DataFrame, measure, cache_key):
     # to the STOPPED SparkContext and fail at use time — a new app id
     # misses (and evicts) instead.
     cache_key = (df.sparkSession.sparkContext.applicationId, cache_key)
-    _evict_keyed_cache(_prefix_parts_cache, cache_key)
-    if _prefix_parts_cache.get("key") == cache_key:
-        parts = _prefix_parts_cache["df"]
+    hit = _keyed_cache_hit(_prefix_parts_cache, cache_key)
+    if hit is not None:
+        parts = hit
     else:
         n_parts = max(8, df.rdd.getNumPartitions())
         parts = df.repartitionByRange(n_parts, "doc_id").withColumn(
@@ -2272,9 +2298,9 @@ def graph_label_propagation(spark, sf_dir):
     # _partition_prefix_offsets — a restart must miss, not hand back a
     # frame persisted on the stopped context.
     edge_key = (spark.sparkContext.applicationId, sf_dir)
-    _evict_keyed_cache(_lpa_edge_cache, edge_key)
-    if _lpa_edge_cache.get("key") == edge_key:
-        directed = _lpa_edge_cache["df"]
+    hit = _keyed_cache_hit(_lpa_edge_cache, edge_key)
+    if hit is not None:
+        directed = hit
     else:
         E = _user_edges(spark, sf_dir)
         directed = (
