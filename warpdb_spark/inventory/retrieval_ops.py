@@ -487,10 +487,20 @@ def search_eval_ndcg(spark, sf_dir):
     fused = search_hybrid_rrf(spark, sf_dir)
     w_pos = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
     cand = fused.select("doc_id", F.row_number().over(w_pos).alias("pos"))
+    # Persist the ≤20-row candidate frame (r12, guide §5): it feeds
+    # TWO parentless branches (the count-ahead broadcast and the rank
+    # assembly), and the final DCG/ideal-DCG join references the rank
+    # assembly TWICE more — un-persisted, Catalyst replicated the
+    # ENTIRE upstream (the hybrid-RRF fusion pipeline and the
+    # corpus-cosine scan) once per reference: 29 Exchanges / 6 corpus
+    # scans in the optimized plan for a 20-row eval table. Two
+    # bounded eager materializations truncate every copy; at 100 TB
+    # each avoided copy is a full corpus scan + fusion recompute.
     cc = cand.join(
         scored.select(F.col("vec_id").alias("doc_id"), F.col("cos").alias("c_cos")),
         "doc_id",
-    )
+    ).persist()
+    cc.count()
     ahead = (
         scored.crossJoin(
             F.broadcast(cc.select(F.col("doc_id").alias("c_id"), "c_cos"))
@@ -502,11 +512,16 @@ def search_eval_ndcg(spark, sf_dir):
         .groupBy("c_id")
         .agg(F.count(F.lit(1)).alias("n_ahead"))
     )
-    rk = cc.join(ahead, cc.doc_id == ahead.c_id, "left").select(
-        "doc_id",
-        "pos",
-        (F.coalesce("n_ahead", F.lit(0)) + 1).cast("int").alias("exact_rank"),
+    rk = (
+        cc.join(ahead, cc.doc_id == ahead.c_id, "left")
+        .select(
+            "doc_id",
+            "pos",
+            (F.coalesce("n_ahead", F.lit(0)) + 1).cast("int").alias("exact_rank"),
+        )
+        .persist()  # ≤20 rows; both the DCG and ideal-DCG branches read it
     )
+    rk.count()
     rel = (
         F.when(F.col("exact_rank") <= 5, 3)
         .when(F.col("exact_rank") <= 10, 2)
