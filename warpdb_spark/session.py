@@ -32,6 +32,15 @@ _DEFAULT_CONF = {
     # convert at load (sources.readers.ns_to_timestamp).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # PySpark 4 wraps every DataFrame/Column API call to capture the
+    # Python call site for error context (pyspark.errors.utils._with_origin):
+    # ~3 py4j round trips + an inspect stack walk PER CALL, all driver-
+    # side plan-construction overhead (guide §1.3). Measured across the
+    # 15 headline queries: construction 1933ms -> 1030ms with it off
+    # (tpch_q3 237->68ms, q5 225->60ms). Query semantics and error
+    # classes are unchanged — errors just drop the per-call origin
+    # line. Flip to "true" when debugging a DataFrame-API error.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
