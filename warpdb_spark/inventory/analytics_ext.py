@@ -1344,26 +1344,14 @@ def stream_dedup_rate_by_batch(spark, sf_dir):
 _PSI_BATCH = 250  # events per ingest micro-batch in the replay
 
 
-def stream_psi_drift_by_batch(spark, sf_dir):
-    """PSI drift per ingest micro-batch vs the FIRST batch — the
-    streaming twin of ``events_psi_value_drift``, marrying the drift
-    triangle with §2.9: a feature pipeline scores every arriving batch
-    of purchase values against its standing baseline and alerts on the
-    credit-scoring thresholds (0.1 / 0.25). Batches replay arrival
-    order as event_id // 250 (the ``stream_dedup_rate_by_batch``
-    convention); batch 0 is the baseline, batches ≥ 1 are scored.
-
-    The entry runs the batch-identical plan: ONE map-side-combined
-    groupBy collapses the corpus to (batch × $25-bucket) integer
-    counts; the baseline bucket table and the batch totals are
-    value-domain / batch-count bounded, so every join below the
-    count collapse is a broadcast. PSI terms are micro-snapped
-    integers before the sum and either-side-empty buckets are counted
-    in n_buckets_zero, not epsilon-fudged (the
-    ``events_psi_value_drift`` discipline). The LIVE stream is
-    streaming/drift.py::attach_psi_monitor (foreachBatch + idempotent
-    per-batch parquet), pytest-pinned to emit the identical PSI rows
-    across real micro-batches (tests/test_streaming.py)."""
+def _drift_cents_counts(spark, sf_dir):
+    """(batch_id, cents, n) ingest-replay counts shared by the drift
+    legs: ONE map-side-combined groupBy collapses the corpus to
+    per-batch integer-cent counts — the only corpus-sized stage either
+    leg needs. PSI's $25 buckets regroup EXACTLY from cents
+    (bucket = floor(cents/2500), and summing finer partial counts is
+    the same integer count), so the unified entry derives both legs
+    from one scan."""
     ev = _t(spark, sf_dir, "events").filter(
         (F.col("event_type") == "purchase")
         & F.col("value").isNotNull()
@@ -1372,11 +1360,19 @@ def stream_psi_drift_by_batch(spark, sf_dir):
     cents = F.round(F.col("value") * 100, 0).cast("long")
     rows = ev.select(
         F.floor(F.col("event_id") / _PSI_BATCH).alias("batch_id"),
-        F.floor(cents / 2500).alias("bucket"),
+        cents.alias("cents"),
     )
-    counts = rows.groupBy("batch_id", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    return rows.groupBy("batch_id", "cents").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _psi_from_counts(counts):
+    """PSI leg body over a precomputed (batch_id, bucket, n) frame.
+
+    ``counts`` has MANY parentless consumers below (base appears in the
+    grid build, the j join, and tot_b; cur in the grid union, j, and
+    tot_c) — left inline (the r12 state) each reference re-scanned
+    events and re-ran the corpus aggregation (6 scans in the live
+    plan), so callers persist ``counts`` before passing it in."""
     base = counts.filter(F.col("batch_id") == 0).select(
         "bucket", F.col("n").alias("n_b")
     )
@@ -1429,7 +1425,60 @@ def stream_psi_drift_by_batch(spark, sf_dir):
     )
 
 
-def stream_ks_drift_by_batch(spark, sf_dir):
+def stream_psi_drift_by_batch(spark, sf_dir, cents_counts=None):
+    """PSI drift per ingest micro-batch vs the FIRST batch — the
+    streaming twin of ``events_psi_value_drift``, marrying the drift
+    triangle with §2.9: a feature pipeline scores every arriving batch
+    of purchase values against its standing baseline and alerts on the
+    credit-scoring thresholds (0.1 / 0.25). Batches replay arrival
+    order as event_id // 250 (the ``stream_dedup_rate_by_batch``
+    convention); batch 0 is the baseline, batches ≥ 1 are scored.
+
+    The entry runs the batch-identical plan: ONE map-side-combined
+    groupBy collapses the corpus to (batch × $25-bucket) integer
+    counts; the baseline bucket table and the batch totals are
+    value-domain / batch-count bounded, so every join below the
+    count collapse is a broadcast. PSI terms are micro-snapped
+    integers before the sum and either-side-empty buckets are counted
+    in n_buckets_zero, not epsilon-fudged (the
+    ``events_psi_value_drift`` discipline). The LIVE stream is
+    streaming/drift.py::attach_psi_monitor (foreachBatch + idempotent
+    per-batch parquet), pytest-pinned to emit the identical PSI rows
+    across real micro-batches (tests/test_streaming.py).
+
+    ``cents_counts`` (r13): an optional precomputed — and persisted —
+    ``(batch_id, cents, n)`` frame from ``_drift_cents_counts``; the
+    $25 buckets regroup from it exactly (integer partial counts sum to
+    the same bucket counts), letting the unified entry feed both legs
+    from one corpus scan. Standalone (None), the plan is the r12 one
+    plus a persist of the bucket-counts aggregate: the counts frame
+    has ~6 parentless consumers in the final plan (base×3, cur×2,
+    tot_c×2 expansions), each of which re-scanned events and re-ran
+    the corpus aggregation (guide §5 caching: reused AND expensive)."""
+    from pyspark import StorageLevel
+
+    if cents_counts is not None:
+        counts = cents_counts.groupBy(
+            "batch_id", F.floor(F.col("cents") / 2500).alias("bucket")
+        ).agg(F.sum("n").alias("n"))
+    else:
+        ev = _t(spark, sf_dir, "events").filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        rows = ev.select(
+            F.floor(F.col("event_id") / _PSI_BATCH).alias("batch_id"),
+            F.floor(cents / 2500).alias("bucket"),
+        )
+        counts = rows.groupBy("batch_id", "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _psi_from_counts(counts)
+
+
+def stream_ks_drift_by_batch(spark, sf_dir, cents_counts=None):
     """Two-sample KS distance per ingest micro-batch vs the FIRST
     batch — the SHAPE leg of the streaming drift monitor
     (``stream_psi_drift_by_batch`` is the binned-share leg; a mixture
@@ -1444,20 +1493,21 @@ def stream_ks_drift_by_batch(spark, sf_dir):
     to (batch × distinct-cent) rows; every window below runs over
     frames bounded by the VALUE DOMAIN per batch (the cumulative walk
     partitions on batch_id, and each partition holds at most
-    |cent domain| rows no matter the corpus size)."""
-    ev = _t(spark, sf_dir, "events").filter(
-        (F.col("event_type") == "purchase")
-        & F.col("value").isNotNull()
-        & F.col("event_id").isNotNull()
-    )
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    rows = ev.select(
-        F.floor(F.col("event_id") / _PSI_BATCH).alias("batch_id"),
-        cents.alias("cents"),
-    )
-    counts = rows.groupBy("batch_id", "cents").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    |cent domain| rows no matter the corpus size).
+
+    ``cents_counts`` (r13): optional precomputed/persisted counts from
+    ``_drift_cents_counts`` (the unified entry's shared scan).
+    Standalone, the leg persists its own counts aggregate — same
+    multi-consumer rationale as the PSI leg (the r12 plan re-scanned
+    events ~6 times, once per parentless counts reference)."""
+    from pyspark import StorageLevel
+
+    if cents_counts is not None:
+        counts = cents_counts
+    else:
+        counts = _drift_cents_counts(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     base = counts.filter(F.col("batch_id") == 0).select(
         "cents", F.col("n").alias("n_b")
     )
@@ -1543,9 +1593,20 @@ def stream_unified_drift_by_batch(spark, sf_dir):
     surface; the oracle nests both leg oracles the same way. Live
     twin: streaming/drift.py::attach_drift_monitor (one foreachBatch
     writing psi + ks columns together), pytest-pinned to these rows
-    (tests/test_streaming.py::TestStreamUnifiedDrift)."""
-    psi = stream_psi_drift_by_batch(spark, sf_dir)
-    ks = stream_ks_drift_by_batch(spark, sf_dir).select(
+    (tests/test_streaming.py::TestStreamUnifiedDrift).
+
+    r13: both legs are fed ONE persisted (batch_id, cents, n) counts
+    frame (``_drift_cents_counts``) — PSI's $25 buckets regroup from
+    it exactly — so the whole report makes a single pass over events
+    (the r12 plan had 14 live parquet scans: each leg re-derived its
+    counts once per parentless plan branch)."""
+    from pyspark import StorageLevel
+
+    cc = _drift_cents_counts(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    psi = stream_psi_drift_by_batch(spark, sf_dir, cents_counts=cc)
+    ks = stream_ks_drift_by_batch(spark, sf_dir, cents_counts=cc).select(
         "batch_id", "ks_d", "ks_at_value", "ks_stat"
     )
     return psi.join(ks, "batch_id")

@@ -180,9 +180,21 @@ def similarity_mmr_rerank(spark, sf_dir):
     # pairwise sims among each query's shortlist members (≤ k² rows/query)
     va = emb.select(F.col("vec_id").alias("id_x"), F.col("embedding").alias("vx"))
     vb = emb.select(F.col("vec_id").alias("id_y"), F.col("embedding").alias("vy"))
+    # Broadcast hints throughout (r13): every frame below the shortlist
+    # scan is k-bounded by construction (≤ |queries|·k = 200 shortlist
+    # rows, ≤ |queries|·k² = 3,800 sims rows at ANY corpus size — the
+    # corpus only enters through the persisted `short`/`sims`), yet the
+    # planner saw unsized cached relations and picked SortMergeJoin for
+    # all 9 joins (9 joins × 2 sort-exchanges in the r12 plan). Join
+    # strategy is semantics-free for these inner equi-joins.
     pairs = (
         short.select("query_id", F.col("neighbor_id").alias("id_x"))
-        .join(short.select("query_id", F.col("neighbor_id").alias("id_y")), "query_id")
+        .join(
+            F.broadcast(
+                short.select("query_id", F.col("neighbor_id").alias("id_y"))
+            ),
+            "query_id",
+        )
         .filter(F.col("id_x") != F.col("id_y"))
     )
     sims = (
@@ -203,10 +215,10 @@ def similarity_mmr_rerank(spark, sf_dir):
         F.col("cosine").alias("s1_score"),
     )
     c2 = (
-        short.join(s1, "query_id")
+        short.join(F.broadcast(s1), "query_id")
         .filter(F.col("neighbor_id") != F.col("s1_id"))
         .join(
-            sims.select(
+            F.broadcast(sims).select(
                 "query_id",
                 F.col("id_x").alias("neighbor_id"),
                 F.col("id_y").alias("s1_id"),
@@ -227,14 +239,14 @@ def similarity_mmr_rerank(spark, sf_dir):
         )
     )
     c3 = (
-        short.join(s1, "query_id")
-        .join(s2, "query_id")
+        short.join(F.broadcast(s1), "query_id")
+        .join(F.broadcast(s2), "query_id")
         .filter(
             (F.col("neighbor_id") != F.col("s1_id"))
             & (F.col("neighbor_id") != F.col("s2_id"))
         )
         .join(
-            sims.select(
+            F.broadcast(sims).select(
                 "query_id",
                 F.col("id_x").alias("neighbor_id"),
                 F.col("id_y").alias("s1_id"),
@@ -243,7 +255,7 @@ def similarity_mmr_rerank(spark, sf_dir):
             ["query_id", "neighbor_id", "s1_id"],
         )
         .join(
-            sims.select(
+            F.broadcast(sims).select(
                 "query_id",
                 F.col("id_x").alias("neighbor_id"),
                 F.col("id_y").alias("s2_id"),
@@ -2309,11 +2321,20 @@ def graph_label_propagation(spark, sf_dir):
             .persist()
         )
         _lpa_edge_cache.update(key=edge_key, df=directed)
-    labels = directed.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(_LPA_ROUNDS):
-        cand = directed.join(labels, directed.v == labels.node).select("u", "label")
+    labels = None
+    for _round in range(_LPA_ROUNDS):
+        if _round == 0:
+            # Round-1 identity-join elimination (r13): the initial
+            # labels frame is (node, label=node) over the distinct
+            # nodes, and the edge set is SYMMETRIZED — every v value
+            # also occurs as a u — so joining it on directed.v is the
+            # identity mapping label := v. Algebraically equal to the
+            # join (labels is distinct, so exactly one match per edge
+            # row and no row is dropped); saves the initial distinct
+            # (two exchanges) plus a graph-sized hash join per run.
+            cand = directed.select("u", F.col("v").alias("label"))
+        else:
+            cand = directed.join(labels, directed.v == labels.node).select("u", "label")
         counts = cand.groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt"))
         labels = counts.groupBy("u").agg(
             F.min_by(
