@@ -2373,28 +2373,52 @@ def events_sessionize_by_type(spark, sf_dir):
     stitches over per-chunk aggregates (audit tier: agg_input).
     Completing include/expression.hpp:112-121 (the reference parses
     OVER and never executes it) with the 100 TB-safe spelling."""
+    from pyspark import StorageLevel as _StorageLevel
+
     from warpdb_spark.operators.sequence import (
         grouped_lag,
         grouped_prefix_sum,
         hour_chunk,
     )
 
-    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts")
+    # Chunk computed ONCE as a column (r13): both chunked passes
+    # partition their corpus window by (event_type, chunk). With the
+    # chunk as a fresh expression in each pass, the prefix pass could
+    # not prove its partitioning matched the lag pass's and re-shuffled
+    # the full event stream; carried as a column, ProjectExec's
+    # alias-aware partitioning propagates (event_type, __ck) through
+    # the lag's boundary-stitch join and the second corpus exchange
+    # (and its sort) collapses. Same rows, same chunking — the column
+    # IS hour_chunk(ts).
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "event_id", "ts")
+        .withColumn("__ck", hour_chunk("ts"))
+    )
     sec = F.col("ts").cast("long")
     psec = F.col("prev_ts").cast("long")
     j = (
         grouped_lag(
-            ev, "event_type", ["ts", "event_id"], "ts", hour_chunk("ts"),
+            ev, "event_type", ["ts", "event_id"], "ts", F.col("__ck"),
             out_col="prev_ts",
         )
         .withColumn(
             "new_s",
             F.when(psec.isNull() | ((sec - psec) > 1800), F.lit(1)).otherwise(F.lit(0)),
         )
-        .select("event_type", "event_id", "ts", "new_s")
+        .select("event_type", "event_id", "ts", "new_s", "__ck")
+        # persist (r13): grouped_prefix_sum consumes its input from TWO
+        # parentless branches (the local running sum and the per-chunk
+        # totals), so the whole lag pipeline above — corpus window +
+        # boundary stitch — executed twice (verified in the r12 plan:
+        # two full Window+join subtrees from separate scans). The frame
+        # is 5 narrow columns; MEMORY_AND_DISK spills rather than dying
+        # (the _user_edges precedent for corpus-sized derivations with
+        # multiple consumers).
+        .persist(_StorageLevel.MEMORY_AND_DISK)
     )
     s = grouped_prefix_sum(
-        j, "event_type", ["ts", "event_id"], hour_chunk("ts"), "new_s",
+        j, "event_type", ["ts", "event_id"], F.col("__ck"), "new_s",
         prefix_col="session_seq", total_col=None,
     )
     return s.groupBy(

@@ -99,12 +99,23 @@ def lloyd(
     vec_col: str = "embedding",
 ):
     """Full Lloyd iterations. Returns (assignments DataFrame, centroids,
-    n_iter). Stops when max centroid movement (squared L2) < tol."""
-    centroids = init_centroids(df, k, id_col, vec_col)
+    n_iter). Stops when max centroid movement (squared L2) < tol.
+
+    The (id, vec) projection is persisted ONCE across all iterations
+    (r13): each iteration consumes it twice (the assignment cross-join
+    and the update join) and the returned frame once more, so the
+    un-persisted loop re-scanned and re-projected the input 2x per
+    iteration. Persist-only change — init, centroid arithmetic,
+    iteration order, and every aggregate are untouched (ANN oracle
+    hashes pin them); MEMORY_AND_DISK spills rather than dying."""
+    from pyspark import StorageLevel
+
+    proj = df.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    centroids = init_centroids(proj, k, id_col, vec_col)
     n_iter = 0
     for n_iter in range(1, max_iter + 1):
-        assigned = assign_step(df, centroids, id_col, vec_col)
-        joined = df.select(id_col, vec_col).join(assigned, id_col)
+        assigned = assign_step(proj, centroids, id_col, vec_col)
+        joined = proj.join(assigned, id_col)
         cells = joined.select(
             "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
@@ -133,4 +144,4 @@ def lloyd(
         centroids = new_centroids
         if movement < tol:
             break
-    return assign_step(df, centroids, id_col, vec_col), centroids, n_iter
+    return assign_step(proj, centroids, id_col, vec_col), centroids, n_iter
