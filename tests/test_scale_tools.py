@@ -171,6 +171,24 @@ class TestBenchSubstitution:
         got = bench._best_quiet_same_tree("t1", 0.1, ["q_a", "q_b"], 32)
         assert got is not None and got["value"] == 11.0  # median, not min
 
+    def test_even_count_picks_upper_middle(self, tmp_path, monkeypatch):
+        """r12 verdict item 3: with an even number of banked quiet
+        records the lower-middle degenerates to the MIN at count 2 —
+        the flattering end. The pick must be the upper-middle, so the
+        substituted value is never below the median quiet reading."""
+        bench = self._hist(
+            tmp_path, monkeypatch,
+            [self._rec(8.8, 32), self._rec(9.4, 32)],
+        )
+        got = bench._best_quiet_same_tree("t1", 0.1, ["q_a", "q_b"], 32)
+        assert got is not None and got["value"] == 9.4
+        bench = self._hist(
+            tmp_path, monkeypatch,
+            [self._rec(v, 32) for v in (10.0, 12.0, 11.0, 13.0)],
+        )
+        got = bench._best_quiet_same_tree("t1", 0.1, ["q_a", "q_b"], 32)
+        assert got is not None and got["value"] == 12.0
+
     def test_other_cpus_never_substitutes(self, tmp_path, monkeypatch):
         bench = self._hist(tmp_path, monkeypatch, [self._rec(10.0, 32)])
         assert bench._best_quiet_same_tree("t1", 0.1, ["q_a", "q_b"], 8) is None

@@ -39,7 +39,13 @@ _DEFAULT_CONF = {
     # 15 headline queries: construction 1933ms -> 1030ms with it off
     # (tpch_q3 237->68ms, q5 225->60ms). Query semantics and error
     # classes are unchanged — errors just drop the per-call origin
-    # line. Flip to "true" when debugging a DataFrame-API error.
+    # line. To debug a DataFrame-API error, flip to "true" BEFORE the
+    # first DataFrame/Column call of a FRESH Python process (e.g. via
+    # extra_conf on the run's first get_spark()): PySpark caches
+    # is_debugging_enabled() in a process-global on the first wrapped
+    # call (pyspark/errors/utils.py), so flipping the conf on a live
+    # session — or in a later get_spark() in the same process — has no
+    # effect.
     "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
