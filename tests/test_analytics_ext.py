@@ -19,6 +19,7 @@ def _plan(df) -> str:
 
 
 class TestMergeUpsert:
+    @pytest.mark.slow
     def test_merge_rules(self, spark, sf_dir):
         out = X.merge_upsert_orders(spark, sf_dir)
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -391,6 +392,7 @@ class TestStreamKsDrift:
         assert got[1]["n_batch"] == 250 and got[1]["n_base"] == 250
 
 
+@pytest.mark.slow
 class TestStreamKsFuzz:
     """Engine-parity fuzz for the streaming KS entry: random purchase
     batches vs the entry's own DuckDB oracle — varies support overlap,
@@ -447,6 +449,7 @@ class TestStreamKsFuzz:
         check()
 
 
+@pytest.mark.slow
 class TestStreamPsiFuzz:
     """Entry-level parity fuzz for stream_psi_drift_by_batch: random
     batches through Spark and the entry's own oracle SQL on identical
@@ -502,6 +505,7 @@ class TestStreamPsiFuzz:
 
 
 class TestPqPersistedIndex:
+    @pytest.mark.slow
     def test_query_path_scans_only_index_tables(self, spark, sf_dir):
         """The deployment claim of similarity_pq_persisted_index: after
         the one-time build, a query batch's plan reads the persisted

@@ -900,6 +900,7 @@ class TestPoissonRateTest:
         assert 0 < row["p_value"] <= 1
 
 
+@pytest.mark.slow
 class TestDecontamBloomFuzz:
     """Tokenizer/trigram/bloom edge parity: random short documents —
     punctuation-only, fewer than 3 tokens, repeated grams, mixed

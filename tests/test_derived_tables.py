@@ -510,6 +510,7 @@ class TestRecursiveCTE:
         ]
         assert got == [1, 2]
 
+    @pytest.mark.slow
     def test_cycle_union_all_raises(self, rdb):
         from warpdb_spark.errors import ValidationError
 

@@ -17,6 +17,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -236,6 +238,7 @@ print("PLAIN_SESSION_OK", len(subset))
 """
 
 
+@pytest.mark.slow
 def test_entries_run_under_plain_session():
     env = dict(os.environ, PYTHONPATH=REPO)
     out = subprocess.run(

@@ -89,6 +89,7 @@ def test_unknown_priority_name_raises(monkeypatch):
         inventory.load_all()
 
 
+@pytest.mark.slow
 def test_no_nested_typed_result_columns(spark, sf_dir):
     """The driver's canonicalizer runs pandas ``sort_values`` over the
     raw result columns and dies with ``TypeError: unhashable type:
@@ -123,6 +124,7 @@ def test_no_nested_typed_result_columns(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_no_long_product_moment_sums(spark, sf_dir):
     """Ban the rows²-growth int64 overflow class: a SUM over a product
     of two long-typed columns (Σ i·x rank moments, Σ x² second
@@ -236,6 +238,7 @@ def test_headline_has_no_window_sort_on_low_cardinality_key(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_inventory_window_audit_matches_reviewed_exceptions(spark, sf_dir):
     """Inventory-WIDE extension of the headline window lint (r7 verdict
     item 5): sweep every entry's optimized plan with

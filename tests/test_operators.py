@@ -308,6 +308,7 @@ class TestAsofRange:
         out = asof_join(left, right, on="t", by="k", right_cols=["v"], direction="forward")
         assert out.first().v_right == 2.0
 
+    @pytest.mark.slow
     def test_range_join_banded_equals_plain(self, spark):
         left = spark.createDataFrame([Row(id=i, val=float(i * 7 % 100)) for i in range(30)])
         right = spark.createDataFrame(
@@ -477,6 +478,7 @@ class TestPqBatchAndDelegation:
         assert c == d
 
 
+@pytest.mark.slow
 class TestBatchKnobFuzz:
     """r12 (r11 verdict item 7): property fuzz of the batch-similarity
     seams — block counts (incl. 1 and > |rows|) and nprobe/num_lists

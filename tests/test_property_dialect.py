@@ -596,6 +596,7 @@ _doc = st.lists(_frag, max_size=10).map("".join)
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(texts=st.lists(_doc, min_size=1, max_size=4))
+@pytest.mark.slow
 def test_sentence_split_matches_duckdb(spark, texts):
     """The production oracle (struct-comprehension split + windowed
     length sums) must agree with the UDTF row-for-row on arbitrary
@@ -984,6 +985,7 @@ _up_pool = ["a", "b", "c", "d", "e", "f"]
     width=st.integers(min_value=2, max_value=3),
     include_nulls=st.booleans(),
 )
+@pytest.mark.slow
 def test_unpivot_multi_matches_duckdb(updb, upduck, perm, width, include_nulls):
     """Random multi-measure UNPIVOT — tuple width 2-3, random column
     grouping, INCLUDE NULLS on/off — must match DuckDB running the
@@ -1108,6 +1110,7 @@ def wtduck():
     mod=st.sampled_from(["v", "v % 2", "k % 3"]),
     d2=st.sampled_from(["ASC", "DESC"]),
 )
+@pytest.mark.slow
 def test_with_ties_two_pass_matches_duckdb_rank_replay(wtdb, wtduck, n, d1, mod, d2):
     """The r11 two-pass WITH TIES against DuckDB's rank replay — NULL
     sort keys with explicit placement, duplicate boundary values,

@@ -1201,6 +1201,7 @@ class TestLeakageSafeSplit:
         assert rows[3].split_key == 3 and not rows[3].moved
 
 
+@pytest.mark.slow
 class TestLeakageSafeSplitFuzz:
     def test_random_corpora_match_oracle(self, spark):
         """Randomized replica check: random corpora with planted dup

@@ -214,6 +214,7 @@ class TestQueryStream:
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_cli_mini_language(self, fixture_csv):
         proc = subprocess.run(
             [sys.executable, "-m", "warpdb_spark", "price + 1", fixture_csv],

@@ -343,6 +343,7 @@ class TestIntervalJoin:
         )
         return str(clicks), str(purchases)
 
+    @pytest.mark.slow
     def test_stream_stream_interval_join(self, spark, tmp_path):
         from warpdb_spark.streaming.windows import interval_join
 

@@ -262,10 +262,16 @@ KNOWN_OPAQUE: dict[str, set[str]] = {
     # input, not the corpus); rows per query = the top-N candidate
     # pool the entry caps before reranking.
     "similarity_mmr_rerank": {"query_id"},
-    # Ingest-monitoring curves: batch_id = doc_id // batch_size —
+    # Ingest-monitoring curves: batch_id = event_id // batch_size —
     # grows with the corpus; rows per batch = the fixed batch size.
+    # (stream_unified_drift_by_batch carried the same pin until r13:
+    # its legs now window over the PERSISTED shared counts frame, so
+    # batch_id's defining floor(event_id/250) expression sits behind
+    # the InMemoryRelation boundary and the classifier correctly
+    # reports the key unbounded — corpus-growing batch count, real
+    # shuffle parallelism, nothing to pin. The standalone KS leg still
+    # prints the definition inline and keeps its reviewed pin.)
     "stream_ks_drift_by_batch": {"batch_id"},
-    "stream_unified_drift_by_batch": {"batch_id"},
     # bucket = n_tokens/64 (length buckets): domain grows with max doc
     # LENGTH, not corpus. The corpus-scale rank runs within (bucket,
     # __chunk = exact length) via grouped_global_rank (r10 respell);

@@ -1308,7 +1308,21 @@ def text_kneser_ney_bigram(spark, sf_dir):
     )
     trn = big.filter(F.col("doc_id") % 10 != 0).select("w1", "w2")
     ev = big.filter(F.col("doc_id") % 10 == 0)
-    c2 = trn.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # persist + eager count (r13): the bigram-TYPE table is the hub of
+    # the whole entry (w1s, cont, tot, and the scoring join all derive
+    # from it — four parentless branches), yet un-persisted each branch
+    # re-ran the corpus explode + aggregation (5 parquet scans in the
+    # r12 plan; now 2: this build + the eval slice). The frame is the
+    # distinct-bigram set — "broadcast-or-AQE territory" per the scale
+    # note above — and MEMORY_AND_DISK spills rather than dying.
+    from pyspark import StorageLevel as _SL
+
+    c2 = (
+        trn.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .persist(_SL.MEMORY_AND_DISK)
+    )
+    c2.count()
     w1s = c2.groupBy("w1").agg(
         F.sum("c2").alias("cw1"), F.count(F.lit(1)).alias("n1w1")
     )
@@ -2104,14 +2118,28 @@ def text_source_vocab_jaccard(spark, sf_dir):
     )
     cnt = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("source").orderBy(F.col("c").desc(), "term")
-    top = cnt.select(
-        "source", "term", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= _VJ_TOP)
+    # persist + eager count (r13): the signature frame is BOUNDED
+    # (≤ _VJ_TOP × |sources| rows at any corpus size) but feeds THREE
+    # parentless branches (sizes + both self-join sides) — un-persisted,
+    # each branch re-ran the corpus term count and the top-100 window
+    # (4 parquet scans in the r12 plan). The eager count matters here
+    # because the branches are independent leaf stages an adaptive plan
+    # can launch concurrently against a cold cache.
+    from pyspark import StorageLevel as _SL
+
+    top = (
+        cnt.select("source", "term", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _VJ_TOP)
+        .persist(_SL.MEMORY_AND_DISK)
+    )
+    top.count()
     sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("n_sig"))
     a = top.select(F.col("source").alias("src_a"), "term")
     b = top.select(F.col("source").alias("src_b"), "term")
     inter = (
-        a.join(b, "term")
+        # broadcast: both sides are the ≤ _VJ_TOP × |sources| cached
+        # signature — the self-join was a SortMergeJoin (2 exchanges)
+        a.join(F.broadcast(b), "term")
         .filter(F.col("src_a") < F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -2119,7 +2147,9 @@ def text_source_vocab_jaccard(spark, sf_dir):
     sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sig").alias("na"))
     sb = sizes.select(F.col("source").alias("src_b"), F.col("n_sig").alias("nb"))
     grid = sa.crossJoin(sb).filter(F.col("src_a") < F.col("src_b"))
-    j = grid.join(inter, ["src_a", "src_b"], "left").select(
+    # broadcast: inter is ≤ |sources|² rows (and the build side of a
+    # LEFT join may broadcast) — the planner picked SortMergeJoin
+    j = grid.join(F.broadcast(inter), ["src_a", "src_b"], "left").select(
         "src_a",
         "src_b",
         F.coalesce("n_common", F.lit(0)).alias("n_common"),
@@ -2163,7 +2193,16 @@ def events_interarrival_profile(spark, sf_dir):
         "__esec",
         (F.col("__esec") / 3600).cast("long"),
     )
-    g = pairs.select("event_type", (F.col("dst") - F.col("src")).alias("gap"))
+    # persist (r13): grouped_global_rank consumes its input from two
+    # parentless branches (local ranks + per-chunk totals), so the
+    # whole lead-pairs pipeline above ran twice (4 parquet scans in the
+    # r12 plan). Two narrow columns; MEMORY_AND_DISK spills rather than
+    # dying (the events_sessionize_by_type pattern).
+    from pyspark import StorageLevel as _SL
+
+    g = pairs.select(
+        "event_type", (F.col("dst") - F.col("src")).alias("gap")
+    ).persist(_SL.MEMORY_AND_DISK)
     r = grouped_global_rank(
         g, "event_type", ["gap"], F.col("gap"), rank_col="rn", n_col="n"
     )
