@@ -242,11 +242,19 @@ def stats_chi2_independence(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     esec = F.col("ts").cast("long")
     part = F.pmod(F.floor(esec / 21600), F.lit(4)).cast("int")
+    # persist + eager count (r13): the |types|×4 contingency table
+    # feeds FOUR parentless branches (row marginal, column marginal,
+    # grand total, and the output join) — un-persisted, each re-scanned
+    # events and re-ran the corpus aggregation (4 parquet scans -> 1).
+    from pyspark import StorageLevel as _SL
+
     obs = (
         ev.select("event_type", part.alias("daypart"))
         .groupBy("event_type", "daypart")
         .agg(F.count(F.lit(1)).alias("obs"))
+        .persist(_SL.MEMORY_AND_DISK)
     )
+    obs.count()
     rt = obs.groupBy("event_type").agg(F.sum("obs").alias("rt"))
     ct = obs.groupBy("daypart").agg(F.sum("obs").alias("ct"))
     n = obs.agg(F.sum("obs").alias("n"))
@@ -1174,11 +1182,21 @@ def events_psi_value_drift(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     cents = F.round(F.col("value") * 100, 0).cast("long")
     bucket = F.floor(cents / F.lit(_PSI_BUCKET_CENTS)).cast("long")
+    # persist + eager count (r13): this O(types × buckets) aggregate —
+    # bounded by taxonomy × value domain at any corpus size — feeds SIX
+    # parentless branches (types, buckets, the grid left-join,
+    # per_bucket, per_type, n_total), each of which re-scanned events
+    # and re-ran the corpus aggregation in the r12 plan (6 parquet
+    # scans -> 1).
+    from pyspark import StorageLevel as _SL
+
     g = (
         ev.select("event_type", bucket.alias("bucket"))
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("n_tb"))
+        .persist(_SL.MEMORY_AND_DISK)
     )
+    g.count()
     types = g.select("event_type").distinct()
     buckets = g.select("bucket").distinct()
     full = (
@@ -1514,11 +1532,22 @@ def decontam_bloom_prefilter(spark, sf_dir):
     grams3 = F.array_distinct(
         T.word_ngrams_from_tokens(T.alnum_tokens(F.col("text")), 3)
     )
+    # persist + eager count (r13): the distinct eval-gram set feeds two
+    # parentless branches (the bitmap fold and the exact true-hit
+    # broadcast) — un-persisted, each re-scanned and re-sharded the
+    # eval slice. Bounded by the benchmark-union gram count (the
+    # quantity the bitmap exists to compress); MEMORY_AND_DISK spills.
+    # The CORPUS side's two passes (tot + probe) are the bloom
+    # pattern's documented price (guide §3.2) and stay.
+    from pyspark import StorageLevel as _SL
+
     eval_grams = (
         docs.filter(F.col("doc_id") % 17 == 0)
         .select(F.explode(grams3).alias("gram"))
         .distinct()
+        .persist(_SL.MEMORY_AND_DISK)
     )
+    eval_grams.count()
     words = _bloom_words(eval_grams, "gram", _DECONTAM_BLOOM_BITS)
     pairs = docs.filter(F.col("doc_id") % 17 != 0).select(
         "doc_id", F.explode(grams3).alias("gram")
