@@ -245,10 +245,20 @@ def _scaling_proof(spark, cpus: int) -> dict | None:
         spark.read.parquet(src).repartition(32).write.mode(
             "overwrite"
         ).parquet(path)
-        split = spark.read.parquet(path)
-        big = split
-        for _ in range(3):
-            big = big.unionByName(split)
+        big = spark.read.parquet(path)
+        # ONE scan of the 32 files (32 tasks — few enough that the
+        # driver's single-threaded task scheduling never caps the
+        # probe) with a per-row 256-step seeded rehash fold: ~150M hash
+        # evaluations ≈ several core-seconds of genuinely parallel
+        # work, so wall time separates 8 from 32 cores. (A first cut
+        # with 4-16 unioned scan copies and a light sum was flat across
+        # core counts: 128-512 tiny tasks made it scheduler-bound —
+        # driver-side and core-count-independent.)
+        copies = 1
+        fold = F.expr(
+            "aggregate(sequence(1, 256), xxhash64(l_orderkey, l_shipdate),"
+            " (acc, i) -> xxhash64(acc, i)) % 1000"
+        )
 
         def probe() -> float:
             t0 = time.perf_counter()
@@ -257,7 +267,7 @@ def _scaling_proof(spark, cpus: int) -> dict | None:
                     F.col("l_extendedprice") * (1 - F.col("l_discount"))
                 ).alias("rev"),
                 F.avg("l_quantity").alias("avg_qty"),
-                F.sum(F.xxhash64("l_orderkey", "l_shipdate") % 1000).alias("h"),
+                F.sum(fold).alias("h"),
                 F.count(F.lit(1)).alias("n"),
             ).write.format("noop").mode("overwrite").save()
             return round(time.perf_counter() - t0, 3)
@@ -271,7 +281,7 @@ def _scaling_proof(spark, cpus: int) -> dict | None:
             "sec": min(runs),
             "runs": runs,
             "files": n_files,
-            "scan_copies": 4,
+            "scan_copies": copies,
             "cpus": cpus,
         }
     except Exception as e:  # noqa: BLE001
